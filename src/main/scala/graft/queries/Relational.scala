@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational parity surface.
+  *
+  * The reference (spotify/klio) has no relational operators of its own; its
+  * pipelines exercise raw Beam primitives — `beam.CoGroupByKey`
+  * (reference `integration/audio-spectrograms/run.py:76-91`), `beam.Distinct`
+  * (`run.py:120`), `beam.Flatten` (`exec/src/klio_exec/commands/run.py:363`),
+  * tagged outputs (`lib/src/klio/transforms/_helpers.py:50-54`) — plus the
+  * existence-check prelude which is relationally a semi/anti join
+  * (`lib/src/klio/transforms/helpers.py:91-104`). Each query here maps one of
+  * those shapes onto the driver's TPC-H-ish tables, Spark-first: declarative
+  * DataFrame ops so Catalyst gets pushdown/pruning/broadcast for free.
+  *
+  * Determinism vs the DuckDB oracle: money math is done in DECIMAL (exact,
+  * engine-independent) and cast to DOUBLE only at the end; averages are
+  * derived as double-division of two exactly-matching values so the IEEE
+  * result is bit-identical in both engines.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val one = lit(BigDecimal(1).setScale(2))
+
+  /** TPC-H Q1 shape: scan → filter → hash agg (partial+final, no shuffle of
+    * raw rows beyond the 6-group key). Scales: map-side combine means the
+    * shuffle carries only n_partitions × n_groups rows at 100 TB.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** CoGroupByKey parity (reference joins full-spectrogram with nn-filtered
+    * spectrogram by `kmsg.data.element`, audio-spectrograms/run.py:76-91):
+    * equi-join keyed by custkey. customer is small → broadcast; at 100 TB the
+    * orders side streams through without a shuffle.
+    */
+  def q2CogroupJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q2Oracle: String =
+    """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
+
+  /** beam.Distinct parity (audio-spectrograms/run.py:120). Distinct is a
+    * shuffle on the full key — at scale prefer dropDuplicates on a narrow
+    * projection, which is what this does.
+    */
+  def q3Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  val q3Oracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** beam.Flatten parity (exec run.py:363,374 — pass-thru branches unioned
+    * back into the main flow): two filtered slices unioned then aggregated.
+    * union is a no-shuffle narrow op in Spark.
+    */
+  def q4FlattenUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+    val bigClicks = e.filter(col("event_type") === "click" && col("value") > 10.0)
+    errors.unionByName(bigClicks)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q4Oracle: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT * FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT * FROM events WHERE event_type = 'click' AND value > 10.0
+      |)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Tagged-output parity (TaggedStates{process, pass_thru, drop},
+    * _helpers.py:50-54): single-pass routing via a tag column instead of
+    * N re-evaluations of the source — the Spark-idiomatic answer to Beam's
+    * .with_outputs().
+    */
+  def q5TaggedRoute(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("tag",
+        when(col("event_type") === "error", "drop")
+          .when(col("value") < 1.0, "pass_thru")
+          .otherwise("process"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("tag"))
+
+  val q5Oracle: String =
+    """SELECT CASE WHEN event_type = 'error' THEN 'drop'
+      |            WHEN value < 1.0 THEN 'pass_thru'
+      |            ELSE 'process' END AS tag,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY tag""".stripMargin
+
+  /** TPC-H Q5 shape: fact table joined to a star of dims. All dims are tiny
+    * relative to lineitem → explicit broadcast so the 100 TB fact side never
+    * shuffles for the join; only the final 25-group agg shuffles.
+    */
+  def q6MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q6Oracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Window functions (beyond klio — engine completeness): per-user event
+    * ranking by value. Single shuffle on user_id; the window sort is local
+    * per partition group.
+    */
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"), col("rk"))
+  }
+
+  val q7Oracle: String =
+    """SELECT user_id, rk, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      |  FROM events
+      |) WHERE rk <= 3
+      |ORDER BY user_id, rk""".stripMargin
+
+  /** Global top-k with deterministic tie-break. Spark plans orderBy+limit as
+    * TakeOrderedAndProject: per-partition top-k then a k-row merge on the
+    * driver — no full sort at 100 TB.
+    */
+  def q8TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+
+  val q8Oracle: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY value DESC, event_id LIMIT 100""".stripMargin
+
+  /** Existence-check prelude, relationally: klio's "does input data exist for
+    * this element" check (helpers.py:91-96) at scale is a semi-join of the
+    * message stream against a listing — never a per-row RPC. Here: customers
+    * that do have orders (found → process).
+    */
+  def q9ExistsSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q9Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** The complement: not_found → drop/trigger-upstream branch
+    * (helpers.py:536-753) as a left-anti join.
+    */
+  def q10ExistsAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_cogroup_join" -> (q2CogroupJoin _),
+    "q3_distinct" -> (q3Distinct _),
+    "q4_flatten_union" -> (q4FlattenUnion _),
+    "q5_tagged_route" -> (q5TaggedRoute _),
+    "q6_multi_join" -> (q6MultiJoin _),
+    "q7_window" -> (q7Window _),
+    "q8_topk" -> (q8TopK _),
+    "q9_exists_semi" -> (q9ExistsSemi _),
+    "q10_exists_anti" -> (q10ExistsAnti _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1Oracle,
+    "q2_cogroup_join" -> q2Oracle,
+    "q3_distinct" -> q3Oracle,
+    "q4_flatten_union" -> q4Oracle,
+    "q5_tagged_route" -> q5Oracle,
+    "q6_multi_join" -> q6Oracle,
+    "q7_window" -> q7Oracle,
+    "q8_topk" -> q8Oracle,
+    "q9_exists_semi" -> q9Oracle,
+    "q10_exists_anti" -> q10Oracle)
+}
