@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over the `documents` table — the training-data
+  * pipeline surface (language-ID, quality scoring, token counting, document
+  * fingerprinting). All are narrow per-row transforms: no shuffle except the
+  * final order/agg, so they scale linearly with input splits at 100 TB.
+  */
+object TextQueries {
+
+  /** Token statistics per document. avg_token_len is derived from two
+    * exact integers so the double division is engine-identical.
+    */
+  def tTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        typeCount(col("text")).as("n_types"),
+        subwordCount(col("text")).as("n_subwords"),
+        (tokenCharCount(col("text")).cast("double") /
+          tokenCount(col("text")).cast("double")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  val tTokensOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+      |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS sub
+      |FROM documents)
+      |SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_types,
+      |  len(sub) AS n_subwords,
+      |  CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS avg_token_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: type/token ratio (repetitiveness), stopword density,
+    * length band — composed into a single score. Components come from exact
+    * integers; the score arithmetic is the same IEEE expression both sides.
+    */
+  def tQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = tokenCount(col("text")).cast("double")
+    val ttr = typeCount(col("text")).cast("double") / nTok
+    val stopRatio = stopwordCount(col("text"), StopEn).cast("double") / nTok
+    val lenOk = when(tokenCount(col("text")).between(20, 2000), 1.0)
+      .otherwise(0.0)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        ttr.as("ttr"),
+        stopRatio.as("stop_ratio"),
+        (ttr * 0.4 + least(stopRatio * 5.0, lit(1.0)) * 0.3 + lenOk * 0.3)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tQualityOracle: String =
+    """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+      |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |FROM documents),
+      |m AS (SELECT doc_id, n_chars,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in','that','it','on'))) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+      |  CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END AS len_ok
+      |FROM t)
+      |SELECT doc_id, n_chars, ttr, stop_ratio,
+      |  ttr * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3 + len_ok * 0.3 AS quality_score
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic vs the labelled lang column → confusion counts.
+    * (The synthetic corpus shares one vocabulary across langs, so the
+    * heuristic's output is dominated by 'en'/'und' — the query demonstrates
+    * the operator and its evaluation shape, not corpus accuracy.)
+    */
+  def tLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  val langCase: String = {
+    def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString(", ")
+    s"""len(list_filter(toks, x -> x IN (${inList(StopEn)}))) AS c_en,
+       |  len(list_filter(toks, x -> x IN (${inList(StopDe)}))) AS c_de,
+       |  len(list_filter(toks, x -> x IN (${inList(StopFr)}))) AS c_fr,
+       |  len(list_filter(toks, x -> x IN (${inList(StopEs)}))) AS c_es""".stripMargin
+  }
+
+  val tLangIdOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+       |FROM documents),
+       |c AS (SELECT doc_id, lang, $langCase
+       |FROM t),
+       |p AS (SELECT lang, CASE
+       |  WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+       |  WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       |  WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       |  WHEN c_fr >= c_es THEN 'fr'
+       |  ELSE 'es' END AS pred FROM c)
+       |SELECT lang, pred, COUNT(*) AS n FROM p
+       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
+  /** Document fingerprint: polynomial rolling hash over all characters —
+    * the primitive under shift-resistant winnowing fingerprints.
+    */
+  def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rollingHash(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val tFingerprintOracle: String =
+    """SELECT doc_id,
+      |  list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)),
+      |              (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level top word-bigrams: flatMap/explode parity (multi-yield
+    * DoFns in the reference) + the n-gram LM frequency primitive. explode →
+    * partial agg keeps the shuffle at distinct-bigram, not token, volume.
+    */
+  def tBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(wordBigrams(col("text"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val tBigramsOracle: String =
+    """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks FROM documents),
+      |b AS (SELECT unnest(list_transform(list_zip(toks, toks[2:]), z -> z[1] || ' ' || z[2])) AS bigram FROM t)
+      |SELECT bigram, COUNT(*) AS n FROM b WHERE bigram IS NOT NULL
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_tokens" -> (tTokens _),
+    "t2_quality" -> (tQuality _),
+    "t3_langid" -> (tLangId _),
+    "t4_fingerprint" -> (tFingerprint _),
+    "t5_bigrams" -> (tBigrams _))
+
+  val oracle: Map[String, String] = Map(
+    "t1_tokens" -> tTokensOracle,
+    "t2_quality" -> tQualityOracle,
+    "t3_langid" -> tLangIdOracle,
+    "t4_fingerprint" -> tFingerprintOracle,
+    "t5_bigrams" -> tBigramsOracle)
+}
