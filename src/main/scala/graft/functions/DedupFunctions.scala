@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate-detection primitives: shingle hashing, MinHash
+  * signatures, LSH banding, SimHash, and quantized-integer vector
+  * similarity.
+  *
+  * Everything is expressed with Spark higher-order functions over array
+  * columns — codegen-friendly, no UDFs — and in exact integer arithmetic so
+  * results are bit-reproducible across engines (the DuckDB oracle runs the
+  * same formulas). At 100 TB the LSH paths (band self-join, hyperplane
+  * buckets) replace any all-pairs comparison; the exact all-pairs forms are
+  * kept for verification and small probe sets.
+  */
+object DedupFunctions {
+
+  val P: Long = 1000000007L
+
+  /** Integer hash of a 3-char shingle: base-31 polynomial mod 1e9+7. */
+  def shingleHash3(g: Column): Column =
+    ((ascii(g.substr(lit(1), lit(1))).cast("long") * 31L +
+      ascii(g.substr(lit(2), lit(1))).cast("long")) * 31L +
+      ascii(g.substr(lit(3), lit(1))).cast("long")) % P
+
+  /** Hash each shingle in an array<string> column. */
+  def shingleHashes(gs: Column): Column = transform(gs, shingleHash3 _)
+
+  /** MinHash signature (k permutations) over an array<long> of shingle
+    * hashes. Permutation i is the affine map h -> ((2i+1)h + 7i+3) mod P.
+    * O(k·|shingles|) per row, fully inside codegen.
+    */
+  def minhashSignature(hv: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hv,
+        h => ((i * 2 + 1).cast("long") * h + i * 7 + 3) % P)))
+
+  /** LSH band signatures: split a k-length signature into `bands` bands of
+    * `r` rows; each band becomes "m1:m2:...:mr". Docs sharing any (band,
+    * signature) pair are candidates — the scale path that avoids all-pairs.
+    */
+  def bandSignatures(mh: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(":",
+        transform(slice(mh, b * r + 1, lit(r)), _.cast("string"))))
+
+  val SimhashMod: Long = 1L << 48
+
+  /** Per-feature 48-bit hash: base-31 polynomial mod 2^48 over chars. */
+  def featureHash48(w: Column): Column =
+    aggregate(
+      transform(call_function("regexp_extract_all", w, lit("."), lit(0)),
+        c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % SimhashMod)
+
+  /** 48-bit SimHash over an array<string> feature column: bit b is set when
+    * at least half the feature hashes have bit b set (majority vote,
+    * ties → 1).
+    */
+  def simhash48(features: Column): Column = {
+    val hv = transform(features, featureHash48 _)
+    aggregate(
+      transform(sequence(lit(0), lit(47)), b => {
+        val ones = size(filter(hv,
+          h => call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L))
+        when(ones * 2 >= size(hv),
+          call_function("shiftleft", lit(1L), b).cast("long")).otherwise(0L)
+      }),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two long bit-vectors. */
+  def hammingDist(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  val QuantScale = 1048576.0 // 2^20
+
+  /** Quantize a float vector to exact integers: floor(x * 2^20 + 0.5).
+    * Integer dot products / norms are then engine-exact, and the derived
+    * cosine is a deterministic IEEE expression — no float-summation-order
+    * sensitivity between Spark and the oracle.
+    */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * QuantScale + 0.5).cast("long"))
+
+  /** Integer dot product of two array<long> columns. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Integer squared norm. */
+  def normSqLong(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from quantized integers (deterministic double). */
+  def cosineQ(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** True float cosine (for engine use where cross-engine exactness is not
+    * required): computed in double precision, index order.
+    */
+  def cosineF(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (s, x) => s + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (s, x) => s + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.DedupFunctions._
+
+/** Deduplication operator family over `documents` / `embeddings`:
+  * exact (hash-groupBy), exact n-gram Jaccard (inverted shingle index),
+  * MinHash+LSH (the 100 TB path), SimHash (hamming), and
+  * embedding-cosine near-dup.
+  *
+  * Every query is deterministic and oracle-checked: hashes are explicit
+  * integer polynomials and vector math runs on quantized integers, so
+  * DuckDB reproduces results bit-for-bit.
+  */
+object DedupQueries {
+
+  /** Exact dedup by content fingerprint (here: md5 of the 40-char prefix,
+    * which is where this corpus plants its duplicates). The canonical
+    * hash-groupBy: one shuffle on the fingerprint, min-id representative
+    * election, only groups with >1 member survive.
+    */
+  def dExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(substring(col("text"), 1, 40)).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
+  val dExactOracle: String =
+    """SELECT md5(substr(text, 1, 40)) AS fp, min(doc_id) AS keeper,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode distinct 3-gram shingles, self-join on shingle, count
+    * intersections, then jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact ints.
+    * This is the verification-grade path; d3 is the LSH path that scales.
+    */
+  def dJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("x"), col("ia") === col("x.doc_id"))
+      .join(sz.as("y"), col("ib") === col("y.doc_id"))
+      .select(col("ia"), col("ib"),
+        (col("i").cast("double") /
+          (col("x.n") + col("y.n") - col("i")).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val dJaccardOracle: String =
+    """WITH s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM documents, range(1, 2000) r(i) WHERE i <= length(text) - 2),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ia, ib, CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jac
+      |FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.8
+      |ORDER BY ia, ib""".stripMargin
+
+  /** MinHash (k=16) + LSH (4 bands × 4 rows) near-dup detection — the shape
+    * that survives 100 TB: signature is O(k·|shingles|) per doc in codegen,
+    * candidates come from a self-join on (band, signature) — shuffle volume
+    * is docs×bands, never docs² — and only candidates pay the exact-jaccard
+    * verification.
+    */
+  def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("gs"))
+      .withColumn("mh", minhashSignature(shingleHashes(col("gs")), 16))
+    val bands = base.select(col("doc_id"), col("gs"),
+      posexplode(bandSignatures(col("mh"), 4, 4)).as(Seq("band", "sig")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.gs").as("ga"), col("b.gs").as("gb"))
+      .distinct()
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    cand
+      .select(col("ia"), col("ib"),
+        (inter.cast("double") /
+          (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val dMinhashOracle: String =
+    """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS gs FROM documents),
+      |hs AS (SELECT doc_id, gs, list_transform(gs, g ->
+      |    ((CAST(ascii(substr(g,1,1)) AS BIGINT) * 31 + ascii(substr(g,2,1))) * 31
+      |     + ascii(substr(g,3,1))) % 1000000007) AS hv FROM sh),
+      |mh AS (SELECT doc_id, gs, list_transform(range(0, 16), i ->
+      |    list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7*i+3) % 1000000007), 'min')) AS m
+      |  FROM hs),
+      |bands AS (SELECT doc_id, gs, CAST(b AS INT) AS band,
+      |    list_aggregate(list_transform(m[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)],
+      |      x -> CAST(x AS VARCHAR)), 'string_agg', ':') AS sig
+      |  FROM mh, range(0, 4) r(b)),
+      |cand AS (SELECT DISTINCT a.doc_id ia, b.doc_id ib, a.gs ga, b.gs gb
+      |  FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |ver AS (SELECT ia, ib, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+      |    / CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE) AS jac
+      |  FROM cand)
+      |SELECT ia, ib, jac FROM ver WHERE jac >= 0.8 ORDER BY ia, ib""".stripMargin
+
+  /** SimHash near-dup: 48-bit signature over word-bigram features (unigrams
+    * are degenerate on a shared-vocabulary corpus), pairs within hamming
+    * distance 6. Signature is a narrow per-row computation; the pair scan
+    * here is all-pairs for verification — at scale, band the 48 bits into
+    * hamming-LSH buckets exactly like d3.
+    */
+  def dSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        simhash48(filter(wordBigrams(col("text")), _.isNotNull)).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        hammingDist(col("a.sh"), col("b.sh")).as("hd"))
+      .filter(col("hd") <= 6)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val dSimhashOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |bg AS (SELECT doc_id, list_filter(list_transform(list_zip(toks, toks[2:]),
+      |    z -> z[1] || ' ' || z[2]), x -> x IS NOT NULL) feats FROM t),
+      |th AS (SELECT doc_id, list_transform(feats, w ->
+      |    list_reduce(list_transform(regexp_extract_all(w, '.'), c -> CAST(ascii(c) AS BIGINT)),
+      |                (a, b) -> (a * 31 + b) % 281474976710656)) hv FROM bg),
+      |bits AS (SELECT doc_id, CAST(b AS INT) bpos,
+      |    CASE WHEN 2 * len(list_filter(hv, h -> (h >> CAST(b AS INT)) & 1 = 1)) >= len(hv)
+      |         THEN 1 ELSE 0 END v
+      |  FROM th, range(0, 48) r(b)),
+      |sh AS (SELECT doc_id, SUM(v * (CAST(1 AS BIGINT) << bpos)) s FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id ia, b.doc_id ib, bit_count(xor(a.s, b.s)) hd
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.s, b.s)) <= 6 ORDER BY ia, ib""".stripMargin
+
+  /** Embedding-cosine near-dup for a probe decile (vec_id % 10 = 0) against
+    * the full set: quantized-integer dot products make the cosine an exact
+    * cross-engine double. The probe-set shape bounds cost at any SF and is
+    * the honest exact baseline; the LSH-bucketed ANN (s2_ann_lsh) is the
+    * scale path.
+    */
+  def dEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nn", normSqLong(col("v")))
+    val probes = e.filter(col("vec_id") % 10 === 0)
+      .withColumnRenamed("vec_id", "ia")
+      .withColumnRenamed("v", "va").withColumnRenamed("nn", "na")
+    val cos = cosineQ(dotLong(col("va"), col("v")), col("na"), col("nn"))
+    probes.crossJoin(e)
+      .filter(col("ia") =!= col("vec_id"))
+      .select(col("ia"), col("vec_id").as("ib"), cos.as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val dEmbedOracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |p AS (SELECT a.vec_id ia, b.vec_id ib,
+      |    list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |      i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') dot,
+      |    a.nn na, b.nn nb
+      |  FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id)
+      |SELECT ia, ib, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+      |FROM p WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4
+      |ORDER BY ia, ib""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (dExact _),
+    "d2_jaccard_neardup" -> (dJaccard _),
+    "d3_minhash_lsh" -> (dMinhashLsh _),
+    "d4_simhash" -> (dSimhash _),
+    "d5_embed_neardup" -> (dEmbed _))
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" -> dExactOracle,
+    "d2_jaccard_neardup" -> dJaccardOracle,
+    "d3_minhash_lsh" -> dMinhashOracle,
+    "d4_simhash" -> dSimhashOracle,
+    "d5_embed_neardup" -> dEmbedOracle)
+}
