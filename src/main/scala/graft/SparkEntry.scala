@@ -8,9 +8,11 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextQueries.queries ++ DedupQueries.queries
+    Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ TextQueries.oracle ++ DedupQueries.oracle
+    Relational.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle
 }

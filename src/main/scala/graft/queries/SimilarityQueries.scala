@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.DedupFunctions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * exact brute-force cosine top-k as the baseline, random-hyperplane LSH
+  * buckets as the scale path, and an IVF-style coarse quantizer
+  * (centroids + nearest-centroid assignment).
+  *
+  * All vector math runs on quantized integers (floor(x*2^20+0.5)) so dot
+  * products are exact and the derived doubles are engine-identical — the
+  * DuckDB oracle replays the same formulas. The float-precision variants
+  * live in DedupFunctions.cosineF for engine use.
+  */
+object SimilarityQueries {
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("nn", normSqLong(col("v")))
+
+  /** Brute-force cosine top-5 for a probe set (vec_id < 25). The exact
+    * baseline every ANN variant is judged against. At scale: broadcast the
+    * probe set, stream the corpus — one pass over the big side, then a
+    * per-query top-k (window over rank) on qid, a tiny shuffle.
+    */
+  def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(probes).crossJoin(e)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s1Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |p AS (SELECT a.vec_id qid, b.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < 25 AND a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
+      |SELECT qid, rk, nid, cos FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** Sign-bit bucket id from `planes` deterministic integer hyperplanes.
+    * Hyperplane component (j,c) is an LCG value centered at 0
+    * (1103515245·(j·dim+c)+12345 mod 2^31 − 2^30), so sign(dot) is exact
+    * integer math in both engines. products stay < 2^57, safe in a long.
+    */
+  def hyperplaneBucket(v: Column, planes: Int, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), j => {
+        val dot = aggregate(
+          zip_with(v,
+            transform(sequence(lit(0), lit(dim - 1)),
+              c => ((lit(1103515245L) * (j.cast("long") * dim + c) + 12345L)
+                % 2147483648L) - 1073741824L),
+            (x, w) => x * w),
+          lit(0L), (acc, x) => acc + x)
+        when(dot > 0L, call_function("shiftleft", lit(1L), j).cast("long"))
+          .otherwise(0L)
+      }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** LSH-bucketed ANN — the 100 TB path: candidates only meet inside a
+    * bucket, so the probe×corpus pairing is an equi-join on bucket id
+    * (shuffle linear in corpus size, prunable per bucket), not a cross
+    * join. Top-3 per probe among same-bucket candidates.
+    */
+  def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+      .withColumn("bucket", hyperplaneBucket(col("v"), 4, 64))
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+        col("bucket"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(probes).join(e, Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s2Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |b AS (SELECT vec_id, v, nn,
+      |    list_aggregate(list_transform(range(0, 4), j -> CASE WHEN
+      |      list_aggregate(list_transform(range(1, len(v) + 1), i ->
+      |        v[CAST(i AS INT)] * ((CAST(1103515245 AS BIGINT) * (j * 64 + i - 1) + 12345) % 2147483648 - 1073741824)),
+      |        'sum') > 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END), 'sum') AS bucket
+      |  FROM n),
+      |p AS (SELECT a.vec_id qid, b2.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |        i -> a.v[CAST(i AS INT)] * b2.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b2.nn AS DOUBLE))) AS cos
+      |  FROM b a JOIN b b2 ON a.bucket = b2.bucket
+      |    AND a.vec_id < 25 AND a.vec_id <> b2.vec_id),
+      |r AS (SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
+      |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
+  /** IVF-style coarse quantization: per-label centroids (exact integer
+    * component sums → deterministic double means), then every vector is
+    * assigned to its nearest centroid by L2. Output is the label×assigned
+    * confusion matrix. At scale this is the IVF partitioner: centroids are
+    * broadcast, assignment is a narrow map, and downstream ANN probes only
+    * the matching inverted list.
+    */
+  def s3IvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), (col("sx").cast("double") /
+        col("cnt").cast("double")).as("m")))).as("pairs"))
+      .select(col("label").as("clabel"),
+        transform(col("pairs"), p => p.getField("m")).as("c"))
+    val dist = aggregate(
+      zip_with(col("v"), col("c"), (x, m) =>
+        (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("clabel"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"), dist.as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  val s3Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT q.vec_id, q.label, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM q CROSS JOIN cent),
+      |r AS (SELECT vec_id, label, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d)
+      |SELECT label, clabel AS assigned, COUNT(*) n FROM r WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> (s1KnnBrute _),
+    "s2_ann_lsh" -> (s2AnnLsh _),
+    "s3_ivf_assign" -> (s3IvfAssign _))
+
+  val oracle: Map[String, String] = Map(
+    "s1_knn_brute" -> s1Oracle,
+    "s2_ann_lsh" -> s2Oracle,
+    "s3_ivf_assign" -> s3Oracle)
+}
