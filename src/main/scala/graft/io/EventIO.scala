@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.KlioWire
+
+/** Event sources/sinks (reference `lib/src/klio/transforms/io.py`), as thin
+  * builders over Spark readers/writers returning/accepting message-shaped
+  * DataFrames. Each read/write is `observe`d with the reference's metric
+  * names (kmsg-read / kmsg-write, io.py:93-145) so listeners see parity
+  * counters.
+  *
+  * Offline mapping: `file` → text, `bq` → parquet stand-in, `avro` → the
+  * Spark avro connector (not shipped in this container; JSON wire files
+  * cover interop), `pubsub` → file-backed stream (graft.streaming).
+  */
+object EventIO {
+
+  /** KlioReadFromText (io.py:148-189): one line → one new v2 message with
+    * element = line. Lines that are full wire-JSON messages parse as such
+    * (allow_non_klio_messages parity, serializer.py:90-105).
+    */
+  def readText(spark: SparkSession, path: String,
+      allowNonKlio: Boolean = true): DataFrame =
+    KlioWire.decode(spark.read.text(path), allowNonKlio)
+      .observe("klio_read", count(lit(1)).as("kmsg-read"))
+
+  /** KlioWriteToText (io.py:386-424): element per line. */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.observe("klio_write", count(lit(1)).as("kmsg-write"))
+      .select(col("element").cast("string"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** Full-fidelity wire-JSON event files (stand-in for the avro event IO,
+    * io.py:428-657 — same role: lossless message envelope interop).
+    */
+  def readWire(spark: SparkSession, path: String): DataFrame =
+    KlioWire.decode(spark.read.text(path), allowNonKlio = false)
+      .observe("klio_read_wire", count(lit(1)).as("kmsg-read"))
+
+  def writeWire(df: DataFrame, path: String): Unit =
+    KlioWire.encode(
+      df.observe("klio_write_wire", count(lit(1)).as("kmsg-write")))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** KlioReadFromBigQuery (io.py:192-352), parquet stand-in: with one
+    * selected column the raw value becomes the element; with several, a JSON
+    * object of them does (klio_message_columns semantics, io.py:219-241).
+    * Column selection is a real projection here — pushed to the scan.
+    */
+  def readBq(spark: SparkSession, path: String,
+      columns: Seq[String] = Seq.empty): DataFrame = {
+    val table = spark.read.parquet(path)
+    val elem = columns match {
+      case Seq() => to_json(struct(table.columns.map(col).toSeq: _*))
+      case Seq(one) => col(one).cast("string")
+      case many => to_json(struct(many.map(col): _*))
+    }
+    table.select(KlioWire.newMessageColumns(elem): _*)
+      .observe("klio_read_bq", count(lit(1)).as("kmsg-read"))
+  }
+
+  /** KlioWriteToBigQuery (io.py:355-383): payload is a JSON row; project it
+    * into declared columns (the BQ schema from config, `_io.py:462-491`)
+    * and write columnar. The declared schema is a real StructType → real
+    * column pruning downstream.
+    */
+  def writeBq(df: DataFrame, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    df.observe("klio_write_bq", count(lit(1)).as("kmsg-write"))
+      .select(from_json(col("payload"), schema).as("row"))
+      .select(col("row.*"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,103 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's unit of work: a typed Spark mirror of the reference's
+  * KlioMessage protobuf (reference `core/src/klio_core/proto/klio.proto:
+  * 28-90`).
+  *
+  * Inside the engine these are ordinary Dataset rows — Tungsten format end
+  * to end, no per-operator serialization (the reference re-serializes the
+  * proto at every transform boundary, `lib/src/klio/message/serializer.py:
+  * 58-168`; Catalyst makes that cost zero here). A JSON wire codec exists
+  * only at sources/sinks that must interop ([[KlioWire]]).
+  */
+case class KlioJobRef(jobName: String, gcpProject: String)
+
+case class KlioAuditItem(timestamp: Timestamp, jobName: String,
+    gcpProject: String)
+
+/** `mode` is "anyone" | "limited" (klio.proto:41-74); `recipients` and
+  * `triggerChildrenOf` only apply in limited mode.
+  */
+case class KlioRecipients(mode: String,
+    recipients: Seq[KlioJobRef] = Seq.empty,
+    triggerChildrenOf: Option[KlioJobRef] = None)
+
+case class KlioMetadata(force: Boolean = false, ping: Boolean = false,
+    intendedRecipients: KlioRecipients = KlioRecipients("anyone"),
+    jobAuditLog: Seq[KlioAuditItem] = Seq.empty)
+
+/** v2 message: `element` is the work-unit identity (a file id), `payload`
+  * carries intra-pipeline state (klio.proto:79-83). Strings rather than
+  * bytes at the API surface — the testable 99% case; binary payloads ride
+  * in [[KlioBinaryMessage]]-style frames with a BinaryType column.
+  */
+case class KlioMessage(element: String, payload: String = "",
+    version: Int = 2, metadata: KlioMetadata = KlioMetadata())
+
+object KlioMessage {
+  implicit val encoder: Encoder[KlioMessage] = Encoders.product[KlioMessage]
+
+  val schema: StructType =
+    encoder.schema
+
+  /** New v2 message from an element id, `anyone` routing — exactly what
+    * KlioReadFromText emits per line (reference io.py:156-167).
+    */
+  def fromElement(element: String): KlioMessage = KlioMessage(element)
+}
+
+/** JSON wire codec for event IO interop. The reference's wire format is the
+  * serialized proto; ours is the same shape as JSON so files are
+  * human-readable and DuckDB-queryable. Non-klio payloads (a bare id per
+  * line) are lifted into fresh v2 messages when `allowNonKlio` — parity with
+  * `allow_non_klio_messages` (serializer.py:90-105).
+  */
+object KlioWire {
+
+  /** Encode full messages as one JSON object per row. */
+  def encode(df: DataFrame): DataFrame =
+    df.select(to_json(struct(col("element"), col("payload"), col("version"),
+      col("metadata"))).as("value"))
+
+  /** Decode a `value: string` column of wire JSON back into message rows.
+    * Rows that do not parse: dropped when `allowNonKlio` is false, else
+    * wrapped as new v2 messages with element = raw line.
+    */
+  def decode(df: DataFrame, allowNonKlio: Boolean = true): DataFrame = {
+    val parsed = df.select(col("value"),
+      from_json(col("value"), KlioMessage.schema).as("m"))
+    val isKlio = col("m").isNotNull && col("m.element").isNotNull
+    val fallback = if (allowNonKlio) {
+      parsed.filter(!isKlio).select(newMessageColumns(col("value")): _*)
+    } else parsed.filter(lit(false))
+      .select(newMessageColumns(col("value")): _*)
+    parsed.filter(isKlio).select(col("m.element").as("element"),
+      coalesce(col("m.payload"), lit("")).as("payload"),
+      coalesce(col("m.version"), lit(2)).as("version"),
+      col("m.metadata").as("metadata"))
+      .unionByName(fallback)
+  }
+
+  /** Columns of a fresh v2 `anyone` message built around `element`. */
+  def newMessageColumns(element: Column): Seq[Column] = Seq(
+    element.cast("string").as("element"),
+    lit("").as("payload"),
+    lit(2).as("version"),
+    struct(
+      lit(false).as("force"),
+      lit(false).as("ping"),
+      struct(lit("anyone").as("mode"),
+        array().cast("array<struct<jobName:string,gcpProject:string>>")
+          .as("recipients"),
+        lit(null).cast("struct<jobName:string,gcpProject:string>")
+          .as("triggerChildrenOf")).as("intendedRecipients"),
+      array().cast(
+        "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>")
+        .as("jobAuditLog")).as("metadata"))
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.KlioJobRef
+
+/** The standard klio pipeline prelude, re-expressed as declarative DataFrame
+  * splits (reference `exec/src/klio_exec/commands/run.py:320-454` assembles
+  * the same chain out of tagged-output DoFns).
+  *
+  * Semantics preserved:
+  *  - recipients check (helpers.py:354-430): drop unless `anyone` or this
+  *    job is a limited recipient; bottom-up → top-down resume via
+  *    `triggerChildrenOf`.
+  *  - audit log append (helpers.py:433-474).
+  *  - ping filter (helpers.py:107-154): ping messages bypass work and flow
+  *    straight to the event output.
+  *  - output-exists + force (helpers.py:91-104,157-211): work whose output
+  *    already exists is skipped unless forced — klio's incremental-compute
+  *    memoization.
+  *  - input-exists (helpers.py:91-96): messages whose input data is missing
+  *    are dropped (or routed to trigger-upstream).
+  *
+  * Scale note: existence checks are left-semi/anti joins of the message
+  * stream against a listing DataFrame — vectorized and shuffle-free when the
+  * listing is broadcast — never a per-element RPC like the reference's GCS
+  * `exists()` call per message (`_helpers.py:267-279`).
+  */
+object Prelude {
+
+  /** A three-way routed stream, klio's TaggedStates (process / pass_thru /
+    * drop, `_helpers.py:50-54`). All three DataFrames share one lineage; a
+    * `.cache()` upstream makes the splits single-pass when materialized
+    * together.
+    */
+  case class Routed(process: DataFrame, passThru: DataFrame, drop: DataFrame)
+
+  /** KlioFilterPing: ping messages trace the DAG without doing work. */
+  def splitPing(df: DataFrame): (DataFrame, DataFrame) = {
+    val isPing = col("metadata.ping")
+    (df.filter(!isPing), df.filter(isPing))
+  }
+
+  /** KlioGcsCheckOutputExists + KlioFilterForce, fused: messages whose
+    * output already exists pass through unless forced (message flag or
+    * config default). `existingOutputs` must expose an `element` column.
+    */
+  def splitOutputExists(df: DataFrame, existingOutputs: DataFrame,
+      forceDefault: Boolean = false): (DataFrame, DataFrame) = {
+    val existing = broadcast(existingOutputs.select(col("element")))
+    val exists = df.join(existing, Seq("element"), "left_semi")
+    val missing = df.join(existing, Seq("element"), "left_anti")
+    val forced = exists.filter(col("metadata.force") || lit(forceDefault))
+    val skip = exists.filter(!(col("metadata.force") || lit(forceDefault)))
+    (missing.unionByName(forced), skip)
+  }
+
+  /** KlioGcsCheckInputExists + drop-not-found: keep messages whose input
+    * data exists; the rest are dropped (reference logs and swallows,
+    * helpers.py:264-284 — we return them for counting / trigger-upstream).
+    */
+  def splitInputExists(df: DataFrame, existingInputs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val existing = broadcast(existingInputs.select(col("element")))
+    (df.join(existing, Seq("element"), "left_semi"),
+      df.join(existing, Seq("element"), "left_anti"))
+  }
+
+  /** KlioCheckRecipients (v2): `anyone` → process; `limited` → process only
+    * if `job` is a recipient, flipping to `anyone` when this job is the
+    * `triggerChildrenOf` job (bottom-up backfill reaching its origin resumes
+    * top-down flow, helpers.py:399-411). Everything else drops.
+    */
+  def checkRecipients(df: DataFrame, job: KlioJobRef)
+      : (DataFrame, DataFrame) = {
+    val mode = col("metadata.intendedRecipients.mode")
+    val isRecipient = exists(col("metadata.intendedRecipients.recipients"),
+      r => r.getField("jobName") === job.jobName &&
+        r.getField("gcpProject") === job.gcpProject)
+    val trig = col("metadata.intendedRecipients.triggerChildrenOf")
+    val isTriggerOrigin = trig.isNotNull &&
+      trig.getField("jobName") === job.jobName &&
+      trig.getField("gcpProject") === job.gcpProject
+    val keep = mode === "anyone" || (mode === "limited" && isRecipient)
+    val flipped = df.filter(keep && isTriggerOrigin)
+      .withColumn("metadata", col("metadata")
+        .withField("intendedRecipients.mode", lit("anyone"))
+        .withField("intendedRecipients.triggerChildrenOf",
+          lit(null).cast("struct<jobName:string,gcpProject:string>")))
+    (df.filter(keep && !isTriggerOrigin).unionByName(flipped),
+      df.filter(!keep))
+  }
+
+  /** KlioUpdateAuditLog: append (now, this job) to the provenance trail.
+    * `now` defaults to current_timestamp; pass a literal for deterministic
+    * tests.
+    */
+  def updateAuditLog(df: DataFrame, job: KlioJobRef,
+      now: Column = current_timestamp()): DataFrame =
+    df.withColumn("metadata", col("metadata").withField("jobAuditLog",
+      concat(col("metadata.jobAuditLog"),
+        array(struct(now.as("timestamp"), lit(job.jobName).as("jobName"),
+          lit(job.gcpProject).as("gcpProject"))))))
+
+  /** KlioTriggerUpstream's metadata rewrite (helpers.py:702-734): address
+    * the message to {upstream, this job} in limited mode with
+    * `triggerChildrenOf` = this job, so the backfill resumes top-down once
+    * it flows back through here.
+    */
+  def triggerUpstream(df: DataFrame, upstream: KlioJobRef, self: KlioJobRef)
+      : DataFrame =
+    df.withColumn("metadata", col("metadata")
+      .withField("intendedRecipients.mode", lit("limited"))
+      .withField("intendedRecipients.recipients",
+        array(
+          struct(lit(upstream.jobName).as("jobName"),
+            lit(upstream.gcpProject).as("gcpProject")),
+          struct(lit(self.jobName).as("jobName"),
+            lit(self.gcpProject).as("gcpProject"))))
+      .withField("intendedRecipients.triggerChildrenOf",
+        struct(lit(self.jobName).as("jobName"),
+          lit(self.gcpProject).as("gcpProject"))))
+
+  /** The full default prelude in the reference's order
+    * (run.py:511-558): recipients → audit → ping → output-exists(+force) →
+    * input-exists → drop. Returns process / pass_thru (ping ∪ skipped) /
+    * drop (wrong recipient ∪ input missing).
+    */
+  def standard(df: DataFrame, job: KlioJobRef,
+      existingInputs: Option[DataFrame],
+      existingOutputs: Option[DataFrame],
+      forceDefault: Boolean = false,
+      now: Column = current_timestamp()): Routed = {
+    val (addressed, wrongRecipient) = checkRecipients(df, job)
+    val audited = updateAuditLog(addressed, job, now)
+    val (work0, pinged) = splitPing(audited)
+    val (work1, skipped) = existingOutputs match {
+      case Some(outs) => splitOutputExists(work0, outs, forceDefault)
+      case None => (work0, work0.filter(lit(false)))
+    }
+    val (found, notFound) = existingInputs match {
+      case Some(ins) => splitInputExists(work1, ins)
+      case None => (work1, work1.filter(lit(false)))
+    }
+    Routed(found, pinged.unionByName(skipped),
+      wrongRecipient.unionByName(notFound))
+  }
+
+  /** Directory listing as an `element` DataFrame: basenames under `dir`
+    * matching `suffix`, suffix stripped — the vectorized stand-in for
+    * klio's per-element existence RPC. Listing happens once per batch on
+    * the driver (a metadata op); for object stores with millions of keys,
+    * swap in a distributed listing source keyed the same way.
+    */
+  def listingFor(spark: SparkSession, dir: String, suffix: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names: Seq[String] =
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(suffix))
+        .map(_.dropRight(suffix.length))
+    import spark.implicits._
+    names.toDF("element")
+  }
+}

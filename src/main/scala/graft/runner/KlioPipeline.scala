@@ -1,0 +1,89 @@
+package graft.runner
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{KlioConfig, KlioIoConfig}
+import graft.io.EventIO
+import graft.model.KlioMessage
+import graft.operators.{HandleKlio, Prelude}
+
+/** Config → running batch pipeline, mirroring the reference's
+  * `_setup_pipeline` assembly order (`exec/src/klio_exec/commands/run.py:
+  * 511-558`): per event input — read → recipients → audit → ping →
+  * output-exists(+force) → input-exists → user transform — then user output
+  * and pass-thru branches flow to the event outputs.
+  *
+  * The reference launches this inside a Docker container via `klioexec`;
+  * here the equivalent entrypoint is a `spark-submit` of a main that calls
+  * [[KlioPipeline.run]] with a transform. Catalyst replaces Dataflow's
+  * fusion; checkpointing replaces per-message acks.
+  */
+object KlioPipeline {
+
+  /** Counts observed after the run (parity with the reference's kmsg-*
+    * counters, metrics client `lib/src/klio/metrics/client.py:44-172`).
+    */
+  case class RunSummary(processed: Long, passedThru: Long, dropped: Long)
+
+  def readEventInput(spark: SparkSession, cfg: KlioConfig,
+      io: KlioIoConfig): DataFrame = io.ioType match {
+    case "file" => EventIO.readText(spark, io.location,
+      cfg.jobConfig.allowNonKlioMessages)
+    case "bq" => EventIO.readBq(spark, io.location, io.columns)
+    case "wire" | "avro" => EventIO.readWire(spark, io.location)
+    case other => sys.error(s"unsupported event input type: $other")
+  }
+
+  def writeEventOutput(df: DataFrame, io: KlioIoConfig): Unit =
+    io.ioType match {
+      case "file" => EventIO.writeText(df, io.location)
+      case "wire" | "avro" => EventIO.writeWire(df, io.location)
+      case other => sys.error(s"unsupported event output type: $other")
+    }
+
+  private def listing(spark: SparkSession, io: KlioIoConfig)
+      : Option[DataFrame] =
+    if (io.skipExistenceCheck || io.location.isEmpty) None
+    else Some(Prelude.listingFor(spark, io.location, io.fileSuffix))
+
+  /** Run the configured pipeline with a message-level user transform.
+    * Returns routing counts. `now` is injectable for deterministic tests.
+    */
+  def run(spark: SparkSession, cfg: KlioConfig,
+      transform: KlioMessage => KlioMessage,
+      retries: Int = 0, timeoutMs: Long = 0,
+      now: Column = current_timestamp()): RunSummary = {
+    import spark.implicits._
+
+    val inputs = cfg.jobConfig.events.inputs
+      .map(io => readEventInput(spark, cfg, io))
+    require(inputs.nonEmpty, "at least one event input required")
+    val messages = inputs.reduce(_ unionByName _).cache()
+
+    val dataIn = cfg.jobConfig.data.inputs.headOption
+      .flatMap(listing(spark, _))
+    val dataOut = cfg.jobConfig.data.outputs.headOption
+      .flatMap(listing(spark, _))
+    val forceDefault = cfg.jobConfig.data.outputs.headOption
+      .exists(_.force)
+
+    val routed = Prelude.standard(messages, cfg.jobRef, dataIn, dataOut,
+      forceDefault, now)
+
+    val attempts = HandleKlio(routed.process.as[KlioMessage], transform,
+      retries = retries, timeoutMs = timeoutMs)
+    val okOut = HandleKlio.ok(attempts).toDF()
+    val errored = HandleKlio.dropped(attempts)
+
+    // User output ∪ pass-thru branches feed every configured event output
+    // (run.py:545-558); cache because N outputs re-consume it.
+    val outBound = okOut.unionByName(routed.passThru).cache()
+    cfg.jobConfig.events.outputs.foreach(writeEventOutput(outBound, _))
+
+    RunSummary(
+      processed = okOut.count(),
+      passedThru = routed.passThru.count(),
+      dropped = routed.drop.count() + errored.count())
+  }
+}
