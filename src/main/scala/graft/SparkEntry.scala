@@ -9,10 +9,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ PreludeQueries.queries
+      SimilarityQueries.queries ++ PreludeQueries.queries ++
+      AudioQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
-      SimilarityQueries.oracle ++ PreludeQueries.oracle
+      SimilarityQueries.oracle ++ PreludeQueries.oracle ++
+      AudioQueries.oracle
 }

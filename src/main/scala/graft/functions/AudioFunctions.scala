@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Column-level audio operators (klio-audio parity,
+  * `audio/src/klio_audio/transforms/audio.py`): waveforms are
+  * `array<float>` columns, spectrograms `array<array<float>>` (frame-major).
+  *
+  * These are Scala UDFs by design: each row carries a whole signal and the
+  * kernels ([[Dsp]]) are tight primitive-array loops — there is nothing for
+  * per-expression codegen to fuse, and the array payloads dominate cost.
+  * The reference pays a proto+pickle round trip per operator on top of the
+  * same math (`audio/src/klio_audio/decorators.py:53-142`); here rows stay
+  * in Tungsten format between UDF calls.
+  */
+object AudioFunctions {
+
+  private def toD(xs: Seq[Float]): Array[Double] = xs.toArray.map(_.toDouble)
+  private def toF(xs: Array[Double]): Seq[Float] = xs.toSeq.map(_.toFloat)
+  private def toF2(xs: Array[Array[Double]]): Seq[Seq[Float]] =
+    xs.toSeq.map(r => r.toSeq.map(_.toFloat))
+
+  /** Deterministic sine synth (test/pipeline signal source):
+    * sin(2π·bin·i/nFft) for `samples` samples — a pure tone centered on an
+    * exact FFT bin.
+    */
+  val synthTone = udf((bin: Int, nFft: Int, samples: Int) =>
+    toF(Array.tabulate(samples)(i =>
+      math.sin(2.0 * math.Pi * bin * i / nFft))))
+
+  /** GetSTFT (audio.py:76-132): magnitude spectrogram. */
+  val stftMag = udf((y: Seq[Float], nFft: Int, hop: Int) =>
+    toF2(Dsp.stftMag(toD(y), nFft, hop)))
+
+  /** GetSpec (audio.py:135-187): dB-scaled magnitude spectrogram. */
+  val spectrogramDb = udf((y: Seq[Float], nFft: Int, hop: Int) =>
+    toF2(Dsp.amplitudeToDb(Dsp.stftMag(toD(y), nFft, hop))))
+
+  /** GetMelSpec (audio.py:190-244). */
+  val melSpec = udf((y: Seq[Float], sr: Double, nFft: Int, hop: Int,
+      nMels: Int) => toF2(Dsp.melSpectrogram(toD(y), sr, nFft, hop, nMels)))
+
+  /** GetMFCC (audio.py:247-305). */
+  val mfcc = udf((y: Seq[Float], sr: Double, nMfcc: Int) =>
+    toF2(Dsp.mfcc(toD(y), sr, nMfcc)))
+
+  /** GetMagnitude example (integration transforms.py:54-68): per-frame
+    * argmax bin of a magnitude spectrogram — the dominant frequency bin.
+    */
+  val peakBin = udf((spec: Seq[Seq[Float]]) => {
+    // global peak over all frames, ties to the lowest bin
+    var best = 0.0f
+    var bin = 0
+    spec.foreach { frame =>
+      var b = 0
+      frame.foreach { v =>
+        if (v > best) { best = v; bin = b }
+        b += 1
+      }
+    }
+    bin
+  })
+
+  /** GetSoftMask example (transforms.py:117-140). */
+  val softmask = udf((x: Seq[Float], xRef: Seq[Float], power: Double) =>
+    toF(Dsp.softmask(toD(x), toD(xRef), power)))
+
+  /** FilterNearestNeighbors example (transforms.py:71-92). */
+  val nnFilter = udf((spec: Seq[Seq[Float]], k: Int) =>
+    toF2(Dsp.nnFilter(spec.map(f => toD(f)).toArray, k)))
+
+  /** LoadAudio stand-in (audio.py:26-73): WAV PCM16 bytes → samples. */
+  val decodeWav = udf((bytes: Array[Byte]) =>
+    toF(Dsp.decodeWavPcm16(bytes)._1))
+
+  def stft(y: Column, nFft: Int = 1024, hop: Int = 256): Column = {
+    import org.apache.spark.sql.functions.lit
+    stftMag(y, lit(nFft), lit(hop))
+  }
+}

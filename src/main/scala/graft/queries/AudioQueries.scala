@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.AudioFunctions._
+
+/** Audio DSP under the correctness gate. The oracle cannot run an FFT, but
+  * analytic signals make STFT results SQL-predictable: a pure tone centered
+  * on FFT bin b has its spectral peak exactly at bin b, so the oracle is
+  * closed-form. a2 exercises the full mel/MFCC chain (rows-only check —
+  * validated analytically in DspSpec instead).
+  */
+object AudioQueries {
+
+  /** Synthesize one tone per event (bin = 25 + 5·(event_id mod 20) of a
+    * 1024-point FFT), run the real STFT, report the global peak bin. The
+    * oracle computes the same bin arithmetically.
+    */
+  def a1StftPeak(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 64)
+      .select(col("event_id"),
+        (lit(25) + (col("event_id") % 20) * 5).cast("int").as("bin"))
+      .withColumn("y", synthTone(col("bin"), lit(1024), lit(4096)))
+      .select(col("event_id"),
+        peakBin(stftMag(col("y"), lit(1024), lit(256))).as("peak_bin"))
+      .orderBy(col("event_id"))
+
+  val a1Oracle: String =
+    """SELECT event_id, CAST(25 + (event_id % 20) * 5 AS INT) AS peak_bin
+      |FROM events WHERE event_id < 64 ORDER BY event_id""".stripMargin
+
+  /** Full chain smoke over synthesized tones: STFT → mel → MFCC, emitting
+    * coarse shape stats (frame/coefficient counts) plus the dominant mel
+    * band, which must increase with the tone bin. Rows-only check.
+    */
+  def a2MelMfcc(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 16)
+      .select(col("event_id"),
+        (lit(25) + (col("event_id") % 20) * 5).cast("int").as("bin"))
+      .withColumn("y", synthTone(col("bin"), lit(1024), lit(4096)))
+      .withColumn("mel", melSpec(col("y"), lit(8000.0), lit(1024), lit(256),
+        lit(32)))
+      .withColumn("mf", mfcc(col("y"), lit(8000.0), lit(13)))
+      .select(col("event_id"), col("bin"),
+        size(col("mel")).as("n_frames"),
+        size(element_at(col("mel"), 1)).as("n_mels"),
+        peakBin(col("mel")).as("dominant_mel_band"),
+        size(element_at(col("mf"), 1)).as("n_mfcc"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_stft_peak" -> (a1StftPeak _),
+    "a2_mel_mfcc" -> (a2MelMfcc _))
+
+  val oracle: Map[String, String] = Map(
+    "a1_stft_peak" -> a1Oracle)
+}

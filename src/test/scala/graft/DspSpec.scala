@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dsp
+
+/** Analytic validation of the DSP kernels — the reference leans on librosa
+  * and golden logs; with no JVM reference library, known-signal mathematics
+  * is the ground truth (SURVEY §7.4 hard part).
+  */
+class DspSpec extends AnyFunSuite {
+
+  val rng = new scala.util.Random(42)
+
+  def naiveDft(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    for (k <- 0 until n; t <- 0 until n) {
+      val ang = -2.0 * math.Pi * k * t / n
+      re(k) += x(t) * math.cos(ang)
+      im(k) += x(t) * math.sin(ang)
+    }
+    (re, im)
+  }
+
+  test("fft matches the naive DFT on random signals") {
+    for (_ <- 1 to 5) {
+      val x = Array.fill(64)(rng.nextDouble() * 2 - 1)
+      val (er, ei) = naiveDft(x)
+      val re = x.clone()
+      val im = new Array[Double](64)
+      Dsp.fft(re, im)
+      for (k <- 0 until 64) {
+        assert(math.abs(re(k) - er(k)) < 1e-9, s"re[$k]")
+        assert(math.abs(im(k) - ei(k)) < 1e-9, s"im[$k]")
+      }
+    }
+  }
+
+  test("fft satisfies Parseval's theorem") {
+    val x = Array.fill(256)(rng.nextDouble() * 2 - 1)
+    val re = x.clone()
+    val im = new Array[Double](256)
+    Dsp.fft(re, im)
+    val timeEnergy = x.map(v => v * v).sum
+    val freqEnergy = re.zip(im).map { case (a, b) => a * a + b * b }.sum / 256
+    assert(math.abs(timeEnergy - freqEnergy) < 1e-9)
+  }
+
+  test("stft of an exact-bin tone peaks at that bin in every frame") {
+    val nFft = 1024
+    val bin = 40
+    val y = Array.tabulate(8192)(i =>
+      math.sin(2.0 * math.Pi * bin * i / nFft))
+    val mag = Dsp.stftMag(y, nFft, 256)
+    // skip edge frames dominated by reflect padding
+    mag.slice(2, mag.length - 2).foreach { frame =>
+      assert(frame.indexOf(frame.max) === bin)
+    }
+  }
+
+  test("amplitudeToDb: max is 0 dB, floor is -80 dB") {
+    val s = Array(Array(1.0, 0.1, 1e-9))
+    val db = Dsp.amplitudeToDb(s)
+    assert(math.abs(db(0)(0)) < 1e-12)
+    assert(math.abs(db(0)(1) + 20.0) < 1e-9)
+    assert(db(0)(2) === -80.0)
+  }
+
+  test("mel filterbank peaks move monotonically up in frequency") {
+    val fb = Dsp.melFilterbank(8000.0, 1024, 32)
+    val peaks = fb.map(f => f.indexOf(f.max))
+    assert(peaks.zip(peaks.tail).forall { case (a, b) => a <= b })
+    assert(fb.forall(_.forall(_ >= 0.0)))
+    // every filter has some support
+    assert(fb.forall(_.exists(_ > 0.0)))
+  }
+
+  test("mfcc of a flat (white) spectrum concentrates energy in c0") {
+    val y = Array.fill(8192)(rng.nextDouble() * 2 - 1)
+    val c = Dsp.mfcc(y, 8000.0)
+    val frame = c(c.length / 2)
+    assert(math.abs(frame(0)) > math.abs(frame(5)))
+    assert(frame.length === 13)
+  }
+
+  test("softmask is in [0,1] and 0.5 at equality") {
+    val m = Dsp.softmask(Array(1.0, 0.0, 3.0), Array(1.0, 0.0, 1.0), 2.0)
+    assert(math.abs(m(0) - 0.5) < 1e-12)
+    assert(math.abs(m(1) - 0.5) < 1e-12)
+    assert(m(2) > 0.5 && m(2) <= 1.0)
+  }
+
+  test("nnFilter of identical frames is the identity") {
+    val frames = Array.fill(6)(Array(1.0, 2.0, 3.0))
+    val out = Dsp.nnFilter(frames, 3)
+    out.foreach(f => assert(f.toSeq === Seq(1.0, 2.0, 3.0)))
+  }
+
+  test("wav pcm16 encode/decode roundtrip") {
+    val y = Array.tabulate(800)(i => math.sin(2.0 * math.Pi * 440 * i / 8000))
+    val bytes = Dsp.encodeWavPcm16(y, 8000)
+    val (back, sr) = Dsp.decodeWavPcm16(bytes)
+    assert(sr === 8000)
+    assert(back.length === 800)
+    y.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
+  }
+}
