@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Dsp
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("binary media dir reads with element identity and real WAV decode") {
+    val base = Files.createTempDirectory("graft-media").toString
+    Files.createDirectories(Paths.get(s"$base/audio"))
+    val tone = Array.tabulate(1600)(i =>
+      math.sin(2.0 * math.Pi * 440 * i / 8000))
+    Files.write(Paths.get(s"$base/audio/clip_one.wav"),
+      Dsp.encodeWavPcm16(tone, 8000))
+    Files.write(Paths.get(s"$base/audio/clip_two.wav"),
+      Dsp.encodeWavPcm16(tone.map(-_), 8000))
+    Files.writeString(Paths.get(s"$base/audio/skip.txt"), "not audio")
+
+    val files = Multimodal.readMediaDir(spark, s"$base/audio", ".wav", "audio")
+    val got = files.collect().map(_.element).sorted
+    assert(got === Array("clip_one", "clip_two"))
+
+    val decoded = Multimodal.decodeAudio(files)
+    val row = decoded.filter("element = 'clip_one'").collect().head
+    assert(row.getAs[Int]("sample_rate") === 8000)
+    assert(row.getAs[Seq[Float]]("samples").length === 1600)
+  }
+
+  test("image stub decode has stable schema and deterministic features") {
+    val base = Files.createTempDirectory("graft-img").toString
+    Files.createDirectories(Paths.get(s"$base/img"))
+    Files.write(Paths.get(s"$base/img/a.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(Paths.get(s"$base/img/b.png"), Array[Byte](9, 9, 9))
+
+    val files = Multimodal.readMediaDir(spark, s"$base/img", ".png", "image")
+    val feats = Multimodal.decodeImageStub(files).collect()
+      .sortBy(_.element)
+    assert(feats.map(_.element).toSeq === Seq("a", "b"))
+    assert(feats.forall(f => f.height == 8 && f.width == 8 && f.channels == 3))
+    assert(feats.forall(_.features.length == 16))
+    // deterministic: same bytes → same features
+    val again = Multimodal.decodeImageStub(files).collect().sortBy(_.element)
+    assert(again.map(_.features).toSeq === feats.map(_.features).toSeq)
+    // different bytes → different features
+    assert(feats(0).features !== feats(1).features)
+  }
+
+  test("video frame-sampling stub emits strided frame rows") {
+    val base = Files.createTempDirectory("graft-vid").toString
+    Files.createDirectories(Paths.get(s"$base/vid"))
+    Files.write(Paths.get(s"$base/vid/v.mp4"), Array.fill[Byte](5000)(7))
+
+    val files = Multimodal.readMediaDir(spark, s"$base/vid", ".mp4", "video")
+    val frames = Multimodal.sampleFramesStub(files, stride = 2).collect()
+    // 5000 bytes → 5 chunks of 1024 → indices 0,2,4 kept
+    assert(frames.map(_.getInt(1)).sorted === Array(0, 2, 4))
+    assert(frames.forall(_.getString(0) == "v"))
+  }
+}

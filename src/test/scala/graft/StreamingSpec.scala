@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.KlioConfig
+import graft.streaming.StreamingPipeline
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def write(path: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), content)
+  }
+
+  test("file-backed stream runs the prelude per micro-batch") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    // "publish" three messages: two with input data, one without
+    write(s"$base/in/batch1.txt", Seq("track_a", "track_ping", "track_lost")
+      .mkString("\n"))
+    write(s"$base/audio_in/track_a.ogg", "x")
+    write(s"$base/audio_in/track_ping.ogg", "x")
+
+    val cfg = KlioConfig.fromYaml(
+      s"""version: 2
+         |job_name: stream-job
+         |pipeline_options:
+         |  streaming: True
+         |  project: test-project
+         |job_config:
+         |  allow_non_klio_messages: True
+         |  events:
+         |    inputs:
+         |      - type: file
+         |        location: $base/in
+         |    outputs:
+         |      - type: file
+         |        location: $base/out
+         |  data:
+         |    inputs:
+         |      - type: gcs
+         |        location: $base/audio_in
+         |        file_suffix: .ogg
+         |""".stripMargin)
+
+    val q = StreamingPipeline.run(spark, cfg, s"$base/in", s"$base/out",
+      s"$base/ckpt",
+      batch => batch.withColumn("payload", concat(lit("done:"),
+        col("element")))).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.text(s"$base/out")
+      .collect().map(_.getString(0))
+    // processed + nothing for the missing-input message
+    assert(out.count(_.contains("track_a")) === 1)
+    assert(out.count(_.contains("track_lost")) === 0)
+    assert(out.count(_.contains("done:track_a")) === 1)
+    assert(out.length === 2) // track_a + track_ping processed, lost dropped
+  }
+
+  test("windowed counts with watermark over the events stream") {
+    val base = Files.createTempDirectory("graft-window").toString
+    // drive the stream from the static events parquet (ts is epoch nanos)
+    val staticDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val schema = staticDf.schema
+    staticDf.write.mode("overwrite").parquet(s"$base/events")
+    val stream = spark.readStream.schema(schema).parquet(s"$base/events")
+      .withColumn("ts2", timestamp_micros((col("ts") / 1000).cast("long")))
+    val agg = StreamingPipeline.windowedCounts(stream, "ts2", "1 hour",
+      "10 minutes", "event_type")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win").start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode emits only closed windows; check the table exists & sane
+    val rows = spark.sql("SELECT count(*) FROM win").collect().head.getLong(0)
+    assert(rows >= 0)
+    val complete = staticDf
+      .withColumn("ts2", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+      .count().count()
+    assert(complete > 0)
+  }
+
+  test("dedup by element within watermark") {
+    val base = Files.createTempDirectory("graft-dedup").toString
+    write(s"$base/in/b1.txt", Seq("dup", "dup", "uniq").mkString("\n"))
+    val stream = StreamingPipeline.readEvents(spark, s"$base/in")
+      .withColumn("etime", to_timestamp(lit("2024-01-01 00:00:00")))
+    val deduped = StreamingPipeline.dedupByElement(stream, "etime",
+      "1 minute")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    val els = spark.sql("SELECT element FROM dedup")
+      .collect().map(_.getString(0)).sorted
+    assert(els === Array("dup", "uniq"))
+  }
+}
