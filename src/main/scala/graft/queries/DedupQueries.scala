@@ -35,26 +35,47 @@ object DedupQueries {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode distinct 3-gram shingles, self-join on shingle, count
-    * intersections, then jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact ints.
-    * This is the verification-grade path; d3 is the LSH path that scales.
+  /** Exact n-gram Jaccard near-dup pairs with AllPairs prefix filtering.
+    *
+    * A naive inverted-index self-join explodes on frequent shingles (a
+    * shingle present in every doc alone contributes |docs|²/2 pairs — at
+    * sf0.1 that is already billions of rows; at 100 TB it is fatal). The
+    * prefix filter keeps it EXACT while joining only on rare shingles:
+    * any pair with jaccard ≥ τ overlaps in ≥ ⌈τ·|A|⌉ shingles, so it must
+    * share one of A's first |A| − ⌈τ·|A|⌉ + 1 shingles when each doc's
+    * shingles are ordered by ascending global frequency. Joining that
+    * prefix against the full index finds every qualifying pair; exact
+    * verification then runs only on candidates (array_intersect on the
+    * full shingle sets). Output identical to the brute-force join.
     */
   def dJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.as("x"), col("ia") === col("x.doc_id"))
-      .join(sz.as("y"), col("ib") === col("y.doc_id"))
+    val tau = 0.8
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("gs"))
+    val sh = base.select(col("doc_id"), explode(col("gs")).as("g"))
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, Seq("g"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("g"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id").as("pid"), col("g"))
+    val cand = prefix.join(sh.as("full"),
+        prefix("g") === col("full.g") && col("pid") =!= col("full.doc_id"))
+      .select(least(col("pid"), col("full.doc_id")).as("ia"),
+        greatest(col("pid"), col("full.doc_id")).as("ib"))
+      .distinct()
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    cand
+      .join(base.select(col("doc_id").as("ia"), col("gs").as("ga")), Seq("ia"))
+      .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")), Seq("ib"))
       .select(col("ia"), col("ib"),
-        (col("i").cast("double") /
-          (col("x.n") + col("y.n") - col("i")).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.8)
+        (inter.cast("double") /
+          (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("jac"))
+      .filter(col("jac") >= tau)
       .orderBy(col("ia"), col("ib"))
   }
 
@@ -79,16 +100,20 @@ object DedupQueries {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), shingles(col("text"), 3).as("gs"))
       .withColumn("mh", minhashSignature(shingleHashes(col("gs")), 16))
-    val bands = base.select(col("doc_id"), col("gs"),
+    // candidates travel as bare id pairs; the (heavy) shingle arrays join
+    // back in only for the few verified candidates — at 100 TB you never
+    // shuffle payloads with the LSH keys.
+    val bands = base.select(col("doc_id"),
       posexplode(bandSignatures(col("mh"), 4, 4)).as(Seq("band", "sig")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        col("a.gs").as("ga"), col("b.gs").as("gb"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
     val inter = size(array_intersect(col("ga"), col("gb")))
     cand
+      .join(base.select(col("doc_id").as("ia"), col("gs").as("ga")), Seq("ia"))
+      .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")), Seq("ib"))
       .select(col("ia"), col("ib"),
         (inter.cast("double") /
           (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("jac"))

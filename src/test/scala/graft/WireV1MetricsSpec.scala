@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.KlioWire
+import graft.operators.{Metrics, Prelude}
+
+class WireV1MetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("v1 wire messages upgrade to v2 on decode") {
+    val lines = Seq(
+      """{"version":1,"entity_id":"old_style"}""",
+      """{"element":"new_style","version":2}""",
+      "bare_id").toDF("value")
+    val decoded = KlioWire.decode(lines, allowNonKlio = true)
+    val rows = decoded.select("element", "version").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq === Seq(("bare_id", 2), ("new_style", 2),
+      ("old_style", 2)))
+  }
+
+  test("non-klio lines drop when not allowed") {
+    val lines = Seq("""{"element":"ok"}""", "junk").toDF("value")
+    assert(KlioWire.decode(lines, allowNonKlio = false).count() === 1)
+  }
+
+  test("observe counters reach the metrics listener with klio names") {
+    Metrics.install(spark)
+    val df = Seq("a", "b", "c").toDF("element")
+    Metrics.counted(df, "test_obs", "kmsg-read").count()
+    // listener fires asynchronously on query completion
+    var waited = 0
+    while (!Metrics.collected.contains(("test_obs", "kmsg-read")) &&
+        waited < 50) { Thread.sleep(100); waited += 1 }
+    assert(Metrics.collected(("test_obs", "kmsg-read")) === 3L)
+  }
+
+  test("dropAll counts but propagates nothing") {
+    val df = Seq("x", "y").toDF("element")
+    assert(Prelude.dropAll(df).count() === 0)
+  }
+
+  test("debugMessage passes elements through unchanged") {
+    val df = Seq("m1", "m2").toDF("element")
+    val out = Prelude.debugMessage(df, "TEST").collect()
+      .map(_.getString(0)).sorted
+    assert(out === Array("m1", "m2"))
+  }
+}
