@@ -17,14 +17,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
-    if v is None:
+    # Values come through pandas (like the driver's compare), so DuckDB
+    # HUGEINT/DECIMAL arrive as float64 — an oracle emitting SUM(BIGINT)
+    # un-cast will mismatch a Spark long ("3.0" vs "3"). Keep that visible.
+    if v is None or v != v:  # None or NaN
         return "NULL"
     if isinstance(v, float):
         # repr of float is exact; driver likely compares similarly
-        return repr(v)
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def fetch(rel):
+    """Columns + rows via pandas, mirroring the driver's conversion."""
+    df = rel.df()
+    return list(df.columns), list(df.itertuples(index=False, name=None))
 
 
 def table_hash(rows, colnames):
@@ -54,15 +63,13 @@ def main():
                      if os.path.isdir(d))
     for d in results:
         name = os.path.basename(d)
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        s_cols, s_rows = spark_rel.columns, spark_rel.fetchall()
+        s_cols, s_rows = fetch(con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')"))
         if name not in oracle:
             print(f"  ~ {name}: rows-only ({len(s_rows)} rows) "
                   f"{'OK' if len(s_rows) > 0 else 'EMPTY!'}")
             continue
         try:
-            o_rel = con.sql(oracle[name])
-            o_cols, o_rows = o_rel.columns, o_rel.fetchall()
+            o_cols, o_rows = fetch(con.sql(oracle[name]))
         except Exception as e:
             print(f"  ✗ {name}: oracle SQL error: {e}")
             n_fail += 1

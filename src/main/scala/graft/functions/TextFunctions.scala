@@ -71,13 +71,17 @@ object TextFunctions {
   /** Distinct character n-grams — the shingle set for Jaccard/MinHash. */
   def shingles(c: Column, n: Int): Column = array_distinct(charNgrams(c, n))
 
-  /** Word bigrams ("a b") — n-gram language-model / frequency primitive. */
+  /** Word bigrams ("a b") — n-gram language-model / frequency primitive.
+    * Fewer than two tokens (blank/one-word text) → empty array; without the
+    * guard `slice` would get a negative length and throw on empty docs.
+    */
   def wordBigrams(c: Column): Column = {
     val t = tokens(c)
-    zip_with(
-      slice(t, lit(1), size(t) - 1),
-      slice(t, lit(2), size(t) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
   }
 
   /** Stopword lists for the language-ID heuristic (function words; a

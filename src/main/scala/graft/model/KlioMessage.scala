@@ -65,18 +65,30 @@ object KlioWire {
     df.select(to_json(struct(col("element"), col("payload"), col("version"),
       col("metadata"))).as("value"))
 
-  /** v1 wire shape: data.entity_id instead of element (klio.proto:79). */
+  /** v1 wire shape: data.entity_id instead of element (klio.proto:79);
+    * force/ping live in the same metadata message as v2 (klio.proto:29-39),
+    * so they carry over on upgrade.
+    */
   private val v1Schema = StructType(Seq(
     StructField("version", IntegerType),
     StructField("entity_id", StringType),
-    StructField("payload", StringType)))
+    StructField("payload", StringType),
+    StructField("metadata", StructType(Seq(
+      StructField("force", BooleanType),
+      StructField("ping", BooleanType))))))
+
+  private val RecipientsType =
+    "struct<jobName:string,gcpProject:string>"
 
   /** Decode a `value: string` column of wire JSON back into message rows.
-    * v1 messages (entity_id field) are auto-upgraded to v2 — parity with
-    * the reference's version detection (serializer.py:23-53). Rows that are
-    * not klio messages at all: dropped when `allowNonKlio` is false, else
-    * lifted into new v2 messages with element = raw line
-    * (serializer.py:90-105).
+    * v1 messages (entity_id field) are auto-upgraded to v2 with payload and
+    * force/ping preserved — parity with the reference's version detection
+    * and compat copy (serializer.py:23-53). Rows that are not klio messages
+    * at all: when `allowNonKlio`, lifted into new v2 messages with
+    * element = raw line (serializer.py:90-105); otherwise the decode FAILS
+    * on first bad row, matching the reference's DecodeError
+    * (serializer.py:58-88) — corrupt event input never vanishes silently.
+    * Absent metadata (or absent subfields) decode to defaults, never null.
     */
   def decode(df: DataFrame, allowNonKlio: Boolean = true): DataFrame = {
     val parsed = df.select(col("value"),
@@ -84,19 +96,51 @@ object KlioWire {
       from_json(col("value"), v1Schema).as("m1"))
     val isKlio = col("m").isNotNull && col("m.element").isNotNull
     val isV1 = !isKlio && col("m1").isNotNull && col("m1.entity_id").isNotNull
-    val v1 = parsed.filter(isV1)
-      .select(newMessageColumns(col("m1.entity_id")): _*)
-      .withColumn("payload", lit(""))
-    val fallback = if (allowNonKlio) {
-      parsed.filter(!isKlio && !isV1)
-        .select(newMessageColumns(col("value")): _*)
-    } else parsed.filter(lit(false))
-      .select(newMessageColumns(col("value")): _*)
-    parsed.filter(isKlio).select(col("m.element").as("element"),
+    val md = col("m.metadata")
+    val ir = md.getField("intendedRecipients")
+    val v2 = parsed.filter(isKlio).select(
+      col("m.element").as("element"),
       coalesce(col("m.payload"), lit("")).as("payload"),
       coalesce(col("m.version"), lit(2)).as("version"),
-      col("m.metadata").as("metadata"))
-      .unionByName(v1).unionByName(fallback)
+      struct(
+        coalesce(md.getField("force"), lit(false)).as("force"),
+        coalesce(md.getField("ping"), lit(false)).as("ping"),
+        struct(
+          coalesce(ir.getField("mode"), lit("anyone")).as("mode"),
+          coalesce(ir.getField("recipients"),
+            array().cast(s"array<$RecipientsType>")).as("recipients"),
+          ir.getField("triggerChildrenOf").as("triggerChildrenOf"))
+          .as("intendedRecipients"),
+        coalesce(md.getField("jobAuditLog"), array().cast(
+          "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>"))
+          .as("jobAuditLog")).as("metadata"))
+    val v1 = parsed.filter(isV1).select(
+      col("m1.entity_id").cast("string").as("element"),
+      coalesce(col("m1.payload"), lit("")).as("payload"),
+      lit(2).as("version"),
+      struct(
+        coalesce(col("m1.metadata.force"), lit(false)).as("force"),
+        coalesce(col("m1.metadata.ping"), lit(false)).as("ping"),
+        struct(lit("anyone").as("mode"),
+          array().cast(s"array<$RecipientsType>").as("recipients"),
+          lit(null).cast(RecipientsType).as("triggerChildrenOf"))
+          .as("intendedRecipients"),
+        array().cast(
+          "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>")
+          .as("jobAuditLog")).as("metadata"))
+    val bad = parsed.filter(!isKlio && !isV1)
+    val fallback = if (allowNonKlio) {
+      bad.select(newMessageColumns(col("value")): _*)
+    } else {
+      // assert_true raises per evaluated row; every row here is bad, so a
+      // strict decode fails loudly on the first corrupt line instead of
+      // filtering it away.
+      bad.select(newMessageColumns(when(
+        assert_true(lit(false), concat(lit("klio DecodeError: not a "),
+          lit("klio message: "), col("value"))).isNull,
+        col("value"))): _*)
+    }
+    v2.unionByName(v1).unionByName(fallback)
   }
 
   /** Columns of a fresh v2 `anyone` message built around `element`. */

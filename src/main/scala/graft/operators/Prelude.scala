@@ -36,9 +36,14 @@ object Prelude {
     */
   case class Routed(process: DataFrame, passThru: DataFrame, drop: DataFrame)
 
-  /** KlioFilterPing: ping messages trace the DAG without doing work. */
-  def splitPing(df: DataFrame): (DataFrame, DataFrame) = {
-    val isPing = col("metadata.ping")
+  /** KlioFilterPing: ping messages trace the DAG without doing work. The
+    * per-message flag ORs with the data-input config's global ping, exactly
+    * like the reference (helpers.py:107-154: msg_ping if msg_ping else
+    * global_ping) — a config-level `ping: true` job does no work at all.
+    */
+  def splitPing(df: DataFrame, pingDefault: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val isPing = col("metadata.ping") || lit(pingDefault)
     (df.filter(!isPing), df.filter(isPing))
   }
 
@@ -131,10 +136,11 @@ object Prelude {
       existingInputs: Option[DataFrame],
       existingOutputs: Option[DataFrame],
       forceDefault: Boolean = false,
+      pingDefault: Boolean = false,
       now: Column = current_timestamp()): Routed = {
     val (addressed, wrongRecipient) = checkRecipients(df, job)
     val audited = updateAuditLog(addressed, job, now)
-    val (work0, pinged) = splitPing(audited)
+    val (work0, pinged) = splitPing(audited, pingDefault)
     val (work1, skipped) = existingOutputs match {
       case Some(outs) => splitOutputExists(work0, outs, forceDefault)
       case None => (work0, work0.filter(lit(false)))

@@ -62,7 +62,7 @@ object PreludeQueries {
       |    WHEN NOT in_exists THEN 'drop'
       |    ELSE 'process' END AS route
       |  FROM m)
-      |SELECT route, COUNT(*) AS n, SUM(event_id) AS checksum
+      |SELECT route, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS checksum
       |FROM r GROUP BY route ORDER BY route""".stripMargin
 
   /** Recipients check: anyone / limited-with-us / limited-without-us /
@@ -111,7 +111,7 @@ object PreludeQueries {
       |    WHEN has_us THEN 'kept_limited'
       |    ELSE 'dropped' END AS outcome
       |  FROM m)
-      |SELECT outcome, COUNT(*) AS n, SUM(event_id) AS checksum
+      |SELECT outcome, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS checksum
       |FROM r GROUP BY outcome ORDER BY outcome""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,9 +67,10 @@ object KlioPipeline {
       .flatMap(listing(spark, _))
     val forceDefault = cfg.jobConfig.data.outputs.headOption
       .exists(_.force)
+    val pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping)
 
     val routed = Prelude.standard(messages, cfg.jobRef, dataIn, dataOut,
-      forceDefault, now)
+      forceDefault, pingDefault, now)
 
     val attempts = HandleKlio(routed.process.as[KlioMessage], transform,
       retries = retries, timeoutMs = timeoutMs)

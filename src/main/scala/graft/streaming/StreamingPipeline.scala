@@ -72,7 +72,9 @@ object StreamingPipeline {
         val dataOut = cfg.jobConfig.data.outputs.headOption
           .filterNot(io => io.skipExistenceCheck || io.location.isEmpty)
           .map(io => Prelude.listingFor(s, io.location, io.fileSuffix))
-        val routed = Prelude.standard(batch, job, dataIn, dataOut)
+        val routed = Prelude.standard(batch, job, dataIn, dataOut,
+          forceDefault = cfg.jobConfig.data.outputs.headOption.exists(_.force),
+          pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping))
         val out = transform(routed.process).unionByName(routed.passThru)
         KlioWire.encode(out).write.mode("append").text(outputDir)
         ()

@@ -51,6 +51,19 @@ class PreludeSpec extends AnyFunSuite {
       === Array("lost", "not_ours"))
   }
 
+  test("config-level global ping routes everything to pass_thru") {
+    // helpers.py:107-154 — msg ping ORs with the data-input config's ping;
+    // a ping:true job traces the DAG without doing any work.
+    val messages = Seq(msg("a"), msg("b", ping = true)).toDS().toDF()
+    val (work, pinged) = Prelude.splitPing(messages, pingDefault = true)
+    assert(work.count() === 0)
+    assert(pinged.count() === 2)
+    val routed = Prelude.standard(messages, job, None, None,
+      pingDefault = true)
+    assert(routed.process.count() === 0)
+    assert(routed.passThru.count() === 2)
+  }
+
   test("limited recipients including this job are processed") {
     val m = Seq(msg("mine",
       recipients = KlioRecipients("limited", Seq(job, otherJob)))).toDS().toDF()

@@ -21,9 +21,39 @@ class WireV1MetricsSpec extends AnyFunSuite {
       ("old_style", 2)))
   }
 
-  test("non-klio lines drop when not allowed") {
+  test("non-klio lines fail the decode when not allowed") {
+    // Reference parity: serializer.py raises DecodeError and fails the
+    // bundle — corrupt event input must never vanish silently.
     val lines = Seq("""{"element":"ok"}""", "junk").toDF("value")
-    assert(KlioWire.decode(lines, allowNonKlio = false).count() === 1)
+    val e = intercept[Throwable] {
+      KlioWire.decode(lines, allowNonKlio = false).count()
+    }
+    assert(e.getMessage.contains("DecodeError") ||
+      Option(e.getCause).exists(_.getMessage.contains("DecodeError")))
+  }
+
+  test("v2 wire message without metadata decodes with full defaults") {
+    val lines = Seq("""{"element":"x","version":2}""").toDF("value")
+    val m = KlioWire.decode(lines, allowNonKlio = false).collect().head
+    val md = m.getStruct(m.fieldIndex("metadata"))
+    assert(!md.getBoolean(md.fieldIndex("force")))
+    assert(!md.getBoolean(md.fieldIndex("ping")))
+    val ir = md.getStruct(md.fieldIndex("intendedRecipients"))
+    assert(ir.getString(ir.fieldIndex("mode")) === "anyone")
+    assert(ir.getSeq[Any](ir.fieldIndex("recipients")).isEmpty)
+    assert(md.getSeq[Any](md.fieldIndex("jobAuditLog")).isEmpty)
+  }
+
+  test("v1 decode preserves payload and force/ping metadata") {
+    val lines = Seq(
+      """{"version":1,"entity_id":"a","payload":"state",""" +
+        """"metadata":{"force":true,"ping":true}}""").toDF("value")
+    val m = KlioWire.decode(lines, allowNonKlio = false).collect().head
+    assert(m.getString(m.fieldIndex("element")) === "a")
+    assert(m.getString(m.fieldIndex("payload")) === "state")
+    val md = m.getStruct(m.fieldIndex("metadata"))
+    assert(md.getBoolean(md.fieldIndex("force")))
+    assert(md.getBoolean(md.fieldIndex("ping")))
   }
 
   test("observe counters reach the metrics listener with klio names") {
