@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: touch every table once (parquet footers, FS cache, codegen,
+    // executor threads) so per-query timings measure the query, not
+    // first-job session initialization.
+    new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.getPath).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() }

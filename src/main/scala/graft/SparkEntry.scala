@@ -10,11 +10,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ PreludeQueries.queries ++
-      AudioQueries.queries
+      AudioQueries.queries ++ OpsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ PreludeQueries.oracle ++
-      AudioQueries.oracle
+      AudioQueries.oracle ++ OpsQueries.oracle
 }

@@ -1,0 +1,189 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native Catalyst expressions for the hot array kernels of the dedup /
+  * similarity operators. These run inside whole-stage codegen directly on
+  * `UnsafeArrayData` (`getLong(i)` word reads) — no per-row Seq boxing, no
+  * encoder round-trip, no UDF call overhead. On the pairwise scans
+  * (millions of 6-word popcounts / 64-long dot products per query) the
+  * scalar-UDF formulation spends more time materializing `Seq[Long]` per
+  * call than computing; these kernels make the arithmetic the only cost.
+  *
+  * The reference has no analogue (its per-element compute is Python inside
+  * DoFns, `lib/src/klio/transforms/decorators.py`); this is the Spark-first
+  * answer to the same need — custom scalar compute that still participates
+  * in Catalyst optimization and codegen.
+  */
+abstract class LongArrayBinary extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
+
+/** popcount(A & B) over two long-array bitsets = |A ∩ B| of the encoded
+  * sets. Arrays may differ in length; the overlap of the common prefix is
+  * counted (same-dictionary bitsets always share length).
+  */
+case class IntersectBits(left: Expression, right: Expression)
+    extends LongArrayBinary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_bits"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ a(i)·b(i) over the common prefix — the integer dot product of two
+  * quantized embedding vectors.
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends LongArrayBinary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |A ∩ B| of two SORTED long arrays by linear merge — exact set
+  * intersection for the general (large-vocabulary) shingle representation.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends LongArrayBinary {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var acc = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { acc += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $acc = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $acc++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration: exposes the kernels as SQL functions so Column
+  * code reaches them via `call_function` — no private Column constructors
+  * needed. Idempotent; every query entry point may call it.
+  */
+object LongArrayOps {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_intersect_bits" -> (args => IntersectBits(args(0), args(1))),
+    "graft_dot_long" -> (args => DotLong(args(0), args(1))),
+    "graft_sorted_intersect_count" ->
+      (args => SortedIntersectCount(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "internal")
+    }
+}

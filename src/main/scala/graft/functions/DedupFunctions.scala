@@ -103,6 +103,104 @@ object DedupFunctions {
   def hammingDist(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
 
+  /** Distinct 3-gram shingle set as SORTED packed longs: each shingle's
+    * three UTF-16 units occupy 16 bits each, so packing is injective —
+    * long equality ⇔ string equality, and intersection counts on the packed
+    * sets are exactly the counts on the string sets the oracle computes.
+    *
+    * One primitive-array pass per document. The higher-order-function
+    * formulation ([[graft.functions.TextFunctions.shingles]]) re-evaluates
+    * interpreted lambdas per element (HOFs don't participate in codegen);
+    * on 2000-char docs this UDF is ~50× faster and is what the hot dedup
+    * paths use. Sorted output enables merge-intersection.
+    */
+  val shinglesPacked3: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      if (text == null || text.length < 3) Array.empty[Long]
+      else {
+        val n = text.length - 2
+        val arr = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          arr(i) = (text.charAt(i).toLong << 32) |
+            (text.charAt(i + 1).toLong << 16) | text.charAt(i + 2).toLong
+          i += 1
+        }
+        java.util.Arrays.sort(arr)
+        var w = 0
+        var r = 0
+        while (r < n) {
+          if (w == 0 || arr(w - 1) != arr(r)) { arr(w) = arr(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(arr, w)
+      }
+    })
+
+  /** MinHash signature (k=16) over a document's 3-gram shingles in one
+    * pass: per shingle the base-31 polynomial hash mod 1e9+7 (identical to
+    * [[shingleHash3]] for ASCII text), then the 16 affine-permutation
+    * minima. Duplicates don't affect minima, so no distinct pass is
+    * needed. Bit-identical to the DuckDB oracle's formula.
+    */
+  val minhash16: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val mins = Array.fill(16)(P)
+      if (text != null && text.length >= 3) {
+        var i = 0
+        val n = text.length - 2
+        while (i < n) {
+          val h = ((text.charAt(i).toLong * 31L +
+            text.charAt(i + 1).toLong) * 31L +
+            text.charAt(i + 2).toLong) % P
+          var k = 0
+          while (k < 16) {
+            val p = ((2 * k + 1) * h + 7 * k + 3) % P
+            if (p < mins(k)) mins(k) = p
+            k += 1
+          }
+          i += 1
+        }
+      }
+      mins
+    })
+
+  /** Dictionary-encoded bitset for a shingle set: bit i set ⟺ the i-th
+    * vocabulary shingle (sorted order) is present. When the corpus'
+    * distinct-shingle vocabulary is small, this collapses set intersection
+    * to AND+popcount over a few longs — the exact-Jaccard verification
+    * drops from O(|A|+|B|) merges on ~KB arrays to a handful of word ops
+    * on ~48 bytes, and the pair shuffle shrinks by the same factor. The
+    * vocabulary ships in the UDF closure (task broadcast), never joined.
+    */
+  def bitsetUdf(vocab: Array[Long])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val nWords = (vocab.length + 63) >> 6
+    udf((gs: Seq[Long]) => {
+      val bits = new Array[Long](nWords)
+      val it = gs.iterator
+      while (it.hasNext) {
+        val i = java.util.Arrays.binarySearch(vocab, it.next())
+        if (i >= 0) bits(i >> 6) |= 1L << (i & 63)
+      }
+      bits
+    })
+  }
+
+  /** |A ∩ B| of two same-length bitsets: popcount of the word-wise AND.
+    * Native codegen kernel ([[graft.expressions.IntersectBits]]); requires
+    * [[graft.expressions.LongArrayOps.register]] on the session.
+    */
+  def intersectBits(a: Column, b: Column): Column =
+    call_function("graft_intersect_bits", a, b)
+
+  /** |A ∩ B| for two SORTED long arrays by linear merge — the verification
+    * step of every near-dup candidate pair. Native codegen kernel
+    * ([[graft.expressions.SortedIntersectCount]]).
+    */
+  def intersectSortedCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
+
   val QuantScale = 1048576.0 // 2^20
 
   /** Quantize a float vector to exact integers: floor(x * 2^20 + 0.5).
@@ -113,9 +211,14 @@ object DedupFunctions {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * QuantScale + 0.5).cast("long"))
 
-  /** Integer dot product of two array<long> columns. */
+  /** Integer dot product of two array<long> columns, as a native codegen
+    * kernel ([[graft.expressions.DotLong]]) — one primitive loop per pair.
+    * A higher-order-function formulation re-evaluates interpreted lambdas
+    * per element, which dominated pairwise-similarity scans (millions of
+    * 64-dim dots per query); a Scala UDF pays Seq boxing per call.
+    */
   def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("graft_dot_long", a, b)
 
   /** Integer squared norm. */
   def normSqLong(a: Column): Column =

@@ -95,52 +95,52 @@ object KlioWire {
       from_json(col("value"), KlioMessage.schema).as("m"),
       from_json(col("value"), v1Schema).as("m1"))
     val isKlio = col("m").isNotNull && col("m.element").isNotNull
-    val isV1 = !isKlio && col("m1").isNotNull && col("m1.entity_id").isNotNull
+    val isV1 = col("m1").isNotNull && col("m1.entity_id").isNotNull
     val md = col("m.metadata")
     val ir = md.getField("intendedRecipients")
-    val v2 = parsed.filter(isKlio).select(
-      col("m.element").as("element"),
-      coalesce(col("m.payload"), lit("")).as("payload"),
-      coalesce(col("m.version"), lit(2)).as("version"),
-      struct(
-        coalesce(md.getField("force"), lit(false)).as("force"),
-        coalesce(md.getField("ping"), lit(false)).as("ping"),
-        struct(
-          coalesce(ir.getField("mode"), lit("anyone")).as("mode"),
-          coalesce(ir.getField("recipients"),
-            array().cast(s"array<$RecipientsType>")).as("recipients"),
-          ir.getField("triggerChildrenOf").as("triggerChildrenOf"))
-          .as("intendedRecipients"),
-        coalesce(md.getField("jobAuditLog"), array().cast(
-          "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>"))
-          .as("jobAuditLog")).as("metadata"))
-    val v1 = parsed.filter(isV1).select(
-      col("m1.entity_id").cast("string").as("element"),
-      coalesce(col("m1.payload"), lit("")).as("payload"),
-      lit(2).as("version"),
-      struct(
-        coalesce(col("m1.metadata.force"), lit(false)).as("force"),
-        coalesce(col("m1.metadata.ping"), lit(false)).as("ping"),
-        struct(lit("anyone").as("mode"),
-          array().cast(s"array<$RecipientsType>").as("recipients"),
-          lit(null).cast(RecipientsType).as("triggerChildrenOf"))
-          .as("intendedRecipients"),
-        array().cast(
-          "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>")
-          .as("jobAuditLog")).as("metadata"))
-    val bad = parsed.filter(!isKlio && !isV1)
-    val fallback = if (allowNonKlio) {
-      bad.select(newMessageColumns(col("value")): _*)
-    } else {
-      // assert_true raises per evaluated row; every row here is bad, so a
-      // strict decode fails loudly on the first corrupt line instead of
-      // filtering it away.
-      bad.select(newMessageColumns(when(
-        assert_true(lit(false), concat(lit("klio DecodeError: not a "),
-          lit("klio message: "), col("value"))).isNull,
-        col("value"))): _*)
+    // One pass, no branch-filter unions: a when-chain per column keeps the
+    // whole decode a single projection over a single scan (the three-way
+    // filter+union shape re-evaluated the scan — and both JSON parses —
+    // once per branch, which compounds when decodes nest).
+    val auditType =
+      "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>"
+    val rawElement = if (allowNonKlio) col("value") else {
+      // assert_true raises per evaluated row, and the when-chain only
+      // evaluates this branch for non-klio rows — a strict decode fails
+      // loudly on the first corrupt line instead of filtering it away.
+      when(assert_true(lit(false), concat(lit("klio DecodeError: not a "),
+        lit("klio message: "), col("value"))).isNull, col("value"))
     }
-    v2.unionByName(v1).unionByName(fallback)
+    parsed.select(
+      when(isKlio, col("m.element"))
+        .when(isV1, col("m1.entity_id").cast("string"))
+        .otherwise(rawElement).as("element"),
+      when(isKlio, coalesce(col("m.payload"), lit("")))
+        .when(isV1, coalesce(col("m1.payload"), lit("")))
+        .otherwise(lit("")).as("payload"),
+      when(isKlio, coalesce(col("m.version"), lit(2)))
+        .otherwise(lit(2)).as("version"),
+      struct(
+        when(isKlio, coalesce(md.getField("force"), lit(false)))
+          .when(isV1, coalesce(col("m1.metadata.force"), lit(false)))
+          .otherwise(lit(false)).as("force"),
+        when(isKlio, coalesce(md.getField("ping"), lit(false)))
+          .when(isV1, coalesce(col("m1.metadata.ping"), lit(false)))
+          .otherwise(lit(false)).as("ping"),
+        struct(
+          when(isKlio, coalesce(ir.getField("mode"), lit("anyone")))
+            .otherwise(lit("anyone")).as("mode"),
+          when(isKlio, coalesce(ir.getField("recipients"),
+            array().cast(s"array<$RecipientsType>")))
+            .otherwise(array().cast(s"array<$RecipientsType>"))
+            .as("recipients"),
+          when(isKlio, ir.getField("triggerChildrenOf"))
+            .otherwise(lit(null).cast(RecipientsType))
+            .as("triggerChildrenOf")).as("intendedRecipients"),
+        when(isKlio, coalesce(md.getField("jobAuditLog"),
+          array().cast(auditType)))
+          .otherwise(array().cast(auditType)).as("jobAuditLog"))
+        .as("metadata"))
   }
 
   /** Columns of a fresh v2 `anyone` message built around `element`. */

@@ -35,48 +35,139 @@ object DedupQueries {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs with AllPairs prefix filtering.
-    *
-    * A naive inverted-index self-join explodes on frequent shingles (a
-    * shingle present in every doc alone contributes |docs|²/2 pairs — at
-    * sf0.1 that is already billions of rows; at 100 TB it is fatal). The
-    * prefix filter keeps it EXACT while joining only on rare shingles:
-    * any pair with jaccard ≥ τ overlaps in ≥ ⌈τ·|A|⌉ shingles, so it must
-    * share one of A's first |A| − ⌈τ·|A|⌉ + 1 shingles when each doc's
-    * shingles are ordered by ascending global frequency. Joining that
-    * prefix against the full index finds every qualifying pair; exact
-    * verification then runs only on candidates (array_intersect on the
-    * full shingle sets). Output identical to the brute-force join.
+  /** Largest vocabulary the bitset representation accepts: 16384 bits =
+    * 2 KB per doc. Past that, sorted-array merges win on memory.
     */
-  def dJaccard(s: SparkSession, dir: String): DataFrame = {
-    val tau = 0.8
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("gs"))
-    val sh = base.select(col("doc_id"), explode(col("gs")).as("g"))
-    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(freq, Seq("g"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("df"), col("g"))))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val prefix = ranked
-      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-      .select(col("doc_id").as("pid"), col("g"))
-    val cand = prefix.join(sh.as("full"),
-        prefix("g") === col("full.g") && col("pid") =!= col("full.doc_id"))
-      .select(least(col("pid"), col("full.doc_id")).as("ia"),
-        greatest(col("pid"), col("full.doc_id")).as("ib"))
-      .distinct()
-    val inter = size(array_intersect(col("ga"), col("gb")))
+  private val MaxBitsetVocab = 16384
+
+  /** Distinct shingle vocabulary, sorted — the bitset dictionary. Small by
+    * construction when used (≤ [[MaxBitsetVocab]] longs), so the collect is
+    * a bounded broadcast-build step, not a data collect.
+    */
+  private def vocabOf(base: DataFrame): Array[Long] = {
+    import base.sparkSession.implicits._
+    base.select(explode(col("gs")).as("g")).distinct()
+      .orderBy(col("g")).as[Long].collect()
+  }
+
+  /** doc_id → (bitset, set size), spread across the cluster so the
+    * pair-generation stage that follows parallelizes past the source's
+    * file-partition count.
+    */
+  private def encodeBitsets(base: DataFrame, vocab: Array[Long],
+      par: Int): DataFrame =
+    base.repartition(par)
+      .select(col("doc_id"), bitsetUdf(vocab)(col("gs")).as("bits"),
+        size(col("gs")).as("n"))
+
+  /** Exact-Jaccard verification of candidate id pairs against
+    * bitset-encoded sets: two narrow joins (~56 B per doc, broadcastable)
+    * and an AND+popcount per pair.
+    */
+  private def verifyBitset(cand: DataFrame, enc: DataFrame, tau: Double)
+      : DataFrame =
+    cand
+      .join(enc.select(col("doc_id").as("ia"), col("bits").as("ba"),
+        col("n").as("na")), Seq("ia"))
+      .join(enc.select(col("doc_id").as("ib"), col("bits").as("bb"),
+        col("n").as("nb")), Seq("ib"))
+      .withColumn("i", intersectBits(col("ba"), col("bb")))
+      .select(col("ia"), col("ib"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+      .filter(col("jac") >= tau)
+      .orderBy(col("ia"), col("ib"))
+
+  /** Exact-Jaccard verification against the full SORTED shingle arrays —
+    * the general-vocabulary path (merge-intersection per pair).
+    */
+  private def verifySorted(cand: DataFrame, base: DataFrame, tau: Double)
+      : DataFrame = {
+    val inter = intersectSortedCount(col("ga"), col("gb"))
     cand
       .join(base.select(col("doc_id").as("ia"), col("gs").as("ga")), Seq("ia"))
       .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")), Seq("ib"))
+      .withColumn("i", inter)
       .select(col("ia"), col("ib"),
-        (inter.cast("double") /
-          (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("jac"))
+        (col("i").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("i")).cast("double"))
+          .as("jac"))
       .filter(col("jac") >= tau)
       .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, representation-adaptive.
+    *
+    * A naive inverted-index self-join explodes on frequent shingles (a
+    * shingle present in every doc alone contributes |docs|²/2 pairs — at
+    * 100 TB it is fatal), so the candidate scheme must match the measured
+    * shingle distribution:
+    *
+    *  - **Small vocabulary** (dictionary fits [[MaxBitsetVocab]] bits):
+    *    frequency-based prefix filtering is provably useless — every
+    *    shingle is frequent; on this corpus the PPJoin prefix prunes <7%
+    *    of doc pairs while paying inverted-index join + distinct on tens
+    *    of millions of candidate rows. Take the pair scan head-on instead:
+    *    dictionary bitsets under the lossless size filter
+    *    min(|A|,|B|) ≥ ⌈τ·max(|A|,|B|)⌉, AND+popcount per surviving pair
+    *    (~6 word ops on 48 B), one broadcast, zero shuffles.
+    *  - **Large vocabulary** (natural text, Zipfian df): PPJoin prefix
+    *    filtering — any pair with jaccard ≥ τ must share one of each doc's
+    *    |A| − ⌈τ·|A|⌉ + 1 globally-rarest shingles, so the self-join runs
+    *    prefix×prefix and exact verification touches candidates only.
+    *
+    * Both paths produce the identical exact result. The exact operator is
+    * inherently Ω(qualifying pairs); the corpus-scale sub-quadratic route
+    * is MinHash LSH ([[dMinhashLsh]]), which reuses this verification.
+    */
+  def dJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val tau = 0.8
+    // Shingles as sorted packed longs (injective ⇒ identical intersection
+    // counts to the oracle's string sets) — one UDF pass per doc, and all
+    // joins/verification run on primitive longs instead of strings.
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"))
+    val vocab = vocabOf(base)
+    if (vocab.length <= MaxBitsetVocab) {
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val enc = encodeBitsets(base, vocab, par)
+      val a = enc.select(col("doc_id").as("ia"), col("bits").as("ba"),
+        col("n").as("na"))
+      val b = enc.select(col("doc_id").as("ib"), col("bits").as("bb"),
+        col("n").as("nb"))
+      a.join(broadcast(b), col("ia") < col("ib") &&
+          least(col("na"), col("nb")) >=
+            ceil(lit(tau) * greatest(col("na"), col("nb"))))
+        .withColumn("i", intersectBits(col("ba"), col("bb")))
+        .select(col("ia"), col("ib"),
+          (col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+        .filter(col("jac") >= tau)
+        .orderBy(col("ia"), col("ib"))
+    } else jaccardPPJoin(base, tau)
+  }
+
+  /** The prefix-filtered (PPJoin) candidate path for large vocabularies —
+    * see [[dJaccard]] for when each path applies.
+    */
+  private def jaccardPPJoin(base: DataFrame, tau: Double): DataFrame = {
+    val sh = base.select(col("doc_id"), size(col("gs")).as("n"),
+      explode(col("gs")).as("g"))
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(freq, Seq("g"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id"), col("g"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) >=
+            ceil(lit(tau) * greatest(col("a.n"), col("b.n"))))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    verifySorted(cand, base, tau)
   }
 
   val dJaccardOracle: String =
@@ -91,34 +182,85 @@ object DedupQueries {
       |ORDER BY ia, ib""".stripMargin
 
   /** MinHash (k=16) + LSH (4 bands × 4 rows) near-dup detection — the shape
-    * that survives 100 TB: signature is O(k·|shingles|) per doc in codegen,
-    * candidates come from a self-join on (band, signature) — shuffle volume
-    * is docs×bands, never docs² — and only candidates pay the exact-jaccard
+    * that survives 100 TB: signature is O(k·|shingles|) per doc, candidates
+    * come from a self-join on (band, signature) — shuffle volume is
+    * docs×bands, never docs² — and only candidates pay the exact-jaccard
     * verification.
+    *
+    * Banded LSH has a measurable failure mode: on a small-universe corpus
+    * with skewed shingle frequencies, each fixed permutation's argmin tends
+    * to be a shingle most documents contain, so the 16 minhashes collapse
+    * onto a few values and band buckets engulf most of the corpus (here: a
+    * 75%-of-docs bucket in every band; candidate volume 2.4× ALL pairs,
+    * before dedup). The operator measures bucket volume first — one tiny
+    * aggregate over docs×bands rows — and when candidates ≥ half of
+    * all-pairs it switches to the bitset pair scan with a band-agreement
+    * post-filter: identical output (pair in output ⟺ jaccard ≥ τ AND
+    * shares ≥1 band bucket), none of the candidate blow-up. Healthy-LSH
+    * corpora never hit the fallback.
     */
   def dMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("gs"))
-      .withColumn("mh", minhashSignature(shingleHashes(col("gs")), 16))
-    // candidates travel as bare id pairs; the (heavy) shingle arrays join
-    // back in only for the few verified candidates — at 100 TB you never
-    // shuffle payloads with the LSH keys.
+    graft.expressions.LongArrayOps.register(s)
+    val tau = 0.8
+    // Signature in one primitive pass per doc (minhash16). Candidates
+    // travel as bare id pairs; the per-doc set representations join back
+    // in only for verification — at 100 TB you never shuffle payloads
+    // with the LSH keys. Verification is representation-adaptive like
+    // dJaccard: dictionary bitsets when the vocabulary is small, sorted
+    // packed-long merges otherwise.
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"),
+      shinglesPacked3(col("text")).as("gs"),
+      minhash16(col("text")).as("mh"))
     val bands = base.select(col("doc_id"),
       posexplode(bandSignatures(col("mh"), 4, 4)).as(Seq("band", "sig")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .distinct()
-    val inter = size(array_intersect(col("ga"), col("gb")))
-    cand
-      .join(base.select(col("doc_id").as("ia"), col("gs").as("ga")), Seq("ia"))
-      .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")), Seq("ib"))
-      .select(col("ia"), col("ib"),
-        (inter.cast("double") /
-          (size(col("ga")) + size(col("gb")) - inter).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.8)
-      .orderBy(col("ia"), col("ib"))
+    // Decision stats: each a narrow one-pass aggregate (docs is counted
+    // without running the shingle/minhash projections).
+    val nDocs = docs.count()
+    val bucketPairs = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") * (col("k") - 1))).first().getLong(0) / 2
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val vocab = vocabOf(base)
+    val smallVocab = vocab.length <= MaxBitsetVocab
+    if (smallVocab && bucketPairs >= allPairs / 2) {
+      // Degenerate buckets: exact pair scan (as dJaccard) + band agreement.
+      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val enc = base.repartition(par).select(col("doc_id"),
+        bitsetUdf(vocab)(col("gs")).as("bits"), size(col("gs")).as("n"),
+        bandSignatures(col("mh"), 4, 4).as("sigs"))
+      val a = enc.select(col("doc_id").as("ia"), col("bits").as("ba"),
+        col("n").as("na"), col("sigs").as("sa"))
+      val b = enc.select(col("doc_id").as("ib"), col("bits").as("bb"),
+        col("n").as("nb"), col("sigs").as("sb"))
+      // jac ≥ τ is the selective predicate (a few thousand survivors of
+      // 12.5M pairs); band agreement barely prunes here (the degenerate
+      // buckets cover ~90% of pairs), so it runs last, as four direct
+      // element comparisons — no per-pair array materialization.
+      val bandAgree = (0 until 4)
+        .map(i => col("sa").getItem(i) === col("sb").getItem(i))
+        .reduce(_ || _)
+      a.join(broadcast(b), col("ia") < col("ib") &&
+          least(col("na"), col("nb")) >=
+            ceil(lit(tau) * greatest(col("na"), col("nb"))))
+        .withColumn("i", intersectBits(col("ba"), col("bb")))
+        .withColumn("jac", col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"))
+        .filter(col("jac") >= tau)
+        .filter(bandAgree)
+        .select(col("ia"), col("ib"), col("jac"))
+        .orderBy(col("ia"), col("ib"))
+    } else {
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      if (smallVocab) {
+        val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        verifyBitset(cand, encodeBitsets(base, vocab, par), tau)
+      } else verifySorted(cand, base, tau)
+    }
   }
 
   val dMinhashOracle: String =
@@ -182,6 +324,7 @@ object DedupQueries {
     * scale path.
     */
   def dEmbed(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nn", normSqLong(col("v")))

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.EventIO
+import graft.model.{KlioJobRef, KlioMessage, KlioWire}
+import graft.multimodal.Multimodal
+import graft.operators.{HandleKlio, Prelude}
+
+/** Oracle-gated coverage for the operator families that previously only had
+  * unit-test coverage: audit-log append, the wire codec (v1 upgrade +
+  * non-klio lifting + encode/decode fidelity), the handle-klio UDF wrapper
+  * (error → drop channel, retries), multimodal binary-column plumbing, and
+  * the BigQuery-style event input. Every query runs the REAL operators over
+  * driver tables and reduces to engine-exact integers/strings.
+  */
+object OpsQueries {
+
+  /** KlioUpdateAuditLog (helpers.py:433-474) through two jobs with
+    * deterministic timestamps; the provenance trail is exploded so order
+    * and content of every entry is hash-checked.
+    */
+  def p3AuditLog(s: SparkSession, dir: String): DataFrame = {
+    val msgs = Tables.events(s, dir)
+      .filter(col("event_id") < 200)
+      .select(KlioWire.newMessageColumns(col("event_id")): _*)
+    val a = Prelude.updateAuditLog(msgs, KlioJobRef("job-a", "proj-a"),
+      to_timestamp(lit("2026-01-01 00:00:00")))
+    val b = Prelude.updateAuditLog(a, KlioJobRef("job-b", "proj-b"),
+      to_timestamp(lit("2026-01-02 12:30:00")))
+    b.select(col("element"),
+        posexplode(col("metadata.jobAuditLog")).as(Seq("idx", "entry")))
+      .select(col("element"), col("idx"),
+        col("entry.jobName").as("job_name"),
+        col("entry.gcpProject").as("project"),
+        col("entry.timestamp").as("ts"))
+      .orderBy(col("element"), col("idx"))
+  }
+
+  val p3Oracle: String =
+    """SELECT CAST(event_id AS VARCHAR) AS element, CAST(i AS INT) AS idx,
+      |  CASE i WHEN 0 THEN 'job-a' ELSE 'job-b' END AS job_name,
+      |  CASE i WHEN 0 THEN 'proj-a' ELSE 'proj-b' END AS project,
+      |  CASE i WHEN 0 THEN TIMESTAMP '2026-01-01 00:00:00'
+      |         ELSE TIMESTAMP '2026-01-02 12:30:00' END AS ts
+      |FROM events, range(0, 2) r(i) WHERE event_id < 200
+      |ORDER BY element, idx""".stripMargin
+
+  /** Wire-codec roundtrip over mixed input: v1 messages (entity_id shape,
+    * with payload + force metadata), v2 messages (ping metadata), and bare
+    * non-klio lines — decoded (upgrade + lift), re-encoded, decoded again.
+    * Fidelity of payload/flags across the roundtrip is what's checked
+    * (serializer.py:23-105 semantics).
+    */
+  def p4WireRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id").cast("string")
+    val raw = Tables.events(s, dir).select(
+      when(col("event_id") % 3 === 0,
+        concat(lit("{\"version\":1,\"entity_id\":\""), id,
+          lit("\",\"payload\":\"p"), id,
+          lit("\",\"metadata\":{\"force\":true}}")))
+        .when(col("event_id") % 3 === 1,
+          concat(lit("{\"element\":\""), id,
+            lit("\",\"version\":2,\"payload\":\"q"), id,
+            lit("\",\"metadata\":{\"ping\":true}}")))
+        .otherwise(concat(lit("raw-"), id)).as("value"))
+    val once = KlioWire.decode(raw, allowNonKlio = true)
+    val round = KlioWire.decode(KlioWire.encode(once), allowNonKlio = false)
+    round
+      .withColumn("category",
+        when(substring(col("payload"), 1, 1) === "p", "v1")
+          .when(substring(col("payload"), 1, 1) === "q", "v2")
+          .otherwise("bare"))
+      .withColumn("idnum",
+        regexp_replace(col("element"), "raw-", "").cast("long"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("metadata.force").cast("long")).as("n_force"),
+        sum(col("metadata.ping").cast("long")).as("n_ping"),
+        sum(col("idnum")).as("checksum"))
+      .orderBy(col("category"))
+  }
+
+  val p4Oracle: String =
+    """WITH m AS (SELECT event_id, CASE
+      |    WHEN event_id % 3 = 0 THEN 'v1'
+      |    WHEN event_id % 3 = 1 THEN 'v2'
+      |    ELSE 'bare' END AS category
+      |  FROM events)
+      |SELECT category, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN category = 'v1' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_force,
+      |  CAST(SUM(CASE WHEN category = 'v2' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ping,
+      |  CAST(SUM(event_id) AS BIGINT) AS checksum
+      |FROM m GROUP BY category ORDER BY category""".stripMargin
+
+  /** The @handle_klio wrapper (decorators.py:805-908): typed per-message
+    * user fn with element-level retries and the error → drop channel. The
+    * fn reverses the element into the payload and fails on multiples of 13;
+    * failed messages divert with their ORIGINAL payload, the pipeline
+    * continues (decorators.py:266-304).
+    */
+  def p5HandleKlio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val msgs = Tables.events(s, dir)
+      .select(KlioWire.newMessageColumns(col("event_id")): _*)
+      .as[KlioMessage]
+    val attempts = HandleKlio(msgs, m =>
+      if (m.element.toLong % 13 == 0)
+        throw new IllegalArgumentException(s"boom ${m.element}")
+      else m.copy(payload = m.element.reverse),
+      retries = 1)
+    HandleKlio.ok(attempts).toDF()
+      .select(col("element"), col("payload"), lit("ok").as("route"))
+      .unionByName(HandleKlio.dropped(attempts).toDF()
+        .select(col("msg.element").as("element"),
+          col("msg.payload").as("payload"), lit("drop").as("route")))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("element").cast("long")).as("checksum"),
+        sum(coalesce(col("payload").try_cast("long"), lit(0L))).as("rev_sum"))
+      .orderBy(col("route"))
+  }
+
+  val p5Oracle: String =
+    """WITH m AS (SELECT event_id,
+      |    CASE WHEN event_id % 13 = 0 THEN 'drop' ELSE 'ok' END AS route,
+      |    CASE WHEN event_id % 13 = 0 THEN 0
+      |         ELSE CAST(reverse(CAST(event_id AS VARCHAR)) AS BIGINT)
+      |    END AS rev
+      |  FROM events)
+      |SELECT route, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS checksum,
+      |  CAST(SUM(rev) AS BIGINT) AS rev_sum
+      |FROM m GROUP BY route ORDER BY route""".stripMargin
+
+  /** Multimodal binary-column plumbing: documents' text ridden as opaque
+    * binary content in the [[Multimodal.MediaFile]] frame, chunked by the
+    * frame sampler (stride 2). Frame counts and byte totals are closed-form
+    * for the oracle; the real-media decode path is the same plumbing with a
+    * codec body.
+    */
+  def m1MediaFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id").cast("string").as("element"),
+        lit("text").as("mediaType"),
+        col("text").cast("binary").as("content"),
+        length(col("text")).cast("long").as("length"),
+        map().cast("map<string,string>").as("meta"))
+      .as[Multimodal.MediaFile]
+    Multimodal.sampleFramesStub(files, 2)
+      .groupBy(col("element"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(octet_length(col("frame_bytes"))).as("total_bytes"))
+      .orderBy(col("element"))
+  }
+
+  val m1Oracle: String =
+    """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS element,
+      |    length(text) AS len FROM documents WHERE length(text) > 0),
+      |f AS (SELECT element, len, CAST(i AS INT) AS idx
+      |  FROM d, range(0, 4000) r(i) WHERE i * 1024 < len AND i % 2 = 0)
+      |SELECT element, COUNT(*) AS n_frames,
+      |  CAST(SUM(LEAST(1024, len - idx * 1024)) AS BIGINT) AS total_bytes
+      |FROM f GROUP BY element ORDER BY element""".stripMargin
+
+  /** KlioReadFromBigQuery, single-column form (io.py:219-241): the raw
+    * column value becomes the element. Aggregates prove every row arrived
+    * with element fidelity.
+    */
+  def io1BqSingle(s: SparkSession, dir: String): DataFrame =
+    EventIO.readBq(s, s"$dir/orders.parquet", Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        min(col("element")).as("min_el"),
+        max(col("element")).as("max_el"),
+        sum(col("element").cast("long")).as("checksum"))
+
+  val io1Oracle: String =
+    """SELECT COUNT(*) AS n, MIN(CAST(o_orderkey AS VARCHAR)) AS min_el,
+      |  MAX(CAST(o_orderkey AS VARCHAR)) AS max_el,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS checksum
+      |FROM orders""".stripMargin
+
+  /** KlioReadFromBigQuery, multi-column form: the selected columns become a
+    * JSON object element. The filter round-trips the element back through
+    * from_json, proving the JSON shape is parseable and exact.
+    */
+  def io2BqJson(s: SparkSession, dir: String): DataFrame =
+    EventIO.readBq(s, s"$dir/orders.parquet",
+      Seq("o_orderkey", "o_custkey"))
+      .withColumn("okey",
+        get_json_object(col("element"), "$.o_orderkey").cast("long"))
+      .filter(col("okey") < 100)
+      .select(col("element"))
+      .orderBy(col("element"))
+
+  val io2Oracle: String =
+    """SELECT '{"o_orderkey":' || o_orderkey || ',"o_custkey":' || o_custkey
+      |  || '}' AS element
+      |FROM orders WHERE o_orderkey < 100 ORDER BY element""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_audit_log" -> (p3AuditLog _),
+    "p4_wire_roundtrip" -> (p4WireRoundtrip _),
+    "p5_handle_klio" -> (p5HandleKlio _),
+    "m1_media_frames" -> (m1MediaFrames _),
+    "io1_bq_single" -> (io1BqSingle _),
+    "io2_bq_json" -> (io2BqJson _))
+
+  val oracle: Map[String, String] = Map(
+    "p3_audit_log" -> p3Oracle,
+    "p4_wire_roundtrip" -> p4Oracle,
+    "p5_handle_klio" -> p5Oracle,
+    "m1_media_frames" -> m1Oracle,
+    "io1_bq_single" -> io1Oracle,
+    "io2_bq_json" -> io2Oracle)
+}

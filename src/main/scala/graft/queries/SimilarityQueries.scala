@@ -30,6 +30,7 @@ object SimilarityQueries {
     * per-query top-k (window over rank) on qid, a tiny shuffle.
     */
   def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
@@ -85,6 +86,7 @@ object SimilarityQueries {
     * join. Top-3 per probe among same-bucket candidates.
     */
   def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
       .withColumn("bucket", hyperplaneBucket(col("v"), 4, 64))
     val probes = e.filter(col("vec_id") < 25)
