@@ -61,15 +61,20 @@ object EventIO {
       .observe("klio_read_bq", count(lit(1)).as("kmsg-read"))
   }
 
-  /** KlioWriteToBigQuery (io.py:355-383): payload is a JSON row; project it
-    * into declared columns (the BQ schema from config, `_io.py:462-491`)
-    * and write columnar. The declared schema is a real StructType → real
-    * column pruning downstream.
+  /** KlioWriteToBigQuery's row projection (io.py:355-383): the message
+    * payload is a JSON row; parse it against the declared columns (the BQ
+    * schema from config, `_io.py:462-491`). The declared schema is a real
+    * StructType → real column pruning downstream.
     */
+  def bqRows(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(from_json(col("payload"), schema).as("row"))
+      .select(col("row.*"))
+
+  /** KlioWriteToBigQuery (io.py:355-383): [[bqRows]] written columnar. */
   def writeBq(df: DataFrame, path: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
-    df.observe("klio_write_bq", count(lit(1)).as("kmsg-write"))
-      .select(from_json(col("payload"), schema).as("row"))
-      .select(col("row.*"))
+    bqRows(df.observe("klio_write_bq", count(lit(1)).as("kmsg-write")),
+      schema)
       .write.mode(SaveMode.Overwrite).parquet(path)
 }

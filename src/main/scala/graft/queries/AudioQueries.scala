@@ -52,9 +52,33 @@ object AudioQueries {
         size(element_at(col("mf"), 1)).as("n_mfcc"))
       .orderBy(col("event_id"))
 
+  /** The audio-spectrograms integration DAG's compute core
+    * (integration/audio-spectrograms/transforms.py:71-140): dB spectrogram
+    * → nearest-neighbor filter → softmask of full vs filtered, per tone.
+    * Emits shape stats plus the masked-energy argmax frame. Rows-only
+    * check (float DSP; analytic validation lives in DspSpec).
+    */
+  def a3SoftmaskNn(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 8)
+      .select(col("event_id"),
+        (lit(25) + (col("event_id") % 20) * 5).cast("int").as("bin"))
+      .withColumn("y", synthTone(col("bin"), lit(1024), lit(4096)))
+      .withColumn("spec", spectrogramDb(col("y"), lit(1024), lit(256)))
+      .withColumn("nn", nnFilter(col("spec"), lit(3)))
+      .withColumn("mask", softmask(flatten(col("spec")),
+        flatten(col("nn")), lit(2.0)))
+      .select(col("event_id"),
+        size(col("spec")).as("n_frames"),
+        size(col("nn")).as("n_nn_frames"),
+        size(col("mask")).as("mask_len"),
+        peakBin(col("spec")).as("spec_peak"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stft_peak" -> (a1StftPeak _),
-    "a2_mel_mfcc" -> (a2MelMfcc _))
+    "a2_mel_mfcc" -> (a2MelMfcc _),
+    "a3_softmask_nn" -> (a3SoftmaskNn _))
 
   val oracle: Map[String, String] = Map(
     "a1_stft_peak" -> a1Oracle)

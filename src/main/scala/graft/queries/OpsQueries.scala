@@ -56,7 +56,11 @@ object OpsQueries {
     */
   def p4WireRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id").cast("string")
-    val raw = Tables.events(s, dir).select(
+    // The events table arrives as one file partition; fan out before the
+    // JSON-parse-heavy decode chain so all cores work (a tiny shuffle of
+    // narrow rows buys 32-way Jackson parsing).
+    val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val raw = Tables.events(s, dir).repartition(par).select(
       when(col("event_id") % 3 === 0,
         concat(lit("{\"version\":1,\"entity_id\":\""), id,
           lit("\",\"payload\":\"p"), id,
@@ -203,19 +207,97 @@ object OpsQueries {
       |  || '}' AS element
       |FROM orders WHERE o_orderkey < 100 ORDER BY element""".stripMargin
 
+  /** KlioTriggerUpstream's metadata rewrite + resume loop
+    * (helpers.py:536-753, 399-411): a message rewritten for bottom-up
+    * backfill is (a) processable by the upstream job in limited mode,
+    * (b) flipped back to top-down `anyone` when it reaches the origin job
+    * (the triggerChildrenOf match), and (c) dropped by any unrelated job.
+    * All three perspectives run the REAL checkRecipients over the REAL
+    * rewrite; the oracle replays the decision table.
+    */
+  def p6TriggerUpstream(s: SparkSession, dir: String): DataFrame = {
+    val self = KlioJobRef("child-job", "proj")
+    val up = KlioJobRef("parent-job", "proj")
+    val other = KlioJobRef("stranger-job", "proj")
+    val msgs = Tables.events(s, dir)
+      .filter(col("event_id") < 500)
+      .select(KlioWire.newMessageColumns(col("event_id")): _*)
+    val rewritten = Prelude.triggerUpstream(msgs, up, self)
+    def outcome(job: KlioJobRef, label: String): DataFrame = {
+      val (kept, dropped) = Prelude.checkRecipients(rewritten, job)
+      kept.select(col("element"),
+        concat(lit(s"${label}_kept_"),
+          col("metadata.intendedRecipients.mode")).as("outcome"))
+        .unionByName(dropped.select(col("element"),
+          lit(s"${label}_dropped").as("outcome")))
+    }
+    outcome(up, "upstream")
+      .unionByName(outcome(self, "origin"))
+      .unionByName(outcome(other, "other"))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("element").cast("long")).as("checksum"))
+      .orderBy(col("outcome"))
+  }
+
+  val p6Oracle: String =
+    """SELECT o AS outcome, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS checksum
+      |FROM events, (VALUES ('upstream_kept_limited'), ('origin_kept_anyone'),
+      |  ('other_dropped')) v(o)
+      |WHERE event_id < 500 GROUP BY o ORDER BY o""".stripMargin
+
+  /** KlioWriteToBigQuery's row projection (io.py:355-383): JSON payloads
+    * parsed against the declared BQ schema (`_io.py:462-491`) into real
+    * columns. Money rides as integer cents so sums are engine-exact.
+    */
+  def io3BqWrite(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderkey") < 2000)
+    val msgCols = KlioWire.newMessageColumns(col("o_orderkey"))
+    val payload = to_json(struct(
+      col("o_orderkey").as("okey"),
+      col("o_custkey").as("ckey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))).as("payload")
+    val msgs = o.select(msgCols.head, payload, msgCols(2), msgCols(3))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("okey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ckey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+    EventIO.bqRows(msgs, schema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("okey")).as("sum_okey"),
+        sum(col("ckey")).as("sum_ckey"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  val io3Oracle: String =
+    """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ckey,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderkey < 2000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
     "p5_handle_klio" -> (p5HandleKlio _),
+    "p6_trigger_upstream" -> (p6TriggerUpstream _),
     "m1_media_frames" -> (m1MediaFrames _),
     "io1_bq_single" -> (io1BqSingle _),
-    "io2_bq_json" -> (io2BqJson _))
+    "io2_bq_json" -> (io2BqJson _),
+    "io3_bq_write" -> (io3BqWrite _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
     "p4_wire_roundtrip" -> p4Oracle,
     "p5_handle_klio" -> p5Oracle,
+    "p6_trigger_upstream" -> p6Oracle,
     "m1_media_frames" -> m1Oracle,
     "io1_bq_single" -> io1Oracle,
-    "io2_bq_json" -> io2Oracle)
+    "io2_bq_json" -> io2Oracle,
+    "io3_bq_write" -> io3Oracle)
 }
