@@ -120,9 +120,14 @@ object DedupQueries {
     * inherently Ω(qualifying pairs); the corpus-scale sub-quadratic route
     * is MinHash LSH ([[dMinhashLsh]]), which reuses this verification.
     */
-  def dJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir, 0.8)
+
+  /** The (ia, ib, jac) near-dup pair set of [[dJaccard]] — also the edge
+    * set for [[dCluster]]'s connected components.
+    */
+  def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
-    val tau = 0.8
     // Shingles as sorted packed longs (injective ⇒ identical intersection
     // counts to the oracle's string sets) — one UDF pass per doc, and all
     // joins/verification run on primitive longs instead of strings.
@@ -180,6 +185,70 @@ object DedupQueries {
       |FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
       |WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.8
       |ORDER BY ia, ib""".stripMargin
+
+  /** Near-dup CLUSTERING: connected components over the jaccard ≥ τ pair
+    * graph, electing the min doc_id of each component as its keeper — the
+    * step that turns pairwise near-dup detection into an actual dedup
+    * decision (one representative per duplicate cluster).
+    *
+    * Components by distributed min-label propagation: every node starts
+    * labeled with itself; each round, a node adopts the minimum label among
+    * itself and its neighbors (one join + one aggregate per round); stop
+    * when a round changes nothing. Rounds needed = graph diameter —
+    * near-dup clusters are dense and shallow, so this converges in 2-3
+    * rounds. `localCheckpoint` truncates the growing lineage each round
+    * (the iterative-algorithm idiom; without it, round N replays rounds
+    * 1..N-1). At 100 TB the edge list is the small side (pairs that
+    * actually matched), so each round is a shuffle of labels, not corpus.
+    */
+  def dCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir, 0.8).select(col("ia"), col("ib"))
+      .localCheckpoint()
+    val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
+      .unionByName(pairs.select(col("ib").as("u"), col("ia").as("v")))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("nl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"),
+          col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("checksum"))
+      .orderBy(col("keeper"))
+  }
+
+  val dClusterOracle: String =
+    """WITH RECURSIVE s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM documents, range(1, 2000) r(i) WHERE i <= length(text) - 2),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT ia, ib FROM inter
+      |  JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.8),
+      |edges AS (SELECT ia u, ib v FROM pairs
+      |  UNION ALL SELECT ib, ia FROM pairs),
+      |nodes AS (SELECT DISTINCT u FROM edges),
+      |reach AS (
+      |  SELECT u, u AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+      |comp AS (SELECT u, MIN(lbl) AS keeper FROM reach GROUP BY u)
+      |SELECT keeper, COUNT(*) AS n_docs, CAST(SUM(u) AS BIGINT) AS checksum
+      |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin
 
   /** MinHash (k=16) + LSH (4 bands × 4 rows) near-dup detection — the shape
     * that survives 100 TB: signature is O(k·|shingles|) per doc, candidates
@@ -358,12 +427,14 @@ object DedupQueries {
     "d2_jaccard_neardup" -> (dJaccard _),
     "d3_minhash_lsh" -> (dMinhashLsh _),
     "d4_simhash" -> (dSimhash _),
-    "d5_embed_neardup" -> (dEmbed _))
+    "d5_embed_neardup" -> (dEmbed _),
+    "d6_cluster" -> (dCluster _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
     "d2_jaccard_neardup" -> dJaccardOracle,
     "d3_minhash_lsh" -> dMinhashOracle,
     "d4_simhash" -> dSimhashOracle,
-    "d5_embed_neardup" -> dEmbedOracle)
+    "d5_embed_neardup" -> dEmbedOracle,
+    "d6_cluster" -> dClusterOracle)
 }

@@ -178,13 +178,95 @@ object SimilarityQueries {
       |SELECT label, clabel AS assigned, COUNT(*) n FROM r WHERE rk = 1
       |GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin
 
+  /** Full IVF ANN search: corpus vectors live in inverted lists keyed by
+    * their nearest centroid ([[s3IvfAssign]]'s partitioner); each probe
+    * scans only its `nprobe`=2 closest centroids' lists and takes top-3 by
+    * cosine. This is the complete IVF read path: centroids broadcast, the
+    * probe×corpus pairing an equi-join on list id — shuffle linear in
+    * corpus size and prunable per list, never a cross join. Recall is
+    * whatever the lists give (ANN semantics); the oracle replays the exact
+    * same computation.
+    */
+  def s4IvfProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val e = quantized(s, dir)
+    // per-label centroids, exactly as s3IvfAssign builds them
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("i"), (col("sx").cast("double") /
+        col("cnt").cast("double")).as("m")))).as("pairs"))
+      .select(col("label").as("clabel"),
+        transform(col("pairs"), p => p.getField("m")).as("c"))
+    val dist = aggregate(
+      zip_with(col("v"), col("c"), (x, m) =>
+        (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("clabel"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nn"), col("clabel"),
+        dist.as("dist"))
+      .withColumn("rk", row_number().over(byDist))
+    // inverted lists: every vector filed under its nearest centroid
+    val lists = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nn"), col("clabel").as("list"))
+    // probes scan their nprobe=2 nearest lists
+    val probes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+        col("clabel").as("list"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(probes).join(lists, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s4Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk WHERE rk = 1),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 25 AND rk <= 2),
+      |p AS (SELECT probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) WHERE probes.qid <> lists.vec_id),
+      |r AS (SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
+      |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
-    "s3_ivf_assign" -> (s3IvfAssign _))
+    "s3_ivf_assign" -> (s3IvfAssign _),
+    "s4_ivf_probe" -> (s4IvfProbe _))
 
   val oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Oracle,
     "s2_ann_lsh" -> s2Oracle,
-    "s3_ivf_assign" -> s3Oracle)
+    "s3_ivf_assign" -> s3Oracle,
+    "s4_ivf_probe" -> s4Oracle)
 }
