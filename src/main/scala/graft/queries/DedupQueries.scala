@@ -131,8 +131,11 @@ object DedupQueries {
     // Shingles as sorted packed longs (injective ⇒ identical intersection
     // counts to the oracle's string sets) — one UDF pass per doc, and all
     // joins/verification run on primitive longs instead of strings.
+    // Cached: the vocabulary build and the encode/scan are separate jobs,
+    // and without the cache each re-runs the shingle UDF over the corpus.
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"))
+      .cache()
     val vocab = vocabOf(base)
     if (vocab.length <= MaxBitsetVocab) {
       val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -278,9 +281,12 @@ object DedupQueries {
     // dJaccard: dictionary bitsets when the vocabulary is small, sorted
     // packed-long merges otherwise.
     val docs = Tables.documents(s, dir)
+    // Cached: bucket stats, vocabulary, and the verification scan are
+    // separate jobs over the same shingle/signature projections.
     val base = docs.select(col("doc_id"),
       shinglesPacked3(col("text")).as("gs"),
       minhash16(col("text")).as("mh"))
+      .cache()
     val bands = base.select(col("doc_id"),
       posexplode(bandSignatures(col("mh"), 4, 4)).as(Seq("band", "sig")))
     // Decision stats: each a narrow one-pass aggregate (docs is counted
