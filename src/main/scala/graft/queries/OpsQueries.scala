@@ -172,6 +172,40 @@ object OpsQueries {
       |  CAST(SUM(LEAST(1024, len - idx * 1024)) AS BIGINT) AS total_bytes
       |FROM f GROUP BY element ORDER BY element""".stripMargin
 
+  /** The REAL WAV codec under the oracle gate: per event, 256 PCM16
+    * samples k = (id·131 + j·7919) mod 65535 − 32767 are encoded as a
+    * RIFF/WAVE blob ([[graft.functions.Dsp.encodeWavPcm16]]), decoded back
+    * through the LoadAudio stand-in, and re-quantized. k/32767 survives
+    * encode exactly (round(k)), decode yields k/32768 (exact in float), so
+    * the position-weighted checksum is closed-form for the oracle — codec
+    * header layout, chunk walking, and sample scaling are all hash-checked.
+    */
+  def m2WavCodec(s: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf((id: Long) => {
+      val samples = Array.tabulate(256) { j =>
+        (((id * 131 + j * 7919) % 65535) - 32767) / 32767.0
+      }
+      graft.functions.Dsp.encodeWavPcm16(samples, 8000)
+    })
+    Tables.events(s, dir).filter(col("event_id") < 64)
+      .select(col("event_id"),
+        graft.functions.AudioFunctions.decodeWav(mkWav(col("event_id")))
+          .as("y"))
+      .select(col("event_id"), posexplode(col("y")).as(Seq("j", "v")))
+      .withColumn("k", round(col("v").cast("double") * 32768).cast("long"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum((col("j") + 1) * col("k")).as("checksum"))
+      .orderBy(col("event_id"))
+  }
+
+  val m2Oracle: String =
+    """SELECT event_id, COUNT(*) AS n_samples,
+      |  CAST(SUM((j + 1) * ((event_id * 131 + j * 7919) % 65535 - 32767))
+      |    AS BIGINT) AS checksum
+      |FROM events, range(0, 256) r(j) WHERE event_id < 64
+      |GROUP BY event_id ORDER BY event_id""".stripMargin
+
   /** KlioReadFromBigQuery, single-column form (io.py:219-241): the raw
     * column value becomes the element. Aggregates prove every row arrived
     * with element fidelity.
@@ -287,6 +321,7 @@ object OpsQueries {
     "p5_handle_klio" -> (p5HandleKlio _),
     "p6_trigger_upstream" -> (p6TriggerUpstream _),
     "m1_media_frames" -> (m1MediaFrames _),
+    "m2_wav_codec" -> (m2WavCodec _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _))
@@ -297,6 +332,7 @@ object OpsQueries {
     "p5_handle_klio" -> p5Oracle,
     "p6_trigger_upstream" -> p6Oracle,
     "m1_media_frames" -> m1Oracle,
+    "m2_wav_codec" -> m2Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle)
