@@ -179,7 +179,9 @@ object LongArrayOps {
     "graft_intersect_bits" -> (args => IntersectBits(args(0), args(1))),
     "graft_dot_long" -> (args => DotLong(args(0), args(1))),
     "graft_sorted_intersect_count" ->
-      (args => SortedIntersectCount(args(0), args(1))))
+      (args => SortedIntersectCount(args(0), args(1))),
+    "graft_elementwise_min" ->
+      (args => ElementwiseMin(args(0)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -359,6 +359,46 @@ object DedupQueries {
       |  FROM cand)
       |SELECT ia, ib, jac FROM ver WHERE jac >= 0.8 ORDER BY ia, ib""".stripMargin
 
+  /** MinHash signature COMPOSABILITY under the gate: each document is split
+    * into two overlapping segments (overlap = shingle width − 1, so the
+    * segment shingle sets union to exactly the document's), each segment is
+    * minhashed independently, and the segment signatures merge with the
+    * custom [[graft.expressions.ElementwiseMin]] aggregate. The oracle
+    * computes the WHOLE-document signature directly — hash equality proves
+    * merged-per-block == global, the property that lets a 100 TB corpus be
+    * minhashed block-by-block with map-side partial aggregation and no
+    * full shingle set ever materialized in one place.
+    */
+  def dMinhashMerge(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val docs = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 3 && col("doc_id") < 100)
+    val h = (length(col("text")) / 2).cast("int")
+    val segs = docs.select(col("doc_id"), explode(array(
+      col("text").substr(lit(1), h + lit(2)),
+      col("text").substr(h + lit(1), length(col("text")) - h))).as("seg"))
+    segs.select(col("doc_id"), minhash16(col("seg")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(call_function("graft_elementwise_min", col("mh")).as("sig"))
+      .select(col("doc_id"),
+        concat_ws(":", transform(col("sig"), _.cast("string"))).as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dMinhashMergeOracle: String =
+    """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS gs FROM documents
+      |  WHERE length(text) >= 3 AND doc_id < 100),
+      |hs AS (SELECT doc_id, list_transform(gs, g ->
+      |    ((CAST(ascii(substr(g,1,1)) AS BIGINT) * 31 + ascii(substr(g,2,1))) * 31
+      |     + ascii(substr(g,3,1))) % 1000000007) AS hv FROM sh),
+      |mh AS (SELECT doc_id, list_transform(range(0, 16), i ->
+      |    list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7*i+3) % 1000000007), 'min')) AS m
+      |  FROM hs)
+      |SELECT doc_id, list_aggregate(list_transform(m, x -> CAST(x AS VARCHAR)),
+      |  'string_agg', ':') AS sig
+      |FROM mh ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup: 48-bit signature over word-bigram features (unigrams
     * are degenerate on a shared-vocabulary corpus), pairs within hamming
     * distance 6. Signature is a narrow per-row computation; the pair scan
@@ -434,7 +474,8 @@ object DedupQueries {
     "d3_minhash_lsh" -> (dMinhashLsh _),
     "d4_simhash" -> (dSimhash _),
     "d5_embed_neardup" -> (dEmbed _),
-    "d6_cluster" -> (dCluster _))
+    "d6_cluster" -> (dCluster _),
+    "d7_minhash_merge" -> (dMinhashMerge _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -442,5 +483,6 @@ object DedupQueries {
     "d3_minhash_lsh" -> dMinhashOracle,
     "d4_simhash" -> dSimhashOracle,
     "d5_embed_neardup" -> dEmbedOracle,
-    "d6_cluster" -> dClusterOracle)
+    "d6_cluster" -> dClusterOracle,
+    "d7_minhash_merge" -> dMinhashMergeOracle)
 }
