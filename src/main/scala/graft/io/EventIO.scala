@@ -17,6 +17,13 @@ import graft.model.KlioWire
   */
 object EventIO {
 
+  // Observation names must be unique per query (Spark rejects two
+  // different-result observations sharing a name, e.g. two event inputs in
+  // one job); the metric COLUMN names stay the reference's kmsg-* set.
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger
+  private def obs(prefix: String): String =
+    s"$prefix-${obsId.incrementAndGet()}"
+
   /** KlioReadFromText (io.py:148-189): one line → one new v2 message with
     * element = line. Lines that are full wire-JSON messages parse as such
     * (allow_non_klio_messages parity, serializer.py:90-105).
@@ -24,11 +31,11 @@ object EventIO {
   def readText(spark: SparkSession, path: String,
       allowNonKlio: Boolean = true): DataFrame =
     KlioWire.decode(spark.read.text(path), allowNonKlio)
-      .observe("klio_read", count(lit(1)).as("kmsg-read"))
+      .observe(obs("klio_read"), count(lit(1)).as("kmsg-read"))
 
   /** KlioWriteToText (io.py:386-424): element per line. */
   def writeText(df: DataFrame, path: String): Unit =
-    df.observe("klio_write", count(lit(1)).as("kmsg-write"))
+    df.observe(obs("klio_write"), count(lit(1)).as("kmsg-write"))
       .select(col("element").cast("string"))
       .write.mode(SaveMode.Overwrite).text(path)
 
@@ -37,11 +44,11 @@ object EventIO {
     */
   def readWire(spark: SparkSession, path: String): DataFrame =
     KlioWire.decode(spark.read.text(path), allowNonKlio = false)
-      .observe("klio_read_wire", count(lit(1)).as("kmsg-read"))
+      .observe(obs("klio_read_wire"), count(lit(1)).as("kmsg-read"))
 
   def writeWire(df: DataFrame, path: String): Unit =
     KlioWire.encode(
-      df.observe("klio_write_wire", count(lit(1)).as("kmsg-write")))
+      df.observe(obs("klio_write_wire"), count(lit(1)).as("kmsg-write")))
       .write.mode(SaveMode.Overwrite).text(path)
 
   /** KlioReadFromBigQuery (io.py:192-352), parquet stand-in: with one
@@ -58,7 +65,7 @@ object EventIO {
       case many => to_json(struct(many.map(col): _*))
     }
     table.select(KlioWire.newMessageColumns(elem): _*)
-      .observe("klio_read_bq", count(lit(1)).as("kmsg-read"))
+      .observe(obs("klio_read_bq"), count(lit(1)).as("kmsg-read"))
   }
 
   /** KlioWriteToBigQuery's row projection (io.py:355-383): the message
@@ -74,7 +81,7 @@ object EventIO {
   /** KlioWriteToBigQuery (io.py:355-383): [[bqRows]] written columnar. */
   def writeBq(df: DataFrame, path: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
-    bqRows(df.observe("klio_write_bq", count(lit(1)).as("kmsg-write")),
+    bqRows(df.observe(obs("klio_write_bq"), count(lit(1)).as("kmsg-write")),
       schema)
       .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -47,6 +47,40 @@ object KlioPipeline {
     if (io.skipExistenceCheck || io.location.isEmpty) None
     else Some(Prelude.listingFor(spark, io.location, io.fileSuffix))
 
+  /** Multi-event-input fan-in (reference `run.py:458-508`): one prelude
+    * chain PER event input, then the user function receives the named map
+    * of process-branches (the namedtuple-of-PCollections parity) and
+    * returns the outbound messages; pass-thru branches from every input
+    * union into the event outputs, exactly like the single-input path.
+    * Input names are the IO locations (the reference names fields by a
+    * sanitized identifier derived the same way).
+    */
+  def runMulti(spark: SparkSession, cfg: KlioConfig,
+      userFn: Map[String, DataFrame] => DataFrame,
+      now: Column = current_timestamp()): RunSummary = {
+    val dataIn = cfg.jobConfig.data.inputs.headOption
+      .flatMap(listing(spark, _))
+    val dataOut = cfg.jobConfig.data.outputs.headOption
+      .flatMap(listing(spark, _))
+    val forceDefault = cfg.jobConfig.data.outputs.headOption.exists(_.force)
+    val pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping)
+    val routedPerInput = cfg.jobConfig.events.inputs.map { io =>
+      val msgs = readEventInput(spark, cfg, io).cache()
+      io.location -> Prelude.standard(msgs, cfg.jobRef, dataIn, dataOut,
+        forceDefault, pingDefault, now)
+    }
+    require(routedPerInput.nonEmpty, "at least one event input required")
+    val out = userFn(routedPerInput.map { case (k, r) => k -> r.process }
+      .toMap)
+    val passThru = routedPerInput.map(_._2.passThru).reduce(_ unionByName _)
+    val outBound = out.unionByName(passThru).cache()
+    cfg.jobConfig.events.outputs.foreach(writeEventOutput(outBound, _))
+    RunSummary(
+      processed = out.count(),
+      passedThru = passThru.count(),
+      dropped = routedPerInput.map(_._2.drop.count()).sum)
+  }
+
   /** Run the configured pipeline with a message-level user transform.
     * Returns routing counts. `now` is injectable for deterministic tests.
     */

@@ -95,4 +95,42 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val els = many.select("element").as[String].collect().sorted
     assert(els.head === """{"entity_id":1,"value":"x"}""")
   }
+
+  test("multi-event-input fan-in runs one prelude per input") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-multi").toString
+    write(s"$base/a.txt", Seq("a1", "a2", "a3").mkString("\n"))
+    write(s"$base/b.txt", Seq("b1", "b2").mkString("\n"))
+    val cfg = KlioConfig.fromYaml(
+      s"""version: 2
+         |job_name: multi-event-input-batch
+         |pipeline_options:
+         |  streaming: False
+         |  project: test-project
+         |job_config:
+         |  allow_non_klio_messages: True
+         |  events:
+         |    inputs:
+         |      - type: file
+         |        location: $base/a.txt
+         |      - type: file
+         |        location: $base/b.txt
+         |    outputs:
+         |      - type: file
+         |        location: $base/out
+         |""".stripMargin)
+    // mirror of the reference's multi-event-input-batch run(): the user fn
+    // sees the named process branches and flattens them (run.py:60-64)
+    val summary = KlioPipeline.runMulti(spark, cfg, inputs => {
+      assert(inputs.keySet === Set(s"$base/a.txt", s"$base/b.txt"))
+      inputs.values.map(df => df.withColumn("payload",
+        concat(lit("seen:"), col("element")))).reduce(_ unionByName _)
+    })
+    assert(summary.processed === 5)
+    assert(summary.passedThru === 0)
+    assert(summary.dropped === 0)
+    val out = spark.read.text(s"$base/out")
+      .collect().map(_.getString(0)).sorted
+    assert(out === Array("a1", "a2", "a3", "b1", "b2"))
+  }
 }
