@@ -252,6 +252,38 @@ object Relational {
       |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** As-of join over the events stream: every event picks up the most
+    * recent "rate update" (a sparse substream) for its key at or before
+    * its timestamp. Implemented by [[graft.operators.AsofJoin]] — tagged
+    * union + one window pass, a single shuffle on the key, no range-join
+    * blow-up. The oracle is DuckDB's native ASOF LEFT JOIN, so the
+    * inclusive-≤ and tie semantics are hash-checked against an
+    * independent implementation.
+    */
+  def q11Asof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val left = e.filter(col("event_id") < 2000)
+      .select(col("event_id"), (col("user_id") % 4).as("k"), col("ts"))
+    val updates = e.filter(col("event_id") % 100 === 0)
+      .select((col("user_id") % 4).as("k"), col("ts"),
+        col("event_id").as("rate"))
+      .groupBy(col("k"), col("ts")).agg(max(col("rate")).as("rate"))
+    graft.operators.AsofJoin
+      .withDefault(left, updates, "k", "ts", "rate", lit(-1L))
+      .select(col("event_id"), col("rate"))
+      .orderBy(col("event_id"))
+  }
+
+  val q11Oracle: String =
+    """WITH l AS (SELECT event_id, user_id % 4 AS k, epoch_ns(ts) AS tsn
+      |  FROM events WHERE event_id < 2000),
+      |u AS (SELECT user_id % 4 AS k, epoch_ns(ts) AS tsn,
+      |    MAX(event_id) AS rate
+      |  FROM events WHERE event_id % 100 = 0 GROUP BY 1, 2)
+      |SELECT l.event_id, COALESCE(u.rate, -1) AS rate
+      |FROM l ASOF LEFT JOIN u ON l.k = u.k AND l.tsn >= u.tsn
+      |ORDER BY l.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -262,7 +294,8 @@ object Relational {
     "q7_window" -> (q7Window _),
     "q8_topk" -> (q8TopK _),
     "q9_exists_semi" -> (q9ExistsSemi _),
-    "q10_exists_anti" -> (q10ExistsAnti _))
+    "q10_exists_anti" -> (q10ExistsAnti _),
+    "q11_asof_join" -> (q11Asof _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -274,5 +307,6 @@ object Relational {
     "q7_window" -> q7Oracle,
     "q8_topk" -> q8Oracle,
     "q9_exists_semi" -> q9Oracle,
-    "q10_exists_anti" -> q10Oracle)
+    "q10_exists_anti" -> q10Oracle,
+    "q11_asof_join" -> q11Oracle)
 }
