@@ -15,7 +15,7 @@ object Bench {
     // Warmup: touch every table once (parquet footers, FS cache, codegen,
     // executor threads) so per-query timings measure the query, not
     // first-job session initialization.
-    new java.io.File(sfDir).listFiles()
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -70,10 +70,14 @@ case class ElementwiseMin(child: Expression,
   override def eval(buffer: Array[Long]): Any =
     if (buffer == null) null else new GenericArrayData(buffer)
 
+  // A leading marker byte distinguishes "no input seen" (null buffer) from
+  // a legitimate zero-length array buffer — without it the two collapse on
+  // the partial-aggregation shuffle and the result becomes plan-dependent.
   override def serialize(buffer: Array[Long]): Array[Byte] =
     if (buffer == null) Array.empty[Byte]
     else {
-      val bb = ByteBuffer.allocate(buffer.length * 8)
+      val bb = ByteBuffer.allocate(1 + buffer.length * 8)
+      bb.put(1.toByte)
       buffer.foreach(bb.putLong)
       bb.array()
     }
@@ -82,7 +86,8 @@ case class ElementwiseMin(child: Expression,
     if (bytes.isEmpty) null
     else {
       val bb = ByteBuffer.wrap(bytes)
-      Array.fill(bytes.length / 8)(bb.getLong())
+      bb.get()
+      Array.fill((bytes.length - 1) / 8)(bb.getLong())
     }
 
   override def withNewMutableAggBufferOffset(newOffset: Int)

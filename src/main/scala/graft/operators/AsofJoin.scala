@@ -26,17 +26,23 @@ object AsofJoin {
   def apply(left: DataFrame, right: DataFrame, key: String, ts: String,
       payloadCols: Seq[String]): DataFrame = {
     val l = left.withColumn("_asof_src", lit(1))
-    val r = right.select((col(key) +: col(ts) +: payloadCols.map(col))
-        .map(identity): _*)
+    // Carry the whole matched right row as one struct — non-null for every
+    // right row even when its payload VALUES are null, so a NULL in a
+    // matched update row propagates (DuckDB/pandas ASOF semantics) instead
+    // of resurrecting an older non-null value. unionByName fills the
+    // left side's missing struct column with typed nulls.
+    val r = right.select(col(key), col(ts),
+      struct(payloadCols.map(col): _*).as("_asof_row"))
       .withColumn("_asof_src", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_asof_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_asof_src") === 1).drop("_asof_src")
+    val carried = unioned.withColumn("_asof_row",
+      last(col("_asof_row"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(carried.filter(col("_asof_src") === 1)) {
+      (df, c) => df.withColumn(c, col(s"_asof_row.$c"))
+    }.drop("_asof_src", "_asof_row")
   }
 
   /** Convenience for a single carried column with a default. */

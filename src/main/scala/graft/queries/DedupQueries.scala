@@ -40,14 +40,19 @@ object DedupQueries {
     */
   private val MaxBitsetVocab = 16384
 
-  /** Distinct shingle vocabulary, sorted — the bitset dictionary. Small by
-    * construction when used (≤ [[MaxBitsetVocab]] longs), so the collect is
-    * a bounded broadcast-build step, not a data collect.
+  /** Distinct shingle vocabulary, sorted — the bitset dictionary — IF it
+    * fits [[MaxBitsetVocab]]; None otherwise. The size gate is a
+    * distributed count over a bounded prefix (limit cap+1), so a
+    * natural-text corpus with billions of distinct shingles never
+    * materializes its vocabulary on the driver — it just routes to the
+    * PPJoin path.
     */
-  private def vocabOf(base: DataFrame): Array[Long] = {
+  private def vocabOf(base: DataFrame): Option[Array[Long]] = {
     import base.sparkSession.implicits._
-    base.select(explode(col("gs")).as("g")).distinct()
-      .orderBy(col("g")).as[Long].collect()
+    val distinct = base.select(explode(col("gs")).as("g")).distinct()
+    val gate = distinct.limit(MaxBitsetVocab + 1).count()
+    if (gate > MaxBitsetVocab) None
+    else Some(distinct.orderBy(col("g")).as[Long].collect())
   }
 
   /** doc_id → (bitset, set size), spread across the cluster so the
@@ -126,7 +131,14 @@ object DedupQueries {
   /** The (ia, ib, jac) near-dup pair set of [[dJaccard]] — also the edge
     * set for [[dCluster]]'s connected components.
     */
-  def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
+  def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame =
+    jaccardPairsWithBase(s, dir, tau)._1
+
+  /** [[jaccardPairs]] plus the cached shingle projection backing it, so
+    * callers that materialize the pairs can `unpersist` the projection.
+    */
+  private def jaccardPairsWithBase(s: SparkSession, dir: String,
+      tau: Double): (DataFrame, DataFrame) = {
     graft.expressions.LongArrayOps.register(s)
     // Shingles as sorted packed longs (injective ⇒ identical intersection
     // counts to the oracle's string sets) — one UDF pass per doc, and all
@@ -136,24 +148,26 @@ object DedupQueries {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"))
       .cache()
-    val vocab = vocabOf(base)
-    if (vocab.length <= MaxBitsetVocab) {
-      val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val enc = encodeBitsets(base, vocab, par)
-      val a = enc.select(col("doc_id").as("ia"), col("bits").as("ba"),
-        col("n").as("na"))
-      val b = enc.select(col("doc_id").as("ib"), col("bits").as("bb"),
-        col("n").as("nb"))
-      a.join(broadcast(b), col("ia") < col("ib") &&
-          least(col("na"), col("nb")) >=
-            ceil(lit(tau) * greatest(col("na"), col("nb"))))
-        .withColumn("i", intersectBits(col("ba"), col("bb")))
-        .select(col("ia"), col("ib"),
-          (col("i").cast("double") /
-            (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
-        .filter(col("jac") >= tau)
-        .orderBy(col("ia"), col("ib"))
-    } else jaccardPPJoin(base, tau)
+    val pairs = vocabOf(base) match {
+      case Some(vocab) =>
+        val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val enc = encodeBitsets(base, vocab, par)
+        val a = enc.select(col("doc_id").as("ia"), col("bits").as("ba"),
+          col("n").as("na"))
+        val b = enc.select(col("doc_id").as("ib"), col("bits").as("bb"),
+          col("n").as("nb"))
+        a.join(broadcast(b), col("ia") < col("ib") &&
+            least(col("na"), col("nb")) >=
+              ceil(lit(tau) * greatest(col("na"), col("nb"))))
+          .withColumn("i", intersectBits(col("ba"), col("bb")))
+          .select(col("ia"), col("ib"),
+            (col("i").cast("double") /
+              (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+          .filter(col("jac") >= tau)
+          .orderBy(col("ia"), col("ib"))
+      case None => jaccardPPJoin(base, tau)
+    }
+    (pairs, base)
   }
 
   /** The prefix-filtered (PPJoin) candidate path for large vocabularies —
@@ -205,15 +219,22 @@ object DedupQueries {
     * actually matched), so each round is a shuffle of labels, not corpus.
     */
   def dCluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(s, dir, 0.8).select(col("ia"), col("ib"))
-      .localCheckpoint()
+    val (rawPairs, base) = jaccardPairsWithBase(s, dir, 0.8)
+    // localCheckpoint is eager: pairs are materialized here, so the
+    // corpus-wide shingle cache behind them can be released immediately.
+    val pairs = rawPairs.select(col("ia"), col("ib")).localCheckpoint()
+    base.unpersist()
     val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
       .unionByName(pairs.select(col("ib").as("u"), col("ia").as("v")))
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    // Rounds needed = component diameter. Converge-or-fail: silently
+    // returning a non-converged labeling would split long similarity
+    // chains into wrong clusters, so a (generous) cap raises instead.
+    val maxRounds = 256
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
@@ -228,6 +249,8 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
+    require(changed == 0,
+      s"label propagation did not converge in $maxRounds rounds")
     labels.groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("checksum"))
       .orderBy(col("keeper"))
@@ -292,13 +315,15 @@ object DedupQueries {
     // Decision stats: each a narrow one-pass aggregate (docs is counted
     // without running the shingle/minhash projections).
     val nDocs = docs.count()
-    val bucketPairs = bands.groupBy(col("band"), col("sig"))
+    // sum() over an empty corpus aggregates to null, not 0
+    val bucketPairs = Option(bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("k"))
-      .agg(sum(col("k") * (col("k") - 1))).first().getLong(0) / 2
-    val allPairs = nDocs * (nDocs - 1) / 2
-    val vocab = vocabOf(base)
-    val smallVocab = vocab.length <= MaxBitsetVocab
-    if (smallVocab && bucketPairs >= allPairs / 2) {
+      .agg(sum(col("k") * (col("k") - 1))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    val allPairs = math.max(nDocs * (nDocs - 1) / 2, 1L)
+    val vocabOpt = vocabOf(base)
+    if (vocabOpt.isDefined && bucketPairs >= allPairs / 2) {
+      val vocab = vocabOpt.get
       // Degenerate buckets: exact pair scan (as dJaccard) + band agreement.
       val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val enc = base.repartition(par).select(col("doc_id"),
@@ -331,10 +356,12 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .distinct()
-      if (smallVocab) {
-        val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        verifyBitset(cand, encodeBitsets(base, vocab, par), tau)
-      } else verifySorted(cand, base, tau)
+      vocabOpt match {
+        case Some(vocab) =>
+          val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+          verifyBitset(cand, encodeBitsets(base, vocab, par), tau)
+        case None => verifySorted(cand, base, tau)
+      }
     }
   }
 

@@ -64,9 +64,10 @@ object KlioPipeline {
       .flatMap(listing(spark, _))
     val forceDefault = cfg.jobConfig.data.outputs.headOption.exists(_.force)
     val pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping)
-    val routedPerInput = cfg.jobConfig.events.inputs.map { io =>
-      val msgs = readEventInput(spark, cfg, io).cache()
-      io.location -> Prelude.standard(msgs, cfg.jobRef, dataIn, dataOut,
+    val inputsCached = cfg.jobConfig.events.inputs.map(io =>
+      io.location -> readEventInput(spark, cfg, io).cache())
+    val routedPerInput = inputsCached.map { case (loc, msgs) =>
+      loc -> Prelude.standard(msgs, cfg.jobRef, dataIn, dataOut,
         forceDefault, pingDefault, now)
     }
     require(routedPerInput.nonEmpty, "at least one event input required")
@@ -75,10 +76,13 @@ object KlioPipeline {
     val passThru = routedPerInput.map(_._2.passThru).reduce(_ unionByName _)
     val outBound = out.unionByName(passThru).cache()
     cfg.jobConfig.events.outputs.foreach(writeEventOutput(outBound, _))
-    RunSummary(
+    val summary = RunSummary(
       processed = out.count(),
       passedThru = passThru.count(),
       dropped = routedPerInput.map(_._2.drop.count()).sum)
+    outBound.unpersist()
+    inputsCached.foreach(_._2.unpersist())
+    summary
   }
 
   /** Run the configured pipeline with a message-level user transform.
@@ -116,9 +120,12 @@ object KlioPipeline {
     val outBound = okOut.unionByName(routed.passThru).cache()
     cfg.jobConfig.events.outputs.foreach(writeEventOutput(outBound, _))
 
-    RunSummary(
+    val summary = RunSummary(
       processed = okOut.count(),
       passedThru = routed.passThru.count(),
       dropped = routed.drop.count() + errored.count())
+    outBound.unpersist()
+    messages.unpersist()
+    summary
   }
 }

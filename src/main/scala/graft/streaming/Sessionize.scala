@@ -12,8 +12,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale shape: state lives in the state store, partitioned by key —
   * shuffle is one exchange on the key, state size is O(open sessions),
-  * and event-time timeouts + watermark bound retention. Works identically
-  * on a bounded Dataset (batch backfill) and a stream.
+  * and event-time timeouts + watermark bound retention. Also runs on a
+  * bounded Dataset for batch backfill, with one semantic difference:
+  * batch mode has no timeouts, so only gap-COMPLETED sessions emit — the
+  * trailing open session of each key does not (append a per-key sentinel
+  * event past the gap to flush them).
   */
 object Sessionize {
 
@@ -46,8 +49,9 @@ object Sessionize {
       sorted.foreach { e =>
         open match {
           case Some(s) if e.tsMs - s.last <= gapMs =>
-            open = Some(SessionState(s.start, math.max(s.last, e.tsMs),
-              s.n + 1, s.total + e.value))
+            // a late replay (tsMs < start) still merges; extend both ends
+            open = Some(SessionState(math.min(s.start, e.tsMs),
+              math.max(s.last, e.tsMs), s.n + 1, s.total + e.value))
           case Some(s) =>
             done += Session(key, s.start, s.last, s.n, s.total)
             open = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
@@ -58,7 +62,13 @@ object Sessionize {
       open match {
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // a timeout at-or-before the current watermark is illegal (late
+          // replays can put last+gap behind it) — clamp forward so the
+          // session times out on the next watermark advance instead of
+          // killing the query
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue) // batch mode has no watermark
+          state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
         case None => state.remove()
       }
       done.result().iterator
