@@ -143,17 +143,64 @@ object TextQueries {
       |SELECT bigram, COUNT(*) AS n FROM b WHERE bigram IS NOT NULL
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** TF-IDF term scoring, float-free ranking: score = tf · N / df where
+    * tf, N, df are exact integers — the single double division is
+    * IEEE-exact-rounded, so ranks are engine-identical (a log-based idf
+    * would hang cross-engine determinism on libm). Top-3 terms per doc for
+    * the first 20 docs. Two shuffles at scale: token→df aggregate
+    * (distinct-term volume, map-side combined) and the per-doc window.
+    */
+  def tTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text")))
+      .as("term"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = terms.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score",
+        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tTfidfOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+      |  FROM documents),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+      |idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+      |  WHERE doc_id < 20 GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, tf.term,
+      |    CAST(tf * nd AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      |  FROM tf JOIN idf ON tf.term = idf.term CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+      |      AS rk FROM sc)
+      |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
     "t3_langid" -> (tLangId _),
     "t4_fingerprint" -> (tFingerprint _),
-    "t5_bigrams" -> (tBigrams _))
+    "t5_bigrams" -> (tBigrams _),
+    "t6_tfidf" -> (tTfidf _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
     "t2_quality" -> tQualityOracle,
     "t3_langid" -> tLangIdOracle,
     "t4_fingerprint" -> tFingerprintOracle,
-    "t5_bigrams" -> tBigramsOracle)
+    "t5_bigrams" -> tBigramsOracle,
+    "t6_tfidf" -> tTfidfOracle)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: the physical plans that matter at scale
+  * are asserted, not eyeballed — a change that degrades a broadcast star
+  * join to sort-merge, breaks scan-level column pruning, or loses
+  * partition pruning fails here before it costs anything on a cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6 multi-join is a broadcast star over the fact scan") {
+    val plan = executed(SparkEntry.queries("q6_multi_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension joins must broadcast, not sort-merge")
+  }
+
+  test("q6 scans prune to the referenced columns") {
+    val df = SparkEntry.queries("q6_multi_join")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("parquet"))
+    val lineitemScan = scans.find(_.contains("lineitem")).get
+    // lineitem has 16 columns; the query needs 3
+    assert(lineitemScan.contains("l_orderkey"))
+    assert(!lineitemScan.contains("l_comment"),
+      "unreferenced columns must not reach the scan")
+  }
+
+  test("relational filters push down to the parquet scan") {
+    val df = Tables.orders(spark, sf).filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"))
+    assert(executed(df).contains("PushedFilters: [IsNotNull(o_orderkey), " +
+      "LessThan(o_orderkey,100)]"))
+  }
+
+  test("s2 ANN probes broadcast; corpus side stays streamed") {
+    val plan = executed(SparkEntry.queries("s2_ann_lsh")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("partitioned writes enable partition pruning on read") {
+    val base = Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, sf)
+      .withColumn("bucket", col("doc_id") % 4)
+      .write.partitionBy("bucket").parquet(s"$base/docs")
+    val pruned = spark.read.parquet(s"$base/docs")
+      .filter(col("bucket") === 2).select(col("doc_id"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("PartitionFilters: [isnotnull(bucket"),
+      "partition filter must prune at the scan, not post-filter")
+  }
+}
