@@ -174,8 +174,13 @@ object YamlLite {
       rest = rest.tail
       if (inline.nonEmpty) out += key -> scalar(inline)
       else {
-        val child = rest.takeWhile(_.indent > indent)
-        val (v, left) = parseBlock(child, indent + 1)
+        // a block list may sit at the SAME indent as its key (standard
+        // YAML: "inputs:\n- type: x"), so dash lines at this indent are
+        // part of the child block, while a key line at this indent ends it
+        val child = rest.takeWhile(c => c.indent > indent ||
+          (c.indent == indent && c.text.startsWith("-")))
+        val childMin = child.headOption.map(_.indent).getOrElse(indent + 1)
+        val (v, left) = parseBlock(child, childMin)
         require(left.isEmpty, s"unparsed under $key: $left")
         out += key -> v
         rest = rest.drop(child.length)
@@ -198,7 +203,10 @@ object YamlLite {
         val (v, left) = parseBlock(child, indent + 1)
         require(left.isEmpty, s"unparsed list item: $left")
         out :+= v
-      } else if (body.contains(":") && !isQuoted(body)) {
+      } else if ((body.contains(": ") || body.endsWith(":")) &&
+          !isQuoted(body)) {
+        // mapping items need ": " (or a trailing colon) — a bare colon
+        // inside a scalar like gs://bucket/path stays a scalar
         // "- key: value" plus any deeper keys form one mapping item;
         // re-parse with the inline pair prepended at the child indent.
         val childIndent =

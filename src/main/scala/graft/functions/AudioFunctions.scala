@@ -49,8 +49,10 @@ object AudioFunctions {
     * argmax bin of a magnitude spectrogram — the dominant frequency bin.
     */
   val peakBin = udf((spec: Seq[Seq[Float]]) => {
-    // global peak over all frames, ties to the lowest bin
-    var best = 0.0f
+    // global peak over all frames, ties to the lowest bin; -inf init so
+    // all-negative inputs (dB-scaled spectrograms peak at exactly 0) still
+    // find their true argmax
+    var best = Float.NegativeInfinity
     var bin = 0
     spec.foreach { frame =>
       var b = 0

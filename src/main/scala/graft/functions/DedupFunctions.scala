@@ -76,7 +76,12 @@ object DedupFunctions {
     udf((features: Seq[String]) => {
       val counts = new Array[Int](48)
       var n = 0
-      features.foreach { w =>
+      // Null input → empty feature set. NOTE: the empty set yields the
+      // all-ones signature (majority vote over zero features, ties → 1,
+      // matching the oracle's formula exactly) — callers comparing short
+      // documents should length-filter first or they all pair at hd=0.
+      val fs = if (features == null) Seq.empty[String] else features
+      fs.foreach { w =>
         var h = 0L
         var i = 0
         while (i < w.length) {

@@ -87,6 +87,7 @@ object Dsp {
     */
   def stftMag(y: Array[Double], nFft: Int = 1024, hop: Int = 256)
       : Array[Array[Double]] = {
+    if (y.length < 2) return Array.empty // too short to reflect-pad/frame
     val w = hann(nFft)
     val padded = reflectPad(y, nFft / 2)
     val nFrames = 1 + (padded.length - nFft) / hop
@@ -111,7 +112,7 @@ object Dsp {
       .getOrElse(amin))
     val db = s.map(_.map(v =>
       20.0 * math.log10(math.max(amin, v) / ref)))
-    val peak = db.iterator.flatMap(_.iterator).max
+    val peak = db.iterator.flatMap(_.iterator).maxOption.getOrElse(0.0)
     db.map(_.map(v => math.max(v, peak - topDb)))
   }
 
@@ -122,7 +123,7 @@ object Dsp {
     val ref = math.max(amin, s.iterator.flatMap(_.iterator).maxOption
       .getOrElse(amin))
     val db = s.map(_.map(v => 10.0 * math.log10(math.max(amin, v) / ref)))
-    val peak = db.iterator.flatMap(_.iterator).max
+    val peak = db.iterator.flatMap(_.iterator).maxOption.getOrElse(0.0)
     db.map(_.map(v => math.max(v, peak - topDb)))
   }
 
@@ -258,6 +259,7 @@ object Dsp {
     while (pos + 8 <= bytes.length && (dataStart < 0 || sampleRate == 0)) {
       val id = bb.getInt(pos)
       val size = bb.getInt(pos + 4)
+      require(size >= 0, s"corrupt WAV: negative chunk size $size")
       if (id == 0x20746d66) { // "fmt "
         require(bb.getShort(pos + 8) == 1, "PCM only")
         require(bb.getShort(pos + 10) == 1, "mono only")
@@ -270,6 +272,9 @@ object Dsp {
       pos += 8 + size + (size & 1)
     }
     require(sampleRate > 0 && dataStart > 0, "missing fmt/data chunk")
+    require(dataStart + dataLen <= bytes.length,
+      s"corrupt WAV: data chunk ($dataLen bytes at $dataStart) exceeds " +
+        s"file length ${bytes.length}")
     val n = dataLen / 2
     val out = Array.tabulate(n)(i =>
       bb.getShort(dataStart + 2 * i) / 32768.0)

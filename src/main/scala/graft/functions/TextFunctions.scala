@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization; empty/blank text → empty array. */
-  def tokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+  /** Whitespace tokenization; null/empty/blank text → empty array (a null
+    * here would poison every size()-derived count downstream with -1).
+    */
+  def tokens(c: Column): Column = {
+    val t = trim(coalesce(c, lit("")))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -42,7 +46,7 @@ object TextFunctions {
     * BPE vocab — same regex the oracle uses).
     */
   def subwordCount(c: Column): Column =
-    size(call_function("regexp_extract_all", c,
+    size(call_function("regexp_extract_all", coalesce(c, lit("")),
       lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   val HashMod = 1000000007L

@@ -68,8 +68,14 @@ object HandleKlio {
         if (attempt > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
         result =
           try Attempt(runOnce(fn, msg, timeoutMs), ok = true, "")
-          catch { case e: Throwable => Attempt(msg, ok = false,
-            s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+          catch {
+            // NonFatal only: an OutOfMemoryError must kill the task, and a
+            // task-cancellation interrupt must propagate, not become a
+            // "dropped message" that resists the kill
+            case e: InterruptedException => throw e
+            case scala.util.control.NonFatal(e) => Attempt(msg, ok = false,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
         attempt += 1
       }
       result

@@ -22,7 +22,11 @@ object Metrics {
     */
   val collected: TrieMap[(String, String), Long] = TrieMap.empty
 
-  @volatile private var installed = false
+  // Listener registration is per-SparkSession, so the guard must be too —
+  // a JVM-global flag would leave every session after the first unmetered.
+  private val installedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
   class Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
@@ -41,9 +45,8 @@ object Metrics {
   }
 
   def install(spark: SparkSession): Unit = synchronized {
-    if (!installed) {
+    if (installedSessions.add(spark)) {
       spark.listenerManager.register(new Listener)
-      installed = true
     }
   }
 

@@ -43,7 +43,11 @@ object Prelude {
     */
   def splitPing(df: DataFrame, pingDefault: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val isPing = col("metadata.ping") || lit(pingDefault)
+    // coalesce: a null flag (message from a source that bypassed decode)
+    // must land in exactly one branch — a bare null predicate excludes the
+    // row from BOTH filters, silently losing it
+    val isPing = coalesce(col("metadata.ping"), lit(false)) ||
+      lit(pingDefault)
     (df.filter(!isPing), df.filter(isPing))
   }
 
@@ -56,9 +60,10 @@ object Prelude {
     val existing = broadcast(existingOutputs.select(col("element")))
     val exists = df.join(existing, Seq("element"), "left_semi")
     val missing = df.join(existing, Seq("element"), "left_anti")
-    val forced = exists.filter(col("metadata.force") || lit(forceDefault))
-    val skip = exists.filter(!(col("metadata.force") || lit(forceDefault)))
-    (missing.unionByName(forced), skip)
+    val isForced = coalesce(col("metadata.force"), lit(false)) ||
+      lit(forceDefault)
+    (missing.unionByName(exists.filter(isForced)),
+      exists.filter(!isForced))
   }
 
   /** KlioGcsCheckInputExists + drop-not-found: keep messages whose input
@@ -87,7 +92,10 @@ object Prelude {
     val isTriggerOrigin = trig.isNotNull &&
       trig.getField("jobName") === job.jobName &&
       trig.getField("gcpProject") === job.gcpProject
-    val keep = mode === "anyone" || (mode === "limited" && isRecipient)
+    // null metadata/mode (a source that bypassed decode) must go to the
+    // drop branch, not vanish from both filters
+    val keep = coalesce(
+      mode === "anyone" || (mode === "limited" && isRecipient), lit(false))
     val flipped = df.filter(keep && isTriggerOrigin)
       .withColumn("metadata", col("metadata")
         .withField("intendedRecipients.mode", lit("anyone"))

@@ -70,4 +70,26 @@ class ConfigSpec extends AnyFunSuite {
       KlioConfig.fromYaml("version: 2\njob_config:\n  a: b\n")
     }
   }
+
+  test("YamlLite: block list at the key's own indent (standard YAML)") {
+    val v = YamlLite.parse(
+      """inputs:
+        |- type: custom
+        |- type: custom
+        |next_key: 5
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    val items = v("inputs").asInstanceOf[Seq[Map[String, Any]]]
+    assert(items.length === 2)
+    assert(items.head("type") === "custom")
+    assert(v("next_key") === 5L)
+  }
+
+  test("YamlLite: scalar list items with embedded colons stay scalars") {
+    val v = YamlLite.parse(
+      """paths:
+        |  - gs://bucket/path
+        |  - hdfs://nn:8020/data
+        |""".stripMargin).asInstanceOf[Map[String, Any]]
+    assert(v("paths") === Seq("gs://bucket/path", "hdfs://nn:8020/data"))
+  }
 }

@@ -106,4 +106,16 @@ class DspSpec extends AnyFunSuite {
     assert(back.length === 800)
     y.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-4) }
   }
+
+  test("peakBin finds the argmax of all-negative dB spectrograms") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(Seq(Seq(-40.0f, -3.0f, -80.0f), Seq(-60.0f, -9.0f, 0.0f)))
+      .toDF("spec")
+    val bin = df.select(
+      graft.functions.AudioFunctions.peakBin(col("spec")).as("b"))
+      .as[Int].head()
+    assert(bin === 2) // the 0.0 dB peak, not a default-initialized 0
+  }
 }
