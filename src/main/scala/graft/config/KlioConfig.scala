@@ -14,7 +14,31 @@ case class KlioIoConfig(
     columns: Seq[String] = Seq.empty,
     skipExistenceCheck: Boolean = false,
     skipRead: Boolean = false,
-    skipWrite: Boolean = false)
+    skipWrite: Boolean = false,
+    /** BQ-output column declarations (name → BQ type), the reference's
+      * `schema: {fields: [{name, type}]}` shape (`_io.py:462-491`).
+      */
+    schemaFields: Seq[(String, String)] = Seq.empty) {
+
+  /** The declared BQ schema as a Spark StructType (BQ type names mapped
+    * to Catalyst types).
+    */
+  def bqSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(schemaFields.map { case (name, t) =>
+      val dt = t.toUpperCase match {
+        case "STRING" => StringType
+        case "INTEGER" | "INT64" => LongType
+        case "FLOAT" | "FLOAT64" | "NUMERIC" => DoubleType
+        case "BOOLEAN" | "BOOL" => BooleanType
+        case "TIMESTAMP" => TimestampType
+        case "BYTES" => BinaryType
+        case other => sys.error(s"unsupported BQ field type: $other")
+      }
+      StructField(name, dt)
+    })
+  }
+}
 
 case class KlioEventsConfig(inputs: Seq[KlioIoConfig],
     outputs: Seq[KlioIoConfig])
@@ -112,7 +136,18 @@ object KlioConfig {
             skipExistenceCheck =
               bool(im, "skip_klio_existence_check").getOrElse(false),
             skipRead = bool(im, "skip_klio_read").getOrElse(false),
-            skipWrite = bool(im, "skip_klio_write").getOrElse(false))
+            skipWrite = bool(im, "skip_klio_write").getOrElse(false),
+            schemaFields = mapAt(im, "schema").get("fields") match {
+              case Some(fs: Seq[Any @unchecked]) => fs.map {
+                case fm: Map[String @unchecked, Any @unchecked] =>
+                  (str(fm, "name").getOrElse(
+                    sys.error("schema field needs name")),
+                    str(fm, "type").getOrElse("STRING"))
+                case other => sys.error(s"schema fields must be mappings, " +
+                  s"got $other")
+              }
+              case _ => Seq.empty
+            })
           validate(io)
           io
         case other => sys.error(s"$k entries must be mappings, got $other")

@@ -65,6 +65,34 @@ object DedupQueries {
       .select(col("doc_id"), bitsetUdf(vocab)(col("gs")).as("bits"),
         size(col("gs")).as("n"))
 
+  /** Exact jaccard from an intersection count and the two set sizes — ONE
+    * definition of the formula, shared by every scan/verification path so
+    * d2/d3/d6 can never drift apart.
+    */
+  private def jacCol(i: org.apache.spark.sql.Column,
+      na: org.apache.spark.sql.Column,
+      nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    i.cast("double") / (na + nb - i).cast("double")
+
+  /** All-pairs bitset scan under the lossless size filter
+    * min(|A|,|B|) ≥ ⌈τ·max(|A|,|B|)⌉: broadcast one side, AND+popcount per
+    * surviving pair. `carry` columns from `enc` ride along as
+    * `<name>_a`/`<name>_b` for caller post-filters (e.g. band agreement).
+    */
+  private def bitsetPairScan(enc: DataFrame, tau: Double,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    def side(suffix: String) =
+      enc.select((col("doc_id").as("i" + suffix) +:
+        col("bits").as("b" + suffix) +: col("n").as("n" + suffix) +:
+        carry.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    side("a").join(broadcast(side("b")), col("ia") < col("ib") &&
+        least(col("na"), col("nb")) >=
+          ceil(lit(tau) * greatest(col("na"), col("nb"))))
+      .withColumn("i", intersectBits(col("ba"), col("bb")))
+      .withColumn("jac", jacCol(col("i"), col("na"), col("nb")))
+      .filter(col("jac") >= tau)
+  }
+
   /** Exact-Jaccard verification of candidate id pairs against
     * bitset-encoded sets: two narrow joins (~56 B per doc, broadcastable)
     * and an AND+popcount per pair.
@@ -78,8 +106,7 @@ object DedupQueries {
         col("n").as("nb")), Seq("ib"))
       .withColumn("i", intersectBits(col("ba"), col("bb")))
       .select(col("ia"), col("ib"),
-        (col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+        jacCol(col("i"), col("na"), col("nb")).as("jac"))
       .filter(col("jac") >= tau)
       .orderBy(col("ia"), col("ib"))
 
@@ -94,9 +121,7 @@ object DedupQueries {
       .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")), Seq("ib"))
       .withColumn("i", inter)
       .select(col("ia"), col("ib"),
-        (col("i").cast("double") /
-          (size(col("ga")) + size(col("gb")) - col("i")).cast("double"))
-          .as("jac"))
+        jacCol(col("i"), size(col("ga")), size(col("gb"))).as("jac"))
       .filter(col("jac") >= tau)
       .orderBy(col("ia"), col("ib"))
   }
@@ -151,19 +176,8 @@ object DedupQueries {
     val pairs = vocabOf(base) match {
       case Some(vocab) =>
         val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        val enc = encodeBitsets(base, vocab, par)
-        val a = enc.select(col("doc_id").as("ia"), col("bits").as("ba"),
-          col("n").as("na"))
-        val b = enc.select(col("doc_id").as("ib"), col("bits").as("bb"),
-          col("n").as("nb"))
-        a.join(broadcast(b), col("ia") < col("ib") &&
-            least(col("na"), col("nb")) >=
-              ceil(lit(tau) * greatest(col("na"), col("nb"))))
-          .withColumn("i", intersectBits(col("ba"), col("bb")))
-          .select(col("ia"), col("ib"),
-            (col("i").cast("double") /
-              (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
-          .filter(col("jac") >= tau)
+        bitsetPairScan(encodeBitsets(base, vocab, par), tau)
+          .select(col("ia"), col("ib"), col("jac"))
           .orderBy(col("ia"), col("ib"))
       case None => jaccardPPJoin(base, tau)
     }
@@ -320,33 +334,26 @@ object DedupQueries {
       .agg(count(lit(1)).as("k"))
       .agg(sum(col("k") * (col("k") - 1))).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
-    val allPairs = math.max(nDocs * (nDocs - 1) / 2, 1L)
+    // compared in double: n(n-1)/2 overflows Long past ~4.3e9 docs, which
+    // would silently force the quadratic path at exactly the wrong scale
+    val allPairs = math.max(nDocs.toDouble * (nDocs - 1) / 2, 1.0)
     val vocabOpt = vocabOf(base)
     if (vocabOpt.isDefined && bucketPairs >= allPairs / 2) {
       val vocab = vocabOpt.get
-      // Degenerate buckets: exact pair scan (as dJaccard) + band agreement.
+      // Degenerate buckets: the SAME bitset pair scan as dJaccard, with
+      // the band signatures carried for the agreement post-filter. jac ≥ τ
+      // is the selective predicate (a few thousand survivors of millions
+      // of pairs); band agreement barely prunes here (the degenerate
+      // buckets cover ~90% of pairs), so it runs last, as four direct
+      // element comparisons — no per-pair array materialization.
       val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val enc = base.repartition(par).select(col("doc_id"),
         bitsetUdf(vocab)(col("gs")).as("bits"), size(col("gs")).as("n"),
         bandSignatures(col("mh"), 4, 4).as("sigs"))
-      val a = enc.select(col("doc_id").as("ia"), col("bits").as("ba"),
-        col("n").as("na"), col("sigs").as("sa"))
-      val b = enc.select(col("doc_id").as("ib"), col("bits").as("bb"),
-        col("n").as("nb"), col("sigs").as("sb"))
-      // jac ≥ τ is the selective predicate (a few thousand survivors of
-      // 12.5M pairs); band agreement barely prunes here (the degenerate
-      // buckets cover ~90% of pairs), so it runs last, as four direct
-      // element comparisons — no per-pair array materialization.
       val bandAgree = (0 until 4)
-        .map(i => col("sa").getItem(i) === col("sb").getItem(i))
+        .map(i => col("sigs_a").getItem(i) === col("sigs_b").getItem(i))
         .reduce(_ || _)
-      a.join(broadcast(b), col("ia") < col("ib") &&
-          least(col("na"), col("nb")) >=
-            ceil(lit(tau) * greatest(col("na"), col("nb"))))
-        .withColumn("i", intersectBits(col("ba"), col("bb")))
-        .withColumn("jac", col("i").cast("double") /
-          (col("na") + col("nb") - col("i")).cast("double"))
-        .filter(col("jac") >= tau)
+      bitsetPairScan(enc, tau, carry = Seq("sigs"))
         .filter(bandAgree)
         .select(col("ia"), col("ib"), col("jac"))
         .orderBy(col("ia"), col("ib"))

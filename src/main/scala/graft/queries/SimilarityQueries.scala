@@ -133,9 +133,13 @@ object SimilarityQueries {
     * broadcast, assignment is a narrow map, and downstream ANN probes only
     * the matching inverted list.
     */
-  def s3IvfAssign(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+  /** Per-label centroids: exact integer component sums → deterministic
+    * double means, one row per label with the mean vector. Shared by the
+    * IVF assignment and probe queries so the quantizer can never diverge
+    * between them.
+    */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
       .groupBy(col("label"))
@@ -143,15 +147,26 @@ object SimilarityQueries {
         col("cnt").cast("double")).as("m")))).as("pairs"))
       .select(col("label").as("clabel"),
         transform(col("pairs"), p => p.getField("m")).as("c"))
+
+  /** Every vector ranked against every centroid by exact L2 (rk=1 is the
+    * nearest-centroid assignment; rk<=nprobe gives the probe lists).
+    */
+  private def centroidRanked(e: DataFrame, cent: DataFrame): DataFrame = {
     val dist = aggregate(
       zip_with(col("v"), col("c"), (x, m) =>
         (x.cast("double") - m) * (x.cast("double") - m)),
       lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("vec_id"))
+    val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("clabel"))
     e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("clabel"), dist.as("dist"))
-      .withColumn("rk", row_number().over(w))
+      .select(col("vec_id"), col("label"), col("v"), col("nn"),
+        col("clabel"), dist.as("dist"))
+      .withColumn("rk", row_number().over(byDist))
+  }
+
+  def s3IvfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    centroidRanked(e, centroids(e))
       .filter(col("rk") === 1)
       .groupBy(col("label"), col("clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
@@ -190,25 +205,7 @@ object SimilarityQueries {
   def s4IvfProbe(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
-    // per-label centroids, exactly as s3IvfAssign builds them
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("i"), (col("sx").cast("double") /
-        col("cnt").cast("double")).as("m")))).as("pairs"))
-      .select(col("label").as("clabel"),
-        transform(col("pairs"), p => p.getField("m")).as("c"))
-    val dist = aggregate(
-      zip_with(col("v"), col("c"), (x, m) =>
-        (x.cast("double") - m) * (x.cast("double") - m)),
-      lit(0.0), (acc, x) => acc + x)
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("clabel"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("nn"), col("clabel"),
-        dist.as("dist"))
-      .withColumn("rk", row_number().over(byDist))
+    val ranked = centroidRanked(e, centroids(e))
     // inverted lists: every vector filed under its nearest centroid
     val lists = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nn"), col("clabel").as("list"))

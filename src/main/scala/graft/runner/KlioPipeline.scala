@@ -39,6 +39,10 @@ object KlioPipeline {
     io.ioType match {
       case "file" => EventIO.writeText(df, io.location)
       case "wire" | "avro" => EventIO.writeWire(df, io.location)
+      case "bq" =>
+        require(io.schemaFields.nonEmpty,
+          "bq event output requires a declared schema (schema.fields)")
+        EventIO.writeBq(df, io.location, io.bqSchema)
       case other => sys.error(s"unsupported event output type: $other")
     }
 
@@ -64,6 +68,10 @@ object KlioPipeline {
       .flatMap(listing(spark, _))
     val forceDefault = cfg.jobConfig.data.outputs.headOption.exists(_.force)
     val pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping)
+    val locations = cfg.jobConfig.events.inputs.map(_.location)
+    require(locations.distinct.length == locations.length,
+      s"duplicate event input locations: $locations — inputs are named by " +
+        "location, so a duplicate would silently shadow its twin")
     val inputsCached = cfg.jobConfig.events.inputs.map(io =>
       io.location -> readEventInput(spark, cfg, io).cache())
     val routedPerInput = inputsCached.map { case (loc, msgs) =>
@@ -71,8 +79,10 @@ object KlioPipeline {
         forceDefault, pingDefault, now)
     }
     require(routedPerInput.nonEmpty, "at least one event input required")
+    // cached: the user transform must run once, not once per consumer
+    // (event output write + processed count)
     val out = userFn(routedPerInput.map { case (k, r) => k -> r.process }
-      .toMap)
+      .toMap).cache()
     val passThru = routedPerInput.map(_._2.passThru).reduce(_ unionByName _)
     val outBound = out.unionByName(passThru).cache()
     cfg.jobConfig.events.outputs.foreach(writeEventOutput(outBound, _))
@@ -81,6 +91,7 @@ object KlioPipeline {
       passedThru = passThru.count(),
       dropped = routedPerInput.map(_._2.drop.count()).sum)
     outBound.unpersist()
+    out.unpersist()
     inputsCached.foreach(_._2.unpersist())
     summary
   }
@@ -110,8 +121,12 @@ object KlioPipeline {
     val routed = Prelude.standard(messages, cfg.jobRef, dataIn, dataOut,
       forceDefault, pingDefault, now)
 
+    // cached: the user transform (typically heavy media work, possibly
+    // retried/timed-out per element) must execute exactly once per message
+    // — the ok/error splits, the output writes, and the summary counts are
+    // all separate consumers of the same attempt stream
     val attempts = HandleKlio(routed.process.as[KlioMessage], transform,
-      retries = retries, timeoutMs = timeoutMs)
+      retries = retries, timeoutMs = timeoutMs).cache()
     val okOut = HandleKlio.ok(attempts).toDF()
     val errored = HandleKlio.dropped(attempts)
 
@@ -125,6 +140,7 @@ object KlioPipeline {
       passedThru = routed.passThru.count(),
       dropped = routed.drop.count() + errored.count())
     outBound.unpersist()
+    attempts.unpersist()
     messages.unpersist()
     summary
   }

@@ -42,13 +42,17 @@ object StreamingPipeline {
       spark.readStream.option("maxFilesPerTrigger", "16").text(dir),
       allowNonKlio)
 
-  /** Pub/Sub id_label dedup parity: drop duplicate elements within the
+  /** Pub/Sub id_label dedup parity: drop duplicate ELEMENTS within the
     * watermark window (stronger than the reference's best-effort).
+    * dropDuplicatesWithinWatermark keys on element alone — a redelivered
+    * message whose event-time was re-stamped (publish-time assignment)
+    * still dedups, which a (element, eventTime) composite key would miss —
+    * while the watermark still bounds the dedup state.
     */
   def dedupByElement(df: DataFrame, eventTime: String,
       watermark: String): DataFrame =
     df.withWatermark(eventTime, watermark)
-      .dropDuplicates("element", eventTime)
+      .dropDuplicatesWithinWatermark("element")
 
   /** Prelude + per-microbatch user transform + wire sink. Existence
     * listings are re-resolved per micro-batch (foreachBatch), matching the
@@ -77,6 +81,13 @@ object StreamingPipeline {
           pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping))
         val out = transform(routed.process).unionByName(routed.passThru)
         KlioWire.encode(out).write.mode("append").text(outputDir)
+        // drops never vanish silently (reference logs every one,
+        // helpers.py:264-284): count per micro-batch and log
+        val nDropped = routed.drop.count()
+        if (nDropped > 0)
+          org.apache.log4j.Logger.getLogger("graft.klio.streaming")
+            .warn(s"batch $batchId: dropped $nDropped message(s) " +
+              "(wrong recipient or missing input)")
         ()
       }
   }

@@ -92,4 +92,31 @@ class ConfigSpec extends AnyFunSuite {
         |""".stripMargin).asInstanceOf[Map[String, Any]]
     assert(v("paths") === Seq("gs://bucket/path", "hdfs://nn:8020/data"))
   }
+
+  test("bq output schema fields parse into a StructType") {
+    val cfg = KlioConfig.fromYaml(
+      """version: 2
+        |job_name: bq-out
+        |job_config:
+        |  events:
+        |    inputs:
+        |      - type: file
+        |        location: /tmp/in.txt
+        |    outputs:
+        |      - type: bq
+        |        location: /tmp/out_table
+        |        schema:
+        |          fields:
+        |            - name: okey
+        |              type: INTEGER
+        |            - name: label
+        |              type: STRING
+        |""".stripMargin)
+    val out = cfg.jobConfig.events.outputs.head
+    assert(out.schemaFields === Seq("okey" -> "INTEGER", "label" -> "STRING"))
+    val st = out.bqSchema
+    assert(st.fieldNames.toSeq === Seq("okey", "label"))
+    assert(st("okey").dataType.typeName === "long")
+    assert(st("label").dataType.typeName === "string")
+  }
 }

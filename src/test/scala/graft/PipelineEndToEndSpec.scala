@@ -133,4 +133,34 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted
     assert(out === Array("a1", "a2", "a3", "b1", "b2"))
   }
+
+  test("bq event output writes declared columns from JSON payloads") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-bqout").toString
+    write(s"$base/ids.txt", Seq("7", "8").mkString("\n"))
+    val cfg = KlioConfig.fromYaml(
+      s"""version: 2
+         |job_name: bq-out-job
+         |job_config:
+         |  allow_non_klio_messages: True
+         |  events:
+         |    inputs:
+         |      - type: file
+         |        location: $base/ids.txt
+         |    outputs:
+         |      - type: bq
+         |        location: $base/table
+         |        schema:
+         |          fields:
+         |            - name: id
+         |              type: INTEGER
+         |            - name: doubled
+         |              type: INTEGER
+         |""".stripMargin)
+    KlioPipeline.run(spark, cfg, m => m.copy(payload =
+      s"""{"id":${m.element},"doubled":${m.element.toLong * 2}}"""))
+    val rows = spark.read.parquet(s"$base/table")
+      .as[(Long, Long)].collect().sorted
+    assert(rows.toSeq === Seq((7L, 14L), (8L, 16L)))
+  }
 }
