@@ -55,8 +55,10 @@ object AudioQueries {
   /** The audio-spectrograms integration DAG's compute core
     * (integration/audio-spectrograms/transforms.py:71-140): dB spectrogram
     * → nearest-neighbor filter → softmask of full vs filtered, per tone.
-    * Emits shape stats plus the masked-energy argmax frame. Rows-only
-    * check (float DSP; analytic validation lives in DspSpec).
+    * Every output is closed-form: frame count = 1 + (samples + nFft −
+    * nFft)/hop over the reflect-padded signal, mask length = frames ×
+    * bins, and the dB argmax equals the tone bin (dB scaling is
+    * monotone), so the whole chain is oracle-checked.
     */
   def a3SoftmaskNn(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -75,11 +77,20 @@ object AudioQueries {
         peakBin(col("spec")).as("spec_peak"))
       .orderBy(col("event_id"))
 
+  /** 4096 samples reflect-padded by nFft/2 each side → 5120; frames =
+    * 1 + (5120 − 1024)/256 = 17; bins = 513; mask = 17·513 = 8721.
+    */
+  val a3Oracle: String =
+    """SELECT event_id, 17 AS n_frames, 17 AS n_nn_frames,
+      |  8721 AS mask_len, CAST(25 + (event_id % 20) * 5 AS INT) AS spec_peak
+      |FROM events WHERE event_id < 8 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stft_peak" -> (a1StftPeak _),
     "a2_mel_mfcc" -> (a2MelMfcc _),
     "a3_softmask_nn" -> (a3SoftmaskNn _))
 
   val oracle: Map[String, String] = Map(
-    "a1_stft_peak" -> a1Oracle)
+    "a1_stft_peak" -> a1Oracle,
+    "a3_softmask_nn" -> a3Oracle)
 }
