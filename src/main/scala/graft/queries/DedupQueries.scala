@@ -49,10 +49,16 @@ object DedupQueries {
     */
   private def vocabOf(base: DataFrame): Option[Array[Long]] = {
     import base.sparkSession.implicits._
-    val distinct = base.select(explode(col("gs")).as("g")).distinct()
-    val gate = distinct.limit(MaxBitsetVocab + 1).count()
-    if (gate > MaxBitsetVocab) None
-    else Some(distinct.orderBy(col("g")).as[Long].collect())
+    // One job: pull at most cap+1 distinct values; overflow means "too
+    // big, use PPJoin" without ever materializing the full vocabulary on
+    // the driver. Sorting cap-bounded values locally beats a cluster sort.
+    val got = base.select(explode(col("gs")).as("g")).distinct()
+      .limit(MaxBitsetVocab + 1).as[Long].collect()
+    if (got.length > MaxBitsetVocab) None
+    else {
+      java.util.Arrays.sort(got)
+      Some(got)
+    }
   }
 
   /** doc_id → (bitset, set size), spread across the cluster so the
