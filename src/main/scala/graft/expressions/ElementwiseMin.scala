@@ -30,21 +30,40 @@ case class ElementwiseMin(child: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName requires array<bigint>, got " +
+            other.simpleString)
+    }
+
   override def createAggregationBuffer(): Array[Long] = null
+
+  // null ELEMENTS act as the identity of min (Long.MaxValue) — they never
+  // beat a real value, and an all-null position surfaces as MaxValue
+  // rather than a silent 0 from the raw unsafe read
+  private def read(arr: ArrayData, i: Int): Long =
+    if (arr.isNullAt(i)) Long.MaxValue else arr.getLong(i)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) buffer
     else {
       val arr = v.asInstanceOf[ArrayData]
-      if (buffer == null) arr.toLongArray()
+      if (buffer == null)
+        Array.tabulate(arr.numElements())(read(arr, _))
       else {
         val n = math.min(buffer.length, arr.numElements())
         val out = if (buffer.length == n) buffer
           else java.util.Arrays.copyOf(buffer, n)
         var i = 0
         while (i < n) {
-          val x = arr.getLong(i)
+          val x = read(arr, i)
           if (x < out(i)) out(i) = x
           i += 1
         }

@@ -175,13 +175,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * needed. Idempotent; every query entry point may call it.
   */
 object LongArrayOps {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name expects $n argument(s), got ${args.length}")
+      build(args)
+    }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_intersect_bits" -> (args => IntersectBits(args(0), args(1))),
-    "graft_dot_long" -> (args => DotLong(args(0), args(1))),
-    "graft_sorted_intersect_count" ->
-      (args => SortedIntersectCount(args(0), args(1))),
-    "graft_elementwise_min" ->
-      (args => ElementwiseMin(args(0)).toAggregateExpression()))
+    "graft_intersect_bits" -> arity("graft_intersect_bits", 2)(
+      args => IntersectBits(args(0), args(1))),
+    "graft_dot_long" -> arity("graft_dot_long", 2)(
+      args => DotLong(args(0), args(1))),
+    "graft_sorted_intersect_count" -> arity("graft_sorted_intersect_count",
+      2)(args => SortedIntersectCount(args(0), args(1))),
+    "graft_elementwise_min" -> arity("graft_elementwise_min", 1)(
+      args => ElementwiseMin(args(0)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

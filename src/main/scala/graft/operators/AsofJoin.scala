@@ -25,14 +25,21 @@ object AsofJoin {
 
   def apply(left: DataFrame, right: DataFrame, key: String, ts: String,
       payloadCols: Seq[String]): DataFrame = {
+    Seq("_asof_src", "_asof_row").foreach { reserved =>
+      require(!left.columns.contains(reserved),
+        s"left side already has a column named $reserved (reserved)")
+    }
     val l = left.withColumn("_asof_src", lit(1))
     // Carry the whole matched right row as one struct — non-null for every
     // right row even when its payload VALUES are null, so a NULL in a
     // matched update row propagates (DuckDB/pandas ASOF semantics) instead
     // of resurrecting an older non-null value. unionByName fills the
-    // left side's missing struct column with typed nulls.
-    val r = right.select(col(key), col(ts),
-      struct(payloadCols.map(col): _*).as("_asof_row"))
+    // left side's missing struct column with typed nulls. Right rows with
+    // a null timestamp match nothing (they would sort nulls-first and leak
+    // into every left row) — same as DuckDB/pandas.
+    val r = right.filter(col(ts).isNotNull)
+      .select(col(key), col(ts),
+        struct(payloadCols.map(col): _*).as("_asof_row"))
       .withColumn("_asof_src", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))

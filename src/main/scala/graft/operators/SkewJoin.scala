@@ -24,10 +24,15 @@ object SkewJoin {
   def apply(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // Row-id salt: spreads even exact-duplicate hot rows; affects only
-    // placement, never the join result.
+    // DETERMINISTIC salt (hash of the full row): a nondeterministic salt
+    // (row id, rand) re-salts rows differently when a stage partially
+    // retries after a fetch failure, so a row can land in zero or two
+    // reduce partitions and the join silently loses/duplicates rows (the
+    // SPARK-23207 hazard). The tradeoff: byte-identical duplicate rows
+    // share a salt and don't spread — hot KEYS with varying payloads (the
+    // actual skew case) spread fine.
     val saltedBig = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong)))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
