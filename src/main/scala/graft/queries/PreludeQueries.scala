@@ -19,6 +19,9 @@ object PreludeQueries {
 
   private def messages(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
+    // NOT cached: measured at sf0.1, the ~8 branch re-reads of this narrow
+    // projection cost less than the cache materialization — planning, not
+    // scanning, dominates this query
     e.select(KlioWire.newMessageColumns(col("event_id")): _*)
       .withColumn("metadata", col("metadata")
         .withField("ping", col("element").cast("long") % 5 === 0)
