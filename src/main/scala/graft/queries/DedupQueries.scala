@@ -228,15 +228,17 @@ object DedupQueries {
     * step that turns pairwise near-dup detection into an actual dedup
     * decision (one representative per duplicate cluster).
     *
-    * Components by distributed min-label propagation: every node starts
-    * labeled with itself; each round, a node adopts the minimum label among
-    * itself and its neighbors (one join + one aggregate per round); stop
-    * when a round changes nothing. Rounds needed = graph diameter —
-    * near-dup clusters are dense and shallow, so this converges in 2-3
-    * rounds. `localCheckpoint` truncates the growing lineage each round
-    * (the iterative-algorithm idiom; without it, round N replays rounds
-    * 1..N-1). At 100 TB the edge list is the small side (pairs that
-    * actually matched), so each round is a shuffle of labels, not corpus.
+    * Components by distributed min-label propagation with pointer
+    * jumping: every node starts labeled with itself; each round, a node
+    * adopts the minimum label among itself and its neighbors, then
+    * shortcuts to its label's label (path doubling). Plain propagation
+    * needs diameter rounds — measured ~10 on this corpus's similarity
+    * chains — while the shortcut converges in O(log diameter). Stop when
+    * a round changes nothing. `localCheckpoint` truncates the growing
+    * lineage each round (the iterative-algorithm idiom; without it,
+    * round N replays rounds 1..N-1). At 100 TB the edge list is the small
+    * side (pairs that actually matched), so each round is a shuffle of
+    * labels, not corpus.
     */
   def dCluster(s: SparkSession, dir: String): DataFrame = {
     val (rawPairs, base) = jaccardPairsWithBase(s, dir, 0.8)
@@ -258,10 +260,17 @@ object DedupQueries {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin.select(col("u").as("id"), col("nl")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jumping: adopt the label of my label — halves the
+      // remaining path to the component minimum every round
+      val next = propagated
+        .join(propagated.select(col("id").as("label"),
+          col("label").as("ll")), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.join(labels.select(col("id"),
           col("label").as("old")), Seq("id"))
@@ -271,6 +280,8 @@ object DedupQueries {
     }
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[dCluster] converged in $rounds rounds")
     labels.groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("checksum"))
       .orderBy(col("keeper"))
