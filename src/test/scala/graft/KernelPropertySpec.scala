@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.LongArrayOps
+
+/** Property tests pinning the native codegen kernels to their obvious
+  * Scala reference implementations across generated inputs — the kernels
+  * run through real Spark plans (codegen path), the references are plain
+  * collections code. Deterministic seeds (no scalatest-scalacheck bridge
+  * in the offline cache, so generators are driven directly).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private val params = Gen.Parameters.default.withSize(24)
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => g.pureApply(params, Seed(i.toLong)))
+
+  /** Run a 2-arg kernel over a batch of pairs in ONE Spark job. */
+  private def runPairs(fn: String, pairs: Seq[(Seq[Long], Seq[Long])])
+      : Seq[Long] = {
+    import spark.implicits._
+    LongArrayOps.register(spark)
+    pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), call_function(fn, col("a"), col("b"))
+        .cast("long").as("r"))
+      .orderBy(col("i")).as[(Int, Long)].collect().map(_._2).toSeq
+  }
+
+  private val longArrays = Gen.listOf(Gen.chooseNum(Long.MinValue / 4,
+    Long.MaxValue / 4))
+
+  test("intersect_bits == popcount of pairwise AND") {
+    val pairs = samples(Gen.zip(longArrays, longArrays), 60)
+      .map { case (a, b) => (a: Seq[Long], b: Seq[Long]) }
+    val expect = pairs.map { case (a, b) => a.zip(b)
+      .map { case (x, y) => java.lang.Long.bitCount(x & y).toLong }.sum }
+    assert(runPairs("graft_intersect_bits", pairs) == expect)
+  }
+
+  test("dot_long == sum of pairwise products") {
+    val small = Gen.listOf(Gen.chooseNum(-1000000L, 1000000L))
+    val pairs = samples(Gen.zip(small, small), 60)
+      .map { case (a, b) => (a: Seq[Long], b: Seq[Long]) }
+    val expect = pairs.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(runPairs("graft_dot_long", pairs) == expect)
+  }
+
+  test("sorted_intersect_count == distinct set intersection size") {
+    val sets = Gen.listOf(Gen.chooseNum(0L, 50L))
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(sets, sets), 60)
+      .map { case (a, b) => (a: Seq[Long], b: Seq[Long]) }
+    val expect = pairs.map { case (a, b) =>
+      a.toSet.intersect(b.toSet).size.toLong }
+    assert(runPairs("graft_sorted_intersect_count", pairs) == expect)
+  }
+
+  test("elementwise_min == positionwise reduce per group") {
+    import spark.implicits._
+    LongArrayOps.register(spark)
+    val groups = samples(
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.chooseNum(-1000L, 1000L))), 20)
+    val rows = groups.zipWithIndex
+      .flatMap { case (vs, g) => vs.map(v => (g, v)) }
+    val got = rows.toDF("k", "v").repartition(3)
+      .groupBy(col("k"))
+      .agg(call_function("graft_elementwise_min", col("v")).as("m"))
+      .orderBy(col("k")).as[(Int, Seq[Long])].collect().map(_._2).toSeq
+    val expect = groups.map(vs => vs.map(_.toSeq).reduce((x, y) =>
+      x.zip(y).map { case (p, q) => math.min(p, q) }))
+    assert(got == expect)
+  }
+}
