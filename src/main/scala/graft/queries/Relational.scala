@@ -284,6 +284,112 @@ object Relational {
       |FROM l ASOF LEFT JOIN u ON l.k = u.k AND l.tsn >= u.tsn
       |ORDER BY l.event_id""".stripMargin
 
+  /** Set operations: customers with 'F'-status orders INTERSECT customers
+    * with 'O'-status orders; EXCEPT for F-only. Both distinct-semantics
+    * (one shuffle each, same machinery as dropDuplicates).
+    */
+  def q12SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    f.intersect(op).select(col("o_custkey"), lit("both").as("bucket"))
+      .unionByName(f.except(op)
+        .select(col("o_custkey"), lit("f_only").as("bucket")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
+  val q12Oracle: String =
+    """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |b AS (SELECT o_custkey, 'both' AS bucket FROM f INTERSECT SELECT o_custkey, 'both' FROM o),
+      |x AS (SELECT o_custkey, 'f_only' AS bucket FROM f EXCEPT SELECT o_custkey, 'f_only' FROM o),
+      |u AS (SELECT * FROM b UNION ALL SELECT * FROM x)
+      |SELECT bucket, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS checksum
+      |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** ROLLUP over (returnflag, linestatus) with grouping ids — subtotal and
+    * grand-total rows from one pass (Expand + single agg; no extra scans).
+    * Money rides as exact integer cents.
+    */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .rollup(col("rf"), col("ls"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  val q13Oracle: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS total_cents,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+      |    AS gid
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, rf NULLS LAST, ls NULLS LAST""".stripMargin
+
+  /** Exact percentiles (median / p90) of integer quantities per group —
+    * `percentile` with linear interpolation, the same standard
+    * PERCENTILE_CONT definition DuckDB implements, over integers so both
+    * engines interpolate between identical exact values.
+    */
+  def q14Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("q"), lit(0.5)).as("median_q"),
+        percentile(col("q"), lit(0.9)).as("p90_q"))
+      .orderBy(col("rf"))
+
+  val q14Oracle: String =
+    """SELECT l_returnflag AS rf, COUNT(*) AS n,
+      |  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT))
+      |    AS median_q,
+      |  PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT))
+      |    AS p90_q
+      |FROM lineitem GROUP BY 1 ORDER BY rf""".stripMargin
+
+  /** Sequence analytics per user: lag/lead deltas and a running sum over
+    * event time — the window-frame family beyond q7's ranking (one shuffle
+    * on the key; frames evaluate within sorted partitions).
+    */
+  def q15LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"),
+      col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      // microsecond resolution: DuckDB's parquet reader truncates the
+      // nanos timestamp to µs, so the cross-engine comparison (ordering
+      // included) must happen at µs; coalesce keeps the int64 column
+      // null-free (a null would flip pandas to float64 and lose exactness)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("ts_us") - lag(col("ts_us"), 1).over(w), lit(0L))
+          .as("gap_us"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        sum(col("cents")).over(run).as("running_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q15Oracle: String =
+    """SELECT user_id, event_id,
+      |  COALESCE(epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w, 0) AS gap_us,
+      |  LEAD(event_id, 1) OVER w AS next_event,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+      |FROM events WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -295,7 +401,11 @@ object Relational {
     "q8_topk" -> (q8TopK _),
     "q9_exists_semi" -> (q9ExistsSemi _),
     "q10_exists_anti" -> (q10ExistsAnti _),
-    "q11_asof_join" -> (q11Asof _))
+    "q11_asof_join" -> (q11Asof _),
+    "q12_set_ops" -> (q12SetOps _),
+    "q13_rollup" -> (q13Rollup _),
+    "q14_percentiles" -> (q14Percentiles _),
+    "q15_lag_lead" -> (q15LagLead _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -308,5 +418,9 @@ object Relational {
     "q8_topk" -> q8Oracle,
     "q9_exists_semi" -> q9Oracle,
     "q10_exists_anti" -> q10Oracle,
-    "q11_asof_join" -> q11Oracle)
+    "q11_asof_join" -> q11Oracle,
+    "q12_set_ops" -> q12Oracle,
+    "q13_rollup" -> q13Oracle,
+    "q14_percentiles" -> q14Oracle,
+    "q15_lag_lead" -> q15Oracle)
 }
