@@ -390,6 +390,44 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Spark's built-in session_window (the declarative sibling of the
+    * custom-state [[graft.streaming.Sessionize]]): per-user sessions with
+    * a 5-minute gap, in batch — the same expression works on a stream.
+    * Sessions merge while events fall strictly inside the previous
+    * event's gap window; the oracle replays that as gaps-and-islands SQL
+    * (break when diff ≥ gap). Microsecond resolution for cross-engine
+    * exactness (see q15).
+    */
+  def q16SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 300000000L // 5 minutes
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("tsx"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), session_window(col("tsx"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n"), col("total_cents"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val q16Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 50),
+      |x AS (SELECT *, CASE WHEN LAG(tsu) OVER w IS NULL
+      |      OR tsu - LAG(tsu) OVER w >= 300000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      |SELECT user_id, MIN(tsu) AS start_us,
+      |  MAX(tsu) + 300000000 AS end_us, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -405,7 +443,8 @@ object Relational {
     "q12_set_ops" -> (q12SetOps _),
     "q13_rollup" -> (q13Rollup _),
     "q14_percentiles" -> (q14Percentiles _),
-    "q15_lag_lead" -> (q15LagLead _))
+    "q15_lag_lead" -> (q15LagLead _),
+    "q16_session_window" -> (q16SessionWindow _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -422,5 +461,6 @@ object Relational {
     "q12_set_ops" -> q12Oracle,
     "q13_rollup" -> q13Oracle,
     "q14_percentiles" -> q14Oracle,
-    "q15_lag_lead" -> q15Oracle)
+    "q15_lag_lead" -> q15Oracle,
+    "q16_session_window" -> q16Oracle)
 }
