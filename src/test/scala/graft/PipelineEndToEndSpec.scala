@@ -163,4 +163,30 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted
     assert(rows.toSeq === Seq((7L, 14L), (8L, 16L)))
   }
+
+  test("runMulti rejects duplicate event-input locations") {
+    val base = Files.createTempDirectory("graft-dupin").toString
+    write(s"$base/a.txt", "a1")
+    val cfg = KlioConfig.fromYaml(
+      s"""version: 2
+         |job_name: dup-inputs
+         |pipeline_options:
+         |  project: p
+         |job_config:
+         |  allow_non_klio_messages: True
+         |  events:
+         |    inputs:
+         |      - type: file
+         |        location: $base/a.txt
+         |      - type: file
+         |        location: $base/a.txt
+         |    outputs:
+         |      - type: file
+         |        location: $base/out
+         |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      KlioPipeline.runMulti(spark, cfg, _.values.head)
+    }
+    assert(e.getMessage.contains("duplicate event input locations"))
+  }
 }

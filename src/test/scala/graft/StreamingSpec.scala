@@ -98,4 +98,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted
     assert(els === Array("dup", "uniq"))
   }
+
+  test("dedup catches a redelivery with a re-stamped event time") {
+    val base = Files.createTempDirectory("graft-dedup2").toString
+    write(s"$base/in/b1.txt", Seq("x", "y").mkString("\n"))
+    val stream = StreamingPipeline.readEvents(spark, s"$base/in")
+      // same element arrives with DIFFERENT event times (publish-time
+      // stamping on redelivery) — id_label parity still dedups on element
+      .withColumn("etime", when(col("element") === "x",
+        to_timestamp(lit("2024-01-01 00:00:10")))
+        .otherwise(to_timestamp(lit("2024-01-01 00:00:20"))))
+      .unionByName(StreamingPipeline.readEvents(spark, s"$base/in")
+        .withColumn("etime", to_timestamp(lit("2024-01-01 00:00:30"))))
+    val deduped = StreamingPipeline.dedupByElement(stream, "etime",
+      "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup2").start()
+    try q.processAllAvailable() finally q.stop()
+    val els = spark.sql("SELECT element FROM dedup2")
+      .collect().map(_.getString(0)).sorted
+    assert(els === Array("x", "y"))
+  }
 }
