@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupQueries
+
+/** The driver corpus has a tiny shingle vocabulary, so the dedup queries
+  * always take the bitset / degenerate-LSH branches there. This spec
+  * builds a HIGH-diversity corpus (random text over a 40-char alphabet →
+  * vocabulary far beyond the bitset cap) with planted duplicate and
+  * near-duplicate pairs, so the general paths — PPJoin prefix filtering,
+  * sorted-merge verification, healthy banded LSH — actually execute and
+  * must find exactly the planted pairs.
+  */
+class DedupGeneralPathSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,!"
+    val rnd = new scala.util.Random(20260812L)
+    def randomDoc(len: Int): String =
+      Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val randoms = (0L until 50L).map(i => (i, randomDoc(600)))
+    val dupA = randomDoc(600)
+    val nearA = dupA.updated(300, '#')
+    val docs = randoms ++ Seq((1000L, dupA), (1001L, dupA),
+      (1002L, dupA), (1003L, nearA))
+    val base = Files.createTempDirectory("graft-genpath").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$base/documents.parquet")
+    base
+  }
+
+  test("PPJoin + sorted-merge verification find exactly the planted pairs") {
+    val pairs = DedupQueries.jaccardPairs(spark, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1000=1001=1002 identical (jac 1.0 pairwise); 1003 one char off
+    assert(pairs == Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L),
+      (1000L, 1003L), (1001L, 1003L), (1002L, 1003L)))
+  }
+
+  test("healthy banded LSH finds the planted pairs without degenerating") {
+    val pairs = DedupQueries.dMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs collide in every band; the near-dup shares ~99% of
+    // shingles so all 16 minhashes are overwhelmingly likely to agree
+    assert(pairs.contains((1000L, 1001L)))
+    assert(pairs.contains((1000L, 1002L)))
+    assert(pairs.contains((1001L, 1002L)))
+    // no false positives among the 50 random docs
+    assert(pairs.forall { case (a, b) => a >= 1000L && b >= 1000L })
+  }
+
+  test("clustering elects one keeper across the planted component") {
+    val rows = DedupQueries.dCluster(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // all four planted docs form one component with keeper 1000
+    assert(rows.get(1000L).contains(4L))
+  }
+}
