@@ -108,6 +108,18 @@ object DedupFunctions {
   def hammingDist(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
 
+  /** Hamming-LSH band keys for a packed bit signature: `bands` chunks of
+    * `width` bits each (band i = bits [i·width, (i+1)·width)). By
+    * pigeonhole, two signatures within hamming distance `bands − 1` share
+    * at least one identical band, so an equi-join on (band index, band
+    * bits) has exact recall at that radius — the scale substitute for an
+    * all-pairs hamming scan.
+    */
+  def simhashBands(sh: Column, bands: Int, width: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => call_function("shiftrightunsigned", sh, (b * width).cast("int"))
+        .bitwiseAND(lit((1L << width) - 1)))
+
   /** Distinct 3-gram shingle set as SORTED packed longs: each shingle's
     * three UTF-16 units occupy 16 bits each, so packing is injective —
     * long equality ⇔ string equality, and intersection counts on the packed

@@ -32,9 +32,9 @@ object AudioQueries {
     """SELECT event_id, CAST(25 + (event_id % 20) * 5 AS INT) AS peak_bin
       |FROM events WHERE event_id < 64 ORDER BY event_id""".stripMargin
 
-  /** Full chain smoke over synthesized tones: STFT → mel → MFCC, emitting
-    * coarse shape stats (frame/coefficient counts) plus the dominant mel
-    * band, which must increase with the tone bin. Rows-only check.
+  /** Full chain over synthesized tones: STFT → mel → MFCC, emitting shape
+    * stats (frame/coefficient counts) plus the dominant mel band — all
+    * closed-form for a pure tone, so the whole chain is oracle-checked.
     */
   def a2MelMfcc(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -51,6 +51,28 @@ object AudioQueries {
         peakBin(col("mel")).as("dominant_mel_band"),
         size(element_at(col("mf"), 1)).as("n_mfcc"))
       .orderBy(col("event_id"))
+
+  /** Closed-form a2 oracle. Shapes: 17 frames (a3's arithmetic), 32 mel
+    * bands, 13 MFCCs. Dominant mel band from the slaney filterbank edges:
+    * every tone here sits below 1 kHz — the slaney LINEAR region — where
+    * the 34 mel points are evenly spaced by Δ = mel(4000)/33 mel =
+    * (15 + ln 4/(ln 6.4/27))/33, band m's triangle peaks at point m+1,
+    * and adjacent-band weights at mel x are (x−p_j)/Δ vs (p_{j+1}−x)/Δ —
+    * so the argmax for a tone at mel x is round(x/Δ) − 1. Spectral
+    * leakage (hann sidelobes at bin±1) is symmetric in mel within the
+    * linear region, contributing equally to both neighbors, so it cannot
+    * flip the argmax. Verified against an independent numpy replica of
+    * the full STFT→mel pipeline for all 16 bins.
+    */
+  val a2Oracle: String =
+    """SELECT event_id, CAST(25 + (event_id % 20) * 5 AS INT) AS bin,
+      |  17 AS n_frames, 32 AS n_mels,
+      |  CAST(floor((CAST(25 + (event_id % 20) * 5 AS DOUBLE)
+      |      * (8000.0 / 1024.0) * 3.0 / 200.0)
+      |    / ((15.0 + ln(4.0) / (ln(6.4) / 27.0)) / 33.0) + 0.5) AS INT) - 1
+      |    AS dominant_mel_band,
+      |  13 AS n_mfcc
+      |FROM events WHERE event_id < 16 ORDER BY event_id""".stripMargin
 
   /** The audio-spectrograms integration DAG's compute core
     * (integration/audio-spectrograms/transforms.py:71-140): dB spectrogram
@@ -92,5 +114,6 @@ object AudioQueries {
 
   val oracle: Map[String, String] = Map(
     "a1_stft_peak" -> a1Oracle,
+    "a2_mel_mfcc" -> a2Oracle,
     "a3_softmask_nn" -> a3Oracle)
 }

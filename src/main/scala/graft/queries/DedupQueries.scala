@@ -80,18 +80,69 @@ object DedupQueries {
       nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     i.cast("double") / (na + nb - i).cast("double")
 
-  /** All-pairs bitset scan under the lossless size filter
-    * min(|A|,|B|) ≥ ⌈τ·max(|A|,|B|)⌉: broadcast one side, AND+popcount per
-    * surviving pair. `carry` columns from `enc` ride along as
-    * `<name>_a`/`<name>_b` for caller post-filters (e.g. band agreement).
+  /** Encoded-corpus docs cap for the broadcast form of the pair scan:
+    * ~2 KB per encoded doc → the default 64 Ki docs ≈ 128 MB broadcast,
+    * a sane executor/driver ceiling. Above it [[bitsetPairScanBlocked]]
+    * runs instead — the vocabulary gate alone is NOT enough, because a
+    * billion-row corpus with a tiny shingle alphabet still routes to the
+    * bitset representation and must not be broadcast.
     */
-  private def bitsetPairScan(enc: DataFrame, tau: Double,
-      carry: Seq[String] = Seq.empty): DataFrame = {
+  private def maxBroadcastDocs(s: SparkSession): Long =
+    s.conf.get("spark.graft.dedup.maxBroadcastDocs", "65536").toLong
+
+  /** Pair scan under the lossless size filter
+    * min(|A|,|B|) ≥ ⌈τ·max(|A|,|B|)⌉, routed by corpus size: broadcast
+    * one side while the encoded corpus is broadcast-sized, blocked
+    * repartition scan above that. `carry` columns from `enc` ride along
+    * as `<name>_a`/`<name>_b` for caller post-filters (band agreement).
+    */
+  private def bitsetPairScan(enc: DataFrame, tau: Double, nDocs: Long,
+      s: SparkSession, carry: Seq[String] = Seq.empty): DataFrame = {
+    val cap = maxBroadcastDocs(s)
+    if (nDocs <= cap) {
+      def side(suffix: String) =
+        enc.select((col("doc_id").as("i" + suffix) +:
+          col("bits").as("b" + suffix) +: col("n").as("n" + suffix) +:
+          carry.map(c => col(c).as(s"${c}_$suffix"))): _*)
+      side("a").join(broadcast(side("b")), col("ia") < col("ib") &&
+          least(col("na"), col("nb")) >=
+            ceil(lit(tau) * greatest(col("na"), col("nb"))))
+        .withColumn("i", intersectBits(col("ba"), col("bb")))
+        .withColumn("jac", jacCol(col("i"), col("na"), col("nb")))
+        .filter(col("jac") >= tau)
+    } else {
+      val blocks = math.max(2L, math.min(1024L, (nDocs + cap - 1) / cap)).toInt
+      bitsetPairScanBlocked(enc, tau, blocks, carry)
+    }
+  }
+
+  /** The same pair scan with NO broadcast: docs hash into `blocks`
+    * buckets; each doc is replicated to every sorted block-pair key
+    * (lo, hi) containing its bucket, and pairs meet through an equi-join
+    * on the key — a shuffle partitioned by block pair with
+    * broadcast-sized per-task state, instead of the whole corpus pinned
+    * on every executor. A cross-block pair meets exactly at the sorted
+    * pair of its blocks; a same-block pair would meet at EVERY key
+    * containing its block, so those are pinned to the diagonal key
+    * (blk_a = blk_b ⇒ lo = hi). ia < ib then keeps one orientation.
+    * Replication is `blocks` rows per doc — all-pairs work is inherently
+    * quadratic; this bounds memory and shuffles by key so it degrades
+    * into compute, not an OOM.
+    */
+  private def bitsetPairScanBlocked(enc: DataFrame, tau: Double,
+      blocks: Int, carry: Seq[String]): DataFrame = {
     def side(suffix: String) =
-      enc.select((col("doc_id").as("i" + suffix) +:
-        col("bits").as("b" + suffix) +: col("n").as("n" + suffix) +:
-        carry.map(c => col(c).as(s"${c}_$suffix"))): _*)
-    side("a").join(broadcast(side("b")), col("ia") < col("ib") &&
+      enc.withColumn("blk", pmod(hash(col("doc_id")), lit(blocks)))
+        .withColumn("ob", explode(sequence(lit(0), lit(blocks - 1))))
+        .select((least(col("blk"), col("ob")).as("lo") +:
+          greatest(col("blk"), col("ob")).as("hi") +:
+          col("blk").as("blk" + suffix) +:
+          col("doc_id").as("i" + suffix) +:
+          col("bits").as("b" + suffix) +: col("n").as("n" + suffix) +:
+          carry.map(c => col(c).as(s"${c}_$suffix"))): _*)
+    side("a").join(side("b"), Seq("lo", "hi"))
+      .filter((col("blka") =!= col("blkb") || col("lo") === col("hi")) &&
+        col("ia") < col("ib") &&
         least(col("na"), col("nb")) >=
           ceil(lit(tau) * greatest(col("na"), col("nb"))))
       .withColumn("i", intersectBits(col("ba"), col("bb")))
@@ -160,15 +211,20 @@ object DedupQueries {
     jaccardPairs(s, dir, 0.8)
 
   /** The (ia, ib, jac) near-dup pair set of [[dJaccard]] — also the edge
-    * set for [[dCluster]]'s connected components.
+    * set for [[dCluster]]'s connected components. Eagerly materialized
+    * (localCheckpoint) so the corpus-wide shingle cache behind it can be
+    * released here instead of leaking for the session lifetime.
     */
-  def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame =
-    jaccardPairsWithBase(s, dir, tau)._1
+  def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    val (pairs, base) = jaccardPairsWithBase(s, dir, tau)
+    finishReleasing(pairs, base)
+  }
 
   /** [[jaccardPairs]] plus the cached shingle projection backing it, so
     * callers that materialize the pairs can `unpersist` the projection.
+    * Package-visible: specs inspect the pre-checkpoint plan here.
     */
-  private def jaccardPairsWithBase(s: SparkSession, dir: String,
+  private[graft] def jaccardPairsWithBase(s: SparkSession, dir: String,
       tau: Double): (DataFrame, DataFrame) = {
     graft.expressions.LongArrayOps.register(s)
     // Shingles as sorted packed longs (injective ⇒ identical intersection
@@ -182,7 +238,10 @@ object DedupQueries {
     val pairs = vocabOf(base) match {
       case Some(vocab) =>
         val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        bitsetPairScan(encodeBitsets(base, vocab, par), tau)
+        // corpus-size gate for the scan's broadcast — a one-pass count on
+        // the already-cached projection
+        val nDocs = base.count()
+        bitsetPairScan(encodeBitsets(base, vocab, par), tau, nDocs, s)
           .select(col("ia"), col("ib"), col("jac"))
           .orderBy(col("ia"), col("ib"))
       case None => jaccardPPJoin(base, tau)
@@ -370,23 +429,35 @@ object DedupQueries {
       val bandAgree = (0 until 4)
         .map(i => col("sigs_a").getItem(i) === col("sigs_b").getItem(i))
         .reduce(_ || _)
-      bitsetPairScan(enc, tau, carry = Seq("sigs"))
+      val raw = bitsetPairScan(enc, tau, nDocs, s, carry = Seq("sigs"))
         .filter(bandAgree)
         .select(col("ia"), col("ib"), col("jac"))
-        .orderBy(col("ia"), col("ib"))
+      finishReleasing(raw, base)
     } else {
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .distinct()
-      vocabOpt match {
+      val raw = vocabOpt match {
         case Some(vocab) =>
           val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
           verifyBitset(cand, encodeBitsets(base, vocab, par), tau)
         case None => verifySorted(cand, base, tau)
       }
+      finishReleasing(raw, base)
     }
+  }
+
+  /** Materialize `pairs` eagerly (localCheckpoint), release the cached
+    * corpus projection behind it, and return the pairs sorted — shared
+    * cache-lifetime discipline for the pair queries (without it, each
+    * query leaks its corpus-wide cached blocks for the session lifetime).
+    */
+  private def finishReleasing(pairs: DataFrame, base: DataFrame): DataFrame = {
+    val snap = pairs.localCheckpoint()
+    base.unpersist()
+    snap.orderBy(col("ia"), col("ib"))
   }
 
   val dMinhashOracle: String =
@@ -452,18 +523,35 @@ object DedupQueries {
 
   /** SimHash near-dup: 48-bit signature over word-bigram features (unigrams
     * are degenerate on a shared-vocabulary corpus), pairs within hamming
-    * distance 6. Signature is a narrow per-row computation; the pair scan
-    * here is all-pairs for verification — at scale, band the 48 bits into
-    * hamming-LSH buckets exactly like d3.
+    * distance 6 — candidates via hamming-LSH banding, never an all-pairs
+    * self-join.
+    *
+    * The 48 bits split into 7 bands of 7 bits (the top band carries the
+    * 6 remaining real bits). Pigeonhole: hd ≤ 6 means at most 6 bands can
+    * differ, so every qualifying pair shares ≥ 1 identical band — recall
+    * is exact and the oracle is unchanged. Candidates come from an
+    * equi-join on (band, bits): shuffle volume is docs×7 rows partitioned
+    * by band value, not docs², and nothing is broadcast. Scale note:
+    * 7-bit bands give 128 buckets each, so on signature-uniform corpora
+    * candidate volume is ~7·n²/128 — the exact-recall ceiling for this
+    * radius; to push further, widen the signature (64-bit → 7×9-bit
+    * bands, 512 buckets) or accept probabilistic recall. Exact hd ≤ k
+    * retrieval is inherently Ω(colliding pairs).
     */
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"),
         simhash48(filter(wordBigrams(col("text")), _.isNotNull)).as("sh"))
-    sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(simhashBands(col("sh"), 7, 7)).as(Seq("band", "bits")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
         hammingDist(col("a.sh"), col("b.sh")).as("hd"))
       .filter(col("hd") <= 6)
+      // a pair can collide in up to 7 bands — one row each, same hd
+      .distinct()
       .orderBy(col("ia"), col("ib"))
   }
 
@@ -483,22 +571,24 @@ object DedupQueries {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.s, b.s)) <= 6 ORDER BY ia, ib""".stripMargin
 
-  /** Embedding-cosine near-dup for a probe decile (vec_id % 10 = 0) against
-    * the full set: quantized-integer dot products make the cosine an exact
-    * cross-engine double. The probe-set shape bounds cost at any SF and is
-    * the honest exact baseline; the LSH-bucketed ANN (s2_ann_lsh) is the
-    * scale path.
+  /** Embedding-cosine near-dup for a BOUNDED probe set (vec_id % 10 = 0,
+    * capped at vec_id < 1000 — ≤ 100 probes at any SF) against the full
+    * set: probes broadcast, corpus streamed in one pass (the s1_knn_brute
+    * shape), quantized-integer dot products keeping the cosine an exact
+    * cross-engine double. This is the honest exact baseline; for
+    * unbounded self-comparison at corpus scale, [[dEmbedLsh]] is the
+    * linear-shuffle path.
     */
   def dEmbed(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nn", normSqLong(col("v")))
-    val probes = e.filter(col("vec_id") % 10 === 0)
+    val probes = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
       .withColumnRenamed("vec_id", "ia")
       .withColumnRenamed("v", "va").withColumnRenamed("nn", "na")
     val cos = cosineQ(dotLong(col("va"), col("v")), col("na"), col("nn"))
-    probes.crossJoin(e)
+    broadcast(probes).crossJoin(e)
       .filter(col("ia") =!= col("vec_id"))
       .select(col("ia"), col("vec_id").as("ib"), cos.as("cos"))
       .filter(col("cos") >= 0.4)
@@ -514,10 +604,62 @@ object DedupQueries {
       |    list_aggregate(list_transform(range(1, len(a.v) + 1),
       |      i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') dot,
       |    a.nn na, b.nn nb
-      |  FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id)
+      |  FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id < 1000
+      |    AND a.vec_id <> b.vec_id)
       |SELECT ia, ib, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
       |FROM p WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4
       |ORDER BY ia, ib""".stripMargin
+
+  /** Embedding-cosine near-dup over the FULL corpus via hyperplane-LSH
+    * buckets — the 100 TB formulation: every vector gets a 6-plane
+    * sign-bit bucket id ([[SimilarityQueries.hyperplaneBucket]], the same
+    * quantizer as s2_ann_lsh), and pairs only meet inside a bucket, so
+    * the self-pairing is an equi-join on bucket id — shuffle linear in
+    * corpus size, partitioned by bucket, no broadcast and no cross join.
+    * Recall is ANN semantics (pairs split across buckets are unseen —
+    * cos ≥ 0.4 at 64-dim is a loose radius, so this is a candidate
+    * generator, not the exact operator; [[dEmbed]] is the exact
+    * baseline). Plane count scales bucket cardinality: ~log₂(n/target
+    * bucket size) planes keeps per-bucket work constant as the corpus
+    * grows. The oracle replays the identical bucket + cosine integer
+    * arithmetic.
+    */
+  def dEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nn", normSqLong(col("v")))
+      .withColumn("bucket",
+        SimilarityQueries.hyperplaneBucket(col("v"), 6, 64))
+    val cos = cosineQ(dotLong(col("va"), col("vb")), col("na"), col("nb"))
+    e.select(col("bucket"), col("vec_id").as("ia"), col("v").as("va"),
+        col("nn").as("na"))
+      .join(e.select(col("bucket"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("nn").as("nb")), Seq("bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), cos.as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val dEmbedLshOracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |b AS (SELECT vec_id, v, nn,
+      |    list_aggregate(list_transform(range(0, 6), j -> CASE WHEN
+      |      list_aggregate(list_transform(range(1, len(v) + 1), i ->
+      |        v[CAST(i AS INT)] * ((CAST(1103515245 AS BIGINT) * (j * 64 + i - 1) + 12345) % 2147483648 - 1073741824)),
+      |        'sum') > 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END), 'sum') AS bucket
+      |  FROM n),
+      |p AS (SELECT a.vec_id ia, b2.vec_id ib,
+      |    CAST(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |        i -> a.v[CAST(i AS INT)] * b2.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b2.nn AS DOUBLE))) AS cos
+      |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      |SELECT ia, ib, cos FROM p WHERE cos >= 0.4 ORDER BY ia, ib""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (dExact _),
@@ -526,7 +668,8 @@ object DedupQueries {
     "d4_simhash" -> (dSimhash _),
     "d5_embed_neardup" -> (dEmbed _),
     "d6_cluster" -> (dCluster _),
-    "d7_minhash_merge" -> (dMinhashMerge _))
+    "d7_minhash_merge" -> (dMinhashMerge _),
+    "d8_embed_lsh" -> (dEmbedLsh _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -535,5 +678,6 @@ object DedupQueries {
     "d4_simhash" -> dSimhashOracle,
     "d5_embed_neardup" -> dEmbedOracle,
     "d6_cluster" -> dClusterOracle,
-    "d7_minhash_merge" -> dMinhashMergeOracle)
+    "d7_minhash_merge" -> dMinhashMergeOracle,
+    "d8_embed_lsh" -> dEmbedLshOracle)
 }

@@ -59,4 +59,47 @@ class DedupGeneralPathSpec extends AnyFunSuite {
     // all four planted docs form one component with keeper 1000
     assert(rows.get(1000L).contains(4L))
   }
+
+  /** Small-vocabulary corpus ABOVE the broadcast-docs cap: the scale
+    * hazard the route must survive is "vocabulary fits the bitset but the
+    * corpus doesn't fit a broadcast" — a billion docs over a small
+    * shingle alphabet. 30 docs over an 8-char alphabet (vocab ≤ 512
+    * trigrams → bitset representation) with the cap forced to 10.
+    */
+  private lazy val smallVocabDir: String = {
+    import spark.implicits._
+    val alphabet = "abcdefgh"
+    val rnd = new scala.util.Random(42L)
+    def doc(len: Int): String =
+      Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val randoms = (0L until 28L).map(i => (i, doc(40)))
+    val dup = doc(40)
+    val docs = randoms ++ Seq((100L, dup), (101L, dup))
+    val base = Files.createTempDirectory("graft-smallvocab").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$base/documents.parquet")
+    base
+  }
+
+  test("bitset pair scan drops the broadcast above the corpus-size cap") {
+    def run(): (Set[(Long, Long)], String) = {
+      val (pairs, base) =
+        DedupQueries.jaccardPairsWithBase(spark, smallVocabDir, 0.8)
+      val analyzed = pairs.queryExecution.analyzed.toString
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      base.unpersist()
+      (got, analyzed)
+    }
+    val (bcastPairs, bcastPlan) = run()
+    assert(bcastPlan.contains("ResolvedHint"),
+      "below the cap the corpus side must broadcast")
+    spark.conf.set("spark.graft.dedup.maxBroadcastDocs", "10")
+    try {
+      val (blockedPairs, blockedPlan) = run()
+      assert(!blockedPlan.contains("ResolvedHint"),
+        "above the cap nothing may be broadcast — blocked scan only")
+      assert(blockedPairs == bcastPairs,
+        "blocked and broadcast scans must produce identical pairs")
+      assert(blockedPairs.contains((100L, 101L)))
+    } finally spark.conf.unset("spark.graft.dedup.maxBroadcastDocs")
+  }
 }

@@ -49,6 +49,29 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d4 simhash self-join goes through the band equi-key, never all-pairs") {
+    val plan = executed(SparkEntry.queries("d4_simhash")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "simhash candidates must equi-join on (band, bits)")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "simhash candidates must equi-join on (band, bits)")
+  }
+
+  test("d5 embed probes are broadcast, never a bare cross join") {
+    val plan = executed(SparkEntry.queries("d5_embed_neardup")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"),
+      "the bounded probe side must broadcast")
+  }
+
+  test("d8 embed LSH pairs meet through the bucket equi-key") {
+    val plan = executed(SparkEntry.queries("d8_embed_lsh")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "bucketed near-dup must equi-join on bucket id")
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
