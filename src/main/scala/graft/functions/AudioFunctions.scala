@@ -45,6 +45,12 @@ object AudioFunctions {
   val mfcc = udf((y: Seq[Float], sr: Double, nMfcc: Int) =>
     toF2(Dsp.mfcc(toD(y), sr, nMfcc)))
 
+  /** power_to_db over a matrix column (MelSpecToPlot's pre-step,
+    * audio.py:404-407: librosa.power_to_db(payload, ref=np.max)).
+    */
+  val powerDb = udf((spec: Seq[Seq[Float]]) =>
+    toF2(Dsp.powerToDb(spec.map(f => toD(f)).toArray)))
+
   /** GetMagnitude example (integration transforms.py:54-68): per-frame
     * argmax bin of a magnitude spectrogram — the dominant frequency bin.
     */

@@ -28,8 +28,13 @@ object HandleKlio {
 
   /** Outcome envelope: `ok` rows carry the transformed message, error rows
     * the original message + error text (for logging/metrics sinks).
+    * `attempts` is how many times the fn ran for this element (1 = first
+    * try succeeded or failed fast); `nanos` the total fn wall time across
+    * attempts — the per-element source for kmsg-timer metrics
+    * ([[Metrics.timed]]).
     */
-  case class Attempt(msg: KlioMessage, ok: Boolean, error: String)
+  case class Attempt(msg: KlioMessage, ok: Boolean, error: String,
+      attempts: Int = 1, nanos: Long = 0L)
 
   private lazy val timeoutPool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "klio-timeout")
@@ -56,15 +61,27 @@ object HandleKlio {
   /** Apply `fn` per message with `retries` extra attempts (delay ms between)
     * and an optional per-element timeout. Returns the full attempt stream;
     * split with [[ok]] / [[dropped]].
+    *
+    * `retryOn` is the reference's `@retry(exception=...)` filter
+    * (`_retry.py:45-57,76`): only matching failures are retried; a
+    * non-matching (permanent) failure drops immediately with attempt
+    * count 1 instead of burning the retry budget on an error that cannot
+    * heal — in the reference it propagates out of the retry wrapper and
+    * the outer @handle_klio diverts it, which is exactly the drop channel
+    * here. Default: every NonFatal failure is retryable (the reference's
+    * `exception or Exception` default).
     */
   def apply(ds: Dataset[KlioMessage], fn: KlioMessage => KlioMessage,
-      retries: Int = 0, retryDelayMs: Long = 0, timeoutMs: Long = 0)
+      retries: Int = 0, retryDelayMs: Long = 0, timeoutMs: Long = 0,
+      retryOn: Throwable => Boolean = _ => true)
       : Dataset[Attempt] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[Attempt]
     ds.map { msg =>
+      val t0 = System.nanoTime()
       var attempt = 0
       var result: Attempt = null
-      while (result == null || (!result.ok && attempt <= retries)) {
+      var failFast = false
+      while (result == null || (!result.ok && !failFast && attempt <= retries)) {
         if (attempt > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
         result =
           try Attempt(runOnce(fn, msg, timeoutMs), ok = true, "")
@@ -73,14 +90,23 @@ object HandleKlio {
             // task-cancellation interrupt must propagate, not become a
             // "dropped message" that resists the kill
             case e: InterruptedException => throw e
-            case scala.util.control.NonFatal(e) => Attempt(msg, ok = false,
-              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            case scala.util.control.NonFatal(e) =>
+              failFast = !retryOn(e)
+              Attempt(msg, ok = false,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         attempt += 1
       }
-      result
+      result.copy(attempts = attempt, nanos = System.nanoTime() - t0)
     }
   }
+
+  /** Convenience `retryOn` for the common class-filter form
+    * (`@retry(exception=SomeError)`): retry iff the failure is an
+    * instance of any of `classes`.
+    */
+  def retryOnClasses(classes: Class[_]*): Throwable => Boolean =
+    e => classes.exists(_.isInstance(e))
 
   def ok(attempts: Dataset[Attempt]): Dataset[KlioMessage] = {
     implicit val enc = KlioMessage.encoder

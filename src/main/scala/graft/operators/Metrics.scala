@@ -36,6 +36,9 @@ object Metrics {
           row.getAs[Any](f) match {
             case l: Long => collected.put((name, f), l)
             case i: Int => collected.put((name, f), i.toLong)
+            // gauge/timer means arrive as doubles; stored rounded (klio
+            // relays emit integral ns/values, logger.py:176-208)
+            case d: Double => collected.put((name, f), math.round(d))
             case _ => ()
           }
         }
@@ -65,4 +68,28 @@ object Metrics {
     counted(in, transformName, "kmsg-received"),
     counted(ok, transformName + "-ok", "kmsg-success"),
     counted(dropped, transformName + "-drop", "kmsg-drop-error"))
+
+  /** Gauge: observe an arbitrary aggregate value under a metric name
+    * (MetricsRegistry.gauge, client.py:87-117 — last-value semantics per
+    * query run; each completed action refreshes the stored value).
+    */
+  def gauge(df: DataFrame, observation: String, metric: String,
+      value: org.apache.spark.sql.Column): DataFrame =
+    df.observe(observation, value.as(metric))
+
+  /** Timer family over a [[graft.operators.HandleKlio.Attempt]] stream
+    * (MetricsRegistry.timer + TimerDispatcher, client.py:119-151,
+    * dispatcher.py:47-260 — the reference times every @handle_klio call
+    * in ns and relays kmsg-timer per transform): per-element `nanos` are
+    * aggregated alongside the flow as max/mean/total plus the retry
+    * counters (`kmsg-retry-attempt`, `_retry.py:59-66`), all observe-based
+    * — zero cost on the hot path, surfaced through [[Listener]].
+    */
+  def timed[T](ds: org.apache.spark.sql.Dataset[T], observation: String)
+      : org.apache.spark.sql.Dataset[T] =
+    ds.observe(observation,
+      max(col("nanos")).as("kmsg-timer-max"),
+      avg(col("nanos")).as("kmsg-timer-mean"),
+      sum(col("nanos")).as("kmsg-timer-total"),
+      sum(col("attempts") - 1).as("kmsg-retry-attempt"))
 }

@@ -107,13 +107,40 @@ object AudioQueries {
       |  8721 AS mask_len, CAST(25 + (event_id % 20) * 5 AS INT) AS spec_peak
       |FROM events WHERE event_id < 8 ORDER BY event_id""".stripMargin
 
+  /** The audio-spectrograms DAG's SINK stage (SpecToPlot → GcsUploadPlot,
+    * reference run.py:93-121): render the dB spectrogram of each tone as
+    * a PNG heatmap and report the encoded image's IHDR dimensions —
+    * decoded back from the actual PNG bytes, so the render→encode
+    * roundtrip is under the gate. Closed-form: width = 17 frames,
+    * height = 513 bins. The file write itself is
+    * [[graft.multimodal.Plots.uploadPlots]], spec-covered (PlotsSpec).
+    */
+  def a4SpecPlot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 8)
+      .select(col("event_id"),
+        (lit(25) + (col("event_id") % 20) * 5).cast("int").as("bin"))
+      .withColumn("y", synthTone(col("bin"), lit(1024), lit(4096)))
+      .withColumn("png", graft.multimodal.Plots.renderHeatmapPng(
+        spectrogramDb(col("y"), lit(1024), lit(256))))
+      .select(col("event_id"),
+        graft.multimodal.Plots.pngWidth(col("png")).as("width"),
+        graft.multimodal.Plots.pngHeight(col("png")).as("height"))
+      .orderBy(col("event_id"))
+
+  val a4Oracle: String =
+    """SELECT event_id, 17 AS width, 513 AS height
+      |FROM events WHERE event_id < 8 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stft_peak" -> (a1StftPeak _),
     "a2_mel_mfcc" -> (a2MelMfcc _),
-    "a3_softmask_nn" -> (a3SoftmaskNn _))
+    "a3_softmask_nn" -> (a3SoftmaskNn _),
+    "a4_spec_plot" -> (a4SpecPlot _))
 
   val oracle: Map[String, String] = Map(
     "a1_stft_peak" -> a1Oracle,
     "a2_mel_mfcc" -> a2Oracle,
-    "a3_softmask_nn" -> a3Oracle)
+    "a3_softmask_nn" -> a3Oracle,
+    "a4_spec_plot" -> a4Oracle)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.config.{KlioConfig, KlioIoConfig}
 import graft.io.EventIO
 import graft.model.KlioMessage
-import graft.operators.{HandleKlio, Prelude}
+import graft.operators.{HandleKlio, Metrics, Prelude}
 
 /** Config → running batch pipeline, mirroring the reference's
   * `_setup_pipeline` assembly order (`exec/src/klio_exec/commands/run.py:
@@ -124,9 +124,13 @@ object KlioPipeline {
     // cached: the user transform (typically heavy media work, possibly
     // retried/timed-out per element) must execute exactly once per message
     // — the ok/error splits, the output writes, and the summary counts are
-    // all separate consumers of the same attempt stream
-    val attempts = HandleKlio(routed.process.as[KlioMessage], transform,
-      retries = retries, timeoutMs = timeoutMs).cache()
+    // all separate consumers of the same attempt stream. Timer/retry
+    // metrics observe the stream in passing (kmsg-timer-*, reference
+    // client.py:119-151).
+    val attempts = Metrics.timed(
+      HandleKlio(routed.process.as[KlioMessage], transform,
+        retries = retries, timeoutMs = timeoutMs),
+      cfg.jobName + "-transform").cache()
     val okOut = HandleKlio.ok(attempts).toDF()
     val errored = HandleKlio.dropped(attempts)
 

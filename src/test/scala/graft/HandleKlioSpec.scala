@@ -33,6 +33,30 @@ class HandleKlioSpec extends AnyFunSuite {
       === Array("attempt3"))
   }
 
+  test("retryOn filter: transient matches retry, permanent fails fast") {
+    // reference @retry(exception=...) parity (_retry.py:45-57,76): only
+    // matching failures consume the retry budget
+    val ds = Seq(KlioMessage("flaky2"), KlioMessage("perm")).toDS()
+    val attempts = HandleKlio(ds, m => {
+      val n = HandleKlioSpec.counts.merge(m.element, 1, _ + _)
+      if (m.element == "perm")
+        throw new IllegalStateException("permanent")
+      if (n < 3) throw new java.io.IOException(s"transient $n")
+      m.copy(payload = s"attempt$n")
+    }, retries = 5,
+      retryOn = HandleKlio.retryOnClasses(classOf[java.io.IOException]))
+      .cache()
+    val ok = HandleKlio.ok(attempts).collect()
+    assert(ok.map(_.payload) === Array("attempt3"))
+    val perm = HandleKlio.dropped(attempts).collect()
+      .find(_.msg.element == "perm").get
+    assert(perm.attempts === 1, "permanent error must not retry")
+    assert(perm.error.contains("permanent"))
+    // the transient element used exactly 3 attempts
+    assert(attempts.filter(_.msg.element == "flaky2")
+      .collect().head.attempts === 3)
+  }
+
   test("timeout drops hung elements, fast ones pass") {
     val ds = Seq(KlioMessage("fast"), KlioMessage("slow")).toDS()
     val attempts = HandleKlio(ds, m => {

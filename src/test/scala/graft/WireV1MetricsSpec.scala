@@ -67,6 +67,40 @@ class WireV1MetricsSpec extends AnyFunSuite {
     assert(Metrics.collected(("test_obs", "kmsg-read")) === 3L)
   }
 
+  test("timer and retry metrics flow from the attempt stream") {
+    import graft.model.KlioMessage
+    import graft.operators.HandleKlio
+    Metrics.install(spark)
+    val ds = Seq(KlioMessage("t1"), KlioMessage("t2")).toDS()
+    val attempts = HandleKlio(ds, m => {
+      val n = WireV1MetricsSpec.tries.merge(m.element, 1, _ + _)
+      if (m.element == "t2" && n < 2) sys.error("transient")
+      m
+    }, retries = 2)
+    Metrics.timed(attempts, "timer_obs").count()
+    var waited = 0
+    while (!Metrics.collected.contains(("timer_obs", "kmsg-timer-max")) &&
+        waited < 50) { Thread.sleep(100); waited += 1 }
+    assert(Metrics.collected(("timer_obs", "kmsg-timer-max")) > 0L)
+    assert(Metrics.collected(("timer_obs", "kmsg-timer-mean")) > 0L)
+    assert(Metrics.collected(("timer_obs", "kmsg-timer-total")) >=
+      Metrics.collected(("timer_obs", "kmsg-timer-max")))
+    // t2 failed once before succeeding → exactly one retry attempt
+    assert(Metrics.collected(("timer_obs", "kmsg-retry-attempt")) === 1L)
+  }
+
+  test("gauge observes an aggregate value under a metric name") {
+    Metrics.install(spark)
+    val df = Seq(3L, 9L, 6L).toDF("v")
+    Metrics.gauge(df, "gauge_obs", "kmsg-max-v",
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("v"))).count()
+    var waited = 0
+    while (!Metrics.collected.contains(("gauge_obs", "kmsg-max-v")) &&
+        waited < 50) { Thread.sleep(100); waited += 1 }
+    assert(Metrics.collected(("gauge_obs", "kmsg-max-v")) === 9L)
+  }
+
   test("dropAll counts but propagates nothing") {
     val df = Seq("x", "y").toDF("element")
     assert(Prelude.dropAll(df).count() === 0)
@@ -78,4 +112,9 @@ class WireV1MetricsSpec extends AnyFunSuite {
       .map(_.getString(0)).sorted
     assert(out === Array("m1", "m2"))
   }
+}
+
+object WireV1MetricsSpec {
+  // Executor-side attempt counter (single-JVM local mode).
+  val tries = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 }
