@@ -66,19 +66,17 @@ case class KlioConfig(
 
 object KlioConfig {
 
-  /** Parse config text, applying `${var}` substitutions first. Unknown keys
+  /** Parse config text through the full preprocessing chain
+    * ([[KlioConfigPreprocessor]]): `$var`/`${var}` templating, plugin
+    * preprocessors, then dotted-path `key=value` `overrides` (e.g.
+    * `job_config.events.inputs.file0.location=/new/path` — entries
+    * addressable by their `name` key or `<type><index>`). Unknown keys
     * are ignored (the reference keeps them as free-form user attributes,
     * `config/core.py:186-209` — retrievable here via YamlLite.parse).
     */
-  def fromYaml(text: String, vars: Map[String, String] = Map.empty)
-      : KlioConfig = {
-    val templated = vars.foldLeft(text) { case (acc, (k, v)) =>
-      acc.replace("${" + k + "}", v)
-    }
-    val root = YamlLite.parse(templated) match {
-      case m: Map[String @unchecked, Any @unchecked] => m
-      case other => sys.error(s"config root must be a mapping, got $other")
-    }
+  def fromYaml(text: String, vars: Map[String, String] = Map.empty,
+      overrides: Seq[String] = Seq.empty): KlioConfig = {
+    val root = KlioConfigPreprocessor.process(text, vars, overrides)
     val jc = mapAt(root, "job_config")
     val events = mapAt(jc, "events")
     val data = mapAt(jc, "data")

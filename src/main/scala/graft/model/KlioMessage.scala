@@ -104,13 +104,15 @@ object KlioWire {
     // once per branch, which compounds when decodes nest).
     val auditType =
       "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>"
-    val rawElement = if (allowNonKlio) col("value") else {
-      // assert_true raises per evaluated row, and the when-chain only
-      // evaluates this branch for non-klio rows — a strict decode fails
-      // loudly on the first corrupt line instead of filtering it away.
-      when(assert_true(lit(false), concat(lit("klio DecodeError: not a "),
-        lit("klio message: "), col("value"))).isNull, col("value"))
-    }
+    // Strict mode fails loudly on the first corrupt line instead of
+    // filtering it away. raise_error's message depends on col("value"),
+    // so the expression is non-foldable — ConstantFolding cannot
+    // pre-evaluate it at plan time — and CaseWhen's lazy branch
+    // evaluation (guaranteed semantics, not an optimizer accident) means
+    // it only fires for rows that actually reach the otherwise branch.
+    val rawElement = if (allowNonKlio) col("value") else
+      raise_error(concat(lit("klio DecodeError: not a klio message: "),
+        col("value"))).cast("string")
     parsed.select(
       when(isKlio, col("m.element"))
         .when(isV1, col("m1.entity_id").cast("string"))

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *
   * Right must be unique per (key, ts) — pre-aggregate if not, or the
   * carried value at a tied timestamp is unspecified.
+  *
+  * Null timestamps: right rows with a null `ts` are dropped (they match
+  * nothing); LEFT rows with a null `ts` sort nulls-first inside their key
+  * and therefore also match nothing — their payload columns come back
+  * null, the same answer DuckDB/pandas ASOF gives.
   */
 object AsofJoin {
 
@@ -28,6 +33,12 @@ object AsofJoin {
     Seq("_asof_src", "_asof_row").foreach { reserved =>
       require(!left.columns.contains(reserved),
         s"left side already has a column named $reserved (reserved)")
+    }
+    // a carried column that shadows an existing left column would be
+    // silently overwritten by the matched right value — refuse instead
+    payloadCols.filter(left.columns.contains).foreach { c =>
+      require(false, s"payload column '$c' collides with a left column — " +
+        "rename one side before the as-of join")
     }
     val l = left.withColumn("_asof_src", lit(1))
     // Carry the whole matched right row as one struct — non-null for every

@@ -183,8 +183,9 @@ object Prelude {
   /** Directory listing as an `element` DataFrame: basenames under `dir`
     * matching `suffix`, suffix stripped — the vectorized stand-in for
     * klio's per-element existence RPC. Listing happens once per batch on
-    * the driver (a metadata op); for object stores with millions of keys,
-    * swap in a distributed listing source keyed the same way.
+    * the driver (a metadata op) — the fast path for directories that fit
+    * one RPC; [[distributedListingFor]] is the same contract for object
+    * stores with millions of keys.
     */
   def listingFor(spark: SparkSession, dir: String, suffix: String)
       : DataFrame = {
@@ -198,5 +199,35 @@ object Prelude {
         .map(_.dropRight(suffix.length))
     import spark.implicits._
     names.toDF("element")
+  }
+
+  /** [[listingFor]] through Spark's file-source index instead of a
+    * driver `listStatus`: the `binaryFile` source discovers files with a
+    * distributed listing job once the path count crosses
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold`, and the
+    * projection keeps only `path`, so file CONTENT is pruned at the scan
+    * — no byte of data is read, only metadata. Same (element) contract,
+    * so the existence-check joins are interchangeable between the two;
+    * use this for object-store prefixes with millions of keys where a
+    * single driver listing RPC stalls the batch.
+    */
+  def distributedListingFor(spark: SparkSession, dir: String,
+      suffix: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    if (!fs.exists(path)) Seq.empty[String].toDF("element")
+    else {
+      val glob = if (suffix.nonEmpty) s"*$suffix" else "*"
+      val name = substring_index(col("path"), "/", -1)
+      val element =
+        if (suffix.isEmpty) name
+        else name.substr(lit(1), length(name) - suffix.length)
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .select(element.as("element"))
+    }
   }
 }

@@ -21,18 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** `saltCols` restricts which big-side columns feed the salt hash:
+    * xxhash64 fails analysis on unhashable column types (MapType), and
+    * hashing a narrower distinguishing subset (e.g. an id + timestamp)
+    * decouples salt distribution from wide payloads. Empty (default) =
+    * all columns.
+    */
   def apply(big: DataFrame, small: DataFrame, key: String,
-      salts: Int): DataFrame = {
+      salts: Int, saltCols: Seq[String] = Seq.empty): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // DETERMINISTIC salt (hash of the full row): a nondeterministic salt
-    // (row id, rand) re-salts rows differently when a stage partially
+    // DETERMINISTIC salt (hash of big-side columns): a nondeterministic
+    // salt (row id, rand) re-salts rows differently when a stage partially
     // retries after a fetch failure, so a row can land in zero or two
     // reduce partitions and the join silently loses/duplicates rows (the
-    // SPARK-23207 hazard). The tradeoff: byte-identical duplicate rows
-    // share a salt and don't spread — hot KEYS with varying payloads (the
-    // actual skew case) spread fine.
+    // SPARK-23207 hazard). The tradeoff: rows identical in the hashed
+    // columns share a salt and don't spread — hot KEYS with varying
+    // payloads (the actual skew case) spread fine.
+    val hashed = if (saltCols.isEmpty) big.columns.toSeq else saltCols
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong)))
+      pmod(xxhash64(hashed.map(col): _*), lit(salts.toLong)))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

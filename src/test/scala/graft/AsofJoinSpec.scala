@@ -28,4 +28,28 @@ class AsofJoinSpec extends AnyFunSuite {
       .select(col("v")).as[Long].collect()
     assert(out.toSeq == Seq(7L))
   }
+
+  test("a payload column colliding with a left column is refused") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, 10L, "keep")).toDF("k", "ts", "v")
+    val right = Seq((1L, 5L, 99L)).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin(left, right, "k", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
+  test("null left timestamps match nothing (DuckDB/pandas parity)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, Option(20L), "has_ts"), (1L, Option.empty[Long], "no_ts"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, 100L)).toDF("k", "ts", "v")
+    val out = AsofJoin(left, right, "k", "ts", Seq("v"))
+      .select(col("tag"), col("v")).collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(out("has_ts").contains(100L))
+    assert(out("no_ts").isEmpty)
+  }
 }

@@ -93,6 +93,65 @@ class ConfigSpec extends AnyFunSuite {
     assert(v("paths") === Seq("gs://bucket/path", "hdfs://nn:8020/data"))
   }
 
+  test("overrides update existing keys and create new io entries by path") {
+    // reference _apply_overrides (_preprocessing.py:162-214): dotted paths
+    // against the name-transformed io sections, missing levels created
+    val cfg = KlioConfig.fromYaml(yaml, Map("base" -> "/tmp/x"), Seq(
+      "job_name=overridden-job",
+      "job_config.events.inputs.file0.location=/elsewhere/in.txt",
+      "job_config.events.outputs.file1.type=file",
+      "job_config.events.outputs.file1.location=/second/out"))
+    assert(cfg.jobName === "overridden-job")
+    assert(cfg.jobConfig.events.inputs.head.location === "/elsewhere/in.txt")
+    // override-created second output appends after the original
+    assert(cfg.jobConfig.events.outputs.map(_.location)
+      === Seq("/tmp/x/out", "/second/out"))
+  }
+
+  test("override values scalar-parse so flags land as booleans") {
+    val cfg = KlioConfig.fromYaml(yaml, Map("base" -> "/t"),
+      Seq("job_config.allow_non_klio_messages=true",
+        "job_config.data.inputs.gcs0.ping=true"))
+    assert(cfg.jobConfig.allowNonKlioMessages)
+    assert(cfg.jobConfig.data.inputs.head.ping)
+  }
+
+  test("io entries with an explicit name are addressable by it") {
+    val named = yaml.replace("      - type: gcs\n        location: " +
+      "${base}/audio_in", "      - type: gcs\n        name: main_audio\n" +
+      "        location: ${base}/audio_in")
+    val cfg = KlioConfig.fromYaml(named, Map("base" -> "/t"),
+      Seq("job_config.data.inputs.main_audio.file_suffix=.wav"))
+    assert(cfg.jobConfig.data.inputs.head.fileSuffix === ".wav")
+  }
+
+  test("malformed overrides and missing template vars fail fast") {
+    intercept[IllegalArgumentException] {
+      KlioConfig.fromYaml(yaml, Map("base" -> "/t"), Seq("job_name"))
+    }
+    intercept[RuntimeException] {
+      KlioConfig.fromYaml(yaml) // ${base} never provided
+    }
+  }
+
+  test("plugin preprocessors rewrite the parsed dict before validation") {
+    import graft.config.KlioConfigPreprocessor
+    KlioConfigPreprocessor.addPluginPreprocessor { d =>
+      d.updated("job_name", d("job_name").toString + "-plugged")
+    }
+    try {
+      val cfg = KlioConfig.fromYaml(yaml, Map("base" -> "/t"))
+      assert(cfg.jobName === "batch-modular-default-plugged")
+    } finally KlioConfigPreprocessor.clearPluginPreprocessors()
+  }
+
+  test("bare $var templating substitutes like ${var}") {
+    val cfg = KlioConfig.fromYaml(
+      yaml.replace("${base}/batch_track_ids.txt", "$base/tracks.txt"),
+      Map("base" -> "/bare"))
+    assert(cfg.jobConfig.events.inputs.head.location === "/bare/tracks.txt")
+  }
+
   test("bq output schema fields parse into a StructType") {
     val cfg = KlioConfig.fromYaml(
       """version: 2

@@ -25,6 +25,33 @@ class PreludeSpec extends AnyFunSuite {
       KlioMetadata(force = force, ping = ping,
         intendedRecipients = recipients))
 
+  test("distributed listing routes identically to the driver listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-listing")
+    // many files, mixed suffixes — only .wav entries are data
+    (0 until 40).foreach { i =>
+      java.nio.file.Files.writeString(dir.resolve(s"track-$i.wav"), "x")
+    }
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "x")
+    val driver = Prelude.listingFor(spark, dir.toString, ".wav")
+    val dist = Prelude.distributedListingFor(spark, dir.toString, ".wav")
+    val driverSet = driver.collect().map(_.getString(0)).toSet
+    assert(driverSet === (0 until 40).map(i => s"track-$i").toSet)
+    assert(dist.collect().map(_.getString(0)).toSet === driverSet)
+    // identical prelude routing through either listing
+    val messages = Seq(msg("track-3"), msg("track-39"), msg("gone")).toDS()
+      .toDF()
+    def route(listing: org.apache.spark.sql.DataFrame) = {
+      val (found, missing) = Prelude.splitInputExists(messages, listing)
+      (found.collect().map(_.getString(0)).toSet,
+        missing.collect().map(_.getString(0)).toSet)
+    }
+    assert(route(driver) === route(dist))
+    assert(route(dist) === ((Set("track-3", "track-39"), Set("gone"))))
+    // a missing directory lists as empty, not an error
+    assert(Prelude.distributedListingFor(spark,
+      dir.resolve("nope").toString, ".wav").count() === 0)
+  }
+
   test("standard prelude routes ping/force/exists/missing correctly") {
     val messages = Seq(
       msg("fresh"), // no output yet, input present → process

@@ -24,4 +24,22 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq)
     assert(plain.length == 50 * 2 + 1) // hot key x2 matches + key 2
   }
+
+  test("saltCols salts unhashable-payload rows by the chosen subset") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a map payload would fail xxhash64 over all columns — restrict the
+    // salt hash to the hashable subset
+    val big = ((1 to 20).map(i => (1L, s"b$i", Map("m" -> i))) ++
+      Seq((2L, "x", Map("m" -> 0)))).toDF("k", "bv", "mp")
+    val small = Seq((1L, "s1"), (2L, "s2")).toDF("k", "sv")
+    val plain = big.join(small, Seq("k"))
+      .select(col("k"), col("bv"), col("sv"))
+      .collect().map(_.toString).sorted
+    val salted = SkewJoin(big, small, "k", salts = 4,
+        saltCols = Seq("k", "bv"))
+      .select(col("k"), col("bv"), col("sv"))
+      .collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
 }

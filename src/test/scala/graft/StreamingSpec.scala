@@ -61,6 +61,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length === 2) // track_a + track_ping processed, lost dropped
   }
 
+  test("e2e golden: checkpoint restart resumes mid-stream without replay") {
+    // the reference's read-file streaming integration shape: file-append
+    // publishes → prelude → transform → wire out, with a mid-stream
+    // restart from the checkpoint — wave 1 must NOT be reprocessed
+    val base = Files.createTempDirectory("graft-restart").toString
+    Seq("s1", "s2", "s3", "s4").foreach(e =>
+      write(s"$base/audio_in/$e.ogg", "x"))
+    val cfg = KlioConfig.fromYaml(
+      s"""version: 2
+         |job_name: restart-job
+         |pipeline_options:
+         |  streaming: True
+         |  project: test-project
+         |job_config:
+         |  allow_non_klio_messages: True
+         |  events:
+         |    inputs:
+         |      - type: file
+         |        location: $base/in
+         |    outputs:
+         |      - type: file
+         |        location: $base/out
+         |  data:
+         |    inputs:
+         |      - type: gcs
+         |        location: $base/audio_in
+         |        file_suffix: .ogg
+         |""".stripMargin)
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.run(spark, cfg, s"$base/in", s"$base/out",
+        s"$base/ckpt", batch => batch.withColumn("payload",
+          concat(lit("done:"), col("element")))).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    write(s"$base/in/wave1.txt", Seq("s1", "s2").mkString("\n"))
+    runOnce() // first run consumes wave 1, then the query stops
+    write(s"$base/in/wave2.txt", Seq("s3", "s4").mkString("\n"))
+    runOnce() // restart from checkpoint picks up ONLY wave 2
+    val out = spark.read.text(s"$base/out").collect().map(_.getString(0))
+    // golden: every element exactly once, transformed — a replayed wave 1
+    // would double s1/s2; a lost checkpoint would drop s3/s4
+    Seq("s1", "s2", "s3", "s4").foreach { e =>
+      assert(out.count(_.contains(s"done:$e")) === 1, s"element $e")
+    }
+    assert(out.length === 4)
+  }
+
   test("windowed counts with watermark over the events stream") {
     val base = Files.createTempDirectory("graft-window").toString
     // drive the stream from the static events parquet (ts is epoch nanos)
