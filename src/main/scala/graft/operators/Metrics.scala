@@ -22,6 +22,32 @@ object Metrics {
     */
   val collected: TrieMap[(String, String), Long] = TrieMap.empty
 
+  /** Relay client (AbstractRelayClient parity, metrics base.py /
+    * shumway.py:76-272): every observed metric fans out to each
+    * registered relay from the listener thread — off the hot path, like
+    * the reference's 2-thread dispatcher pool (dispatcher.py:47-260). A
+    * relay that throws is isolated (a flaky metrics sink must never fail
+    * the query's listener).
+    */
+  trait Relay {
+    def emit(observation: String, metric: String, value: Long): Unit
+  }
+
+  /** MetricsLoggerClient parity (logger.py:66-288): one log line per
+    * metric via log4j.
+    */
+  object LoggerRelay extends Relay {
+    private lazy val log =
+      org.apache.log4j.Logger.getLogger("graft.klio.metrics")
+    def emit(observation: String, metric: String, value: Long): Unit =
+      log.info(s"[$observation] $metric=$value")
+  }
+
+  @volatile private var relays: Vector[Relay] = Vector.empty
+
+  def addRelay(r: Relay): Unit = synchronized { relays = relays :+ r }
+  def clearRelays(): Unit = synchronized { relays = Vector.empty }
+
   // Listener registration is per-SparkSession, so the guard must be too —
   // a JVM-global flag would leave every session after the first unmetered.
   private val installedSessions =
@@ -33,13 +59,20 @@ object Metrics {
         durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (name, row) =>
         row.schema.fieldNames.foreach { f =>
-          row.getAs[Any](f) match {
-            case l: Long => collected.put((name, f), l)
-            case i: Int => collected.put((name, f), i.toLong)
+          val v: Option[Long] = row.getAs[Any](f) match {
+            case l: Long => Some(l)
+            case i: Int => Some(i.toLong)
             // gauge/timer means arrive as doubles; stored rounded (klio
             // relays emit integral ns/values, logger.py:176-208)
-            case d: Double => collected.put((name, f), math.round(d))
-            case _ => ()
+            case d: Double => Some(math.round(d))
+            case _ => None
+          }
+          v.foreach { value =>
+            collected.put((name, f), value)
+            relays.foreach { r =>
+              try r.emit(name, f, value)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
           }
         }
       }

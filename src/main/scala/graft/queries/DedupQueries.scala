@@ -238,12 +238,13 @@ object DedupQueries {
     val pairs = vocabOf(base) match {
       case Some(vocab) =>
         val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        // corpus-size gate for the scan's broadcast — a one-pass count on
-        // the already-cached projection
-        val nDocs = base.count()
+        // corpus-size gate for the scan's broadcast — a parquet-metadata
+        // count on the source table (running count() on `base` instead
+        // would force the shingle UDF over the corpus just to count rows)
+        val nDocs = Tables.documents(s, dir).count()
+        // unsorted: every caller sorts after materializing (finishReleasing)
         bitsetPairScan(encodeBitsets(base, vocab, par), tau, nDocs, s)
           .select(col("ia"), col("ib"), col("jac"))
-          .orderBy(col("ia"), col("ib"))
       case None => jaccardPPJoin(base, tau)
     }
     (pairs, base)

@@ -89,6 +89,28 @@ class WireV1MetricsSpec extends AnyFunSuite {
     assert(Metrics.collected(("timer_obs", "kmsg-retry-attempt")) === 1L)
   }
 
+  test("registered relay clients receive every observed metric") {
+    Metrics.install(spark)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]
+    val relay = new Metrics.Relay {
+      def emit(o: String, m: String, v: Long): Unit = got.add((o, m, v))
+    }
+    // a throwing relay must not poison the healthy one
+    Metrics.addRelay((_, _, _) => sys.error("flaky sink"))
+    Metrics.addRelay(relay)
+    try {
+      val df = Seq("a", "b").toDF("element")
+      Metrics.counted(df, "relay_obs", "kmsg-read").count()
+      var waited = 0
+      while (!got.toArray.exists(_.asInstanceOf[(String, String, Long)]
+          ._1 == "relay_obs") && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(got.toArray.map(_.asInstanceOf[(String, String, Long)])
+        .contains(("relay_obs", "kmsg-read", 2L)))
+    } finally Metrics.clearRelays()
+  }
+
   test("gauge observes an aggregate value under a metric name") {
     Metrics.install(spark)
     val df = Seq(3L, 9L, 6L).toDF("v")
