@@ -108,4 +108,34 @@ object TextFunctions {
       .when(cFr >= cEs, "fr")
       .otherwise("es")
   }
+
+  // PII scrubbing (training-data pipeline surface): regex-based
+  // redaction of the high-frequency identifier classes. regexp_replace
+  // is codegen'd — a per-row scan, no shuffle, linear at 100 TB.
+  // Email before IP before phone: an all-digit pattern applied first
+  // would eat the octets of an IPv4 or the local part of an address.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d{1,3}[- .]?\\(?\\d{3}\\)?[- .]?\\d{3}[- .]?\\d{4}"
+
+  /** Redact emails, IPv4 addresses, and phone numbers with typed
+    * placeholders — the scrub step before near-dup/quality filtering in
+    * a training-data pipeline.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-class PII match counts (audit/reporting side of the scrub). */
+  def piiCounts(c: Column): Column = struct(
+    size(call_function("regexp_extract_all", c, lit(EmailRe), lit(0)))
+      .as("emails"),
+    size(call_function("regexp_extract_all", c, lit(Ipv4Re), lit(0)))
+      .as("ips"),
+    size(call_function("regexp_extract_all",
+      regexp_replace(regexp_replace(c, EmailRe, " "), Ipv4Re, " "),
+      lit(PhoneRe), lit(0))).as("phones"))
 }

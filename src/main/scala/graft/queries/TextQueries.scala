@@ -188,13 +188,113 @@ object TextQueries {
       |SELECT doc_id, rk, term, score FROM r WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Per-document repetition metrics (the Gopher/C4 quality-rule
+    * family): duplicate-word fraction, top-word fraction (most frequent
+    * token's share), duplicate-bigram fraction — the signals repetitive
+    * machine-generated text trips. All from exact integers; each double
+    * is one IEEE division. The top-word count is an explode → two-level
+    * aggregate (map-side combined, shuffle at distinct-(doc,term)
+    * volume); the bigram stats are per-row higher-order functions —
+    * nothing here shuffles corpus text.
+    */
+  def tRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+    val top = docs.select(col("doc_id"), explode(tokens(col("text")))
+        .as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id")).agg(max(col("tf")).as("top_tf"))
+    val bg = filter(wordBigrams(col("text")), _.isNotNull)
+    val base = docs.select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      typeCount(col("text")).as("n_types"),
+      size(array_distinct(bg)).as("n_dbg"), size(bg).as("n_bg"))
+    base.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_types")).cast("double") /
+          col("n_tokens").cast("double")).as("dup_word_frac"),
+        (col("top_tf").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_frac"),
+        ((col("n_bg") - col("n_dbg")).cast("double") /
+          col("n_bg").cast("double")).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tRepetitionOracle: String =
+    """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |u AS (SELECT doc_id, tok FROM t, unnest(toks) AS s(tok)),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      |top AS (SELECT doc_id, MAX(c) AS top_tf FROM tf GROUP BY 1),
+      |b AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+      |    list_filter(list_transform(list_zip(toks, toks[2:]),
+      |      z -> z[1] || ' ' || z[2]), x -> x IS NOT NULL) AS bg
+      |  FROM t)
+      |SELECT b.doc_id, n AS n_tokens,
+      |  CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) AS dup_word_frac,
+      |  CAST(top_tf AS DOUBLE) / CAST(n AS DOUBLE) AS top_word_frac,
+      |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+      |    / CAST(len(bg) AS DOUBLE) AS dup_bigram_frac
+      |FROM b JOIN top ON b.doc_id = top.doc_id ORDER BY b.doc_id""".stripMargin
+
+  /** Corpus quality FILTER (the C4/Gopher keep/drop decision): each doc
+    * gets the first matching drop reason — too short, repetitive
+    * (duplicate-word fraction), low diversity (top-word share) — or
+    * `keep`; output is the per-reason census. The decision is a narrow
+    * per-row expression over exact-integer-derived doubles (identical
+    * IEEE comparisons both engines), so at 100 TB this is a single scan
+    * plus a 4-group aggregate.
+    */
+  def tQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val top = docs.select(col("doc_id"), explode(tokens(col("text")))
+        .as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id")).agg(max(col("tf")).as("top_tf"))
+    val n = tokenCount(col("text"))
+    val dupFrac = (n - typeCount(col("text"))).cast("double") /
+      n.cast("double")
+    val topFrac = col("top_tf").cast("double") / n.cast("double")
+    val reason = when(n < 20, "too_short")
+      .when(dupFrac > 0.6, "repetitive")
+      .when(topFrac > 0.15, "low_diversity")
+      .otherwise("keep")
+    docs.join(top, Seq("doc_id"))
+      .select(col("doc_id"), reason.as("reason"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+      .orderBy(col("reason"))
+  }
+
+  val tQualityFilterOracle: String =
+    """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |u AS (SELECT doc_id, tok FROM t, unnest(toks) AS s(tok)),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      |top AS (SELECT doc_id, MAX(c) AS top_tf FROM tf GROUP BY 1),
+      |m AS (SELECT t.doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+      |    top_tf FROM t JOIN top ON t.doc_id = top.doc_id),
+      |r AS (SELECT doc_id, CASE
+      |    WHEN n < 20 THEN 'too_short'
+      |    WHEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) > 0.6
+      |      THEN 'repetitive'
+      |    WHEN CAST(top_tf AS DOUBLE) / CAST(n AS DOUBLE) > 0.15
+      |      THEN 'low_diversity'
+      |    ELSE 'keep' END AS reason FROM m)
+      |SELECT reason, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS checksum
+      |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
     "t3_langid" -> (tLangId _),
     "t4_fingerprint" -> (tFingerprint _),
     "t5_bigrams" -> (tBigrams _),
-    "t6_tfidf" -> (tTfidf _))
+    "t6_tfidf" -> (tTfidf _),
+    "t7_repetition" -> (tRepetition _),
+    "t8_quality_filter" -> (tQualityFilter _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -202,5 +302,7 @@ object TextQueries {
     "t3_langid" -> tLangIdOracle,
     "t4_fingerprint" -> tFingerprintOracle,
     "t5_bigrams" -> tBigramsOracle,
-    "t6_tfidf" -> tTfidfOracle)
+    "t6_tfidf" -> tTfidfOracle,
+    "t7_repetition" -> tRepetitionOracle,
+    "t8_quality_filter" -> tQualityFilterOracle)
 }

@@ -23,6 +23,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows(3) === Seq("a b", "b c"))
   }
 
+  test("PII redaction scrubs emails, IPs, and phones with typed tags") {
+    val df = Seq(
+      "contact jane.doe+x@example.co.uk or call +1 555-867-5309 now",
+      "server at 192.168.1.254 responded",
+      "clean text with no identifiers",
+      "two mails a@b.io c@d.org and host 10.0.0.1").toDF("text")
+    val out = df.select(redactPii(col("text")).as("r"),
+      piiCounts(col("text")).as("c")).collect()
+    assert(out(0).getString(0) === "contact <EMAIL> or call <PHONE> now")
+    assert(out(1).getString(0) === "server at <IP> responded")
+    assert(out(2).getString(0) === "clean text with no identifiers")
+    assert(out(3).getString(0) === "two mails <EMAIL> <EMAIL> and host <IP>")
+    val c0 = out(0).getStruct(1)
+    assert((c0.getInt(0), c0.getInt(1), c0.getInt(2)) === ((1, 0, 1)))
+    val c3 = out(3).getStruct(1)
+    assert((c3.getInt(0), c3.getInt(1), c3.getInt(2)) === ((2, 1, 0)))
+  }
+
   test("simhash over empty feature set is total but deterministic") {
     val df = Seq("", "x y").toDF("text")
     // must not throw on the empty-features row
