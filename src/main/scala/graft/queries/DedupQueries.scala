@@ -662,6 +662,43 @@ object DedupQueries {
       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
       |SELECT ia, ib, cos FROM p WHERE cos >= 0.4 ORDER BY ia, ib""".stripMargin
 
+  /** Benchmark-contamination check — the decontamination step of a
+    * training-data pipeline: fraction of each corpus document's 3-gram
+    * shingles that appear anywhere in a held-out benchmark set (here:
+    * doc_id < 10 stands in for the eval suite). The scale shape is the
+    * whole point: benchmark suites are SMALL by construction, so their
+    * distinct shingle vocabulary collects to the driver once (bounded,
+    * like [[vocabOf]]) and ships to executors in the kernel's closure —
+    * the corpus then streams through ONE scan with a per-row sorted-merge
+    * intersection ([[graft.expressions.SortedIntersectCount]]). Zero
+    * shuffles, no join, linear at 100 TB.
+    */
+  def dContamination(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"))
+    val bench: Array[Long] = docs.filter(col("doc_id") < 10)
+      .select(explode(col("gs")).as("g")).distinct()
+      .as[Long].collect().sorted
+    docs.filter(col("doc_id") >= 10 && col("doc_id") < 110)
+      .select(col("doc_id"), size(col("gs")).as("n_shingles"),
+        intersectSortedCount(col("gs"), typedLit(bench)).as("n_overlap"))
+      .withColumn("contamination", col("n_overlap").cast("double") /
+        col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dContaminationOracle: String =
+    """WITH s AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS gs FROM documents),
+      |bench AS (SELECT list_distinct(flatten(list(gs))) AS bl FROM s WHERE doc_id < 10),
+      |c AS (SELECT doc_id, len(gs) AS n, len(list_intersect(gs, bl)) AS k
+      |  FROM s CROSS JOIN bench WHERE doc_id >= 10 AND doc_id < 110)
+      |SELECT doc_id, n AS n_shingles, k AS n_overlap,
+      |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS contamination
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (dExact _),
     "d2_jaccard_neardup" -> (dJaccard _),
@@ -670,7 +707,8 @@ object DedupQueries {
     "d5_embed_neardup" -> (dEmbed _),
     "d6_cluster" -> (dCluster _),
     "d7_minhash_merge" -> (dMinhashMerge _),
-    "d8_embed_lsh" -> (dEmbedLsh _))
+    "d8_embed_lsh" -> (dEmbedLsh _),
+    "d9_contamination" -> (dContamination _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -680,5 +718,6 @@ object DedupQueries {
     "d5_embed_neardup" -> dEmbedOracle,
     "d6_cluster" -> dClusterOracle,
     "d7_minhash_merge" -> dMinhashMergeOracle,
-    "d8_embed_lsh" -> dEmbedLshOracle)
+    "d8_embed_lsh" -> dEmbedLshOracle,
+    "d9_contamination" -> dContaminationOracle)
 }

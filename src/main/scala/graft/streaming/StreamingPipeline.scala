@@ -101,4 +101,25 @@ object StreamingPipeline {
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Watermarked stream-stream inner join (beyond the reference — core
+    * Structured Streaming surface): rows pair on `key` when the right
+    * event time falls within [left − bound, left + bound]. BOTH sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so the state store can evict rows once the watermark passes —
+    * without the time bound, stream-stream join state grows forever. At
+    * scale, state is partitioned by the join key like any shuffle.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermark: String,
+      bound: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, s"${key}_r")
+    l.join(r,
+      col(key) === col(s"${key}_r") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
+      .drop(s"${key}_r")
+  }
 }

@@ -131,6 +131,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(complete > 0)
   }
 
+  test("stream-stream join pairs rows within the event-time bound") {
+    val base = Files.createTempDirectory("graft-ssjoin").toString
+    write(s"$base/l/b1.txt", Seq("k1", "k2", "k3").mkString("\n"))
+    write(s"$base/r/b1.txt", Seq("k1", "k2").mkString("\n"))
+    // explicit per-element event times via a when-chain
+    val lts = when(col("element") === "k1", 10)
+      .when(col("element") === "k2", 20).otherwise(30)
+    val l = StreamingPipeline.readEvents(spark, s"$base/l")
+      .withColumn("lts", timestamp_seconds(lit(1700000000L) + lts))
+    // k1 arrives 5s after its left row (inside the 10s bound);
+    // k2 arrives 60s after (outside) — must not pair
+    val rts = when(col("element") === "k1", 15).otherwise(80)
+    val r = StreamingPipeline.readEvents(spark, s"$base/r")
+      .select(col("element"),
+        timestamp_seconds(lit(1700000000L) + rts).as("rts"))
+    val joined = StreamingPipeline.streamStreamJoin(
+      l.select(col("element"), col("lts")), r,
+      "element", "lts", "rts", "1 minute", "10 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try q.processAllAvailable() finally q.stop()
+    val els = spark.sql("SELECT element FROM ssj")
+      .collect().map(_.getString(0)).sorted
+    assert(els === Array("k1"), "only the in-bound pair joins")
+  }
+
   test("dedup by element within watermark") {
     val base = Files.createTempDirectory("graft-dedup").toString
     write(s"$base/in/b1.txt", Seq("dup", "dup", "uniq").mkString("\n"))
