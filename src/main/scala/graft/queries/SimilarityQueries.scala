@@ -255,15 +255,90 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
       |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** IVF coarse-quantizer TRAINING: two unrolled Lloyd (k-means)
+    * iterations with k=8, seeded by the first 8 vectors. Each iteration
+    * is the canonical distributed shape — centroids broadcast, one
+    * corpus scan for assignment, then a posexplode + two-level aggregate
+    * (map-side combined, shuffle at k×dim rows) for the new means. Two
+    * fixed iterations keep the oracle replayable; a production loop
+    * iterates to movement-threshold with `localCheckpoint` per round
+    * like [[graft.queries.DedupQueries.dCluster]]. Arithmetic stays
+    * engine-exact: integer sums → one double division per component,
+    * distances folded in index order.
+    */
+  def s5KmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val init = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("clabel"),
+        transform(col("v"), _.cast("double")).as("c"))
+    def assign(cent: DataFrame): DataFrame =
+      centroidRanked(e, cent)
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("clabel").as("cluster"))
+    val a1 = assign(init)
+    val cent2 = a1
+      .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cluster"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("i"),
+        (col("sx").cast("double") / col("cnt").cast("double")).as("m"))))
+        .as("pairs"))
+      .select(col("cluster").as("clabel"),
+        transform(col("pairs"), p => p.getField("m")).as("c"))
+    assign(cent2)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("checksum"))
+      .orderBy(col("cluster"))
+  }
+
+  val s5Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |init AS (SELECT CAST(vec_id AS INT) AS clabel,
+      |    list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+      |  FROM q WHERE vec_id < 8),
+      |d1 AS (SELECT q.vec_id, q.v, init.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) AS dist
+      |  FROM q CROSS JOIN init),
+      |a1 AS (SELECT vec_id, v, clabel AS cluster FROM (
+      |    SELECT vec_id, v, clabel,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |    FROM d1) WHERE rk = 1),
+      |comp AS (SELECT cluster, CAST(i AS INT) AS i,
+      |    SUM(v[CAST(i AS INT)]) AS sx, COUNT(*) AS cnt
+      |  FROM a1, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent2 AS (SELECT cluster AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) AS c
+      |  FROM comp GROUP BY cluster),
+      |d2 AS (SELECT q.vec_id, cent2.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) AS dist
+      |  FROM q CROSS JOIN cent2),
+      |a2 AS (SELECT vec_id, clabel AS cluster FROM (
+      |    SELECT vec_id, clabel,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |    FROM d2) WHERE rk = 1)
+      |SELECT cluster, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS checksum
+      |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ivf_assign" -> (s3IvfAssign _),
-    "s4_ivf_probe" -> (s4IvfProbe _))
+    "s4_ivf_probe" -> (s4IvfProbe _),
+    "s5_kmeans_train" -> (s5KmeansTrain _))
 
   val oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Oracle,
     "s2_ann_lsh" -> s2Oracle,
     "s3_ivf_assign" -> s3Oracle,
-    "s4_ivf_probe" -> s4Oracle)
+    "s4_ivf_probe" -> s4Oracle,
+    "s5_kmeans_train" -> s5Oracle)
 }
