@@ -14,13 +14,15 @@ import graft.functions.Dsp
   * (path, modificationTime, length, content), and everything downstream is
   * ordinary column logic with full pruning/pushdown.
   *
-  * Decode reality in this container: WAV decode is real ([[Dsp]]); image /
-  * video codecs do not exist offline, so [[decodeImageStub]] /
-  * [[sampleFramesStub]] are clearly-marked deterministic fakes — the Spark
-  * plumbing around them (schema, batching, partitioning) is real and
-  * tested, and swapping the stub body for an actual codec (JNI/javacv, or
-  * a Python `mapInPandas` stage in a PySpark deployment) changes no schema
-  * or plan shape.
+  * Decode reality in this container: WAV decode is real ([[Dsp]]), and
+  * image decode/resize is REAL for JDK-native formats (PNG/JPEG/BMP/GIF
+  * via `javax.imageio` — [[decodeImage]], [[resizeImage]]). Only formats
+  * outside the JDK codec set (webp/heic/video containers) fall back to
+  * the clearly-marked deterministic fakes [[decodeImageStub]] /
+  * [[sampleFramesStub]] — the Spark plumbing around them (schema,
+  * batching, partitioning) is identical, so swapping a stub body for an
+  * actual codec (JNI/javacv, or a Python `mapInPandas` stage) changes no
+  * schema or plan shape.
   */
 object Multimodal {
 
@@ -70,11 +72,104 @@ object Multimodal {
         col("decoded._2").as("sample_rate"))
   }
 
-  /** STUB image decode — deterministic fake: pretends every blob is an
+  /** REAL image decode for JDK-native formats (PNG / JPEG / BMP / GIF /
+    * WBMP via `javax.imageio` — no external codec): dimensions, channel
+    * count, and a 16-feature descriptor (4×4 grid of mean luminance,
+    * integer-summed then one float division per block — deterministic
+    * across JVMs). Batched per partition like a real codec stage; blobs
+    * ImageIO cannot parse are skipped (route them to [[decodeImageStub]]
+    * or a drop channel upstream).
+    */
+  def decodeImage(files: Dataset[MediaFile]): Dataset[ImageFeatures] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.content))
+        catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val h = img.getHeight
+          val w = img.getWidth
+          val feats = new Array[Float](16)
+          var by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val yLo = by * h / 4
+              val yHi = math.max(yLo + 1, (by + 1) * h / 4)
+              val xLo = bx * w / 4
+              val xHi = math.max(xLo + 1, (bx + 1) * w / 4)
+              var sum = 0L
+              var n = 0L
+              var y = yLo
+              while (y < yHi && y < h) {
+                var x = xLo
+                while (x < xHi && x < w) {
+                  val rgb = img.getRGB(x, y)
+                  // integer ITU-R 601 luma ×1000 — exact, no float order
+                  sum += ((rgb >> 16) & 0xff) * 299L +
+                    ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              feats(by * 4 + bx) =
+                (sum.toDouble / (n * 255000.0)).toFloat
+              bx += 1
+            }
+            by += 1
+          }
+          Some(ImageFeatures(f.element, h, w,
+            img.getColorModel.getNumComponents, feats.toSeq))
+        }
+      }
+    }
+  }
+
+  /** REAL nearest-neighbor image resize: decode (JDK formats), NN-sample
+    * to `outH`×`outW` (source pixel = (y·h/outH, x·w/outW) — pure integer
+    * arithmetic, bit-deterministic unlike Graphics2D interpolation),
+    * re-encode PNG. Output (element, png) feeds
+    * [[graft.multimodal.Plots.uploadPlots]] or any binary sink.
+    */
+  def resizeImage(files: Dataset[MediaFile], outH: Int, outW: Int)
+      : DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.content))
+        catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(outW, outH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              out.setRGB(x, y,
+                img.getRGB(x * img.getWidth / outW, y * img.getHeight / outH))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Some((f.element, baos.toByteArray))
+        }
+      }
+    }.toDF("element", "png")
+  }
+
+  /** STUB image decode — deterministic fake for formats outside the JDK's
+    * codec set (webp, heic, raw video frames): pretends every blob is an
     * 8x8x3 image and derives 16 features from a rolling hash of the bytes.
     * Batched per partition (the Scala-native shape of `mapInPandas`): one
     * buffer reuse per batch, no per-row setup cost — exactly where a real
-    * codec call would go.
+    * codec call would go. JDK-native formats use the REAL [[decodeImage]].
     */
   def decodeImageStub(files: Dataset[MediaFile]): Dataset[ImageFeatures] = {
     import files.sparkSession.implicits._

@@ -31,6 +31,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Seq[Float]]("samples").length === 1600)
   }
 
+  test("real image decode reads PNG dims, channels, and block luminance") {
+    import java.awt.image.BufferedImage
+    val base = Files.createTempDirectory("graft-realimg").toString
+    Files.createDirectories(Paths.get(s"$base/img"))
+    // 8×4: left half pure white, right half pure black
+    val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xffffff else 0x000000)
+    javax.imageio.ImageIO.write(img, "png",
+      new java.io.File(s"$base/img/half.png"))
+
+    val files = Multimodal.readMediaDir(spark, s"$base/img", ".png", "image")
+    val f = Multimodal.decodeImage(files).collect().head
+    assert(f.element === "half")
+    assert(f.width === 8 && f.height === 4 && f.channels === 3)
+    assert(f.features.length === 16)
+    // left-column blocks are full luminance, right-column blocks zero
+    assert(f.features(0) === 1.0f && f.features(1) === 1.0f)
+    assert(f.features(2) === 0.0f && f.features(3) === 0.0f)
+  }
+
+  test("real NN resize downsamples with exact integer sampling") {
+    import java.awt.image.BufferedImage
+    val base = Files.createTempDirectory("graft-resize").toString
+    Files.createDirectories(Paths.get(s"$base/img"))
+    // 4×4 checker of 2×2 colored quadrants
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, (x / 2, y / 2) match {
+        case (0, 0) => 0xff0000
+        case (1, 0) => 0x00ff00
+        case (0, 1) => 0x0000ff
+        case _ => 0xffffff
+      })
+    javax.imageio.ImageIO.write(img, "png",
+      new java.io.File(s"$base/img/quad.png"))
+
+    val files = Multimodal.readMediaDir(spark, s"$base/img", ".png", "image")
+    val row = Multimodal.resizeImage(files, 2, 2).collect().head
+    assert(row.getString(0) === "quad")
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+    assert(out.getWidth === 2 && out.getHeight === 2)
+    // NN source pixel for (x,y) is (x*4/2, y*4/2) = top-left of each quadrant
+    assert((out.getRGB(0, 0) & 0xffffff) === 0xff0000)
+    assert((out.getRGB(1, 0) & 0xffffff) === 0x00ff00)
+    assert((out.getRGB(0, 1) & 0xffffff) === 0x0000ff)
+    assert((out.getRGB(1, 1) & 0xffffff) === 0xffffff)
+  }
+
   test("image stub decode has stable schema and deterministic features") {
     val base = Files.createTempDirectory("graft-img").toString
     Files.createDirectories(Paths.get(s"$base/img"))
