@@ -428,6 +428,36 @@ object Relational {
       |  CAST(SUM(cents) AS BIGINT) AS total_cents
       |FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
 
+  /** Pivot (long → wide): per-user event-type spend matrix with an
+    * EXPLICIT pivot value list — the bounded form that scales (an
+    * unlisted pivot first runs a distinct scan to discover columns and
+    * caps at `spark.sql.pivotMaxValues`; listing values keeps this a
+    * single groupBy with 5 conditional aggregates, map-side combined).
+    * Money math in cents (exact longs) per the determinism rule.
+    */
+  def q17Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_type"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"),
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(coalesce(sum(col("cents")), lit(0L)))
+      .orderBy(col("user_id"))
+
+  val q17Oracle: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 30)
+      |SELECT user_id,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN cents END), 0) AS BIGINT) AS click,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN cents END), 0) AS BIGINT) AS error,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN cents END), 0) AS BIGINT) AS purchase,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN cents END), 0) AS BIGINT) AS signup,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN cents END), 0) AS BIGINT) AS view
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -444,7 +474,8 @@ object Relational {
     "q13_rollup" -> (q13Rollup _),
     "q14_percentiles" -> (q14Percentiles _),
     "q15_lag_lead" -> (q15LagLead _),
-    "q16_session_window" -> (q16SessionWindow _))
+    "q16_session_window" -> (q16SessionWindow _),
+    "q17_pivot" -> (q17Pivot _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -462,5 +493,6 @@ object Relational {
     "q13_rollup" -> q13Oracle,
     "q14_percentiles" -> q14Oracle,
     "q15_lag_lead" -> q15Oracle,
-    "q16_session_window" -> q16Oracle)
+    "q16_session_window" -> q16Oracle,
+    "q17_pivot" -> q17Oracle)
 }
