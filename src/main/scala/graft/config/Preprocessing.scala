@@ -29,9 +29,13 @@ object KlioConfigPreprocessor {
     plugins = Vector.empty
   }
 
-  /** Parse `key=value` strings into a map — keys lowercased and all
-    * whitespace stripped, malformed entries fail fast
-    * (`_parse_option_key_val_list`, `_preprocessing.py:216-233`).
+  /** Parse `key=value` strings into a map — keys lowercased, ALL
+    * whitespace stripped from both pieces, and a value containing '='
+    * rejected. Both quirks are deliberate reference parity
+    * (`_parse_option_key_val_list`, `_preprocessing.py:216-233`:
+    * `"".join(p.split())` strips interior whitespace and the unbounded
+    * `split("=")` makes extra '='s malformed) — diverging here would make
+    * CLI overrides behave differently from klio's.
     */
   def parseKeyValList(kvs: Seq[String]): Map[String, String] =
     kvs.map { s =>

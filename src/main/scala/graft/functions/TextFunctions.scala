@@ -129,13 +129,21 @@ object TextFunctions {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Per-class PII match counts (audit/reporting side of the scrub). */
-  def piiCounts(c: Column): Column = struct(
-    size(call_function("regexp_extract_all", c, lit(EmailRe), lit(0)))
-      .as("emails"),
-    size(call_function("regexp_extract_all", c, lit(Ipv4Re), lit(0)))
-      .as("ips"),
-    size(call_function("regexp_extract_all",
-      regexp_replace(regexp_replace(c, EmailRe, " "), Ipv4Re, " "),
-      lit(PhoneRe), lit(0))).as("phones"))
+  /** Per-class PII match counts (audit/reporting side of the scrub).
+    * Each class counts on text with the PRIOR classes blanked — the same
+    * precedence as [[redactPii]] — so counts reconcile exactly with the
+    * number of placeholders the scrub emits (an IP inside an email's
+    * domain is one email, zero IPs, in both).
+    */
+  def piiCounts(c: Column): Column = {
+    val afterEmail = regexp_replace(c, EmailRe, " ")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, " ")
+    struct(
+      size(call_function("regexp_extract_all", c, lit(EmailRe), lit(0)))
+        .as("emails"),
+      size(call_function("regexp_extract_all", afterEmail, lit(Ipv4Re),
+        lit(0))).as("ips"),
+      size(call_function("regexp_extract_all", afterIp, lit(PhoneRe),
+        lit(0))).as("phones"))
+  }
 }

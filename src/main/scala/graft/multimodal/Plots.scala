@@ -152,6 +152,13 @@ object Plots {
   def pngWidth(png: Column): Column = pngDims(png).getField("_1")
   def pngHeight(png: Column): Column = pngDims(png).getField("_2")
 
+  /** MelSpecToPlot parity (audio.py:404-407): the reference runs
+    * `power_to_db(payload, ref=max)` before specshow, so the mel POWER
+    * matrix is dB-scaled first, then rendered.
+    */
+  def melSpecToPlotPng(mel: Column): Column =
+    renderHeatmapPng(graft.functions.AudioFunctions.powerDb(mel))
+
   /** GcsUploadPlot parity (transforms/io.py:115-222): write each row's
     * plot bytes to the SINGLE configured data output as
     * `prefix + element + suffix + file_suffix`, returning (element, path)

@@ -36,10 +36,9 @@ object AsofJoin {
     }
     // a carried column that shadows an existing left column would be
     // silently overwritten by the matched right value — refuse instead
-    payloadCols.filter(left.columns.contains).foreach { c =>
-      require(false, s"payload column '$c' collides with a left column — " +
-        "rename one side before the as-of join")
-    }
+    val colliding = payloadCols.filter(left.columns.contains)
+    require(colliding.isEmpty, s"payload column(s) ${colliding.mkString(", ")} " +
+      "collide with left columns — rename one side before the as-of join")
     val l = left.withColumn("_asof_src", lit(1))
     // Carry the whole matched right row as one struct — non-null for every
     // right row even when its payload VALUES are null, so a NULL in a

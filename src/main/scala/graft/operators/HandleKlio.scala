@@ -77,12 +77,16 @@ object HandleKlio {
       : Dataset[Attempt] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[Attempt]
     ds.map { msg =>
-      val t0 = System.nanoTime()
       var attempt = 0
+      var fnNanos = 0L
       var result: Attempt = null
       var failFast = false
       while (result == null || (!result.ok && !failFast && attempt <= retries)) {
         if (attempt > 0 && retryDelayMs > 0) Thread.sleep(retryDelayMs)
+        // timer covers fn execution only — retry backoff sleeps must not
+        // inflate kmsg-timer (the reference times the wrapped call,
+        // dispatcher.py:209-236)
+        val t0 = System.nanoTime()
         result =
           try Attempt(runOnce(fn, msg, timeoutMs), ok = true, "")
           catch {
@@ -95,9 +99,10 @@ object HandleKlio {
               Attempt(msg, ok = false,
                 s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
+        fnNanos += System.nanoTime() - t0
         attempt += 1
       }
-      result.copy(attempts = attempt, nanos = System.nanoTime() - t0)
+      result.copy(attempts = attempt, nanos = fnNanos)
     }
   }
 

@@ -195,6 +195,10 @@ object Prelude {
     val names: Seq[String] =
       if (!fs.exists(path)) Seq.empty
       else fs.listStatus(path).toSeq.map(_.getPath.getName)
+        // hidden-file convention (matches Spark's file-source index, so
+        // this listing and distributedListingFor stay interchangeable):
+        // '_'/'.' prefixes are metadata (_SUCCESS, .crc), never data
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
         .filter(_.endsWith(suffix))
         .map(_.dropRight(suffix.length))
     import spark.implicits._

@@ -114,12 +114,19 @@ object StreamingPipeline {
       leftTs: String, rightTs: String, watermark: String,
       bound: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
-      .withColumnRenamed(key, s"${key}_r")
-    l.join(r,
-      col(key) === col(s"${key}_r") &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
+    // every right column colliding with a left column gets a _r suffix
+    // (including a shared event-time name like "ts") — the join stays
+    // unambiguous and the output has no duplicate names
+    val collisions = right.columns.filter(left.columns.contains).toSet
+    val renamed = collisions.foldLeft(
+      right.withWatermark(rightTs, watermark)) {
+      (df, c) => df.withColumnRenamed(c, s"${c}_r")
+    }
+    def rcol(c: String) = col(if (collisions(c)) s"${c}_r" else c)
+    l.join(renamed,
+      col(key) === rcol(key) &&
+        rcol(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
+        rcol(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
       .drop(s"${key}_r")
   }
 }

@@ -37,7 +37,7 @@ class AsofJoinSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       AsofJoin(left, right, "k", "ts", Seq("v"))
     }
-    assert(e.getMessage.contains("collides"))
+    assert(e.getMessage.contains("collide"))
   }
 
   test("null left timestamps match nothing (DuckDB/pandas parity)") {

@@ -57,6 +57,21 @@ class PlotsSpec extends AnyFunSuite {
     assert(pixels.count(_ == 0xffffff) > pixels.length / 2, "white canvas")
   }
 
+  test("mel-spec plot dB-scales the power matrix before rendering") {
+    import spark.implicits._
+    // two frames of mel POWER; after power_to_db(ref=max) the max cell
+    // is 0 dB (bright anchor) and tiny cells clamp to -80 dB (dark)
+    val mel = Seq(Seq(1e-9f, 1f), Seq(1e-9f, 1e-9f))
+    val png = Seq(Tuple1(mel)).toDF("m")
+      .select(Plots.melSpecToPlotPng(col("m")).as("png"))
+      .collect().head.getAs[Array[Byte]](0)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    // frame 0, mel band 1 (top-left pixel) holds the 0 dB max
+    assert((img.getRGB(0, 0) & 0xffffff) == 0xfde725)
+    assert((img.getRGB(1, 0) & 0xffffff) == 0x440154)
+  }
+
   test("uploadPlots writes element-keyed files and yields their paths") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("graft-plots").toString

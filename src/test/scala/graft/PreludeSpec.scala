@@ -32,6 +32,11 @@ class PreludeSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(dir.resolve(s"track-$i.wav"), "x")
     }
     java.nio.file.Files.writeString(dir.resolve("notes.txt"), "x")
+    // hidden-file convention: '_'/'.' prefixes are metadata in BOTH
+    // listings (Spark's file index filters them; the driver listing must
+    // match or the two routings diverge)
+    java.nio.file.Files.writeString(dir.resolve("_SUCCESS.wav"), "x")
+    java.nio.file.Files.writeString(dir.resolve(".hidden.wav"), "x")
     val driver = Prelude.listingFor(spark, dir.toString, ".wav")
     val dist = Prelude.distributedListingFor(spark, dir.toString, ".wav")
     val driverSet = driver.collect().map(_.getString(0)).toSet

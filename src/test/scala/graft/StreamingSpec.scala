@@ -155,6 +155,18 @@ class StreamingSpec extends AnyFunSuite {
     val els = spark.sql("SELECT element FROM ssj")
       .collect().map(_.getString(0)).sorted
     assert(els === Array("k1"), "only the in-bound pair joins")
+
+    // the common case: BOTH streams call their event time "ts" — the
+    // join must disambiguate, not throw AMBIGUOUS_REFERENCE
+    val l2 = l.select(col("element"), col("lts").as("ts"))
+    val r2 = r.select(col("element"), col("rts").as("ts"))
+    val j2 = StreamingPipeline.streamStreamJoin(l2, r2,
+      "element", "ts", "ts", "1 minute", "10 seconds")
+    val q2 = j2.writeStream.outputMode("append")
+      .format("memory").queryName("ssj2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.sql("SELECT element FROM ssj2")
+      .collect().map(_.getString(0)).toSeq === Seq("k1"))
   }
 
   test("dedup by element within watermark") {

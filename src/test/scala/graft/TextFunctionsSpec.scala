@@ -41,6 +41,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert((c3.getInt(0), c3.getInt(1), c3.getInt(2)) === ((2, 1, 0)))
   }
 
+  test("piiCounts reconcile with redaction precedence") {
+    // an IP inside an email's domain is ONE email, ZERO ips — counts
+    // must match the placeholders redactPii actually emits
+    val df = Seq("mail a@1.2.3.4.com end").toDF("text")
+    val row = df.select(redactPii(col("text")).as("r"),
+      piiCounts(col("text")).as("c")).collect().head
+    assert(row.getString(0) === "mail <EMAIL> end")
+    val c = row.getStruct(1)
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) === ((1, 0, 0)))
+  }
+
   test("simhash over empty feature set is total but deterministic") {
     val df = Seq("", "x y").toDF("text")
     // must not throw on the empty-features row
