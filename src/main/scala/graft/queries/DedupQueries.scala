@@ -320,22 +320,22 @@ object DedupQueries {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      // carry the previous label through the round so convergence checks
+      // read it off the same frame — no extra join-back per round
       val propagated = labels
         .join(nbrMin.select(col("u").as("id"), col("nl")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer jumping: adopt the label of my label — halves the
       // remaining path to the component minimum every round
       val next = propagated
         .join(propagated.select(col("id").as("label"),
           col("label").as("ll")), Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"),
-          col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       rounds += 1
     }
     require(changed == 0,

@@ -63,6 +63,35 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(runPairs("graft_sorted_intersect_count", pairs) == expect)
   }
 
+  test("simhashBands: hd <= bands-1 pairs always share a band (pigeonhole)") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions.{simhashBands, hammingDist}
+    // random 48-bit signatures with 0..6 random bits flipped — every such
+    // pair MUST collide in >= 1 of the 7 bands, or d4's banded candidate
+    // generation loses recall (the exact-recall claim is math; this pins
+    // the bit-slicing implementation to it)
+    val sigGen = for {
+      base <- Gen.chooseNum(0L, (1L << 48) - 1)
+      nFlips <- Gen.chooseNum(0, 6)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 47))
+    } yield (base, flips.foldLeft(base)((s, b) => s ^ (1L << b)))
+    val pairs = samples(sigGen, 80)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), hammingDist(col("a"), col("b")).as("hd"),
+        arrays_zip(simhashBands(col("a"), 7, 7),
+          simhashBands(col("b"), 7, 7)).as("z"))
+      .select(col("i"), col("hd"),
+        exists(col("z"), p => p.getField("0") === p.getField("1"))
+          .as("share"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hd") <= 6)
+      assert(r.getAs[Boolean]("share"),
+        s"pair ${r.getInt(0)} at hd=${r.get(1)} shares no band")
+    }
+  }
+
   test("elementwise_min == positionwise reduce per group") {
     import spark.implicits._
     LongArrayOps.register(spark)
