@@ -100,6 +100,10 @@ class DedupGeneralPathSpec extends AnyFunSuite {
       assert(blockedPairs == bcastPairs,
         "blocked and broadcast scans must produce identical pairs")
       assert(blockedPairs.contains((100L, 101L)))
+      // different block count (cap 3 → 10 blocks) must not change results
+      spark.conf.set("spark.graft.dedup.maxBroadcastDocs", "3")
+      assert(run()._1 == bcastPairs,
+        "pair set must be block-count invariant")
     } finally spark.conf.unset("spark.graft.dedup.maxBroadcastDocs")
   }
 }
