@@ -315,6 +315,63 @@ object OpsQueries {
       |    AS BIGINT) AS sum_cents
       |FROM orders WHERE o_orderkey < 2000""".stripMargin
 
+  /** CSV event-source roundtrip: a customer slice writes as headered CSV
+    * and reads back with an explicit schema (never inference at scale —
+    * inference is a second full pass over 100 TB), then aggregates to
+    * engine-exact integers. Covers the text-format source family the
+    * reference funnels through ReadFromText; CSV/JSON are native Spark
+    * sources with full pushdown, unlike the jar-blocked Avro.
+    */
+  def io4CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir")) + "/graft_io4_csv"
+    Tables.customer(s, dir).filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = "c_custkey LONG, c_nationkey LONG, cents LONG"
+    s.read.option("header", "true").schema(schema).csv(out)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val io4Oracle: String =
+    """SELECT c_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM customer WHERE c_custkey < 500
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** JSON-lines event-source roundtrip (the other native text format):
+    * same slice as ndjson with an explicit read schema, proving
+    * numeric/string fidelity through the codec.
+    */
+  def io5JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir")) + "/graft_io5_json"
+    Tables.customer(s, dir).filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .write.mode("overwrite").json(out)
+    val schema = "c_custkey LONG, c_mktsegment STRING, cents LONG"
+    s.read.schema(schema).json(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val io5Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM customer WHERE c_custkey < 500
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -324,7 +381,9 @@ object OpsQueries {
     "m2_wav_codec" -> (m2WavCodec _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
-    "io3_bq_write" -> (io3BqWrite _))
+    "io3_bq_write" -> (io3BqWrite _),
+    "io4_csv_roundtrip" -> (io4CsvRoundtrip _),
+    "io5_json_roundtrip" -> (io5JsonRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -335,5 +394,7 @@ object OpsQueries {
     "m2_wav_codec" -> m2Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
-    "io3_bq_write" -> io3Oracle)
+    "io3_bq_write" -> io3Oracle,
+    "io4_csv_roundtrip" -> io4Oracle,
+    "io5_json_roundtrip" -> io5Oracle)
 }
