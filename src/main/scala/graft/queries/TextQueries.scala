@@ -286,6 +286,35 @@ object TextQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS checksum
       |FROM r GROUP BY reason ORDER BY reason""".stripMargin
 
+  /** Deterministic train/val/test split (90/5/5): Knuth multiplicative
+    * hash of the doc id into 100 buckets. `df.sample`/TABLESAMPLE are
+    * engine- and partitioning-dependent; a pure hash split is
+    * reproducible anywhere, stable under corpus growth (a doc's split
+    * never changes when new docs arrive), and needs no shuffle — the
+    * assignment is a per-row expression, the census one aggregate. All
+    * arithmetic in exact BIGINTs both engines.
+    */
+  def tSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val").otherwise("test")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split.as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+      .orderBy(col("split"))
+  }
+
+  val tSplitOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+      |  FROM documents),
+      |r AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+      |    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS checksum
+      |FROM r GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -294,7 +323,8 @@ object TextQueries {
     "t5_bigrams" -> (tBigrams _),
     "t6_tfidf" -> (tTfidf _),
     "t7_repetition" -> (tRepetition _),
-    "t8_quality_filter" -> (tQualityFilter _))
+    "t8_quality_filter" -> (tQualityFilter _),
+    "t9_split" -> (tSplit _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -304,5 +334,6 @@ object TextQueries {
     "t5_bigrams" -> tBigramsOracle,
     "t6_tfidf" -> tTfidfOracle,
     "t7_repetition" -> tRepetitionOracle,
-    "t8_quality_filter" -> tQualityFilterOracle)
+    "t8_quality_filter" -> tQualityFilterOracle,
+    "t9_split" -> tSplitOracle)
 }
