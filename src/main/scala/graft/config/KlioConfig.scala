@@ -89,7 +89,13 @@ object KlioConfig {
         .getOrElse(""),
       pipelineOptions = KlioPipelineOptions(
         streaming = bool(po, "streaming").getOrElse(false),
-        conf = po.collect { case (k, v: String) => k -> v }),
+        // YamlLite parses ints/bools into Long/Boolean — stringify every
+        // scalar, or numeric options (spark.sql.shuffle.partitions: 64)
+        // silently vanish from the conf map
+        conf = po.collect {
+          case (k, v) if v != null && !v.isInstanceOf[Map[_, _]] &&
+            !v.isInstanceOf[Seq[_]] => k -> v.toString
+        }),
       jobConfig = KlioJobSettings(
         allowNonKlioMessages =
           bool(jc, "allow_non_klio_messages").getOrElse(false),

@@ -51,8 +51,10 @@ object AudioFunctions {
   val powerDb = udf((spec: Seq[Seq[Float]]) =>
     toF2(Dsp.powerToDb(spec.map(f => toD(f)).toArray)))
 
-  /** GetMagnitude example (integration transforms.py:54-68): per-frame
-    * argmax bin of a magnitude spectrogram — the dominant frequency bin.
+  /** GetMagnitude example (integration transforms.py:54-68): the GLOBAL
+    * argmax bin over all frames of a magnitude spectrogram — the
+    * spectrogram's single dominant frequency bin (ties to the lowest
+    * frame/bin), not a per-frame vector.
     */
   val peakBin = udf((spec: Seq[Seq[Float]]) => {
     // global peak over all frames, ties to the lowest bin; -inf init so

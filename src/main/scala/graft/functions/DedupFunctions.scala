@@ -18,31 +18,6 @@ object DedupFunctions {
 
   val P: Long = 1000000007L
 
-  /** Integer hash of a 3-char shingle: base-31 polynomial mod 1e9+7. */
-  def shingleHash3(g: Column): Column =
-    ((ascii(g.substr(lit(1), lit(1))).cast("long") * 31L +
-      ascii(g.substr(lit(2), lit(1))).cast("long")) * 31L +
-      ascii(g.substr(lit(3), lit(1))).cast("long")) % P
-
-  /** Hash each shingle in an array<string> column. */
-  def shingleHashes(gs: Column): Column = transform(gs, shingleHash3 _)
-
-  /** MinHash signature (k permutations) over an array<long> of shingle
-    * hashes. Permutation i is the affine map h -> ((2i+1)h + 7i+3) mod P.
-    *
-    * Single left fold over the shingles carrying the k running minima:
-    * nesting the loops the other way (k passes of array_min) re-evaluates
-    * the shingle-hash child expression once per permutation — higher-order
-    * functions evaluate their argument expression each time the enclosing
-    * lambda runs — which turned a 400-shingle doc into 16 full re-hashes.
-    * O(k·|shingles|) either way, but the input is computed once here.
-    */
-  def minhashSignature(hv: Column, k: Int): Column =
-    aggregate(hv,
-      array_repeat(lit(P), k),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (m, i) => least(m, ((i * 2 + 1).cast("long") * h + i * 7 + 3) % P)))
-
   /** LSH band signatures: split a k-length signature into `bands` bands of
     * `r` rows; each band becomes "m1:m2:...:mr". Docs sharing any (band,
     * signature) pair are candidates — the scale path that avoids all-pairs.
@@ -155,10 +130,11 @@ object DedupFunctions {
     })
 
   /** MinHash signature (k=16) over a document's 3-gram shingles in one
-    * pass: per shingle the base-31 polynomial hash mod 1e9+7 (identical to
-    * [[shingleHash3]] for ASCII text), then the 16 affine-permutation
-    * minima. Duplicates don't affect minima, so no distinct pass is
-    * needed. Bit-identical to the DuckDB oracle's formula.
+    * pass: per shingle the base-31 polynomial hash mod 1e9+7
+    * (h = ((c1·31 + c2)·31 + c3) mod P), then the 16 affine-permutation
+    * minima (permutation i: h → ((2i+1)h + 7i+3) mod P). Duplicates
+    * don't affect minima, so no distinct pass is needed. Bit-identical
+    * to the DuckDB oracle's formula.
     */
   val minhash16: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => {

@@ -105,15 +105,21 @@ object KlioWire {
     val auditType =
       "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>"
     // Strict mode fails loudly on the first corrupt line instead of
-    // filtering it away. raise_error's message depends on col("value"),
-    // so the expression is non-foldable — ConstantFolding cannot
-    // pre-evaluate it at plan time — and CaseWhen's lazy branch
-    // evaluation (guaranteed semantics, not an optimizer accident) means
-    // it only fires for rows that actually reach the otherwise branch.
-    val rawElement = if (allowNonKlio) col("value") else
-      raise_error(concat(lit("klio DecodeError: not a klio message: "),
-        col("value"))).cast("string")
-    parsed.select(
+    // filtering it away — as a FILTER, not a column: an error expression
+    // living only in one output column is elided whenever a consumer
+    // prunes that column, silently decoding corrupt rows to defaults. A
+    // filter participates in every downstream action. raise_error's
+    // message depends on col("value"), so the predicate is non-foldable
+    // (ConstantFolding cannot pre-evaluate it), and CaseWhen's lazy
+    // branch evaluation (guaranteed semantics) fires it only for rows
+    // that are neither v1 nor v2.
+    val checked = if (allowNonKlio) parsed else parsed.filter(
+      when(isKlio || isV1, lit(true))
+        .otherwise(raise_error(concat(
+          lit("klio DecodeError: not a klio message: "), col("value")))
+          .cast("boolean")))
+    val rawElement = col("value")
+    checked.select(
       when(isKlio, col("m.element"))
         .when(isV1, col("m1.entity_id").cast("string"))
         .otherwise(rawElement).as("element"),

@@ -273,8 +273,10 @@ object DedupQueries {
   }
 
   val dJaccardOracle: String =
-    """WITH s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
-      |  FROM documents, range(1, 2000) r(i) WHERE i <= length(text) - 2),
+    """WITH s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
       |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
       |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
       |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -348,8 +350,10 @@ object DedupQueries {
   }
 
   val dClusterOracle: String =
-    """WITH RECURSIVE s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
-      |  FROM documents, range(1, 2000) r(i) WHERE i <= length(text) - 2),
+    """WITH RECURSIVE s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
       |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
       |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
       |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),

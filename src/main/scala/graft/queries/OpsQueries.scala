@@ -165,7 +165,7 @@ object OpsQueries {
 
   val m1Oracle: String =
     """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS element,
-      |    length(text) AS len FROM documents WHERE length(text) > 0),
+      |    strlen(text) AS len FROM documents WHERE length(text) > 0),
       |f AS (SELECT element, len, CAST(i AS INT) AS idx
       |  FROM d, range(0, 4000) r(i) WHERE i * 1024 < len AND i % 2 = 0)
       |SELECT element, COUNT(*) AS n_frames,

@@ -69,25 +69,32 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val dataIn = cfg.jobConfig.data.inputs.headOption
-          .filterNot(io => io.skipExistenceCheck || io.location.isEmpty)
-          .map(io => Prelude.listingFor(s, io.location, io.fileSuffix))
-        val dataOut = cfg.jobConfig.data.outputs.headOption
-          .filterNot(io => io.skipExistenceCheck || io.location.isEmpty)
-          .map(io => Prelude.listingFor(s, io.location, io.fileSuffix))
-        val routed = Prelude.standard(batch, job, dataIn, dataOut,
-          forceDefault = cfg.jobConfig.data.outputs.headOption.exists(_.force),
-          pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping))
-        val out = transform(routed.process).unionByName(routed.passThru)
-        KlioWire.encode(out).write.mode("append").text(outputDir)
-        // drops never vanish silently (reference logs every one,
-        // helpers.py:264-284): count per micro-batch and log
-        val nDropped = routed.drop.count()
-        if (nDropped > 0)
-          org.apache.log4j.Logger.getLogger("graft.klio.streaming")
-            .warn(s"batch $batchId: dropped $nDropped message(s) " +
-              "(wrong recipient or missing input)")
+        // two actions consume this micro-batch (the wire write and the
+        // drop count) — persist so the source parse + routing joins run
+        // once, not once per action
+        batch.persist()
+        try {
+          val s = batch.sparkSession
+          val dataIn = cfg.jobConfig.data.inputs.headOption
+            .filterNot(io => io.skipExistenceCheck || io.location.isEmpty)
+            .map(io => Prelude.listingFor(s, io.location, io.fileSuffix))
+          val dataOut = cfg.jobConfig.data.outputs.headOption
+            .filterNot(io => io.skipExistenceCheck || io.location.isEmpty)
+            .map(io => Prelude.listingFor(s, io.location, io.fileSuffix))
+          val routed = Prelude.standard(batch, job, dataIn, dataOut,
+            forceDefault =
+              cfg.jobConfig.data.outputs.headOption.exists(_.force),
+            pingDefault = cfg.jobConfig.data.inputs.headOption.exists(_.ping))
+          val out = transform(routed.process).unionByName(routed.passThru)
+          KlioWire.encode(out).write.mode("append").text(outputDir)
+          // drops never vanish silently (reference logs every one,
+          // helpers.py:264-284): count per micro-batch and log
+          val nDropped = routed.drop.count()
+          if (nDropped > 0)
+            org.apache.log4j.Logger.getLogger("graft.klio.streaming")
+              .warn(s"batch $batchId: dropped $nDropped message(s) " +
+                "(wrong recipient or missing input)")
+        } finally batch.unpersist()
         ()
       }
   }

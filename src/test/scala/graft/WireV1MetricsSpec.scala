@@ -30,6 +30,14 @@ class WireV1MetricsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("DecodeError") ||
       Option(e.getCause).exists(_.getMessage.contains("DecodeError")))
+    // the guard is a FILTER, so it survives column pruning: a consumer
+    // that never touches `element` must still fail on the corrupt row
+    val e2 = intercept[Throwable] {
+      KlioWire.decode(lines, allowNonKlio = false)
+        .select("payload").count()
+    }
+    assert(e2.getMessage.contains("DecodeError") ||
+      Option(e2.getCause).exists(_.getMessage.contains("DecodeError")))
   }
 
   test("v2 wire message without metadata decodes with full defaults") {
