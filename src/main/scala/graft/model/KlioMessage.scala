@@ -105,49 +105,58 @@ object KlioWire {
     val auditType =
       "array<struct<timestamp:timestamp,jobName:string,gcpProject:string>>"
     // Strict mode fails loudly on the first corrupt line instead of
-    // filtering it away — as a FILTER, not a column: an error expression
-    // living only in one output column is elided whenever a consumer
-    // prunes that column, silently decoding corrupt rows to defaults. A
-    // filter participates in every downstream action. raise_error's
-    // message depends on col("value"), so the predicate is non-foldable
-    // (ConstantFolding cannot pre-evaluate it), and CaseWhen's lazy
-    // branch evaluation (guaranteed semantics) fires it only for rows
-    // that are neither v1 nor v2.
-    val checked = if (allowNonKlio) parsed else parsed.filter(
-      when(isKlio || isV1, lit(true))
-        .otherwise(raise_error(concat(
-          lit("klio DecodeError: not a klio message: "), col("value")))
-          .cast("boolean")))
-    val rawElement = col("value")
-    checked.select(
+    // filtering it away. The raise must survive COLUMN PRUNING: guarding
+    // only `element` lets a consumer that never reads it silently decode
+    // corrupt rows to defaults, while a separate filter step breaks the
+    // single-projection plan (measured 14× on the wire roundtrip — the
+    // JSON parses re-evaluate for the filter). So EVERY top-level output
+    // column carries the guard in its non-klio branch: whichever subset
+    // survives pruning still raises, the plan stays one projection, and
+    // raise_error is non-foldable (message depends on the row) so
+    // ConstantFolding cannot pre-evaluate it; CaseWhen's lazy branches
+    // (guaranteed semantics) fire it only for rows that are neither
+    // version.
+    def strictOr(fallback: Column): Column =
+      if (allowNonKlio) fallback
+      else raise_error(concat(
+        lit("klio DecodeError: not a klio message: "), col("value")))
+    parsed.select(
       when(isKlio, col("m.element"))
         .when(isV1, col("m1.entity_id").cast("string"))
-        .otherwise(rawElement).as("element"),
+        .otherwise(strictOr(col("value"))).as("element"),
       when(isKlio, coalesce(col("m.payload"), lit("")))
         .when(isV1, coalesce(col("m1.payload"), lit("")))
-        .otherwise(lit("")).as("payload"),
+        .otherwise(strictOr(lit(""))).as("payload"),
       when(isKlio, coalesce(col("m.version"), lit(2)))
-        .otherwise(lit(2)).as("version"),
+        .when(isV1, lit(2))
+        .otherwise(strictOr(lit(2))).as("version"),
+      // nested-field pruning can reduce the metadata struct to any one
+      // leaf, so every leaf's non-klio branch carries the strict guard
       struct(
         when(isKlio, coalesce(md.getField("force"), lit(false)))
           .when(isV1, coalesce(col("m1.metadata.force"), lit(false)))
-          .otherwise(lit(false)).as("force"),
+          .otherwise(strictOr(lit(false))).as("force"),
         when(isKlio, coalesce(md.getField("ping"), lit(false)))
           .when(isV1, coalesce(col("m1.metadata.ping"), lit(false)))
-          .otherwise(lit(false)).as("ping"),
+          .otherwise(strictOr(lit(false))).as("ping"),
         struct(
           when(isKlio, coalesce(ir.getField("mode"), lit("anyone")))
-            .otherwise(lit("anyone")).as("mode"),
+            .when(isV1, lit("anyone"))
+            .otherwise(strictOr(lit("anyone"))).as("mode"),
           when(isKlio, coalesce(ir.getField("recipients"),
             array().cast(s"array<$RecipientsType>")))
-            .otherwise(array().cast(s"array<$RecipientsType>"))
+            .when(isV1, array().cast(s"array<$RecipientsType>"))
+            .otherwise(strictOr(array().cast(s"array<$RecipientsType>")))
             .as("recipients"),
           when(isKlio, ir.getField("triggerChildrenOf"))
-            .otherwise(lit(null).cast(RecipientsType))
+            .when(isV1, lit(null).cast(RecipientsType))
+            .otherwise(strictOr(lit(null).cast(RecipientsType)))
             .as("triggerChildrenOf")).as("intendedRecipients"),
         when(isKlio, coalesce(md.getField("jobAuditLog"),
           array().cast(auditType)))
-          .otherwise(array().cast(auditType)).as("jobAuditLog"))
+          .when(isV1, array().cast(auditType))
+          .otherwise(strictOr(array().cast(auditType)))
+          .as("jobAuditLog"))
         .as("metadata"))
   }
 
