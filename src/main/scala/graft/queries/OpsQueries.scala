@@ -372,6 +372,33 @@ object OpsQueries {
       |FROM customer WHERE c_custkey < 500
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** ORC roundtrip — the fourth native columnar/text format after
+    * parquet/CSV/JSON (Avro needs the jar-blocked connector). Columnar
+    * like parquet, so the read-back aggregation gets column pruning and
+    * predicate pushdown at the scan.
+    */
+  def io6OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir")) + "/graft_io6_orc"
+    Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("s_suppkey") < 500)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val io6Oracle: String =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM supplier WHERE s_suppkey < 500
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -383,7 +410,8 @@ object OpsQueries {
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
     "io4_csv_roundtrip" -> (io4CsvRoundtrip _),
-    "io5_json_roundtrip" -> (io5JsonRoundtrip _))
+    "io5_json_roundtrip" -> (io5JsonRoundtrip _),
+    "io6_orc_roundtrip" -> (io6OrcRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -396,5 +424,6 @@ object OpsQueries {
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
     "io4_csv_roundtrip" -> io4Oracle,
-    "io5_json_roundtrip" -> io5Oracle)
+    "io5_json_roundtrip" -> io5Oracle,
+    "io6_orc_roundtrip" -> io6Oracle)
 }
