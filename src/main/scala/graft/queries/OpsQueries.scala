@@ -399,6 +399,50 @@ object OpsQueries {
       |FROM supplier WHERE s_suppkey < 500
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** The CUSTOM STATEFUL OPERATOR under the oracle gate:
+    * [[graft.streaming.Sessionize]] (flatMapGroupsWithState) run in
+    * batch-backfill mode over real events. Batch mode emits only
+    * gap-completed sessions, so a per-key sentinel event past the gap
+    * flushes every real session (the operator's documented backfill
+    * recipe); the sentinel's own 1-event session stays open and never
+    * emits. Money rides as exact cents in doubles (integer-valued, so
+    * per-session addition is order-free), making the state machine's
+    * output hash-comparable to a gaps-and-islands SQL oracle.
+    */
+  def st1Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapMs = 300000L
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id").as("key"),
+        expr("ts DIV 1000000").as("tsMs"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .cast("double").as("value"))
+    val sentinels = ev.groupBy(col("key"))
+      .agg((max(col("tsMs")) + gapMs + 1).as("tsMs"))
+      .select(col("key"), col("tsMs"), lit(0.0).as("value"))
+    val sessions = graft.streaming.Sessionize(
+      ev.unionByName(sentinels).as[graft.streaming.Sessionize.Event], gapMs)
+    sessions.toDF()
+      .select(col("key").as("user_id"), col("startMs").as("start_ms"),
+        col("endMs").as("end_ms"), col("nEvents").as("n"),
+        col("total").cast("long").as("total_cents"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  val st1Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS tsm,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 50),
+      |x AS (SELECT *, CASE WHEN LAG(tsm) OVER w IS NULL
+      |      OR tsm - LAG(tsm) OVER w > 300000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsm
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      |SELECT user_id, MIN(tsm) AS start_ms, MAX(tsm) AS end_ms,
+      |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -411,7 +455,8 @@ object OpsQueries {
     "io3_bq_write" -> (io3BqWrite _),
     "io4_csv_roundtrip" -> (io4CsvRoundtrip _),
     "io5_json_roundtrip" -> (io5JsonRoundtrip _),
-    "io6_orc_roundtrip" -> (io6OrcRoundtrip _))
+    "io6_orc_roundtrip" -> (io6OrcRoundtrip _),
+    "st1_sessionize" -> (st1Sessionize _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -425,5 +470,6 @@ object OpsQueries {
     "io3_bq_write" -> io3Oracle,
     "io4_csv_roundtrip" -> io4Oracle,
     "io5_json_roundtrip" -> io5Oracle,
-    "io6_orc_roundtrip" -> io6Oracle)
+    "io6_orc_roundtrip" -> io6Oracle,
+    "st1_sessionize" -> st1Oracle)
 }
