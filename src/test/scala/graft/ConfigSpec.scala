@@ -145,6 +145,13 @@ class ConfigSpec extends AnyFunSuite {
     } finally KlioConfigPreprocessor.clearPluginPreprocessors()
   }
 
+  test("template values containing $ or backslash substitute literally") {
+    val cfg = KlioConfig.fromYaml(yaml,
+      Map("base" -> """/pa$th/wi\th"""))
+    assert(cfg.jobConfig.events.inputs.head.location
+      === """/pa$th/wi\th/batch_track_ids.txt""")
+  }
+
   test("bare $var templating substitutes like ${var}") {
     val cfg = KlioConfig.fromYaml(
       yaml.replace("${base}/batch_track_ids.txt", "$base/tracks.txt"),

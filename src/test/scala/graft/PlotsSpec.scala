@@ -95,6 +95,21 @@ class PlotsSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate inputs: empty matrix renders empty, non-PNG decodes null") {
+    import spark.implicits._
+    val empty = Seq(Tuple1(Seq.empty[Seq[Float]])).toDF("m")
+      .select(Plots.renderHeatmapPng(col("m")).as("png"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(empty.isEmpty, "no frames → no PNG bytes, not a crash")
+    val dims = Seq(Tuple1("not a png".getBytes)).toDF("png")
+      .select(Plots.pngWidth(col("png")).as("w")).collect().head
+    assert(dims.isNullAt(0), "non-PNG bytes → null dims, not garbage")
+    // constant matrix: span guard keeps normalization finite → low anchor
+    val const = renderOne(Seq(Seq(5f, 5f), Seq(5f, 5f)))
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(const))
+    assert((img.getRGB(0, 0) & 0xffffff) == 0x440154)
+  }
+
   test("uploadPlots fails fast on zero or multiple configured outputs") {
     import spark.implicits._
     val df = Seq(("e", Array.empty[Byte])).toDF("element", "png")
