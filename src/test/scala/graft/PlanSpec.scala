@@ -72,6 +72,23 @@ class PlanSpec extends AnyFunSuite {
       "bucketed near-dup must equi-join on bucket id")
   }
 
+  test("plain-expression queries run inside whole-stage codegen") {
+    // guard the codegen span on the pure-expression paths (aggregates,
+    // pivot, hash arithmetic). Higher-order-function queries are
+    // deliberately NOT asserted: HOF lambdas are CodegenFallback in
+    // Spark, which is exactly why the hot dedup/similarity paths use
+    // native kernels (graft.expressions) or measured UDFs instead.
+    // AQE reveals codegen only in the finalized plan, so execute first.
+    Seq("t9_split", "q1_agg", "q17_pivot").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"$q lost whole-stage codegen")
+    }
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
