@@ -1,9 +1,9 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.KlioWire
+import graft.model.{KlioMessage, KlioProto, KlioWire}
 
 /** Event sources/sinks (reference `lib/src/klio/transforms/io.py`), as thin
   * builders over Spark readers/writers returning/accepting message-shaped
@@ -50,6 +50,73 @@ object EventIO {
     KlioWire.encode(
       df.observe(obs("klio_write_wire"), count(lit(1)).as("kmsg-write")))
       .write.mode(SaveMode.Overwrite).text(path)
+
+  /** Proto wire files: the reference's ACTUAL wire format (serialized
+    * KlioMessage proto, klio.proto) in varint-length-delimited frames — the
+    * standard proto streaming container. One `.pb` shard per partition.
+    * This is the binary sibling of [[writeWire]]'s JSON files; bytes here
+    * interop with the reference's `klio_pb2` ([[KlioProto]]).
+    */
+  def writeProtoWire(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val confB = spark.sparkContext.broadcast(
+      new HadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    df.observe(obs("klio_write_proto"), count(lit(1)).as("kmsg-write"))
+      .as[KlioMessage](Encoders.product[KlioMessage])
+      .foreachPartition { (rows: Iterator[KlioMessage]) =>
+        if (rows.nonEmpty) {
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val file = new org.apache.hadoop.fs.Path(dir, f"part-$part%05d.pb")
+          val out = file.getFileSystem(confB.value.value).create(file, true)
+          val buf = new java.io.BufferedOutputStream(out, 1 << 16)
+          try rows.foreach { m =>
+            val b = KlioProto.toBytes(m)
+            var len = b.length
+            while ((len & ~0x7f) != 0) { // varint frame length
+              buf.write((len & 0x7f) | 0x80); len >>>= 7
+            }
+            buf.write(len)
+            buf.write(b)
+          } finally buf.close()
+        }
+      }
+  }
+
+  /** Read varint-framed proto wire files back into message rows. Each
+    * frame decodes with the reference's v1→v2 upgrade and non-klio lift
+    * semantics ([[KlioProto.fromBytes]]). Shards are written bounded (one
+    * per upstream partition), so whole-shard reads stay within task
+    * memory; a 100 TB corpus fans out across shards, not within one.
+    */
+  def readProtoWire(spark: SparkSession, path: String,
+      allowNonKlio: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val frames = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pb").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val out = List.newBuilder[KlioMessage]
+        var pos = 0
+        while (pos < bytes.length) {
+          var len = 0; var shift = 0; var more = true
+          while (more) {
+            val b = bytes(pos); pos += 1
+            len |= (b & 0x7f) << shift; shift += 7; more = (b & 0x80) != 0
+          }
+          out += KlioProto.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, pos, pos + len), allowNonKlio)
+          pos += len
+        }
+        out.result()
+      }
+    frames.toDF()
+      .observe(obs("klio_read_proto"), count(lit(1)).as("kmsg-read"))
+  }
 
   /** KlioReadFromBigQuery (io.py:192-352), parquet stand-in: with one
     * selected column the raw value becomes the element; with several, a JSON

@@ -399,6 +399,91 @@ object OpsQueries {
       |FROM supplier WHERE s_suppkey < 500
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** REAL Avro container-file roundtrip (KlioWriteToAvro → KlioReadFromAvro,
+    * reference io.py:428-657): messages write as deflate-compressed avro
+    * containers with the reference's fixed `{element: bytes}` schema and
+    * read back through the splittable AvroKeyInputFormat scan. The
+    * read-back aggregation proves element fidelity through the binary
+    * codec; the container format itself is spec-locked in AvroIOSpec.
+    */
+  def io7AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir")) + "/graft_io7_avro"
+    val msgs = Tables.part(s, dir).filter(col("p_partkey") < 2000)
+      .select(KlioWire.newMessageColumns(col("p_partkey")): _*)
+    graft.io.AvroIO.writeKlioAvro(msgs, out)
+    graft.io.AvroIO.readAvro(s, out)
+      .select(col("element").cast("long").as("pkey"))
+      .groupBy((col("pkey") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pkey")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
+  val io7Oracle: String =
+    """SELECT p_partkey % 7 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(p_partkey) AS BIGINT) AS checksum
+      |FROM part WHERE p_partkey < 2000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The reference's REAL wire format under the gate: messages with every
+    * metadata shape (force, ping, limited recipients + trigger, audit log)
+    * encode to hand-rolled proto3 bytes (klio.proto field numbers), write
+    * as varint-framed `.pb` shards, read back, and decode — fidelity of
+    * element, payload, flags, recipient lists, and audit entries is
+    * hash-checked per class. Byte-level interop vectors live in
+    * KlioProtoSpec; this proves the engine-scale path.
+    */
+  def io8ProtoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir")) + "/graft_io8_proto"
+    val msgs = Tables.events(s, dir).filter(col("event_id") < 3000)
+      .select(col("event_id").cast("long")).as[Long].map { id =>
+        val md = (id % 4) match {
+          case 0 => graft.model.KlioMetadata(force = true)
+          case 1 => graft.model.KlioMetadata(ping = true)
+          case 2 => graft.model.KlioMetadata(intendedRecipients =
+            graft.model.KlioRecipients("limited",
+              Seq(KlioJobRef("job-a", "proj-a"), KlioJobRef("job-b", "proj-b")),
+              Some(KlioJobRef("job-a", "proj-a"))))
+          case _ => graft.model.KlioMetadata(jobAuditLog = Seq(
+            graft.model.KlioAuditItem(
+              new java.sql.Timestamp(1767225600000L), "job-c", "proj-c")))
+        }
+        KlioMessage(s"e$id", s"pay-$id", 2, md)
+      }
+    EventIO.writeProtoWire(msgs.toDF(), out)
+    EventIO.readProtoWire(s, out, allowNonKlio = false)
+      .withColumn("id", substring(col("element"), 2, 18).cast("long"))
+      .groupBy((col("id") % 4).as("cls"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("metadata.force").cast("long")).as("n_force"),
+        sum(col("metadata.ping").cast("long")).as("n_ping"),
+        sum(when(col("metadata.intendedRecipients.mode") === "limited",
+          size(col("metadata.intendedRecipients.recipients")))
+          .otherwise(0)).as("n_recipients"),
+        sum(size(col("metadata.jobAuditLog"))).as("n_audit"),
+        sum(when(col("payload") === concat(lit("pay-"), col("id")), 1L)
+          .otherwise(0L)).as("n_payload_ok"),
+        sum(col("id")).as("checksum"))
+      .orderBy(col("cls"))
+  }
+
+  val io8Oracle: String =
+    """SELECT event_id % 4 AS cls, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_force,
+      |  CAST(SUM(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ping,
+      |  CAST(SUM(CASE WHEN event_id % 4 = 2 THEN 2 ELSE 0 END) AS BIGINT)
+      |    AS n_recipients,
+      |  CAST(SUM(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_audit,
+      |  COUNT(*) AS n_payload_ok,
+      |  CAST(SUM(event_id) AS BIGINT) AS checksum
+      |FROM events WHERE event_id < 3000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The CUSTOM STATEFUL OPERATOR under the oracle gate:
     * [[graft.streaming.Sessionize]] (flatMapGroupsWithState) run in
     * batch-backfill mode over real events. Batch mode emits only
@@ -456,6 +541,8 @@ object OpsQueries {
     "io4_csv_roundtrip" -> (io4CsvRoundtrip _),
     "io5_json_roundtrip" -> (io5JsonRoundtrip _),
     "io6_orc_roundtrip" -> (io6OrcRoundtrip _),
+    "io7_avro_roundtrip" -> (io7AvroRoundtrip _),
+    "io8_proto_roundtrip" -> (io8ProtoRoundtrip _),
     "st1_sessionize" -> (st1Sessionize _))
 
   val oracle: Map[String, String] = Map(
@@ -471,5 +558,7 @@ object OpsQueries {
     "io4_csv_roundtrip" -> io4Oracle,
     "io5_json_roundtrip" -> io5Oracle,
     "io6_orc_roundtrip" -> io6Oracle,
+    "io7_avro_roundtrip" -> io7Oracle,
+    "io8_proto_roundtrip" -> io8Oracle,
     "st1_sessionize" -> st1Oracle)
 }
