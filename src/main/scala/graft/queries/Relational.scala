@@ -458,6 +458,63 @@ object Relational {
       |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN cents END), 0) AS BIGINT) AS view
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** GROUPING SETS beyond what ROLLUP/CUBE can express — an arbitrary
+    * lattice subset ((rf, ls), (ls)) in ONE pass (Expand + single hash
+    * agg; a UNION ALL of two scans would read the table twice). The
+    * reference has no relational layer; this rounds out the q13 family.
+    */
+  def q18GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .groupingSets(Seq(Seq(col("rf"), col("ls")), Seq(col("ls"))),
+        col("rf"), col("ls"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  val q18Oracle: String =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS total_cents,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+      |    AS gid
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_linestatus))
+      |ORDER BY gid, rf NULLS LAST, ls NULLS LAST""".stripMargin
+
+  /** Pure range join (no equi key) through [[graft.operators.RangeJoin]]:
+    * campaign windows [ts, ts + 10 min] vs the full event stream. The
+    * bucketed rewrite turns what Spark would plan as a
+    * BroadcastNestedLoopJoin into an equi-join on the time bucket —
+    * shuffle-partitioned on both sides, the only formulation that
+    * survives 100 TB of points. Timestamps stay int64 nanos end to end,
+    * so the oracle comparison is exact.
+    */
+  def q19RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val winNs = 600000000000L // 10 minutes
+    val ev = Tables.events(s, dir)
+    val points = ev.select(col("event_id").as("pid"), col("ts").as("pts"))
+    val campaigns = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("campaign_id"), col("ts").as("cstart"),
+        (col("ts") + winNs).as("cend"))
+    graft.operators.RangeJoin.pointInInterval(
+        points, campaigns, "pts", "cstart", "cend", bucketWidth = winNs)
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("pid")).as("checksum"))
+      .orderBy(col("campaign_id"))
+  }
+
+  val q19Oracle: String =
+    """WITH p AS (SELECT event_id AS pid, epoch_ns(ts) AS pts FROM events),
+      |c AS (SELECT event_id AS campaign_id, epoch_ns(ts) AS cstart,
+      |    epoch_ns(ts) + 600000000000 AS cend
+      |  FROM events WHERE event_id % 97 = 0)
+      |SELECT campaign_id, COUNT(*) AS n_events,
+      |  CAST(SUM(pid) AS BIGINT) AS checksum
+      |FROM p JOIN c ON pts >= cstart AND pts <= cend
+      |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -475,7 +532,9 @@ object Relational {
     "q14_percentiles" -> (q14Percentiles _),
     "q15_lag_lead" -> (q15LagLead _),
     "q16_session_window" -> (q16SessionWindow _),
-    "q17_pivot" -> (q17Pivot _))
+    "q17_pivot" -> (q17Pivot _),
+    "q18_grouping_sets" -> (q18GroupingSets _),
+    "q19_range_join" -> (q19RangeJoin _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -494,5 +553,7 @@ object Relational {
     "q14_percentiles" -> q14Oracle,
     "q15_lag_lead" -> q15Oracle,
     "q16_session_window" -> q16Oracle,
-    "q17_pivot" -> q17Oracle)
+    "q17_pivot" -> q17Oracle,
+    "q18_grouping_sets" -> q18Oracle,
+    "q19_range_join" -> q19Oracle)
 }

@@ -315,6 +315,96 @@ object TextQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS checksum
       |FROM r GROUP BY split ORDER BY split""".stripMargin
 
+  /** Token-aware SEQUENCE PACKING census — the concat-and-chunk packing
+    * every LLM training pipeline runs before batching: documents stream in
+    * a deterministic order, concatenate, and split at fixed token-budget
+    * boundaries (docs crossing a boundary straddle two sequences). The
+    * window is partitioned BY LANGUAGE, not global — a global ORDER BY
+    * window is one task at 100 TB, while per-language streams pack in
+    * parallel (the real pipeline shape: one packed shard family per
+    * language). Reported per language: sequences produced, capacity used,
+    * boundary-straddling docs, and a placement checksum (sum of each
+    * doc's first sequence index) so the oracle pins every doc's packed
+    * position, not just totals.
+    */
+  def tPacking(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("tok"))
+      .filter(col("tok") > 0)
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("tok"),
+        ((col("cum") - col("tok")) / budget).cast("long").as("first_seq"),
+        ((col("cum") - 1) / budget).cast("long").as("last_seq"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        (max(col("last_seq")) + 1).as("n_seqs"),
+        sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+          .as("n_straddlers"),
+        sum(col("first_seq")).as("placement_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val tPackingOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    len(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+      |  FROM documents),
+      |f AS (SELECT * FROM t WHERE tok > 0),
+      |c AS (SELECT doc_id, lang, tok,
+      |    SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+      |p AS (SELECT doc_id, lang, tok,
+      |    (cum - tok) // 256 AS first_seq, (cum - 1) // 256 AS last_seq
+      |  FROM c)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs,
+      |  CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_straddlers,
+      |  CAST(SUM(first_seq) AS BIGINT) AS placement_checksum
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** STRATIFIED (per-language quota) sampling, fully deterministic: rank
+    * docs inside each language by a pure arithmetic hash of the id and
+    * keep the first `quota`. Unlike `df.sample`, the selection is
+    * reproducible across engines and runs, per-stratum sized (the
+    * training-mix contract: N docs per language, not N% of whatever
+    * arrived), and one window + filter — no collect, no per-stratum scan.
+    * At 100 TB the rank window shuffles once on lang; for heavy strata the
+    * same quota is expressible as a per-partition top-k merge, which
+    * `q8_topk` demonstrates.
+    */
+  def tStratified(s: SparkSession, dir: String): DataFrame = {
+    val quota = 25
+    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("checksum"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .orderBy(col("lang"))
+  }
+
+  val tStratifiedOracle: String =
+    """WITH h AS (SELECT doc_id, lang,
+      |    (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY h, doc_id) AS rn FROM h)
+      |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT)
+      |    AS checksum,
+      |  CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h
+      |FROM r WHERE rn <= 25 GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -324,7 +414,9 @@ object TextQueries {
     "t6_tfidf" -> (tTfidf _),
     "t7_repetition" -> (tRepetition _),
     "t8_quality_filter" -> (tQualityFilter _),
-    "t9_split" -> (tSplit _))
+    "t9_split" -> (tSplit _),
+    "t10_packing" -> (tPacking _),
+    "t11_stratified" -> (tStratified _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -335,5 +427,7 @@ object TextQueries {
     "t6_tfidf" -> tTfidfOracle,
     "t7_repetition" -> tRepetitionOracle,
     "t8_quality_filter" -> tQualityFilterOracle,
-    "t9_split" -> tSplitOracle)
+    "t9_split" -> tSplitOracle,
+    "t10_packing" -> tPackingOracle,
+    "t11_stratified" -> tStratifiedOracle)
 }
