@@ -19,7 +19,9 @@ object Bench {
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).count())
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val clearBetween = sys.env.get("SPARK_GRAFT_CLEAR_CACHE").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (clearBetween) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -27,6 +29,9 @@ object Bench {
           failed += name
           -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("SPARK_GRAFT_LEAK_DEBUG"))
+        System.err.println(s"[leak] after $name: " +
+          s"${spark.sparkContext.getPersistentRDDs.size} cached RDDs")
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n")
       name -> sec
     }.toMap

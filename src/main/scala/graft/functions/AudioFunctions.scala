@@ -84,6 +84,12 @@ object AudioFunctions {
   val decodeWav = udf((bytes: Array[Byte]) =>
     toF(Dsp.decodeWavPcm16(bytes)._1))
 
+  /** LoadAudio's resampling half (librosa.load(sr=...), audio.py:26-73):
+    * windowed-sinc sample-rate conversion.
+    */
+  val resample = udf((y: Seq[Float], srIn: Int, srOut: Int) =>
+    toF(Dsp.resample(toD(y), srIn, srOut)))
+
   def stft(y: Column, nFft: Int = 1024, hop: Int = 256): Column = {
     import org.apache.spark.sql.functions.lit
     stftMag(y, lit(nFft), lit(hop))

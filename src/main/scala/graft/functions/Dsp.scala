@@ -242,6 +242,52 @@ object Dsp {
     }
   }
 
+  /** Sample-rate conversion (the `sr` half of librosa.load — LoadAudio
+    * resamples to 22050 Hz BY DEFAULT, audio.py:26-73): windowed-sinc
+    * (Kaiser-lite: Hann-windowed, 16 zero-crossings) polyphase resampling,
+    * the same construction librosa's `resample(res_type="sinc")` family
+    * uses. Output length = ceil(n · srOut/srIn), matching librosa. A pure
+    * tone below the output Nyquist keeps its frequency exactly (phase
+    * shift only), so resampled spectra stay analytically predictable.
+    */
+  def resample(y: Array[Double], srIn: Int, srOut: Int): Array[Double] = {
+    require(srIn > 0 && srOut > 0, "sample rates must be positive")
+    if (srIn == srOut || y.isEmpty) return y.clone()
+    val ratio = srOut.toDouble / srIn
+    val nOut = math.ceil(y.length * ratio).toInt
+    // anti-aliasing: when downsampling, the kernel cutoff narrows to the
+    // output Nyquist (scale = ratio); upsampling keeps the input Nyquist
+    val scale = math.min(1.0, ratio)
+    val zeros = 16
+    val halfWidth = zeros / scale // input samples per kernel half
+    val out = new Array[Double](nOut)
+    var k = 0
+    while (k < nOut) {
+      val center = k / ratio
+      val lo = math.max(0, math.ceil(center - halfWidth).toInt)
+      val hi = math.min(y.length - 1, math.floor(center + halfWidth).toInt)
+      var acc = 0.0
+      var wsum = 0.0
+      var i = lo
+      while (i <= hi) {
+        val x = (i - center) * scale // in output-sample units
+        val sinc =
+          if (math.abs(x) < 1e-12) 1.0
+          else math.sin(math.Pi * x) / (math.Pi * x)
+        val w = 0.5 + 0.5 * math.cos(math.Pi * x / zeros) // hann taper
+        val c = sinc * w * scale
+        acc += y(i) * c
+        wsum += c
+        i += 1
+      }
+      // normalize by the kernel mass actually inside the signal: unit DC
+      // gain everywhere, so edge samples don't droop from the truncated tap
+      out(k) = if (wsum == 0.0) 0.0 else acc / wsum
+      k += 1
+    }
+    out
+  }
+
   /** Minimal RIFF/WAVE PCM16 mono decode → [-1, 1] doubles (LoadAudio
     * stand-in, audio/io.py:28-111 + audio.py:26-73; OGG needs a codec the
     * container lacks — binary plumbing for it lives in graft.multimodal).

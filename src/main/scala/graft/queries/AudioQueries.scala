@@ -132,15 +132,42 @@ object AudioQueries {
     """SELECT event_id, 17 AS width, 513 AS height
       |FROM events WHERE event_id < 8 ORDER BY event_id""".stripMargin
 
+  /** LoadAudio's resampling half (librosa.load resamples to a target sr
+    * by default; audio.py:26-73) under the gate: each tone at bin b of a
+    * 1024-point FFT is downsampled 2:1 through the windowed-sinc
+    * resampler; in the halved rate the same physical frequency lands at
+    * bin 2b (all tones sit below the new Nyquist, so no aliasing), and
+    * the output length is ceil(n/2) — both closed-form.
+    */
+  def a5Resample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_id") < 32)
+      .select(col("event_id"),
+        (lit(25) + (col("event_id") % 20) * 5).cast("int").as("bin"))
+      .withColumn("y", synthTone(col("bin"), lit(1024), lit(4096)))
+      .withColumn("y2", resample(col("y"), lit(8000), lit(4000)))
+      .select(col("event_id"), col("bin"),
+        size(col("y2")).as("n_out"),
+        peakBin(stftMag(col("y2"), lit(1024), lit(256))).as("peak_bin"))
+      .orderBy(col("event_id"))
+
+  val a5Oracle: String =
+    """SELECT event_id, CAST(25 + (event_id % 20) * 5 AS INT) AS bin,
+      |  2048 AS n_out,
+      |  CAST(2 * (25 + (event_id % 20) * 5) AS INT) AS peak_bin
+      |FROM events WHERE event_id < 32 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stft_peak" -> (a1StftPeak _),
     "a2_mel_mfcc" -> (a2MelMfcc _),
     "a3_softmask_nn" -> (a3SoftmaskNn _),
-    "a4_spec_plot" -> (a4SpecPlot _))
+    "a4_spec_plot" -> (a4SpecPlot _),
+    "a5_resample" -> (a5Resample _))
 
   val oracle: Map[String, String] = Map(
     "a1_stft_peak" -> a1Oracle,
     "a2_mel_mfcc" -> a2Oracle,
     "a3_softmask_nn" -> a3Oracle,
-    "a4_spec_plot" -> a4Oracle)
+    "a4_spec_plot" -> a4Oracle,
+    "a5_resample" -> a5Oracle)
 }

@@ -118,4 +118,39 @@ class DspSpec extends AnyFunSuite {
       .as[Int].head()
     assert(bin === 2) // the 0.0 dB peak, not a default-initialized 0
   }
+
+  test("resample preserves a tone's frequency and librosa's output length") {
+    val sr = 8000
+    val f = 440.0
+    val y = Array.tabulate(4096)(i => math.sin(2.0 * math.Pi * f * i / sr))
+    // downsample 2:1 — interior samples must match the analytic tone at
+    // the new rate (edges excluded: the truncated kernel is approximate)
+    val down = Dsp.resample(y, sr, sr / 2)
+    assert(down.length === 2048) // ceil(4096 * 0.5)
+    (64 until down.length - 64).foreach { k =>
+      val want = math.sin(2.0 * math.Pi * f * k / (sr / 2))
+      assert(math.abs(down(k) - want) < 1e-2,
+        s"sample $k: ${down(k)} vs $want")
+    }
+    // upsample 1:2 likewise
+    val up = Dsp.resample(y, sr, sr * 2)
+    assert(up.length === 8192)
+    (128 until up.length - 128).foreach { k =>
+      val want = math.sin(2.0 * math.Pi * f * k / (sr * 2))
+      assert(math.abs(up(k) - want) < 1e-2)
+    }
+    // identity rates return a copy
+    assert(Dsp.resample(y, sr, sr).toSeq === y.toSeq)
+  }
+
+  test("resample downsampling filters out above-Nyquist content") {
+    val sr = 8000
+    // 3 kHz tone: below input Nyquist (4 kHz) but above the 2:1 output's
+    // (2 kHz) — the anti-aliasing kernel must suppress it, not fold it
+    val y = Array.tabulate(4096)(i => math.sin(2.0 * math.Pi * 3000 * i / sr))
+    val down = Dsp.resample(y, sr, sr / 2)
+    val energy = down.slice(64, down.length - 64).map(x => x * x).sum /
+      (down.length - 128)
+    assert(energy < 0.01, s"aliased energy leaked through: $energy")
+  }
 }
