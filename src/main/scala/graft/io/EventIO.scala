@@ -124,8 +124,23 @@ object EventIO {
     * Column selection is a real projection here — pushed to the scan.
     */
   def readBq(spark: SparkSession, path: String,
-      columns: Seq[String] = Seq.empty): DataFrame = {
-    val table = spark.read.parquet(path)
+      columns: Seq[String] = Seq.empty): DataFrame =
+    bqMessages(spark.read.parquet(path), columns)
+
+  /** KlioReadFromBigQuery's `query` form (io.py:288-306: a SQL query
+    * replaces the table+columns arguments): the query text runs against
+    * the registered table and its result rows become messages under the
+    * same 1-col/N-col element rule. The query executes IN the engine —
+    * filters/projections inside it reach the parquet scan like any other
+    * plan, where the reference ships the text to the warehouse.
+    */
+  def readBqQuery(spark: SparkSession, path: String, viewName: String,
+      sql: String, columns: Seq[String] = Seq.empty): DataFrame = {
+    spark.read.parquet(path).createOrReplaceTempView(viewName)
+    bqMessages(spark.sql(sql), columns)
+  }
+
+  private def bqMessages(table: DataFrame, columns: Seq[String]): DataFrame = {
     val elem = columns match {
       case Seq() => to_json(struct(table.columns.map(col).toSeq: _*))
       case Seq(one) => col(one).cast("string")

@@ -241,6 +241,26 @@ object OpsQueries {
       |  || '}' AS element
       |FROM orders WHERE o_orderkey < 100 ORDER BY element""".stripMargin
 
+  /** KlioReadFromBigQuery's `query` form (io.py:288-306): the event input
+    * is a SQL result rather than table+columns. The SQL runs in-engine
+    * over a registered view (filters reach the scan); its single selected
+    * column becomes the raw element (io.py:230-232).
+    */
+  def io9BqQuery(s: SparkSession, dir: String): DataFrame =
+    EventIO.readBqQuery(s, s"$dir/orders.parquet", "orders_v",
+        "SELECT o_orderkey FROM orders_v WHERE o_orderstatus = 'F'",
+        Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        min(col("element")).as("min_el"),
+        max(col("element")).as("max_el"),
+        sum(col("element").cast("long")).as("checksum"))
+
+  val io9Oracle: String =
+    """SELECT COUNT(*) AS n, MIN(CAST(o_orderkey AS VARCHAR)) AS min_el,
+      |  MAX(CAST(o_orderkey AS VARCHAR)) AS max_el,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS checksum
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
   /** KlioTriggerUpstream's metadata rewrite + resume loop
     * (helpers.py:536-753, 399-411): a message rewritten for bottom-up
     * backfill is (a) processable by the upstream job in limited mode,
@@ -543,6 +563,7 @@ object OpsQueries {
     "io6_orc_roundtrip" -> (io6OrcRoundtrip _),
     "io7_avro_roundtrip" -> (io7AvroRoundtrip _),
     "io8_proto_roundtrip" -> (io8ProtoRoundtrip _),
+    "io9_bq_query" -> (io9BqQuery _),
     "st1_sessionize" -> (st1Sessionize _))
 
   val oracle: Map[String, String] = Map(
@@ -560,5 +581,6 @@ object OpsQueries {
     "io6_orc_roundtrip" -> io6Oracle,
     "io7_avro_roundtrip" -> io7Oracle,
     "io8_proto_roundtrip" -> io8Oracle,
+    "io9_bq_query" -> io9Oracle,
     "st1_sessionize" -> st1Oracle)
 }

@@ -515,6 +515,30 @@ object Relational {
       |FROM p JOIN c ON pts >= cstart AND pts <= cend
       |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin
 
+  /** Global contiguous ids via [[graft.operators.ContiguousIds]] (range
+    * repartition + per-partition offsets — never the single-partition
+    * global window). The oracle recomputes every id as a global
+    * ROW_NUMBER, so the checksum pins each row's exact assigned id.
+    */
+  def q20ContiguousIds(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ContiguousIds(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        orderCol = "doc_id", idCol = "gid")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("gid")).as("min_gid"), max(col("gid")).as("max_gid"),
+        sum(col("gid") * col("doc_id")).as("checksum"))
+      .orderBy(col("lang"))
+
+  val q20Oracle: String =
+    """WITH g AS (SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS gid FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(MIN(gid) AS BIGINT) AS min_gid,
+      |  CAST(MAX(gid) AS BIGINT) AS max_gid,
+      |  CAST(SUM(gid * doc_id) AS BIGINT) AS checksum
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -534,7 +558,8 @@ object Relational {
     "q16_session_window" -> (q16SessionWindow _),
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
-    "q19_range_join" -> (q19RangeJoin _))
+    "q19_range_join" -> (q19RangeJoin _),
+    "q20_contiguous_ids" -> (q20ContiguousIds _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -555,5 +580,6 @@ object Relational {
     "q16_session_window" -> q16Oracle,
     "q17_pivot" -> q17Oracle,
     "q18_grouping_sets" -> q18Oracle,
-    "q19_range_join" -> q19Oracle)
+    "q19_range_join" -> q19Oracle,
+    "q20_contiguous_ids" -> q20Oracle)
 }
