@@ -703,6 +703,77 @@ object DedupQueries {
       |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS contamination
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Window width (tokens) for substring dedup. Lee et al. use 50 on web
+    * text; this synthetic corpus's documents are ~60 tokens, so 5 keeps
+    * the census meaningful while the machinery is width-independent.
+    */
+  private val SpanTokens = 5
+
+  /** Substring-level dedup census — the "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., 2021) shape: find every
+    * k-token span that occurs in ≥ 2 distinct documents, then report per
+    * document how much of its content is cross-document duplicated
+    * (`dup_frac` is the removal/filter signal).
+    *
+    * Scale shape: windows are generated per-row with codegen'd
+    * higher-order functions (sequence → transform → explode), so the map
+    * side is linear in total tokens with no driver state. The census is
+    * three equi-shuffles, all keyed by span or doc_id: (span, doc) partial
+    * counts (map-side combined), span doc-frequency, and the join back to
+    * per-doc totals. Nothing is broadcast and no all-pairs structure
+    * exists; ultra-common spans skew the span key, which two-level
+    * aggregation absorbs (the (span, doc) pre-group bounds any single
+    * span's rows at n_docs). At 100 TB, group on `xxhash64(span)` instead
+    * of the span text to cut shuffle bytes ~5× (collision probability
+    * ~n²/2⁶⁴), and raise k to 50.
+    */
+  def dSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanTokens
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+    val spans = docs.select(col("doc_id"), explode(
+      transform(sequence(lit(0), size(col("t")) - k),
+        i => concat_ws(" ", slice(col("t"), i + lit(1), lit(k))))).as("span"))
+    // (span, doc) occurrence counts — bounds any one span at n_docs rows
+    val spanDoc = spans.groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    // span doc-frequency: in how many distinct docs does the span appear
+    val spanDf = spanDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("nd"))
+    val perDoc = spanDoc.join(spanDf, "span")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(when(col("nd") >= 2, lit(1)).otherwise(lit(0))).as("n_dup_spans"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(lit(0))).as("dup_occ"))
+    perDoc
+      .withColumn("dup_frac",
+        col("dup_occ").cast("double") / col("n_spans").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dSubstringDedupOracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |ok AS (SELECT * FROM toks WHERE len(t) >= 5),
+      |idx AS (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM ok),
+      |w AS (SELECT doc_id,
+      |    list_aggregate(t[CAST(i+1 AS INT):CAST(i+5 AS INT)], 'string_agg', ' ') AS span
+      |  FROM idx),
+      |sd AS (SELECT span, doc_id, CAST(COUNT(*) AS BIGINT) AS occ
+      |  FROM w GROUP BY 1, 2),
+      |df AS (SELECT span, COUNT(*) AS nd FROM sd GROUP BY 1),
+      |agg AS (SELECT sd.doc_id,
+      |    CAST(SUM(sd.occ) AS BIGINT) AS n_spans,
+      |    CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |    CAST(SUM(CASE WHEN df.nd >= 2 THEN sd.occ ELSE 0 END) AS BIGINT) AS dup_occ
+      |  FROM sd JOIN df ON sd.span = df.span GROUP BY 1)
+      |SELECT doc_id, n_spans, n_dup_spans, dup_occ,
+      |  CAST(dup_occ AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (dExact _),
     "d2_jaccard_neardup" -> (dJaccard _),
@@ -712,7 +783,8 @@ object DedupQueries {
     "d6_cluster" -> (dCluster _),
     "d7_minhash_merge" -> (dMinhashMerge _),
     "d8_embed_lsh" -> (dEmbedLsh _),
-    "d9_contamination" -> (dContamination _))
+    "d9_contamination" -> (dContamination _),
+    "d10_substring_dedup" -> (dSubstringDedup _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -723,5 +795,6 @@ object DedupQueries {
     "d6_cluster" -> dClusterOracle,
     "d7_minhash_merge" -> dMinhashMergeOracle,
     "d8_embed_lsh" -> dEmbedLshOracle,
-    "d9_contamination" -> dContaminationOracle)
+    "d9_contamination" -> dContaminationOracle,
+    "d10_substring_dedup" -> dSubstringDedupOracle)
 }
