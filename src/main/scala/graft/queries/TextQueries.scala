@@ -405,6 +405,89 @@ object TextQueries {
       |  CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h
       |FROM r WHERE rn <= 25 GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** PII scrub census — the privacy-filter stage of a training-data
+    * pipeline: detect emails / IPv4s / phone numbers
+    * ([[graft.functions.TextFunctions.piiCounts]]), redact them
+    * ([[graft.functions.TextFunctions.redactPii]]), and report per-segment
+    * how much text the scrub touched. The synthetic tables carry no real
+    * PII, so the query plants it deterministically from `customer` keys
+    * (the oracle constructs the identical text): every class of match and
+    * non-match is exercised, including rows with several classes and rows
+    * with none.
+    *
+    * Scale shape: construction + regex + length are one narrow projection
+    * (whole-stage codegen'd, zero shuffle); the census is a single
+    * map-side-combined groupBy on the 5-value segment key.
+    */
+  def tPii(s: SparkSession, dir: String): DataFrame = {
+    val key = col("c_custkey")
+    val txt = concat(
+      lit("contact "), col("c_name"),
+      when(key % 3 === 0,
+        concat(lit(" user"), key.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(key % 4 === 0,
+        concat(lit(" from 192.168."), (key % 256).cast("string"),
+          lit("."), (key % 100).cast("string"))).otherwise(lit("")),
+      when(key % 5 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((key % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((key % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), txt.as("txt"))
+      .select(col("c_mktsegment"), col("txt"),
+        piiCounts(col("txt")).as("pii"),
+        redactPii(col("txt")).as("red"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("pii.emails")).as("n_emails"),
+        sum(col("pii.ips")).as("n_ips"),
+        sum(col("pii.phones")).as("n_phones"),
+        sum(length(col("txt")).cast("long")).as("raw_chars"),
+        sum(length(col("red")).cast("long")).as("redacted_chars"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val tPiiOracle: String =
+    """WITH base AS (SELECT c_mktsegment,
+      |    concat('contact ', c_name,
+      |      CASE WHEN c_custkey % 3 = 0 THEN concat(' user',
+      |        CAST(c_custkey AS VARCHAR), '@mail.example.com') ELSE '' END,
+      |      CASE WHEN c_custkey % 4 = 0 THEN concat(' from 192.168.',
+      |        CAST(c_custkey % 256 AS VARCHAR), '.',
+      |        CAST(c_custkey % 100 AS VARCHAR)) ELSE '' END,
+      |      CASE WHEN c_custkey % 5 = 0 THEN concat(' call +1-555-',
+      |        lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), '-',
+      |        lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'))
+      |        ELSE '' END) AS txt
+      |  FROM customer),
+      |scrub AS (SELECT c_mktsegment, txt,
+      |    regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS after_email,
+      |    len(regexp_extract_all(txt,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails
+      |  FROM base),
+      |scrub2 AS (SELECT c_mktsegment, txt, emails,
+      |    regexp_replace(after_email, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+      |      '<IP>', 'g') AS after_ip,
+      |    len(regexp_extract_all(after_email,
+      |      '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS ips
+      |  FROM scrub),
+      |scrub3 AS (SELECT c_mktsegment, txt, emails, ips,
+      |    regexp_replace(after_ip,
+      |      '\+?\d{1,3}[- .]?\(?\d{3}\)?[- .]?\d{3}[- .]?\d{4}',
+      |      '<PHONE>', 'g') AS red,
+      |    len(regexp_extract_all(after_ip,
+      |      '\+?\d{1,3}[- .]?\(?\d{3}\)?[- .]?\d{3}[- .]?\d{4}')) AS phones
+      |  FROM scrub2)
+      |SELECT c_mktsegment,
+      |  CAST(SUM(emails) AS BIGINT) AS n_emails,
+      |  CAST(SUM(ips) AS BIGINT) AS n_ips,
+      |  CAST(SUM(phones) AS BIGINT) AS n_phones,
+      |  CAST(SUM(length(txt)) AS BIGINT) AS raw_chars,
+      |  CAST(SUM(length(red)) AS BIGINT) AS redacted_chars
+      |FROM scrub3 GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -416,7 +499,8 @@ object TextQueries {
     "t8_quality_filter" -> (tQualityFilter _),
     "t9_split" -> (tSplit _),
     "t10_packing" -> (tPacking _),
-    "t11_stratified" -> (tStratified _))
+    "t11_stratified" -> (tStratified _),
+    "t12_pii" -> (tPii _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -429,5 +513,6 @@ object TextQueries {
     "t8_quality_filter" -> tQualityFilterOracle,
     "t9_split" -> tSplitOracle,
     "t10_packing" -> tPackingOracle,
-    "t11_stratified" -> tStratifiedOracle)
+    "t11_stratified" -> tStratifiedOracle,
+    "t12_pii" -> tPiiOracle)
 }
