@@ -548,6 +548,118 @@ object OpsQueries {
       |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
       |FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin
 
+  private def tmpDir(s: SparkSession): String =
+    s.conf.get("spark.graft.tmpDir", System.getProperty("java.io.tmpdir"))
+
+  /** Bucketed-table co-located join — the layout strategy that deletes the
+    * shuffle from a repeated big join: both sides written with
+    * `bucketBy(8, custkey)` (+ in-bucket sort), so the join's hash
+    * distribution is satisfied BY THE FILES and EnsureRequirements inserts
+    * no Exchange on either side (`LayoutSpec` pins that plan with
+    * broadcast disabled). At 100 TB this is THE pattern for a fact table
+    * joined every run on the same key: pay the shuffle once at write time,
+    * never again at read time. The `merge` hint keeps the demonstration on
+    * the sort-merge path (a broadcast of the small side would also skip
+    * the shuffle, but proves nothing about layout).
+    */
+  def io10BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir(s)
+    Tables.orders(s, dir).filter(col("o_custkey") < 500)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", base + "/graft_io10_orders")
+      .saveAsTable("graft_io10_orders")
+    Tables.customer(s, dir).filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(8, col("c_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", base + "/graft_io10_customer")
+      .saveAsTable("graft_io10_customer")
+    s.table("graft_io10_orders").hint("merge")
+      .join(s.table("graft_io10_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val io10Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_custkey < 500 AND c_custkey < 500
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Hive-style partition pruning: events written `partitionBy(event_type)`
+    * and read back with an equality filter — the scan enumerates ONE
+    * partition directory and the filter never touches row data
+    * (`LayoutSpec` asserts the pruned partition count). The date/tenant
+    * partitioning every 100 TB lake leans on; the complement of io10
+    * (pruning cuts what's read, bucketing cuts what's shuffled).
+    */
+  def io11PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir(s) + "/graft_io11_events"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "click")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_user"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val io11Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Small-file compaction ([[graft.io.Compaction]]): a deliberately
+    * over-parallel write (64 files for a few hundred KB) rewritten to
+    * target-size files, then aggregated — the result hash proves row-exact
+    * content preservation through the rewrite, and `LayoutSpec` asserts
+    * the file count actually collapsed.
+    */
+  def io12Compaction(s: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir(s) + "/graft_io12_src"
+    val out = tmpDir(s) + "/graft_io12_out"
+    Tables.lineitem(s, dir).filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(src)
+    graft.io.Compaction.compact(s, src, out, targetBytes = 8L * 1024 * 1024)
+    s.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_partkey")).as("sum_pkey"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val io12Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pkey,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM lineitem WHERE l_orderkey < 2000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -564,6 +676,9 @@ object OpsQueries {
     "io7_avro_roundtrip" -> (io7AvroRoundtrip _),
     "io8_proto_roundtrip" -> (io8ProtoRoundtrip _),
     "io9_bq_query" -> (io9BqQuery _),
+    "io10_bucketed_join" -> (io10BucketedJoin _),
+    "io11_partition_prune" -> (io11PartitionPrune _),
+    "io12_compaction" -> (io12Compaction _),
     "st1_sessionize" -> (st1Sessionize _))
 
   val oracle: Map[String, String] = Map(
@@ -582,5 +697,8 @@ object OpsQueries {
     "io7_avro_roundtrip" -> io7Oracle,
     "io8_proto_roundtrip" -> io8Oracle,
     "io9_bq_query" -> io9Oracle,
+    "io10_bucketed_join" -> io10Oracle,
+    "io11_partition_prune" -> io11Oracle,
+    "io12_compaction" -> io12Oracle,
     "st1_sessionize" -> st1Oracle)
 }
