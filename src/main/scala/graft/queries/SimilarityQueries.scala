@@ -328,17 +328,118 @@ object SimilarityQueries {
       |SELECT cluster, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS checksum
       |FROM a2 GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Product-quantization ANN with asymmetric distance (ADC) — the
+    * memory-side scale play the IVF family doesn't cover: the corpus is
+    * stored as m=8 sub-codes (here 8×~4 bits ≈ 4 bytes/vector vs 256
+    * bytes of floats, a 64× squeeze), and probes score against the
+    * RECONSTRUCTED vectors, never the originals. Sub-codebooks are the
+    * per-label subspace means (10 codes × 8 subspaces) sliced out of the
+    * same [[centroids]] the IVF queries use; real systems train them with
+    * [[s5KmeansTrain]]'s loop per subspace.
+    *
+    * Scale shape: codebook is broadcast both times it's needed (encode
+    * and decode); encoding is one corpus scan + a (vec,subspace)-keyed
+    * rank; scoring pairs a broadcast bounded probe set against the
+    * code-compressed corpus stream, exactly [[s1KnnBrute]]'s plan but
+    * over 64×-smaller corpus state — which is the entire point of PQ.
+    * All distance folds run in fixed index order (codegen'd HOFs over
+    * integer-quantized components), so the doubles are engine-exact and
+    * the oracle replays them bit-for-bit.
+    */
+  def s6PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cent = centroids(e)
+    // sub-codebook: (j, code=clabel, 8-dim centroid slice)
+    val cj = cent.select(col("clabel"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("c"))
+      .select(col("clabel"), col("j"),
+        slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
+    // encode: nearest sub-centroid per (vector, subspace)
+    val vj = e.select(col("vec_id"),
+      explode(sequence(lit(0), lit(7))).as("j"), col("v"))
+    val sdist = aggregate(
+      zip_with(slice(col("v"), col("j") * 8 + 1, lit(8)), col("sc"),
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d"), col("clabel"))
+    val codes = vj.join(broadcast(cj), Seq("j"))
+      .select(col("vec_id"), col("j"), col("clabel"), sdist.as("d"))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+    // decode: reassemble each vector's ADC reconstruction from its codes
+    val recon = codes.join(broadcast(cj), Seq("j", "clabel"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("sc")))).as("parts"))
+      .select(col("vec_id"),
+        flatten(transform(col("parts"), p => p.getField("sc"))).as("r"))
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val adist = aggregate(
+      zip_with(col("qv"), col("r"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("nid"))
+    broadcast(probes).crossJoin(recon)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("adist"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s6Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |cj AS (SELECT clabel, CAST(j AS INT) j,
+      |    list_slice(c, CAST(j*8+1 AS INT), CAST(j*8+8 AS INT)) sc
+      |  FROM cent, range(0, 8) r(j)),
+      |enc AS (SELECT q.vec_id, cj.j, cj.clabel,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      (CAST(v[CAST(cj.j*8+i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])
+      |      * (CAST(v[CAST(cj.j*8+i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])),
+      |      (a, b) -> a + b) d
+      |  FROM q CROSS JOIN cj),
+      |code AS (SELECT vec_id, j, clabel FROM (
+      |    SELECT vec_id, j, clabel,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, clabel) rk
+      |    FROM enc) WHERE rk = 1),
+      |recon AS (SELECT code.vec_id,
+      |    flatten(list(cj.sc ORDER BY code.j)) r
+      |  FROM code JOIN cj ON code.j = cj.j AND code.clabel = cj.clabel
+      |  GROUP BY code.vec_id),
+      |p AS (SELECT a.vec_id qid, b.vec_id nid,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(a.v[CAST(i AS INT)] AS DOUBLE) - b.r[CAST(i AS INT)])
+      |      * (CAST(a.v[CAST(i AS INT)] AS DOUBLE) - b.r[CAST(i AS INT)])),
+      |      (x, y) -> x + y) adist
+      |  FROM q a CROSS JOIN recon b
+      |  WHERE a.vec_id < 25 AND a.vec_id <> b.vec_id),
+      |r AS (SELECT qid, nid, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) rk FROM p)
+      |SELECT qid, rk, nid, adist FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ivf_assign" -> (s3IvfAssign _),
     "s4_ivf_probe" -> (s4IvfProbe _),
-    "s5_kmeans_train" -> (s5KmeansTrain _))
+    "s5_kmeans_train" -> (s5KmeansTrain _),
+    "s6_pq_adc" -> (s6PqAdc _))
 
   val oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Oracle,
     "s2_ann_lsh" -> s2Oracle,
     "s3_ivf_assign" -> s3Oracle,
     "s4_ivf_probe" -> s4Oracle,
-    "s5_kmeans_train" -> s5Oracle)
+    "s5_kmeans_train" -> s5Oracle,
+    "s6_pq_adc" -> s6Oracle)
 }
