@@ -191,7 +191,9 @@ object LongArrayOps {
     "graft_sorted_intersect_count" -> arity("graft_sorted_intersect_count",
       2)(args => SortedIntersectCount(args(0), args(1))),
     "graft_elementwise_min" -> arity("graft_elementwise_min", 1)(
-      args => ElementwiseMin(args(0)).toAggregateExpression()))
+      args => ElementwiseMin(args(0)).toAggregateExpression()),
+    "graft_elementwise_max" -> arity("graft_elementwise_max", 1)(
+      args => ElementwiseMax(args(0)).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -774,6 +774,110 @@ object DedupQueries {
       |  CAST(dup_occ AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** HyperLogLog-style distinct-shingle cardinality sketch, 64 registers,
+    * built and UNIONED with [[graft.expressions.ElementwiseMax]] — the
+    * mergeable-sketch counterpart of [[dMinhashMerge]]: per-register max is
+    * associative/commutative, so per-document (per-block, per-day, …)
+    * register arrays combine into the exact sketch of the union without
+    * rescanning anything. The output juxtaposes each source's sketch with
+    * its exact distinct count, and the `__union__` row is a SKETCH OF
+    * SKETCHES — the 20 source sketches max-merged again, never touching
+    * the raw data, which is the operational win at 100 TB (per-partition
+    * sketches roll up to any grouping for free; map-side partial
+    * aggregation does the heavy merging).
+    *
+    * Register math in engine-exact integers: the d3/d7 polynomial shingle
+    * hash scrambled affinely mod P (spreads it over [0, P) ≈ 2^30),
+    * bucket = h mod 64, and the rank is the leading-zero count of the
+    * remaining 24-bit field via `25 - length(bin(h div 64))` — `bin()`
+    * renders without leading zeros identically in both engines. The
+    * estimate itself is floating-point folklore (bias constants), so it
+    * stays in the spec (`ElementwiseMinSpec` asserts ±50% on this corpus);
+    * the oracle pins registers and exact counts bit-for-bit.
+    */
+  def dHllCardinality(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val docs = Tables.documents(s, dir).filter(length(col("text")) >= 3)
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("gs"))
+    val h = {
+      val g = col("g")
+      val base = (ascii(g.substr(1, 1)).cast("long") * 31 +
+        ascii(g.substr(2, 1)).cast("long")) * 31 +
+        ascii(g.substr(3, 1)).cast("long")
+      (base * 48271L + 11L) % P
+    }
+    val ranked = docs.select(col("source"), col("doc_id"),
+        explode(col("gs")).as("g"))
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .select(col("source"), col("doc_id"), (col("h") % 64).as("b"),
+        expr("h DIV 64").as("rest"))
+      .select(col("source"), col("doc_id"), col("b"),
+        when(col("rest") === 0, lit(25L))
+          .otherwise((lit(25) - length(bin(col("rest")))).cast("long"))
+          .as("r"))
+    // per-document dense register arrays — the "block" sketches
+    val perDoc = ranked.groupBy(col("source"), col("doc_id"), col("b"))
+      .agg(max(col("r")).as("mr"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("mr"))))
+        .as("m"))
+      .select(col("source"), col("doc_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L)))
+          .as("regs"))
+    val bySource = perDoc.groupBy(col("source"))
+      .agg(call_function("graft_elementwise_max", col("regs")).as("regs"))
+    val unionSketch = bySource
+      .groupBy(lit("__union__").as("source"))
+      .agg(call_function("graft_elementwise_max", col("regs")).as("regs"))
+    val exact = docs.select(col("source"), explode(col("gs")).as("g"))
+    val exactBySource = exact.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("n_exact"))
+    val exactUnion = exact.groupBy(lit("__union__").as("source"))
+      .agg(countDistinct(col("g")).as("n_exact"))
+    bySource.unionByName(unionSketch)
+      .join(exactBySource.unionByName(exactUnion), "source")
+      .select(col("source"), col("n_exact"),
+        concat_ws(":", transform(col("regs"), _.cast("string"))).as("sig"))
+      .orderBy(col("source"))
+  }
+
+  val dHllOracle: String =
+    """WITH sh AS (SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substr(text, CAST(i AS INT), 3))) gs
+      |  FROM documents WHERE length(text) >= 3),
+      |hx AS (SELECT source,
+      |    (((CAST(ascii(substr(g,1,1)) AS BIGINT) * 31 + ascii(substr(g,2,1)))
+      |      * 31 + ascii(substr(g,3,1))) * 48271 + 11) % 1000000007 AS h, g
+      |  FROM (SELECT source, unnest(gs) g FROM sh)),
+      |rk AS (SELECT source, h % 64 AS b,
+      |    CASE WHEN h // 64 = 0 THEN 25
+      |      ELSE 25 - length(bin(h // 64)) END AS r, g
+      |  FROM hx),
+      |regs AS (SELECT source, b, MAX(r) mr FROM rk GROUP BY 1, 2),
+      |dense AS (SELECT s.source, j.j, COALESCE(regs.mr, 0) v
+      |  FROM (SELECT DISTINCT source FROM sh) s CROSS JOIN range(0, 64) j(j)
+      |  LEFT JOIN regs ON regs.source = s.source AND regs.b = j.j),
+      |sig AS (SELECT source,
+      |    string_agg(CAST(v AS VARCHAR), ':' ORDER BY j) sig
+      |  FROM dense GROUP BY source),
+      |ex AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) n_exact
+      |  FROM rk GROUP BY source),
+      |uregs AS (SELECT b, MAX(r) mr FROM rk GROUP BY 1),
+      |udense AS (SELECT j.j, COALESCE(uregs.mr, 0) v
+      |  FROM range(0, 64) j(j) LEFT JOIN uregs ON uregs.b = j.j),
+      |usig AS (SELECT string_agg(CAST(v AS VARCHAR), ':' ORDER BY j) sig
+      |  FROM udense),
+      |uex AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) n_exact FROM rk)
+      |SELECT ex.source, ex.n_exact, sig.sig
+      |  FROM ex JOIN sig USING(source)
+      |UNION ALL
+      |SELECT '__union__' AS source, uex.n_exact, usig.sig
+      |  FROM uex CROSS JOIN usig
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (dExact _),
     "d2_jaccard_neardup" -> (dJaccard _),
@@ -784,7 +888,8 @@ object DedupQueries {
     "d7_minhash_merge" -> (dMinhashMerge _),
     "d8_embed_lsh" -> (dEmbedLsh _),
     "d9_contamination" -> (dContamination _),
-    "d10_substring_dedup" -> (dSubstringDedup _))
+    "d10_substring_dedup" -> (dSubstringDedup _),
+    "d11_hll_cardinality" -> (dHllCardinality _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -796,5 +901,6 @@ object DedupQueries {
     "d7_minhash_merge" -> dMinhashMergeOracle,
     "d8_embed_lsh" -> dEmbedLshOracle,
     "d9_contamination" -> dContaminationOracle,
-    "d10_substring_dedup" -> dSubstringDedupOracle)
+    "d10_substring_dedup" -> dSubstringDedupOracle,
+    "d11_hll_cardinality" -> dHllOracle)
 }
