@@ -158,6 +158,36 @@ object DedupFunctions {
       mins
     })
 
+  /** 64-register HyperLogLog-style register array over packed 3-shingles
+    * ([[shinglesPacked3]] output) in one primitive pass — the per-document
+    * "block sketch" that [[graft.expressions.ElementwiseMax]] merges into
+    * group/corpus sketches. Hash: the d3/d7 ascii polynomial recovered
+    * from the pack's bit-slices, scrambled affinely mod P to spread over
+    * ~2^30; bucket = h mod 64; rank = leading-zero count of the remaining
+    * 24-bit field + 1, i.e. `25 − length(bin(h div 64))` (25 when the
+    * field is 0) — exactly the DuckDB oracle's formula. A UDF for the
+    * same measured reason as [[minhash16]]: the relational form costs two
+    * shuffles per document batch (group by (doc, bucket), regroup to
+    * arrays) that this one narrow pass deletes.
+    */
+  val hllRegisters64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((ps: Seq[Long]) => {
+      val regs = new Array[Long](64)
+      if (ps != null) ps.foreach { p =>
+        val c1 = p >>> 32
+        val c2 = (p >> 16) & 0xFFFFL
+        val c3 = p & 0xFFFFL
+        val h = (((c1 * 31L + c2) * 31L + c3) * 48271L + 11L) % P
+        val b = (h % 64L).toInt
+        val rest = h / 64L
+        val r =
+          if (rest == 0L) 25L
+          else 25L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (r > regs(b)) regs(b) = r
+      }
+      regs
+    })
+
   /** Dictionary-encoded bitset for a shingle set: bit i set ⟺ the i-th
     * vocabulary shingle (sorted order) is present. When the corpus'
     * distinct-shingle vocabulary is small, this collapses set intersection

@@ -739,10 +739,12 @@ object DedupQueries {
     // (span, doc) occurrence counts — bounds any one span at n_docs rows
     val spanDoc = spans.groupBy(col("span"), col("doc_id"))
       .agg(count(lit(1)).as("occ"))
-    // span doc-frequency: in how many distinct docs does the span appear
-    val spanDf = spanDoc.groupBy(col("span"))
-      .agg(count(lit(1)).as("nd"))
-    val perDoc = spanDoc.join(spanDf, "span")
+    // span doc-frequency via a window over the span partition: one shuffle
+    // instead of a second aggregation + join back
+    val spanDf = spanDoc.withColumn("nd",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("span"))))
+    val perDoc = spanDf
       .groupBy(col("doc_id"))
       .agg(sum(col("occ")).as("n_spans"),
         sum(when(col("nd") >= 2, lit(1)).otherwise(lit(0))).as("n_dup_spans"),
@@ -797,45 +799,33 @@ object DedupQueries {
     */
   def dHllCardinality(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
+    // packed 3-shingles (one primitive UDF pass per doc, see
+    // shinglesPacked3): the pack preserves the char code points, so the
+    // oracle's ascii-polynomial hash is recovered from bit-slices — no
+    // per-shingle string ops anywhere
     val docs = Tables.documents(s, dir).filter(length(col("text")) >= 3)
       .select(col("source"), col("doc_id"),
-        graft.functions.TextFunctions.shingles(col("text"), 3).as("gs"))
-    val h = {
-      val g = col("g")
-      val base = (ascii(g.substr(1, 1)).cast("long") * 31 +
-        ascii(g.substr(2, 1)).cast("long")) * 31 +
-        ascii(g.substr(3, 1)).cast("long")
-      (base * 48271L + 11L) % P
-    }
-    val ranked = docs.select(col("source"), col("doc_id"),
-        explode(col("gs")).as("g"))
-      .select(col("source"), col("doc_id"), h.as("h"))
-      .select(col("source"), col("doc_id"), (col("h") % 64).as("b"),
-        expr("h DIV 64").as("rest"))
-      .select(col("source"), col("doc_id"), col("b"),
-        when(col("rest") === 0, lit(25L))
-          .otherwise((lit(25) - length(bin(col("rest")))).cast("long"))
-          .as("r"))
-    // per-document dense register arrays — the "block" sketches
-    val perDoc = ranked.groupBy(col("source"), col("doc_id"), col("b"))
-      .agg(max(col("r")).as("mr"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("mr"))))
-        .as("m"))
-      .select(col("source"), col("doc_id"),
-        transform(sequence(lit(0), lit(63)),
-          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L)))
-          .as("regs"))
+        shinglesPacked3(col("text")).as("ps"))
+    // per-document dense register arrays — the "block" sketches — built in
+    // the same narrow pass (hllRegisters64), zero shuffles until the merge
+    val perDoc = docs.select(col("source"), col("doc_id"),
+      hllRegisters64(col("ps")).as("regs"))
+    // materialize the 20 source sketches once; the union row derives from
+    // THEM (sketch of sketches), not from another corpus scan
     val bySource = perDoc.groupBy(col("source"))
       .agg(call_function("graft_elementwise_max", col("regs")).as("regs"))
+      .localCheckpoint()
     val unionSketch = bySource
       .groupBy(lit("__union__").as("source"))
       .agg(call_function("graft_elementwise_max", col("regs")).as("regs"))
-    val exact = docs.select(col("source"), explode(col("gs")).as("g"))
-    val exactBySource = exact.groupBy(col("source"))
-      .agg(countDistinct(col("g")).as("n_exact"))
-    val exactUnion = exact.groupBy(lit("__union__").as("source"))
-      .agg(countDistinct(col("g")).as("n_exact"))
+    // exact counts from one distinct pass over the packed longs
+    val dist = docs.select(col("source"), explode(col("ps")).as("p"))
+      .distinct().localCheckpoint()
+    val exactBySource = dist.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+    val exactUnion = dist.select(col("p")).distinct()
+      .groupBy(lit("__union__").as("source"))
+      .agg(count(lit(1)).as("n_exact"))
     bySource.unionByName(unionSketch)
       .join(exactBySource.unionByName(exactUnion), "source")
       .select(col("source"), col("n_exact"),
