@@ -193,7 +193,19 @@ object LongArrayOps {
     "graft_elementwise_min" -> arity("graft_elementwise_min", 1)(
       args => ElementwiseMin(args(0)).toAggregateExpression()),
     "graft_elementwise_max" -> arity("graft_elementwise_max", 1)(
-      args => ElementwiseMax(args(0)).toAggregateExpression()))
+      args => ElementwiseMax(args(0)).toAggregateExpression()),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime-filter rewrites but does not expose them in the SQL
+    // registry; surfacing them makes the bloom-prefilter pattern (build a
+    // KB-size sketch of the small side, discard big-side rows before they
+    // shuffle) available to queries directly.
+    "graft_bloom_agg" -> arity("graft_bloom_agg", 3)(args =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2))
+        .toAggregateExpression()),
+    "graft_might_contain" -> arity("graft_might_contain", 2)(args =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -868,6 +868,52 @@ object DedupQueries {
       |  FROM uex CROSS JOIN usig
       |ORDER BY source""".stripMargin
 
+  /** Bloom-prefilter decontamination — [[dContamination]]'s sibling for
+    * when the benchmark vocabulary does NOT fit an in-closure array: a
+    * `bloom_filter_agg` sketch of the benchmark shingles (a few KB
+    * regardless of item count) broadcasts to the corpus scan, and
+    * `might_contain` discards the overwhelming majority of shingle
+    * occurrences BEFORE anything shuffles toward the verification join.
+    * Bloom filters have no false negatives, so prefilter + exact
+    * semi-verify ≡ the exact join — the oracle is the plain exact form,
+    * and the sketch is purely a (100 TB-critical) volume reducer: the
+    * join's probe stream shrinks from every-shingle-everywhere to
+    * near-candidates only.
+    */
+  def dBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"))
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(explode(col("gs")).as("p")).distinct()
+    // The sketch aggregates distributedly (map-side partial merge), then
+    // the ~100 KB binary — CONSTANT-side regardless of benchmark item
+    // count, unlike d9's vocabulary array — collects once and ships to
+    // executors as a literal (might_contain requires a constant filter;
+    // at 100 TB this is the same bounded-small-side pull as a broadcast).
+    val bfBytes = bench.agg(call_function("graft_bloom_agg", col("p"),
+      lit(100000L), lit(800000L)).as("bf")).head().getAs[Array[Byte]](0)
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < 110)
+      .select(col("doc_id"), explode(col("gs")).as("p"))
+    corpus
+      .filter(call_function("graft_might_contain", lit(bfBytes), col("p")))
+      .join(broadcast(bench), Seq("p"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dBloomOracle: String =
+    """WITH s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |bench AS (SELECT DISTINCT g FROM s WHERE doc_id < 10)
+      |SELECT doc_id, COUNT(*) AS n_overlap
+      |FROM s JOIN bench USING (g)
+      |WHERE doc_id >= 10 AND doc_id < 110
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (dExact _),
     "d2_jaccard_neardup" -> (dJaccard _),
@@ -879,7 +925,8 @@ object DedupQueries {
     "d8_embed_lsh" -> (dEmbedLsh _),
     "d9_contamination" -> (dContamination _),
     "d10_substring_dedup" -> (dSubstringDedup _),
-    "d11_hll_cardinality" -> (dHllCardinality _))
+    "d11_hll_cardinality" -> (dHllCardinality _),
+    "d12_bloom_prefilter" -> (dBloomPrefilter _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -892,5 +939,6 @@ object DedupQueries {
     "d8_embed_lsh" -> dEmbedLshOracle,
     "d9_contamination" -> dContaminationOracle,
     "d10_substring_dedup" -> dSubstringDedupOracle,
-    "d11_hll_cardinality" -> dHllOracle)
+    "d11_hll_cardinality" -> dHllOracle,
+    "d12_bloom_prefilter" -> dBloomOracle)
 }

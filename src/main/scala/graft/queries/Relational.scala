@@ -539,6 +539,41 @@ object Relational {
       |  CAST(SUM(gid * doc_id) AS BIGINT) AS checksum
       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Time-RANGE window frame (q15's rows-frames sibling): per-user
+    * trailing-10-minute event count and spend, `rangeBetween` over the
+    * µs timestamp — the sliding-window-per-entity shape (rate limiting,
+    * rolling spend, anomaly baselines) that ROWS frames can't express
+    * when event density varies. Range frames bound by VALUE, so ties on
+    * ts_us all fall in every frame they border — deterministic without a
+    * tiebreaker column, which is exactly why the frame orders by the
+    * single numeric key. One shuffle on user_id; frames evaluate with a
+    * sliding aggregate inside the sorted partition, never re-scanning.
+    */
+  def q21RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val tenMinUs = 600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-tenMinUs, 0)
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("cents")).over(w).as("cents_10m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q21Oracle: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  COUNT(*) OVER w AS n_10m,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    OVER w AS BIGINT) AS cents_10m
+      |FROM events WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -559,7 +594,8 @@ object Relational {
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
     "q19_range_join" -> (q19RangeJoin _),
-    "q20_contiguous_ids" -> (q20ContiguousIds _))
+    "q20_contiguous_ids" -> (q20ContiguousIds _),
+    "q21_range_frame" -> (q21RangeFrame _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -581,5 +617,6 @@ object Relational {
     "q17_pivot" -> q17Oracle,
     "q18_grouping_sets" -> q18Oracle,
     "q19_range_join" -> q19Oracle,
-    "q20_contiguous_ids" -> q20Oracle)
+    "q20_contiguous_ids" -> q20Oracle,
+    "q21_range_frame" -> q21Oracle)
 }
