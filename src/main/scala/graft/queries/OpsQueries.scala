@@ -660,6 +660,55 @@ object OpsQueries {
       |FROM lineitem WHERE l_orderkey < 2000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private val st2Seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stream-stream inner join under the oracle gate: clicks × errors per
+    * user within ±24 h event time, run as a REAL Structured Streaming
+    * query ([[graft.streaming.StreamingPipeline.streamStreamJoin]]: dual
+    * watermarks + event-time bound → evictable state) over a file-backed
+    * source with `Trigger.AvailableNow`, then reduced in batch to
+    * engine-exact integers. The whole input arrives in one microbatch
+    * here, so no row is watermark-late and streaming output ≡ the batch
+    * join — which is exactly what the DuckDB oracle replays. At scale the
+    * join state is partitioned by user_id like any shuffle, and the ±24 h
+    * bound is what lets the store evict rows as watermarks advance.
+    */
+  def st2StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def side(t: String) = src
+      .filter(col("event_type") === t && col("user_id") < 50)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"), col("event_id"))
+    val joined = graft.streaming.StreamingPipeline.streamStreamJoin(
+      side("click"), side("error"), "user_id", "ets", "ets",
+      "48 hours", "24 hours")
+    val name = s"graft_st2_${st2Seq.incrementAndGet()}"
+    val query = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("event_id")).as("sum_left"),
+        sum(col("event_id_r")).as("sum_right"))
+      .orderBy(col("user_id"))
+  }
+
+  val st2Oracle: String =
+    """WITH l AS (SELECT user_id, epoch_us(ts) tsu, event_id FROM events
+      |  WHERE event_type = 'click' AND user_id < 50),
+      |r AS (SELECT user_id, epoch_us(ts) tsu, event_id FROM events
+      |  WHERE event_type = 'error' AND user_id < 50),
+      |p AS (SELECT l.user_id, l.event_id le, r.event_id re
+      |  FROM l JOIN r ON l.user_id = r.user_id
+      |    AND r.tsu >= l.tsu - 86400000000 AND r.tsu <= l.tsu + 86400000000)
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(le) AS BIGINT) AS sum_left,
+      |  CAST(SUM(re) AS BIGINT) AS sum_right
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -679,7 +728,8 @@ object OpsQueries {
     "io10_bucketed_join" -> (io10BucketedJoin _),
     "io11_partition_prune" -> (io11PartitionPrune _),
     "io12_compaction" -> (io12Compaction _),
-    "st1_sessionize" -> (st1Sessionize _))
+    "st1_sessionize" -> (st1Sessionize _),
+    "st2_stream_join" -> (st2StreamJoin _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -700,5 +750,6 @@ object OpsQueries {
     "io10_bucketed_join" -> io10Oracle,
     "io11_partition_prune" -> io11Oracle,
     "io12_compaction" -> io12Oracle,
-    "st1_sessionize" -> st1Oracle)
+    "st1_sessionize" -> st1Oracle,
+    "st2_stream_join" -> st2Oracle)
 }
