@@ -89,6 +89,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 substring spans meet only through span-keyed equi-shuffles") {
+    val plan = executed(SparkEntry.queries("d10_substring_dedup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "span census must never pair rows outside the span key")
+  }
+
+  test("d12 bloom prefilter runs before any join; joins stay broadcast") {
+    val df = SparkEntry.queries("d12_bloom_prefilter")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("might_contain"),
+      "the bloom prefilter must survive into the physical plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the exact-verify join must broadcast the benchmark side")
+    // the prefilter sits under the semi-join, not above it: the join
+    // operator's subtree (probe side) must already contain the filter
+    val planLines = plan.linesIterator.toSeq
+    val joinIdx = planLines.indexWhere(_.contains("BroadcastHashJoin"))
+    val filterIdx = planLines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "might_contain must filter the probe stream feeding the join")
+  }
+
+  test("d13 incremental LSH broadcasts the new block, streams the corpus") {
+    val plan = executed(SparkEntry.queries("d13_incremental_lsh")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the arriving block's band index must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the corpus must never shuffle to meet the new block")
+  }
+
+  test("s6 PQ codebook joins broadcast; only bounded probes nested-loop") {
+    val plan = executed(SparkEntry.queries("s6_pq_adc")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "PQ scoring must broadcast the bounded probe set")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
