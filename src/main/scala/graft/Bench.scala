@@ -20,7 +20,12 @@ object Bench {
       .foreach(f => spark.read.parquet(f.getPath).count())
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val clearBetween = sys.env.get("SPARK_GRAFT_CLEAR_CACHE").contains("1")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated allowlist for profiling a subset in isolation
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       if (clearBetween) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() }

@@ -937,17 +937,36 @@ object DedupQueries {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"),
         minhash16(col("text")).as("mh"))
-    def banded(df: DataFrame, id: String, g: String) = df
+    def banded(df: DataFrame, id: String, g: String, sg: String) = df
       .select(col("doc_id").as(id), col("gs").as(g),
-        posexplode(bandSignatures(col("mh"), 4, 4)).as(Seq("band", "sig")))
-    val fresh = banded(docs.filter(col("doc_id") < 100), "ia", "ga")
-    val corpus = banded(docs.filter(col("doc_id") >= 100), "ib", "gb")
+        bandSignatures(col("mh"), 4, 4).as(sg))
+      .select(col(id), col(g), col(sg),
+        posexplode(col(sg)).as(Seq("band", "sig")))
+    val fresh = banded(docs.filter(col("doc_id") < 100), "ia", "ga", "sa")
+    val corpus = banded(docs.filter(col("doc_id") >= 100), "ib", "gb", "sb")
+    // A pair agreeing in several bands would verify once per band; keep
+    // only the FIRST agreeing band (no earlier band matches) so each pair
+    // verifies exactly once and no distinct pass is needed — the standard
+    // LSH dedup guard. Unrolled element_at comparisons, not slice/zip
+    // HOFs: this predicate runs on every joined row (millions when
+    // buckets engulf), and HOF lambdas are interpreted + allocating
+    // while element_at stays inside codegen.
+    val firstBand = !(0 until 3).map(b =>
+      col("band") > b &&
+        element_at(col("sa"), b + 1) === element_at(col("sb"), b + 1))
+      .reduce(_ || _)
+    // lossless size prefilter (jac ≥ τ ⇒ min/max ≥ τ): candidates from
+    // engulfing buckets mostly die here, before the O(|A|+|B|) merge
+    // intersection. Exact integer form of τ = 4/5 — a double ⌈τ·max⌉
+    // mis-rounds on exact-ratio pairs (0.8·295 → 236.000…03 → 237)
+    val sizeOk = least(size(col("ga")), size(col("gb"))) * 5 >=
+      greatest(size(col("ga")), size(col("gb"))) * 4
     corpus.join(broadcast(fresh), Seq("band", "sig"))
+      .filter(firstBand && sizeOk)
       .withColumn("i", intersectSortedCount(col("ga"), col("gb")))
       .select(col("ia"), col("ib"),
         jacCol(col("i"), size(col("ga")), size(col("gb"))).as("jac"))
       .filter(col("jac") >= tau)
-      .distinct()
       .orderBy(col("ia"), col("ib"))
   }
 
