@@ -686,9 +686,17 @@ object OpsQueries {
       side("click"), side("error"), "user_id", "ets", "ets",
       "48 hours", "24 hours")
     val name = s"graft_st2_${st2Seq.incrementAndGet()}"
-    val query = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    query.awaitTermination()
+    // A streaming query's state-store count is fixed by the shuffle
+    // partitioning at first start (one store per partition per join side
+    // per batch, each with checkpoint traffic) — size it to the stream's
+    // volume, not the batch session default; restored after termination
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("event_id")).as("sum_left"),
