@@ -119,6 +119,37 @@ object Audit {
     }
   }
 
+  /** Small-file audit for a data directory: when the average data file
+    * falls far below the target size, scans pay per-file open/footer
+    * overhead and the driver pays split enumeration — the fix is one
+    * [[graft.io.Compaction.compact]] run. A metadata-only listing, same
+    * cost as any scan's planning.
+    */
+  case class SmallFilesStep(dir: String,
+      targetBytes: Long = 128L * 1024 * 1024) extends AuditStep {
+    val name = "small-files"
+    val description =
+      "warn when a data directory averages files far below target size"
+    def run(cfg: KlioConfig, spark: Option[SparkSession]): Seq[Finding] =
+      spark.toSeq.flatMap { s =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Seq(error(s"data directory $dir does not exist"))
+        else {
+          val files = fs.listStatus(p).filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          val (planned, bytes) =
+            graft.io.Compaction.plan(s, dir, targetBytes)
+          Option.when(files.length >= 8 && files.length >= 4 * planned)(
+            warn(s"$dir holds ${files.length} files for $bytes bytes " +
+              s"(~${bytes / math.max(files.length, 1)} B/file); compaction " +
+              s"to ~$targetBytes B files would write $planned — run " +
+              "graft.io.Compaction.compact")).toSeq
+        }
+      }
+  }
+
   val builtinSteps: Seq[AuditStep] =
     Seq(EventIoStep, ExistenceCheckStep, StreamingModeStep,
       ShufflePartitionsStep)

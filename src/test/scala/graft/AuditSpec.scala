@@ -80,6 +80,24 @@ class AuditSpec extends AnyFunSuite {
         f.message.contains("BroadcastNestedLoopJoin")))
   }
 
+  test("small-files step warns on a shredded directory, passes a compact one") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val df = (0 until 2000).toDF("x")
+    df.repartition(64).write.parquet(s"$base/shredded")
+    df.coalesce(1).write.parquet(s"$base/compact")
+    val shredded = Audit.audit(cfg(), Some(spark),
+      extraSteps = Seq(Audit.SmallFilesStep(s"$base/shredded")))
+    assert(shredded.warnings.exists(f => f.step == "small-files" &&
+      f.message.contains("Compaction.compact")))
+    val compact = Audit.audit(cfg(), Some(spark),
+      extraSteps = Seq(Audit.SmallFilesStep(s"$base/compact")))
+    assert(!compact.findings.exists(_.step == "small-files"))
+    val missing = Audit.audit(cfg(), Some(spark),
+      extraSteps = Seq(Audit.SmallFilesStep(s"$base/nope")))
+    assert(missing.errors.exists(_.step == "small-files"))
+  }
+
   test("plugin steps register and list like the plugin namespace") {
     val step = new Audit.AuditStep {
       val name = "custom-check"
