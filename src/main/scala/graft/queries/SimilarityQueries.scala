@@ -427,13 +427,91 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) rk FROM p)
       |SELECT qid, rk, nid, adist FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023): cluster the
+    * embedding space with the coarse quantizer, then dedup ONLY within
+    * clusters — the clustering is what bounds the quadratic term, turning
+    * corpus² cosine comparisons into Σ cluster². Pairs with cos ≥ 0.4
+    * mark the higher-id member dropped (keep-lowest-id policy); output is
+    * the per-cluster removal census a curation pipeline acts on.
+    *
+    * Scale shape: assignment is [[s3IvfAssign]]'s broadcast-centroid
+    * scan; the within-cluster self-join is an equi-join on cluster id
+    * (shuffle linear in corpus, candidate volume bounded by the largest
+    * cluster — skewed clusters call for finer centroids, the SemDeDup
+    * paper's k ≈ 10% of corpus); the census is one map-side-combined
+    * aggregate over k rows.
+    */
+  def d14SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val tau = 0.4
+    val e = quantized(s, dir)
+    val asg = centroidRanked(e, centroids(e))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nn"),
+        col("clabel").as("cluster"))
+    val cos = cosineQ(dotLong(col("a.v"), col("b.v")),
+      col("a.nn"), col("b.nn"))
+    val dropped = asg.as("a").join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"),
+        col("b.vec_id").as("vec_id"), cos.as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("cluster"), col("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    asg.select(col("cluster"), col("vec_id"))
+      .join(dropped, Seq("cluster", "vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dropped"),
+        sum(when(col("hit").isNotNull, col("vec_id")).otherwise(lit(0L)))
+          .as("drop_checksum"))
+      .orderBy(col("cluster"))
+  }
+
+  val d14Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT q.vec_id, q.v, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM q CROSS JOIN cent),
+      |asg AS (SELECT vec_id, v, clabel AS cluster FROM (
+      |    SELECT vec_id, v, clabel,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |    FROM d) WHERE rk = 1),
+      |n AS (SELECT vec_id, v, cluster,
+      |    list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM asg),
+      |pr AS (SELECT a.cluster, b.vec_id,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) cos
+      |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |dr AS (SELECT DISTINCT cluster, vec_id FROM pr WHERE cos >= 0.4)
+      |SELECT n.cluster, COUNT(*) AS n_members,
+      |  CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE n.vec_id END)
+      |    AS BIGINT) AS drop_checksum
+      |FROM n LEFT JOIN dr ON dr.cluster = n.cluster AND dr.vec_id = n.vec_id
+      |GROUP BY n.cluster ORDER BY n.cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ivf_assign" -> (s3IvfAssign _),
     "s4_ivf_probe" -> (s4IvfProbe _),
     "s5_kmeans_train" -> (s5KmeansTrain _),
-    "s6_pq_adc" -> (s6PqAdc _))
+    "s6_pq_adc" -> (s6PqAdc _),
+    "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Oracle,
@@ -441,5 +519,6 @@ object SimilarityQueries {
     "s3_ivf_assign" -> s3Oracle,
     "s4_ivf_probe" -> s4Oracle,
     "s5_kmeans_train" -> s5Oracle,
-    "s6_pq_adc" -> s6Oracle)
+    "s6_pq_adc" -> s6Oracle,
+    "d14_semantic_dedup" -> d14Oracle)
 }

@@ -29,6 +29,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getInt(0) == 2)  // popcount(3&1) + popcount(12&4) = 1 + 1
       assert(row.getLong(1) == 23L)
       assert(row.getInt(2) == 2)
+      // the sketch aggregates and the bloom pair ride the same injection
+      val agg = spark.sql(
+        """SELECT
+          |  graft_elementwise_min(v) AS mn,
+          |  graft_elementwise_max(v) AS mx
+          |FROM VALUES (array(3L, 9L)), (array(5L, 2L)) AS t(v)""".stripMargin)
+        .first()
+      assert(agg.getSeq[Long](0) == Seq(3L, 2L))
+      assert(agg.getSeq[Long](1) == Seq(5L, 9L))
+      val bloom = spark.sql(
+        """WITH b AS (SELECT graft_bloom_agg(x, 10L, 1000L) AS bf
+          |  FROM VALUES (1L), (2L), (3L) AS t(x))
+          |SELECT graft_might_contain((SELECT bf FROM b), 2L) AS hit,
+          |       graft_might_contain((SELECT bf FROM b), 99L) AS miss"""
+          .stripMargin).first()
+      assert(bloom.getBoolean(0))
+      assert(!bloom.getBoolean(1))
     } finally {
       SparkSession.setDefaultSession(existing)
       SparkSession.setActiveSession(existing)
