@@ -49,7 +49,11 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(WidthConf, "").trim
     if (width.isEmpty) return plan
-    val w = width.toLong
+    val w = try width.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$WidthConf must be a positive integer bucket width, got '$width'")
+    }
     require(w > 0, s"$WidthConf must be positive, got $w")
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>

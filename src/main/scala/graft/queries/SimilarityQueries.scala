@@ -349,11 +349,15 @@ object SimilarityQueries {
   def s6PqAdc(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     val cent = centroids(e)
-    // sub-codebook: (j, code=clabel, 8-dim centroid slice)
+    // sub-codebook: (j, code=clabel, 8-dim centroid slice). Materialized
+    // once (80 rows): encode and decode both broadcast it, and without
+    // the checkpoint each broadcast replays the corpus-wide centroid
+    // aggregation behind it.
     val cj = cent.select(col("clabel"),
         explode(sequence(lit(0), lit(7))).as("j"), col("c"))
       .select(col("clabel"), col("j"),
         slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
+      .localCheckpoint()
     // encode: nearest sub-centroid per (vector, subspace)
     val vj = e.select(col("vec_id"),
       explode(sequence(lit(0), lit(7))).as("j"), col("v"))
