@@ -717,6 +717,51 @@ object OpsQueries {
       |  CAST(SUM(re) AS BIGINT) AS sum_right
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Event-time tumbling-window aggregation as a REAL streaming run —
+    * §2.6's windowed-counts semantics under the oracle gate (st2's
+    * pattern: file source, AvailableNow, memory sink, batch reduction).
+    * The oracle replays the window arithmetic as epoch bucketing.
+    * `complete` output mode: append withholds every window still above
+    * the watermark at shutdown (the final windows of a bounded run), so
+    * the complete table is what equals the batch oracle; production
+    * pipelines run append + watermark eviction, covered with emission
+    * timing in `StreamingSpec`. At scale the state is partitioned by
+    * (window, key) like any shuffle.
+    */
+  def st3StreamWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withWatermark("ets", "1 hour")
+    val windowed = src
+      .groupBy(window(col("ets"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("user_id"), col("n"), col("sum_cents"))
+    val name = s"graft_st3_${st2Seq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      windowed.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).orderBy(col("win_us"), col("user_id"))
+  }
+
+  val st3Oracle: String =
+    """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_us,
+      |  user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id < 20
+      |GROUP BY 1, 2 ORDER BY win_us, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -737,7 +782,8 @@ object OpsQueries {
     "io11_partition_prune" -> (io11PartitionPrune _),
     "io12_compaction" -> (io12Compaction _),
     "st1_sessionize" -> (st1Sessionize _),
-    "st2_stream_join" -> (st2StreamJoin _))
+    "st2_stream_join" -> (st2StreamJoin _),
+    "st3_stream_window" -> (st3StreamWindow _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -759,5 +805,6 @@ object OpsQueries {
     "io11_partition_prune" -> io11Oracle,
     "io12_compaction" -> io12Oracle,
     "st1_sessionize" -> st1Oracle,
-    "st2_stream_join" -> st2Oracle)
+    "st2_stream_join" -> st2Oracle,
+    "st3_stream_window" -> st3Oracle)
 }

@@ -488,6 +488,50 @@ object TextQueries {
       |  CAST(SUM(length(red)) AS BIGINT) AS redacted_chars
       |FROM scrub3 GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** Fluency scoring by corpus-bigram rarity — the log-free stand-in for
+    * a KenLM-style perplexity filter (logprobs would hang cross-engine
+    * determinism on libm; rank-by-rarity keeps every number an exact
+    * integer plus one IEEE division, like [[tTfidf]]): a document's
+    * rare_frac is the fraction of its word-bigram OCCURRENCES whose
+    * corpus document-frequency is below the threshold — high means
+    * disfluent/unusual text, the same signal a perplexity gate thresholds
+    * on. Two shuffles at scale: the bigram→df aggregate (map-side
+    * combined, distinct-bigram volume) and the doc re-aggregation; the df
+    * side joins in broadcast-shaped (bounded vocabulary) or shuffles by
+    * bigram (Zipfian natural text) — either way linear.
+    */
+  def tRareBigrams(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bigram"))
+    val df = occ.select(col("bigram"), col("doc_id")).distinct()
+      .groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+    occ.join(df, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") <= 2, lit(1)).otherwise(lit(0))).as("n_rare"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+      .filter(col("doc_id") < 100)
+      .orderBy(col("doc_id"))
+  }
+
+  val tRareBigramsOracle: String =
+    """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(list_zip(toks, toks[2:]),
+      |    z -> z[1] || ' ' || z[2])) AS bigram FROM t),
+      |occ AS (SELECT doc_id, bigram FROM b WHERE bigram IS NOT NULL),
+      |df AS (SELECT bigram, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
+      |agg AS (SELECT occ.doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rare
+      |  FROM occ JOIN df USING (bigram) GROUP BY 1)
+      |SELECT doc_id, n_bigrams, n_rare,
+      |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac
+      |FROM agg WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -500,7 +544,8 @@ object TextQueries {
     "t9_split" -> (tSplit _),
     "t10_packing" -> (tPacking _),
     "t11_stratified" -> (tStratified _),
-    "t12_pii" -> (tPii _))
+    "t12_pii" -> (tPii _),
+    "t13_rare_bigrams" -> (tRareBigrams _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -514,5 +559,6 @@ object TextQueries {
     "t9_split" -> tSplitOracle,
     "t10_packing" -> tPackingOracle,
     "t11_stratified" -> tStratifiedOracle,
-    "t12_pii" -> tPiiOracle)
+    "t12_pii" -> tPiiOracle,
+    "t13_rare_bigrams" -> tRareBigramsOracle)
 }
