@@ -762,6 +762,45 @@ object OpsQueries {
       |FROM events WHERE user_id < 20
       |GROUP BY 1, 2 ORDER BY win_us, user_id""".stripMargin
 
+  /** Schema evolution across parquet batches — the lake reality that a
+    * long-lived dataset's early files lack columns added later: batch 1
+    * writes (o_orderkey, cents), batch 2 adds o_orderpriority, and the
+    * read unifies them with `mergeSchema` (schema union, missing columns
+    * NULL). The aggregation proves both the union and the null semantics
+    * engine-exactly. At 100 TB, mergeSchema's footer sweep is the cost to
+    * watch — production tables pin the unified schema in a catalog and
+    * pass it explicitly, which the read here models by aggregating to the
+    * same result either way.
+    */
+  def io13SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir(s) + "/graft_io13_evolving"
+    val base = Tables.orders(s, dir).filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"), col("o_orderpriority"))
+    base.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("cents"))
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("cents"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("priority"))
+  }
+
+  val io13Oracle: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+      |    ELSE o_orderpriority END AS priority,
+      |  COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders WHERE o_orderkey < 2000
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -781,6 +820,7 @@ object OpsQueries {
     "io10_bucketed_join" -> (io10BucketedJoin _),
     "io11_partition_prune" -> (io11PartitionPrune _),
     "io12_compaction" -> (io12Compaction _),
+    "io13_schema_evolution" -> (io13SchemaEvolution _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _))
@@ -804,6 +844,7 @@ object OpsQueries {
     "io10_bucketed_join" -> io10Oracle,
     "io11_partition_prune" -> io11Oracle,
     "io12_compaction" -> io12Oracle,
+    "io13_schema_evolution" -> io13Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle)
