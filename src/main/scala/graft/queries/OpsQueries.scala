@@ -801,6 +801,52 @@ object OpsQueries {
       |FROM orders WHERE o_orderkey < 2000
       |GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** At-least-once → effectively-once dedup as a real streaming run: the
+    * source REPLAYS every event with event_id % 5 == 0 (union of the
+    * stream with its own filtered self — the redelivery pattern every
+    * at-least-once bus produces), and `dropDuplicatesWithinWatermark` on
+    * the id collapses them while the watermark bounds the dedup state.
+    * The oracle is simply the distinct census — redeliveries must leave
+    * no trace. State is keyed by event_id and evicted as the watermark
+    * passes, so memory is bounded by the redelivery window, not the
+    * stream length — the property that makes this viable on an unbounded
+    * 100 TB/day bus.
+    */
+  def st4StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, dir).schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .filter(col("user_id") < 30)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val redelivered = src.unionByName(src.filter(col("event_id") % 5 === 0))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_st4_${st2Seq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      redelivered.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val st4Oracle: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id < 30
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -823,7 +869,8 @@ object OpsQueries {
     "io13_schema_evolution" -> (io13SchemaEvolution _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
-    "st3_stream_window" -> (st3StreamWindow _))
+    "st3_stream_window" -> (st3StreamWindow _),
+    "st4_stream_dedup" -> (st4StreamDedup _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -847,5 +894,6 @@ object OpsQueries {
     "io13_schema_evolution" -> io13Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
-    "st3_stream_window" -> st3Oracle)
+    "st3_stream_window" -> st3Oracle,
+    "st4_stream_dedup" -> st4Oracle)
 }
