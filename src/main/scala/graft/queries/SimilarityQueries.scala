@@ -508,6 +508,115 @@ object SimilarityQueries {
       |FROM n LEFT JOIN dr ON dr.cluster = n.cluster AND dr.vec_id = n.vec_id
       |GROUP BY n.cluster ORDER BY n.cluster""".stripMargin
 
+  /** PQ codebook TRAINING — the missing third of the PQ story ([[s6PqAdc]]
+    * encodes/scores, [[s5KmeansTrain]] proves the Lloyd loop; this runs
+    * Lloyd PER SUBSPACE): initialize each subspace's codebook with the
+    * per-label subvector means, assign every subvector to its nearest
+    * code, recompute each code's centroid as the exact mean of its
+    * assigned subvectors (empty codes keep their old centroid — standard
+    * Lloyd), and re-assign. Output is the codebook-utilization histogram
+    * — per (subspace, code) member count + id checksum — the diagnostic
+    * a PQ build monitors for dead/engulfing codes.
+    *
+    * Scale shape: each step is the s5 shape sliced 8 ways — codebooks
+    * broadcast, one corpus scan per assignment, mean recompute a
+    * two-level (subspace, code, component) aggregate with map-side
+    * combine; nothing is ever quadratic.
+    */
+  def s7PqTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cj0 = centroids(e).select(col("clabel"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("c"))
+      .select(col("clabel"), col("j"),
+        slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
+      .localCheckpoint()
+    val vj = e.select(col("vec_id"),
+      explode(sequence(lit(0), lit(7))).as("j"),
+      col("v")).select(col("vec_id"), col("j"),
+      slice(col("v"), col("j") * 8 + 1, lit(8)).as("sv"))
+    val sdist = aggregate(
+      zip_with(col("sv"), col("sc"),
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x)
+    def assign(cj: DataFrame): DataFrame = {
+      val byDist = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d"), col("clabel"))
+      vj.join(broadcast(cj), Seq("j"))
+        .select(col("vec_id"), col("j"), col("clabel"), col("sv"),
+          sdist.as("d"))
+        .withColumn("rk", row_number().over(byDist))
+        .filter(col("rk") === 1)
+    }
+    val a0 = assign(cj0)
+    // exact-integer component sums → one double division per component;
+    // empty codes fall back to their initial centroid via the outer join
+    val refined = a0
+      .select(col("j"), col("clabel"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("j"), col("clabel"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy(col("j"), col("clabel"))
+      .agg(array_sort(collect_list(struct(col("i"), (col("sx").cast("double") /
+        col("cnt").cast("double")).as("m")))).as("pairs"))
+      .select(col("j"), col("clabel"),
+        transform(col("pairs"), p => p.getField("m")).as("scNew"))
+    val cj1 = cj0.join(refined, Seq("j", "clabel"), "left")
+      .select(col("j"), col("clabel"),
+        coalesce(col("scNew"), col("sc")).as("sc"))
+    assign(cj1)
+      .groupBy(col("j"), col("clabel").as("code"))
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("checksum"))
+      .orderBy(col("j"), col("code"))
+  }
+
+  val s7Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |cj0 AS (SELECT clabel, CAST(j AS INT) j,
+      |    list_slice(c, CAST(j*8+1 AS INT), CAST(j*8+8 AS INT)) sc
+      |  FROM cent, range(0, 8) r(j)),
+      |vj AS (SELECT vec_id, CAST(j AS INT) j,
+      |    list_slice(v, CAST(j*8+1 AS INT), CAST(j*8+8 AS INT)) sv
+      |  FROM q, range(0, 8) r(j)),
+      |d0 AS (SELECT vj.vec_id, vj.j, cj0.clabel, vj.sv,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])
+      |      * (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])),
+      |      (a, b) -> a + b) d
+      |  FROM vj JOIN cj0 ON vj.j = cj0.j),
+      |a0 AS (SELECT vec_id, j, clabel, sv FROM (
+      |    SELECT vec_id, j, clabel, sv,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, clabel) rk
+      |    FROM d0) WHERE rk = 1),
+      |rcomp AS (SELECT j, clabel, CAST(i AS INT) i,
+      |    SUM(sv[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM a0, range(1, 9) r(i) GROUP BY 1, 2, 3),
+      |refined AS (SELECT j, clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) scNew
+      |  FROM rcomp GROUP BY j, clabel),
+      |cj1 AS (SELECT cj0.j, cj0.clabel,
+      |    COALESCE(refined.scNew, cj0.sc) sc
+      |  FROM cj0 LEFT JOIN refined
+      |    ON cj0.j = refined.j AND cj0.clabel = refined.clabel),
+      |d1 AS (SELECT vj.vec_id, vj.j, cj1.clabel,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])
+      |      * (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])),
+      |      (a, b) -> a + b) d
+      |  FROM vj JOIN cj1 ON vj.j = cj1.j),
+      |a1 AS (SELECT vec_id, j, clabel FROM (
+      |    SELECT vec_id, j, clabel,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, clabel) rk
+      |    FROM d1) WHERE rk = 1)
+      |SELECT j, clabel AS code, COUNT(*) AS n,
+      |  CAST(SUM(vec_id) AS BIGINT) AS checksum
+      |FROM a1 GROUP BY j, clabel ORDER BY j, code""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -515,6 +624,7 @@ object SimilarityQueries {
     "s4_ivf_probe" -> (s4IvfProbe _),
     "s5_kmeans_train" -> (s5KmeansTrain _),
     "s6_pq_adc" -> (s6PqAdc _),
+    "s7_pq_train" -> (s7PqTrain _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -524,5 +634,6 @@ object SimilarityQueries {
     "s4_ivf_probe" -> s4Oracle,
     "s5_kmeans_train" -> s5Oracle,
     "s6_pq_adc" -> s6Oracle,
+    "s7_pq_train" -> s7Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
