@@ -574,6 +574,44 @@ object Relational {
       |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Unpivot (melt) — [[q17Pivot]]'s inverse and the feature-engineering
+    * workhorse: wide per-row metrics become (metric, value) pairs for
+    * uniform downstream aggregation. `Dataset.unpivot` plans as a single
+    * Expand (rows × n_metrics) — a narrow map with no shuffle until the
+    * final aggregate, so it scales as a pure scan.
+    */
+  def q22Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_orderkey") < 4000)
+      .select(col("l_orderkey"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("quantity_c"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("price_c"),
+        (dec2(col("l_discount")) * 100).cast("long").as("discount_c"),
+        (dec2(col("l_tax")) * 100).cast("long").as("tax_c"))
+    li.unpivot(Array(col("l_orderkey")),
+        Array(col("quantity_c"), col("price_c"), col("discount_c"),
+          col("tax_c")), "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+        max(col("value")).as("mx"))
+      .orderBy(col("metric"))
+  }
+
+  val q22Oracle: String =
+    """WITH w AS (SELECT l_orderkey,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS quantity_c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS discount_c,
+      |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_c
+      |  FROM lineitem WHERE l_orderkey < 4000),
+      |m AS (
+      |  SELECT 'quantity_c' AS metric, quantity_c AS value FROM w
+      |  UNION ALL SELECT 'price_c', price_c FROM w
+      |  UNION ALL SELECT 'discount_c', discount_c FROM w
+      |  UNION ALL SELECT 'tax_c', tax_c FROM w)
+      |SELECT metric, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS total,
+      |  CAST(MAX(value) AS BIGINT) AS mx
+      |FROM m GROUP BY metric ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -595,7 +633,8 @@ object Relational {
     "q18_grouping_sets" -> (q18GroupingSets _),
     "q19_range_join" -> (q19RangeJoin _),
     "q20_contiguous_ids" -> (q20ContiguousIds _),
-    "q21_range_frame" -> (q21RangeFrame _))
+    "q21_range_frame" -> (q21RangeFrame _),
+    "q22_unpivot" -> (q22Unpivot _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -618,5 +657,6 @@ object Relational {
     "q18_grouping_sets" -> q18Oracle,
     "q19_range_join" -> q19Oracle,
     "q20_contiguous_ids" -> q20Oracle,
-    "q21_range_frame" -> q21Oracle)
+    "q21_range_frame" -> q21Oracle,
+    "q22_unpivot" -> q22Oracle)
 }
