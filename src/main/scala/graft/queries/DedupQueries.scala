@@ -736,20 +736,25 @@ object DedupQueries {
     val spans = docs.select(col("doc_id"), explode(
       transform(sequence(lit(0), size(col("t")) - k),
         i => concat_ws(" ", slice(col("t"), i + lit(1), lit(k))))).as("span"))
-    // (span, doc) occurrence counts — bounds any one span at n_docs rows
+    // Every aggregation below is hash-based with map-side combine, so an
+    // ultra-common span never concentrates on one task (a window over the
+    // span partition would — sort-based, no partial agg). The join back
+    // is pruned to DUPLICATED spans only, normally a small fraction.
     val spanDoc = spans.groupBy(col("span"), col("doc_id"))
       .agg(count(lit(1)).as("occ"))
-    // span doc-frequency via a window over the span partition: one shuffle
-    // instead of a second aggregation + join back
-    val spanDf = spanDoc.withColumn("nd",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("span"))))
-    val perDoc = spanDf
+    val docTotals = spanDoc.groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_spans"))
+    val dupSpans = spanDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span"))
+    val dupPerDoc = spanDoc.join(dupSpans, "span")
       .groupBy(col("doc_id"))
-      .agg(sum(col("occ")).as("n_spans"),
-        sum(when(col("nd") >= 2, lit(1)).otherwise(lit(0))).as("n_dup_spans"),
-        sum(when(col("nd") >= 2, col("occ")).otherwise(lit(0))).as("dup_occ"))
-    perDoc
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("occ")).as("dup_occ"))
+    docTotals.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_occ"), lit(0L)).as("dup_occ"))
       .withColumn("dup_frac",
         col("dup_occ").cast("double") / col("n_spans").cast("double"))
       .orderBy(col("doc_id"))
