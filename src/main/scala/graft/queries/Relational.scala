@@ -612,6 +612,45 @@ object Relational {
       |  CAST(MAX(value) AS BIGINT) AS mx
       |FROM m GROUP BY metric ORDER BY metric""".stripMargin
 
+  /** Distribution-rank window family — `ntile` / `percent_rank` /
+    * `cume_dist` / `dense_rank`, the quantile-bucketing shape behind
+    * cohort analysis and score calibration. Ties: percent_rank and
+    * cume_dist are tie-stable by definition, but ntile SPLITS ties by
+    * physical order, so the window orders by (balance, custkey) — a
+    * unique total order — to stay deterministic across engines and
+    * across Spark's own retries. One shuffle on nationkey; every rank
+    * evaluates in a single sorted pass per partition.
+    */
+  def q23RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bal_c"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_nationkey"), col("c_custkey"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("bal_c"))
+      .select(col("c_nationkey"), col("c_custkey"), col("bal_c"),
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).as("drank"),
+        // floor() before the cast: DuckDB's double→BIGINT cast rounds
+        // half-away while Spark's truncates — floor is exact in both
+        floor(percent_rank().over(w) * 10000).cast("long").as("prank_bp"),
+        floor(cume_dist().over(w) * 10000).cast("long").as("cume_bp"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  val q23Oracle: String =
+    """SELECT c_nationkey, c_custkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+      |  NTILE(4) OVER w AS quartile,
+      |  DENSE_RANK() OVER w AS drank,
+      |  CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS BIGINT) AS prank_bp,
+      |  CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT) AS cume_bp
+      |FROM customer WHERE c_nationkey < 5
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |  ORDER BY CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |           c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -634,7 +673,8 @@ object Relational {
     "q19_range_join" -> (q19RangeJoin _),
     "q20_contiguous_ids" -> (q20ContiguousIds _),
     "q21_range_frame" -> (q21RangeFrame _),
-    "q22_unpivot" -> (q22Unpivot _))
+    "q22_unpivot" -> (q22Unpivot _),
+    "q23_rank_family" -> (q23RankFamily _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -658,5 +698,6 @@ object Relational {
     "q19_range_join" -> q19Oracle,
     "q20_contiguous_ids" -> q20Oracle,
     "q21_range_frame" -> q21Oracle,
-    "q22_unpivot" -> q22Oracle)
+    "q22_unpivot" -> q22Oracle,
+    "q23_rank_family" -> q23Oracle)
 }
