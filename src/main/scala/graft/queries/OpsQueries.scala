@@ -847,6 +847,123 @@ object OpsQueries {
       |FROM events WHERE user_id < 30
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-static enrichment join — the dimension-lookup shape every
+    * event pipeline needs (klio's BigQuery side-input analog): a
+    * streaming fact source joins a STATIC dimension table, broadcast so
+    * each microbatch is a stateless map-side hash join with zero
+    * streaming state and zero shuffle of the stream. Spark re-plans the
+    * static side per microbatch, which is what picks up dimension
+    * updates between batches at no state cost — the property that makes
+    * this the first-choice join on an unbounded bus (contrast st2's
+    * stream-stream join, whose state store must hold both sides).
+    * Streaming output ≡ batch join on a bounded run, which the oracle
+    * replays.
+    */
+  def st5StreamStatic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, dir).schema
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .filter(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val enriched = src.join(broadcast(dim),
+      col("user_id") === col("c_custkey"))
+    val name = s"graft_st5_${st2Seq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  val st5Oracle: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE user_id < 100
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
+  /** Keyed upsert sink via `foreachBatch` — the CDC/materialized-view
+    * pattern: each microbatch MERGES into a keyed table, keeping the
+    * newest row per key ("latest state per user"). The stream is split
+    * into 4 files read with `maxFilesPerTrigger=1`, so the merge runs
+    * across 4 REAL microbatches; the per-key winner is
+    * max_by(row, (ts, event_id)) — associative and order-independent, so
+    * the final table is deterministic whatever order the source lists
+    * files in, and idempotent under batch replay (at-least-once sinks
+    * re-run a batch after failure; re-merging the same rows changes
+    * nothing). State lives in the TABLE (partitioned parquet), not the
+    * state store: memory is bounded by key cardinality, not stream
+    * length, and each merge is one shuffle of batch ∪ table by key. The
+    * oracle replays "latest per user" with a window over the whole
+    * input.
+    */
+  def st6StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir(s) + s"/graft_st6_${st2Seq.incrementAndGet()}"
+    val srcDir = s"$root/src"
+    Tables.events(s, dir).filter(col("user_id") < 80)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    // alternating state generations: read gen i, merge, write gen i+1 —
+    // never overwrite a directory while a scan of it is live
+    var stateDir: Option[String] = None
+    var gen = 0
+    val merge = (batch: DataFrame, batchId: Long) => {
+      val prev = stateDir.map(p => batch.sparkSession.read.parquet(p))
+        .getOrElse(batch.limit(0))
+      gen += 1
+      val next = s"$root/state_$gen"
+      // state keeps the batch's column names so merge N+1 can union it
+      // with the next batch; the query's final projection renames
+      prev.unionByName(batch)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .as("w"))
+        .select(col("user_id"), col("w.ts_us").as("ts_us"),
+          col("w.event_id").as("event_id"), col("w.cents").as("cents"))
+        .write.mode("overwrite").parquet(next)
+      stateDir = Some(next)
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(stateDir.get)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("last_event_id"), col("cents").as("last_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val st6Oracle: String =
+    """SELECT user_id, epoch_us(ts) AS ts_us, event_id AS last_event_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_cents
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events WHERE user_id < 80)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -870,7 +987,9 @@ object OpsQueries {
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
-    "st4_stream_dedup" -> (st4StreamDedup _))
+    "st4_stream_dedup" -> (st4StreamDedup _),
+    "st5_stream_static" -> (st5StreamStatic _),
+    "st6_stream_upsert" -> (st6StreamUpsert _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -895,5 +1014,7 @@ object OpsQueries {
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
-    "st4_stream_dedup" -> st4Oracle)
+    "st4_stream_dedup" -> st4Oracle,
+    "st5_stream_static" -> st5Oracle,
+    "st6_stream_upsert" -> st6Oracle)
 }

@@ -204,4 +204,38 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).sorted
     assert(els === Array("x", "y"))
   }
+
+  test("foreachBatch upsert merges across real microbatches") {
+    val base = Files.createTempDirectory("graft-upsert").toString
+    val prev = spark.conf.getOption("spark.graft.tmpDir")
+    spark.conf.set("spark.graft.tmpDir", base)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val got = graft.queries.OpsQueries.st6StreamUpsert(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      // batch truth: newest row per user by (ts, event_id)
+      val want = Tables.events(spark, dir).filter(col("user_id") < 80)
+        .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .as("w"))
+        .select(col("user_id"), col("w.event_id"), col("w.cents"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got === want)
+      // the merge must have run per-microbatch: maxFilesPerTrigger=1 over
+      // a 4-file source ⇒ 4 state generations, not one big batch
+      val gens = new java.io.File(base).listFiles()
+        .filter(_.getName.startsWith("graft_st6_"))
+        .flatMap(_.listFiles()).map(_.getName)
+        .count(_.startsWith("state_"))
+      assert(gens === 4, s"expected 4 merge generations, saw $gens")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.tmpDir", v)
+      case None => spark.conf.unset("spark.graft.tmpDir")
+    }
+  }
 }
