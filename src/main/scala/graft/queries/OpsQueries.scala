@@ -964,6 +964,63 @@ object OpsQueries {
       |  FROM events WHERE user_id < 80)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Z-order clustered layout + 2-D box query ([[graft.io.ZOrder]]) —
+    * io11's partition pruning generalized to TWO dimensions: events are
+    * bucketized to 8 bits per dimension (3-hour time bucket, value/2),
+    * Morton-coded
+    * with codegen'd shift/mask arithmetic, written partitioned by the
+    * 4-bit z prefix and range-clustered by the full code inside each
+    * partition. The box query enumerates intersecting prefixes on the
+    * driver (a 16-cell constant loop, never data-sized) and filters
+    * `zp IN (...)` — pruning at the partition LISTING, before a file
+    * opens — then re-checks the exact predicates. Content is provably
+    * layout-independent: the oracle recomputes the same Morton
+    * arithmetic over the raw table, so clustering must neither lose nor
+    * duplicate a row. At 100 TB this is the difference between scanning
+    * every file for a 2-predicate query and scanning only the fraction
+    * whose z cells intersect it; `LayoutSpec` asserts the scan
+    * enumerates exactly the 3 intersecting partitions of the 16.
+    */
+  def io14Zorder(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir(s) + "/graft_io14_zorder"
+    // 3-hour buckets since 2024-01-01 (0..239 over the 30-day stream at
+    // EVERY sf) × value/2 buckets (0..245) — two dimensions that span
+    // the 8-bit domain regardless of scale factor
+    val bucketized = Tables.events(s, dir)
+      .select(col("event_id"),
+        (expr("ts DIV 10800000000000") - 157784L).as("tb"),
+        least(floor(col("value") / 2).cast("long"), lit(255L)).as("vb"))
+    val coded = bucketized
+      .withColumn("zval", graft.io.ZOrder.zvalue8(col("tb"), col("vb")))
+      .withColumn("zp", shiftright(col("zval"), 12).cast("int"))
+    coded.repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").partitionBy("zp").parquet(out)
+    val prefixes = graft.io.ZOrder.prefixesFor(30, 150, 0, 30, 4)
+    s.read.parquet(out)
+      .filter(col("zp").isin(prefixes.map(Integer.valueOf): _*))
+      .filter(col("tb").between(30, 150) && col("vb").between(0, 30))
+      .select(col("event_id"), col("tb"), col("vb"), col("zval"))
+      .orderBy(col("event_id"))
+  }
+
+  val io14Oracle: String =
+    """WITH e AS (SELECT event_id,
+      |    (epoch_us(ts) // 10800000000) - 157784 AS tb,
+      |    LEAST(CAST(FLOOR(value / 2) AS BIGINT), 255) AS vb FROM events),
+      |s1 AS (SELECT event_id, tb, vb,
+      |    ((tb | (tb << 4)) & 3855) AS xa,
+      |    ((vb | (vb << 4)) & 3855) AS ya FROM e),
+      |s2 AS (SELECT event_id, tb, vb,
+      |    ((xa | (xa << 2)) & 13107) AS xb,
+      |    ((ya | (ya << 2)) & 13107) AS yb FROM s1),
+      |s3 AS (SELECT event_id, tb, vb,
+      |    ((xb | (xb << 1)) & 21845) AS xc,
+      |    ((yb | (yb << 1)) & 21845) AS yc FROM s2)
+      |SELECT event_id, tb, vb, (xc | (yc << 1)) AS zval FROM s3
+      |WHERE tb BETWEEN 30 AND 150 AND vb BETWEEN 0 AND 30
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -984,6 +1041,7 @@ object OpsQueries {
     "io11_partition_prune" -> (io11PartitionPrune _),
     "io12_compaction" -> (io12Compaction _),
     "io13_schema_evolution" -> (io13SchemaEvolution _),
+    "io14_zorder" -> (io14Zorder _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1011,6 +1069,7 @@ object OpsQueries {
     "io11_partition_prune" -> io11Oracle,
     "io12_compaction" -> io12Oracle,
     "io13_schema_evolution" -> io13Oracle,
+    "io14_zorder" -> io14Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

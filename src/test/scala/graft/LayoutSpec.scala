@@ -100,4 +100,44 @@ class LayoutSpec extends AnyFunSuite {
       graft.io.Compaction.plan(spark, tmp + "/graft_io12_src", 0)
     }
   }
+
+  test("io14: z-order box query prunes to the intersecting z-prefix cells") {
+    val df = OpsQueries.io14Zorder(spark, sf)
+    val scan = unwrap(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "zp IN (...) must be a partition filter, not a data filter")
+    val listing = scan.selectedPartitions
+    // box [30,150]×[0,30] intersects x-cells {0,1,2} × y-cell {0} → the
+    // z prefixes interleaving x bits at even positions: 0, 1, 4
+    assert(graft.io.ZOrder.prefixesFor(30, 150, 0, 30, 4) === Seq(0, 1, 4))
+    assert(listing.partitionCount === 3,
+      s"scan must prune to the 3 intersecting z cells, got " +
+        s"${listing.partitionCount}")
+    val written = new File(System.getProperty("java.io.tmpdir") +
+      "/graft_io14_zorder").listFiles().count(_.getName.startsWith("zp="))
+    assert(written > 3, s"data must occupy >3 z cells (saw $written), " +
+      "or the prune proves nothing")
+  }
+
+  test("z-order prefix decomposition never misses a boxed point") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val (x1, x2) = (rnd.nextInt(256), rnd.nextInt(256))
+      val (y1, y2) = (rnd.nextInt(256), rnd.nextInt(256))
+      val (loX, hiX) = (math.min(x1, x2), math.max(x1, x2))
+      val (loY, hiY) = (math.min(y1, y2), math.max(y1, y2))
+      val prefixes = graft.io.ZOrder.prefixesFor(loX, hiX, loY, hiY, 4).toSet
+      for (_ <- 1 to 20) {
+        val px = loX + rnd.nextInt(hiX - loX + 1)
+        val py = loY + rnd.nextInt(hiY - loY + 1)
+        // prefix of the point's Morton code, same bit layout as zvalue8
+        def spread(v: Int) = (0 until 8).map(i => ((v >> i) & 1) << (2 * i)).sum
+        val z = spread(px) | (spread(py) << 1)
+        assert(prefixes.contains(z >> 12),
+          s"point ($px,$py) in box [$loX,$hiX]x[$loY,$hiY] lost")
+      }
+    }
+  }
 }
