@@ -617,6 +617,164 @@ object SimilarityQueries {
       |  CAST(SUM(vec_id) AS BIGINT) AS checksum
       |FROM a1 GROUP BY j, clabel ORDER BY j, code""".stripMargin
 
+  /** IVF-PQ with residual encoding — the composition production ANN
+    * indexes (FAISS `IVFPQ`) actually ship, and the piece [[s4IvfProbe]]
+    * (routing) and [[s6PqAdc]] (compression) each cover only half of:
+    * vectors are filed under their nearest coarse centroid AND stored as
+    * PQ codes of the RESIDUAL v − centroid. Residuals are what make PQ
+    * codes sharp — they're centered near zero, so the same code budget
+    * spends on local detail instead of re-describing cluster position.
+    * A probe scans its nprobe=2 nearest lists and scores against
+    * reconstructions (centroid + residual-code slices), never raw
+    * vectors.
+    *
+    * Engine-exactness: residuals are re-quantized to integers
+    * (floor(v−c+0.5) — one exact IEEE subtraction each), so codebook
+    * means are integer sums with one division, immune to float-summation
+    * order. Scale shape: centroids and the 10×8-slice codebook broadcast
+    * (the codebook is checkpointed — 80 rows — so the two joins that
+    * need it don't replay the corpus aggregation); assignment, residual,
+    * and encode are single corpus scans with per-(vec,subspace) ranks;
+    * scoring is a broadcast-probe equi-join on list id over the
+    * code-compressed corpus — linear shuffle, prunable per list, and the
+    * corpus state it carries is the ~4 B/vector codes plus shared
+    * codebooks, the IVF-PQ memory contract.
+    */
+  def s8IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val cent = centroids(e)
+    val centByCluster = cent.withColumnRenamed("clabel", "cluster")
+    val ranked = centroidRanked(e, cent)
+    val asg = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"),
+        col("clabel").as("cluster"))
+    // integer residuals: one exact IEEE subtraction per component, then
+    // round-half-up — keeps every downstream mean exactly replayable
+    val withRes = asg.join(broadcast(centByCluster), Seq("cluster"))
+      .select(col("vec_id"), col("label"), col("cluster"),
+        zip_with(col("v"), col("c"),
+          (x, m) => floor(x.cast("double") - m + lit(0.5d)).cast("long"))
+          .as("rq"))
+    val rj = withRes.select(col("vec_id"), col("label"), col("cluster"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("rq"))
+      .select(col("vec_id"), col("label"), col("cluster"), col("j"),
+        slice(col("rq"), col("j") * 8 + 1, lit(8)).as("sv"))
+    // residual sub-codebook: per-(label, subspace) mean of residual
+    // slices — 10 codes × 8 subspaces, materialized once
+    val cb = rj
+      .select(col("label"), col("j"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("j"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"), col("j"))
+      .agg(array_sort(collect_list(struct(col("i"),
+        (col("sx").cast("double") / col("cnt").cast("double")).as("m"))))
+        .as("pairs"))
+      .select(col("label").as("code"), col("j"),
+        transform(col("pairs"), p => p.getField("m")).as("sc"))
+      .localCheckpoint()
+    val sdist = aggregate(
+      zip_with(col("sv"), col("sc"),
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d"), col("code"))
+    val codes = rj.join(broadcast(cb), Seq("j"))
+      .select(col("vec_id"), col("cluster"), col("j"), col("code"),
+        sdist.as("d"))
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") === 1)
+    // reconstruction = coarse centroid + residual code slices
+    val recon = codes.join(broadcast(cb), Seq("j", "code"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(array_sort(collect_list(struct(col("j"), col("sc")))).as("parts"))
+      .select(col("vec_id"), col("cluster"),
+        flatten(transform(col("parts"), p => p.getField("sc"))).as("res"))
+      .join(broadcast(centByCluster), Seq("cluster"))
+      .select(col("vec_id"), col("cluster").as("list"),
+        zip_with(col("c"), col("res"), (m, r) => m + r).as("r"))
+    val probes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("clabel").as("list"))
+    val adist = aggregate(
+      zip_with(col("qv"), col("r"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("nid"))
+    broadcast(probes).join(recon, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("adist"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s8Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT q.vec_id, q.label, q.v, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM q CROSS JOIN cent),
+      |rkall AS (SELECT vec_id, label, v, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |  FROM d),
+      |asg AS (SELECT vec_id, label, v, clabel AS cluster
+      |  FROM rkall WHERE rk = 1),
+      |res AS (SELECT asg.vec_id, asg.label, asg.cluster,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(FLOOR(CAST(v[CAST(i AS INT)] AS DOUBLE)
+      |        - c[CAST(i AS INT)] + 0.5) AS BIGINT)) rq
+      |  FROM asg JOIN cent ON asg.cluster = cent.clabel),
+      |rj AS (SELECT vec_id, label, cluster, CAST(j AS INT) j,
+      |    list_slice(rq, CAST(j*8+1 AS INT), CAST(j*8+8 AS INT)) sv
+      |  FROM res, range(0, 8) r(j)),
+      |rcomp AS (SELECT label, j, CAST(i AS INT) i,
+      |    SUM(sv[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM rj, range(1, 9) r(i) GROUP BY 1, 2, 3),
+      |cb AS (SELECT label AS code, j,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) sc
+      |  FROM rcomp GROUP BY label, j),
+      |enc AS (SELECT rj.vec_id, rj.cluster, rj.j, cb.code,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])
+      |      * (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])),
+      |      (a, b) -> a + b) d
+      |  FROM rj JOIN cb ON rj.j = cb.j),
+      |code AS (SELECT vec_id, cluster, j, code FROM (
+      |    SELECT vec_id, cluster, j, code,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rk
+      |    FROM enc) WHERE rk = 1),
+      |rrec AS (SELECT code.vec_id, code.cluster,
+      |    flatten(list(cb.sc ORDER BY code.j)) res
+      |  FROM code JOIN cb ON code.j = cb.j AND code.code = cb.code
+      |  GROUP BY code.vec_id, code.cluster),
+      |recon AS (SELECT rrec.vec_id, rrec.cluster AS list,
+      |    list_transform(range(1, 65), i ->
+      |      c[CAST(i AS INT)] + res[CAST(i AS INT)]) r
+      |  FROM rrec JOIN cent ON rrec.cluster = cent.clabel),
+      |probes AS (SELECT vec_id qid, v qv, clabel AS list FROM rkall
+      |  WHERE vec_id < 25 AND rk <= 2),
+      |p AS (SELECT probes.qid, recon.vec_id nid,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(qv[CAST(i AS INT)] AS DOUBLE) - r[CAST(i AS INT)])
+      |      * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - r[CAST(i AS INT)])),
+      |      (x, y) -> x + y) adist
+      |  FROM probes JOIN recon USING(list)
+      |  WHERE probes.qid <> recon.vec_id),
+      |r AS (SELECT qid, nid, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) rk FROM p)
+      |SELECT qid, rk, nid, adist FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -625,6 +783,7 @@ object SimilarityQueries {
     "s5_kmeans_train" -> (s5KmeansTrain _),
     "s6_pq_adc" -> (s6PqAdc _),
     "s7_pq_train" -> (s7PqTrain _),
+    "s8_ivfpq" -> (s8IvfPq _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -635,5 +794,6 @@ object SimilarityQueries {
     "s5_kmeans_train" -> s5Oracle,
     "s6_pq_adc" -> s6Oracle,
     "s7_pq_train" -> s7Oracle,
+    "s8_ivfpq" -> s8Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }

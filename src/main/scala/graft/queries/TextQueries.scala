@@ -532,6 +532,62 @@ object TextQueries {
       |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac
       |FROM agg WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** Temperature-rebalanced training mix — the multilingual sampling rule
+    * (mBERT/XLM-R style, T=2): domain d gets quota ∝ n_d^(1/2), pulling
+    * the head language down and the tail languages up relative to
+    * proportional sampling, then members are drawn by t11's
+    * deterministic hash rank so the draw is reproducible and resumable.
+    *
+    * Engine-exactness across Spark and DuckDB is by construction:
+    * weights are floor(sqrt(n·10^6)) — one correctly-rounded IEEE sqrt
+    * each, then INTEGER sum and integer-division quotas, so no
+    * float-summation order can flip a boundary. Scale shape: the count
+    * pass is a map-side-combined aggregate over domains (rows:
+    * #domains), the quota table broadcasts, and the draw is one window
+    * rank per domain — the same one-shuffle shape as t11 regardless of
+    * corpus size. Quotas are floor allocations; a domain smaller than
+    * its quota contributes all its members (keep-at-most semantics).
+    */
+  def tDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val target = 150
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val weights = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wt",
+        floor(sqrt(col("n_docs") * lit(1000000.0d))).cast("long"))
+    val tot = weights.agg(sum(col("wt")).as("tot_wt"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($target * wt) DIV tot_wt"))
+    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("wt")).as("wt"),
+        max(col("quota")).as("quota"), count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val tDomainMixOracle: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(COUNT(*) * 1000000.0)) AS BIGINT) AS wt
+      |  FROM documents GROUP BY lang),
+      |q AS (SELECT lang, n_docs, wt,
+      |    (150 * wt) // (SELECT SUM(wt) FROM c) AS quota FROM c),
+      |r AS (SELECT doc_id, lang,
+      |    (doc_id * 1103515245 + 12345) % 2147483648 AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id)
+      |      AS rn
+      |  FROM documents)
+      |SELECT q.lang, q.n_docs, q.wt, CAST(q.quota AS BIGINT) AS quota,
+      |  COUNT(*) AS n_kept, CAST(SUM(r.doc_id) AS BIGINT) AS checksum
+      |FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota
+      |GROUP BY q.lang, q.n_docs, q.wt, q.quota ORDER BY q.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -545,7 +601,8 @@ object TextQueries {
     "t10_packing" -> (tPacking _),
     "t11_stratified" -> (tStratified _),
     "t12_pii" -> (tPii _),
-    "t13_rare_bigrams" -> (tRareBigrams _))
+    "t13_rare_bigrams" -> (tRareBigrams _),
+    "t14_domain_mix" -> (tDomainMix _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -560,5 +617,6 @@ object TextQueries {
     "t10_packing" -> tPackingOracle,
     "t11_stratified" -> tStratifiedOracle,
     "t12_pii" -> tPiiOracle,
-    "t13_rare_bigrams" -> tRareBigramsOracle)
+    "t13_rare_bigrams" -> tRareBigramsOracle,
+    "t14_domain_mix" -> tDomainMixOracle)
 }
