@@ -588,6 +588,98 @@ object TextQueries {
       |FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota
       |GROUP BY q.lang, q.n_docs, q.wt, q.quota ORDER BY q.lang""".stripMargin
 
+  /** BPE tokenizer training, the distributed half: 3 merge rounds over
+    * the corpus word-frequency table. Each round is the canonical
+    * two-step — (1) count adjacent symbol pairs weighted by word
+    * frequency (one map-side-combined shuffle over the VOCABULARY, not
+    * the corpus: the corpus collapses to (word, freq) once, which is the
+    * property that makes BPE trainable on 100 TB — the iteration state
+    * is vocabulary-sized), (2) pick the argmax pair (1 collected row,
+    * the merge-table entry) and apply it everywhere with a literal
+    * `replace`. Symbols are double-space-delimited inside single-space
+    * sentinels, so left-to-right non-overlapping string replacement —
+    * identical semantics in Spark, DuckDB, and every stdlib — IS the BPE
+    * leftmost-first merge rule ("a a a" → "aa a"), no regex lookarounds
+    * needed. Ties break by pair string, so the merge table is fully
+    * deterministic. Output is the trained artifact: the merge list with
+    * its support counts.
+    */
+  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), array_join(split(col("word"), ""), "  "),
+        lit(" ")).as("sym"), col("freq"))
+      .localCheckpoint()
+    var cur = words
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (it <- 1 to 3) {
+      val syms = split(trim(col("sym")), "  ")
+      val top = cur
+        .filter(size(syms) >= 2)
+        .select(col("freq"), explode(
+          zip_with(slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()(0)
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      val Array(a, b) = pair.split(" ")
+      merges += ((it, pair, a + b, cnt))
+      cur = cur.select(
+        call_function("replace", col("sym"), lit(s" $a  $b "), lit(s" $a$b "))
+          .as("sym"), col("freq"))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    merges.toSeq.toDF("it", "pair", "merged", "cnt")
+  }
+
+  val tBpeTrainOracle: String =
+    """WITH wr AS (SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
+      |w0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ')
+      |    || ' ' AS sym, freq FROM wr),
+      |p1 AS (SELECT pair, SUM(freq) AS cnt FROM (
+      |    SELECT unnest(list_transform(
+      |        range(1, len(string_split(trim(sym), '  '))),
+      |        i -> string_split(trim(sym), '  ')[CAST(i AS INT)] || ' '
+      |          || string_split(trim(sym), '  ')[CAST(i+1 AS INT)])) AS pair,
+      |      freq FROM w0) GROUP BY pair),
+      |t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      |w1 AS (SELECT replace(sym,
+      |    ' ' || replace((SELECT pair FROM t1), ' ', '  ') || ' ',
+      |    ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS sym,
+      |    freq FROM w0),
+      |p2 AS (SELECT pair, SUM(freq) AS cnt FROM (
+      |    SELECT unnest(list_transform(
+      |        range(1, len(string_split(trim(sym), '  '))),
+      |        i -> string_split(trim(sym), '  ')[CAST(i AS INT)] || ' '
+      |          || string_split(trim(sym), '  ')[CAST(i+1 AS INT)])) AS pair,
+      |      freq FROM w1) GROUP BY pair),
+      |t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      |w2 AS (SELECT replace(sym,
+      |    ' ' || replace((SELECT pair FROM t2), ' ', '  ') || ' ',
+      |    ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS sym,
+      |    freq FROM w1),
+      |p3 AS (SELECT pair, SUM(freq) AS cnt FROM (
+      |    SELECT unnest(list_transform(
+      |        range(1, len(string_split(trim(sym), '  '))),
+      |        i -> string_split(trim(sym), '  ')[CAST(i AS INT)] || ' '
+      |          || string_split(trim(sym), '  ')[CAST(i+1 AS INT)])) AS pair,
+      |      freq FROM w2) GROUP BY pair),
+      |t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+      |SELECT 1 AS it, pair, replace(pair, ' ', '') AS merged,
+      |  CAST(cnt AS BIGINT) AS cnt FROM t1
+      |UNION ALL SELECT 2, pair, replace(pair, ' ', ''),
+      |  CAST(cnt AS BIGINT) FROM t2
+      |UNION ALL SELECT 3, pair, replace(pair, ' ', ''),
+      |  CAST(cnt AS BIGINT) FROM t3
+      |ORDER BY it""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -602,7 +694,8 @@ object TextQueries {
     "t11_stratified" -> (tStratified _),
     "t12_pii" -> (tPii _),
     "t13_rare_bigrams" -> (tRareBigrams _),
-    "t14_domain_mix" -> (tDomainMix _))
+    "t14_domain_mix" -> (tDomainMix _),
+    "t15_bpe_train" -> (tBpeTrain _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -618,5 +711,6 @@ object TextQueries {
     "t11_stratified" -> tStratifiedOracle,
     "t12_pii" -> tPiiOracle,
     "t13_rare_bigrams" -> tRareBigramsOracle,
-    "t14_domain_mix" -> tDomainMixOracle)
+    "t14_domain_mix" -> tDomainMixOracle,
+    "t15_bpe_train" -> tBpeTrainOracle)
 }
