@@ -65,6 +65,23 @@ class PlanSpec extends AnyFunSuite {
       "the bounded probe side must broadcast")
   }
 
+  test("s8 IVF-PQ never goes quadratic; codebook and centroid joins broadcast") {
+    val plan = executed(SparkEntry.queries("s8_ivfpq")(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "every corpus-sized pairing must broadcast the small side or " +
+        "equi-join on the list id")
+    assert(plan.contains("BroadcastHashJoin"),
+      "codebook/centroid/probe joins must broadcast")
+  }
+
+  test("t14 domain quotas broadcast to the rank join") {
+    val plan = executed(SparkEntry.queries("t14_domain_mix")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the #domains-sized quota table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join belongs in the quota draw")
+  }
+
   test("d8 embed LSH pairs meet through the bucket equi-key") {
     val plan = executed(SparkEntry.queries("d8_embed_lsh")(spark, sf))
     assert(!plan.contains("CartesianProduct") &&

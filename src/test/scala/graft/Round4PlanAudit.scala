@@ -12,7 +12,8 @@ class Round4PlanAudit extends AnyFunSuite {
 
   test("round-4 scans prune columns and push filters") {
     for (q <- Seq("d11_hll_cardinality", "t12_pii", "q21_range_frame",
-        "d14_semantic_dedup", "d12_bloom_prefilter")) {
+        "d14_semantic_dedup", "d12_bloom_prefilter", "t14_domain_mix",
+        "t15_bpe_train", "q23_rank_family")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val leaves = df.queryExecution.executedPlan.collectLeaves()
         .map(_.toString).filter(_.contains("parquet"))
@@ -25,7 +26,8 @@ class Round4PlanAudit extends AnyFunSuite {
       }
       // documents-based queries never need n_chars; events queries never
       // need props
-      if (q.startsWith("d") || q == "t12_pii")
+      if (q.startsWith("d") || Set("t12_pii", "t14_domain_mix",
+          "t15_bpe_train").contains(q))
         assert(!leaves.exists(_.contains("n_chars")), s"$q reads n_chars")
       if (q == "q21_range_frame")
         assert(!leaves.exists(_.contains("props")), s"$q reads props")
