@@ -303,13 +303,30 @@ object DedupQueries {
     * labels, not corpus.
     */
   def dCluster(s: SparkSession, dir: String): DataFrame = {
+    val labels = componentLabels(nearDupEdges(s, dir))
+    labels.groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("checksum"))
+      .orderBy(col("keeper"))
+  }
+
+  /** The symmetrized jaccard ≥ 0.8 edge list, eagerly materialized
+    * (localCheckpoint) so the corpus-wide shingle cache behind it is
+    * released before any iterative consumer starts.
+    */
+  private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
     val (rawPairs, base) = jaccardPairsWithBase(s, dir, 0.8)
-    // localCheckpoint is eager: pairs are materialized here, so the
-    // corpus-wide shingle cache behind them can be released immediately.
     val pairs = rawPairs.select(col("ia"), col("ib")).localCheckpoint()
     base.unpersist()
-    val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
+    pairs.select(col("ia").as("u"), col("ib").as("v"))
       .unionByName(pairs.select(col("ib").as("u"), col("ia").as("v")))
+  }
+
+  /** Connected-component labels (id → component-min label) of a
+    * symmetric edge list, by min-label propagation with pointer jumping
+    * — see [[dCluster]] for the algorithm notes. Shared by the cluster
+    * census and the canonical-member election.
+    */
+  private def componentLabels(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     var changed = 1L
@@ -343,11 +360,75 @@ object DedupQueries {
     require(changed == 0,
       s"label propagation did not converge in $maxRounds rounds")
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
-      System.err.println(s"[dCluster] converged in $rounds rounds")
-    labels.groupBy(col("label").as("keeper"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("checksum"))
-      .orderBy(col("keeper"))
+      System.err.println(s"[componentLabels] converged in $rounds rounds")
+    labels
   }
+
+  /** Canonical-member election — the curation decision [[dCluster]]'s
+    * census feeds: within every near-dup cluster KEEP THE LONGEST member
+    * (n_chars, doc_id tiebreak), not the lowest id — the heuristic real
+    * pipelines use because truncated/boilerplate variants are usually the
+    * shorter ones. Docs outside every cluster keep themselves. Output is
+    * the per-language keep/drop census with id checksums, i.e. exactly
+    * the decision table a filter stage applies.
+    *
+    * Scale shape: the label table (near-dup docs only — corpus-small) is
+    * an equi-join against the corpus, NOT a broadcast (at 100 TB the
+    * near-dup set can be a large fraction); election is one window rank
+    * per cluster; the census map-side-combines to #languages rows.
+    */
+  def d15Canonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = componentLabels(nearDupEdges(s, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
+          .as("kept_checksum"),
+        sum(when(col("rn") =!= 1, col("doc_id")).otherwise(0L))
+          .as("dropped_checksum"))
+      .orderBy(col("lang"))
+  }
+
+  val d15Oracle: String =
+    """WITH RECURSIVE s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT ia, ib FROM inter
+      |  JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.8),
+      |edges AS (SELECT ia u, ib v FROM pairs
+      |  UNION ALL SELECT ib, ia FROM pairs),
+      |nodes AS (SELECT DISTINCT u FROM edges),
+      |reach AS (
+      |  SELECT u, u AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+      |comp AS (SELECT u, MIN(lbl) AS keeper FROM reach GROUP BY u),
+      |cl AS (SELECT d.doc_id, d.lang, d.n_chars,
+      |    COALESCE(comp.keeper, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN comp ON comp.u = d.doc_id),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+      |    ORDER BY n_chars DESC, doc_id) rn FROM cl)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_checksum,
+      |  CAST(SUM(CASE WHEN rn <> 1 THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS dropped_checksum
+      |FROM rk GROUP BY lang ORDER BY lang""".stripMargin
 
   val dClusterOracle: String =
     """WITH RECURSIVE s0 AS (SELECT doc_id, unnest(list_transform(
@@ -1010,7 +1091,8 @@ object DedupQueries {
     "d10_substring_dedup" -> (dSubstringDedup _),
     "d11_hll_cardinality" -> (dHllCardinality _),
     "d12_bloom_prefilter" -> (dBloomPrefilter _),
-    "d13_incremental_lsh" -> (dIncrementalLsh _))
+    "d13_incremental_lsh" -> (dIncrementalLsh _),
+    "d15_canonical" -> (d15Canonical _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -1025,5 +1107,6 @@ object DedupQueries {
     "d10_substring_dedup" -> dSubstringDedupOracle,
     "d11_hll_cardinality" -> dHllOracle,
     "d12_bloom_prefilter" -> dBloomOracle,
-    "d13_incremental_lsh" -> dIncrementalOracle)
+    "d13_incremental_lsh" -> dIncrementalOracle,
+    "d15_canonical" -> d15Oracle)
 }
