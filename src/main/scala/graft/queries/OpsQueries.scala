@@ -660,6 +660,57 @@ object OpsQueries {
       |FROM lineitem WHERE l_orderkey < 2000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Write-audit-publish lifecycle ([[graft.io.WriteAuditPublish]]) under
+    * the oracle gate: batch 1 (clean) stages, passes its audits (non-empty,
+    * no null join keys, no negative amounts), and publishes atomically;
+    * batch 2 arrives with planted NULL part keys, fails the audit, and is
+    * provably NOT published — the final census over the PUBLISHED table
+    * equals the batch-1-only oracle, which is exactly the isolation the
+    * pattern promises (readers never see a bad batch, whole or partial).
+    * Audits are small aggregates over the staged files themselves — the
+    * bytes readers would consume — not the producing DataFrame.
+    */
+  def io15Wap(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.WriteAuditPublish
+    val root = tmpDir(s) + "/graft_io15_wap"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val checks: Seq[WriteAuditPublish.Check] = Seq(
+      ("non_empty", df => if (df.isEmpty) 1L else 0L),
+      ("null_partkey", _.filter(col("l_partkey").isNull).count()),
+      ("negative_cents", _.filter(col("cents") < 0).count()))
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val f1 = WriteAuditPublish.run(batch(0, 2000),
+      s"$root/_staging/b1", s"$root/published/batch=1", checks)
+    require(f1.isEmpty, s"clean batch must publish, got: $f1")
+    // batch 2: the same shape with planted defects — every 7th part key
+    // nulled out, the corruption a schema-drifting producer ships
+    val bad = batch(2000, 4000).withColumn("l_partkey",
+      when(col("l_orderkey") % 7 === 0, lit(null)).otherwise(col("l_partkey")))
+    val f2 = WriteAuditPublish.run(bad,
+      s"$root/_staging/b2", s"$root/published/batch=2", checks)
+    require(f2.nonEmpty, "defective batch must fail its audit")
+    s.read.parquet(s"$root/published")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("l_partkey")).as("sum_pkey"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val io15Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pkey,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM lineitem WHERE l_orderkey >= 0 AND l_orderkey < 2000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val st2Seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stream-stream inner join under the oracle gate: clicks × errors per
@@ -1042,6 +1093,7 @@ object OpsQueries {
     "io12_compaction" -> (io12Compaction _),
     "io13_schema_evolution" -> (io13SchemaEvolution _),
     "io14_zorder" -> (io14Zorder _),
+    "io15_wap" -> (io15Wap _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1070,6 +1122,7 @@ object OpsQueries {
     "io12_compaction" -> io12Oracle,
     "io13_schema_evolution" -> io13Oracle,
     "io14_zorder" -> io14Oracle,
+    "io15_wap" -> io15Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -121,6 +121,25 @@ class LayoutSpec extends AnyFunSuite {
       "or the prune proves nothing")
   }
 
+  test("io15: failed audit leaves staging for inspection, published table untouched") {
+    OpsQueries.io15Wap(spark, sf).collect()
+    val root = System.getProperty("java.io.tmpdir") + "/graft_io15_wap"
+    // clean batch moved out of staging into the published table
+    assert(!new File(s"$root/_staging/b1").exists(), "b1 must have moved")
+    assert(new File(s"$root/published/batch=1").exists())
+    // defective batch: held in staging, never published
+    assert(new File(s"$root/_staging/b2").exists(),
+      "failed batch must stay staged for inspection")
+    assert(!new File(s"$root/published/batch=2").exists(),
+      "failed batch must not publish")
+    // publish refuses to clobber an existing target
+    val boom = intercept[IllegalArgumentException] {
+      graft.io.WriteAuditPublish.publish(spark,
+        s"$root/_staging/b2", s"$root/published/batch=1")
+    }
+    assert(boom.getMessage.contains("already exists"))
+  }
+
   test("z-order prefix decomposition never misses a boxed point") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
