@@ -206,6 +206,58 @@ object OpsQueries {
       |FROM events, range(0, 256) r(j) WHERE event_id < 64
       |GROUP BY event_id ORDER BY event_id""".stripMargin
 
+  /** Batch audio feature extraction over opaque binary columns — the
+    * corpus-scale fingerprinting pass a training pipeline runs before
+    * any model sees the audio: decode each WAV blob ([[m2WavCodec]]'s
+    * real RIFF codec) and compute per-clip features — sample count,
+    * energy (Σk²), peak amplitude, zero-crossing count — entirely in
+    * codegen'd higher-order functions over the integer PCM samples, so
+    * the whole decode→featurize pipeline is one narrow projection with
+    * zero shuffles until the final sort. Integer arithmetic keeps the
+    * oracle exact: the synthetic clips' samples are closed-form
+    * (id·131 + j·7919 LCG), so DuckDB recomputes every feature from the
+    * formula while Spark derives them through the real codec — the match
+    * proves codec fidelity AND feature math at once.
+    */
+  def m3AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf((id: Long) => {
+      val samples = Array.tabulate(256) { j =>
+        (((id * 131 + j * 7919) % 65535) - 32767) / 32767.0
+      }
+      graft.functions.Dsp.encodeWavPcm16(samples, 8000)
+    })
+    val k = transform(col("y"),
+      v => round(v.cast("double") * 32768).cast("long"))
+    Tables.events(s, dir).filter(col("event_id") < 64)
+      .select(col("event_id"),
+        graft.functions.AudioFunctions.decodeWav(mkWav(col("event_id")))
+          .as("y"))
+      .select(col("event_id"), k.as("k"))
+      .select(col("event_id"),
+        size(col("k")).cast("long").as("n_samples"),
+        aggregate(col("k"), lit(0L), (a, x) => a + x * x).as("energy"),
+        array_max(transform(col("k"), x => abs(x))).as("peak"),
+        size(filter(
+          zip_with(slice(col("k"), lit(1), size(col("k")) - 1),
+            slice(col("k"), lit(2), size(col("k")) - 1), (a, b) => a * b),
+          p => p < 0)).cast("long").as("zero_crossings"))
+      .orderBy(col("event_id"))
+  }
+
+  val m3Oracle: String =
+    """WITH ks AS (SELECT event_id, j,
+      |    (event_id * 131 + j * 7919) % 65535 - 32767 AS k
+      |  FROM events, range(0, 256) r(j) WHERE event_id < 64),
+      |lagged AS (SELECT event_id, k,
+      |    LEAD(k) OVER (PARTITION BY event_id ORDER BY j) AS nk
+      |  FROM ks)
+      |SELECT event_id, COUNT(*) AS n_samples,
+      |  CAST(SUM(k * k) AS BIGINT) AS energy,
+      |  CAST(MAX(ABS(k)) AS BIGINT) AS peak,
+      |  CAST(SUM(CASE WHEN k * nk < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM lagged GROUP BY event_id ORDER BY event_id""".stripMargin
+
   /** KlioReadFromBigQuery, single-column form (io.py:219-241): the raw
     * column value becomes the element. Aggregates prove every row arrived
     * with element fidelity.
@@ -1079,6 +1131,7 @@ object OpsQueries {
     "p6_trigger_upstream" -> (p6TriggerUpstream _),
     "m1_media_frames" -> (m1MediaFrames _),
     "m2_wav_codec" -> (m2WavCodec _),
+    "m3_audio_features" -> (m3AudioFeatures _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -1108,6 +1161,7 @@ object OpsQueries {
     "p6_trigger_upstream" -> p6Oracle,
     "m1_media_frames" -> m1Oracle,
     "m2_wav_codec" -> m2Oracle,
+    "m3_audio_features" -> m3Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,

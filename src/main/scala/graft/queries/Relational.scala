@@ -651,6 +651,45 @@ object Relational {
       |           c_custkey)
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  /** Correlated-subquery shape (TPC-H Q17's skeleton): keep lineitems
+    * whose quantity is below 20% of their part's average — "compare each
+    * row to its group's aggregate". Decorrelated the way every engine
+    * must at scale: compute the per-part aggregate ONCE (map-side-
+    * combined groupBy, #parts rows) and equi-join it back, never a
+    * per-row subquery re-execution. The threshold comparison works in
+    * exact integer space (200·qty_cents vs 2·sum_cents·100/…): both
+    * sides stay products of longs, so no division ever happens and the
+    * oracle can't drift on rounding.
+    */
+  def q24CorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("qty_c"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("price_c"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n_li"))
+    // l_quantity < 0.2 * avg(qty)  ⟺  5 * qty_c * n < sum_qty_c
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qty_c") * 5 * col("n_li") < col("sum_qty_c"))
+      .agg(count(lit(1)).as("n_below"),
+        sum(col("qty_c")).as("sum_qty"),
+        sum(col("price_c")).as("sum_price"))
+  }
+
+  val q24Oracle: String =
+    """WITH li AS (SELECT l_partkey,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c
+      |  FROM lineitem),
+      |pp AS (SELECT l_partkey, SUM(qty_c) AS sum_qty_c, COUNT(*) AS n_li
+      |  FROM li GROUP BY l_partkey)
+      |SELECT COUNT(*) AS n_below,
+      |  CAST(SUM(qty_c) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(price_c) AS BIGINT) AS sum_price
+      |FROM li JOIN pp USING(l_partkey)
+      |WHERE qty_c * 5 * n_li < sum_qty_c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -674,7 +713,8 @@ object Relational {
     "q20_contiguous_ids" -> (q20ContiguousIds _),
     "q21_range_frame" -> (q21RangeFrame _),
     "q22_unpivot" -> (q22Unpivot _),
-    "q23_rank_family" -> (q23RankFamily _))
+    "q23_rank_family" -> (q23RankFamily _),
+    "q24_corr_subquery" -> (q24CorrSubquery _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -699,5 +739,6 @@ object Relational {
     "q20_contiguous_ids" -> q20Oracle,
     "q21_range_frame" -> q21Oracle,
     "q22_unpivot" -> q22Oracle,
-    "q23_rank_family" -> q23Oracle)
+    "q23_rank_family" -> q23Oracle,
+    "q24_corr_subquery" -> q24Oracle)
 }
