@@ -117,11 +117,67 @@ object PreludeQueries {
       |SELECT outcome, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS checksum
       |FROM r GROUP BY outcome ORDER BY outcome""".stripMargin
 
+  /** Multi-event-input fan-in (reference `run.py:458-508`) end to end
+    * through the REAL runner: two file event inputs (even / odd event
+    * ids) are read by [[graft.runner.KlioPipeline.runMulti]], each runs
+    * its own prelude chain, and the user function receives the NAMED map
+    * of process branches — it tags every element with its input's name,
+    * so the final census proves each message reached the user function
+    * under the right key (the namedtuple-of-PCollections parity), not
+    * merely that the union arrived. Output flows through the configured
+    * file event output and is read back for the census — config →
+    * read → prelude → transform → write, the whole lifecycle under the
+    * oracle gate.
+    */
+  def p7MultiInput(s: SparkSession, dir: String): DataFrame = {
+    import graft.config._
+    val root = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir")) + "/graft_p7_multi"
+    val e = Tables.events(s, dir).filter(col("event_id") < 4000)
+    e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").cast("string"))
+      .write.mode("overwrite").text(s"$root/inA")
+    e.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").cast("string"))
+      .write.mode("overwrite").text(s"$root/inB")
+    val cfg = KlioConfig(2, job.jobName, job.gcpProject,
+      KlioPipelineOptions(streaming = false, conf = Map.empty),
+      KlioJobSettings(allowNonKlioMessages = true,
+        KlioEventsConfig(
+          inputs = Seq(KlioIoConfig("file", s"$root/inA"),
+            KlioIoConfig("file", s"$root/inB")),
+          outputs = Seq(KlioIoConfig("file", s"$root/out"))),
+        KlioDataConfig(
+          inputs = Seq(KlioIoConfig("file", skipExistenceCheck = true)),
+          outputs = Seq(KlioIoConfig("file", skipExistenceCheck = true)))))
+    graft.runner.KlioPipeline.runMulti(s, cfg, branches => {
+      val a = branches(s"$root/inA")
+        .withColumn("element", concat(lit("A:"), col("element")))
+      val b = branches(s"$root/inB")
+        .withColumn("element", concat(lit("B:"), col("element")))
+      a.unionByName(b)
+    })
+    s.read.text(s"$root/out")
+      .select(split(col("value"), ":").getItem(0).as("src"),
+        split(col("value"), ":").getItem(1).cast("long").as("id"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("checksum"))
+      .orderBy(col("src"))
+  }
+
+  val p7Oracle: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN 'A' ELSE 'B' END AS src,
+      |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS checksum
+      |FROM events WHERE event_id < 4000
+      |GROUP BY 1 ORDER BY src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_prelude_route" -> (p1PreludeRoute _),
-    "p2_recipients" -> (p2Recipients _))
+    "p2_recipients" -> (p2Recipients _),
+    "p7_multi_input" -> (p7MultiInput _))
 
   val oracle: Map[String, String] = Map(
     "p1_prelude_route" -> p1Oracle,
-    "p2_recipients" -> p2Oracle)
+    "p2_recipients" -> p2Oracle,
+    "p7_multi_input" -> p7Oracle)
 }
