@@ -763,6 +763,57 @@ object OpsQueries {
       |FROM lineitem WHERE l_orderkey >= 0 AND l_orderkey < 2000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Manifest-pointer snapshot commits + time travel
+    * ([[graft.io.Manifest]]) — io15's rename publish re-expressed the way
+    * object-store table formats commit: immutable data directories become
+    * visible only when a versioned manifest lists them (one atomic PUT,
+    * create-if-absent = optimistic concurrency). Three batches are
+    * written; b1 and b2 commit as versions 1 and 2, b3 stays an ORPHAN —
+    * readers must never see it. The census unions the as-of-v1 snapshot
+    * with the latest snapshot, so the hash-match proves snapshot
+    * isolation (orphan invisible) AND time travel (v1 still reads
+    * exactly batch 1) in one result.
+    */
+  def io16Manifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io16_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    val v1 = Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    Manifest.commit(s, root, s"$root/data/b2")
+    // orphan: written but never committed — invisible to every snapshot
+    batch(3000, 4500).write.parquet(s"$root/data/b3")
+    val asOfV1 = Manifest.snapshot(s, root, Some(v1))
+      .withColumn("version", lit(1))
+    val latest = Manifest.snapshot(s, root).withColumn("version", lit(2))
+    asOfV1.unionByName(latest)
+      .groupBy(col("version"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("version"), col("l_returnflag"))
+  }
+
+  val io16Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem),
+      |snap AS (
+      |  SELECT 1 AS version, * FROM li WHERE l_orderkey < 1500
+      |  UNION ALL
+      |  SELECT 2, * FROM li WHERE l_orderkey < 3000)
+      |SELECT version, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY version, l_returnflag""".stripMargin
+
   private val st2Seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stream-stream inner join under the oracle gate: clicks × errors per
@@ -1147,6 +1198,7 @@ object OpsQueries {
     "io13_schema_evolution" -> (io13SchemaEvolution _),
     "io14_zorder" -> (io14Zorder _),
     "io15_wap" -> (io15Wap _),
+    "io16_manifest" -> (io16Manifest _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1177,6 +1229,7 @@ object OpsQueries {
     "io13_schema_evolution" -> io13Oracle,
     "io14_zorder" -> io14Oracle,
     "io15_wap" -> io15Oracle,
+    "io16_manifest" -> io16Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -140,6 +140,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("already exists"))
   }
 
+  test("io16: manifest commits are snapshot-isolated, immutable, and race-safe") {
+    OpsQueries.io16Manifest(spark, sf).collect()
+    val root = System.getProperty("java.io.tmpdir") + "/graft_io16_tbl"
+    // the orphan's files exist on disk but no snapshot may list them
+    assert(new File(s"$root/data/b3").exists())
+    val latest = graft.io.Manifest.snapshot(spark, root)
+      .inputFiles.mkString("\n")
+    assert(!latest.contains("/b3/"), "orphan batch leaked into a snapshot")
+    // historical versions remain readable and pin their exact file set
+    assert(graft.io.Manifest.versions(spark, root) === Seq(1, 2))
+    val v1 = graft.io.Manifest.snapshot(spark, root, Some(1)).inputFiles
+    assert(v1.forall(_.contains("/b1/")), "v1 must read only batch 1")
+    // losing a commit race: version file already exists → create fails
+    intercept[java.io.IOException] {
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.create(new org.apache.hadoop.fs.Path(root, "manifest-v000002"),
+        false).close()
+    }
+  }
+
   test("z-order prefix decomposition never misses a boxed point") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
