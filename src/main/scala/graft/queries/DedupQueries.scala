@@ -567,6 +567,73 @@ object DedupQueries {
       |  FROM cand)
       |SELECT ia, ib, jac FROM ver WHERE jac >= 0.8 ORDER BY ia, ib""".stripMargin
 
+  /** MinHash calibration census — the measurement that justifies trusting
+    * the sketch before a 100 TB run: for a bounded probe set × the
+    * corpus, bucket every pair by its ESTIMATED similarity (matching
+    * minhash components, 0..16) and report the EXACT jaccard statistics
+    * inside each bucket. The output is the estimator's confusion table —
+    * how often est=k co-occurs with which true similarities — which is
+    * what picks τ and the band/row split for a target recall.
+    *
+    * Engine-exactness: per-pair jaccard is one IEEE division floored to
+    * basis points BEFORE any aggregation, so all sums are integer sums.
+    * Scale shape: probes broadcast against the corpus stream (s1's
+    * plan); signatures and packed shingle sets ride the one scan;
+    * per-pair work is two primitive kernels (component match count +
+    * sorted-merge intersection).
+    */
+  def d16MinhashCalib(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val base = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"),
+        minhash16(col("text")).as("mh"))
+    val probes = base.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("ia"), col("gs").as("ga"),
+        col("mh").as("ma"))
+    val est16 = size(filter(
+      zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b))
+      .cast("long")
+    val inter = intersectSortedCount(col("ga"), col("gb"))
+    broadcast(probes)
+      .crossJoin(base.select(col("doc_id").as("ib"), col("gs").as("gb"),
+        col("mh").as("mb")))
+      .filter(col("ia") < col("ib"))
+      .select(est16.as("est16"),
+        floor(jacCol(inter, size(col("ga")), size(col("gb"))) * 10000)
+          .cast("long").as("jac_bp"))
+      .groupBy(col("est16"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_bp")).as("sum_jac_bp"),
+        min(col("jac_bp")).as("min_jac_bp"),
+        max(col("jac_bp")).as("max_jac_bp"))
+      .orderBy(col("est16"))
+  }
+
+  val d16Oracle: String =
+    """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS gs FROM documents
+      |  WHERE length(text) >= 3),
+      |hs AS (SELECT doc_id, gs, list_transform(gs, g ->
+      |    ((CAST(ascii(substr(g,1,1)) AS BIGINT) * 31 + ascii(substr(g,2,1))) * 31
+      |     + ascii(substr(g,3,1))) % 1000000007) AS hv FROM sh),
+      |mh AS (SELECT doc_id, gs, list_transform(range(0, 16), i ->
+      |    list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7*i+3) % 1000000007), 'min')) AS m
+      |  FROM hs),
+      |pr AS (SELECT a.gs ga, b.gs gb, a.m ma, b.m mb
+      |  FROM mh a JOIN mh b ON a.doc_id < 30 AND a.doc_id < b.doc_id),
+      |calc AS (SELECT
+      |    CAST(len(list_filter(range(1, 17),
+      |      i -> ma[CAST(i AS INT)] = mb[CAST(i AS INT)])) AS BIGINT) AS est16,
+      |    CAST(FLOOR(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+      |      / CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE)
+      |      * 10000) AS BIGINT) AS jac_bp
+      |  FROM pr)
+      |SELECT est16, COUNT(*) AS n_pairs,
+      |  CAST(SUM(jac_bp) AS BIGINT) AS sum_jac_bp,
+      |  CAST(MIN(jac_bp) AS BIGINT) AS min_jac_bp,
+      |  CAST(MAX(jac_bp) AS BIGINT) AS max_jac_bp
+      |FROM calc GROUP BY est16 ORDER BY est16""".stripMargin
+
   /** MinHash signature COMPOSABILITY under the gate: each document is split
     * into two overlapping segments (overlap = shingle width − 1, so the
     * segment shingle sets union to exactly the document's), each segment is
@@ -1092,7 +1159,8 @@ object DedupQueries {
     "d11_hll_cardinality" -> (dHllCardinality _),
     "d12_bloom_prefilter" -> (dBloomPrefilter _),
     "d13_incremental_lsh" -> (dIncrementalLsh _),
-    "d15_canonical" -> (d15Canonical _))
+    "d15_canonical" -> (d15Canonical _),
+    "d16_minhash_calib" -> (d16MinhashCalib _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -1108,5 +1176,6 @@ object DedupQueries {
     "d11_hll_cardinality" -> dHllOracle,
     "d12_bloom_prefilter" -> dBloomOracle,
     "d13_incremental_lsh" -> dIncrementalOracle,
-    "d15_canonical" -> d15Oracle)
+    "d15_canonical" -> d15Oracle,
+    "d16_minhash_calib" -> d16Oracle)
 }
