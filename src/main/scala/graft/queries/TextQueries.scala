@@ -680,6 +680,49 @@ object TextQueries {
       |  CAST(cnt AS BIGINT) FROM t3
       |ORDER BY it""".stripMargin
 
+  /** Fuzzy word matching (entity-resolution's core primitive): all
+    * vocabulary pairs within edit distance 2, found by FastSS deletion
+    * neighborhoods (Bocek et al.) — two words are within ED k iff some
+    * ≤k-deletion variant of one equals a ≤k-deletion variant of the
+    * other, so candidates come from an EQUI-join on shared variants and
+    * only candidates pay the exact Levenshtein check (codegen'd
+    * built-in). Never an all-pairs scan: variant generation is
+    * VOCABULARY-sized work (the corpus collapsed to distinct words
+    * first), ≤ 1+L+L²/2 variants per word, and the join shuffles
+    * variants, not word pairs. The variant generator is a UDF by choice:
+    * it runs once per vocabulary entry, not per corpus row, so codegen
+    * is irrelevant while the nested-loop HOF equivalent would be
+    * unreadable.
+    */
+  def tFuzzyWords(s: SparkSession, dir: String): DataFrame = {
+    val del2 = udf((w: String) => {
+      def del1(x: String): Seq[String] =
+        x.indices.map(i => x.substring(0, i) + x.substring(i + 1))
+      (Seq(w) ++ del1(w) ++ del1(w).flatMap(del1)).distinct
+    })
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val variants = vocab
+      .select(col("w"), explode(del2(col("w"))).as("variant"))
+    variants.as("a").join(variants.as("b"),
+        col("a.variant") === col("b.variant") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("wa"), col("b.w").as("wb")).distinct()
+      .filter(levenshtein(col("wa"), col("wb")) <= 2)
+      .select(col("wa"), col("wb"),
+        levenshtein(col("wa"), col("wb")).cast("long").as("ed"))
+      .orderBy(col("wa"), col("wb"))
+  }
+
+  val tFuzzyWordsOracle: String =
+    """WITH w AS (SELECT DISTINCT word AS w FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0)
+      |SELECT a.w AS wa, b.w AS wb,
+      |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS ed
+      |FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+      |ORDER BY wa, wb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -695,7 +738,8 @@ object TextQueries {
     "t12_pii" -> (tPii _),
     "t13_rare_bigrams" -> (tRareBigrams _),
     "t14_domain_mix" -> (tDomainMix _),
-    "t15_bpe_train" -> (tBpeTrain _))
+    "t15_bpe_train" -> (tBpeTrain _),
+    "t16_fuzzy_words" -> (tFuzzyWords _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -712,5 +756,6 @@ object TextQueries {
     "t12_pii" -> tPiiOracle,
     "t13_rare_bigrams" -> tRareBigramsOracle,
     "t14_domain_mix" -> tDomainMixOracle,
-    "t15_bpe_train" -> tBpeTrainOracle)
+    "t15_bpe_train" -> tBpeTrainOracle,
+    "t16_fuzzy_words" -> tFuzzyWordsOracle)
 }
