@@ -775,6 +775,104 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) rk FROM p)
       |SELECT qid, rk, nid, adist FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** ANN recall@3 report — the quality number an index is judged by
+    * before it replaces exact search: for every probe, intersect the
+    * IVF-probe top-3 ([[s4IvfProbe]]'s plan) with the brute-force top-3
+    * ([[s1KnnBrute]]'s plan) and histogram the per-probe hit counts.
+    * Both sides are deterministic (cosine ties break by neighbor id), so
+    * recall is engine-exact, and the oracle recomputes BOTH searches —
+    * proving the recall measurement itself, not just the searches.
+    *
+    * Scale shape: the exact side is the one bounded-probe broadcast scan
+    * you'd run on a SAMPLE at 100 TB (recall is estimated, never
+    * computed corpus-wide); the ANN side reuses the inverted-list
+    * equi-join; the intersection is a (qid, nid) equi-join of two top-3
+    * sets — probe-count-sized, not corpus-sized.
+    */
+  def s9AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val e = quantized(s, dir)
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    // exact top-3: bounded probes broadcast against the corpus stream
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+    val exact = broadcast(probes).crossJoin(e)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"))
+    // ANN top-3 via the inverted lists (s4's plan, nprobe=2)
+    val ranked = centroidRanked(e, centroids(e))
+    val lists = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nn"), col("clabel").as("list"))
+    val lprobes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
+        col("clabel").as("list"))
+    val ann = broadcast(lprobes).join(lists, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"))
+    val hits = exact.join(ann, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    probes.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+      .groupBy(col("h").as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("qid")).as("checksum"))
+      .orderBy(col("hits"))
+  }
+
+  val s9Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |exactp AS (SELECT a.vec_id qid, b.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < 25 AND a.vec_id <> b.vec_id),
+      |exact3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+      |  FROM exactp) WHERE rk <= 3),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk WHERE rk = 1),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 25 AND rk <= 2),
+      |annp AS (SELECT probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) WHERE probes.qid <> lists.vec_id),
+      |ann3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+      |  FROM annp) WHERE rk <= 3),
+      |ph AS (SELECT p.qid, COALESCE(h.h, 0) AS h FROM
+      |  (SELECT DISTINCT qid FROM exactp) p LEFT JOIN
+      |  (SELECT exact3.qid, COUNT(*) h FROM exact3
+      |    JOIN ann3 ON exact3.qid = ann3.qid AND exact3.nid = ann3.nid
+      |    GROUP BY exact3.qid) h ON p.qid = h.qid)
+      |SELECT CAST(h AS BIGINT) AS hits, COUNT(*) AS n_probes,
+      |  CAST(SUM(qid) AS BIGINT) AS checksum
+      |FROM ph GROUP BY h ORDER BY hits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -784,6 +882,7 @@ object SimilarityQueries {
     "s6_pq_adc" -> (s6PqAdc _),
     "s7_pq_train" -> (s7PqTrain _),
     "s8_ivfpq" -> (s8IvfPq _),
+    "s9_ann_recall" -> (s9AnnRecall _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -795,5 +894,6 @@ object SimilarityQueries {
     "s6_pq_adc" -> s6Oracle,
     "s7_pq_train" -> s7Oracle,
     "s8_ivfpq" -> s8Oracle,
+    "s9_ann_recall" -> s9Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
