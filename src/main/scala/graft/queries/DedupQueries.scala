@@ -634,6 +634,121 @@ object DedupQueries {
       |  CAST(MAX(jac_bp) AS BIGINT) AS max_jac_bp
       |FROM calc GROUP BY est16 ORDER BY est16""".stripMargin
 
+  /** The curation FUNNEL — the three dedup/quality stages of a real
+    * training-data pipeline composed end to end, each stage computed on
+    * the PREVIOUS stage's survivors (the semantics that matter: a
+    * near-dup cluster forms among exact-dedup survivors, and quality
+    * gates only what dedup kept): exact dedup (min doc_id per identical
+    * text, one hash shuffle) → near-dup canonical election (jaccard ≥
+    * 0.8 components among survivors, keep the longest member —
+    * [[d15Canonical]]'s rule) → Gopher/C4-style quality keep (t8's
+    * reason logic). Output is the funnel census — per-stage survivor
+    * count + id checksum — i.e. the retention report every curation run
+    * publishes. Each stage is the scale shape already proven by its
+    * standalone query; composition adds only survivor semi-joins.
+    */
+  def d17Funnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, tokenCount, typeCount}
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // stage 1: exact
+    val ex = docs
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+    // stage 2: near-dup canonical among stage-1 survivors (pair set is
+    // text-derived, so filtering full-corpus pairs to survivor endpoints
+    // IS the pairs-among-survivors set)
+    val edges = nearDupEdges(s, dir)
+    val exIds = ex.select(col("doc_id"))
+    val edges2 = edges
+      .join(exIds.withColumnRenamed("doc_id", "u"), Seq("u"))
+      .join(exIds.withColumnRenamed("doc_id", "v"), Seq("v"))
+    val labels = componentLabels(edges2)
+    val nd = ex
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+      .withColumn("rn", row_number().over(W.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn", "label", "cluster")
+      .localCheckpoint()
+    // stage 3: quality keep (t8's reason logic, keep-only)
+    val top = nd.select(col("doc_id"), explode(tokens(col("text")))
+        .as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id")).agg(max(col("tf")).as("top_tf"))
+    val n = tokenCount(col("text"))
+    val dupFrac = (n - typeCount(col("text"))).cast("double") /
+      n.cast("double")
+    val topFrac = col("top_tf").cast("double") / n.cast("double")
+    val q = nd.join(top, Seq("doc_id"))
+      .filter(n >= 20 && dupFrac <= 0.6 && topFrac <= 0.15)
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+        .select(lit(name).as("stage"), col("n_docs"), col("checksum"))
+    stage(docs, "0_all")
+      .unionByName(stage(ex, "1_exact"))
+      .unionByName(stage(nd, "2_neardup"))
+      .unionByName(stage(q, "3_quality"))
+      .orderBy(col("stage"))
+  }
+
+  val d17Oracle: String =
+    """WITH RECURSIVE ex AS (SELECT doc_id, text, n_chars FROM (
+      |    SELECT doc_id, text, n_chars,
+      |      ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+      |    FROM documents) WHERE rn = 1),
+      |s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT ia, ib FROM inter
+      |  JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.8),
+      |pairs2 AS (SELECT ia, ib FROM pairs
+      |  WHERE ia IN (SELECT doc_id FROM ex)
+      |    AND ib IN (SELECT doc_id FROM ex)),
+      |edges AS (SELECT ia u, ib v FROM pairs2
+      |  UNION ALL SELECT ib, ia FROM pairs2),
+      |nodes AS (SELECT DISTINCT u FROM edges),
+      |reach AS (
+      |  SELECT u, u AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+      |comp AS (SELECT u, MIN(lbl) AS keeper FROM reach GROUP BY u),
+      |nd AS (SELECT doc_id, text FROM (
+      |    SELECT ex.doc_id, ex.text,
+      |      ROW_NUMBER() OVER (PARTITION BY COALESCE(comp.keeper, ex.doc_id)
+      |        ORDER BY ex.n_chars DESC, ex.doc_id) rn
+      |    FROM ex LEFT JOIN comp ON comp.u = ex.doc_id) WHERE rn = 1),
+      |t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM nd),
+      |u AS (SELECT doc_id, tok FROM t, unnest(toks) AS un(tok)),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+      |top AS (SELECT doc_id, MAX(c) AS top_tf FROM tf GROUP BY 1),
+      |m AS (SELECT t.doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd2,
+      |    top_tf FROM t JOIN top ON t.doc_id = top.doc_id),
+      |q AS (SELECT doc_id FROM m
+      |  WHERE n >= 20 AND CAST(n - nd2 AS DOUBLE) / CAST(n AS DOUBLE) <= 0.6
+      |    AND CAST(top_tf AS DOUBLE) / CAST(n AS DOUBLE) <= 0.15),
+      |funnel AS (
+      |  SELECT '0_all' AS stage, COUNT(*) AS n_docs,
+      |    CAST(SUM(doc_id) AS BIGINT) AS checksum FROM documents
+      |  UNION ALL SELECT '1_exact', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+      |    FROM ex
+      |  UNION ALL SELECT '2_neardup', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+      |    FROM nd
+      |  UNION ALL SELECT '3_quality', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+      |    FROM q)
+      |SELECT stage, n_docs, checksum FROM funnel ORDER BY stage""".stripMargin
+
   /** MinHash signature COMPOSABILITY under the gate: each document is split
     * into two overlapping segments (overlap = shingle width − 1, so the
     * segment shingle sets union to exactly the document's), each segment is
@@ -1160,7 +1275,8 @@ object DedupQueries {
     "d12_bloom_prefilter" -> (dBloomPrefilter _),
     "d13_incremental_lsh" -> (dIncrementalLsh _),
     "d15_canonical" -> (d15Canonical _),
-    "d16_minhash_calib" -> (d16MinhashCalib _))
+    "d16_minhash_calib" -> (d16MinhashCalib _),
+    "d17_funnel" -> (d17Funnel _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -1177,5 +1293,6 @@ object DedupQueries {
     "d12_bloom_prefilter" -> dBloomOracle,
     "d13_incremental_lsh" -> dIncrementalOracle,
     "d15_canonical" -> d15Oracle,
-    "d16_minhash_calib" -> d16Oracle)
+    "d16_minhash_calib" -> d16Oracle,
+    "d17_funnel" -> d17Oracle)
 }
