@@ -690,6 +690,30 @@ object Relational {
       |FROM li JOIN pp USING(l_partkey)
       |WHERE qty_c * 5 * n_li < sum_qty_c""".stripMargin
 
+  /** Multiple DISTINCT aggregates in one pass — `COUNT(DISTINCT x)`,
+    * `COUNT(DISTINCT y)`, and a plain SUM over the same grouping, the
+    * shape Spark plans with a single Expand (one row per distinct-column
+    * group) followed by two aggregate levels rather than N separate
+    * scans+joins. Engine-relevant at scale because the naive rewrite
+    * (self-join per distinct column) multiplies corpus scans; Expand
+    * keeps it at one scan + one shuffle on the expanded key.
+    */
+  def q25MultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"),
+        sum((dec2(col("l_quantity")) * 100).cast("long")).as("sum_qty_c"))
+      .orderBy(col("l_returnflag"))
+
+  val q25Oracle: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+      |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_qty_c
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -714,7 +738,8 @@ object Relational {
     "q21_range_frame" -> (q21RangeFrame _),
     "q22_unpivot" -> (q22Unpivot _),
     "q23_rank_family" -> (q23RankFamily _),
-    "q24_corr_subquery" -> (q24CorrSubquery _))
+    "q24_corr_subquery" -> (q24CorrSubquery _),
+    "q25_multi_distinct" -> (q25MultiDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -740,5 +765,6 @@ object Relational {
     "q21_range_frame" -> q21Oracle,
     "q22_unpivot" -> q22Oracle,
     "q23_rank_family" -> q23Oracle,
-    "q24_corr_subquery" -> q24Oracle)
+    "q24_corr_subquery" -> q24Oracle,
+    "q25_multi_distinct" -> q25Oracle)
 }
