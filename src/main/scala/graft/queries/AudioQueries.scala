@@ -157,17 +157,82 @@ object AudioQueries {
       |  CAST(2 * (25 + (event_id % 20) * 5) AS INT) AS peak_bin
       |FROM events WHERE event_id < 32 ORDER BY event_id""".stripMargin
 
+  /** Silence trimming / onset detection (librosa.effects.trim's role in
+    * an audio pipeline): each synthetic clip is SILENT for its first
+    * 64 + id%64 samples, then carries the LCG pattern; the query decodes
+    * the real WAV, finds the first non-silent sample, frames the signal
+    * (win=64, hop=32, rectangular) and reports the first frame with
+    * non-zero energy plus the total framed energy — everything in
+    * integer PCM arithmetic through codegen'd array HOFs, zero shuffles
+    * before the final sort. The oracle recomputes sample values, the
+    * trim point, and every frame energy from the closed form, so the
+    * framing arithmetic (boundaries, hop overlap) is pinned exactly —
+    * the part of onset detection that's actually easy to get wrong.
+    */
+  def a6SilenceTrim(s: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf((id: Long) => {
+      val onset = (64 + id % 64).toInt
+      val samples = Array.tabulate(256) { j =>
+        if (j < onset) 0.0
+        else (((id * 131 + j * 7919) % 65535) - 32767) / 32767.0
+      }
+      graft.functions.Dsp.encodeWavPcm16(samples, 8000)
+    })
+    val k = transform(col("y"),
+      v => round(v.cast("double") * 32768).cast("long"))
+    val energy = aggregate(
+      slice(col("k"), col("t") * 32 + 1, lit(64)),
+      lit(0L), (a, x) => a + x * x)
+    Tables.events(s, dir).filter(col("event_id") < 64)
+      .select(col("event_id"),
+        graft.functions.AudioFunctions.decodeWav(mkWav(col("event_id")))
+          .as("y"))
+      .select(col("event_id"), k.as("k"),
+        array_position(transform(col("k"), x => x =!= 0L), true)
+          .as("first_sample"))
+      .select(col("event_id"), col("first_sample"),
+        explode(sequence(lit(0), lit(6))).as("t"), col("k"))
+      .select(col("event_id"), col("first_sample"), col("t"),
+        energy.as("energy"))
+      .groupBy(col("event_id"))
+      .agg(max(col("first_sample")).as("first_sample"),
+        min(when(col("energy") > 0, col("t"))).cast("long")
+          .as("onset_frame"),
+        sum(col("energy")).as("total_energy"))
+      .orderBy(col("event_id"))
+  }
+
+  val a6Oracle: String =
+    """WITH ks AS (SELECT event_id, j,
+      |    CASE WHEN j < 64 + event_id % 64 THEN 0
+      |      ELSE (event_id * 131 + j * 7919) % 65535 - 32767 END AS k
+      |  FROM events, range(0, 256) r(j) WHERE event_id < 64),
+      |fs AS (SELECT event_id, MIN(CASE WHEN k <> 0 THEN j END) + 1
+      |    AS first_sample FROM ks GROUP BY event_id),
+      |fe AS (SELECT event_id, t, SUM(k * k) AS energy
+      |  FROM ks, range(0, 7) r(t)
+      |  WHERE j >= t * 32 AND j < t * 32 + 64
+      |  GROUP BY event_id, t)
+      |SELECT fe.event_id, CAST(fs.first_sample AS BIGINT) AS first_sample,
+      |  CAST(MIN(CASE WHEN energy > 0 THEN t END) AS BIGINT) AS onset_frame,
+      |  CAST(SUM(energy) AS BIGINT) AS total_energy
+      |FROM fe JOIN fs ON fe.event_id = fs.event_id
+      |GROUP BY fe.event_id, fs.first_sample
+      |ORDER BY fe.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stft_peak" -> (a1StftPeak _),
     "a2_mel_mfcc" -> (a2MelMfcc _),
     "a3_softmask_nn" -> (a3SoftmaskNn _),
     "a4_spec_plot" -> (a4SpecPlot _),
-    "a5_resample" -> (a5Resample _))
+    "a5_resample" -> (a5Resample _),
+    "a6_silence_trim" -> (a6SilenceTrim _))
 
   val oracle: Map[String, String] = Map(
     "a1_stft_peak" -> a1Oracle,
     "a2_mel_mfcc" -> a2Oracle,
     "a3_softmask_nn" -> a3Oracle,
     "a4_spec_plot" -> a4Oracle,
-    "a5_resample" -> a5Oracle)
+    "a5_resample" -> a5Oracle,
+    "a6_silence_trim" -> a6Oracle)
 }
