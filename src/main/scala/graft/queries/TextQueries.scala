@@ -723,6 +723,83 @@ object TextQueries {
       |FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
       |ORDER BY wa, wb""".stripMargin
 
+  /** Leakage-proof train/val/test split — t9's hash split plus the
+    * eval-hygiene step most pipelines skip and then regret: a val/test
+    * document with a NEAR-DUPLICATE partner in any other split leaks its
+    * content across the boundary (the model effectively trains on the
+    * eval set), so every such document is reassigned to train. Pairs are
+    * the same jaccard ≥ 0.8 set the dedup family verifies; the census
+    * reports per-final-split sizes and how many documents moved.
+    *
+    * Scale shape: the split is a stateless hash; the pair set is the
+    * LSH-scale near-dup output (corpus-small); flagging is two
+    * label-joins of the pair list against the split table — never a
+    * corpus×corpus operation.
+    */
+  def tSplitDecontam(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val").otherwise("test")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split.as("split"))
+    val pairs = DedupQueries.jaccardPairs(s, dir, 0.8)
+      .select(col("ia"), col("ib"))
+    val sym = pairs.unionByName(
+      pairs.select(col("ib").as("ia"), col("ia").as("ib")))
+    // docs (ib side) having a partner in a different split
+    val crossed = sym
+      .join(docs.select(col("doc_id").as("ia"), col("split").as("sa")),
+        Seq("ia"))
+      .join(docs.select(col("doc_id").as("ib"), col("split").as("sb")),
+        Seq("ib"))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("ib").as("doc_id")).distinct()
+      .withColumn("crossed", lit(true))
+    docs.join(crossed, Seq("doc_id"), "left")
+      .withColumn("final_split",
+        when(coalesce(col("crossed"), lit(false)) &&
+          col("split") =!= "train", "train").otherwise(col("split")))
+      .groupBy(col("final_split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("final_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_moved_in"),
+        sum(col("doc_id")).as("checksum"))
+      .orderBy(col("final_split"))
+  }
+
+  val tSplitDecontamOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |    (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+      |  FROM documents),
+      |r AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+      |    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b),
+      |s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |sgl AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM sgl GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM sgl a JOIN sgl b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT ia, ib FROM inter
+      |  JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.8),
+      |sym AS (SELECT ia, ib FROM pairs
+      |  UNION ALL SELECT ib, ia FROM pairs),
+      |crossed AS (SELECT DISTINCT sym.ib AS doc_id FROM sym
+      |  JOIN r ra ON ra.doc_id = sym.ia
+      |  JOIN r rb ON rb.doc_id = sym.ib
+      |  WHERE ra.split <> rb.split),
+      |fin AS (SELECT r.doc_id, r.split,
+      |    CASE WHEN crossed.doc_id IS NOT NULL AND r.split <> 'train'
+      |      THEN 'train' ELSE r.split END AS final_split
+      |  FROM r LEFT JOIN crossed ON crossed.doc_id = r.doc_id)
+      |SELECT final_split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN final_split <> split THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_moved_in,
+      |  CAST(SUM(doc_id) AS BIGINT) AS checksum
+      |FROM fin GROUP BY final_split ORDER BY final_split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -739,7 +816,8 @@ object TextQueries {
     "t13_rare_bigrams" -> (tRareBigrams _),
     "t14_domain_mix" -> (tDomainMix _),
     "t15_bpe_train" -> (tBpeTrain _),
-    "t16_fuzzy_words" -> (tFuzzyWords _))
+    "t16_fuzzy_words" -> (tFuzzyWords _),
+    "t17_split_decontam" -> (tSplitDecontam _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -757,5 +835,6 @@ object TextQueries {
     "t13_rare_bigrams" -> tRareBigramsOracle,
     "t14_domain_mix" -> tDomainMixOracle,
     "t15_bpe_train" -> tBpeTrainOracle,
-    "t16_fuzzy_words" -> tFuzzyWordsOracle)
+    "t16_fuzzy_words" -> tFuzzyWordsOracle,
+    "t17_split_decontam" -> tSplitDecontamOracle)
 }
