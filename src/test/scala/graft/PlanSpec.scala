@@ -82,6 +82,22 @@ class PlanSpec extends AnyFunSuite {
       "no corpus-sized shuffle join belongs in the quota draw")
   }
 
+  test("t16 fuzzy-word candidates meet through the variant equi-key") {
+    val plan = executed(SparkEntry.queries("t16_fuzzy_words")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood matching must equi-join on the variant")
+  }
+
+  test("recall/calibration/decontam queries never plan a cartesian pairing") {
+    for (q <- Seq("s9_ann_recall", "d16_minhash_calib", "d17_funnel",
+        "t17_split_decontam")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: bounded sides must broadcast, corpus pairings must equi-join")
+    }
+  }
+
   test("d8 embed LSH pairs meet through the bucket equi-key") {
     val plan = executed(SparkEntry.queries("d8_embed_lsh")(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
