@@ -1175,6 +1175,66 @@ object OpsQueries {
       |WHERE tb BETWEEN 30 AND 150 AND vb BETWEEN 0 AND 30
       |ORDER BY event_id""".stripMargin
 
+  /** Native streaming session windows (`session_window` under a real
+    * streaming run) — the declarative sibling of the
+    * flatMapGroupsWithState sessionizer st1 gates and q16 proves in
+    * batch. Append mode only emits a session once the watermark passes
+    * its end, and a bounded run's final no-data microbatch drives the
+    * watermark to max(event time) − delay — so the emitted set is
+    * exactly the sessions that CLOSED a full watermark-delay before the
+    * stream's end, which the oracle replays as gaps-and-islands plus
+    * that holdback predicate. The held-back tail is not lost output;
+    * it's the still-open state an unbounded run would emit later — the
+    * semantics to design around when a downstream job consumes session
+    * output. State is partitioned by (user, session) like any shuffle
+    * and evicted at emission.
+    */
+  def st7StreamSession(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, dir).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withWatermark("ets", "1 hour")
+    val sess = src
+      .groupBy(col("user_id"), session_window(col("ets"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n"), col("total_cents"))
+    val name = s"graft_st7_${st2Seq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      sess.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).orderBy(col("user_id"), col("start_us"))
+  }
+
+  val st7Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 30),
+      |wm AS (SELECT MAX(tsu) - 3600000000 AS w FROM e),
+      |x AS (SELECT *, CASE WHEN LAG(tsu) OVER win IS NULL
+      |      OR tsu - LAG(tsu) OVER win >= 300000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tsu)),
+      |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+      |sess AS (SELECT user_id, MIN(tsu) AS start_us,
+      |    MAX(tsu) + 300000000 AS end_us, COUNT(*) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM g GROUP BY user_id, sid)
+      |SELECT user_id, start_us, end_us, n, total_cents FROM sess
+      |WHERE end_us <= (SELECT w FROM wm)
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -1204,7 +1264,8 @@ object OpsQueries {
     "st3_stream_window" -> (st3StreamWindow _),
     "st4_stream_dedup" -> (st4StreamDedup _),
     "st5_stream_static" -> (st5StreamStatic _),
-    "st6_stream_upsert" -> (st6StreamUpsert _))
+    "st6_stream_upsert" -> (st6StreamUpsert _),
+    "st7_stream_session" -> (st7StreamSession _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -1235,5 +1296,6 @@ object OpsQueries {
     "st3_stream_window" -> st3Oracle,
     "st4_stream_dedup" -> st4Oracle,
     "st5_stream_static" -> st5Oracle,
-    "st6_stream_upsert" -> st6Oracle)
+    "st6_stream_upsert" -> st6Oracle,
+    "st7_stream_session" -> st7Oracle)
 }

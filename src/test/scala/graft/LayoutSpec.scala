@@ -161,6 +161,29 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed point lookup prunes to a single bucket") {
+    OpsQueries.io10BucketedJoin(spark, sf).collect()
+    // a literal equality on the bucketing key must prune the scan to 1
+    // of the 8 buckets — the point-lookup payoff of the bucketed layout.
+    // autoBucketedScan would turn the bucketed scan off for a bare
+    // filter (no operator needs the distribution), which also forfeits
+    // the prune — disable it the way a point-lookup reader would.
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = spark.table("graft_io10_orders")
+        .filter(col("o_custkey") === 42)
+      val scan = unwrap(df.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec => s
+      }.head
+      assert(scan.toString.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected single-bucket prune, scan was: ${scan.toString.take(400)}")
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("z-order prefix decomposition never misses a boxed point") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
