@@ -74,4 +74,45 @@ class DedupPlantedSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows == Map(10L -> 1L, 12L -> 3L))
   }
+
+  private def writeDocsFull(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-planted").toString
+    rows.map { case (id, text, lang) => (id, text, lang, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    base
+  }
+
+  test("d15: election keeps the longest member; exact ties fall to lowest id") {
+    val near = "the quick brown fox jumps over the lazy dog again " * 3
+    val twin = "equal twins text body repeated here " * 4
+    val dir = writeDocsFull(Seq(
+      (1L, near, "en"),
+      // a short tail: still jaccard ≥ 0.8 with doc 1, strictly longer →
+      // doc 2 must win the election despite the higher id
+      (2L, near + " zz", "en"),
+      (3L, "an unrelated singleton document with its own words", "fr"),
+      // identical text (jaccard 1) and identical n_chars → tie falls to
+      // the lower doc_id
+      (10L, twin, "de"),
+      (11L, twin, "de")))
+    val rows = DedupQueries.d15Canonical(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows("en") == ((2L, 1L, 2L, 1L)),
+      s"longest member (doc 2) must be kept: ${rows("en")}")
+    assert(rows("de") == ((2L, 1L, 10L, 11L)),
+      s"tie must fall to the lowest id: ${rows("de")}")
+    assert(rows("fr") == ((1L, 1L, 3L, 0L)), "singletons keep themselves")
+  }
+
+  test("t16: a transposition (edit distance 2) survives the neighborhood join") {
+    val dir = writeDocs(Seq((1L, "abcd abdc xyz")))
+    val pairs = graft.queries.TextQueries.queries("t16_fuzzy_words")(
+      spark, dir).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs == Set(("abcd", "abdc", 2L)),
+      s"expected exactly the transposed pair, got $pairs")
+  }
 }
