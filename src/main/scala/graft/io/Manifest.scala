@@ -65,6 +65,20 @@ object Manifest {
     next
   }
 
+  /** REPLACING commit — the maintenance primitive (compaction, clustering
+    * rewrite): the next manifest lists exactly `dirs`, not the previous
+    * list plus them. Old versions keep reading the old files, so a
+    * rewrite never disturbs a reader mid-query and stays time-travelable.
+    */
+  def rewrite(s: SparkSession, root: String, dirs: Seq[String]): Int = {
+    val f = fs(s, root)
+    val next = versions(s, root).lastOption.getOrElse(0) + 1
+    val out = f.create(manifestPath(root, next), false)
+    try out.write(dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    next
+  }
+
   /** The snapshot a manifest version pins (latest when unspecified):
     * one DataFrame over exactly the committed directories.
     */

@@ -814,6 +814,64 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY version, l_returnflag""".stripMargin
 
+  /** Table maintenance under snapshot commits — compaction composed with
+    * [[graft.io.Manifest]]: the small files of committed batches are
+    * rewritten into target-size files and the REWRITE commits as a new
+    * manifest version listing only the compacted directory. The
+    * invariant that makes maintenance safe to run anytime: a rewrite
+    * must change the physical layout and NOTHING else — so the query
+    * emits the pre-rewrite snapshot census and the post-rewrite census
+    * side by side, and the oracle (which knows nothing of files) demands
+    * they be identical. Old versions still read the old files (time
+    * travel across a rewrite), and readers mid-query on v2 are
+    * untouched — the commit is one manifest PUT.
+    */
+  def io17CompactCommit(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Compaction, Manifest}
+    val root = tmpDir(s) + "/graft_io17_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    // two committed batches, written deliberately fragmented
+    batch(0, 1500).repartition(16).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).repartition(16).write.parquet(s"$root/data/b2")
+    val v2 = Manifest.commit(s, root, s"$root/data/b2")
+    // maintenance: rewrite the v2 snapshot into target-size files and
+    // commit the rewrite as v3
+    Manifest.snapshot(s, root, Some(v2))
+      .write.parquet(s"$root/data/compact1")
+    Compaction.compact(s, s"$root/data/compact1", s"$root/data/compacted",
+      targetBytes = 8L * 1024 * 1024)
+    val v3 = Manifest.rewrite(s, root, Seq(s"$root/data/compacted"))
+    def census(v: Int, tag: Int) = Manifest.snapshot(s, root, Some(v))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(v2, 0).unionByName(census(v3, 1))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io17Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |c AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM li GROUP BY l_returnflag)
+      |SELECT 0 AS phase, * FROM c
+      |UNION ALL SELECT 1, * FROM c
+      |ORDER BY phase, l_returnflag""".stripMargin
+
   private val st2Seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stream-stream inner join under the oracle gate: clicks × errors per
@@ -1259,6 +1317,7 @@ object OpsQueries {
     "io14_zorder" -> (io14Zorder _),
     "io15_wap" -> (io15Wap _),
     "io16_manifest" -> (io16Manifest _),
+    "io17_compact_commit" -> (io17CompactCommit _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1291,6 +1350,7 @@ object OpsQueries {
     "io14_zorder" -> io14Oracle,
     "io15_wap" -> io15Oracle,
     "io16_manifest" -> io16Oracle,
+    "io17_compact_commit" -> io17Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
