@@ -48,6 +48,14 @@ object Manifest {
     finally in.close()
   }
 
+  /** The latest version's directory list (empty before any commit) —
+    * what an exactly-once producer consults to skip a replayed batch.
+    */
+  def committed(s: SparkSession, root: String): Seq[String] =
+    versions(s, root).lastOption
+      .map(v => readList(fs(s, root), manifestPath(root, v)))
+      .getOrElse(Seq.empty)
+
   /** Commit `batchDir` into the table: next manifest = previous list +
     * the new directory, written create-if-absent (atomic PUT; the
     * optimistic-concurrency point). Returns the committed version.

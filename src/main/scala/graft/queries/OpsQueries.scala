@@ -872,6 +872,52 @@ object OpsQueries {
       |UNION ALL SELECT 1, * FROM c
       |ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Partition backfill via DYNAMIC partition overwrite — the daily-job
+    * reality: re-running one day must replace exactly that day's
+    * partition and leave every other day's files untouched. With
+    * `partitionOverwriteMode=dynamic`, `mode(Overwrite)` replaces only
+    * the partitions present in the incoming batch (static mode would
+    * truncate the whole table — the classic backfill footgun). The query
+    * writes 3 day-partitions, backfills day 1 with corrected values
+    * (cents doubled), and the census proves day 1 changed while days
+    * 0 and 2 are byte-identical originals.
+    */
+  def io18Backfill(s: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir(s) + "/graft_io18_days"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def days = Tables.events(s, dir).filter(col("user_id") < 60)
+      .select(col("event_id"), col("user_id"),
+        (expr("ts DIV 86400000000000") % 3).cast("int").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      days.write.mode("overwrite").partitionBy("day").parquet(out)
+      // backfill: day 1 re-lands with corrected amounts; the write's
+      // input contains ONLY day 1, so only day=1/ is replaced
+      days.filter(col("day") === 1)
+        .withColumn("cents", col("cents") * 2)
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    } finally
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    s.read.parquet(out)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("day"))
+  }
+
+  val io18Oracle: String =
+    """SELECT CAST((epoch_ns(ts) // 86400000000000) % 3 AS INT) AS day,
+      |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * CASE WHEN (epoch_ns(ts) // 86400000000000) % 3 = 1
+      |      THEN 2 ELSE 1 END) AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id < 60
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   private val st2Seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stream-stream inner join under the oracle gate: clicks × errors per
@@ -1293,6 +1339,67 @@ object OpsQueries {
       |WHERE end_us <= (SELECT w FROM wm)
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** Exactly-once streaming lake ingestion — `foreachBatch` composed with
+    * [[graft.io.Manifest]]: every microbatch writes an immutable batch
+    * directory and COMMITS it as a manifest version, and the
+    * commit-or-skip guard (`Manifest.committed`) makes a replayed batch
+    * a no-op — at-least-once delivery from the engine becomes
+    * exactly-once in the table, without any sink transaction support.
+    * This is how Structured Streaming feeds an Iceberg/Delta-style table:
+    * readers always see whole batches (snapshot isolation per commit),
+    * and a crash between write and commit leaves only an invisible
+    * orphan directory that the next run overwrites. 4 real microbatches
+    * via maxFilesPerTrigger=1; the census over the FINAL snapshot must
+    * equal the batch-input oracle.
+    */
+  def st8StreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st8_${st2Seq.incrementAndGet()}"
+    val srcDir = s"$root/src"
+    val tbl = s"$root/tbl"
+    Tables.events(s, dir).filter(col("user_id") < 40)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      val dest = s"$tbl/data/batch=$batchId"
+      // replay guard: a batch already in the latest manifest is a no-op
+      if (!Manifest.committed(batch.sparkSession, tbl).contains(dest)) {
+        // overwrite: a crash AFTER write but BEFORE commit leaves an
+        // orphan this replay replaces before committing it
+        batch.write.mode("overwrite").parquet(dest)
+        Manifest.commit(batch.sparkSession, tbl, dest)
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    require(Manifest.versions(s, tbl).size == 4,
+      "expected one manifest commit per microbatch")
+    Manifest.snapshot(s, tbl)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val st8Oracle: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id < 40
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -1318,13 +1425,15 @@ object OpsQueries {
     "io15_wap" -> (io15Wap _),
     "io16_manifest" -> (io16Manifest _),
     "io17_compact_commit" -> (io17CompactCommit _),
+    "io18_backfill" -> (io18Backfill _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
     "st4_stream_dedup" -> (st4StreamDedup _),
     "st5_stream_static" -> (st5StreamStatic _),
     "st6_stream_upsert" -> (st6StreamUpsert _),
-    "st7_stream_session" -> (st7StreamSession _))
+    "st7_stream_session" -> (st7StreamSession _),
+    "st8_stream_ingest" -> (st8StreamIngest _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -1351,11 +1460,13 @@ object OpsQueries {
     "io15_wap" -> io15Oracle,
     "io16_manifest" -> io16Oracle,
     "io17_compact_commit" -> io17Oracle,
+    "io18_backfill" -> io18Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
     "st4_stream_dedup" -> st4Oracle,
     "st5_stream_static" -> st5Oracle,
     "st6_stream_upsert" -> st6Oracle,
-    "st7_stream_session" -> st7Oracle)
+    "st7_stream_session" -> st7Oracle,
+    "st8_stream_ingest" -> st8Oracle)
 }
