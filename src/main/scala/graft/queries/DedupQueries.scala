@@ -1044,6 +1044,66 @@ object DedupQueries {
       |  CAST(dup_occ AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span REMEDIATION ([[dSubstringDedup]] is the census; this
+    * is the fix, Lee et al.'s actual dedup step): a token is scrubbed
+    * when ANY cross-document duplicated k-token span covers it, and the
+    * output is the per-document retention table (tokens, covered,
+    * retained) a rewrite stage applies. Coverage expansion is a
+    * constant-width explode (each duplicated span start covers k
+    * positions) followed by a distinct — all hash shuffles keyed by
+    * (doc, position), no sort concentration; the duplicated-span join is
+    * pruned to the (normally small) duplicated fraction exactly like the
+    * census.
+    */
+  def d18SpanScrub(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanTokens
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+    val spanDocs = docs.filter(size(col("t")) >= k)
+    val spansIdx = spanDocs.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => struct(i.as("i"),
+            concat_ws(" ", slice(col("t"), i + lit(1), lit(k))).as("span"))))
+        .as("sp"))
+      .select(col("doc_id"), col("sp.i").as("i"), col("sp.span").as("span"))
+    val dupSpans = spansIdx.groupBy(col("span"), col("doc_id")).count()
+      .groupBy(col("span")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("span"))
+    val covered = spansIdx.join(dupSpans, "span")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("n_retained", col("n_tokens") - col("n_covered"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |ok AS (SELECT * FROM toks WHERE len(t) >= 5),
+      |idx AS (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM ok),
+      |w AS (SELECT doc_id, i,
+      |    list_aggregate(t[CAST(i+1 AS INT):CAST(i+5 AS INT)], 'string_agg', ' ') AS span
+      |  FROM idx),
+      |df AS (SELECT span FROM (SELECT span, COUNT(DISTINCT doc_id) nd
+      |  FROM w GROUP BY span) WHERE nd >= 2),
+      |cov AS (SELECT doc_id, COUNT(*) AS n_covered FROM (
+      |  SELECT DISTINCT w.doc_id, w.i + d AS p
+      |  FROM w JOIN df USING(span), range(0, 5) r(d)) GROUP BY doc_id)
+      |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+      |  CAST(len(toks.t) - COALESCE(cov.n_covered, 0) AS BIGINT)
+      |    AS n_retained
+      |FROM toks LEFT JOIN cov ON cov.doc_id = toks.doc_id
+      |ORDER BY toks.doc_id""".stripMargin
+
   /** HyperLogLog-style distinct-shingle cardinality sketch, 64 registers,
     * built and UNIONED with [[graft.expressions.ElementwiseMax]] — the
     * mergeable-sketch counterpart of [[dMinhashMerge]]: per-register max is
@@ -1276,7 +1336,8 @@ object DedupQueries {
     "d13_incremental_lsh" -> (dIncrementalLsh _),
     "d15_canonical" -> (d15Canonical _),
     "d16_minhash_calib" -> (d16MinhashCalib _),
-    "d17_funnel" -> (d17Funnel _))
+    "d17_funnel" -> (d17Funnel _),
+    "d18_span_scrub" -> (d18SpanScrub _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" -> dExactOracle,
@@ -1294,5 +1355,6 @@ object DedupQueries {
     "d13_incremental_lsh" -> dIncrementalOracle,
     "d15_canonical" -> d15Oracle,
     "d16_minhash_calib" -> d16Oracle,
-    "d17_funnel" -> d17Oracle)
+    "d17_funnel" -> d17Oracle,
+    "d18_span_scrub" -> d18Oracle)
 }
