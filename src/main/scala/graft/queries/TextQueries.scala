@@ -800,6 +800,82 @@ object TextQueries {
       |  CAST(SUM(doc_id) AS BIGINT) AS checksum
       |FROM fin GROUP BY final_split ORDER BY final_split""".stripMargin
 
+  /** The Gopher document-quality rule table (Rae et al. 2021, Table A1's
+    * document-level rules applicable to this corpus's text shape) as a
+    * per-rule violation census plus the all-rules keep count — the form
+    * a curation run reports before applying t8's keep/drop. Every rule
+    * evaluates in EXACT integer arithmetic (ratio bounds as
+    * cross-multiplications: mean word length in [3,10] ⟺ 3n ≤ Σlen ≤
+    * 10n; alpha-word fraction ≥ 0.8 ⟺ 5·n_alpha ≥ 4·n), so no division
+    * can drift the census. One corpus scan, all counters codegen'd HOFs,
+    * one map-side-combined aggregate per rule row.
+    */
+  def tGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with",
+      "a")
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n"),
+        aggregate(transform(col("t"), w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("total_len"),
+        size(filter(col("t"), w => w.rlike("[a-zA-Z]"))).cast("long")
+          .as("n_alpha"),
+        size(array_intersect(array_distinct(col("t")),
+          array(stop.map(lit): _*))).cast("long").as("n_stop"))
+    val rules = Seq(
+      ("word_count", col("n") < 40 || col("n") > 100000),
+      ("mean_word_len", col("total_len") < col("n") * 3 ||
+        col("total_len") > col("n") * 10),
+      ("alpha_words", col("n_alpha") * 5 < col("n") * 4),
+      ("stopwords", col("n_stop") < 2))
+    val perRule = rules.map { case (name, violated) =>
+      base.filter(violated)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+        .select(lit(name).as("rule"),
+          col("n_docs"), coalesce(col("checksum"), lit(0L)).as("checksum"))
+    }
+    val keepAll = base
+      .filter(rules.map(r => !r._2).reduce(_ && _))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+      .select(lit("zz_keep_all").as("rule"), col("n_docs"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"))
+    perRule.reduce(_ unionByName _).unionByName(keepAll)
+      .orderBy(col("rule"))
+  }
+
+  val tGopherRulesOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+      |      AS t FROM documents),
+      |m AS (SELECT doc_id, len(t) AS n,
+      |    list_aggregate(list_transform(t, x -> len(x)), 'sum') AS total_len,
+      |    len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+      |    len(list_intersect(list_distinct(t),
+      |      ['the','be','to','of','and','that','have','with','a']))
+      |      AS n_stop
+      |  FROM b),
+      |r AS (
+      |  SELECT 'word_count' AS rule, COUNT(*) AS n_docs,
+      |    CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS checksum FROM m
+      |    WHERE n < 40 OR n > 100000
+      |  UNION ALL SELECT 'mean_word_len', COUNT(*),
+      |    CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM m
+      |    WHERE total_len < n * 3 OR total_len > n * 10
+      |  UNION ALL SELECT 'alpha_words', COUNT(*),
+      |    CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM m
+      |    WHERE n_alpha * 5 < n * 4
+      |  UNION ALL SELECT 'stopwords', COUNT(*),
+      |    CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM m
+      |    WHERE n_stop < 2
+      |  UNION ALL SELECT 'zz_keep_all', COUNT(*),
+      |    CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM m
+      |    WHERE NOT (n < 40 OR n > 100000)
+      |      AND NOT (total_len < n * 3 OR total_len > n * 10)
+      |      AND NOT (n_alpha * 5 < n * 4) AND NOT (n_stop < 2))
+      |SELECT rule, n_docs, checksum FROM r ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -817,7 +893,8 @@ object TextQueries {
     "t14_domain_mix" -> (tDomainMix _),
     "t15_bpe_train" -> (tBpeTrain _),
     "t16_fuzzy_words" -> (tFuzzyWords _),
-    "t17_split_decontam" -> (tSplitDecontam _))
+    "t17_split_decontam" -> (tSplitDecontam _),
+    "t18_gopher_rules" -> (tGopherRules _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -836,5 +913,6 @@ object TextQueries {
     "t14_domain_mix" -> tDomainMixOracle,
     "t15_bpe_train" -> tBpeTrainOracle,
     "t16_fuzzy_words" -> tFuzzyWordsOracle,
-    "t17_split_decontam" -> tSplitDecontamOracle)
+    "t17_split_decontam" -> tSplitDecontamOracle,
+    "t18_gopher_rules" -> tGopherRulesOracle)
 }
