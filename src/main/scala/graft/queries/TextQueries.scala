@@ -700,9 +700,13 @@ object TextQueries {
         x.indices.map(i => x.substring(0, i) + x.substring(i + 1))
       (Seq(w) ++ del1(w) ++ del1(w).flatMap(del1)).distinct
     })
+    // length cap: the ≤2-deletion neighborhood is O(L²) variants per
+    // word, so a pathological unbroken "word" (a URL, a base64 blob)
+    // must not explode the index — production FastSS bounds the key
+    // length and routes longer strings to a different matcher
     val vocab = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0).distinct()
+      .filter(length(col("w")) > 0 && length(col("w")) <= 24).distinct()
     val variants = vocab
       .select(col("w"), explode(del2(col("w"))).as("variant"))
     variants.as("a").join(variants.as("b"),
@@ -717,7 +721,7 @@ object TextQueries {
   val tFuzzyWordsOracle: String =
     """WITH w AS (SELECT DISTINCT word AS w FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      |  WHERE length(word) > 0)
+      |  WHERE length(word) > 0 AND length(word) <= 24)
       |SELECT a.w AS wa, b.w AS wb,
       |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS ed
       |FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
