@@ -21,6 +21,26 @@ object AudioFunctions {
   private def toF2(xs: Array[Array[Double]]): Seq[Seq[Float]] =
     xs.toSeq.map(r => r.toSeq.map(_.toFloat))
 
+  /** Deterministic synthetic PCM16 WAV (gate fixture source): sample j is
+    * the LCG value ((id·131 + j·7919) mod 65535) − 32767 scaled to
+    * [−1, 1], forced to silence before `onset`. ONE definition shared by
+    * every codec-backed gate query (m2/m3/a6) so the LCG constants and
+    * codec scaling can never diverge between a query and its oracle.
+    */
+  val syntheticLcgWav = udf((id: Long, onset: Int) =>
+    Dsp.encodeWavPcm16(Array.tabulate(256) { j =>
+      if (j < onset) 0.0
+      else (((id * 131 + j * 7919) % 65535) - 32767) / 32767.0
+    }, 8000))
+
+  /** Integer PCM recovery of a decoded [−1,1] float signal:
+    * k = round(v·32768) — the inverse the oracles replay.
+    */
+  def pcm16(y: Column): Column = {
+    import org.apache.spark.sql.functions.{transform, round}
+    transform(y, v => round(v.cast("double") * 32768).cast("long"))
+  }
+
   /** Deterministic sine synth (test/pipeline signal source):
     * sin(2π·bin·i/nFft) for `samples` samples — a pure tone centered on an
     * exact FFT bin.

@@ -45,4 +45,19 @@ object Compaction {
       .write.mode("overwrite").parquet(out)
     n
   }
+
+  /** Multi-directory variant: compacts a SNAPSHOT (e.g. a manifest
+    * version's committed directory list) in ONE rewrite — the fragmented
+    * source files feed the shuffle directly, with no intermediate copy of
+    * the table.
+    */
+  def compactAll(s: SparkSession, dirs: Seq[String], out: String,
+      targetBytes: Long): Int = {
+    require(dirs.nonEmpty, "no input directories")
+    val bytes = dirs.map(d => plan(s, d, targetBytes)._2).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(dirs: _*).repartition(n)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
 }

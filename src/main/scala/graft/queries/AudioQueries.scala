@@ -170,24 +170,15 @@ object AudioQueries {
     * the part of onset detection that's actually easy to get wrong.
     */
   def a6SilenceTrim(s: SparkSession, dir: String): DataFrame = {
-    val mkWav = udf((id: Long) => {
-      val onset = (64 + id % 64).toInt
-      val samples = Array.tabulate(256) { j =>
-        if (j < onset) 0.0
-        else (((id * 131 + j * 7919) % 65535) - 32767) / 32767.0
-      }
-      graft.functions.Dsp.encodeWavPcm16(samples, 8000)
-    })
-    val k = transform(col("y"),
-      v => round(v.cast("double") * 32768).cast("long"))
+    import graft.functions.AudioFunctions.{decodeWav, pcm16, syntheticLcgWav}
     val energy = aggregate(
       slice(col("k"), col("t") * 32 + 1, lit(64)),
       lit(0L), (a, x) => a + x * x)
     Tables.events(s, dir).filter(col("event_id") < 64)
       .select(col("event_id"),
-        graft.functions.AudioFunctions.decodeWav(mkWav(col("event_id")))
-          .as("y"))
-      .select(col("event_id"), k.as("k"),
+        decodeWav(syntheticLcgWav(col("event_id"),
+          (lit(64) + col("event_id") % 64).cast("int"))).as("y"))
+      .select(col("event_id"), pcm16(col("y")).as("k"),
         array_position(transform(col("k"), x => x =!= 0L), true)
           .as("first_sample"))
       .select(col("event_id"), col("first_sample"),

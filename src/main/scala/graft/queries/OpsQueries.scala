@@ -181,18 +181,11 @@ object OpsQueries {
     * header layout, chunk walking, and sample scaling are all hash-checked.
     */
   def m2WavCodec(s: SparkSession, dir: String): DataFrame = {
-    val mkWav = udf((id: Long) => {
-      val samples = Array.tabulate(256) { j =>
-        (((id * 131 + j * 7919) % 65535) - 32767) / 32767.0
-      }
-      graft.functions.Dsp.encodeWavPcm16(samples, 8000)
-    })
+    import graft.functions.AudioFunctions.{decodeWav, pcm16, syntheticLcgWav}
     Tables.events(s, dir).filter(col("event_id") < 64)
       .select(col("event_id"),
-        graft.functions.AudioFunctions.decodeWav(mkWav(col("event_id")))
-          .as("y"))
-      .select(col("event_id"), posexplode(col("y")).as(Seq("j", "v")))
-      .withColumn("k", round(col("v").cast("double") * 32768).cast("long"))
+        decodeWav(syntheticLcgWav(col("event_id"), lit(0))).as("y"))
+      .select(col("event_id"), posexplode(pcm16(col("y"))).as(Seq("j", "k")))
       .groupBy(col("event_id"))
       .agg(count(lit(1)).as("n_samples"),
         sum((col("j") + 1) * col("k")).as("checksum"))
@@ -220,19 +213,11 @@ object OpsQueries {
     * proves codec fidelity AND feature math at once.
     */
   def m3AudioFeatures(s: SparkSession, dir: String): DataFrame = {
-    val mkWav = udf((id: Long) => {
-      val samples = Array.tabulate(256) { j =>
-        (((id * 131 + j * 7919) % 65535) - 32767) / 32767.0
-      }
-      graft.functions.Dsp.encodeWavPcm16(samples, 8000)
-    })
-    val k = transform(col("y"),
-      v => round(v.cast("double") * 32768).cast("long"))
+    import graft.functions.AudioFunctions.{decodeWav, pcm16, syntheticLcgWav}
     Tables.events(s, dir).filter(col("event_id") < 64)
       .select(col("event_id"),
-        graft.functions.AudioFunctions.decodeWav(mkWav(col("event_id")))
-          .as("y"))
-      .select(col("event_id"), k.as("k"))
+        decodeWav(syntheticLcgWav(col("event_id"), lit(0))).as("y"))
+      .select(col("event_id"), pcm16(col("y")).as("k"))
       .select(col("event_id"),
         size(col("k")).cast("long").as("n_samples"),
         aggregate(col("k"), lit(0L), (a, x) => a + x * x).as("energy"),
@@ -842,12 +827,11 @@ object OpsQueries {
     Manifest.commit(s, root, s"$root/data/b1")
     batch(1500, 3000).repartition(16).write.parquet(s"$root/data/b2")
     val v2 = Manifest.commit(s, root, s"$root/data/b2")
-    // maintenance: rewrite the v2 snapshot into target-size files and
-    // commit the rewrite as v3
-    Manifest.snapshot(s, root, Some(v2))
-      .write.parquet(s"$root/data/compact1")
-    Compaction.compact(s, s"$root/data/compact1", s"$root/data/compacted",
-      targetBytes = 8L * 1024 * 1024)
+    // maintenance: compact the v2 snapshot's committed (fragmented)
+    // files directly into target-size files — one rewrite, no
+    // intermediate copy — and commit the rewrite as v3
+    Compaction.compactAll(s, Manifest.committed(s, root),
+      s"$root/data/compacted", targetBytes = 8L * 1024 * 1024)
     val v3 = Manifest.rewrite(s, root, Seq(s"$root/data/compacted"))
     def census(v: Int, tag: Int) = Manifest.snapshot(s, root, Some(v))
       .groupBy(col("l_returnflag"))
@@ -1325,7 +1309,11 @@ object OpsQueries {
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM events WHERE user_id < 30),
-      |wm AS (SELECT MAX(tsu) - 3600000000 AS w FROM e),
+      |-- Spark tracks event-time stats in MILLISECONDS (microsToMillis
+      |-- truncation), so the final watermark is floor(max/1ms) - delay;
+      |-- replaying the truncation here keeps the emission cutoff exact
+      |-- instead of green-by-data-luck within the sub-ms remainder
+      |wm AS (SELECT (MAX(tsu) // 1000) * 1000 - 3600000000 AS w FROM e),
       |x AS (SELECT *, CASE WHEN LAG(tsu) OVER win IS NULL
       |      OR tsu - LAG(tsu) OVER win >= 300000000 THEN 1 ELSE 0 END AS brk
       |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tsu)),

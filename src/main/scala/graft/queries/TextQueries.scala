@@ -712,9 +712,8 @@ object TextQueries {
     variants.as("a").join(variants.as("b"),
         col("a.variant") === col("b.variant") && col("a.w") < col("b.w"))
       .select(col("a.w").as("wa"), col("b.w").as("wb")).distinct()
-      .filter(levenshtein(col("wa"), col("wb")) <= 2)
-      .select(col("wa"), col("wb"),
-        levenshtein(col("wa"), col("wb")).cast("long").as("ed"))
+      .withColumn("ed", levenshtein(col("wa"), col("wb")).cast("long"))
+      .filter(col("ed") <= 2)
       .orderBy(col("wa"), col("wb"))
   }
 
@@ -833,19 +832,27 @@ object TextQueries {
       ("mean_word_len", col("total_len") < col("n") * 3 ||
         col("total_len") > col("n") * 10),
       ("alpha_words", col("n_alpha") * 5 < col("n") * 4),
-      ("stopwords", col("n_stop") < 2))
-    val perRule = rules.map { case (name, violated) =>
-      base.filter(violated)
-        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
-        .select(lit(name).as("rule"),
-          col("n_docs"), coalesce(col("checksum"), lit(0L)).as("checksum"))
-    }
-    val keepAll = base
-      .filter(rules.map(r => !r._2).reduce(_ && _))
-      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
-      .select(lit("zz_keep_all").as("rule"), col("n_docs"),
-        coalesce(col("checksum"), lit(0L)).as("checksum"))
-    perRule.reduce(_ unionByName _).unionByName(keepAll)
+      ("stopwords", col("n_stop") < 2)) :+
+      ("zz_keep_all", Seq(
+        col("n") < 40 || col("n") > 100000,
+        col("total_len") < col("n") * 3 || col("total_len") > col("n") * 10,
+        col("n_alpha") * 5 < col("n") * 4,
+        col("n_stop") < 2).map(!_).reduce(_ && _))
+    // ONE aggregate computes every rule's (count, checksum) pair in a
+    // single corpus pass; the 1×2k row then unpivots to rule rows
+    val flat = base.agg(
+      rules.flatMap { case (name, p) => Seq(
+        sum(when(p, 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(p, col("doc_id")).otherwise(0L)).as(s"c_$name"))
+      }.head, rules.flatMap { case (name, p) => Seq(
+        sum(when(p, 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(p, col("doc_id")).otherwise(0L)).as(s"c_$name"))
+      }.tail: _*)
+    flat.select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"n_$name").as("n_docs"),
+          col(s"c_$name").as("checksum"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_docs"), col("r.checksum"))
       .orderBy(col("rule"))
   }
 
