@@ -714,6 +714,41 @@ object Relational {
       |    AS BIGINT) AS sum_qty_c
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** `max_by` / `min_by` argmax aggregation — "latest/first row per key"
+    * as ONE hash aggregate with map-side combine, the shape that replaces
+    * the window-rank idiom (shuffle + per-partition SORT) when only the
+    * extreme row is wanted. The ordering key is composite-but-scalar:
+    * (µs since 2024-01-01)·10⁶ + event_id — collision-free, fits a long,
+    * and identical in both engines (DuckDB's arg_max accepts only scalar
+    * keys, and a tie on raw timestamps would otherwise be
+    * engine-defined).
+    */
+  def q26ArgMax(s: SparkSession, dir: String): DataFrame = {
+    val key = (expr("ts DIV 1000") - 1704067200000000L) * 1000000L +
+      col("event_id")
+    Tables.events(s, dir)
+      .filter(col("user_id") < 80)
+      .select(col("user_id"), col("event_id"), key.as("k"),
+        expr("ts DIV 1000").as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), col("k")).as("last_event"),
+        min_by(col("event_id"), col("k")).as("first_event"),
+        count(lit(1)).as("n"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q26Oracle: String =
+    """SELECT user_id,
+      |  arg_max(event_id, (epoch_us(ts) - 1704067200000000) * 1000000
+      |    + event_id) AS last_event,
+      |  arg_min(event_id, (epoch_us(ts) - 1704067200000000) * 1000000
+      |    + event_id) AS first_event,
+      |  COUNT(*) AS n,
+      |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+      |FROM events WHERE user_id < 80
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -739,7 +774,8 @@ object Relational {
     "q22_unpivot" -> (q22Unpivot _),
     "q23_rank_family" -> (q23RankFamily _),
     "q24_corr_subquery" -> (q24CorrSubquery _),
-    "q25_multi_distinct" -> (q25MultiDistinct _))
+    "q25_multi_distinct" -> (q25MultiDistinct _),
+    "q26_argmax" -> (q26ArgMax _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -766,5 +802,6 @@ object Relational {
     "q22_unpivot" -> q22Oracle,
     "q23_rank_family" -> q23Oracle,
     "q24_corr_subquery" -> q24Oracle,
-    "q25_multi_distinct" -> q25Oracle)
+    "q25_multi_distinct" -> q25Oracle,
+    "q26_argmax" -> q26Oracle)
 }
