@@ -1415,6 +1415,63 @@ object OpsQueries {
       |FROM events WHERE user_id < 40
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Checkpointed incremental ETL — the nightly-job pattern that replaces
+    * hand-rolled "which files did I already process" bookkeeping: the
+    * SAME streaming query runs twice with `Trigger.AvailableNow` against
+    * a source that GROWS between invocations. The checkpoint makes run 2
+    * process only the files that arrived since run 1, and the parquet
+    * streaming sink's transaction log makes the output exactly-once (a
+    * reprocessed file would double rows and break the hash — the oracle
+    * equals the full input exactly once). No state store involved: this
+    * is a stateless projection; the checkpoint tracks source progress
+    * and the sink log tracks committed output files, which is the whole
+    * production contract of incremental batch-on-streaming.
+    */
+  def st9IncrementalEtl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir(s) + s"/graft_st9_${st2Seq.incrementAndGet()}"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val srcDir = s"$root/src"
+    val outDir = s"$root/out"
+    def slice(lo: Long, hi: Long) = Tables.events(s, dir)
+      .filter(col("user_id") >= lo && col("user_id") < hi)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val schema = slice(0, 0).schema
+    def runOnce(): Unit = {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try s.readStream.schema(schema).parquet(srcDir)
+        .withColumn("doubled", col("cents") * 2)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // night 1: the first batch of files arrives and is processed
+    slice(0, 20).repartition(2).write.mode("append").parquet(srcDir)
+    runOnce()
+    // night 2: MORE files land; the checkpoint admits only the new ones
+    slice(20, 40).repartition(2).write.mode("append").parquet(srcDir)
+    runOnce()
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("doubled")).as("sum_doubled"))
+      .orderBy(col("user_id"))
+  }
+
+  val st9Oracle: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 2)
+      |    AS BIGINT) AS sum_doubled
+      |FROM events WHERE user_id < 40
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -1448,7 +1505,8 @@ object OpsQueries {
     "st5_stream_static" -> (st5StreamStatic _),
     "st6_stream_upsert" -> (st6StreamUpsert _),
     "st7_stream_session" -> (st7StreamSession _),
-    "st8_stream_ingest" -> (st8StreamIngest _))
+    "st8_stream_ingest" -> (st8StreamIngest _),
+    "st9_incremental_etl" -> (st9IncrementalEtl _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -1483,5 +1541,6 @@ object OpsQueries {
     "st5_stream_static" -> st5Oracle,
     "st6_stream_upsert" -> st6Oracle,
     "st7_stream_session" -> st7Oracle,
-    "st8_stream_ingest" -> st8Oracle)
+    "st8_stream_ingest" -> st8Oracle,
+    "st9_incremental_etl" -> st9Oracle)
 }
