@@ -749,6 +749,40 @@ object Relational {
       |FROM events WHERE user_id < 80
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Skew-salted join under the correctness gate
+    * ([[graft.operators.SkewJoin]]): the big side is keyed by
+    * `user_id % 10` — ten hot keys, each carrying ~10% of the stream, the
+    * shape where plain hash partitioning puts whole keys on single tasks
+    * — and joins a 10-row dimension on (key, salt) with salts=8. The
+    * oracle is the PLAIN join: salting must be result-invisible (each big
+    * row meets each matching small row exactly once), which is exactly
+    * the property the deterministic full-row-hash salt guarantees across
+    * stage retries (SPARK-23207).
+    */
+  def q27SkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.events(s, dir)
+      .filter(col("user_id") < 100)
+      .select((col("user_id") % 10).as("k"), col("event_id"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val dim = Tables.nation(s, dir)
+      .filter(col("n_nationkey") < 10)
+      .select(col("n_nationkey").as("k"), col("n_name"))
+    graft.operators.SkewJoin(big, dim, "k", salts = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  val q27Oracle: String =
+    """SELECT n_name, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events JOIN nation ON user_id % 10 = n_nationkey
+      |WHERE user_id < 100 AND n_nationkey < 10
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -775,7 +809,8 @@ object Relational {
     "q23_rank_family" -> (q23RankFamily _),
     "q24_corr_subquery" -> (q24CorrSubquery _),
     "q25_multi_distinct" -> (q25MultiDistinct _),
-    "q26_argmax" -> (q26ArgMax _))
+    "q26_argmax" -> (q26ArgMax _),
+    "q27_skew_salted" -> (q27SkewSalted _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -803,5 +838,6 @@ object Relational {
     "q23_rank_family" -> q23Oracle,
     "q24_corr_subquery" -> q24Oracle,
     "q25_multi_distinct" -> q25Oracle,
-    "q26_argmax" -> q26Oracle)
+    "q26_argmax" -> q26Oracle,
+    "q27_skew_salted" -> q27Oracle)
 }
