@@ -1472,6 +1472,76 @@ object OpsQueries {
       |FROM events WHERE user_id < 40
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The transformWithState sessionizer under the oracle gate — st1's
+    * drop-in sibling on Spark 4's typed state API (explicit event-time
+    * timers, RocksDB store), run as a REAL streaming query over a file
+    * source. Sessions emit when their expiry timer fires, so the st1
+    * sentinel trick (one synthetic event per key at max+gap+1) drives
+    * the final watermark past every real session's expiry while the
+    * sentinel's OWN session stays open in state and never emits — the
+    * memory sink then holds exactly the batch session set, hash-matched
+    * against the same gaps-and-islands oracle as st1. Proving the two
+    * sessionizers against one oracle pins their interchangeability at
+    * the gate, not just in specs.
+    */
+  def st10SessionizeTws(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val gapMs = 300000L
+    val root = tmpDir(s) + s"/graft_st10_${st2Seq.incrementAndGet()}"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id").as("key"),
+        expr("ts DIV 1000000").as("tsMs"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .cast("double").as("value"))
+    // sentinels sit at the GLOBAL max + gap + 2 (not each key's max):
+    // the final watermark lands exactly on the sentinel timestamp, so
+    // every real session's expiry (≤ globalMax+gap+1) is STRICTLY below
+    // it and fires, while every sentinel's own expiry is above it and
+    // its session stays in state, never emitted. Per-key sentinels would
+    // fire for all but the globally-latest keys and leak n=1 phantoms.
+    val gmax = ev.agg(max(col("tsMs")).as("gm"))
+    val sentinels = ev.select(col("key")).distinct()
+      .crossJoin(broadcast(gmax))
+      .select(col("key"), (col("gm") + gapMs + 2).as("tsMs"),
+        lit(0.0).as("value"))
+    val srcDir = s"$root/src"
+    ev.unionByName(sentinels).write.parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema).parquet(srcDir)
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[graft.streaming.Sessionize.Event]
+    val name = s"graft_st10_${st2Seq.incrementAndGet()}"
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerConf)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set(providerConf, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      graft.streaming.SessionizeTws(stream, gapMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(v) => s.conf.set(providerConf, v)
+        case None => s.conf.unset(providerConf)
+      }
+    }
+    s.table(name)
+      .select(col("key").as("user_id"), col("startMs").as("start_ms"),
+        col("endMs").as("end_ms"), col("nEvents").as("n"),
+        col("total").cast("long").as("total_cents"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -1506,7 +1576,8 @@ object OpsQueries {
     "st6_stream_upsert" -> (st6StreamUpsert _),
     "st7_stream_session" -> (st7StreamSession _),
     "st8_stream_ingest" -> (st8StreamIngest _),
-    "st9_incremental_etl" -> (st9IncrementalEtl _))
+    "st9_incremental_etl" -> (st9IncrementalEtl _),
+    "st10_sessionize_tws" -> (st10SessionizeTws _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -1542,5 +1613,6 @@ object OpsQueries {
     "st6_stream_upsert" -> st6Oracle,
     "st7_stream_session" -> st7Oracle,
     "st8_stream_ingest" -> st8Oracle,
-    "st9_incremental_etl" -> st9Oracle)
+    "st9_incremental_etl" -> st9Oracle,
+    "st10_sessionize_tws" -> st1Oracle)
 }

@@ -783,6 +783,44 @@ object Relational {
       |WHERE user_id < 100 AND n_nationkey < 10
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** The automatic range-join REWRITE under the correctness gate — q19
+    * proves the hand-built bucketed range join; this proves the
+    * [[graft.plans.RangeJoinRewrite]] optimizer rule produces the same
+    * answer from a BARE `p BETWEEN s AND e` join that a SQL user would
+    * write. The query installs the rule, requires the nested-loop plan
+    * is actually gone (a silent non-rewrite would still pass the hash —
+    * the require makes the gate test the RULE, not just the fallback),
+    * materializes eagerly while the rule is active (localCheckpoint —
+    * plan optimization is lazy, and the rule must be present at
+    * execution), then restores the session.
+    */
+  def q28RangeRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.RangeJoinRewrite
+    val winNs = 600000000000L
+    val ev = Tables.events(s, dir)
+    val points = ev.select(col("event_id").as("pid"), col("ts").as("pts"))
+    val campaigns = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("campaign_id"), col("ts").as("cstart"),
+        (col("ts") + winNs).as("cend"))
+    if (!s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[RangeJoinRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ new RangeJoinRewrite
+    s.conf.set(RangeJoinRewrite.WidthConf, winNs.toString)
+    try {
+      val joined = points.join(campaigns,
+        col("pts") >= col("cstart") && col("pts") <= col("cend"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        "the rewrite rule must replace the nested-loop range join")
+      joined.select(col("pid"), col("campaign_id")).localCheckpoint()
+        .groupBy(col("campaign_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("pid")).as("checksum"))
+        .orderBy(col("campaign_id"))
+    } finally s.conf.unset(RangeJoinRewrite.WidthConf)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_cogroup_join" -> (q2CogroupJoin _),
@@ -810,7 +848,8 @@ object Relational {
     "q24_corr_subquery" -> (q24CorrSubquery _),
     "q25_multi_distinct" -> (q25MultiDistinct _),
     "q26_argmax" -> (q26ArgMax _),
-    "q27_skew_salted" -> (q27SkewSalted _))
+    "q27_skew_salted" -> (q27SkewSalted _),
+    "q28_range_rewrite" -> (q28RangeRewrite _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -839,5 +878,6 @@ object Relational {
     "q24_corr_subquery" -> q24Oracle,
     "q25_multi_distinct" -> q25Oracle,
     "q26_argmax" -> q26Oracle,
-    "q27_skew_salted" -> q27Oracle)
+    "q27_skew_salted" -> q27Oracle,
+    "q28_range_rewrite" -> q19Oracle)
 }
