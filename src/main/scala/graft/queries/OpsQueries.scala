@@ -1542,6 +1542,56 @@ object OpsQueries {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** REAL image decode under the oracle gate — the javax.imageio path
+    * ([[graft.multimodal.Multimodal.decodeImage]]) that MultimodalSpec
+    * covers at spec level, now hash-checked: each synthetic 32×20 PNG
+    * carries closed-form grayscale pixels g(id,x,y) = (id·31 + x·7 +
+    * y·13) mod 256, so after the real PNG encode→decode round trip the
+    * 4×4-block luminance features are exactly block-sums of g (gray luma
+    * = g·1000 under the integer ITU-R 601 weights) with one double
+    * division and one float rounding each — which DuckDB replays from
+    * the formula, never touching a codec. Proves the decode pipeline
+    * (bytes → dimensions/channels → block features) end to end, the way
+    * m2/m3 prove the WAV codec.
+    */
+  def m4ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val mkPng = (id: Long) => {
+      val img = new java.awt.image.BufferedImage(32, 20,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 32) {
+        val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val files = Tables.events(s, dir).filter(col("event_id") < 16)
+      .select(col("event_id")).as[Long]
+      .map(id => Multimodal.MediaFile(id.toString, "image/png",
+        mkPng(id), 0L, Map.empty))
+    Multimodal.decodeImage(files).toDF()
+      .select(col("element").cast("long").as("img_id"), col("height"),
+        col("width"), col("channels"),
+        posexplode(col("features")).as(Seq("block", "feat")))
+      .orderBy(col("img_id"), col("block"))
+  }
+
+  val m4Oracle: String =
+    """WITH px AS (SELECT event_id AS img_id, x, y,
+      |    (event_id * 31 + x * 7 + y * 13) % 256 AS g
+      |  FROM events, range(0, 32) rx(x), range(0, 20) ry(y)
+      |  WHERE event_id < 16),
+      |blocks AS (SELECT img_id,
+      |    (y * 4 // 20) * 4 + (x * 4 // 32) AS block,
+      |    SUM(g * 1000) AS lsum, COUNT(*) AS n
+      |  FROM px GROUP BY 1, 2)
+      |SELECT img_id, 20 AS height, 32 AS width, 3 AS channels, block,
+      |  CAST(CAST(lsum AS DOUBLE) / (n * 255000.0) AS FLOAT) AS feat
+      |FROM blocks ORDER BY img_id, block""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -1550,6 +1600,7 @@ object OpsQueries {
     "m1_media_frames" -> (m1MediaFrames _),
     "m2_wav_codec" -> (m2WavCodec _),
     "m3_audio_features" -> (m3AudioFeatures _),
+    "m4_image_decode" -> (m4ImageDecode _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -1587,6 +1638,7 @@ object OpsQueries {
     "m1_media_frames" -> m1Oracle,
     "m2_wav_codec" -> m2Oracle,
     "m3_audio_features" -> m3Oracle,
+    "m4_image_decode" -> m4Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
