@@ -604,7 +604,14 @@ object TextQueries {
     * deterministic. Output is the trained artifact: the merge list with
     * its support counts.
     */
-  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The shared 3-round BPE training loop: returns the merge table and
+    * the post-merge vocabulary ([[tBpeTrain]] reports the former,
+    * [[tBpeApply]] censuses the latter — one definition so train and
+    * apply can never drift).
+    */
+  private def bpeRounds(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)],
+        org.apache.spark.sql.DataFrame) = {
     val words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -633,9 +640,78 @@ object TextQueries {
           .as("sym"), col("freq"))
         .localCheckpoint()
     }
-    import s.implicits._
-    merges.toSeq.toDF("it", "pair", "merged", "cnt")
+    (merges.toSeq, cur)
   }
+
+  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeRounds(s, dir)._1.toDF("it", "pair", "merged", "cnt")
+  }
+
+  /** BPE ENCODE — the other half of the tokenizer story: apply the
+    * learned merge table to the vocabulary and report the compression it
+    * buys (frequency-weighted token counts before/after — "before" is
+    * character-level, recovered from the symbol string itself so the two
+    * sides can't disagree about tokenization). At scale this is the
+    * per-document encode pass: vocabulary-sized replace chain, broadcast
+    * merge table, corpus touched once.
+    */
+  def tBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val cur = bpeRounds(s, dir)._2
+    val after = size(split(trim(col("sym")), "  ")).cast("long")
+    val before = length(call_function("replace", col("sym"), lit(" "),
+      lit(""))).cast("long")
+    cur.agg(count(lit(1)).as("n_words"),
+      sum(col("freq")).as("n_tokens_ws"),
+      sum(col("freq") * before).as("chars_before"),
+      sum(col("freq") * after).as("tokens_after"))
+  }
+
+  val tBpeApplyOracle: String =
+    """WITH wr AS (SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) > 0 GROUP BY word),
+      |w0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ')
+      |    || ' ' AS sym, freq FROM wr),
+      |p1 AS (SELECT pair, SUM(freq) AS cnt FROM (
+      |    SELECT unnest(list_transform(
+      |        range(1, len(string_split(trim(sym), '  '))),
+      |        i -> string_split(trim(sym), '  ')[CAST(i AS INT)] || ' '
+      |          || string_split(trim(sym), '  ')[CAST(i+1 AS INT)])) AS pair,
+      |      freq FROM w0) GROUP BY pair),
+      |t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      |w1 AS (SELECT replace(sym,
+      |    ' ' || replace((SELECT pair FROM t1), ' ', '  ') || ' ',
+      |    ' ' || replace((SELECT pair FROM t1), ' ', '') || ' ') AS sym,
+      |    freq FROM w0),
+      |p2 AS (SELECT pair, SUM(freq) AS cnt FROM (
+      |    SELECT unnest(list_transform(
+      |        range(1, len(string_split(trim(sym), '  '))),
+      |        i -> string_split(trim(sym), '  ')[CAST(i AS INT)] || ' '
+      |          || string_split(trim(sym), '  ')[CAST(i+1 AS INT)])) AS pair,
+      |      freq FROM w1) GROUP BY pair),
+      |t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+      |w2 AS (SELECT replace(sym,
+      |    ' ' || replace((SELECT pair FROM t2), ' ', '  ') || ' ',
+      |    ' ' || replace((SELECT pair FROM t2), ' ', '') || ' ') AS sym,
+      |    freq FROM w1),
+      |p3 AS (SELECT pair, SUM(freq) AS cnt FROM (
+      |    SELECT unnest(list_transform(
+      |        range(1, len(string_split(trim(sym), '  '))),
+      |        i -> string_split(trim(sym), '  ')[CAST(i AS INT)] || ' '
+      |          || string_split(trim(sym), '  ')[CAST(i+1 AS INT)])) AS pair,
+      |      freq FROM w2) GROUP BY pair),
+      |t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+      |w3 AS (SELECT replace(sym,
+      |    ' ' || replace((SELECT pair FROM t3), ' ', '  ') || ' ',
+      |    ' ' || replace((SELECT pair FROM t3), ' ', '') || ' ') AS sym,
+      |    freq FROM w2)
+      |SELECT COUNT(*) AS n_words, CAST(SUM(freq) AS BIGINT) AS n_tokens_ws,
+      |  CAST(SUM(freq * length(replace(sym, ' ', ''))) AS BIGINT)
+      |    AS chars_before,
+      |  CAST(SUM(freq * len(string_split(trim(sym), '  '))) AS BIGINT)
+      |    AS tokens_after
+      |FROM w3""".stripMargin
 
   val tBpeTrainOracle: String =
     """WITH wr AS (SELECT word, COUNT(*) AS freq FROM (
@@ -905,7 +981,8 @@ object TextQueries {
     "t15_bpe_train" -> (tBpeTrain _),
     "t16_fuzzy_words" -> (tFuzzyWords _),
     "t17_split_decontam" -> (tSplitDecontam _),
-    "t18_gopher_rules" -> (tGopherRules _))
+    "t18_gopher_rules" -> (tGopherRules _),
+    "t19_bpe_apply" -> (tBpeApply _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -925,5 +1002,6 @@ object TextQueries {
     "t15_bpe_train" -> tBpeTrainOracle,
     "t16_fuzzy_words" -> tFuzzyWordsOracle,
     "t17_split_decontam" -> tSplitDecontamOracle,
-    "t18_gopher_rules" -> tGopherRulesOracle)
+    "t18_gopher_rules" -> tGopherRulesOracle,
+    "t19_bpe_apply" -> tBpeApplyOracle)
 }
