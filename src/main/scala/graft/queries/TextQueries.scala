@@ -319,24 +319,46 @@ object TextQueries {
     * every LLM training pipeline runs before batching: documents stream in
     * a deterministic order, concatenate, and split at fixed token-budget
     * boundaries (docs crossing a boundary straddle two sequences). The
-    * window is partitioned BY LANGUAGE, not global — a global ORDER BY
-    * window is one task at 100 TB, while per-language streams pack in
-    * parallel (the real pipeline shape: one packed shard family per
-    * language). Reported per language: sequences produced, capacity used,
-    * boundary-straddling docs, and a placement checksum (sum of each
-    * doc's first sequence index) so the oracle pins every doc's packed
-    * position, not just totals.
+    * cumulative sum is NOT one per-language window — `lang` is skewed
+    * (en ≈ 43%), so a `partitionBy(lang)` running sum over the corpus
+    * sorts ~43 TB in one reducer at 100 TB. Instead it is computed
+    * exactly in three parallel steps: (1) sub-shard each language by a
+    * bounded doc_id range (`doc_id DIV shardSpan` — monotone in doc_id,
+    * so (shard, doc_id) order IS doc_id order), local running sum per
+    * (lang, shard) — a full-corpus shuffle but on the fine-grained
+    * unskewed compound key; (2) prefix-sum the per-shard totals into
+    * exclusive shard offsets (a window over the AGGREGATED #shards-row
+    * table, corpus-size independent); (3) offset-join on (lang, shard) —
+    * the same key as the local window, so no extra exchange. `shardSpan`
+    * tunes shard count: at 100 TB pick ~10⁶ ids per shard so the offset
+    * table stays small. Reported per language: sequences produced,
+    * capacity used, boundary-straddling docs, and a placement checksum
+    * (sum of each doc's first sequence index) so the oracle pins every
+    * doc's packed position, not just totals.
     */
   def tPacking(s: SparkSession, dir: String): DataFrame = {
     val budget = 256L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(s, dir)
+    val shardSpan = 128L
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("tok"))
       .filter(col("tok") > 0)
-      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("shard", expr(s"doc_id DIV $shardSpan"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offsets = toks.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("tok")).as("stot"))
+      .withColumn("off", sum(col("stot")).over(wOff) - col("stot"))
+      .select(col("lang"), col("shard"), col("off"))
+    toks
+      .withColumn("local_cum", sum(col("tok")).over(wLocal))
+      .join(offsets, Seq("lang", "shard"))
+      .withColumn("cum", col("local_cum") + col("off"))
       .select(col("doc_id"), col("lang"), col("tok"),
         ((col("cum") - col("tok")) / budget).cast("long").as("first_seq"),
         ((col("cum") - 1) / budget).cast("long").as("last_seq"))
@@ -370,25 +392,75 @@ object TextQueries {
       |  CAST(SUM(first_seq) AS BIGINT) AS placement_checksum
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** STRATIFIED (per-language quota) sampling, fully deterministic: rank
-    * docs inside each language by a pure arithmetic hash of the id and
-    * keep the first `quota`. Unlike `df.sample`, the selection is
-    * reproducible across engines and runs, per-stratum sized (the
-    * training-mix contract: N docs per language, not N% of whatever
-    * arrived), and one window + filter — no collect, no per-stratum scan.
-    * At 100 TB the rank window shuffles once on lang; for heavy strata the
-    * same quota is expressible as a per-partition top-k merge, which
-    * `q8_topk` demonstrates.
+  /** Deterministic per-stratum draw WITHOUT a full-corpus rank window.
+    * The naive draw — `row_number over (partition by lang order by h)`,
+    * keep rn ≤ quota — shuffles the whole corpus on `lang`, a skewed key
+    * (en ≈ 43% of documents): at 100 TB one reducer sort-spills ~43 TB.
+    * A quota draw doesn't need a total order, only the quota-th smallest
+    * h per stratum. So: bucket h into 4096 equal ranges (`h >> 19`,
+    * h ∈ [0, 2³¹)), histogram per (lang, bucket) — one map-side-combined
+    * aggregate, ≤ #langs×4096 rows — then fold each language's sorted
+    * bucket counts with an `aggregate` HOF (no window anywhere in the
+    * threshold computation) to find the boundary bucket where the
+    * cumulative count first reaches the quota. Rows strictly below the
+    * boundary are kept outright with ZERO shuffle (broadcast the
+    * #langs-row threshold table, filter); only boundary-bucket rows —
+    * ~1/4096 of the stratum — are ranked, partitioned by (lang, bucket).
+    * Bucketing by h preserves the (h, doc_id) order across buckets, so
+    * the result is bit-identical to the naive rank-and-keep draw.
+    *
+    * `quotas` is (lang, quota), #langs rows. Languages smaller than
+    * their quota keep everything (fold ends with bb = -1); quota 0 keeps
+    * nothing. Returns the kept (doc_id, lang, h).
+    */
+  private[queries] def stratifiedDraw(docs: DataFrame,
+      quotas: DataFrame): DataFrame = {
+    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
+    val base = docs.select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("b", shiftright(col("h"), 19))
+    val hist = base.groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    // fold sorted (bucket, count) pairs to the first bucket whose
+    // cumulative count reaches the quota; `below` = count before it
+    val bounds = hist.groupBy(col("lang"))
+      .agg(sort_array(collect_list(struct(col("b"), col("cnt")))).as("bl"))
+      .join(quotas, "lang")
+      .select(col("lang"), col("quota"),
+        expr("""aggregate(bl,
+          named_struct('bb', CAST(-1 AS BIGINT), 'below', CAST(0 AS BIGINT),
+                       'cum', CAST(0 AS BIGINT)),
+          (acc, x) -> IF(acc.bb >= 0, acc,
+            IF(acc.cum + x.cnt >= quota,
+              named_struct('bb', x.b, 'below', acc.cum,
+                           'cum', acc.cum + x.cnt),
+              named_struct('bb', acc.bb, 'below', acc.below,
+                           'cum', acc.cum + x.cnt))))""").as("st"))
+      .select(col("lang"), col("st.bb").as("bb"),
+        (col("quota") - col("st.below")).as("need"))
+    val joined = base.join(broadcast(bounds), "lang")
+    val keepOutright = joined.filter(col("bb") < 0 || col("b") < col("bb"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("b")).orderBy(col("h"), col("doc_id"))
+    val boundaryRanked = joined.filter(col("b") === col("bb"))
+      .withColumn("rnb", row_number().over(wb))
+      .filter(col("rnb") <= col("need"))
+    keepOutright.select(col("doc_id"), col("lang"), col("h"))
+      .union(boundaryRanked.select(col("doc_id"), col("lang"), col("h")))
+  }
+
+  /** STRATIFIED (per-language quota) sampling, fully deterministic: keep
+    * the `quota` docs with the smallest arithmetic hash of the id inside
+    * each language. Unlike `df.sample`, the selection is reproducible
+    * across engines and runs and per-stratum sized (the training-mix
+    * contract: N docs per language, not N% of whatever arrived). The
+    * selection runs through [[stratifiedDraw]]'s bucket-histogram
+    * threshold — no full-corpus window on the skewed `lang` key.
     */
   def tStratified(s: SparkSession, dir: String): DataFrame = {
-    val quota = 25
-    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), h.as("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= quota)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val quotas = docs.select(col("lang")).distinct()
+      .withColumn("quota", lit(25L))
+    stratifiedDraw(docs, quotas)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("checksum"),
         min(col("h")).as("min_h"), max(col("h")).as("max_h"))
@@ -543,10 +615,11 @@ object TextQueries {
     * each, then INTEGER sum and integer-division quotas, so no
     * float-summation order can flip a boundary. Scale shape: the count
     * pass is a map-side-combined aggregate over domains (rows:
-    * #domains), the quota table broadcasts, and the draw is one window
-    * rank per domain — the same one-shuffle shape as t11 regardless of
-    * corpus size. Quotas are floor allocations; a domain smaller than
-    * its quota contributes all its members (keep-at-most semantics).
+    * #domains), the quota table broadcasts, and the draw runs through
+    * [[stratifiedDraw]]'s bucket-histogram threshold — no full-corpus
+    * window on the skewed `lang` key. Quotas are floor allocations; a
+    * domain smaller than its quota contributes all its members
+    * (keep-at-most semantics).
     */
   def tDomainMix(s: SparkSession, dir: String): DataFrame = {
     val target = 150
@@ -557,17 +630,12 @@ object TextQueries {
     val tot = weights.agg(sum(col("wt")).as("tot_wt"))
     val quotas = weights.crossJoin(broadcast(tot))
       .withColumn("quota", expr(s"($target * wt) DIV tot_wt"))
-    val h = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), col("lang"), h.as("h"))
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(quotas), "lang")
-      .filter(col("rn") <= col("quota"))
+    stratifiedDraw(docs, quotas.select(col("lang"), col("quota")))
       .groupBy(col("lang"))
-      .agg(max(col("n_docs")).as("n_docs"), max(col("wt")).as("wt"),
-        max(col("quota")).as("quota"), count(lit(1)).as("n_kept"),
-        sum(col("doc_id")).as("checksum"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("checksum"))
+      .join(broadcast(quotas), "lang")
+      .select(col("lang"), col("n_docs"), col("wt"), col("quota"),
+        col("n_kept"), col("checksum"))
       .orderBy(col("lang"))
   }
 

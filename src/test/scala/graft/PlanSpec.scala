@@ -163,6 +163,28 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t10/t11/t14 never window the raw corpus partitioned by lang alone") {
+    // lang is skewed (en ≈ 43% of documents): a Window partitioned only
+    // by lang over the raw corpus sort-spills ~43% of the input in one
+    // reducer at 100 TB. The de-skewed rewrites allow a single-key
+    // Window ONLY over an aggregated (histogram / shard-total) input —
+    // corpus-sized windows must carry a compound partition key.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    for (q <- Seq("t10_packing", "t11_stratified", "t14_domain_mix")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w }
+      wins.foreach { w =>
+        if (w.partitionSpec.size < 2) {
+          assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+            s"$q: a Window partitioned by a single (skewed) key must " +
+              "read an aggregated input, never the raw corpus")
+        }
+      }
+    }
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
