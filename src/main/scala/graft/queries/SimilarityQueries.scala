@@ -149,19 +149,40 @@ object SimilarityQueries {
         transform(col("pairs"), p => p.getField("m")).as("c"))
 
   /** Every vector ranked against every centroid by exact L2 (rk=1 is the
-    * nearest-centroid assignment; rk<=nprobe gives the probe lists).
+    * nearest-centroid assignment; rk<=nprobe gives the probe lists; all
+    * callers use rk ∈ {1, 2}, so only the 2 nearest survive).
+    *
+    * Deliberately NOT a rank window: the k-replicated candidate rows for
+    * a vector are generated co-located (one input row × broadcast
+    * centroids), so a vec_id-grouped aggregate collapses them to ONE row
+    * in the map-side partial aggregate before any shuffle. The window
+    * alternative shuffles all k candidate rows — each carrying the
+    * 64-component vector payload — just to rank them, a k× shuffle-volume
+    * tax on the hottest ANN-build path. Tie-break (dist, clabel) matches
+    * the ROW_NUMBER ordering via lexicographic struct sort.
     */
   private def centroidRanked(e: DataFrame, cent: DataFrame): DataFrame = {
     val dist = aggregate(
       zip_with(col("v"), col("c"), (x, m) =>
         (x.cast("double") - m) * (x.cast("double") - m)),
       lit(0.0), (acc, x) => acc + x)
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("clabel"))
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("v"), col("nn"),
         col("clabel"), dist.as("dist"))
-      .withColumn("rk", row_number().over(byDist))
+      .groupBy(col("vec_id"))
+      .agg(
+        // label/v/nn are constant per vec_id; min_by makes the pick
+        // deterministic without widening the grouping key
+        min_by(struct(col("label"), col("v"), col("nn")), col("clabel"))
+          .as("attrs"),
+        slice(sort_array(collect_list(struct(col("dist"), col("clabel")))),
+          1, 2).as("top"))
+      .select(col("vec_id"), col("attrs.label").as("label"),
+        col("attrs.v").as("v"), col("attrs.nn").as("nn"),
+        posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("vec_id"), col("label"), col("v"), col("nn"),
+        col("t.clabel").as("clabel"), col("t.dist").as("dist"),
+        (col("rk0") + 1).cast("int").as("rk"))
   }
 
   def s3IvfAssign(s: SparkSession, dir: String): DataFrame = {
@@ -365,12 +386,14 @@ object SimilarityQueries {
       zip_with(slice(col("v"), col("j") * 8 + 1, lit(8)), col("sc"),
         (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
       lit(0.0), (acc, x) => acc + x)
-    val byDist = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d"), col("clabel"))
+    // nearest sub-code via min_by: candidates are co-located (row ×
+    // broadcast codebook), so the partial aggregate collapses the
+    // codebook-replicated rows map-side — no rank-window shuffle
     val codes = vj.join(broadcast(cj), Seq("j"))
       .select(col("vec_id"), col("j"), col("clabel"), sdist.as("d"))
-      .withColumn("rk", row_number().over(byDist))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("clabel"), struct(col("d"), col("clabel")))
+        .as("clabel"))
     // decode: reassemble each vector's ADC reconstruction from its codes
     val recon = codes.join(broadcast(cj), Seq("j", "clabel"))
       .groupBy(col("vec_id"))
@@ -538,15 +561,19 @@ object SimilarityQueries {
       zip_with(col("sv"), col("sc"),
         (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
       lit(0.0), (acc, x) => acc + x)
-    def assign(cj: DataFrame): DataFrame = {
-      val byDist = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("d"), col("clabel"))
+    // nearest-code assignment via min_by: the 10×-replicated candidates
+    // collapse in the map-side partial aggregate (they are co-located —
+    // row × broadcast codebook), where the old rank window shuffled the
+    // full replicated candidate set every Lloyd round
+    def assign(cj: DataFrame): DataFrame =
       vj.join(broadcast(cj), Seq("j"))
         .select(col("vec_id"), col("j"), col("clabel"), col("sv"),
           sdist.as("d"))
-        .withColumn("rk", row_number().over(byDist))
-        .filter(col("rk") === 1)
-    }
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(struct(col("clabel"), col("sv")),
+          struct(col("d"), col("clabel"))).as("w"))
+        .select(col("vec_id"), col("j"), col("w.clabel").as("clabel"),
+          col("w.sv").as("sv"))
     val a0 = assign(cj0)
     // exact-integer component sums → one double division per component;
     // empty codes fall back to their initial centroid via the outer join
@@ -676,13 +703,16 @@ object SimilarityQueries {
       zip_with(col("sv"), col("sc"),
         (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
       lit(0.0), (acc, x) => acc + x)
-    val byDist = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d"), col("code"))
+    // nearest residual code via min_by — co-located candidates collapse
+    // map-side, no rank-window shuffle of the code-replicated rows
     val codes = rj.join(broadcast(cb), Seq("j"))
       .select(col("vec_id"), col("cluster"), col("j"), col("code"),
         sdist.as("d"))
-      .withColumn("rk", row_number().over(byDist))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(struct(col("cluster"), col("code")),
+        struct(col("d"), col("code"))).as("w"))
+      .select(col("vec_id"), col("j"), col("w.cluster").as("cluster"),
+        col("w.code").as("code"))
     // reconstruction = coarse centroid + residual code slices
     val recon = codes.join(broadcast(cb), Seq("j", "code"))
       .groupBy(col("vec_id"), col("cluster"))

@@ -163,6 +163,34 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ANN nearest-code assignment aggregates, never rank-windows") {
+    // nearest-centroid / nearest-code selection must be a min_by-style
+    // aggregate (map-side combine collapses the codebook-replicated
+    // candidates before any shuffle), never a row_number window (which
+    // shuffles the full k×-replicated candidate set). The only Windows
+    // allowed in these plans are the bounded probe-side top-k ranks,
+    // partitioned by qid.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("s3_ivf_assign", "s5_kmeans_train", "s7_pq_train")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w }
+      assert(wins.isEmpty,
+        s"$q: assignment must aggregate, not window (found ${wins.size})")
+    }
+    for (q <- Seq("s4_ivf_probe", "s6_pq_adc", "s8_ivfpq")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w }
+      wins.foreach { w =>
+        assert(w.partitionSpec.map(_.references.map(_.name).mkString) ==
+          Seq("qid"),
+          s"$q: only the bounded probe top-k may window, got " +
+            w.partitionSpec.mkString(","))
+      }
+    }
+  }
+
   test("t10/t11/t14 never window the raw corpus partitioned by lang alone") {
     // lang is skewed (en ≈ 43% of documents): a Window partitioned only
     // by lang over the raw corpus sort-spills ~43% of the input in one
