@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.DedupFunctions._
@@ -315,7 +316,7 @@ object DedupQueries {
     */
   private def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
     val (rawPairs, base) = jaccardPairsWithBase(s, dir, 0.8)
-    val pairs = rawPairs.select(col("ia"), col("ib")).localCheckpoint()
+    val pairs = rawPairs.select(col("ia"), col("ib")).staged()
     base.unpersist()
     pairs.select(col("ia").as("u"), col("ib").as("v"))
       .unionByName(pairs.select(col("ib").as("u"), col("ia").as("v")))
@@ -328,7 +329,7 @@ object DedupQueries {
     */
   private def componentLabels(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+      .select(col("id"), col("id").as("label")).staged()
     var changed = 1L
     var rounds = 0
     // Rounds needed = component diameter. Converge-or-fail: silently
@@ -352,7 +353,7 @@ object DedupQueries {
           col("label").as("ll")), Seq("label"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .staged()
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("id"), col("label"))
       rounds += 1
@@ -541,7 +542,7 @@ object DedupQueries {
     * query leaks its corpus-wide cached blocks for the session lifetime).
     */
   private def finishReleasing(pairs: DataFrame, base: DataFrame): DataFrame = {
-    val snap = pairs.localCheckpoint()
+    val snap = pairs.staged()
     base.unpersist()
     snap.orderBy(col("ia"), col("ib"))
   }
@@ -657,7 +658,7 @@ object DedupQueries {
       .withColumn("rn", row_number().over(
         W.partitionBy(col("text")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
-      .localCheckpoint()
+      .staged()
     // stage 2: near-dup canonical among stage-1 survivors (pair set is
     // text-derived, so filtering full-corpus pairs to survivor endpoints
     // IS the pairs-among-survivors set)
@@ -674,7 +675,7 @@ object DedupQueries {
       .withColumn("rn", row_number().over(W.partitionBy(col("cluster"))
         .orderBy(col("n_chars").desc, col("doc_id"))))
       .filter(col("rn") === 1).drop("rn", "label", "cluster")
-      .localCheckpoint()
+      .staged()
     // stage 3: quality keep (t8's reason logic, keep-only)
     val top = nd.select(col("doc_id"), explode(tokens(col("text")))
         .as("term"))
@@ -940,17 +941,58 @@ object DedupQueries {
     * intersection ([[graft.expressions.SortedIntersectCount]]). Zero
     * shuffles, no join, linear at 100 TB.
     */
-  def dContamination(s: SparkSession, dir: String): DataFrame = {
+  def dContamination(s: SparkSession, dir: String): DataFrame =
+    contaminationReport(s, dir, MaxBenchVocab)
+
+  /** In-closure benchmark-vocabulary cap for [[dContamination]]: 2 MB of
+    * packed shingles. Benchmark suites are small by construction, but the
+    * cap is a hard guard, not an argument — a mis-pointed "benchmark"
+    * selection must degrade to the join path, never OOM the driver.
+    */
+  private val MaxBenchVocab = 262144
+
+  /** [[dContamination]] with an explicit vocabulary cap (spec hook: a
+    * tiny cap forces the above-cap path on the same data). The probe is
+    * `limit(cap+1)` like [[vocabOf]] — one bounded job decides the route
+    * without ever materializing an unbounded vocabulary on the driver.
+    * Above the cap: [[dBloomPrefilter]]'s shape — a constant-size bloom
+    * sketch prunes the corpus shingle stream map-side, then an exact
+    * semi-join (no broadcast hint: AQE broadcasts a small-enough bench
+    * side and shuffles a genuinely big one) re-derives the same counts —
+    * bloom filters have no false negatives, so both routes are exact.
+    */
+  private[graft] def contaminationReport(s: SparkSession, dir: String,
+      benchVocabCap: Int): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"))
-    val bench: Array[Long] = docs.filter(col("doc_id") < 10)
+    val benchGrams = docs.filter(col("doc_id") < 10)
       .select(explode(col("gs")).as("g")).distinct()
-      .as[Long].collect().sorted
-    docs.filter(col("doc_id") >= 10 && col("doc_id") < 110)
-      .select(col("doc_id"), size(col("gs")).as("n_shingles"),
-        intersectSortedCount(col("gs"), typedLit(bench)).as("n_overlap"))
+    val probe: Array[Long] =
+      benchGrams.limit(benchVocabCap + 1).as[Long].collect()
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < 110)
+    val report =
+      if (probe.length <= benchVocabCap) {
+        val bench = probe.sorted
+        corpus.select(col("doc_id"), size(col("gs")).as("n_shingles"),
+          intersectSortedCount(col("gs"), typedLit(bench)).as("n_overlap"))
+      } else {
+        val bfBytes = benchGrams.agg(call_function("graft_bloom_agg",
+          col("g"), lit(100000L), lit(800000L)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val overlaps = corpus
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+          .filter(call_function("graft_might_contain", lit(bfBytes),
+            col("g")))
+          .join(benchGrams, Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        corpus.select(col("doc_id"), size(col("gs")).as("n_shingles"))
+          .join(overlaps, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      }
+    report
       .withColumn("contamination", col("n_overlap").cast("double") /
         col("n_shingles").cast("double"))
       .orderBy(col("doc_id"))
@@ -1142,13 +1184,13 @@ object DedupQueries {
     // THEM (sketch of sketches), not from another corpus scan
     val bySource = perDoc.groupBy(col("source"))
       .agg(call_function("graft_elementwise_max", col("regs")).as("regs"))
-      .localCheckpoint()
+      .staged()
     val unionSketch = bySource
       .groupBy(lit("__union__").as("source"))
       .agg(call_function("graft_elementwise_max", col("regs")).as("regs"))
     // exact counts from one distinct pass over the packed longs
     val dist = docs.select(col("source"), explode(col("ps")).as("p"))
-      .distinct().localCheckpoint()
+      .distinct().staged()
     val exactBySource = dist.groupBy(col("source"))
       .agg(count(lit(1)).as("n_exact"))
     val exactUnion = dist.select(col("p")).distinct()

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Checkpoints.StageOps
 import graft.Tables
 
 /** Relational parity surface.
@@ -814,7 +815,7 @@ object Relational {
       require(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
         "the rewrite rule must replace the nested-loop range join")
-      joined.select(col("pid"), col("campaign_id")).localCheckpoint()
+      joined.select(col("pid"), col("campaign_id")).staged()
         .groupBy(col("campaign_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("pid")).as("checksum"))
         .orderBy(col("campaign_id"))

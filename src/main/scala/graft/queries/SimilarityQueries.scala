@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Checkpoints.StageOps
 import graft.Tables
 import graft.functions.DedupFunctions._
 
@@ -378,7 +379,7 @@ object SimilarityQueries {
         explode(sequence(lit(0), lit(7))).as("j"), col("c"))
       .select(col("clabel"), col("j"),
         slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
-      .localCheckpoint()
+      .staged()
     // encode: nearest sub-centroid per (vector, subspace)
     val vj = e.select(col("vec_id"),
       explode(sequence(lit(0), lit(7))).as("j"), col("v"))
@@ -552,7 +553,7 @@ object SimilarityQueries {
         explode(sequence(lit(0), lit(7))).as("j"), col("c"))
       .select(col("clabel"), col("j"),
         slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
-      .localCheckpoint()
+      .staged()
     val vj = e.select(col("vec_id"),
       explode(sequence(lit(0), lit(7))).as("j"),
       col("v")).select(col("vec_id"), col("j"),
@@ -698,7 +699,7 @@ object SimilarityQueries {
         .as("pairs"))
       .select(col("label").as("code"), col("j"),
         transform(col("pairs"), p => p.getField("m")).as("sc"))
-      .localCheckpoint()
+      .staged()
     val sdist = aggregate(
       zip_with(col("sv"), col("sc"),
         (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
 import graft.Tables
 import graft.functions.TextFunctions._
 
@@ -686,7 +687,7 @@ object TextQueries {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "), array_join(split(col("word"), ""), "  "),
         lit(" ")).as("sym"), col("freq"))
-      .localCheckpoint()
+      .staged()
     var cur = words
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     for (it <- 1 to 3) {
@@ -706,7 +707,7 @@ object TextQueries {
       cur = cur.select(
         call_function("replace", col("sym"), lit(s" $a  $b "), lit(s" $a$b "))
           .as("sym"), col("freq"))
-        .localCheckpoint()
+        .staged()
     }
     (merges.toSeq, cur)
   }

@@ -106,4 +106,17 @@ class DedupGeneralPathSpec extends AnyFunSuite {
         "pair set must be block-count invariant")
     } finally spark.conf.unset("spark.graft.dedup.maxBroadcastDocs")
   }
+
+  test("d9 contamination routes oversized benchmark vocabularies " +
+      "through the bloom-prefiltered join, identically") {
+    val sf = "/root/testdata/sf0.001"
+    val closure = DedupQueries.contaminationReport(spark, sf, 1 << 18)
+    val forced = DedupQueries.contaminationReport(spark, sf, 4)
+    assert(forced.queryExecution.executedPlan.toString
+      .contains("might_contain"),
+      "above the cap the benchmark vocabulary must never collect — the " +
+        "bloom prefilter + exact semi-join must plan instead")
+    assert(forced.collect().toSeq == closure.collect().toSeq,
+      "both routes must produce identical contamination reports")
+  }
 }
