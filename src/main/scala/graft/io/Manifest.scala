@@ -14,23 +14,49 @@ import java.nio.charset.StandardCharsets
   * what producers are writing concurrently; an orphan directory that
   * never made a manifest simply does not exist to readers.
   *
-  * Commit = create `manifest-v%06d` with overwrite=false — a single
-  * immutable PUT, which object stores do atomically (no rename needed).
-  * The create-fails-if-exists semantics double as optimistic
-  * concurrency: two producers racing to commit version N+1 cannot both
-  * win; the loser re-reads and retries on N+2. Old manifests are never
-  * modified, so every historical version stays readable — time travel
-  * is just "resolve version v instead of latest".
+  * Commit = create `manifest-v%06d` with overwrite=false. The
+  * create-fails-if-exists semantics double as optimistic concurrency:
+  * two producers racing to commit version N+1 cannot both win; the
+  * loser catches the exists-failure, re-reads, and retries on N+2
+  * (bounded, then fails loudly).
+  *
+  * ATOMICITY SCOPE — the detect-the-race guarantee holds only where
+  * `create(overwrite=false)` is an atomic create-if-absent: HDFS (the
+  * NameNode enforces it in one namespace op). RawLocalFileSystem and
+  * S3A implement it as check-then-create (s3a exposes no conditional
+  * PUT), so two committers racing within the check window can BOTH
+  * "win" the same version and one list is silently lost — on those
+  * stores this primitive requires a single committer (the gate runs
+  * one) or external coordination; a production object-store deployment
+  * would swap in a conditional-PUT (If-None-Match) client. Old
+  * manifests are never modified, so every historical version stays
+  * readable — time travel is just "resolve version v instead of
+  * latest".
   */
 object Manifest {
   private val Name = "manifest-v(\\d{6})".r
+
+  /** Commit-contention retry bound: each retry re-reads state, so only
+    * sustained contention (or a version-file leak) can exhaust it —
+    * better to fail loudly than spin.
+    */
+  private val MaxCommitAttempts = 32
+
+  /** Test seam: runs between the version read and the create attempt so
+    * a spec can interleave a competing commit deterministically (the
+    * race window is otherwise untestable from outside). No-op in
+    * production.
+    */
+  private[graft] var betweenReadAndCreate: () => Unit = () => ()
 
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** All committed versions, ascending. */
-  def versions(s: SparkSession, root: String): Seq[Int] = {
-    val f = fs(s, root)
+  def versions(s: SparkSession, root: String): Seq[Int] =
+    versionsOf(fs(s, root), root)
+
+  private def versionsOf(f: FileSystem, root: String): Seq[Int] = {
     val p = new Path(root)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath.getName).collect {
@@ -56,21 +82,53 @@ object Manifest {
       .map(v => readList(fs(s, root), manifestPath(root, v)))
       .getOrElse(Seq.empty)
 
+  /** Attempt create-if-absent commits until one wins or the bound runs
+    * out. `content` re-derives the manifest body from the freshly
+    * re-read state each attempt — an appending commit must fold the
+    * race winner's list in, not replay its own stale read.
+    */
+  private def commitLoop(f: FileSystem, root: String)
+      (content: Seq[Int] => String): Int = {
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      attempts += 1
+      val prev = versionsOf(f, root)
+      val next = prev.lastOption.getOrElse(0) + 1
+      val target = manifestPath(root, next)
+      betweenReadAndCreate()
+      try {
+        val out = f.create(target, false)
+        try out.write(content(prev).getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        return next
+      } catch {
+        case e: java.io.IOException =>
+          // exists-failure = lost the race: loop re-reads and retries at
+          // the next slot. Anything else (permissions, transport) rethrows.
+          val lostRace = e.isInstanceOf[
+            org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            f.exists(target)
+          if (!lostRace) throw e
+      }
+    }
+    throw new IllegalStateException(
+      s"manifest commit under $root lost $MaxCommitAttempts races — " +
+        "sustained contention or a stuck version file")
+  }
+
   /** Commit `batchDir` into the table: next manifest = previous list +
-    * the new directory, written create-if-absent (atomic PUT; the
-    * optimistic-concurrency point). Returns the committed version.
+    * the new directory, written create-if-absent (the
+    * optimistic-concurrency point — see the atomicity scope above).
+    * Loses of the race re-read the winner's list and retry at the next
+    * version. Returns the committed version.
     */
   def commit(s: SparkSession, root: String, batchDir: String): Int = {
     val f = fs(s, root)
-    val prev = versions(s, root)
-    val prevList = prev.lastOption
-      .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
-    val next = prev.lastOption.getOrElse(0) + 1
-    val out = f.create(manifestPath(root, next), false)
-    try out.write((prevList :+ batchDir).mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    next
+    commitLoop(f, root) { prev =>
+      val prevList = prev.lastOption
+        .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
+      (prevList :+ batchDir).mkString("\n")
+    }
   }
 
   /** REPLACING commit — the maintenance primitive (compaction, clustering
@@ -78,14 +136,8 @@ object Manifest {
     * list plus them. Old versions keep reading the old files, so a
     * rewrite never disturbs a reader mid-query and stays time-travelable.
     */
-  def rewrite(s: SparkSession, root: String, dirs: Seq[String]): Int = {
-    val f = fs(s, root)
-    val next = versions(s, root).lastOption.getOrElse(0) + 1
-    val out = f.create(manifestPath(root, next), false)
-    try out.write(dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    next
-  }
+  def rewrite(s: SparkSession, root: String, dirs: Seq[String]): Int =
+    commitLoop(fs(s, root), root)(_ => dirs.mkString("\n"))
 
   /** The snapshot a manifest version pins (latest when unspecified):
     * one DataFrame over exactly the committed directories.

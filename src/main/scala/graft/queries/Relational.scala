@@ -719,23 +719,39 @@ object Relational {
     * as ONE hash aggregate with map-side combine, the shape that replaces
     * the window-rank idiom (shuffle + per-partition SORT) when only the
     * extreme row is wanted. The ordering key is composite-but-scalar:
-    * (µs since 2024-01-01)·10⁶ + event_id — collision-free, fits a long,
-    * and identical in both engines (DuckDB's arg_max accepts only scalar
+    * (µs since 2024-01-01)·S + event_id with S = 10⁶ — fits a long and
+    * is identical in both engines (DuckDB's arg_max accepts only scalar
     * keys, and a tie on raw timestamps would otherwise be
-    * engine-defined).
+    * engine-defined). Collision-freedom holds only WHILE event_id < S,
+    * so the bound is ENFORCED, not assumed: the aggregate also takes
+    * max(event_id) and both argmax outputs raise on a group whose ids
+    * spill into the timestamp slot — the guard rides in each output
+    * column (any pruned subset still raises, the plan stays one
+    * aggregate) and CaseWhen's lazy branches keep it off the happy path.
     */
   def q26ArgMax(s: SparkSession, dir: String): DataFrame = {
-    val key = (expr("ts DIV 1000") - 1704067200000000L) * 1000000L +
+    val slot = 1000000L
+    val key = (expr("ts DIV 1000") - 1704067200000000L) * slot +
       col("event_id")
+    def guarded(c: Column): Column =
+      when(col("max_id") < slot, c).otherwise(raise_error(concat(
+        lit("q26 argmax key overflow: max event_id "),
+        col("max_id").cast("string"),
+        lit(s" >= $slot spills into the timestamp slot"))))
     Tables.events(s, dir)
       .filter(col("user_id") < 80)
       .select(col("user_id"), col("event_id"), key.as("k"),
         expr("ts DIV 1000").as("ts_us"))
       .groupBy(col("user_id"))
-      .agg(max_by(col("event_id"), col("k")).as("last_event"),
-        min_by(col("event_id"), col("k")).as("first_event"),
+      .agg(max_by(col("event_id"), col("k")).as("last_event0"),
+        min_by(col("event_id"), col("k")).as("first_event0"),
         count(lit(1)).as("n"),
-        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        max(col("event_id")).as("max_id"))
+      .select(col("user_id"),
+        guarded(col("last_event0")).as("last_event"),
+        guarded(col("first_event0")).as("first_event"),
+        col("n"), col("span_us"))
       .orderBy(col("user_id"))
   }
 
@@ -793,7 +809,11 @@ object Relational {
     * the require makes the gate test the RULE, not just the fallback),
     * materializes eagerly while the rule is active (localCheckpoint —
     * plan optimization is lazy, and the rule must be present at
-    * execution), then restores the session.
+    * execution), then restores the session COMPLETELY: both the width
+    * conf and the extraOptimizations list go back to their prior state,
+    * so the rule never outlives the query (left installed, any later
+    * code setting the conf would silently activate session-wide plan
+    * rewrites).
     */
   def q28RangeRewrite(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.RangeJoinRewrite
@@ -803,10 +823,9 @@ object Relational {
     val campaigns = ev.filter(col("event_id") % 97 === 0)
       .select(col("event_id").as("campaign_id"), col("ts").as("cstart"),
         (col("ts") + winNs).as("cend"))
-    if (!s.experimental.extraOptimizations
-        .exists(_.isInstanceOf[RangeJoinRewrite]))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ new RangeJoinRewrite
+    val priorRules = s.experimental.extraOptimizations
+    if (!priorRules.exists(_.isInstanceOf[RangeJoinRewrite]))
+      s.experimental.extraOptimizations = priorRules :+ new RangeJoinRewrite
     s.conf.set(RangeJoinRewrite.WidthConf, winNs.toString)
     try {
       val joined = points.join(campaigns,
@@ -819,7 +838,10 @@ object Relational {
         .groupBy(col("campaign_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("pid")).as("checksum"))
         .orderBy(col("campaign_id"))
-    } finally s.conf.unset(RangeJoinRewrite.WidthConf)
+    } finally {
+      s.conf.unset(RangeJoinRewrite.WidthConf)
+      s.experimental.extraOptimizations = priorRules
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -159,6 +159,30 @@ class LayoutSpec extends AnyFunSuite {
       f.create(new org.apache.hadoop.fs.Path(root, "manifest-v000002"),
         false).close()
     }
+    // commit() itself must survive losing the race: through the test
+    // seam, a competitor lands manifest-v3 INSIDE the read→create window
+    // of our commit — the retry loop must re-read the winner's list,
+    // fold it in, and land on v4
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var planted = false
+    graft.io.Manifest.betweenReadAndCreate = () => {
+      if (!planted) {
+        planted = true
+        val out = f.create(
+          new org.apache.hadoop.fs.Path(root, "manifest-v000003"), false)
+        out.write(s"$root/data/b1\n$root/data/race"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }
+    }
+    try {
+      val got = graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+      assert(got == 4, s"lost race must retry at the next slot, got v$got")
+      assert(graft.io.Manifest.committed(spark, root) ==
+        Seq(s"$root/data/b1", s"$root/data/race", s"$root/data/b2"),
+        "the retried commit must append to the race WINNER's list")
+    } finally graft.io.Manifest.betweenReadAndCreate = () => ()
   }
 
   test("bucketed point lookup prunes to a single bucket") {

@@ -117,4 +117,12 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
       assert(q.count() === 1)
     }
   }
+
+  test("q28 restores extraOptimizations after running") {
+    val before = spark.experimental.extraOptimizations
+    SparkEntry.queries("q28_range_rewrite")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(spark.experimental.extraOptimizations == before,
+      "the rewrite rule must not outlive the query that installed it")
+  }
 }
