@@ -43,6 +43,33 @@ object Metrics {
       log.info(s"[$observation] $metric=$value")
   }
 
+  /** Shumway/ffwd parity (shumway.py:76-272, native.py:87-244): the
+    * reference's default metrics path on the GKE runner pushes every
+    * metric to a local agent as a UDP datagram. This relay emits
+    * StatsD-format lines — `<prefix>.<observation>.<metric>:<value>|g`
+    * — to a configured agent address. UDP is fire-and-forget by design
+    * (an absent agent drops packets, never blocks or fails the
+    * listener), matching the reference's metrics-must-not-break-the-job
+    * stance; the Relay contract isolates any socket error besides.
+    * Datagram-illegal characters in names (':', '|', newline, and the
+    * '.' hierarchy separator inside a segment) are sanitized to '_' so
+    * one odd observation name cannot corrupt the line protocol.
+    */
+  final class UdpRelay(host: String = "127.0.0.1", port: Int = 19000,
+      prefix: String = "klio") extends Relay with java.io.Closeable {
+    private val addr = new java.net.InetSocketAddress(host, port)
+    private val sock = new java.net.DatagramSocket()
+    private def clean(s: String): String =
+      s.map(c => if (c == ':' || c == '|' || c == '.' || c == '\n') '_'
+        else c)
+    def emit(observation: String, metric: String, value: Long): Unit = {
+      val line = s"$prefix.${clean(observation)}.${clean(metric)}:$value|g"
+      val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      sock.send(new java.net.DatagramPacket(bytes, bytes.length, addr))
+    }
+    def close(): Unit = sock.close()
+  }
+
   @volatile private var relays: Vector[Relay] = Vector.empty
 
   def addRelay(r: Relay): Unit = synchronized { relays = relays :+ r }

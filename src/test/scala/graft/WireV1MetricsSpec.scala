@@ -119,6 +119,36 @@ class WireV1MetricsSpec extends AnyFunSuite {
     } finally Metrics.clearRelays()
   }
 
+  test("UDP relay lands klio metric datagrams on a local agent socket") {
+    Metrics.install(spark)
+    val agent = new java.net.DatagramSocket() // ephemeral port = the agent
+    agent.setSoTimeout(8000)
+    val relay = new Metrics.UdpRelay(port = agent.getLocalPort)
+    Metrics.addRelay(relay)
+    try {
+      val df = Seq("a", "b", "c", "d").toDF("element")
+      Metrics.counted(df, "udp_obs", "kmsg-write").count()
+      // drain datagrams until ours arrives (other tests' metrics may
+      // interleave on the shared listener)
+      val buf = new Array[Byte](512)
+      var line = ""
+      var tries = 0
+      while (!line.startsWith("klio.udp_obs.") && tries < 20) {
+        val p = new java.net.DatagramPacket(buf, buf.length)
+        agent.receive(p)
+        line = new String(p.getData, p.getOffset, p.getLength,
+          java.nio.charset.StandardCharsets.UTF_8)
+        tries += 1
+      }
+      assert(line === "klio.udp_obs.kmsg-write:4|g",
+        s"unexpected datagram: $line")
+    } finally {
+      Metrics.clearRelays()
+      relay.close()
+      agent.close()
+    }
+  }
+
   test("gauge observes an aggregate value under a metric name") {
     Metrics.install(spark)
     val df = Seq(3L, 9L, 6L).toDF("v")
