@@ -40,13 +40,26 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n")
       name -> sec
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms precision: full double repr at 119 queries pushed the line
+    // past log-truncation limits and cost a round's worth of timings
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // failed queries are visible in the machine-readable output too — a
     // fast failure must not read as a speedup
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout goes through log capture that has truncated before; the
+    // file is the complete, always-parseable record of the same line
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }
