@@ -414,7 +414,7 @@ object TextQueries {
     * their quota keep everything (fold ends with bb = -1); quota 0 keeps
     * nothing. Returns the kept (doc_id, lang, h).
     */
-  private[queries] def stratifiedDraw(docs: DataFrame,
+  private[graft] def stratifiedDraw(docs: DataFrame,
       quotas: DataFrame): DataFrame = {
     val h = (col("doc_id") * 1103515245L + 12345L) % 2147483648L
     val base = docs.select(col("doc_id"), col("lang"), h.as("h"))
