@@ -1032,6 +1032,100 @@ object TextQueries {
       |      AND NOT (n_alpha * 5 < n * 4) AND NOT (n_stop < 2))
       |SELECT rule, n_docs, checksum FROM r ORDER BY rule""".stripMargin
 
+  /** URL canonicalization + dedup census — the fetch-frontier hygiene
+    * step of a web-scale corpus pipeline (CommonCrawl-style): the same
+    * page arrives under case-varied schemes/hosts, explicit default
+    * ports, utm_* tracking parameters, and fragments; deduplication must
+    * run on the CANONICAL url. Rules (each exercised by the planted
+    * construction, which the oracle replays byte-for-byte): lowercase
+    * scheme and host; strip :80/:443 iff it is the scheme's default
+    * (a non-default :8080 survives); drop utm_* query params while
+    * preserving the rest (`?utm_source=x&ref=7` → `?ref=7`) and any
+    * then-empty `?`; drop fragments.
+    *
+    * Scale shape: construction + canonicalization are one codegen'd
+    * narrow projection (regex chain, zero shuffle); the census is a
+    * two-level aggregate — (scheme, canon) groups then per-scheme stats
+    * — both map-side combined, shuffle volume = distinct canonical urls.
+    */
+  def tUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val url = concat(
+      when(k % 2 === 0, "HtTpS").otherwise("hTtP"), lit("://"),
+      lit("ShOp"), (k % 50).cast("string"), lit(".ExAmPle.CoM"),
+      when(k % 4 === 0, when(k % 2 === 0, ":443").otherwise(":80"))
+        .when(k % 4 === 1, ":8080").otherwise(""),
+      lit("/p/"), (k % 50).cast("string"),
+      when(k % 3 === 0,
+        concat(lit("?utm_source=news&utm_id="), k.cast("string")))
+        .when(k % 3 === 1,
+          concat(lit("?utm_source=news&ref="), (k % 50).cast("string")))
+        .otherwise(""),
+      when(k % 5 === 0, concat(lit("#sec"), k.cast("string")))
+        .otherwise(""))
+    Tables.customer(s, dir)
+      .select(k.as("k"), url.as("url"))
+      .select(col("k"),
+        lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+          .as("scheme"),
+        lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/]+)", 1))
+          .as("hostport"),
+        regexp_replace(col("url"), "^[A-Za-z]+://[^/]+", "").as("tail0"))
+      .select(col("k"), col("scheme"),
+        when(col("scheme") === "http",
+          regexp_replace(col("hostport"), ":80$", ""))
+          .otherwise(regexp_replace(col("hostport"), ":443$", ""))
+          .as("hp"),
+        regexp_replace(regexp_replace(
+          regexp_replace(col("tail0"), "#.*$", ""),
+          "utm_[a-z]+=[^&]*&?", ""), "[?&]$", "").as("tail"))
+      .groupBy(col("scheme"),
+        concat(col("scheme"), lit("://"), col("hp"), col("tail"))
+          .as("canon"))
+      .agg(count(lit(1)).as("k_cnt"), min(col("k")).as("rep"))
+      .groupBy(col("scheme"))
+      .agg(sum(col("k_cnt")).as("n_raw"), count(lit(1)).as("n_canon"),
+        max(col("k_cnt")).as("max_group"),
+        sum(col("rep")).as("rep_checksum"))
+      .orderBy(col("scheme"))
+  }
+
+  val tUrlCanonOracle: String =
+    """WITH u AS (SELECT c_custkey AS k,
+      |    concat(
+      |      CASE WHEN c_custkey % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END,
+      |      '://', 'ShOp', CAST(c_custkey % 50 AS VARCHAR), '.ExAmPle.CoM',
+      |      CASE WHEN c_custkey % 4 = 0 THEN
+      |        (CASE WHEN c_custkey % 2 = 0 THEN ':443' ELSE ':80' END)
+      |        WHEN c_custkey % 4 = 1 THEN ':8080' ELSE '' END,
+      |      '/p/', CAST(c_custkey % 50 AS VARCHAR),
+      |      CASE WHEN c_custkey % 3 = 0 THEN
+      |        concat('?utm_source=news&utm_id=', CAST(c_custkey AS VARCHAR))
+      |        WHEN c_custkey % 3 = 1 THEN
+      |        concat('?utm_source=news&ref=', CAST(c_custkey % 50 AS VARCHAR))
+      |        ELSE '' END,
+      |      CASE WHEN c_custkey % 5 = 0 THEN
+      |        concat('#sec', CAST(c_custkey AS VARCHAR)) ELSE '' END) AS url
+      |  FROM customer),
+      |c0 AS (SELECT k, url,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)) AS hostport,
+      |    regexp_replace(url, '^[A-Za-z]+://[^/]+', '') AS tail0
+      |  FROM u),
+      |c1 AS (SELECT k, scheme,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         ELSE regexp_replace(hostport, ':443$', '') END AS hp,
+      |    regexp_replace(regexp_replace(regexp_replace(tail0, '#.*$', ''),
+      |      'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]$', '') AS tail
+      |  FROM c0),
+      |g AS (SELECT scheme, concat(scheme, '://', hp, tail) AS canon,
+      |    COUNT(*) AS k_cnt, MIN(k) AS rep
+      |  FROM c1 GROUP BY 1, 2)
+      |SELECT scheme, CAST(SUM(k_cnt) AS BIGINT) AS n_raw,
+      |  COUNT(*) AS n_canon, CAST(MAX(k_cnt) AS BIGINT) AS max_group,
+      |  CAST(SUM(rep) AS BIGINT) AS rep_checksum
+      |FROM g GROUP BY scheme ORDER BY scheme""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1051,7 +1145,8 @@ object TextQueries {
     "t16_fuzzy_words" -> (tFuzzyWords _),
     "t17_split_decontam" -> (tSplitDecontam _),
     "t18_gopher_rules" -> (tGopherRules _),
-    "t19_bpe_apply" -> (tBpeApply _))
+    "t19_bpe_apply" -> (tBpeApply _),
+    "t20_url_canon" -> (tUrlCanon _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1072,5 +1167,6 @@ object TextQueries {
     "t16_fuzzy_words" -> tFuzzyWordsOracle,
     "t17_split_decontam" -> tSplitDecontamOracle,
     "t18_gopher_rules" -> tGopherRulesOracle,
-    "t19_bpe_apply" -> tBpeApplyOracle)
+    "t19_bpe_apply" -> tBpeApplyOracle,
+    "t20_url_canon" -> tUrlCanonOracle)
 }
