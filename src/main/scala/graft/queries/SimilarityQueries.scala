@@ -904,6 +904,104 @@ object SimilarityQueries {
       |  CAST(SUM(qid) AS BIGINT) AS checksum
       |FROM ph GROUP BY h ORDER BY hits""".stripMargin
 
+  /** SQ8 scalar quantization ANN — the OTHER standard vector-compression
+    * scheme production indexes ship (FAISS `SQ8`), complementing
+    * [[s6PqAdc]]'s product quantization: each DIMENSION is linearly
+    * quantized to an 8-bit code against the corpus per-dimension
+    * [min, max] range (4× smaller than PQ's subspace codebooks to
+    * train — just 64 (min, max) pairs — at 64 B/vector instead of
+    * PQ's 8 B, the classic recall-vs-memory trade). Probes score raw
+    * query vectors against RECONSTRUCTED corpus vectors (asymmetric,
+    * like ADC) by L2.
+    *
+    * Engine-exactness: quantization range, codes, and reconstructions
+    * are all integer arithmetic (the only divisions are floor-divs of
+    * nonneg longs, replayed with FLOOR(CAST/CAST) both engines);
+    * distances are integer sums — the whole query hashes exactly.
+    * Scale shape: the range table is ONE map-side-combined aggregate
+    * collapsed to a 1-row broadcast (vs a 100 TB corpus it is
+    * constant); encode/reconstruct are codegen'd per-row transforms;
+    * scoring is [[s1KnnBrute]]'s broadcast-probes × streamed-corpus
+    * scan over the code-compressed state.
+    */
+  def s10Sq8(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    // per-dimension [min, max] over the corpus, one row of two arrays
+    val mm = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(
+        array_sort(collect_list(struct(col("i"), col("mn")))).as("pmn"),
+        array_sort(collect_list(struct(col("i"), col("mx")))).as("pmx"))
+      .select(transform(col("pmn"), p => p.getField("mn")).as("mins"),
+        transform(col("pmx"), p => p.getField("mx")).as("maxs"))
+    val dims = sequence(lit(1), lit(64))
+    // code_i = (v_i - min_i) * 255 DIV (max_i - min_i), clamped by math
+    val codes = transform(dims, i => {
+      val mn = element_at(col("mins"), i)
+      val span = element_at(col("maxs"), i) - mn
+      when(span > 0, floor(((element_at(col("v"), i) - mn) * 255)
+        .cast("double") / span.cast("double")).cast("long"))
+        .otherwise(0L)
+    })
+    // r_i = min_i + code_i * (max_i - min_i) DIV 255
+    val recon = transform(dims, i => {
+      val mn = element_at(col("mins"), i)
+      val span = element_at(col("maxs"), i) - mn
+      mn + floor((element_at(col("codes"), i) * span).cast("double") /
+        255.0d).cast("long")
+    })
+    val rec = e.crossJoin(broadcast(mm))
+      .select(col("vec_id"), col("v"), col("mins"), col("maxs"),
+        codes.as("codes"))
+      .select(col("vec_id"), recon.as("r"))
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("r"), (x, r) => (x - r) * (x - r)),
+      lit(0L), (acc, x) => acc + x)
+    val topk = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    broadcast(probes).crossJoin(rec)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s10Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |mm AS (SELECT CAST(i AS INT) i, MIN(v[CAST(i AS INT)]) mn,
+      |    MAX(v[CAST(i AS INT)]) mx
+      |  FROM q, range(1, 65) r(i) GROUP BY 1),
+      |mml AS (SELECT list(mn ORDER BY i) mins, list(mx ORDER BY i) maxs
+      |  FROM mm),
+      |enc AS (SELECT vec_id, v, list_transform(range(1, 65), i ->
+      |    CASE WHEN maxs[CAST(i AS INT)] > mins[CAST(i AS INT)] THEN
+      |      CAST(floor(CAST((v[CAST(i AS INT)] - mins[CAST(i AS INT)]) * 255
+      |        AS DOUBLE) / CAST(maxs[CAST(i AS INT)] - mins[CAST(i AS INT)]
+      |        AS DOUBLE)) AS BIGINT)
+      |    ELSE 0 END) codes
+      |  FROM q CROSS JOIN mml),
+      |rec AS (SELECT vec_id, list_transform(range(1, 65), i ->
+      |    mins[CAST(i AS INT)] + CAST(floor(CAST(codes[CAST(i AS INT)] *
+      |      (maxs[CAST(i AS INT)] - mins[CAST(i AS INT)]) AS DOUBLE)
+      |      / 255.0) AS BIGINT)) r
+      |  FROM enc CROSS JOIN mml),
+      |p AS (SELECT a.vec_id qid, b.vec_id nid,
+      |    list_aggregate(list_transform(range(1, 65), i ->
+      |      (a.v[CAST(i AS INT)] - b.r[CAST(i AS INT)])
+      |      * (a.v[CAST(i AS INT)] - b.r[CAST(i AS INT)])), 'sum') d2
+      |  FROM q a CROSS JOIN rec b
+      |  WHERE a.vec_id < 25 AND a.vec_id <> b.vec_id),
+      |r2 AS (SELECT qid, nid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk FROM p)
+      |SELECT qid, rk, nid, CAST(d2 AS BIGINT) AS d2
+      |FROM r2 WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -914,6 +1012,7 @@ object SimilarityQueries {
     "s7_pq_train" -> (s7PqTrain _),
     "s8_ivfpq" -> (s8IvfPq _),
     "s9_ann_recall" -> (s9AnnRecall _),
+    "s10_sq8" -> (s10Sq8 _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -926,5 +1025,6 @@ object SimilarityQueries {
     "s7_pq_train" -> s7Oracle,
     "s8_ivfpq" -> s8Oracle,
     "s9_ann_recall" -> s9Oracle,
+    "s10_sq8" -> s10Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }

@@ -90,8 +90,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("recall/calibration/decontam queries never plan a cartesian pairing") {
-    for (q <- Seq("s9_ann_recall", "d16_minhash_calib", "d17_funnel",
-        "t17_split_decontam")) {
+    for (q <- Seq("s9_ann_recall", "s10_sq8", "d16_minhash_calib",
+        "d17_funnel", "t17_split_decontam")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("CartesianProduct"),
         s"$q: bounded sides must broadcast, corpus pairings must equi-join")
