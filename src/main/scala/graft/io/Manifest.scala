@@ -139,6 +139,33 @@ object Manifest {
   def rewrite(s: SparkSession, root: String, dirs: Seq[String]): Int =
     commitLoop(fs(s, root), root)(_ => dirs.mkString("\n"))
 
+  /** Snapshot EXPIRATION (vacuum) — the retention maintenance every
+    * manifest table needs: time travel keeps every version readable,
+    * which also keeps every superseded data directory on disk forever.
+    * `expire` drops all but the last `keepLast` versions and deletes
+    * the data directories ONLY they referenced — a directory survives
+    * while ANY surviving version lists it, so rewrites that carried
+    * files forward never lose data. Surviving versions are untouched
+    * (expiration never edits a manifest file, it removes whole
+    * superseded versions), so readers pinned to them are safe; readers
+    * pinned to an expired version fail fast on resolve, the standard
+    * retention contract. Returns the expired version numbers.
+    */
+  def expire(s: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val f = fs(s, root)
+    val vs = versionsOf(f, root)
+    val (dead, live) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    val keepDirs = live.flatMap(v => readList(f, manifestPath(root, v)))
+      .toSet
+    dead.foreach { v =>
+      readList(f, manifestPath(root, v)).filterNot(keepDirs)
+        .foreach(d => f.delete(new Path(d), true))
+      f.delete(manifestPath(root, v), false)
+    }
+    dead
+  }
+
   /** The snapshot a manifest version pins (latest when unspecified):
     * one DataFrame over exactly the committed directories.
     */

@@ -856,6 +856,70 @@ object OpsQueries {
       |UNION ALL SELECT 1, * FROM c
       |ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Snapshot expiration / vacuum under the gate
+    * ([[graft.io.Manifest.expire]]) — the retention half of the manifest
+    * table's lifecycle: four versions accumulate (two raw-batch commits,
+    * a compaction REWRITE that carries their rows forward, one more
+    * batch commit), then retention keeps the last two. The expired
+    * versions' manifest files AND the data directories only they
+    * referenced (the pre-compaction fragments) are deleted — verified by
+    * in-query requires — while the surviving snapshots must still read
+    * every row, which is what the oracle hash pins: vacuum must reclaim
+    * space and change NOTHING visible to live readers.
+    */
+  def io19Vacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Compaction, Manifest}
+    val root = tmpDir(s) + "/graft_io19_tbl"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    Manifest.commit(s, root, s"$root/data/b2")
+    Compaction.compactAll(s, Manifest.committed(s, root),
+      s"$root/data/compacted", targetBytes = 8L * 1024 * 1024)
+    val v3 = Manifest.rewrite(s, root, Seq(s"$root/data/compacted"))
+    batch(3000, 4500).write.parquet(s"$root/data/b4")
+    val v4 = Manifest.commit(s, root, s"$root/data/b4")
+    val expired = Manifest.expire(s, root, keepLast = 2)
+    require(expired == Seq(1, 2), s"expected v1, v2 expired, got $expired")
+    require(Manifest.versions(s, root) == Seq(v3, v4),
+      "surviving versions must be exactly the retention window")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b1")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b2")),
+      "directories referenced only by expired versions must be deleted")
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/compacted")),
+      "directories still referenced by a surviving version must remain")
+    def census(v: Int, tag: Int) = Manifest.snapshot(s, root, Some(v))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("version", lit(tag))
+    census(v3, 3).unionByName(census(v4, 4))
+      .select(col("version"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("version"), col("l_returnflag"))
+  }
+
+  val io19Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem),
+      |snap AS (
+      |  SELECT 3 AS version, * FROM li WHERE l_orderkey < 3000
+      |  UNION ALL
+      |  SELECT 4, * FROM li WHERE l_orderkey < 4500)
+      |SELECT version, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY version, l_returnflag""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -1619,6 +1683,7 @@ object OpsQueries {
     "io16_manifest" -> (io16Manifest _),
     "io17_compact_commit" -> (io17CompactCommit _),
     "io18_backfill" -> (io18Backfill _),
+    "io19_vacuum" -> (io19Vacuum _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1657,6 +1722,7 @@ object OpsQueries {
     "io16_manifest" -> io16Oracle,
     "io17_compact_commit" -> io17Oracle,
     "io18_backfill" -> io18Oracle,
+    "io19_vacuum" -> io19Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -36,4 +36,18 @@ class CheckpointsSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.checkpointDir")
     }
   }
+
+  test("every staged loop family is checkpoint-dir invariant " +
+      "(Lloyd, BPE, range-rewrite materialization)") {
+    for (q <- Seq("s7_pq_train", "t15_bpe_train", "q28_range_rewrite")) {
+      val base = SparkEntry.queries(q)(spark, sf).collect()
+      val dir = Files.createTempDirectory("graft-ckpt2").toString
+      spark.conf.set("spark.graft.checkpointDir", dir)
+      try {
+        val ckpt = SparkEntry.queries(q)(spark, sf).collect()
+        assert(ckpt.toSeq == base.toSeq,
+          s"$q: reliable checkpointing must not change results")
+      } finally spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
 }
