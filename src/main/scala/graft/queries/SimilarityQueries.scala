@@ -936,30 +936,33 @@ object SimilarityQueries {
       .select(transform(col("pmn"), p => p.getField("mn")).as("mins"),
         transform(col("pmx"), p => p.getField("mx")).as("maxs"))
     val dims = sequence(lit(1), lit(64))
-    // code_i = (v_i - min_i) * 255 DIV (max_i - min_i), clamped by math
-    val codes = transform(dims, i => {
-      val mn = element_at(col("mins"), i)
-      val span = element_at(col("maxs"), i) - mn
-      when(span > 0, floor(((element_at(col("v"), i) - mn) * 255)
-        .cast("double") / span.cast("double")).cast("long"))
-        .otherwise(0L)
-    })
-    // r_i = min_i + code_i * (max_i - min_i) DIV 255
+    // code_i = (v_i - min_i) * 255 DIV (max_i - min_i);
+    // r_i    = min_i + code_i * (max_i - min_i) DIV 255.
+    // Encode and decode are FUSED into one per-element expression on
+    // purpose: a separate `codes` array column gets inlined by
+    // CollapseProject into the reconstruction lambda, re-evaluating the
+    // whole 64-element encode once PER reconstructed element — a silent
+    // 64× blowup (measured 2×+ on the end-to-end query). A real index
+    // would persist the codes column (64 B/vector) and only the decode
+    // half would run at query time.
     val recon = transform(dims, i => {
       val mn = element_at(col("mins"), i)
       val span = element_at(col("maxs"), i) - mn
-      mn + floor((element_at(col("codes"), i) * span).cast("double") /
-        255.0d).cast("long")
+      val code = when(span > 0,
+        floor(((element_at(col("v"), i) - mn) * 255).cast("double") /
+          span.cast("double")).cast("long")).otherwise(0L)
+      mn + floor((code * span).cast("double") / 255.0d).cast("long")
     })
+    graft.expressions.LongArrayOps.register(s)
     val rec = e.crossJoin(broadcast(mm))
-      .select(col("vec_id"), col("v"), col("mins"), col("maxs"),
-        codes.as("codes"))
       .select(col("vec_id"), recon.as("r"))
+      .withColumn("rn", normSqLong(col("r")))
     val probes = e.filter(col("vec_id") < 25)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val d2 = aggregate(
-      zip_with(col("qv"), col("r"), (x, r) => (x - r) * (x - r)),
-      lit(0L), (acc, x) => acc + x)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"))
+    // ‖q−r‖² = ‖q‖² − 2·q·r + ‖r‖² — the hot per-pair fold runs on the
+    // native codegen'd dot kernel instead of an interpreted HOF lambda
+    val d2 = col("qn") - lit(2L) * dotLong(col("qv"), col("r")) + col("rn")
     val topk = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
     broadcast(probes).crossJoin(rec)
       .filter(col("qid") =!= col("vec_id"))

@@ -410,6 +410,14 @@ object TextQueries {
     * Bucketing by h preserves the (h, doc_id) order across buckets, so
     * the result is bit-identical to the naive rank-and-keep draw.
     *
+    * Deliberate trade: the corpus is SCANNED three times (histogram,
+    * keep-outright, boundary branch) instead of shuffled once — each
+    * scan is a 2-column column-pruned parquet read, which at 100 TB is
+    * far cheaper than sort-spilling a 43%-skewed shuffle partition; a
+    * single-pass variant would window over partitionBy(lang, bucket) on
+    * the full corpus, trading the two extra scans for one full
+    * (unskewed) shuffle.
+    *
     * `quotas` is (lang, quota), #langs rows. Languages smaller than
     * their quota keep everything (fold ends with bb = -1); quota 0 keeps
     * nothing. Returns the kept (doc_id, lang, h).
