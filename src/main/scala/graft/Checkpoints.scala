@@ -15,16 +15,35 @@ import org.apache.spark.sql.DataFrame
   * falls back to `localCheckpoint`, which is faster and needs no storage.
   */
 object Checkpoints {
+  // The conf dir last bound to the context. setCheckpointDir appends a
+  // fresh UUID subdir per call, so it must run once per DISTINCT conf
+  // value: every round of a loop shares one directory, but re-pointing
+  // the conf mid-session (e.g. off a filling local disk) takes effect on
+  // the next stage() instead of being silently ignored.
+  @volatile private var boundDir: Option[String] = None
+
   def stage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir")
       .filter(_.nonEmpty) match {
       case Some(dir) =>
-        // setCheckpointDir creates a fresh UUID subdir per call; set it
-        // only when unset so every round of a loop shares one directory
-        if (s.sparkContext.getCheckpointDir.isEmpty)
-          s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+        synchronized {
+          if (!boundDir.contains(dir)) {
+            s.sparkContext.setCheckpointDir(dir)
+            boundDir = Some(dir)
+          }
+        }
+        // checkpoint() is eager and, unpersisted, computes the lineage
+        // TWICE (once for the materializing action, once in the
+        // checkpoint write job) — persist around it so the hours-long
+        // loop rounds this feature exists for pay one computation.
+        // Checkpoint files accrue per round; reclaiming superseded round
+        // snapshots is the operator's retention call (same contract as
+        // Spark's own cleanCheckpoints default).
+        val persisted = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try persisted.checkpoint()
+        finally persisted.unpersist()
       case None => df.localCheckpoint()
     }
   }

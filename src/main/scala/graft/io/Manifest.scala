@@ -96,19 +96,35 @@ object Manifest {
       val next = prev.lastOption.getOrElse(0) + 1
       val target = manifestPath(root, next)
       betweenReadAndCreate()
-      try {
-        val out = f.create(target, false)
-        try out.write(content(prev).getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        return next
-      } catch {
-        case e: java.io.IOException =>
-          // exists-failure = lost the race: loop re-reads and retries at
-          // the next slot. Anything else (permissions, transport) rethrows.
-          val lostRace = e.isInstanceOf[
-            org.apache.hadoop.fs.FileAlreadyExistsException] ||
-            f.exists(target)
-          if (!lostRace) throw e
+      // Only the CREATE call may be read as "lost the race" — after a
+      // successful create, a write/close failure means OUR file is the
+      // (partial) one at `target`; treating that as a race would leave a
+      // corrupt manifest installed as a real version and silently rebase
+      // the retry on top of it, dropping the directories it lost. So a
+      // post-create failure deletes the partial file and rethrows.
+      val created =
+        try Some(f.create(target, false))
+        catch {
+          case e: java.io.IOException =>
+            val lostRace = e.isInstanceOf[
+              org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              f.exists(target)
+            if (!lostRace) throw e
+            None // lost the race: loop re-reads and retries the next slot
+        }
+      created match {
+        case Some(out) =>
+          try {
+            try out.write(content(prev).getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+          } catch {
+            case e: Throwable =>
+              try f.delete(target, false)
+              catch { case scala.util.control.NonFatal(_) => () }
+              throw e
+          }
+          return next
+        case None => () // retry
       }
     }
     throw new IllegalStateException(

@@ -62,10 +62,17 @@ object Metrics {
     private def clean(s: String): String =
       s.map(c => if (c == ':' || c == '|' || c == '.' || c == '\n') '_'
         else c)
-    def emit(observation: String, metric: String, value: Long): Unit = {
-      val line = s"$prefix.${clean(observation)}.${clean(metric)}:$value|g"
+    private def send(line: String): Unit = {
       val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       sock.send(new java.net.DatagramPacket(bytes, bytes.length, addr))
+    }
+    def emit(observation: String, metric: String, value: Long): Unit = {
+      val name = s"$prefix.${clean(observation)}.${clean(metric)}"
+      // StatsD reads a signed gauge value as a DELTA, not a set — the
+      // protocol's convention for setting a negative gauge is a zero-set
+      // followed by the signed decrement
+      if (value < 0) send(s"$name:0|g")
+      send(s"$name:$value|g")
     }
     def close(): Unit = sock.close()
   }

@@ -150,8 +150,10 @@ object SimilarityQueries {
         transform(col("pairs"), p => p.getField("m")).as("c"))
 
   /** Every vector ranked against every centroid by exact L2 (rk=1 is the
-    * nearest-centroid assignment; rk<=nprobe gives the probe lists; all
-    * callers use rk ∈ {1, 2}, so only the 2 nearest survive).
+    * nearest-centroid assignment; rk<=nprobe gives the probe lists).
+    * Only the `maxRank` nearest survive — the truncation is an explicit
+    * parameter so a caller raising nprobe must raise it here too instead
+    * of silently reading an exhausted rank column.
     *
     * Deliberately NOT a rank window: the k-replicated candidate rows for
     * a vector are generated co-located (one input row × broadcast
@@ -162,7 +164,8 @@ object SimilarityQueries {
     * tax on the hottest ANN-build path. Tie-break (dist, clabel) matches
     * the ROW_NUMBER ordering via lexicographic struct sort.
     */
-  private def centroidRanked(e: DataFrame, cent: DataFrame): DataFrame = {
+  private def centroidRanked(e: DataFrame, cent: DataFrame,
+      maxRank: Int = 2): DataFrame = {
     val dist = aggregate(
       zip_with(col("v"), col("c"), (x, m) =>
         (x.cast("double") - m) * (x.cast("double") - m)),
@@ -177,7 +180,7 @@ object SimilarityQueries {
         min_by(struct(col("label"), col("v"), col("nn")), col("clabel"))
           .as("attrs"),
         slice(sort_array(collect_list(struct(col("dist"), col("clabel")))),
-          1, 2).as("top"))
+          1, maxRank).as("top"))
       .select(col("vec_id"), col("attrs.label").as("label"),
         col("attrs.v").as("v"), col("attrs.nn").as("nn"),
         posexplode(col("top")).as(Seq("rk0", "t")))

@@ -337,13 +337,17 @@ object TextQueries {
     * (sum of each doc's first sequence index) so the oracle pins every
     * doc's packed position, not just totals.
     */
-  def tPacking(s: SparkSession, dir: String): DataFrame = {
-    val budget = 256L
-    val shardSpan = 128L
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("tok"))
-      .filter(col("tok") > 0)
-      .withColumn("shard", expr(s"doc_id DIV $shardSpan"))
+  /** Per-language running token sum ordered by doc_id WITHOUT a skewed
+    * per-language window: shard-local cumsums on the (lang, doc_id DIV
+    * shardSpan) compound key + prefix-summed shard offsets joined back
+    * on the same key — see [[tPacking]] for the full rationale. Input
+    * needs (doc_id, lang, tok); output adds `cum`. Shared with
+    * `StratifiedDrawScaleSpec` so the spec pins the PRODUCTION
+    * arithmetic against the naive window form, not a copy of it.
+    */
+  private[graft] def packedCum(toks: DataFrame,
+      shardSpan: Long): DataFrame = {
+    val sharded = toks.withColumn("shard", expr(s"doc_id DIV $shardSpan"))
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -352,14 +356,22 @@ object TextQueries {
       .partitionBy(col("lang")).orderBy(col("shard"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val offsets = toks.groupBy(col("lang"), col("shard"))
+    val offsets = sharded.groupBy(col("lang"), col("shard"))
       .agg(sum(col("tok")).as("stot"))
       .withColumn("off", sum(col("stot")).over(wOff) - col("stot"))
       .select(col("lang"), col("shard"), col("off"))
-    toks
+    sharded
       .withColumn("local_cum", sum(col("tok")).over(wLocal))
       .join(offsets, Seq("lang", "shard"))
       .withColumn("cum", col("local_cum") + col("off"))
+  }
+
+  def tPacking(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("tok"))
+      .filter(col("tok") > 0)
+    packedCum(toks, shardSpan = 128L)
       .select(col("doc_id"), col("lang"), col("tok"),
         ((col("cum") - col("tok")) / budget).cast("long").as("first_seq"),
         ((col("cum") - 1) / budget).cast("long").as("last_seq"))
@@ -1058,19 +1070,29 @@ object TextQueries {
     */
   def tUrlCanon(s: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
+    // ports: :443 on https keys and :80 on http keys are scheme-default
+    // (stripped); :8080 is non-default (kept). k%4==1 is odd, so the
+    // :80 branch really lands on http URLs — every strip rule is
+    // reachable. k%3==2 plants an xutm_source param: NOT a utm_* param,
+    // must survive canonicalization whole (the embedded-substring trap).
     val url = concat(
       when(k % 2 === 0, "HtTpS").otherwise("hTtP"), lit("://"),
       lit("ShOp"), (k % 50).cast("string"), lit(".ExAmPle.CoM"),
-      when(k % 4 === 0, when(k % 2 === 0, ":443").otherwise(":80"))
-        .when(k % 4 === 1, ":8080").otherwise(""),
+      when(k % 4 === 0, ":443").when(k % 4 === 1, ":80")
+        .when(k % 4 === 2, ":8080").otherwise(""),
       lit("/p/"), (k % 50).cast("string"),
       when(k % 3 === 0,
         concat(lit("?utm_source=news&utm_id="), k.cast("string")))
         .when(k % 3 === 1,
           concat(lit("?utm_source=news&ref="), (k % 50).cast("string")))
-        .otherwise(""),
+        .otherwise(concat(lit("?xutm_source="), (k % 50).cast("string"))),
       when(k % 5 === 0, concat(lit("#sec"), k.cast("string")))
         .otherwise(""))
+    // utm stripping removes WHOLE parameters only: unify '?' to '&',
+    // drop '&utm_<name>=<value>' (anchored at the separator, so an
+    // xutm_source param is untouched), then turn the first surviving
+    // separator back into '?' — RE2 has no lookbehind, and this
+    // normalize-strip-restore sequence needs none.
     Tables.customer(s, dir)
       .select(k.as("k"), url.as("url"))
       .select(col("k"),
@@ -1084,9 +1106,11 @@ object TextQueries {
           regexp_replace(col("hostport"), ":80$", ""))
           .otherwise(regexp_replace(col("hostport"), ":443$", ""))
           .as("hp"),
-        regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(
           regexp_replace(col("tail0"), "#.*$", ""),
-          "utm_[a-z]+=[^&]*&?", ""), "[?&]$", "").as("tail"))
+          "[?]", "&"),
+          "&utm_[a-z]+=[^&]*", ""),
+          "^([^&]*)&", "$1?").as("tail"))
       .groupBy(col("scheme"),
         concat(col("scheme"), lit("://"), col("hp"), col("tail"))
           .as("canon"))
@@ -1103,15 +1127,16 @@ object TextQueries {
       |    concat(
       |      CASE WHEN c_custkey % 2 = 0 THEN 'HtTpS' ELSE 'hTtP' END,
       |      '://', 'ShOp', CAST(c_custkey % 50 AS VARCHAR), '.ExAmPle.CoM',
-      |      CASE WHEN c_custkey % 4 = 0 THEN
-      |        (CASE WHEN c_custkey % 2 = 0 THEN ':443' ELSE ':80' END)
-      |        WHEN c_custkey % 4 = 1 THEN ':8080' ELSE '' END,
+      |      CASE WHEN c_custkey % 4 = 0 THEN ':443'
+      |        WHEN c_custkey % 4 = 1 THEN ':80'
+      |        WHEN c_custkey % 4 = 2 THEN ':8080' ELSE '' END,
       |      '/p/', CAST(c_custkey % 50 AS VARCHAR),
       |      CASE WHEN c_custkey % 3 = 0 THEN
       |        concat('?utm_source=news&utm_id=', CAST(c_custkey AS VARCHAR))
       |        WHEN c_custkey % 3 = 1 THEN
       |        concat('?utm_source=news&ref=', CAST(c_custkey % 50 AS VARCHAR))
-      |        ELSE '' END,
+      |        ELSE concat('?xutm_source=', CAST(c_custkey % 50 AS VARCHAR))
+      |        END,
       |      CASE WHEN c_custkey % 5 = 0 THEN
       |        concat('#sec', CAST(c_custkey AS VARCHAR)) ELSE '' END) AS url
       |  FROM customer),
@@ -1123,8 +1148,11 @@ object TextQueries {
       |c1 AS (SELECT k, scheme,
       |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
       |         ELSE regexp_replace(hostport, ':443$', '') END AS hp,
-      |    regexp_replace(regexp_replace(regexp_replace(tail0, '#.*$', ''),
-      |      'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]$', '') AS tail
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(tail0, '#.*$', ''),
+      |      '[?]', '&', 'g'),
+      |      '&utm_[a-z]+=[^&]*', '', 'g'),
+      |      '^([^&]*)&', '\1?') AS tail
       |  FROM c0),
       |g AS (SELECT scheme, concat(scheme, '://', hp, tail) AS canon,
       |    COUNT(*) AS k_cnt, MIN(k) AS rep

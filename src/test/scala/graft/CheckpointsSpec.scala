@@ -47,6 +47,11 @@ class CheckpointsSpec extends AnyFunSuite {
         val ckpt = SparkEntry.queries(q)(spark, sf).collect()
         assert(ckpt.toSeq == base.toSeq,
           s"$q: reliable checkpointing must not change results")
+        // re-pointing the conf must re-bind the context's checkpoint
+        // location — a once-only bind would leave this dir empty and
+        // silently keep writing to the previous test's directory
+        assert(countFiles(new File(dir)) > 0,
+          s"$q: checkpoints must land under the CURRENT conf dir")
       } finally spark.conf.unset("spark.graft.checkpointDir")
     }
   }

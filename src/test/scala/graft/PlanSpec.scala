@@ -198,16 +198,25 @@ class PlanSpec extends AnyFunSuite {
     // Window ONLY over an aggregated (histogram / shard-total) input —
     // corpus-sized windows must carry a compound partition key.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
-      Window => LWindow}
+      LeafNode, LogicalPlan, Window => LWindow}
+    // a raw (un-aggregated) scan reachable below the window means
+    // corpus-sized input; merely CONTAINING an Aggregate somewhere (e.g.
+    // on the broadcast side of a join) must not satisfy the guard
+    def rawScanReachable(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(rawScanReachable)
+    }
     for (q <- Seq("t10_packing", "t11_stratified", "t14_domain_mix")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val wins = df.queryExecution.optimizedPlan.collect {
         case w: LWindow => w }
       wins.foreach { w =>
         if (w.partitionSpec.size < 2) {
-          assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          assert(!rawScanReachable(w.child),
             s"$q: a Window partitioned by a single (skewed) key must " +
-              "read an aggregated input, never the raw corpus")
+              "read an aggregated input on every path, never the raw " +
+              "corpus")
         }
       }
     }

@@ -101,22 +101,8 @@ class StratifiedDrawScaleSpec extends AnyFunSuite {
           sum(col("first_seq")).as("placement_checksum"))
         .orderBy(col("lang")).collect()
     val old = census(toks.withColumn("cum", sum(col("tok")).over(wOld)))
-    // the new shape: shard-local cumsum + prefix-summed shard offsets
-    val shardSpan = 128L
-    val sharded = toks.withColumn("shard", expr(s"doc_id DIV $shardSpan"))
-    val wLocal = Window.partitionBy(col("lang"), col("shard"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = sharded.groupBy(col("lang"), col("shard"))
-      .agg(sum(col("tok")).as("stot"))
-      .withColumn("off", sum(col("stot")).over(wOff) - col("stot"))
-      .select(col("lang"), col("shard"), col("off"))
-    val neu = census(sharded
-      .withColumn("local_cum", sum(col("tok")).over(wLocal))
-      .join(offsets, Seq("lang", "shard"))
-      .withColumn("cum", col("local_cum") + col("off")))
+    // the PRODUCTION shard-offset arithmetic, not a copy of it
+    val neu = census(TextQueries.packedCum(toks, shardSpan = 128L))
     assert(neu.toSeq == old.toSeq)
   }
 }
