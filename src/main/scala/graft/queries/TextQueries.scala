@@ -1162,6 +1162,56 @@ object TextQueries {
       |  CAST(SUM(rep) AS BIGINT) AS rep_checksum
       |FROM g GROUP BY scheme ORDER BY scheme""".stripMargin
 
+  /** Keyed PSEUDONYMIZATION with referential integrity — the
+    * privacy-governance sibling of [[tPii]]'s redaction: direct
+    * identifiers are replaced by a keyed one-way token
+    * (`sha256(salt ‖ id)` truncated to 16 hex chars) so the data stays
+    * JOINABLE — the same id under the same salt maps to the same token
+    * in every table, while the raw id never leaves the pipeline. The
+    * query pseudonymizes customer keys in BOTH `customer` and `orders`,
+    * joins the tables ON THE TOKEN, and emits a per-segment census plus
+    * injectivity evidence (distinct tokens == distinct source keys —
+    * a truncation collision would break referential integrity, so the
+    * gate pins its absence at this scale).
+    *
+    * Scale shape: tokenization is a codegen'd per-row hash (zero
+    * shuffle, no lookup table to leak or replicate — the salt is the
+    * only secret); the join shuffles on the token exactly as it would
+    * have on the raw key.
+    */
+  def tPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val salt = "graft-round5"
+    def token(c: org.apache.spark.sql.Column) =
+      substring(sha2(concat(lit(salt), c.cast("string")), 256), 1, 16)
+    val cust = Tables.customer(s, dir)
+      .select(token(col("c_custkey")).as("tok"), col("c_mktsegment"),
+        col("c_custkey"))
+    val ords = Tables.orders(s, dir)
+      .select(token(col("o_custkey")).as("tok"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    cust.join(ords, Seq("tok"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("tok")).as("n_tokens"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val tPseudonymizeOracle: String =
+    """WITH c AS (SELECT substr(sha256(concat('graft-round5',
+      |      CAST(c_custkey AS VARCHAR))), 1, 16) AS tok,
+      |    c_mktsegment, c_custkey FROM customer),
+      |o AS (SELECT substr(sha256(concat('graft-round5',
+      |      CAST(o_custkey AS VARCHAR))), 1, 16) AS tok,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM orders)
+      |SELECT c_mktsegment, COUNT(DISTINCT c.tok) AS n_tokens,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM c JOIN o ON c.tok = o.tok
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1182,7 +1232,8 @@ object TextQueries {
     "t17_split_decontam" -> (tSplitDecontam _),
     "t18_gopher_rules" -> (tGopherRules _),
     "t19_bpe_apply" -> (tBpeApply _),
-    "t20_url_canon" -> (tUrlCanon _))
+    "t20_url_canon" -> (tUrlCanon _),
+    "t21_pseudonymize" -> (tPseudonymize _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1204,5 +1255,6 @@ object TextQueries {
     "t17_split_decontam" -> tSplitDecontamOracle,
     "t18_gopher_rules" -> tGopherRulesOracle,
     "t19_bpe_apply" -> tBpeApplyOracle,
-    "t20_url_canon" -> tUrlCanonOracle)
+    "t20_url_canon" -> tUrlCanonOracle,
+    "t21_pseudonymize" -> tPseudonymizeOracle)
 }
