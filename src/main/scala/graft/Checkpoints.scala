@@ -15,22 +15,29 @@ import org.apache.spark.sql.DataFrame
   * falls back to `localCheckpoint`, which is faster and needs no storage.
   */
 object Checkpoints {
-  // The conf dir last bound to the context. setCheckpointDir appends a
-  // fresh UUID subdir per call, so it must run once per DISTINCT conf
-  // value: every round of a loop shares one directory, but re-pointing
-  // the conf mid-session (e.g. off a filling local disk) takes effect on
-  // the next stage() instead of being silently ignored.
-  @volatile private var boundDir: Option[String] = None
+  // The conf dir last bound, keyed by the context's application id.
+  // setCheckpointDir appends a fresh UUID subdir per call, so it must
+  // run once per DISTINCT conf value: every round of a loop shares one
+  // directory, re-pointing the conf mid-session (e.g. off a filling
+  // local disk) takes effect on the next stage(), and a RESTARTED
+  // context (new applicationId, empty checkpoint dir) re-binds instead
+  // of inheriting a stale guard. The checkpoint dir is a CONTEXT-level
+  // Spark setting — two concurrent sessions on one context configuring
+  // different dirs contradict each other by construction and are
+  // unsupported (last bind wins).
+  @volatile private var boundDir: Option[(String, String)] = None
 
   def stage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir")
       .filter(_.nonEmpty) match {
       case Some(dir) =>
+        val appId = s.sparkContext.applicationId
         synchronized {
-          if (!boundDir.contains(dir)) {
+          if (!boundDir.contains((appId, dir)) ||
+              s.sparkContext.getCheckpointDir.isEmpty) {
             s.sparkContext.setCheckpointDir(dir)
-            boundDir = Some(dir)
+            boundDir = Some((appId, dir))
           }
         }
         // checkpoint() is eager and, unpersisted, computes the lineage

@@ -67,11 +67,34 @@ object Manifest {
   private def manifestPath(root: String, v: Int): Path =
     new Path(root, f"manifest-v$v%06d")
 
+  /** Completeness terminator: `create(overwrite=false)` claims the
+    * version atomically (on HDFS) but the file is VISIBLE while the list
+    * is still being written — a reader or racing committer scanning that
+    * window would otherwise act on a truncated list (the racer would
+    * rebase the next version on it, silently dropping directories). The
+    * terminator turns that silent loss into a loud, typed failure:
+    * every reader validates it and an in-flight/corrupt manifest raises
+    * instead of returning partial state.
+    */
+  private val Terminator = "#graft-manifest-complete"
+
+  /** Thrown when a manifest exists but lacks the completeness
+    * terminator — in-flight (being written right now) or corrupt
+    * (writer died mid-write).
+    */
+  final class IncompleteManifestException(p: Path)
+    extends java.io.IOException(
+      s"manifest $p is incomplete (in-flight or corrupt)")
+
   private def readList(f: FileSystem, p: Path): Seq[String] = {
     val in = f.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
-    finally in.close()
+    val lines =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      finally in.close()
+    if (!lines.lastOption.contains(Terminator))
+      throw new IncompleteManifestException(p)
+    lines.dropRight(1)
   }
 
   /** The latest version's directory list (empty before any commit) —
@@ -95,36 +118,51 @@ object Manifest {
       val prev = versionsOf(f, root)
       val next = prev.lastOption.getOrElse(0) + 1
       val target = manifestPath(root, next)
-      betweenReadAndCreate()
-      // Only the CREATE call may be read as "lost the race" — after a
-      // successful create, a write/close failure means OUR file is the
-      // (partial) one at `target`; treating that as a race would leave a
-      // corrupt manifest installed as a real version and silently rebase
-      // the retry on top of it, dropping the directories it lost. So a
-      // post-create failure deletes the partial file and rethrows.
-      val created =
-        try Some(f.create(target, false))
+      // Derive the body BEFORE claiming the slot: a racer's in-flight or
+      // just-deleted previous manifest surfaces here as
+      // IncompleteManifest / FileNotFound — both mean "the version list
+      // moved under us", which is a retry, never a failed commit and
+      // never a silent rebase on partial state.
+      val body =
+        try content(prev) + "\n" + Terminator
         catch {
-          case e: java.io.IOException =>
-            val lostRace = e.isInstanceOf[
-              org.apache.hadoop.fs.FileAlreadyExistsException] ||
-              f.exists(target)
-            if (!lostRace) throw e
-            None // lost the race: loop re-reads and retries the next slot
+          case _: IncompleteManifestException |
+               _: java.io.FileNotFoundException =>
+            Thread.sleep(10); "" // re-read on the next loop pass
         }
-      created match {
-        case Some(out) =>
-          try {
-            try out.write(content(prev).getBytes(StandardCharsets.UTF_8))
-            finally out.close()
-          } catch {
-            case e: Throwable =>
-              try f.delete(target, false)
-              catch { case scala.util.control.NonFatal(_) => () }
-              throw e
+      if (body.nonEmpty) {
+        betweenReadAndCreate()
+        // Only the CREATE call may be read as "lost the race" — after a
+        // successful create, a write/close failure means OUR file is the
+        // (partial) one at `target`; treating that as a race would
+        // install a corrupt manifest as a real version. A post-create
+        // failure deletes the partial file and rethrows; a reader or
+        // racer catching the file mid-write sees a missing terminator,
+        // not silent truncation.
+        val created =
+          try Some(f.create(target, false))
+          catch {
+            case e: java.io.IOException =>
+              val lostRace = e.isInstanceOf[
+                org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                f.exists(target)
+              if (!lostRace) throw e
+              None // lost the race: loop re-reads, retries the next slot
           }
-          return next
-        case None => () // retry
+        created match {
+          case Some(out) =>
+            try {
+              try out.write(body.getBytes(StandardCharsets.UTF_8))
+              finally out.close()
+            } catch {
+              case e: Throwable =>
+                try f.delete(target, false)
+                catch { case scala.util.control.NonFatal(_) => () }
+                throw e
+            }
+            return next
+          case None => () // retry
+        }
       }
     }
     throw new IllegalStateException(

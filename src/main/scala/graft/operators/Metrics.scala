@@ -70,9 +70,11 @@ object Metrics {
       val name = s"$prefix.${clean(observation)}.${clean(metric)}"
       // StatsD reads a signed gauge value as a DELTA, not a set — the
       // protocol's convention for setting a negative gauge is a zero-set
-      // followed by the signed decrement
-      if (value < 0) send(s"$name:0|g")
-      send(s"$name:$value|g")
+      // followed by the signed decrement, and both lines ride ONE
+      // newline-separated datagram (the standard multi-metric packet) so
+      // over lossy UDP they apply atomically or not at all
+      if (value < 0) send(s"$name:0|g\n$name:$value|g")
+      else send(s"$name:$value|g")
     }
     def close(): Unit = sock.close()
   }

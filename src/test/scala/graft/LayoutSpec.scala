@@ -171,8 +171,9 @@ class LayoutSpec extends AnyFunSuite {
         planted = true
         val out = f.create(
           new org.apache.hadoop.fs.Path(root, "manifest-v000003"), false)
-        out.write(s"$root/data/b1\n$root/data/race"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(
+          s"$root/data/b1\n$root/data/race\n#graft-manifest-complete"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
       }
     }

@@ -17,13 +17,14 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("query names are unique across family maps") {
     // Map ++ silently overwrites duplicate keys — the sum of family
-    // sizes must equal the merged size or a family is shadowing another
-    val families = Seq(
-      queries.Relational.queries, queries.TextQueries.queries,
-      queries.DedupQueries.queries, queries.SimilarityQueries.queries,
-      queries.PreludeQueries.queries, queries.AudioQueries.queries,
-      queries.OpsQueries.queries)
-    assert(families.map(_.size).sum == SparkEntry.queries.size,
+    // sizes must equal the merged size or a family is shadowing
+    // another. Iterates SparkEntry's own family list, so a newly
+    // registered family is covered automatically.
+    assert(SparkEntry.families.map(_._1.size).sum ==
+      SparkEntry.queries.size,
       "a query name is declared in more than one family map")
+    assert(SparkEntry.families.map(_._2.size).sum ==
+      SparkEntry.oracleSql.size,
+      "an oracle name is declared in more than one family map")
   }
 }
