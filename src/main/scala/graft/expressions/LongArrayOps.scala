@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the hot array kernels of the dedup /
   * similarity operators. These run inside whole-stage codegen directly on
@@ -117,6 +117,65 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ ((double) a(i) − b(i))² folded in index order — squared L2 between a
+  * quantized integer vector and a double centroid, the hottest fold of
+  * every nearest-centroid / nearest-code assignment scan (corpus × k
+  * candidates × 64 components). Each step is one IEEE subtraction, one
+  * multiply, one add in index order — bit-identical to the
+  * `zip_with`+`aggregate` HOF form it replaces (and to the oracle's
+  * `list_reduce`), but a primitive loop instead of an interpreted
+  * per-element lambda chain.
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<double>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i).toDouble - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getLong($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** |A ∩ B| of two SORTED long arrays by linear merge — exact set
   * intersection for the general (large-vocabulary) shingle representation.
   */
@@ -188,6 +247,8 @@ object LongArrayOps {
       args => IntersectBits(args(0), args(1))),
     "graft_dot_long" -> arity("graft_dot_long", 2)(
       args => DotLong(args(0), args(1))),
+    "graft_sqdist_long" -> arity("graft_sqdist_long", 2)(
+      args => SqDistLong(args(0), args(1))),
     "graft_sorted_intersect_count" -> arity("graft_sorted_intersect_count",
       2)(args => SortedIntersectCount(args(0), args(1))),
     "graft_elementwise_min" -> arity("graft_elementwise_min", 1)(

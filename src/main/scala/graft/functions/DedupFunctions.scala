@@ -243,6 +243,14 @@ object DedupFunctions {
   def dotLong(a: Column, b: Column): Column =
     call_function("graft_dot_long", a, b)
 
+  /** Squared L2 between a quantized integer vector and a double centroid,
+    * folded in index order — native codegen kernel
+    * ([[graft.expressions.SqDistLong]]), IEEE-identical to the
+    * `zip_with`+`aggregate` HOF form and the oracle's `list_reduce`.
+    */
+  def sqDistLong(a: Column, b: Column): Column =
+    call_function("graft_sqdist_long", a, b)
+
   /** Integer squared norm. */
   def normSqLong(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)

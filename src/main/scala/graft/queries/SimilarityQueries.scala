@@ -155,35 +155,35 @@ object SimilarityQueries {
     * parameter so a caller raising nprobe must raise it here too instead
     * of silently reading an exhausted rank column.
     *
-    * Deliberately NOT a rank window: the k-replicated candidate rows for
-    * a vector are generated co-located (one input row × broadcast
-    * centroids), so a vec_id-grouped aggregate collapses them to ONE row
-    * in the map-side partial aggregate before any shuffle. The window
-    * alternative shuffles all k candidate rows — each carrying the
-    * 64-component vector payload — just to rank them, a k× shuffle-volume
-    * tax on the hottest ANN-build path. Tie-break (dist, clabel) matches
-    * the ROW_NUMBER ordering via lexicographic struct sort.
+    * Deliberately NEITHER a rank window NOR a corpus-keyed aggregate:
+    * the centroid table is k rows (k = coarse-quantizer fan-out, bounded
+    * by construction), so it packs into ONE broadcast row and the whole
+    * top-`maxRank` pick happens INSIDE each corpus row — score k
+    * centroids with the native [[graft.expressions.SqDistLong]] kernel,
+    * lexicographic-sort the (dist, clabel) structs (= the ROW_NUMBER
+    * `ORDER BY dist, clabel` tie-break), slice. Zero shuffle, zero
+    * aggregate on the corpus side. The earlier window form shuffled the
+    * k×-replicated candidates; the earlier `collect_list` aggregate form
+    * avoided that shuffle but rode `ObjectHashAggregateExec`, whose
+    * sort-based fallback (guaranteed at corpus-cardinality grouping keys)
+    * sorts variable-width buffers carrying the 64-long vector payload —
+    * a spill cliff under memory pressure. A projection has no cliff.
+    * Scoring, sort and slice are fused into one expression so
+    * CollapseProject cannot duplicate the k-way scoring (the s10 lesson).
     */
   private def centroidRanked(e: DataFrame, cent: DataFrame,
       maxRank: Int = 2): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("v"), col("c"), (x, m) =>
-        (x.cast("double") - m) * (x.cast("double") - m)),
-      lit(0.0), (acc, x) => acc + x)
-    e.crossJoin(broadcast(cent))
+    graft.expressions.LongArrayOps.register(e.sparkSession)
+    val packed = cent.groupBy()
+      .agg(collect_list(struct(col("clabel"), col("c"))).as("cents"))
+    val top = slice(
+      array_sort(transform(col("cents"), ct =>
+        struct(sqDistLong(col("v"), ct.getField("c")).as("dist"),
+          ct.getField("clabel").as("clabel")))),
+      1, maxRank)
+    e.crossJoin(broadcast(packed))
       .select(col("vec_id"), col("label"), col("v"), col("nn"),
-        col("clabel"), dist.as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(
-        // label/v/nn are constant per vec_id; min_by makes the pick
-        // deterministic without widening the grouping key
-        min_by(struct(col("label"), col("v"), col("nn")), col("clabel"))
-          .as("attrs"),
-        slice(sort_array(collect_list(struct(col("dist"), col("clabel")))),
-          1, maxRank).as("top"))
-      .select(col("vec_id"), col("attrs.label").as("label"),
-        col("attrs.v").as("v"), col("attrs.nn").as("nn"),
-        posexplode(col("top")).as(Seq("rk0", "t")))
+        posexplode(top).as(Seq("rk0", "t")))
       .select(col("vec_id"), col("label"), col("v"), col("nn"),
         col("t.clabel").as("clabel"), col("t.dist").as("dist"),
         (col("rk0") + 1).cast("int").as("rk"))
@@ -191,7 +191,7 @@ object SimilarityQueries {
 
   def s3IvfAssign(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    centroidRanked(e, centroids(e))
+    centroidRanked(e, centroids(e), maxRank = 1)
       .filter(col("rk") === 1)
       .groupBy(col("label"), col("clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
@@ -230,7 +230,9 @@ object SimilarityQueries {
   def s4IvfProbe(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
-    val ranked = centroidRanked(e, centroids(e))
+    // lists and probes share the assignment pass — stage it so the
+    // centroid build + k-way scoring run once, not once per consumer
+    val ranked = centroidRanked(e, centroids(e)).staged()
     // inverted lists: every vector filed under its nearest centroid
     val lists = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nn"), col("clabel").as("list"))
@@ -297,7 +299,7 @@ object SimilarityQueries {
       .select(col("vec_id").cast("int").as("clabel"),
         transform(col("v"), _.cast("double")).as("c"))
     def assign(cent: DataFrame): DataFrame =
-      centroidRanked(e, cent)
+      centroidRanked(e, cent, maxRank = 1)
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("v"), col("clabel").as("cluster"))
     val a1 = assign(init)
@@ -372,6 +374,7 @@ object SimilarityQueries {
     * the oracle replays them bit-for-bit.
     */
   def s6PqAdc(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
     val cent = centroids(e)
     // sub-codebook: (j, code=clabel, 8-dim centroid slice). Materialized
@@ -386,10 +389,8 @@ object SimilarityQueries {
     // encode: nearest sub-centroid per (vector, subspace)
     val vj = e.select(col("vec_id"),
       explode(sequence(lit(0), lit(7))).as("j"), col("v"))
-    val sdist = aggregate(
-      zip_with(slice(col("v"), col("j") * 8 + 1, lit(8)), col("sc"),
-        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
-      lit(0.0), (acc, x) => acc + x)
+    val sdist = sqDistLong(slice(col("v"), col("j") * 8 + 1, lit(8)),
+      col("sc"))
     // nearest sub-code via min_by: candidates are co-located (row ×
     // broadcast codebook), so the partial aggregate collapses the
     // codebook-replicated rows map-side — no rank-window shuffle
@@ -406,10 +407,7 @@ object SimilarityQueries {
         flatten(transform(col("parts"), p => p.getField("sc"))).as("r"))
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val adist = aggregate(
-      zip_with(col("qv"), col("r"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
+    val adist = sqDistLong(col("qv"), col("r"))
     val topk = Window.partitionBy(col("qid"))
       .orderBy(col("adist"), col("nid"))
     broadcast(probes).crossJoin(recon)
@@ -476,7 +474,7 @@ object SimilarityQueries {
     graft.expressions.LongArrayOps.register(s)
     val tau = 0.4
     val e = quantized(s, dir)
-    val asg = centroidRanked(e, centroids(e))
+    val asg = centroidRanked(e, centroids(e), maxRank = 1)
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nn"),
         col("clabel").as("cluster"))
@@ -551,6 +549,7 @@ object SimilarityQueries {
     * combine; nothing is ever quadratic.
     */
   def s7PqTrain(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
     val cj0 = centroids(e).select(col("clabel"),
         explode(sequence(lit(0), lit(7))).as("j"), col("c"))
@@ -561,10 +560,7 @@ object SimilarityQueries {
       explode(sequence(lit(0), lit(7))).as("j"),
       col("v")).select(col("vec_id"), col("j"),
       slice(col("v"), col("j") * 8 + 1, lit(8)).as("sv"))
-    val sdist = aggregate(
-      zip_with(col("sv"), col("sc"),
-        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
-      lit(0.0), (acc, x) => acc + x)
+    val sdist = sqDistLong(col("sv"), col("sc"))
     // nearest-code assignment via min_by: the 10×-replicated candidates
     // collapse in the map-side partial aggregate (they are co-located —
     // row × broadcast codebook), where the old rank window shuffled the
@@ -675,7 +671,9 @@ object SimilarityQueries {
     val e = quantized(s, dir)
     val cent = centroids(e)
     val centByCluster = cent.withColumnRenamed("clabel", "cluster")
-    val ranked = centroidRanked(e, cent)
+    // shared by the inverted-list build (rk=1) and the probe routing
+    // (rk<=2) — stage so the assignment pass runs once
+    val ranked = centroidRanked(e, cent).staged()
     val asg = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("v"),
         col("clabel").as("cluster"))
@@ -703,10 +701,7 @@ object SimilarityQueries {
       .select(col("label").as("code"), col("j"),
         transform(col("pairs"), p => p.getField("m")).as("sc"))
       .staged()
-    val sdist = aggregate(
-      zip_with(col("sv"), col("sc"),
-        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
-      lit(0.0), (acc, x) => acc + x)
+    val sdist = sqDistLong(col("sv"), col("sc"))
     // nearest residual code via min_by — co-located candidates collapse
     // map-side, no rank-window shuffle of the code-replicated rows
     val codes = rj.join(broadcast(cb), Seq("j"))
@@ -729,10 +724,7 @@ object SimilarityQueries {
     val probes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("clabel").as("list"))
-    val adist = aggregate(
-      zip_with(col("qv"), col("r"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, x) => acc + x)
+    val adist = sqDistLong(col("qv"), col("r"))
     val topk = Window.partitionBy(col("qid"))
       .orderBy(col("adist"), col("nid"))
     broadcast(probes).join(recon, Seq("list"))
@@ -839,7 +831,7 @@ object SimilarityQueries {
       .filter(col("rk") <= 3)
       .select(col("qid"), col("nid"))
     // ANN top-3 via the inverted lists (s4's plan, nprobe=2)
-    val ranked = centroidRanked(e, centroids(e))
+    val ranked = centroidRanked(e, centroids(e)).staged()
     val lists = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("nn"), col("clabel").as("list"))
     val lprobes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)

@@ -53,6 +53,36 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(runPairs("graft_dot_long", pairs) == expect)
   }
 
+  test("sqdist_long bit-identical to the zip_with+aggregate HOF form") {
+    // the kernel replaced the interpreted HOF fold in every assignment
+    // scan — the doubles must match BIT-FOR-BIT (index-order IEEE fold),
+    // or the oracle hashes diverge
+    import spark.implicits._
+    LongArrayOps.register(spark)
+    val vecs = Gen.listOfN(64, Gen.chooseNum(-2097152L, 2097152L))
+    val cents = Gen.listOfN(64, Gen.chooseNum(-2097152.0, 2097152.0))
+    val pairs = samples(Gen.zip(vecs, cents), 60)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"),
+        call_function("graft_sqdist_long", col("a"), col("b")).as("k"),
+        aggregate(zip_with(col("a"), col("b"),
+            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+          lit(0.0), (acc, x) => acc + x).as("h"))
+      .orderBy(col("i")).as[(Int, Double, Double)].collect()
+    rows.foreach { case (i, k, h) =>
+      assert(java.lang.Double.doubleToLongBits(k) ==
+        java.lang.Double.doubleToLongBits(h),
+        s"pair $i: kernel $k != HOF $h") }
+    // reference implementation cross-check
+    val expect = pairs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, m)) =>
+        val d = x.toDouble - m; acc + d * d } }
+    rows.map(_._2).zip(expect).foreach { case (k, e) =>
+      assert(java.lang.Double.doubleToLongBits(k) ==
+        java.lang.Double.doubleToLongBits(e)) }
+  }
+
   test("sorted_intersect_count == distinct set intersection size") {
     val sets = Gen.listOf(Gen.chooseNum(0L, 50L))
       .map(_.distinct.sorted)

@@ -191,6 +191,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assignment is a projection: no corpus-keyed object aggregate") {
+    // The nearest-centroid top-k is computed INSIDE each corpus row
+    // (broadcast 1-row centroid array + fused sort/slice projection).
+    // An ObjectHashAggregateExec keyed by vec_id (corpus cardinality)
+    // would ride the sort-based fallback cliff: >128 distinct keys per
+    // partition degrades to sorting variable-width collect_list buffers
+    // that carry the 64-long vector payload — the shape behind the
+    // driver-recorded 21× s4 blowup in round 5. Only bounded-key object
+    // aggregates (the k-row centroid pack) may remain.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    for (q <- Seq("s3_ivf_assign", "s4_ivf_probe", "s9_ann_recall",
+        "d14_semantic_dedup")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val offenders = df.queryExecution.executedPlan.collect {
+        case a: ObjectHashAggregateExec if a.groupingExpressions
+          .exists(_.references.exists(_.name == "vec_id")) => a
+      }
+      assert(offenders.isEmpty,
+        s"$q: assignment must not object-aggregate on vec_id " +
+          s"(found ${offenders.size})")
+    }
+  }
+
   test("t10/t11/t14 never window the raw corpus partitioned by lang alone") {
     // lang is skewed (en ≈ 43% of documents): a Window partitioned only
     // by lang over the raw corpus sort-spills ~43% of the input in one
