@@ -1000,6 +1000,75 @@ object SimilarityQueries {
       |SELECT qid, rk, nid, CAST(d2 AS BIGINT) AS d2
       |FROM r2 WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** SQ8 with a PERSISTED codes column — the production read path the
+    * [[s10Sq8]] fusion comment describes: the range table and the 8-bit
+    * codes are trained/encoded ONCE and written to parquet (the index
+    * build — 64 B/vector corpus state plus one 2×64-long range row), and
+    * the query side reads the STORED codes back and runs decode-only
+    * reconstruction + scoring. [[s10Sq8]] proves the arithmetic under the
+    * oracle with an in-plan recompute; this proves the same result comes
+    * off the materialized index, pinning that build/query split — at
+    * 100 TB you never re-encode the corpus per probe batch.
+    *
+    * Scale shape of the query side: one scan of the codes parquet (the
+    * 64×-smaller state), a broadcast 1-row range table, per-row decode,
+    * then [[s1KnnBrute]]'s broadcast-probes × streamed-corpus scoring on
+    * the native dot kernel.
+    */
+  def s11Sq8Stored(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_s11_sq8"
+    val e = quantized(s, dir)
+    val dims = sequence(lit(1), lit(64))
+    // ---- index build: train the per-dimension range table, encode the
+    // corpus once, persist both (mode=overwrite keeps the gate re-runnable)
+    val mm = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(
+        array_sort(collect_list(struct(col("i"), col("mn")))).as("pmn"),
+        array_sort(collect_list(struct(col("i"), col("mx")))).as("pmx"))
+      .select(transform(col("pmn"), p => p.getField("mn")).as("mins"),
+        transform(col("pmx"), p => p.getField("mx")).as("maxs"))
+    val codeArr = transform(dims, i => {
+      val mn = element_at(col("mins"), i)
+      val span = element_at(col("maxs"), i) - mn
+      when(span > 0,
+        floor(((element_at(col("v"), i) - mn) * 255).cast("double") /
+          span.cast("double")).cast("long")).otherwise(0L)
+    })
+    e.crossJoin(broadcast(mm))
+      .select(col("vec_id"), codeArr.as("codes"))
+      .write.mode("overwrite").parquet(idx + "/codes")
+    mm.write.mode("overwrite").parquet(idx + "/ranges")
+    // ---- query: decode-only reconstruction from the STORED codes
+    val stored = s.read.parquet(idx + "/codes")
+    val ranges = s.read.parquet(idx + "/ranges")
+    val recon = transform(dims, i => {
+      val mn = element_at(col("mins"), i)
+      val span = element_at(col("maxs"), i) - mn
+      mn + floor((element_at(col("codes"), i) * span).cast("double") /
+        255.0d).cast("long")
+    })
+    val rec = stored.crossJoin(broadcast(ranges))
+      .select(col("vec_id"), recon.as("r"))
+      .withColumn("rn", normSqLong(col("r")))
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"))
+    val d2 = col("qn") - lit(2L) * dotLong(col("qv"), col("r")) + col("rn")
+    val topk = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    broadcast(probes).crossJoin(rec)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -1011,6 +1080,7 @@ object SimilarityQueries {
     "s8_ivfpq" -> (s8IvfPq _),
     "s9_ann_recall" -> (s9AnnRecall _),
     "s10_sq8" -> (s10Sq8 _),
+    "s11_sq8_stored" -> (s11Sq8Stored _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1024,5 +1094,8 @@ object SimilarityQueries {
     "s8_ivfpq" -> s8Oracle,
     "s9_ann_recall" -> s9Oracle,
     "s10_sq8" -> s10Oracle,
+    // the stored-codes read path must reproduce s10's result exactly —
+    // the oracle recomputes the same arithmetic DuckDB-side
+    "s11_sq8_stored" -> s10Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
