@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 
 /** Lineage-truncation for iterative algorithms (label propagation, Lloyd
@@ -44,15 +46,47 @@ object Checkpoints {
         // TWICE (once for the materializing action, once in the
         // checkpoint write job) — persist around it so the hours-long
         // loop rounds this feature exists for pay one computation.
-        // Checkpoint files accrue per round; reclaiming superseded round
-        // snapshots is the operator's retention call (same contract as
-        // Spark's own cleanCheckpoints default).
+        // Checkpoint files accrue per round; by default reclaiming
+        // superseded round snapshots is the operator's retention call
+        // (same contract as Spark's own cleanCheckpoints default).
+        // `spark.graft.checkpointReclaim=true` opts a loop in: once
+        // round N's checkpoint MATERIALIZES (a full durable copy, no
+        // file-level references back), the round N−1 snapshots in its
+        // lineage are deleted. Opting in asserts the loop only ever
+        // reads its latest round — the invariant every staged loop
+        // here satisfies (each round consumes exactly its predecessor).
+        val reclaim = s.conf.get("spark.graft.checkpointReclaim",
+          "false").toBoolean
         val persisted = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try persisted.checkpoint()
-        finally persisted.unpersist()
+        try {
+          val superseded =
+            if (reclaim) checkpointFiles(persisted.rdd) else Nil
+          val out = persisted.checkpoint()
+          superseded.foreach { p =>
+            val path = new Path(p)
+            path.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          }
+          out
+        } finally persisted.unpersist()
       case None => df.localCheckpoint()
     }
+  }
+
+  /** Reliable-checkpoint directories reachable in `rdd`'s lineage — the
+    * predecessor rounds a new checkpoint supersedes. Local checkpoints
+    * expose no file path and are never collected; traversal stops at a
+    * checkpointed RDD (its dependencies are already truncated).
+    */
+  private def checkpointFiles(rdd: RDD[_]): Seq[String] = {
+    val acc = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(r: RDD[_]): Unit = {
+      r.getCheckpointFile.foreach(acc += _)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
+    walk(rdd)
+    acc.toSeq
   }
 
   /** Postfix form: `df.staged()` ≡ `Checkpoints.stage(df)`. */
