@@ -28,11 +28,68 @@ import java.nio.charset.StandardCharsets
   * "win" the same version and one list is silently lost — on those
   * stores this primitive requires a single committer (the gate runs
   * one) or external coordination; a production object-store deployment
-  * would swap in a conditional-PUT (If-None-Match) client. Old
-  * manifests are never modified, so every historical version stays
-  * readable — time travel is just "resolve version v instead of
-  * latest".
+  * swaps a conditional-PUT (If-None-Match) client in through the
+  * [[Committer]] seam without touching the protocol. Old manifests are
+  * never modified, so every historical version stays readable — time
+  * travel is just "resolve version v instead of latest".
   */
+/** The single operation the commit protocol's optimistic concurrency
+  * rests on: create `target` containing `body` iff no file exists there.
+  * Pluggable so the store-appropriate atomic primitive drops in without
+  * touching the protocol — [[FsCreateCommitter]] uses the filesystem's
+  * `create(overwrite=false)` (atomic on HDFS, check-then-create on
+  * local/S3A); an object-store deployment substitutes a conditional-PUT
+  * (If-None-Match) client with the same contract.
+  *
+  * Contract: return true iff THIS call durably created the complete
+  * file (won the version slot); return false iff the slot was already
+  * taken (lost the race — the caller re-reads and retries). A failure
+  * AFTER claiming the slot must not leave a partial file installed as a
+  * real version: implementations delete their own partial file and
+  * rethrow (a reader catching the delete-race sees a missing
+  * terminator, never silent truncation).
+  */
+trait Committer {
+  def createIfAbsent(f: FileSystem, target: Path, body: Array[Byte]): Boolean
+}
+
+/** `create(overwrite=false)` committer — see [[Manifest]]'s atomicity
+  * scope for where that call is genuinely atomic.
+  */
+object FsCreateCommitter extends Committer {
+  override def createIfAbsent(f: FileSystem, target: Path,
+      body: Array[Byte]): Boolean = {
+    // Only the CREATE call may be read as "lost the race" — after a
+    // successful create, a write/close failure means OUR file is the
+    // (partial) one at `target`; treating that as a race would install
+    // a corrupt manifest as a real version.
+    val created =
+      try Some(f.create(target, false))
+      catch {
+        case e: java.io.IOException =>
+          val lostRace = e.isInstanceOf[
+            org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            f.exists(target)
+          if (!lostRace) throw e
+          None
+      }
+    created match {
+      case Some(out) =>
+        try {
+          try out.write(body)
+          finally out.close()
+        } catch {
+          case e: Throwable =>
+            try f.delete(target, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
+        true
+      case None => false
+    }
+  }
+}
+
 object Manifest {
   private val Name = "manifest-v(\\d{6})".r
 
@@ -110,7 +167,7 @@ object Manifest {
     * re-read state each attempt — an appending commit must fold the
     * race winner's list in, not replay its own stale read.
     */
-  private def commitLoop(f: FileSystem, root: String)
+  private def commitLoop(f: FileSystem, root: String, committer: Committer)
       (content: Seq[Int] => String): Int = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
@@ -132,37 +189,10 @@ object Manifest {
         }
       if (body.nonEmpty) {
         betweenReadAndCreate()
-        // Only the CREATE call may be read as "lost the race" — after a
-        // successful create, a write/close failure means OUR file is the
-        // (partial) one at `target`; treating that as a race would
-        // install a corrupt manifest as a real version. A post-create
-        // failure deletes the partial file and rethrows; a reader or
-        // racer catching the file mid-write sees a missing terminator,
-        // not silent truncation.
-        val created =
-          try Some(f.create(target, false))
-          catch {
-            case e: java.io.IOException =>
-              val lostRace = e.isInstanceOf[
-                org.apache.hadoop.fs.FileAlreadyExistsException] ||
-                f.exists(target)
-              if (!lostRace) throw e
-              None // lost the race: loop re-reads, retries the next slot
-          }
-        created match {
-          case Some(out) =>
-            try {
-              try out.write(body.getBytes(StandardCharsets.UTF_8))
-              finally out.close()
-            } catch {
-              case e: Throwable =>
-                try f.delete(target, false)
-                catch { case scala.util.control.NonFatal(_) => () }
-                throw e
-            }
-            return next
-          case None => () // retry
-        }
+        if (committer.createIfAbsent(f, target,
+            body.getBytes(StandardCharsets.UTF_8)))
+          return next
+        // else: lost the race — loop re-reads, retries the next slot
       }
     }
     throw new IllegalStateException(
@@ -171,14 +201,15 @@ object Manifest {
   }
 
   /** Commit `batchDir` into the table: next manifest = previous list +
-    * the new directory, written create-if-absent (the
+    * the new directory, written create-if-absent via `committer` (the
     * optimistic-concurrency point — see the atomicity scope above).
     * Loses of the race re-read the winner's list and retry at the next
     * version. Returns the committed version.
     */
-  def commit(s: SparkSession, root: String, batchDir: String): Int = {
+  def commit(s: SparkSession, root: String, batchDir: String,
+      committer: Committer = FsCreateCommitter): Int = {
     val f = fs(s, root)
-    commitLoop(f, root) { prev =>
+    commitLoop(f, root, committer) { prev =>
       val prevList = prev.lastOption
         .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
       (prevList :+ batchDir).mkString("\n")
@@ -190,8 +221,9 @@ object Manifest {
     * list plus them. Old versions keep reading the old files, so a
     * rewrite never disturbs a reader mid-query and stays time-travelable.
     */
-  def rewrite(s: SparkSession, root: String, dirs: Seq[String]): Int =
-    commitLoop(fs(s, root), root)(_ => dirs.mkString("\n"))
+  def rewrite(s: SparkSession, root: String, dirs: Seq[String],
+      committer: Committer = FsCreateCommitter): Int =
+    commitLoop(fs(s, root), root, committer)(_ => dirs.mkString("\n"))
 
   /** Snapshot EXPIRATION (vacuum) — the retention maintenance every
     * manifest table needs: time travel keeps every version readable,
@@ -204,6 +236,18 @@ object Manifest {
     * superseded versions), so readers pinned to them are safe; readers
     * pinned to an expired version fail fast on resolve, the standard
     * retention contract. Returns the expired version numbers.
+    *
+    * Robustness: a DEAD version whose manifest lacks the terminator (a
+    * writer died mid-write and the slot was later superseded) is treated
+    * as referencing no directories and its manifest file is deleted —
+    * the one reclaim path such an artifact has. A LIVE version must stay
+    * readable, so a corrupt live manifest still fails the vacuum loudly
+    * (run [[repair]] first if it is the stuck latest). Crash window:
+    * data directories are deleted BEFORE their version's manifest file,
+    * so a crash in between leaves a still-listed version whose snapshot
+    * fails deep in the parquet read rather than at resolve; re-running
+    * expire heals it (the reverse order would instead strand
+    * unreferenced data directories no later run could ever reclaim).
     */
   def expire(s: SparkSession, root: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the latest version")
@@ -213,11 +257,40 @@ object Manifest {
     val keepDirs = live.flatMap(v => readList(f, manifestPath(root, v)))
       .toSet
     dead.foreach { v =>
-      readList(f, manifestPath(root, v)).filterNot(keepDirs)
-        .foreach(d => f.delete(new Path(d), true))
-      f.delete(manifestPath(root, v), false)
+      val p = manifestPath(root, v)
+      val dirs =
+        try readList(f, p)
+        catch { case _: IncompleteManifestException => Seq.empty }
+      dirs.filterNot(keepDirs).foreach(d => f.delete(new Path(d), true))
+      f.delete(p, false)
     }
     dead
+  }
+
+  /** Repair a table wedged by a terminator-less LATEST manifest — the
+    * writer-died-mid-write artifact that otherwise blocks every
+    * subsequent commit (each attempt's `content(prev)` read of the
+    * latest list throws until [[MaxCommitAttempts]] exhausts). The file
+    * is deleted only once older than `graceMs`, so a healthy in-flight
+    * writer inside the grace window is left alone; the freed slot is
+    * then re-claimable by the next commit. Returns the removed version,
+    * or None if the latest manifest is complete, missing, or too young.
+    */
+  def repair(s: SparkSession, root: String,
+      graceMs: Long = 60000L): Option[Int] = {
+    val f = fs(s, root)
+    versionsOf(f, root).lastOption.flatMap { v =>
+      val p = manifestPath(root, v)
+      val stuck =
+        try { readList(f, p); false }
+        catch {
+          case _: IncompleteManifestException => true
+          case _: java.io.FileNotFoundException => false // already gone
+        }
+      val expired = stuck && (System.currentTimeMillis() -
+        f.getFileStatus(p).getModificationTime) >= graceMs
+      if (expired && f.delete(p, false)) Some(v) else None
+    }
   }
 
   /** The snapshot a manifest version pins (latest when unspecified):

@@ -186,6 +186,104 @@ class LayoutSpec extends AnyFunSuite {
     } finally graft.io.Manifest.betweenReadAndCreate = () => ()
   }
 
+  test("io16: the commit race survives a swapped-in committer " +
+      "(conditional-PUT seam)") {
+    // the protocol must be committer-agnostic: the same interleaved race
+    // (a competitor lands the next version inside our read→create
+    // window) resolves identically through a conditional-PUT-style
+    // committer — emulated here with a mutex'd exists+overwrite, the
+    // If-None-Match shape an object store provides. This pins the seam a
+    // production S3 deployment drops its client into.
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    object ConditionalPut extends graft.io.Committer {
+      val monitor = new Object
+      var puts = 0
+      override def createIfAbsent(f: FileSystem, target: Path,
+          body: Array[Byte]): Boolean = monitor.synchronized {
+        if (f.exists(target)) false
+        else {
+          val out = f.create(target, true)
+          try out.write(body) finally out.close()
+          puts += 1
+          true
+        }
+      }
+    }
+    val root = System.getProperty("java.io.tmpdir") + "/graft_cput_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    assert(graft.io.Manifest.commit(spark, root, s"$root/data/b1",
+      ConditionalPut) == 1)
+    var planted = false
+    graft.io.Manifest.betweenReadAndCreate = () => {
+      if (!planted) {
+        planted = true
+        val out = f.create(new Path(root, "manifest-v000002"), false)
+        out.write((s"$root/data/b1\n$root/data/race\n" +
+          "#graft-manifest-complete")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }
+    }
+    try {
+      val got = graft.io.Manifest.commit(spark, root, s"$root/data/b2",
+        ConditionalPut)
+      assert(got == 3, s"lost race must retry at the next slot, got v$got")
+      assert(graft.io.Manifest.committed(spark, root) ==
+        Seq(s"$root/data/b1", s"$root/data/race", s"$root/data/b2"),
+        "the retried commit must append to the race WINNER's list")
+      assert(ConditionalPut.puts == 2,
+        "both surviving versions must have gone through the seam")
+    } finally graft.io.Manifest.betweenReadAndCreate = () => ()
+  }
+
+  test("expire reclaims a corrupt dead manifest; repair frees a stuck " +
+      "terminator-less latest") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_repair_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(1).toDF("id").write.mode("overwrite")
+      .parquet(s"$root/data/b1")
+    spark.range(1).toDF("id").write.mode("overwrite")
+      .parquet(s"$root/data/b2")
+    assert(graft.io.Manifest.commit(spark, root, s"$root/data/b1") == 1)
+    // a writer died mid-write on v2 (no terminator), then the table
+    // moved on: v3 committed by a healthy producer
+    val dead = f.create(new Path(root, "manifest-v000002"), false)
+    dead.write(s"$root/data/ghost\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dead.close()
+    val v3 = graft.io.Manifest.rewrite(spark, root,
+      Seq(s"$root/data/b1", s"$root/data/b2"))
+    assert(v3 == 3)
+    // vacuum down to the latest: the corrupt v2 must not abort the
+    // loop — it reclaims as "references nothing" and its file goes
+    val expired = graft.io.Manifest.expire(spark, root, keepLast = 1)
+    assert(expired == Seq(1, 2))
+    assert(graft.io.Manifest.versions(spark, root) == Seq(3))
+    // now wedge the LATEST slot: v4 terminator-less blocks every commit
+    val stuck = f.create(new Path(root, "manifest-v000004"), false)
+    stuck.write("partial".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    stuck.close()
+    intercept[graft.io.Manifest.IncompleteManifestException] {
+      graft.io.Manifest.committed(spark, root)
+    }
+    // inside the grace window repair must leave the (possibly healthy,
+    // in-flight) writer alone
+    assert(graft.io.Manifest.repair(spark, root,
+      graceMs = 60000L).isEmpty)
+    // past the grace window the stuck slot is reclaimed and commits flow
+    assert(graft.io.Manifest.repair(spark, root, graceMs = 0L)
+      .contains(4))
+    val v4 = graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+    assert(v4 == 4 || v4 == 5, s"commit must proceed after repair, got $v4")
+    assert(graft.io.Manifest.committed(spark, root).last ==
+      s"$root/data/b2")
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
