@@ -43,20 +43,35 @@ object Metrics {
       log.info(s"[$observation] $metric=$value")
   }
 
+  /** The klio metric names the reference registers with COUNTER
+    * semantics (monotonic per-run counts — shumway.py distinguishes
+    * counter vs gauge emit, :76-272; the names come from
+    * decorators.py:456-470, io.py:93-145, _retry.py:59-66). Everything
+    * else — gauges and the kmsg-timer family — relays with last-value
+    * gauge semantics.
+    */
+  val CounterMetrics: Set[String] = Set("kmsg-received", "kmsg-success",
+    "kmsg-drop", "kmsg-drop-error", "kmsg-read", "kmsg-write",
+    "kmsg-retry-attempt")
+
   /** Shumway/ffwd parity (shumway.py:76-272, native.py:87-244): the
     * reference's default metrics path on the GKE runner pushes every
     * metric to a local agent as a UDP datagram. This relay emits
-    * StatsD-format lines — `<prefix>.<observation>.<metric>:<value>|g`
-    * — to a configured agent address. UDP is fire-and-forget by design
-    * (an absent agent drops packets, never blocks or fails the
-    * listener), matching the reference's metrics-must-not-break-the-job
-    * stance; the Relay contract isolates any socket error besides.
+    * StatsD-format lines — `<prefix>.<observation>.<metric>:<value>|c`
+    * for the klio counter names ([[CounterMetrics]], shumway's
+    * counter-vs-gauge split), `|g` for gauges and timers — to a
+    * configured agent address. UDP is fire-and-forget by design (an
+    * absent agent drops packets, never blocks or fails the listener),
+    * matching the reference's metrics-must-not-break-the-job stance;
+    * the Relay contract isolates any socket error besides.
     * Datagram-illegal characters in names (':', '|', newline, and the
     * '.' hierarchy separator inside a segment) are sanitized to '_' so
     * one odd observation name cannot corrupt the line protocol.
     */
   final class UdpRelay(host: String = "127.0.0.1", port: Int = 19000,
-      prefix: String = "klio") extends Relay with java.io.Closeable {
+      prefix: String = "klio",
+      counters: Set[String] = CounterMetrics)
+      extends Relay with java.io.Closeable {
     private val addr = new java.net.InetSocketAddress(host, port)
     private val sock = new java.net.DatagramSocket()
     private def clean(s: String): String =
@@ -68,12 +83,13 @@ object Metrics {
     }
     def emit(observation: String, metric: String, value: Long): Unit = {
       val name = s"$prefix.${clean(observation)}.${clean(metric)}"
+      if (counters.contains(metric)) send(s"$name:$value|c")
       // StatsD reads a signed gauge value as a DELTA, not a set — the
       // protocol's convention for setting a negative gauge is a zero-set
       // followed by the signed decrement, and both lines ride ONE
       // newline-separated datagram (the standard multi-metric packet) so
       // over lossy UDP they apply atomically or not at all
-      if (value < 0) send(s"$name:0|g\n$name:$value|g")
+      else if (value < 0) send(s"$name:0|g\n$name:$value|g")
       else send(s"$name:$value|g")
     }
     def close(): Unit = sock.close()

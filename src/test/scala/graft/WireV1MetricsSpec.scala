@@ -140,10 +140,47 @@ class WireV1MetricsSpec extends AnyFunSuite {
           java.nio.charset.StandardCharsets.UTF_8)
         tries += 1
       }
-      assert(line === "klio.udp_obs.kmsg-write:4|g",
+      // kmsg-write is a monotonic klio counter → StatsD counter type
+      assert(line === "klio.udp_obs.kmsg-write:4|c",
         s"unexpected datagram: $line")
     } finally {
       Metrics.clearRelays()
+      relay.close()
+      agent.close()
+    }
+  }
+
+  test("UDP relay distinguishes counter vs gauge/timer StatsD types") {
+    // shumway registers kmsg counts as counters and everything else
+    // (gauges, the timer family) as gauge-valued — the suffix is what
+    // the agent aggregates by, so a counter mislabeled |g would be
+    // read as last-value instead of rate
+    val agent = new java.net.DatagramSocket()
+    agent.setSoTimeout(8000)
+    val relay = new Metrics.UdpRelay(port = agent.getLocalPort)
+    def recv(): String = {
+      val buf = new Array[Byte](512)
+      val p = new java.net.DatagramPacket(buf, buf.length)
+      agent.receive(p)
+      new String(p.getData, p.getOffset, p.getLength,
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    try {
+      for (m <- Metrics.CounterMetrics.toSeq.sorted) {
+        relay.emit("types", m, 7L)
+        assert(recv() === s"klio.types.$m:7|c", s"$m must be a counter")
+      }
+      relay.emit("types", "kmsg-timer-max", 123L)
+      assert(recv() === "klio.types.kmsg-timer-max:123|g",
+        "timers relay as gauge-valued")
+      relay.emit("types", "queue-depth", 5L)
+      assert(recv() === "klio.types.queue-depth:5|g",
+        "non-klio metrics default to gauge")
+      // negative gauge: atomic zero-set + signed delta, one datagram
+      relay.emit("types", "queue-depth", -3L)
+      assert(recv() ===
+        "klio.types.queue-depth:0|g\nklio.types.queue-depth:-3|g")
+    } finally {
       relay.close()
       agent.close()
     }
