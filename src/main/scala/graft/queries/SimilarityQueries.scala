@@ -189,6 +189,32 @@ object SimilarityQueries {
         (col("rk0") + 1).cast("int").as("rk"))
   }
 
+  /** Pack a (code, j, sc) sub-codebook table (bounded: m subspaces × k
+    * codes) into ONE broadcast row — `byJ` ordered by subspace, each
+    * subspace's candidates ordered by code — so PQ encode/decode can run
+    * as per-row projections (the same no-corpus-side-aggregate shape as
+    * [[centroidRanked]]): nothing vec-keyed ever aggregates or shuffles.
+    */
+  private def packCodebook(cj: DataFrame, codeCol: String): DataFrame =
+    cj.groupBy(col("j"))
+      .agg(array_sort(collect_list(struct(col(codeCol).as("code"),
+        col("sc")))).as("cands"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cands"))))
+        .as("byJ"))
+
+  /** Nearest code of subspace `jc` for the slice of `v` it covers —
+    * `struct(d, code, sc)` lexicographic min = the ROW_NUMBER
+    * `ORDER BY d, code` pick (codes are unique, sc is never compared).
+    */
+  private def nearestCode(v: Column, jc: Column): Column =
+    array_min(transform(jc.getField("cands"), c =>
+      struct(
+        sqDistLong(slice(v, jc.getField("j") * 8 + 1, lit(8)),
+          c.getField("sc")).as("d"),
+        c.getField("code").as("code"),
+        c.getField("sc").as("sc"))))
+
   def s3IvfAssign(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
     centroidRanked(e, centroids(e), maxRank = 1)
@@ -364,53 +390,42 @@ object SimilarityQueries {
     * same [[centroids]] the IVF queries use; real systems train them with
     * [[s5KmeansTrain]]'s loop per subspace.
     *
-    * Scale shape: codebook is broadcast both times it's needed (encode
-    * and decode); encoding is one corpus scan + a (vec,subspace)-keyed
-    * rank; scoring pairs a broadcast bounded probe set against the
-    * code-compressed corpus stream, exactly [[s1KnnBrute]]'s plan but
-    * over 64×-smaller corpus state — which is the entire point of PQ.
-    * All distance folds run in fixed index order (codegen'd HOFs over
-    * integer-quantized components), so the doubles are engine-exact and
-    * the oracle replays them bit-for-bit.
+    * Scale shape: the codebook packs into ONE broadcast row and
+    * encode+decode run inside each corpus row (per-subspace nearest-code
+    * pick + slice concatenation, all native-kernel distance folds) — one
+    * corpus scan, zero corpus-side shuffle or aggregate; scoring pairs a
+    * broadcast bounded probe set against the code-compressed corpus
+    * stream, exactly [[s1KnnBrute]]'s plan but over 64×-smaller corpus
+    * state — which is the entire point of PQ. All distance folds run in
+    * fixed index order, so the doubles are engine-exact and the oracle
+    * replays them bit-for-bit.
     */
   def s6PqAdc(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
     val cent = centroids(e)
-    // sub-codebook: (j, code=clabel, 8-dim centroid slice). Materialized
-    // once (80 rows): encode and decode both broadcast it, and without
-    // the checkpoint each broadcast replays the corpus-wide centroid
-    // aggregation behind it.
+    // sub-codebook: (j, code=clabel, 8-dim centroid slice), packed into
+    // one broadcast row so encode+decode run INSIDE each corpus row —
+    // no 8× explode, no per-(vec,subspace) aggregate shuffling the
+    // corpus, no vec-keyed collect_list reassembly (the
+    // ObjectHashAggregate fallback shape the IVF assignment also shed)
     val cj = cent.select(col("clabel"),
         explode(sequence(lit(0), lit(7))).as("j"), col("c"))
       .select(col("clabel"), col("j"),
         slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
-      .staged()
-    // encode: nearest sub-centroid per (vector, subspace)
-    val vj = e.select(col("vec_id"),
-      explode(sequence(lit(0), lit(7))).as("j"), col("v"))
-    val sdist = sqDistLong(slice(col("v"), col("j") * 8 + 1, lit(8)),
-      col("sc"))
-    // nearest sub-code via min_by: candidates are co-located (row ×
-    // broadcast codebook), so the partial aggregate collapses the
-    // codebook-replicated rows map-side — no rank-window shuffle
-    val codes = vj.join(broadcast(cj), Seq("j"))
-      .select(col("vec_id"), col("j"), col("clabel"), sdist.as("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min_by(col("clabel"), struct(col("d"), col("clabel")))
-        .as("clabel"))
-    // decode: reassemble each vector's ADC reconstruction from its codes
-    val recon = codes.join(broadcast(cj), Seq("j", "clabel"))
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("j"), col("sc")))).as("parts"))
-      .select(col("vec_id"),
-        flatten(transform(col("parts"), p => p.getField("sc"))).as("r"))
+    val cjp = packCodebook(cj, "clabel")
+    // encode+decode fused per row: nearest sub-code's slice per
+    // subspace, concatenated in subspace order (byJ is j-ordered)
+    val recon = flatten(transform(col("byJ"), jc =>
+      nearestCode(col("v"), jc).getField("sc")))
+    val rec = e.crossJoin(broadcast(cjp))
+      .select(col("vec_id"), recon.as("r"))
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val adist = sqDistLong(col("qv"), col("r"))
     val topk = Window.partitionBy(col("qid"))
       .orderBy(col("adist"), col("nid"))
-    broadcast(probes).crossJoin(recon)
+    broadcast(probes).crossJoin(rec)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
       .withColumn("rk", row_number().over(topk))
@@ -556,24 +571,21 @@ object SimilarityQueries {
       .select(col("clabel"), col("j"),
         slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
       .staged()
-    val vj = e.select(col("vec_id"),
-      explode(sequence(lit(0), lit(7))).as("j"),
-      col("v")).select(col("vec_id"), col("j"),
-      slice(col("v"), col("j") * 8 + 1, lit(8)).as("sv"))
-    val sdist = sqDistLong(col("sv"), col("sc"))
-    // nearest-code assignment via min_by: the 10×-replicated candidates
-    // collapse in the map-side partial aggregate (they are co-located —
-    // row × broadcast codebook), where the old rank window shuffled the
-    // full replicated candidate set every Lloyd round
+    // nearest-code assignment as a per-row projection against the
+    // packed 1-row codebook: each corpus row picks all 8 sub-codes
+    // inside itself, THEN explodes to the per-(vec,subspace) rows the
+    // mean recompute consumes — a narrow 8× generate, where the earlier
+    // min_by aggregate shuffled corpus×8 keyed rows (and the rank
+    // window before it shuffled corpus×8×k) every Lloyd round
     def assign(cj: DataFrame): DataFrame =
-      vj.join(broadcast(cj), Seq("j"))
-        .select(col("vec_id"), col("j"), col("clabel"), col("sv"),
-          sdist.as("d"))
-        .groupBy(col("vec_id"), col("j"))
-        .agg(min_by(struct(col("clabel"), col("sv")),
-          struct(col("d"), col("clabel"))).as("w"))
-        .select(col("vec_id"), col("j"), col("w.clabel").as("clabel"),
-          col("w.sv").as("sv"))
+      e.crossJoin(broadcast(packCodebook(cj, "clabel")))
+        .select(col("vec_id"), explode(transform(col("byJ"), jc =>
+          struct(jc.getField("j").as("j"),
+            nearestCode(col("v"), jc).getField("code").as("clabel"),
+            slice(col("v"), jc.getField("j") * 8 + 1, lit(8)).as("sv"))))
+          .as("t"))
+        .select(col("vec_id"), col("t.j").as("j"),
+          col("t.clabel").as("clabel"), col("t.sv").as("sv"))
     val a0 = assign(cj0)
     // exact-integer component sums → one double division per component;
     // empty codes fall back to their initial centroid via the outer join
@@ -658,14 +670,16 @@ object SimilarityQueries {
     * Engine-exactness: residuals are re-quantized to integers
     * (floor(v−c+0.5) — one exact IEEE subtraction each), so codebook
     * means are integer sums with one division, immune to float-summation
-    * order. Scale shape: centroids and the 10×8-slice codebook broadcast
-    * (the codebook is checkpointed — 80 rows — so the two joins that
-    * need it don't replay the corpus aggregation); assignment, residual,
-    * and encode are single corpus scans with per-(vec,subspace) ranks;
-    * scoring is a broadcast-probe equi-join on list id over the
-    * code-compressed corpus — linear shuffle, prunable per list, and the
-    * corpus state it carries is the ~4 B/vector codes plus shared
-    * codebooks, the IVF-PQ memory contract.
+    * order. Scale shape: centroids and the packed 1-row residual
+    * codebook broadcast; assignment, residual, and fused encode+decode
+    * are single corpus scans that run INSIDE each row (no
+    * per-(vec,subspace) aggregate, no vec-keyed reassembly — the
+    * [[centroidRanked]] projection shape); the only corpus-wide
+    * aggregate is codebook training (map-side combined, k×m×8-row
+    * shuffle); scoring is a broadcast-probe equi-join on list id over
+    * the code-compressed corpus — linear shuffle, prunable per list,
+    * and the corpus state it carries is the ~4 B/vector codes plus
+    * shared codebooks, the IVF-PQ memory contract.
     */
   def s8IvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
@@ -684,40 +698,30 @@ object SimilarityQueries {
         zip_with(col("v"), col("c"),
           (x, m) => floor(x.cast("double") - m + lit(0.5d)).cast("long"))
           .as("rq"))
-    val rj = withRes.select(col("vec_id"), col("label"), col("cluster"),
-        explode(sequence(lit(0), lit(7))).as("j"), col("rq"))
-      .select(col("vec_id"), col("label"), col("cluster"), col("j"),
-        slice(col("rq"), col("j") * 8 + 1, lit(8)).as("sv"))
-    // residual sub-codebook: per-(label, subspace) mean of residual
-    // slices — 10 codes × 8 subspaces, materialized once
-    val cb = rj
-      .select(col("label"), col("j"), posexplode(col("sv")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("j"), col("i"))
+    // residual sub-codebook TRAINING: per-(label, subspace, component)
+    // exact integer sums — a genuine corpus aggregate (map-side
+    // combined, shuffle k×m×8 rows), kept as such
+    val cb = withRes
+      .select(col("label"), posexplode(col("rq")).as(Seq("i0", "x")))
+      .select(col("label"), (col("i0") / 8).cast("int").as("j"),
+        col("i0"), col("x"))
+      .groupBy(col("label"), col("j"), col("i0"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
       .groupBy(col("label"), col("j"))
-      .agg(array_sort(collect_list(struct(col("i"),
+      .agg(array_sort(collect_list(struct(col("i0"),
         (col("sx").cast("double") / col("cnt").cast("double")).as("m"))))
         .as("pairs"))
       .select(col("label").as("code"), col("j"),
         transform(col("pairs"), p => p.getField("m")).as("sc"))
-      .staged()
-    val sdist = sqDistLong(col("sv"), col("sc"))
-    // nearest residual code via min_by — co-located candidates collapse
-    // map-side, no rank-window shuffle of the code-replicated rows
-    val codes = rj.join(broadcast(cb), Seq("j"))
-      .select(col("vec_id"), col("cluster"), col("j"), col("code"),
-        sdist.as("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min_by(struct(col("cluster"), col("code")),
-        struct(col("d"), col("code"))).as("w"))
-      .select(col("vec_id"), col("j"), col("w.cluster").as("cluster"),
-        col("w.code").as("code"))
-    // reconstruction = coarse centroid + residual code slices
-    val recon = codes.join(broadcast(cb), Seq("j", "code"))
-      .groupBy(col("vec_id"), col("cluster"))
-      .agg(array_sort(collect_list(struct(col("j"), col("sc")))).as("parts"))
-      .select(col("vec_id"), col("cluster"),
-        flatten(transform(col("parts"), p => p.getField("sc"))).as("res"))
+    // encode+decode fused per row against the packed 1-row codebook
+    // (residual nearest-code pick per subspace, slices concatenated in
+    // subspace order) — no per-(vec,subspace) aggregate, no vec-keyed
+    // collect_list reassembly; reconstruction = coarse centroid +
+    // residual code slices
+    val resRecon = flatten(transform(col("byJ"), jc =>
+      nearestCode(col("rq"), jc).getField("sc")))
+    val recon = withRes.crossJoin(broadcast(packCodebook(cb, "code")))
+      .select(col("vec_id"), col("cluster"), resRecon.as("res"))
       .join(broadcast(centByCluster), Seq("cluster"))
       .select(col("vec_id"), col("cluster").as("list"),
         zip_with(col("c"), col("res"), (m, r) => m + r).as("r"))

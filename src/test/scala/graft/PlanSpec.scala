@@ -191,25 +191,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF assignment is a projection: no corpus-keyed object aggregate") {
-    // The nearest-centroid top-k is computed INSIDE each corpus row
-    // (broadcast 1-row centroid array + fused sort/slice projection).
-    // An ObjectHashAggregateExec keyed by vec_id (corpus cardinality)
-    // would ride the sort-based fallback cliff: >128 distinct keys per
-    // partition degrades to sorting variable-width collect_list buffers
-    // that carry the 64-long vector payload — the shape behind the
-    // driver-recorded 21× s4 blowup in round 5. Only bounded-key object
-    // aggregates (the k-row centroid pack) may remain.
-    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
-    for (q <- Seq("s3_ivf_assign", "s4_ivf_probe", "s9_ann_recall",
-        "d14_semantic_dedup")) {
+  test("ANN assignment/encode/decode are projections: nothing corpus-" +
+      "keyed aggregates") {
+    // The nearest-centroid/nearest-code picks and the PQ reconstruction
+    // are computed INSIDE each corpus row (broadcast 1-row
+    // centroid/codebook pack + fused projection). A vec_id-keyed
+    // (corpus-cardinality) aggregate either rides
+    // ObjectHashAggregateExec's sort-based fallback cliff (>128 distinct
+    // keys per partition degrades to sorting variable-width collect_list
+    // buffers carrying the vector payload — the shape behind the
+    // driver-recorded 21× s4 blowup in round 5) or plans straight to
+    // SortAggregateExec (array-typed min_by buffers), sorting the corpus
+    // either way. Only bounded-key aggregates (centroid/codebook builds)
+    // may remain.
+    import org.apache.spark.sql.execution.aggregate.{
+      ObjectHashAggregateExec, SortAggregateExec}
+    for (q <- Seq("s3_ivf_assign", "s4_ivf_probe", "s5_kmeans_train",
+        "s6_pq_adc", "s7_pq_train", "s8_ivfpq", "s9_ann_recall",
+        "s10_sq8", "d14_semantic_dedup")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val offenders = df.queryExecution.executedPlan.collect {
         case a: ObjectHashAggregateExec if a.groupingExpressions
           .exists(_.references.exists(_.name == "vec_id")) => a
+        case a: SortAggregateExec if a.groupingExpressions
+          .exists(_.references.exists(_.name == "vec_id")) => a
       }
       assert(offenders.isEmpty,
-        s"$q: assignment must not object-aggregate on vec_id " +
+        s"$q: must not aggregate keyed by vec_id " +
           s"(found ${offenders.size})")
     }
   }
