@@ -1212,6 +1212,65 @@ object TextQueries {
       |FROM c JOIN o ON c.tok = o.tok
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Sliding-window chunking — the context-window preprocessor every
+    * training/RAG pipeline runs before embedding or packing: each
+    * document splits into fixed-size token windows (W=32 words) with a
+    * fixed stride (S=24, i.e. 8 words of overlap so no boundary context
+    * is lost), and the last window starts at the first stride multiple
+    * that reaches the document end (no fully-contained redundant tail).
+    * W/S are sized to this corpus's ≤100-word documents; a production
+    * run uses the model's context budget (e.g. 512/448) — the shape is
+    * identical. Output is the per-language chunk census (docs, chunks,
+    * words covered incl. overlap, and a position checksum) rather than
+    * the chunks themselves, so the gate hashes the full boundary math.
+    *
+    * Scale shape: chunk boundaries are computed INSIDE each row
+    * (sequence + transform over the word count) and exploded narrowly —
+    * no shuffle until the census aggregate (map-side combined, one row
+    * per lang). n_docs counts windows at position 0 instead of
+    * count-distinct doc_id, keeping the aggregate fixed-width.
+    */
+  def tChunking(s: SparkSession, dir: String): DataFrame = {
+    val W = 32
+    val S = 24
+    val n = size(split(col("text"), " "))
+    val kmax = when(n <= W, lit(0))
+      .otherwise(((n - W + (S - 1)).cast("double") / S).cast("int"))
+    val chunks = transform(sequence(lit(0), kmax), k =>
+      struct((k * S).cast("long").as("st"),
+        least(n - k * S, lit(W)).cast("long").as("ln")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(chunks).as("c"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("c.st") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("c.ln")).as("words_covered"),
+        sum(col("doc_id") * 7919 + col("c.st")).as("checksum"))
+      .orderBy(col("lang"))
+  }
+
+  /** The oracle generates window indexes from an uncorrelated range
+    * (DuckDB's `range` cannot take a lateral bound) — 32 covers documents
+    * up to ~770 words, far past this corpus's 100-word max; a longer doc
+    * would surface as a loud row/hash mismatch, never a silent pass.
+    */
+  val tChunkingOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) n FROM documents),
+      |k AS (SELECT doc_id, lang, n,
+      |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END kmax
+      |  FROM d),
+      |c AS (SELECT doc_id, lang, CAST((i-1)*24 AS BIGINT) st,
+      |    LEAST(n - (i-1)*24, 32) ln
+      |  FROM k, range(1, 32) r(i) WHERE i <= kmax + 1)
+      |SELECT lang,
+      |  CAST(SUM(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(ln) AS BIGINT) AS words_covered,
+      |  CAST(SUM(doc_id * 7919 + st) AS BIGINT) AS checksum
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1233,7 +1292,8 @@ object TextQueries {
     "t18_gopher_rules" -> (tGopherRules _),
     "t19_bpe_apply" -> (tBpeApply _),
     "t20_url_canon" -> (tUrlCanon _),
-    "t21_pseudonymize" -> (tPseudonymize _))
+    "t21_pseudonymize" -> (tPseudonymize _),
+    "t22_chunking" -> (tChunking _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1256,5 +1316,6 @@ object TextQueries {
     "t18_gopher_rules" -> tGopherRulesOracle,
     "t19_bpe_apply" -> tBpeApplyOracle,
     "t20_url_canon" -> tUrlCanonOracle,
-    "t21_pseudonymize" -> tPseudonymizeOracle)
+    "t21_pseudonymize" -> tPseudonymizeOracle,
+    "t22_chunking" -> tChunkingOracle)
 }
