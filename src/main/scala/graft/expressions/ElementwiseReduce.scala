@@ -26,14 +26,16 @@ abstract class ElementwiseReduce
 
   def child: Expression
 
-  /** Identity of [[better]] — the value a null element reads as, so nulls
-    * never win a position and an all-null position surfaces as the
-    * identity rather than a silent 0 from the raw unsafe read.
+  /** Identity of [[combine]] — the value a null element reads as, so
+    * nulls never affect a position and an all-null position surfaces as
+    * the identity rather than a silent 0 from the raw unsafe read.
     */
   protected def neutral: Long
 
-  /** True iff `x` replaces the current value `cur` at a position. */
-  protected def better(x: Long, cur: Long): Boolean
+  /** Associative-commutative per-position reduction of a new value `x`
+    * into the current value `cur` (min / max / sum).
+    */
+  protected def combine(x: Long, cur: Long): Long
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -68,8 +70,7 @@ abstract class ElementwiseReduce
           else java.util.Arrays.copyOf(buffer, n)
         var i = 0
         while (i < n) {
-          val x = read(arr, i)
-          if (better(x, out(i))) out(i) = x
+          out(i) = combine(read(arr, i), out(i))
           i += 1
         }
         out
@@ -85,7 +86,7 @@ abstract class ElementwiseReduce
       val out = if (a.length == n) a else java.util.Arrays.copyOf(a, n)
       var i = 0
       while (i < n) {
-        if (better(b(i), out(i))) out(i) = b(i)
+        out(i) = combine(b(i), out(i))
         i += 1
       }
       out
@@ -128,7 +129,8 @@ case class ElementwiseMax(child: Expression,
 
   override def prettyName: String = "graft_elementwise_max"
   override protected def neutral: Long = Long.MinValue
-  override protected def better(x: Long, cur: Long): Boolean = x > cur
+  override protected def combine(x: Long, cur: Long): Long =
+    if (x > cur) x else cur
 
   override def withNewMutableAggBufferOffset(newOffset: Int)
       : ElementwiseMax = copy(mutableAggBufferOffset = newOffset)

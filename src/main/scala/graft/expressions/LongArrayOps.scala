@@ -255,6 +255,8 @@ object LongArrayOps {
       args => ElementwiseMin(args(0)).toAggregateExpression()),
     "graft_elementwise_max" -> arity("graft_elementwise_max", 1)(
       args => ElementwiseMax(args(0)).toAggregateExpression()),
+    "graft_elementwise_sum" -> arity("graft_elementwise_sum", 1)(
+      args => ElementwiseSum(args(0)).toAggregateExpression()),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime-filter rewrites but does not expose them in the SQL
     // registry; surfacing them makes the bloom-prefilter pattern (build a

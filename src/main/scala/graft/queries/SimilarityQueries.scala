@@ -137,17 +137,20 @@ object SimilarityQueries {
   /** Per-label centroids: exact integer component sums → deterministic
     * double means, one row per label with the mean vector. Shared by the
     * IVF assignment and probe queries so the quantizer can never diverge
-    * between them.
+    * between them. The component sums ride the fixed-width
+    * [[graft.expressions.ElementwiseSum]] long-array aggregate — one
+    * corpus pass with map-side partial merge, where the posexplode
+    * formulation inflates the scan 64× and re-packs with a collect_list.
     */
-  private def centroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("i"), (col("sx").cast("double") /
-        col("cnt").cast("double")).as("m")))).as("pairs"))
+  private def centroids(e: DataFrame): DataFrame = {
+    graft.expressions.LongArrayOps.register(e.sparkSession)
+    e.groupBy(col("label"))
+      .agg(call_function("graft_elementwise_sum", col("v")).as("sv"),
+        count(lit(1)).as("cnt"))
       .select(col("label").as("clabel"),
-        transform(col("pairs"), p => p.getField("m")).as("c"))
+        transform(col("sv"),
+          x => x.cast("double") / col("cnt").cast("double")).as("c"))
+  }
 
   /** Every vector ranked against every centroid by exact L2 (rk=1 is the
     * nearest-centroid assignment; rk<=nprobe gives the probe lists).
@@ -330,15 +333,12 @@ object SimilarityQueries {
         .select(col("vec_id"), col("v"), col("clabel").as("cluster"))
     val a1 = assign(init)
     val cent2 = a1
-      .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("cluster"), col("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
       .groupBy(col("cluster"))
-      .agg(array_sort(collect_list(struct(col("i"),
-        (col("sx").cast("double") / col("cnt").cast("double")).as("m"))))
-        .as("pairs"))
+      .agg(call_function("graft_elementwise_sum", col("v")).as("sv"),
+        count(lit(1)).as("cnt"))
       .select(col("cluster").as("clabel"),
-        transform(col("pairs"), p => p.getField("m")).as("c"))
+        transform(col("sv"),
+          x => x.cast("double") / col("cnt").cast("double")).as("c"))
     assign(cent2)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("checksum"))
@@ -587,17 +587,16 @@ object SimilarityQueries {
         .select(col("vec_id"), col("t.j").as("j"),
           col("t.clabel").as("clabel"), col("t.sv").as("sv"))
     val a0 = assign(cj0)
-    // exact-integer component sums → one double division per component;
-    // empty codes fall back to their initial centroid via the outer join
+    // exact-integer component sums (fixed-width ElementwiseSum buffers)
+    // → one double division per component; empty codes fall back to
+    // their initial centroid via the outer join
     val refined = a0
-      .select(col("j"), col("clabel"), posexplode(col("sv")).as(Seq("i", "x")))
-      .groupBy(col("j"), col("clabel"), col("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
       .groupBy(col("j"), col("clabel"))
-      .agg(array_sort(collect_list(struct(col("i"), (col("sx").cast("double") /
-        col("cnt").cast("double")).as("m")))).as("pairs"))
+      .agg(call_function("graft_elementwise_sum", col("sv")).as("sx"),
+        count(lit(1)).as("cnt"))
       .select(col("j"), col("clabel"),
-        transform(col("pairs"), p => p.getField("m")).as("scNew"))
+        transform(col("sx"),
+          x => x.cast("double") / col("cnt").cast("double")).as("scNew"))
     val cj1 = cj0.join(refined, Seq("j", "clabel"), "left")
       .select(col("j"), col("clabel"),
         coalesce(col("scNew"), col("sc")).as("sc"))
@@ -698,21 +697,18 @@ object SimilarityQueries {
         zip_with(col("v"), col("c"),
           (x, m) => floor(x.cast("double") - m + lit(0.5d)).cast("long"))
           .as("rq"))
-    // residual sub-codebook TRAINING: per-(label, subspace, component)
-    // exact integer sums — a genuine corpus aggregate (map-side
-    // combined, shuffle k×m×8 rows), kept as such
+    // residual sub-codebook TRAINING: per-label exact integer component
+    // sums (fixed-width ElementwiseSum buffers, one corpus pass,
+    // map-side partial merge) → per-subspace mean slices
     val cb = withRes
-      .select(col("label"), posexplode(col("rq")).as(Seq("i0", "x")))
-      .select(col("label"), (col("i0") / 8).cast("int").as("j"),
-        col("i0"), col("x"))
-      .groupBy(col("label"), col("j"), col("i0"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-      .groupBy(col("label"), col("j"))
-      .agg(array_sort(collect_list(struct(col("i0"),
-        (col("sx").cast("double") / col("cnt").cast("double")).as("m"))))
-        .as("pairs"))
-      .select(col("label").as("code"), col("j"),
-        transform(col("pairs"), p => p.getField("m")).as("sc"))
+      .groupBy(col("label"))
+      .agg(call_function("graft_elementwise_sum", col("rq")).as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("code"),
+        transform(col("sx"),
+          x => x.cast("double") / col("cnt").cast("double")).as("m"))
+      .select(col("code"), explode(sequence(lit(0), lit(7))).as("j"),
+        slice(col("m"), col("j") * 8 + 1, lit(8)).as("sc"))
     // encode+decode fused per row against the packed 1-row codebook
     // (residual nearest-code pick per subspace, slices concatenated in
     // subspace order) — no per-(vec,subspace) aggregate, no vec-keyed
@@ -924,16 +920,13 @@ object SimilarityQueries {
     * scan over the code-compressed state.
     */
   def s10Sq8(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
-    // per-dimension [min, max] over the corpus, one row of two arrays
-    val mm = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .groupBy()
-      .agg(
-        array_sort(collect_list(struct(col("i"), col("mn")))).as("pmn"),
-        array_sort(collect_list(struct(col("i"), col("mx")))).as("pmx"))
-      .select(transform(col("pmn"), p => p.getField("mn")).as("mins"),
-        transform(col("pmx"), p => p.getField("mx")).as("maxs"))
+    // per-dimension [min, max] over the corpus, one row of two arrays —
+    // fixed-width elementwise reductions, one corpus pass
+    val mm = e.groupBy()
+      .agg(call_function("graft_elementwise_min", col("v")).as("mins"),
+        call_function("graft_elementwise_max", col("v")).as("maxs"))
     val dims = sequence(lit(1), lit(64))
     // code_i = (v_i - min_i) * 255 DIV (max_i - min_i);
     // r_i    = min_i + code_i * (max_i - min_i) DIV 255.
@@ -1026,16 +1019,12 @@ object SimilarityQueries {
     val idx = base + "/graft_s11_sq8"
     val e = quantized(s, dir)
     val dims = sequence(lit(1), lit(64))
-    // ---- index build: train the per-dimension range table, encode the
-    // corpus once, persist both (mode=overwrite keeps the gate re-runnable)
-    val mm = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .groupBy()
-      .agg(
-        array_sort(collect_list(struct(col("i"), col("mn")))).as("pmn"),
-        array_sort(collect_list(struct(col("i"), col("mx")))).as("pmx"))
-      .select(transform(col("pmn"), p => p.getField("mn")).as("mins"),
-        transform(col("pmx"), p => p.getField("mx")).as("maxs"))
+    // ---- index build: train the per-dimension range table (fixed-width
+    // elementwise reductions, one corpus pass), encode the corpus once,
+    // persist both (mode=overwrite keeps the gate re-runnable)
+    val mm = e.groupBy()
+      .agg(call_function("graft_elementwise_min", col("v")).as("mins"),
+        call_function("graft_elementwise_max", col("v")).as("maxs"))
     val codeArr = transform(dims, i => {
       val mn = element_at(col("mins"), i)
       val span = element_at(col("maxs"), i) - mn

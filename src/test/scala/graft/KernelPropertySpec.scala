@@ -122,6 +122,22 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("elementwise_sum == positionwise sum per group") {
+    import spark.implicits._
+    LongArrayOps.register(spark)
+    val groups = samples(
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.chooseNum(-1000L, 1000L))), 20)
+    val rows = groups.zipWithIndex
+      .flatMap { case (vs, g) => vs.map(v => (g, v)) }
+    val got = rows.toDF("k", "v").repartition(3)
+      .groupBy(col("k"))
+      .agg(call_function("graft_elementwise_sum", col("v")).as("m"))
+      .orderBy(col("k")).as[(Int, Seq[Long])].collect().map(_._2).toSeq
+    val expect = groups.map(vs => vs.map(_.toSeq).reduce((x, y) =>
+      x.zip(y).map { case (p, q) => p + q }))
+    assert(got == expect)
+  }
+
   test("elementwise_min == positionwise reduce per group") {
     import spark.implicits._
     LongArrayOps.register(spark)
