@@ -251,9 +251,11 @@ object DedupFunctions {
   def sqDistLong(a: Column, b: Column): Column =
     call_function("graft_sqdist_long", a, b)
 
-  /** Integer squared norm. */
-  def normSqLong(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  /** Integer squared norm — the dot kernel against itself (one native
+    * loop, vs the interpreted transform+aggregate HOF chain). Requires
+    * [[graft.expressions.LongArrayOps.register]] like [[dotLong]].
+    */
+  def normSqLong(a: Column): Column = dotLong(a, a)
 
   /** Cosine similarity from quantized integers (deterministic double). */
   def cosineQ(dot: Column, na: Column, nb: Column): Column =

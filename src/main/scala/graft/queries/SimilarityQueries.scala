@@ -20,10 +20,12 @@ import graft.functions.DedupFunctions._
   */
 object SimilarityQueries {
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
       .withColumn("nn", normSqLong(col("v")))
+  }
 
   /** Brute-force cosine top-5 for a probe set (vec_id < 25). The exact
     * baseline every ANN variant is judged against. At scale: broadcast the
@@ -65,21 +67,21 @@ object SimilarityQueries {
     * Hyperplane component (j,c) is an LCG value centered at 0
     * (1103515245·(j·dim+c)+12345 mod 2^31 − 2^30), so sign(dot) is exact
     * integer math in both engines. products stay < 2^57, safe in a long.
+    * The hyperplanes are row-independent, so they fold to LITERAL arrays
+    * at plan time and each row pays `planes` native dot kernels — the
+    * HOF formulation re-derived all planes×dim LCG values per row inside
+    * interpreted lambdas. Requires [[graft.expressions.LongArrayOps]]
+    * registered (every caller's query entry registers).
     */
-  def hyperplaneBucket(v: Column, planes: Int, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), j => {
-        val dot = aggregate(
-          zip_with(v,
-            transform(sequence(lit(0), lit(dim - 1)),
-              c => ((lit(1103515245L) * (j.cast("long") * dim + c) + 12345L)
-                % 2147483648L) - 1073741824L),
-            (x, w) => x * w),
-          lit(0L), (acc, x) => acc + x)
-        when(dot > 0L, call_function("shiftleft", lit(1L), j).cast("long"))
-          .otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc + x)
+  def hyperplaneBucket(v: Column, planes: Int, dim: Int): Column = {
+    val ws: Seq[Seq[Long]] = (0 until planes).map(j => (0 until dim).map(
+      c => ((1103515245L * (j.toLong * dim + c) + 12345L)
+        % 2147483648L) - 1073741824L))
+    (0 until planes).map(j =>
+      when(dotLong(v, typedLit(ws(j))) > 0L, lit(1L << j).cast("long"))
+        .otherwise(0L))
+      .reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN — the 100 TB path: candidates only meet inside a
     * bucket, so the probe×corpus pairing is an equi-join on bucket id
