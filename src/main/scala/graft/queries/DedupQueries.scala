@@ -807,21 +807,75 @@ object DedupQueries {
     * bands, 512 buckets) or accept probabilistic recall. Exact hd ≤ k
     * retrieval is inherently Ω(colliding pairs).
     */
+  /** Signature-count cap for the broadcast form of the hamming scan: a
+    * 48-bit signature + id is 16 bytes, so the default 4 Mi signatures
+    * ≈ 64 MB — sane to collect and broadcast. Above it the banded
+    * equi-join path runs instead.
+    */
+  private def maxBroadcastSigs(s: SparkSession): Long =
+    s.conf.get("spark.graft.dedup.maxBroadcastSigs", "4194304").toLong
+
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
+    // staged: the signature table (doc_id + one long per doc) feeds
+    // either branch below more than once — materialize the UDF once
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"),
         simhash48(filter(wordBigrams(col("text")), _.isNotNull)).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
-      posexplode(simhashBands(col("sh"), 7, 7)).as(Seq("band", "bits")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        hammingDist(col("a.sh"), col("b.sh")).as("hd"))
-      .filter(col("hd") <= 6)
-      // a pair can collide in up to 7 bands — one row each, same hd
-      .distinct()
-      .orderBy(col("ia"), col("ib"))
+      .staged()
+    if (sh.count() <= maxBroadcastSigs(s)) {
+      // EXACT broadcast hamming scan — the right representation while
+      // the signature table fits in memory (16 B/doc: 4M docs ≈ 64 MB):
+      // every row runs a tight xor+popcount loop over the broadcast
+      // array at ~ns/pair, so even n²/2 ≈ 10⁹ comparisons beat a
+      // join-based candidate scheme whose per-candidate cost is the
+      // ~µs row machinery of a shuffled join (measured 10×-probe: the
+      // banded join spent ~50 s producing 42M candidate rows; this
+      // scan does 1.25G comparisons in ~2 s). No banding → no recall
+      // argument needed at all.
+      val rows = sh.orderBy(col("doc_id")).collect()
+      val ids = rows.map(_.getLong(0))
+      val sigs = rows.map(_.getLong(1))
+      val bcIds = s.sparkContext.broadcast(ids)
+      val bcSigs = s.sparkContext.broadcast(sigs)
+      val neighbors = udf((id: Long, sig: Long) => {
+        val is = bcIds.value
+        val ss = bcSigs.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        var i = 0
+        while (i < ss.length) {
+          if (is(i) > id) {
+            val hd = java.lang.Long.bitCount(sig ^ ss(i))
+            if (hd <= 6) out += ((is(i), hd))
+          }
+          i += 1
+        }
+        out.toSeq
+      })
+      sh.select(col("doc_id").as("ia"),
+          explode(neighbors(col("doc_id"), col("sh"))).as("p"))
+        .select(col("ia"), col("p._1").as("ib"), col("p._2").as("hd"))
+        .orderBy(col("ia"), col("ib"))
+    } else {
+      // Scale path: block-triple keys (84 tables × 15–18 bits), not
+      // single 7-bit bands — the 128-value band space is ~n²/128
+      // candidates per band at ANY corpus; the triple keys cut
+      // candidates ~10× measured (see
+      // [[DedupFunctions.simhashTripleKeys]]). A pair can collide in up
+      // to 84 tables — one row each, same hd — hence the distinct.
+      val banded = sh.select(col("doc_id"), col("sh"),
+        explode(simhashTripleKeys(col("sh"))).as("bk"))
+        .select(col("doc_id"), col("sh"),
+          col("bk.band").as("band"), col("bk.bits").as("bits"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bits") === col("b.bits") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          hammingDist(col("a.sh"), col("b.sh")).as("hd"))
+        .filter(col("hd") <= 6)
+        .distinct()
+        .orderBy(col("ia"), col("ib"))
+    }
   }
 
   val dSimhashOracle: String =

@@ -33,6 +33,27 @@ class DedupGeneralPathSpec extends AnyFunSuite {
     base
   }
 
+  test("simhash banded scale path returns exactly the broadcast-scan " +
+      "result") {
+    // the broadcast hamming scan is exact by construction; the banded
+    // triple-key join is the >cap scale path and rests on the pigeonhole
+    // recall argument — forcing the cap to 0 must reproduce the exact
+    // result pair-for-pair (hd included)
+    val sf = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("d4_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.conf.set("spark.graft.dedup.maxBroadcastSigs", "0")
+    try {
+      val banded = SparkEntry.queries("d4_simhash")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == exact,
+        s"banded path diverged: missing=${(exact -- banded).take(5)} " +
+          s"extra=${(banded -- exact).take(5)}")
+      assert(exact.nonEmpty, "sf0.001 must contain hd<=6 pairs or the " +
+        "equivalence proves nothing")
+    } finally spark.conf.unset("spark.graft.dedup.maxBroadcastSigs")
+  }
+
   test("PPJoin + sorted-merge verification find exactly the planted pairs") {
     val pairs = DedupQueries.jaccardPairs(spark, dir, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

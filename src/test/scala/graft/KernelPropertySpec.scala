@@ -122,6 +122,35 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhashTripleKeys: hd <= 6 pairs always share a triple key " +
+      "(pigeonhole over 9 blocks)") {
+    import spark.implicits._
+    import graft.functions.DedupFunctions.{simhashTripleKeys, hammingDist}
+    // hd <= 6 flips at most 6 of the 9 blocks, so >= 3 agree and the
+    // pair shares one of the C(9,3)=84 block-triple keys — the exact
+    // recall claim d4's candidate generation rests on
+    val sigGen = for {
+      base <- Gen.chooseNum(0L, (1L << 48) - 1)
+      nFlips <- Gen.chooseNum(0, 6)
+      flips <- Gen.listOfN(nFlips, Gen.chooseNum(0, 47))
+    } yield (base, flips.foldLeft(base)((s, b) => s ^ (1L << b)))
+    val pairs = samples(sigGen, 80)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), hammingDist(col("a"), col("b")).as("hd"),
+        arrays_zip(simhashTripleKeys(col("a")),
+          simhashTripleKeys(col("b"))).as("z"))
+      .select(col("i"), col("hd"),
+        exists(col("z"), p => p.getField("0") === p.getField("1"))
+          .as("share"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hd") <= 6)
+      assert(r.getAs[Boolean]("share"),
+        s"pair ${r.getInt(0)} at hd=${r.get(1)} shares no triple key")
+    }
+  }
+
   test("elementwise_sum == positionwise sum per group") {
     import spark.implicits._
     LongArrayOps.register(spark)
