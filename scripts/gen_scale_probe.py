@@ -12,8 +12,18 @@ earlier docs) keeps the dedup verify stage honestly loaded.
 
 Usage: python3 scripts/gen_scale_probe.py [factor] [outdir]
 Defaults: factor=10, outdir=/tmp/graft_scale10. Deterministic (seeded).
-Only the tables the skew-sensitive paths read are generated:
-documents.parquet (t10/t11/t14, d3/d10) and embeddings.parquet (s3/s4).
+
+Generated at factor x: documents, embeddings (distribution bootstrap,
+see above), and the fact tables events / orders / lineitem / customer
+(row bootstrap with REWRITTEN key spaces — event_id/o_orderkey/
+c_custkey become fresh dense ranges, user_id/o_custkey spread over a
+factor-x key space, lineitem groups cloned per new order so the
+lines-per-order distribution survives; non-key attribute tuples are
+sampled jointly so their correlations survive). Dimension tables
+region / nation / part / supplier copy verbatim — dims grow slower
+than facts at real scale, and keeping them broadcast-sized is the
+honest 10x shape. The whole 125-query surface can then run against
+the probe dir, not only the document/embedding families.
 
 Then: SPARK_GRAFT_SF_DIR=<outdir> SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_ONLY=t10_packing,t11_stratified,t14_domain_mix,\
@@ -104,3 +114,105 @@ pq.write_table(
     f"{out}/embeddings.parquet",
 )
 print(f"wrote {n_docs} documents, {n_vecs} embeddings to {out}")
+
+# ---- events -------------------------------------------------------------
+# Per-user rate stays constant while the user population scales by
+# `factor` — the shape a 10x event stream actually has. Attribute
+# tuples (event_type, value, props) are sampled jointly; timestamps
+# bootstrap the observed 30-day distribution with sub-second jitter so
+# ties stay as unlikely as in the source.
+ev = con.execute(
+    f"SELECT epoch_ns(ts), event_type, value, props, user_id "
+    f"FROM '{src}/events.parquet'").fetchall()
+n_users = 1 + max(r[4] for r in ev)
+n_ev = len(ev) * factor
+pick = rng.integers(0, len(ev), n_ev)
+ts_pick = rng.integers(0, len(ev), n_ev)
+ts_ns = (np.array([ev[i][0] for i in ts_pick], dtype=np.int64)
+         + rng.integers(-500_000_000, 500_000_000, n_ev))
+pq.write_table(pa.table({
+    "event_id": pa.array(range(n_ev), pa.int64()),
+    "ts": pa.array(ts_ns, pa.timestamp("ns")),
+    "user_id": pa.array(rng.integers(0, n_users * factor, n_ev),
+                        pa.int64()),
+    "event_type": pa.array([ev[i][1] for i in pick], pa.string()),
+    "value": pa.array([ev[i][2] for i in pick], pa.float64()),
+    "props": pa.array([ev[i][3] for i in pick], pa.string()),
+}), f"{out}/events.parquet")
+
+# ---- customer / orders / lineitem ---------------------------------------
+# Keys are rewritten to fresh dense ranges; every o_custkey references a
+# generated customer and every lineitem group is a clone of one original
+# order's group filed under its new o_orderkey, so join fan-out and the
+# lines-per-order distribution both survive the scale-up.
+cust = con.execute(
+    f"SELECT c_name, c_nationkey, c_acctbal, c_mktsegment "
+    f"FROM '{src}/customer.parquet'").fetchall()
+n_cust = len(cust) * factor
+cpick = rng.integers(0, len(cust), n_cust)
+pq.write_table(pa.table({
+    "c_custkey": pa.array(range(n_cust), pa.int64()),
+    "c_name": pa.array([cust[i][0] for i in cpick], pa.string()),
+    "c_nationkey": pa.array([cust[i][1] for i in cpick], pa.int32()),
+    "c_acctbal": pa.array([cust[i][2] for i in cpick], pa.float64()),
+    "c_mktsegment": pa.array([cust[i][3] for i in cpick], pa.string()),
+}), f"{out}/customer.parquet")
+
+orders = con.execute(
+    f"SELECT o_orderkey, o_orderstatus, o_totalprice, "
+    f"epoch_ms(o_orderdate), o_orderpriority "
+    f"FROM '{src}/orders.parquet'").fetchall()
+n_ord = len(orders) * factor
+opick = rng.integers(0, len(orders), n_ord)
+pq.write_table(pa.table({
+    "o_orderkey": pa.array(range(n_ord), pa.int64()),
+    "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+    "o_orderstatus": pa.array([orders[i][1] for i in opick], pa.string()),
+    "o_totalprice": pa.array([orders[i][2] for i in opick], pa.float64()),
+    "o_orderdate": pa.array(
+        np.array([orders[i][3] for i in opick], dtype=np.int64),
+        pa.timestamp("ms")),
+    "o_orderpriority": pa.array([orders[i][4] for i in opick],
+                                pa.string()),
+}), f"{out}/orders.parquet")
+
+li = con.execute(
+    f"SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    f"l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    f"epoch_ms(l_shipdate) FROM '{src}/lineitem.parquet' "
+    f"ORDER BY l_orderkey, l_linenumber").fetchall()
+li_rows = {}
+for r in li:
+    li_rows.setdefault(r[0], []).append(r)
+orig_keys = np.array(list(li_rows))
+src_of_new = rng.choice(orig_keys, n_ord)  # orig order cloned per new key
+cols = {name: [] for name in [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate"]}
+for new_key, orig in enumerate(src_of_new):
+    for r in li_rows[orig]:
+        cols["l_orderkey"].append(new_key)
+        for c, v in zip(list(cols)[1:], r[1:]):
+            cols[c].append(v)
+pq.write_table(pa.table({
+    "l_orderkey": pa.array(cols["l_orderkey"], pa.int64()),
+    "l_partkey": pa.array(cols["l_partkey"], pa.int64()),
+    "l_suppkey": pa.array(cols["l_suppkey"], pa.int64()),
+    "l_linenumber": pa.array(cols["l_linenumber"], pa.int32()),
+    "l_quantity": pa.array(cols["l_quantity"], pa.float64()),
+    "l_extendedprice": pa.array(cols["l_extendedprice"], pa.float64()),
+    "l_discount": pa.array(cols["l_discount"], pa.float64()),
+    "l_tax": pa.array(cols["l_tax"], pa.float64()),
+    "l_returnflag": pa.array(cols["l_returnflag"], pa.string()),
+    "l_linestatus": pa.array(cols["l_linestatus"], pa.string()),
+    "l_shipdate": pa.array(np.array(cols["l_shipdate"], dtype=np.int64),
+                           pa.timestamp("ms")),
+}), f"{out}/lineitem.parquet")
+
+# ---- dimensions: verbatim ----------------------------------------------
+import shutil
+for t in ["region", "nation", "part", "supplier"]:
+    shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+print(f"wrote {n_ev} events, {n_cust} customers, {n_ord} orders, "
+      f"{len(cols['l_orderkey'])} lineitems to {out}")
