@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write row-level DELETE on a [[Manifest]] table — the takedown
+  * primitive a training-data lake needs (rights requests, contaminated or
+  * recalled documents) expressed as one REPLACING commit, the same shape
+  * Iceberg/Delta copy-on-write uses.
+  *
+  * Scale contract: one predicate-filtered scan over the snapshot finds
+  * the directories that contain matches (the predicate reaches the
+  * parquet scan, so row-group stats and dictionary pages prune no-match
+  * files to metadata reads when the predicate is pushable); directories
+  * without matches are carried into the next version VERBATIM — zero
+  * bytes copied — and only the affected directories are rewritten minus
+  * their matching rows. Total write IO is proportional to the data that
+  * shares a directory with a deleted row, never to the table. Old
+  * versions still read the old files, so the delete is time-travelable
+  * and never disturbs a reader mid-query; retention ([[Manifest.expire]])
+  * later reclaims the superseded directories, which is what makes the
+  * delete eventually PHYSICAL, not just logical.
+  */
+object RowDelete {
+
+  /** What a delete did: the committed version, the directories carried
+    * verbatim, and the rewritten replacements of the affected ones.
+    */
+  final case class Result(version: Int, carried: Seq[String],
+      rewritten: Seq[String])
+
+  /** Delete every row matching `pred` from the table's latest snapshot.
+    * Rewritten directories land under `stagingDir` (one `cowN` child per
+    * affected directory). A predicate matching nothing commits nothing
+    * and returns the current version — a no-op delete must not burn a
+    * version slot or invalidate reader caches.
+    */
+  def deleteWhere(s: SparkSession, root: String, pred: Column,
+      stagingDir: String,
+      committer: Committer = FsCreateCommitter): Result = {
+    val dirs = Manifest.committed(s, root)
+    // one pushdown-filtered scan; the distinct parent-directory set is
+    // bounded by the commit count, so the collect is manifest-sized
+    val touchedParents = s.read.parquet(dirs: _*).filter(pred)
+      .select(regexp_replace(input_file_name(), "/[^/]*$", "").as("d"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath)
+    def owns(dir: String): Boolean = {
+      val p = new Path(dir).toUri.getPath
+      touchedParents.exists(tp => tp == p || tp.startsWith(p + "/"))
+    }
+    val (hit, carried) = dirs.partition(owns)
+    if (hit.isEmpty)
+      return Result(Manifest.versions(s, root).last, carried, Nil)
+    val rewritten = hit.zipWithIndex.map { case (d, i) =>
+      val outd = s"$stagingDir/cow$i"
+      s.read.parquet(d).filter(!pred).write.parquet(outd)
+      outd
+    }
+    val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
+    Result(v, carried, rewritten)
+  }
+}

@@ -920,6 +920,70 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY version, l_returnflag""".stripMargin
 
+  /** Copy-on-write row-level DELETE under the gate
+    * ([[graft.io.RowDelete]]) — the takedown primitive (rights requests,
+    * recalled documents) on a manifest table: rows matching a predicate
+    * are removed by rewriting ONLY the directories that contain them,
+    * committed as a REPLACING version. Two batches commit; the delete
+    * predicate hits only the second, and in-query requires pin the
+    * copy-on-write contract: batch 1's directory is carried into the new
+    * version VERBATIM (zero bytes copied), exactly one directory is
+    * rewritten, and a second delete matching nothing commits NOTHING (a
+    * no-op must not burn a version slot). The census emits the
+    * pre-delete snapshot beside the post-delete one — time travel keeps
+    * the deleted rows readable at the old version (until retention
+    * reclaims it, which is what makes the delete eventually physical)
+    * while the new version must lack exactly the matched rows.
+    */
+  def io20RowDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, RowDelete}
+    val root = tmpDir(s) + "/graft_io20_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    val v2 = Manifest.commit(s, root, s"$root/data/b2")
+    val res = RowDelete.deleteWhere(s, root,
+      col("l_orderkey").between(2000, 2399), s"$root/data/del1")
+    require(res.carried == Seq(s"$root/data/b1"),
+      s"the unaffected directory must carry verbatim, got ${res.carried}")
+    require(res.rewritten.size == 1,
+      "exactly the directory containing matches is rewritten")
+    val noop = RowDelete.deleteWhere(s, root,
+      col("l_orderkey") === -1, s"$root/data/del2")
+    require(noop.version == res.version && noop.rewritten.isEmpty,
+      "a delete matching nothing must not commit a new version")
+    def census(v: Int, tag: Int) = Manifest.snapshot(s, root, Some(v))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(v2, 0).unionByName(census(res.version, 1))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io20Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL
+      |  SELECT 1, * FROM li WHERE l_orderkey NOT BETWEEN 2000 AND 2399)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -1684,6 +1748,7 @@ object OpsQueries {
     "io17_compact_commit" -> (io17CompactCommit _),
     "io18_backfill" -> (io18Backfill _),
     "io19_vacuum" -> (io19Vacuum _),
+    "io20_row_delete" -> (io20RowDelete _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1723,6 +1788,7 @@ object OpsQueries {
     "io17_compact_commit" -> io17Oracle,
     "io18_backfill" -> io18Oracle,
     "io19_vacuum" -> io19Oracle,
+    "io20_row_delete" -> io20Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

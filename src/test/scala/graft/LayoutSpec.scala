@@ -284,6 +284,36 @@ class LayoutSpec extends AnyFunSuite {
       s"$root/data/b2")
   }
 
+  test("io20: copy-on-write delete carries unaffected files verbatim " +
+      "and rewrites only matching directories") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_cow_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 100).toDF("id").write.parquet(s"$root/data/b1")
+    spark.range(100, 200).toDF("id").write.parquet(s"$root/data/b2")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+    val before = spark.read.parquet(s"$root/data/b1").inputFiles.sorted
+    val res = graft.io.RowDelete.deleteWhere(spark, root,
+      col("id").between(150, 159), s"$root/data/del")
+    assert(res.carried == Seq(s"$root/data/b1") &&
+      res.rewritten.size == 1)
+    // file-granular zero-copy: the new snapshot reads b1's ORIGINAL
+    // parquet files, not copies — same physical paths, byte for byte
+    val after = graft.io.Manifest.snapshot(spark, root).inputFiles
+      .filter(_.contains("/data/b1/")).sorted
+    assert(after.sameElements(before),
+      s"carried dir must keep its exact files: $before vs $after")
+    val ids = graft.io.Manifest.snapshot(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements((0L until 150L) ++ (160L until 200L)),
+      "exactly the matched rows are gone")
+    // old version still reads everything (time travel over a delete)
+    assert(graft.io.Manifest.snapshot(spark, root, Some(2)).count() == 200)
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
