@@ -162,6 +162,19 @@ object Manifest {
       .map(v => readList(fs(s, root), manifestPath(root, v)))
       .getOrElse(Seq.empty)
 
+  /** The directory list a specific version pins (latest when
+    * unspecified) — the raw entries, for readers that interpret entry
+    * conventions themselves (e.g. [[MergeOnRead]] tombstones).
+    */
+  def entries(s: SparkSession, root: String,
+      version: Option[Int] = None): Seq[String] = {
+    val vs = versions(s, root)
+    require(vs.nonEmpty, s"no committed manifest under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown manifest version $v (have $vs)")
+    readList(fs(s, root), manifestPath(root, v))
+  }
+
   /** Attempt create-if-absent commits until one wins or the bound runs
     * out. `content` re-derives the manifest body from the freshly
     * re-read state each attempt — an appending commit must fold the
@@ -297,12 +310,6 @@ object Manifest {
     * one DataFrame over exactly the committed directories.
     */
   def snapshot(s: SparkSession, root: String,
-      version: Option[Int] = None): DataFrame = {
-    val vs = versions(s, root)
-    require(vs.nonEmpty, s"no committed manifest under $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"unknown manifest version $v (have $vs)")
-    val dirs = readList(fs(s, root), manifestPath(root, v))
-    s.read.parquet(dirs: _*)
-  }
+      version: Option[Int] = None): DataFrame =
+    s.read.parquet(entries(s, root, version): _*)
 }

@@ -1,0 +1,107 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-ON-READ row-level DELETE on a [[Manifest]] table — the
+  * write-cheap half of the delete trade-off, the Iceberg-v2 /
+  * Delta-deletion-vector shape. Where [[RowDelete]] (copy-on-write) pays
+  * write IO proportional to every directory containing a match,
+  * merge-on-read commits only a TOMBSTONE directory holding the matched
+  * keys — an APPENDING commit of keys-only size — and defers the cost to
+  * readers, who anti-join the (broadcast-sized) tombstone set on every
+  * snapshot. [[fold]] is the maintenance step that ends the deferral:
+  * it applies the accumulated tombstones copy-on-write and commits a
+  * REPLACING version with no tombstone entries, returning the read path
+  * to zero overhead. The cycle — cheap deletes accumulate, maintenance
+  * folds them in — is how a 100 TB table absorbs a steady takedown
+  * stream without rewriting data on every request.
+  *
+  * Tombstone entries live in the ordinary manifest list, marked by a
+  * basename convention, so commit/race/expire semantics are inherited
+  * unchanged: vacuum reclaims superseded tombstone dirs exactly like
+  * data dirs, and time travel to a pre-delete version reads everything.
+  * Plain [[Manifest.snapshot]] is NOT meaning-preserving on a table with
+  * live tombstones (inherent to merge-on-read — readers must merge);
+  * use [[snapshot]] here, which is a drop-in replacement on tables
+  * without tombstones.
+  */
+object MergeOnRead {
+
+  val TombstonePrefix = "tombstones-"
+
+  def isTombstone(entry: String): Boolean =
+    new Path(entry).getName.startsWith(TombstonePrefix)
+
+  /** Logically delete every row of the latest snapshot matching `pred`:
+    * write the matched `keyCol` values as a tombstone directory under
+    * `stagingDir` and commit it APPENDING. Write IO is the key list,
+    * never data. Returns the committed version, or None when nothing
+    * matched (no version burned, reader caches stay valid).
+    */
+  def deleteWhere(s: SparkSession, root: String, keyCol: String,
+      pred: Column, stagingDir: String,
+      committer: Committer = FsCreateCommitter): Option[Int] = {
+    val v = Manifest.versions(s, root).last
+    val keys = snapshot(s, root, keyCol, Some(v)).filter(pred)
+      .select(col(keyCol)).distinct()
+    val tombDir = s"$stagingDir/${TombstonePrefix}v$v"
+    keys.write.parquet(tombDir)
+    if (s.read.parquet(tombDir).isEmpty) {
+      new Path(tombDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new Path(tombDir), true)
+      None
+    } else Some(Manifest.commit(s, root, tombDir, committer))
+  }
+
+  /** The merged snapshot a version pins: data entries minus any row
+    * whose `keyCol` appears in a tombstone entry. The tombstone side is
+    * key-only and broadcast into the anti-join — the per-read price of
+    * deferring the rewrite, bounded by accumulated deletes, not data.
+    */
+  def snapshot(s: SparkSession, root: String, keyCol: String,
+      version: Option[Int] = None): DataFrame = {
+    val (tombs, data) = Manifest.entries(s, root, version)
+      .partition(isTombstone)
+    val df = s.read.parquet(data: _*)
+    if (tombs.isEmpty) df
+    else df.join(
+      broadcast(s.read.parquet(tombs: _*).select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Maintenance: apply the accumulated tombstones copy-on-write — only
+    * directories containing a tombstoned key are rewritten, the rest
+    * carry verbatim — and commit a REPLACING version with no tombstone
+    * entries. A no-tombstone table is left untouched. Old versions keep
+    * their tombstones for time travel; retention reclaims them.
+    */
+  def fold(s: SparkSession, root: String, keyCol: String,
+      stagingDir: String,
+      committer: Committer = FsCreateCommitter): Option[RowDelete.Result] = {
+    val (tombs, data) = Manifest.entries(s, root).partition(isTombstone)
+    if (tombs.isEmpty) return None
+    val keys = s.read.parquet(tombs: _*).select(col(keyCol)).distinct()
+    val touchedParents = s.read.parquet(data: _*)
+      .select(col(keyCol), col("_metadata.file_path").as("fp"))
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(regexp_replace(col("fp"), "/[^/]*$", "").as("d"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath)
+    def owns(dir: String): Boolean = {
+      val p = new Path(dir).toUri.getPath
+      touchedParents.exists(tp => tp == p || tp.startsWith(p + "/"))
+    }
+    val (hit, carried) = data.partition(owns)
+    val rewritten = hit.zipWithIndex.map { case (d, i) =>
+      val outd = s"$stagingDir/fold$i"
+      s.read.parquet(d)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .write.parquet(outd)
+      outd
+    }
+    val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
+    Some(RowDelete.Result(v, carried, rewritten))
+  }
+}

@@ -984,6 +984,79 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** MERGE-ON-READ delete + fold under the gate
+    * ([[graft.io.MergeOnRead]]) — the write-cheap half of the delete
+    * trade: a takedown commits only a keys-sized TOMBSTONE directory
+    * (appending — data untouched), readers anti-join the broadcast
+    * tombstone set, and the maintenance [[graft.io.MergeOnRead.fold]]
+    * later applies the accumulated tombstones copy-on-write, returning
+    * the read path to zero overhead. Censuses pin all three phases:
+    * pre-delete, merged-on-read (tombstones live), and post-fold — the
+    * last two must be IDENTICAL, which is the whole merge-on-read
+    * contract (deferral must never change what readers see). In-query
+    * requires pin the mechanics: the tombstone commit leaves every data
+    * directory untouched, a no-match delete commits nothing, the fold
+    * carries the unaffected directory verbatim and leaves no tombstone
+    * entries behind.
+    */
+  def io21MorDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, MergeOnRead}
+    val root = tmpDir(s) + "/graft_io21_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    val v2 = Manifest.commit(s, root, s"$root/data/b2")
+    val v3 = MergeOnRead.deleteWhere(s, root, "l_orderkey",
+      col("l_orderkey").between(2000, 2399), s"$root/data")
+    require(v3.nonEmpty, "a matching delete must commit a tombstone")
+    require(Manifest.entries(s, root).take(2) ==
+      Seq(s"$root/data/b1", s"$root/data/b2"),
+      "a merge-on-read delete must leave every data directory in place")
+    require(MergeOnRead.deleteWhere(s, root, "l_orderkey",
+        col("l_orderkey") === -1, s"$root/data").isEmpty,
+      "a delete matching nothing must not commit")
+    val folded = MergeOnRead.fold(s, root, "l_orderkey", s"$root/data")
+    require(folded.exists(r => r.carried == Seq(s"$root/data/b1") &&
+      r.rewritten.size == 1),
+      s"fold must carry b1 verbatim and rewrite only b2, got $folded")
+    require(!Manifest.entries(s, root).exists(MergeOnRead.isTombstone),
+      "after the fold no tombstone entries remain")
+    def census(v: Int, tag: Int) =
+      MergeOnRead.snapshot(s, root, "l_orderkey", Some(v))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("phase", lit(tag))
+    census(v2, 0).unionByName(census(v3.get, 1))
+      .unionByName(census(folded.get.version, 2))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io21Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |del AS (SELECT * FROM li
+      |  WHERE l_orderkey NOT BETWEEN 2000 AND 2399),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM del
+      |  UNION ALL SELECT 2, * FROM del)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -1749,6 +1822,7 @@ object OpsQueries {
     "io18_backfill" -> (io18Backfill _),
     "io19_vacuum" -> (io19Vacuum _),
     "io20_row_delete" -> (io20RowDelete _),
+    "io21_mor_delete" -> (io21MorDelete _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1789,6 +1863,7 @@ object OpsQueries {
     "io18_backfill" -> io18Oracle,
     "io19_vacuum" -> io19Oracle,
     "io20_row_delete" -> io20Oracle,
+    "io21_mor_delete" -> io21Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

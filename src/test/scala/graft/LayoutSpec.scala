@@ -314,6 +314,49 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.io.Manifest.snapshot(spark, root, Some(2)).count() == 200)
   }
 
+  test("io21: merge-on-read delete writes only keys; fold ends the " +
+      "deferral without changing what readers see") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_mor_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 100).toDF("id").write.parquet(s"$root/data/b1")
+    spark.range(100, 200).toDF("id").write.parquet(s"$root/data/b2")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+    val before = graft.io.Manifest.snapshot(spark, root).inputFiles.sorted
+    val v3 = graft.io.MergeOnRead.deleteWhere(spark, root, "id",
+      col("id").between(150, 159), s"$root/data")
+    assert(v3.contains(3))
+    // write-cheap half of the trade: the delete wrote ONLY a keys
+    // directory — the merged snapshot still reads every original data
+    // file, plus the tombstone side of the anti-join
+    val merged = graft.io.MergeOnRead.snapshot(spark, root, "id")
+    val dataFiles = merged.inputFiles.filter(!_.contains("/tombstones-"))
+    assert(dataFiles.sorted.sameElements(before),
+      "tombstone commit must leave every original data file in place")
+    assert(merged.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements((0L until 150L) ++ (160L until 200L)))
+    // time travel to the pre-delete version reads everything
+    assert(graft.io.MergeOnRead
+      .snapshot(spark, root, "id", Some(2)).count() == 200)
+    // fold rewrites only the directory holding tombstoned keys and the
+    // folded table reads IDENTICALLY to the merged one
+    val res = graft.io.MergeOnRead.fold(spark, root, "id", s"$root/data")
+    assert(res.exists(r => r.carried == Seq(s"$root/data/b1") &&
+      r.rewritten.size == 1))
+    assert(!graft.io.Manifest.entries(spark, root)
+      .exists(graft.io.MergeOnRead.isTombstone))
+    val folded = graft.io.Manifest.snapshot(spark, root)
+    assert(folded.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements((0L until 150L) ++ (160L until 200L)),
+      "fold must not change what readers see")
+    // fold on a tombstone-free table is a no-op
+    assert(graft.io.MergeOnRead
+      .fold(spark, root, "id", s"$root/data").isEmpty)
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
