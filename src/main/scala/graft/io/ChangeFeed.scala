@@ -1,0 +1,71 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental reads over a [[Manifest]] table: the row-level changes
+  * between two committed versions, as a change feed of full-payload rows
+  * tagged `_op` = `I` (insert) / `D` (delete). An update (via
+  * [[Merge.upsert]]) appears as the deleted pre-image plus the inserted
+  * post-image — the Delta-CDF / Iceberg-incremental-read shape that lets
+  * a downstream consumer (index refresh, feature backfill, replication)
+  * process ONLY what changed instead of re-reading a 100 TB table.
+  *
+  * Scale contract: when the window's history is APPENDING-ONLY (new data
+  * directories and [[MergeOnRead]] tombstones — the common case between
+  * maintenance runs), the feed's insert side reads exactly the appended
+  * directories — IO ∝ the change, not the table; delete pre-images read
+  * the from-version once with a broadcast semi-join (no shuffle), and
+  * only when the window actually contains tombstones. A REPLACING commit
+  * in the window (fold / compaction / merge rewrote history) falls back
+  * to a full merged-snapshot diff (`exceptAll` both ways) — correct on
+  * any history, at two-table-scan price. The two paths agree wherever
+  * both apply; the fallback's extra power is paying for rewritten
+  * layouts, not different semantics.
+  */
+object ChangeFeed {
+
+  /** Net row-level changes from `vFrom` to `vTo` (both committed
+    * versions, `vFrom` ≤ `vTo`). Inserted rows carry `_op` = `I`,
+    * deleted pre-images `_op` = `D`; a version with no changes yields an
+    * empty feed.
+    */
+  def changesBetween(s: SparkSession, root: String, keyCol: String,
+      vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom <= vTo, s"need vFrom <= vTo, got $vFrom > $vTo")
+    val eFrom = Manifest.entries(s, root, Some(vFrom))
+    val eTo = Manifest.entries(s, root, Some(vTo))
+    val base = MergeOnRead.snapshot(s, root, keyCol, Some(vFrom))
+    if (eTo.startsWith(eFrom)) {
+      // appending-only window: inserts read ONLY the appended dirs
+      val added = eTo.drop(eFrom.size)
+      val (tombs, data) = added.partition(MergeOnRead.isTombstone)
+      val tombKeysTo = eTo.filter(MergeOnRead.isTombstone)
+      val ins =
+        if (data.isEmpty) None
+        else {
+          val df = s.read.parquet(data: _*)
+          Some(if (tombKeysTo.isEmpty) df
+          else df.join(
+            broadcast(s.read.parquet(tombKeysTo: _*)
+              .select(col(keyCol)).distinct()),
+            Seq(keyCol), "left_anti"))
+        }
+      val del =
+        if (tombs.isEmpty) None
+        else Some(base.join(
+          broadcast(s.read.parquet(tombs: _*)
+            .select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_semi"))
+      (ins.map(_.withColumn("_op", lit("I"))) ++
+        del.map(_.withColumn("_op", lit("D"))))
+        .reduceOption(_.unionByName(_))
+        .getOrElse(base.limit(0).withColumn("_op", lit("I")))
+    } else {
+      // a replacing commit rewrote history: full merged-snapshot diff
+      val now = MergeOnRead.snapshot(s, root, keyCol, Some(vTo))
+      now.exceptAll(base).withColumn("_op", lit("I"))
+        .unionByName(base.exceptAll(now).withColumn("_op", lit("D")))
+    }
+  }
+}

@@ -1057,6 +1057,152 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Copy-on-write MERGE upsert under the gate ([[graft.io.Merge]]) —
+    * `MERGE INTO … WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN
+    * INSERT *` as ONE replacing commit. The censuses pin pre-merge
+    * beside post-merge: matched keys' rows are REPLACED by their source
+    * rows (key-replacing upsert), unmatched source rows are inserts,
+    * everything else is untouched. In-query requires pin the write-IO
+    * contract: the directory holding no matched key carries verbatim,
+    * only the affected one rewrites (+ the appended source), and an
+    * empty source commits nothing.
+    */
+  def io22MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, Merge}
+    val root = tmpDir(s) + "/graft_io22_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    val v2 = Manifest.commit(s, root, s"$root/data/b2")
+    val keys = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+    val src = keys.filter(col("l_orderkey").between(500, 999))
+      .select(col("l_orderkey"), lit("U").as("l_returnflag"),
+        (col("l_orderkey") * 7).as("cents"))
+      .unionByName(keys.filter(col("l_orderkey").between(3000, 3499))
+        .select(col("l_orderkey"), lit("I").as("l_returnflag"),
+          (col("l_orderkey") * 3).as("cents")))
+    val res = Merge.upsert(s, root, "l_orderkey", src, s"$root/data")
+    require(res.exists(r => r.carried == Seq(s"$root/data/b2") &&
+      r.rewritten.size == 2),
+      s"upsert must carry b2 verbatim, rewrite b1 + append source: $res")
+    require(Merge.upsert(s, root, "l_orderkey", src.limit(0),
+        s"$root/data").isEmpty,
+      "an empty source must not commit")
+    def census(v: Int, tag: Int) = Manifest.snapshot(s, root, Some(v))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(v2, 0).unionByName(census(res.get.version, 1))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io22Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |src AS (
+      |  SELECT l_orderkey, 'U' AS l_returnflag, l_orderkey * 7 AS cents
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+      |        WHERE l_orderkey BETWEEN 500 AND 999)
+      |  UNION ALL
+      |  SELECT l_orderkey, 'I', l_orderkey * 3
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+      |        WHERE l_orderkey BETWEEN 3000 AND 3499)),
+      |merged AS (
+      |  SELECT * FROM li WHERE l_orderkey NOT IN
+      |    (SELECT l_orderkey FROM src)
+      |  UNION ALL SELECT * FROM src),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM merged)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
+  /** Incremental version-diff reads under the gate
+    * ([[graft.io.ChangeFeed]]) — the change feed a downstream consumer
+    * processes instead of re-reading the table. Three windows pinned:
+    * an appending window after the tombstone delete (fast path — inserts
+    * read only appended dirs), a wider appending window, and the SAME
+    * logical window re-read after a [[graft.io.MergeOnRead.fold]]
+    * rewrote history (fallback full-diff path). The first and third
+    * censuses are demanded IDENTICAL — the fallback must agree with the
+    * incremental path wherever both apply, and a replacing maintenance
+    * commit must not change what the feed reports.
+    */
+  def io23Incremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{ChangeFeed, Manifest, MergeOnRead}
+    val root = tmpDir(s) + "/graft_io23_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    val v2 = Manifest.commit(s, root, s"$root/data/b2")
+    val v3 = MergeOnRead.deleteWhere(s, root, "l_orderkey",
+      col("l_orderkey").between(500, 599), s"$root/data").get
+    batch(3000, 3600).write.parquet(s"$root/data/b3")
+    val v4 = Manifest.commit(s, root, s"$root/data/b3")
+    val folded = MergeOnRead.fold(s, root, "l_orderkey", s"$root/data").get
+    require(!Manifest.entries(s, root, Some(folded.version))
+        .startsWith(Manifest.entries(s, root, Some(v2))),
+      "the folded window must exercise the full-diff fallback")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("_op").as("op"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(ChangeFeed.changesBetween(s, root, "l_orderkey", v2, v4), 0)
+      .unionByName(census(
+        ChangeFeed.changesBetween(s, root, "l_orderkey", v2 - 1, v4), 1))
+      .unionByName(census(ChangeFeed.changesBetween(s, root, "l_orderkey",
+        v2, folded.version), 2))
+      .select(col("phase"), col("op"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("op"), col("l_returnflag"))
+  }
+
+  val io23Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem WHERE l_orderkey < 3600),
+      |b2 AS (SELECT * FROM li WHERE l_orderkey >= 1500
+      |       AND l_orderkey < 3000),
+      |b3 AS (SELECT * FROM li WHERE l_orderkey >= 3000),
+      |d AS (SELECT * FROM li WHERE l_orderkey BETWEEN 500 AND 599),
+      |f0 AS (SELECT 'I' AS op, * FROM b3
+      |       UNION ALL SELECT 'D', * FROM d),
+      |f1 AS (SELECT 'I' AS op, * FROM b2
+      |       UNION ALL SELECT 'I', * FROM b3
+      |       UNION ALL SELECT 'D', * FROM d),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM f0
+      |  UNION ALL SELECT 1, * FROM f1
+      |  UNION ALL SELECT 2, * FROM f0)
+      |SELECT phase, op, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2, 3 ORDER BY phase, op, l_returnflag"""
+      .stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -1823,6 +1969,8 @@ object OpsQueries {
     "io19_vacuum" -> (io19Vacuum _),
     "io20_row_delete" -> (io20RowDelete _),
     "io21_mor_delete" -> (io21MorDelete _),
+    "io22_merge_upsert" -> (io22MergeUpsert _),
+    "io23_incremental" -> (io23Incremental _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -1864,6 +2012,8 @@ object OpsQueries {
     "io19_vacuum" -> io19Oracle,
     "io20_row_delete" -> io20Oracle,
     "io21_mor_delete" -> io21Oracle,
+    "io22_merge_upsert" -> io22Oracle,
+    "io23_incremental" -> io23Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

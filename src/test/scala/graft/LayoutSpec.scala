@@ -357,6 +357,30 @@ class LayoutSpec extends AnyFunSuite {
       .fold(spark, root, "id", s"$root/data").isEmpty)
   }
 
+  test("io23: an appending window's change feed reads only the " +
+      "appended directories — IO proportional to the change") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_cdf_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 100).toDF("id").write.parquet(s"$root/data/b1")
+    spark.range(100, 200).toDF("id").write.parquet(s"$root/data/b2")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+    val feed = graft.io.ChangeFeed.changesBetween(spark, root, "id", 1, 2)
+    // the incremental-read payoff: a pure-append window never touches
+    // pre-existing data — only b2's files appear in the scan
+    val files = feed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/data/b2/")),
+      s"append-only feed must read only appended dirs: ${files.toSeq}")
+    assert(feed.filter(col("_op") === "I").count() == 100 &&
+      feed.count() == 100)
+    // an empty window yields an empty feed
+    assert(graft.io.ChangeFeed
+      .changesBetween(spark, root, "id", 2, 2).count() == 0)
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
