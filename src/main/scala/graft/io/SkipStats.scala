@@ -1,0 +1,156 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+/** Directory-granular column statistics for [[Manifest]] tables — the
+  * scan-planning half of what Iceberg manifests / Delta add-file stats
+  * provide: each immutable data directory carries a tiny min/max
+  * sidecar, and a range query prunes whole directories BEFORE the scan
+  * is planned. Parquet already skips row groups inside an opened file;
+  * this layer keeps the 100 TB table's irrelevant directories out of
+  * file listing and task planning entirely, which is what makes a
+  * selective query's cost ∝ matching data instead of ∝ table file
+  * count.
+  *
+  * The sidecar (`_graft_stats`) lives INSIDE the data directory it
+  * describes: the directory is immutable and the underscore prefix
+  * makes every Spark/Hadoop file lister ignore it, so the stats travel
+  * with the directory through commit, carry, vacuum, and time travel
+  * with no extra protocol — and a directory without a sidecar (a fold
+  * rewrite, a foreign writer) is conservatively KEPT by pruning, never
+  * wrongly skipped. Writers call [[write]] after landing a directory
+  * and before committing it; readers use [[scan]].
+  */
+object SkipStats {
+
+  val StatsFile = "_graft_stats"
+  private val Header = "graft-stats-v1"
+
+  private def enc(v: String): String =
+    URLEncoder.encode(v, StandardCharsets.UTF_8)
+  private def dec(v: String): String =
+    URLDecoder.decode(v, StandardCharsets.UTF_8)
+
+  /** One column's sidecar entry: stored type tag, min and max rendered
+    * as strings (absent for an all-null or empty column — a range query
+    * on such a directory matches nothing).
+    */
+  final case class ColStats(tpe: String, bounds: Option[(String, String)])
+
+  private def typeTag(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case _: DecimalType => Some("double")
+    case StringType => Some("string")
+    case DateType => Some("date")
+    case _ => None
+  }
+
+  /** Compute min/max for `cols` over the directory's rows and install
+    * the sidecar. Call after writing `dataDir`, before committing it.
+    * Columns with unsupported types are rejected — silently writing no
+    * stats would look identical to a skippable column.
+    */
+  def write(s: SparkSession, dataDir: String, cols: Seq[String]): Unit = {
+    val df = s.read.parquet(dataDir)
+    val tags = cols.map { c =>
+      val dt = df.schema(c).dataType
+      c -> typeTag(dt).getOrElse(throw new IllegalArgumentException(
+        s"no skip-stats support for column $c of type $dt"))
+    }
+    val aggs = count(lit(1)).as("_cnt") +: tags.flatMap { case (c, _) =>
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val lines = new StringBuilder(Header).append('\n')
+      .append("count\t").append(row.getLong(0)).append('\n')
+    tags.zipWithIndex.foreach { case ((c, t), i) =>
+      val (mn, mx) = (row.getString(1 + 2 * i), row.getString(2 + 2 * i))
+      lines.append("col\t").append(enc(c)).append('\t').append(t)
+      if (mn != null && mx != null)
+        lines.append('\t').append(enc(mn)).append('\t').append(enc(mx))
+      lines.append('\n')
+    }
+    lines.append("end\n")
+    val f = new Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(new Path(dataDir, StatsFile), true)
+    try out.write(lines.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The directory's sidecar, if present and complete. A missing or
+    * truncated sidecar reads as None — the caller must keep the
+    * directory (correctness never depends on stats existing).
+    */
+  def read(f: FileSystem, dataDir: String): Option[Map[String, ColStats]] = {
+    val p = new Path(dataDir, StatsFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = body.split("\n", -1)
+    if (lines.headOption.forall(_ != Header) || !lines.contains("end"))
+      return None
+    Some(lines.takeWhile(_ != "end").collect {
+      case l if l.startsWith("col\t") =>
+        l.split("\t", -1) match {
+          case Array(_, c, t) => dec(c) -> ColStats(t, None)
+          case Array(_, c, t, mn, mx) =>
+            dec(c) -> ColStats(t, Some((dec(mn), dec(mx))))
+          case other => throw new IllegalStateException(
+            s"malformed stats line in $p: ${other.mkString("\t")}")
+        }
+    }.toMap)
+  }
+
+  private def overlaps(cs: ColStats, lo: String, hi: String): Boolean =
+    cs.bounds match {
+      case None => false // no values at all — nothing in range
+      case Some((mn, mx)) => cs.tpe match {
+        case "long" | "double" =>
+          BigDecimal(mn) <= BigDecimal(hi) &&
+            BigDecimal(mx) >= BigDecimal(lo)
+        case _ => mn <= hi && mx >= lo
+      }
+    }
+
+  /** Split a version's data directories into (kept, skipped) for a
+    * range query `lo <= c <= hi` (bounds rendered as strings, compared
+    * in the column's stored type). Directories without a readable
+    * sidecar or without stats for `c` are kept. Tombstone entries
+    * ([[MergeOnRead]]) are always kept — they are not data.
+    */
+  def prunedDirs(s: SparkSession, root: String, c: String, lo: String,
+      hi: String, version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val f = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Manifest.entries(s, root, version).partition { d =>
+      MergeOnRead.isTombstone(d) ||
+        read(f, d).flatMap(_.get(c))
+          .forall(cs => overlaps(cs, lo, hi))
+    }
+  }
+
+  /** The range query itself: scan only the directories whose stats
+    * overlap `[lo, hi]`, then apply the row-level filter. Result is
+    * row-identical to filtering the full snapshot — pruning is an IO
+    * optimization, never a semantic one.
+    */
+  def scan(s: SparkSession, root: String, c: String, lo: Long,
+      hi: Long, version: Option[Int] = None): DataFrame = {
+    val (kept, _) = prunedDirs(s, root, c, lo.toString, hi.toString,
+      version)
+    val df =
+      if (kept.nonEmpty) s.read.parquet(kept: _*)
+      else Manifest.snapshot(s, root, version).limit(0)
+    df.filter(col(c).between(lo, hi))
+  }
+}

@@ -1203,6 +1203,73 @@ object OpsQueries {
       |FROM snap GROUP BY 1, 2, 3 ORDER BY phase, op, l_returnflag"""
       .stripMargin
 
+  /** Directory-granular skip-stats pruning under the gate
+    * ([[graft.io.SkipStats]]) — Iceberg-manifest/Delta-file-stats scan
+    * planning: each committed directory carries a min/max sidecar and a
+    * range query drops whole directories before the scan exists. The
+    * two census phases — pruned scan beside full-snapshot filter — are
+    * demanded IDENTICAL: pruning is an IO optimization, never a
+    * semantic one. In-query requires pin the planning itself: the mid
+    * range keeps exactly the overlapping directory plus the sidecar-less
+    * one (conservative keep — a foreign/rewritten directory can never be
+    * wrongly skipped), an out-of-range probe keeps only the sidecar-less
+    * directory and returns zero rows.
+    */
+  def io24SkipScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, SkipStats}
+    val root = tmpDir(s) + "/graft_io24_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    Seq((0L, 1000L, "b1"), (1000L, 2000L, "b2"), (2000L, 3000L, "b3"))
+      .foreach { case (lo, hi, name) =>
+        batch(lo, hi).write.parquet(s"$root/data/$name")
+        SkipStats.write(s, s"$root/data/$name", Seq("l_orderkey"))
+        Manifest.commit(s, root, s"$root/data/$name")
+      }
+    batch(3000, 3100).write.parquet(s"$root/data/b4") // no sidecar
+    Manifest.commit(s, root, s"$root/data/b4")
+    val (kept, skipped) = SkipStats.prunedDirs(s, root, "l_orderkey",
+      "1200", "1799")
+    require(kept == Seq(s"$root/data/b2", s"$root/data/b4") &&
+      skipped.size == 2,
+      s"mid-range must keep the overlapping dir + the statless dir: $kept")
+    require(SkipStats.prunedDirs(s, root, "l_orderkey", "5000", "5999")
+        ._1 == Seq(s"$root/data/b4"),
+      "an out-of-range probe keeps only the statless dir")
+    require(SkipStats.scan(s, root, "l_orderkey", 5000, 5999).isEmpty,
+      "the conservative keep still returns zero out-of-range rows")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(SkipStats.scan(s, root, "l_orderkey", 1200, 1799), 0)
+      .unionByName(census(Manifest.snapshot(s, root)
+        .filter(col("l_orderkey").between(1200, 1799)), 1))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io24Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem
+      |  WHERE l_orderkey BETWEEN 1200 AND 1799),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM li)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -1971,6 +2038,7 @@ object OpsQueries {
     "io21_mor_delete" -> (io21MorDelete _),
     "io22_merge_upsert" -> (io22MergeUpsert _),
     "io23_incremental" -> (io23Incremental _),
+    "io24_skip_scan" -> (io24SkipScan _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2014,6 +2082,7 @@ object OpsQueries {
     "io21_mor_delete" -> io21Oracle,
     "io22_merge_upsert" -> io22Oracle,
     "io23_incremental" -> io23Oracle,
+    "io24_skip_scan" -> io24Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

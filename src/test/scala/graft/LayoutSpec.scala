@@ -381,6 +381,34 @@ class LayoutSpec extends AnyFunSuite {
       .changesBetween(spark, root, "id", 2, 2).count() == 0)
   }
 
+  test("io24: skip-stats range scan plans only overlapping directories " +
+      "and the sidecar is invisible to plain readers") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_skip_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    Seq((0L, 100L, "b1"), (100L, 200L, "b2"), (200L, 300L, "b3"))
+      .foreach { case (lo, hi, name) =>
+        spark.range(lo, hi).toDF("id").write.parquet(s"$root/data/$name")
+        graft.io.SkipStats.write(spark, s"$root/data/$name", Seq("id"))
+        graft.io.Manifest.commit(spark, root, s"$root/data/$name")
+      }
+    val scan = graft.io.SkipStats.scan(spark, root, "id", 120, 180)
+    // dir-granular pruning: only b2's files are in the plan at all
+    assert(scan.inputFiles.nonEmpty &&
+      scan.inputFiles.forall(_.contains("/data/b2/")),
+      s"range scan must plan only the overlapping dir: ${scan.inputFiles.toSeq}")
+    assert(scan.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(120L to 180L))
+    // the sidecar never reaches a plain snapshot reader's file list
+    val snapFiles = graft.io.Manifest.snapshot(spark, root).inputFiles
+    assert(snapFiles.length == 3 * spark.read
+      .parquet(s"$root/data/b1").inputFiles.length &&
+      !snapFiles.exists(_.contains("_graft_stats")))
+    assert(graft.io.Manifest.snapshot(spark, root).count() == 300)
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
