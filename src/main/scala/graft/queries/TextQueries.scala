@@ -1271,6 +1271,91 @@ object TextQueries {
       |  CAST(SUM(doc_id * 7919 + st) AS BIGINT) AS checksum
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** BM25 top-k retrieval over the corpus — the lexical-retrieval
+    * primitive beside the ANN family's dense one (RAG pipelines run
+    * both). Okapi BM25 with k1=1.2, b=0.75: per-term contribution =
+    * idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), idf kept RATIONAL
+    * (N/df, the same float-free idf t6 uses) so every factor is an
+    * IEEE-exact combination of integers — no libm call whose last ulp
+    * could differ across engines. Per-term contributions are floored
+    * onto a 1e-7 fixed-point grid and summed as LONGS, making the
+    * per-doc score independent of Spark's partial-aggregation order —
+    * the float-sum determinism rule this suite follows everywhere.
+    *
+    * Queries are self-derived: terms ranked 6–15 by (corpus count
+    * desc, term) — the band is a knob; on a natural corpus it sits at
+    * mid-frequency where posting lists are selective (this synthetic
+    * soup has a 31-word vocabulary, so every list is dense) — paired
+    * into five 2-term queries. The rank probe is
+    * `TakeOrderedAndProject` + a 15-row driver collect (bounded), the
+    * scoring joins are posting-list equi-joins (shuffle ∝ candidate
+    * postings, map-side combined), and the final top-5 window
+    * partitions by `qid` (≤5 keys over candidate docs only — the
+    * bounded-key window shape the s-family probes use).
+    */
+  def tBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val totLen = toks.count()
+    val avgdl = totLen.toDouble / nDocs
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(15).collect()
+    val qterms = s.createDataFrame(
+      top.slice(5, 15).toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
+      .toDF("qid", "term")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val contrib =
+      (lit(nDocs).cast("double") / col("df")) * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp", floor(contrib * lit(1e7)).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val tBm25Oracle: String =
+    """WITH t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM documents),
+      |n AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+      |    (SELECT COUNT(*) FROM t) AS tl),
+      |qt AS (SELECT term, (rn - 6) // 2 AS qid FROM (
+      |    SELECT term, ROW_NUMBER() OVER
+      |        (ORDER BY COUNT(*) DESC, term) AS rn
+      |    FROM t GROUP BY term) WHERE rn BETWEEN 6 AND 15),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |sc AS (SELECT qid, tf.doc_id,
+      |    CAST(SUM(CAST(FLOOR(
+      |      (CAST(nd AS DOUBLE) / df) * (tf * 2.2e0) /
+      |        (tf + 1.2e0 * (0.25e0 +
+      |          0.75e0 * (dl / (CAST(tl AS DOUBLE) / nd)))) * 1e7)
+      |      AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+      |  GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score_fp, ROW_NUMBER() OVER
+      |    (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rk
+      |  FROM sc)
+      |SELECT qid, rk, doc_id, score_fp FROM r WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1293,7 +1378,8 @@ object TextQueries {
     "t19_bpe_apply" -> (tBpeApply _),
     "t20_url_canon" -> (tUrlCanon _),
     "t21_pseudonymize" -> (tPseudonymize _),
-    "t22_chunking" -> (tChunking _))
+    "t22_chunking" -> (tChunking _),
+    "t23_bm25" -> (tBm25 _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1317,5 +1403,6 @@ object TextQueries {
     "t19_bpe_apply" -> tBpeApplyOracle,
     "t20_url_canon" -> tUrlCanonOracle,
     "t21_pseudonymize" -> tPseudonymizeOracle,
-    "t22_chunking" -> tChunkingOracle)
+    "t22_chunking" -> tChunkingOracle,
+    "t23_bm25" -> tBm25Oracle)
 }
