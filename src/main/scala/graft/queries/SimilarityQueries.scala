@@ -1064,6 +1064,125 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion — the full RAG stack's
+    * retrieval layer in one query: the DENSE side is s1's brute cosine
+    * kNN (probe vectors 0–4, top-20), the SPARSE side is BM25
+    * more-like-this over `documents` (query q = document q's distinct
+    * terms, t23's fixed-point scoring, top-20 — the two tables share the
+    * 0..N id space by construction), fused with RRF(60):
+    * score(d) = Σ_lists ⌊1e9/(60+rank)⌋ summed as LONGS (ranks are
+    * exact integers, so fusion is float-free by construction). At
+    * scale each side is its own already-bounded pipeline — the fusion
+    * join touches only two top-20 lists per probe, and the final top-5
+    * window partitions by the ≤5-key qid. Docs retrieved by only one
+    * modality still surface (full-outer fusion) — the reason hybrid
+    * beats either side alone.
+    */
+  def s12HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    import graft.functions.TextFunctions.tokens
+    val e = quantized(s, dir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val dense = broadcast(probes).crossJoin(e)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rkd", row_number().over(wd))
+      .filter(col("rkd") <= 20)
+      .select(col("qid"), col("nid"), col("rkd"))
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val totLen = toks.count()
+    val avgdl = totLen.toDouble / nDocs
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val qterms = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    val contrib =
+      (lit(nDocs).cast("double") / col("df")) * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("nid"))
+    val sparse = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp", floor(contrib * lit(1e7)).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
+      .withColumn("rks", row_number().over(ws))
+      .filter(col("rks") <= 20)
+      .select(col("qid"), col("nid"), col("rks"))
+    val rrf =
+      coalesce(floor(lit(1e9) / (lit(60) + col("rkd"))), lit(0L))
+        .cast("long") +
+        coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
+          .cast("long")
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid"))
+    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), col("rrf"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s12Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x),
+      |    'sum') nn FROM q),
+      |pd AS (SELECT a.vec_id qid, b.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(a.v) + 1),
+      |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+      |d20 AS (SELECT qid, nid, rkd FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY cos DESC, nid) rkd FROM pd)
+      |  WHERE rkd <= 20),
+      |t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM documents),
+      |nn2 AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+      |    (SELECT COUNT(*) FROM t) AS tl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS qid, term FROM t WHERE doc_id < 5),
+      |sc AS (SELECT qid, tf.doc_id AS nid,
+      |    CAST(SUM(CAST(FLOOR(
+      |      (CAST(nd AS DOUBLE) / df) * (tf * 2.2e0) /
+      |        (tf + 1.2e0 * (0.25e0 +
+      |          0.75e0 * (dl / (CAST(tl AS DOUBLE) / nd)))) * 1e7)
+      |      AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN nn2
+      |  WHERE tf.doc_id <> qt.qid
+      |  GROUP BY 1, 2),
+      |s20 AS (SELECT qid, nid, rks FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY score_fp DESC, nid) rks FROM sc)
+      |  WHERE rks <= 20),
+      |f AS (SELECT COALESCE(d20.qid, s20.qid) AS qid,
+      |    COALESCE(d20.nid, s20.nid) AS nid,
+      |    CAST(COALESCE(FLOOR(1e9 / (60 + rkd)), 0) AS BIGINT)
+      |      + CAST(COALESCE(FLOOR(1e9 / (60 + rks)), 0) AS BIGINT) AS rrf
+      |  FROM d20 FULL OUTER JOIN s20
+      |    ON d20.qid = s20.qid AND d20.nid = s20.nid),
+      |r AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER
+      |    (PARTITION BY qid ORDER BY rrf DESC, nid) rk FROM f)
+      |SELECT qid, rk, nid, rrf FROM r WHERE rk <= 5 ORDER BY qid, rk"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -1076,6 +1195,7 @@ object SimilarityQueries {
     "s9_ann_recall" -> (s9AnnRecall _),
     "s10_sq8" -> (s10Sq8 _),
     "s11_sq8_stored" -> (s11Sq8Stored _),
+    "s12_hybrid_rrf" -> (s12HybridRrf _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1092,5 +1212,6 @@ object SimilarityQueries {
     // the stored-codes read path must reproduce s10's result exactly —
     // the oracle recomputes the same arithmetic DuckDB-side
     "s11_sq8_stored" -> s10Oracle,
+    "s12_hybrid_rrf" -> s12Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
