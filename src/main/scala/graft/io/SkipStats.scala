@@ -142,15 +142,29 @@ object SkipStats {
   /** The range query itself: scan only the directories whose stats
     * overlap `[lo, hi]`, then apply the row-level filter. Result is
     * row-identical to filtering the full snapshot — pruning is an IO
-    * optimization, never a semantic one.
+    * optimization, never a semantic one. On a table carrying live
+    * [[MergeOnRead]] tombstones the deletes must still be merged:
+    * pass the table's `morKey` and the pruned scan anti-joins the
+    * tombstone set exactly like [[MergeOnRead.snapshot]]; calling
+    * without it on such a table fails loudly rather than resurrecting
+    * deleted rows.
     */
   def scan(s: SparkSession, root: String, c: String, lo: Long,
-      hi: Long, version: Option[Int] = None): DataFrame = {
+      hi: Long, version: Option[Int] = None,
+      morKey: Option[String] = None): DataFrame = {
     val (kept, _) = prunedDirs(s, root, c, lo.toString, hi.toString,
       version)
+    val (tombs, data) = kept.partition(MergeOnRead.isTombstone)
+    require(tombs.isEmpty || morKey.nonEmpty,
+      s"table at $root has live tombstones — pass morKey so the " +
+        "pruned scan merges them (or fold first)")
     val df =
-      if (kept.nonEmpty) s.read.parquet(kept: _*)
-      else Manifest.snapshot(s, root, version).limit(0)
+      if (data.isEmpty) Manifest.snapshot(s, root, version).limit(0)
+      else if (tombs.isEmpty) s.read.parquet(data: _*)
+      else s.read.parquet(data: _*).join(
+        broadcast(s.read.parquet(tombs: _*)
+          .select(col(morKey.get)).distinct()),
+        Seq(morKey.get), "left_anti")
     df.filter(col(c).between(lo, hi))
   }
 }

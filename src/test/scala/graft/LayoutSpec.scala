@@ -409,6 +409,58 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.io.Manifest.snapshot(spark, root).count() == 300)
   }
 
+  test("io24: pruned scan on a tombstoned table merges deletes or " +
+      "fails loudly — never resurrects deleted rows") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_skipmor_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    Seq((0L, 100L, "b1"), (100L, 200L, "b2")).foreach {
+      case (lo, hi, name) =>
+        spark.range(lo, hi).toDF("id").write.parquet(s"$root/data/$name")
+        graft.io.SkipStats.write(spark, s"$root/data/$name", Seq("id"))
+        graft.io.Manifest.commit(spark, root, s"$root/data/$name")
+    }
+    graft.io.MergeOnRead.deleteWhere(spark, root, "id",
+      col("id").between(120, 129), s"$root/data")
+    intercept[IllegalArgumentException] {
+      graft.io.SkipStats.scan(spark, root, "id", 110, 150)
+    }
+    val merged = graft.io.SkipStats.scan(spark, root, "id", 110, 150,
+      morKey = Some("id"))
+    assert(merged.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements((110L to 119L) ++ (130L to 150L)),
+      "pruned scan must still merge live tombstones")
+    // pruning still held: no b1 data file in the plan
+    assert(merged.inputFiles
+      .filter(!_.contains("/tombstones-")).forall(_.contains("/data/b2/")))
+  }
+
+  test("io22: upsert replaces a key's rows in EVERY directory holding " +
+      "them") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_merge_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    // key 50 lives in BOTH directories; key 999 in neither
+    spark.range(0, 100).toDF("id").write.parquet(s"$root/data/b1")
+    spark.createDataFrame(Seq(Tuple1(50L), Tuple1(200L))).toDF("id")
+      .write.parquet(s"$root/data/b2")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+    val src = spark.createDataFrame(Seq(Tuple1(50L), Tuple1(999L)))
+      .toDF("id")
+    val res = graft.io.Merge.upsert(spark, root, "id", src, s"$root/data")
+    assert(res.exists(_.carried.isEmpty), "both dirs hold key 50")
+    val ids = graft.io.Manifest.snapshot(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // key 50 now appears ONCE (the source row), 999 inserted
+    assert(ids.sameElements(((0L until 100L) :+ 200L :+ 999L).sorted),
+      s"got ${ids.toSeq}")
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
