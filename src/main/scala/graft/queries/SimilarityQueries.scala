@@ -1093,16 +1093,20 @@ object SimilarityQueries {
       .withColumn("rkd", row_number().over(wd))
       .filter(col("rkd") <= 20)
       .select(col("qid"), col("nid"), col("rkd"))
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.count()
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("term"))
-    val totLen = toks.count()
+    // single tokenize pass; dl is a projection, corpus stats one agg
+    // (t23's shape — see tBm25)
+    val withDl = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val (nDocs, totLen) = (stats.getLong(0), stats.getLong(1))
     val avgdl = totLen.toDouble / nDocs
+    val toks = withDl.select(col("doc_id"),
+      explode(col("toks")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = withDl.select(col("doc_id"), col("dl"))
     val qterms = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("term"))
     val contrib =

@@ -1294,12 +1294,17 @@ object TextQueries {
     * bounded-key window shape the s-family probes use).
     */
   def tBm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.count()
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("term"))
-    val totLen = toks.count()
+    // doc length is a per-row projection (size of the token array) and
+    // the corpus stats one aggregate — tokenizing once and never
+    // shuffling exploded tokens just to count them per doc
+    val withDl = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = withDl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val (nDocs, totLen) = (stats.getLong(0), stats.getLong(1))
     val avgdl = totLen.toDouble / nDocs
+    val toks = withDl.select(col("doc_id"),
+      explode(col("toks")).as("term"))
     val top = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term")).limit(15).collect()
     val qterms = s.createDataFrame(
@@ -1309,7 +1314,7 @@ object TextQueries {
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = withDl.select(col("doc_id"), col("dl"))
     val contrib =
       (lit(nDocs).cast("double") / col("df")) * (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) +
