@@ -52,10 +52,17 @@ object Merge {
       s.read.parquet(d)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .write.parquet(outd)
+      SkipStats.carry(s, d, outd)
       outd
     }
     val upsertDir = s"$stagingDir/merge-upsert"
     source.write.parquet(upsertDir)
+    // the appended source inherits the table's stats discipline: if any
+    // directory tracks skip-stats, the new one tracks the same columns
+    val f = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    dirs.find(d => SkipStats.read(f, d).nonEmpty)
+      .foreach(d => SkipStats.carry(s, d, upsertDir))
     val v = Manifest.rewrite(s, root,
       carried ++ rewritten :+ upsertDir, committer)
     Some(RowDelete.Result(v, carried, rewritten :+ upsertDir))

@@ -99,6 +99,7 @@ object MergeOnRead {
       s.read.parquet(d)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .write.parquet(outd)
+      SkipStats.carry(s, d, outd)
       outd
     }
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)

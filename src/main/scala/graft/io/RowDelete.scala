@@ -56,6 +56,7 @@ object RowDelete {
     val rewritten = hit.zipWithIndex.map { case (d, i) =>
       val outd = s"$stagingDir/cow$i"
       s.read.parquet(d).filter(!pred).write.parquet(outd)
+      SkipStats.carry(s, d, outd)
       outd
     }
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)

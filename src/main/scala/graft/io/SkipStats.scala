@@ -85,6 +85,20 @@ object SkipStats {
     finally out.close()
   }
 
+  /** Carry prunability through maintenance: if `fromDir` has a sidecar,
+    * compute fresh stats for the same columns over `toDir` (a rewrite
+    * of it). Row-level maintenance ([[RowDelete]], [[MergeOnRead.fold]],
+    * [[Merge.upsert]]) calls this on every rewritten directory so a
+    * stats-bearing table stays skippable after deletes compact in — a
+    * table shouldn't lose its scan-planning just because it was
+    * maintained. A `fromDir` without a sidecar is a no-op.
+    */
+  def carry(s: SparkSession, fromDir: String, toDir: String): Unit = {
+    val f = new Path(fromDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    read(f, fromDir).foreach(m => write(s, toDir, m.keys.toSeq.sorted))
+  }
+
   /** The directory's sidecar, if present and complete. A missing or
     * truncated sidecar reads as None — the caller must keep the
     * directory (correctness never depends on stats existing).

@@ -461,6 +461,43 @@ class LayoutSpec extends AnyFunSuite {
       s"got ${ids.toSeq}")
   }
 
+  test("io24: row-level maintenance carries skip-stats — a maintained " +
+      "table stays skippable") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_skipmnt_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    Seq((0L, 100L, "b1"), (100L, 200L, "b2")).foreach {
+      case (lo, hi, name) =>
+        spark.range(lo, hi).toDF("id").write.parquet(s"$root/data/$name")
+        graft.io.SkipStats.write(spark, s"$root/data/$name", Seq("id"))
+        graft.io.Manifest.commit(spark, root, s"$root/data/$name")
+    }
+    // copy-on-write delete rewrites b2; its replacement keeps a sidecar
+    graft.io.RowDelete.deleteWhere(spark, root,
+      col("id").between(150, 159), s"$root/data/del")
+    val afterDel = graft.io.SkipStats.scan(spark, root, "id", 120, 130)
+    assert(afterDel.inputFiles.forall(_.contains("/del/cow")) &&
+      afterDel.count() == 11,
+      "the rewritten dir must still prune b1 out via its carried stats")
+    // merge-on-read delete + fold: the fold rewrite keeps a sidecar too
+    graft.io.MergeOnRead.deleteWhere(spark, root, "id",
+      col("id") === 10, s"$root/data")
+    graft.io.MergeOnRead.fold(spark, root, "id", s"$root/data")
+    val afterFold = graft.io.SkipStats.scan(spark, root, "id", 0, 50)
+    assert(afterFold.inputFiles.forall(_.contains("/data/fold")) &&
+      afterFold.count() == 50,
+      "post-fold scan must prune to the folded b1 rewrite alone")
+    // upsert: the appended source dir inherits the stats discipline
+    graft.io.Merge.upsert(spark, root, "id",
+      spark.range(500, 510).toDF("id"), s"$root/data/up")
+    val afterUp = graft.io.SkipStats.scan(spark, root, "id", 500, 600)
+    assert(afterUp.inputFiles.forall(_.contains("merge-upsert")) &&
+      afterUp.count() == 10,
+      "a range over only the upsert batch must prune everything else")
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
