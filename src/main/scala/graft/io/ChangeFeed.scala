@@ -25,6 +25,55 @@ import org.apache.spark.sql.functions._
   */
 object ChangeFeed {
 
+  val SyncPrefix = "sync-v"
+  private val SyncName = s"$SyncPrefix(\\d+)".r
+
+  /** The consumer's replication cursor: the highest source version a
+    * committed sync directory in `outRoot` covers. The cursor IS the
+    * output table's manifest — no side state to drift or lose.
+    */
+  def cursorOf(s: SparkSession, outRoot: String): Option[Int] = {
+    val vs = Manifest.versions(s, outRoot)
+    if (vs.isEmpty) None
+    else Manifest.entries(s, outRoot).flatMap { d =>
+      new org.apache.hadoop.fs.Path(d).getName match {
+        case SyncName(v) => Some(v.toInt)
+        case _ => None
+      }
+    }.maxOption
+  }
+
+  /** Exactly-once change-feed consumption: materialize everything that
+    * changed in the source table since the last sync into the `outRoot`
+    * manifest table, and advance the cursor in the SAME commit — the
+    * output directory is named for the source version it covers, so the
+    * cursor is read back from the output manifest itself. Crash after
+    * writing but before committing leaves an invisible orphan that the
+    * re-run overwrites; re-running with no new source version is a
+    * no-op; an empty diff (a window that only rewrote layout) still
+    * advances the cursor. This is st8's at-least-once → exactly-once
+    * replay guard applied to CDC consumption: the delivery attempt is
+    * idempotent because the commit is keyed by what it covers. The
+    * first sync bootstraps with the full merged snapshot as inserts.
+    * Returns the source version synced to, or None when current.
+    */
+  def sync(s: SparkSession, srcRoot: String, keyCol: String,
+      outRoot: String, stagingDir: String,
+      committer: Committer = FsCreateCommitter): Option[Int] = {
+    val latest = Manifest.versions(s, srcRoot).last
+    val cursor = cursorOf(s, outRoot)
+    if (cursor.contains(latest)) return None
+    val feed = cursor match {
+      case None => MergeOnRead.snapshot(s, srcRoot, keyCol, Some(latest))
+        .withColumn("_op", lit("I"))
+      case Some(vc) => changesBetween(s, srcRoot, keyCol, vc, latest)
+    }
+    val outDir = s"$stagingDir/$SyncPrefix$latest"
+    feed.write.mode("overwrite").parquet(outDir)
+    Manifest.commit(s, outRoot, outDir, committer)
+    Some(latest)
+  }
+
   /** Net row-level changes from `vFrom` to `vTo` (both committed
     * versions, `vFrom` ≤ `vTo`). Inserted rows carry `_op` = `I`,
     * deleted pre-images `_op` = `D`; a version with no changes yields an

@@ -1270,6 +1270,71 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Exactly-once change-feed consumption under the gate
+    * ([[graft.io.ChangeFeed.sync]]) — the downstream half of CDC: a
+    * consumer replicates a source table's changes into its own manifest
+    * table, with the replication cursor encoded IN the output manifest
+    * (the sync directory is named for the source version it covers), so
+    * delivery is exactly-once by idempotent commit — st8's replay guard
+    * applied to CDC. The census over the replicated table must equal
+    * the source's net change history. In-query requires pin the
+    * cursor mechanics: first sync bootstraps the full snapshot,
+    * re-sync with no new version is a no-op, the second sync picks up
+    * exactly the delete + append window, and the cursor reads back as
+    * the latest source version.
+    */
+  def io25FeedSync(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{ChangeFeed, Manifest, MergeOnRead}
+    val src = tmpDir(s) + "/graft_io25_src"
+    val out = tmpDir(s) + "/graft_io25_out"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$src/data/b1")
+    Manifest.commit(s, src, s"$src/data/b1")
+    batch(1500, 3000).write.parquet(s"$src/data/b2")
+    Manifest.commit(s, src, s"$src/data/b2")
+    require(ChangeFeed.sync(s, src, "l_orderkey", out, s"$out/data")
+      .contains(2), "first sync must bootstrap to the latest version")
+    require(ChangeFeed.sync(s, src, "l_orderkey", out, s"$out/data")
+      .isEmpty, "sync with no new source version must be a no-op")
+    MergeOnRead.deleteWhere(s, src, "l_orderkey",
+      col("l_orderkey").between(500, 599), s"$src/data")
+    batch(3000, 3600).write.parquet(s"$src/data/b3")
+    Manifest.commit(s, src, s"$src/data/b3")
+    require(ChangeFeed.sync(s, src, "l_orderkey", out, s"$out/data")
+      .contains(4), "second sync must cover the delete + append window")
+    require(Manifest.versions(s, out).size == 2 &&
+      ChangeFeed.cursorOf(s, out).contains(4),
+      "two sync commits, cursor at the latest source version")
+    Manifest.snapshot(s, out)
+      .groupBy(col("_op").as("op"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("op"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("op"), col("l_returnflag"))
+  }
+
+  val io25Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem WHERE l_orderkey < 3600),
+      |f AS (
+      |  SELECT 'I' AS op, * FROM li
+      |  UNION ALL SELECT 'D', * FROM li
+      |    WHERE l_orderkey BETWEEN 500 AND 599)
+      |SELECT op, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM f GROUP BY 1, 2 ORDER BY op, l_returnflag""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -2039,6 +2104,7 @@ object OpsQueries {
     "io22_merge_upsert" -> (io22MergeUpsert _),
     "io23_incremental" -> (io23Incremental _),
     "io24_skip_scan" -> (io24SkipScan _),
+    "io25_feed_sync" -> (io25FeedSync _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2083,6 +2149,7 @@ object OpsQueries {
     "io22_merge_upsert" -> io22Oracle,
     "io23_incremental" -> io23Oracle,
     "io24_skip_scan" -> io24Oracle,
+    "io25_feed_sync" -> io25Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
