@@ -222,6 +222,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t23/s12 retrieval: query terms broadcast to the posting join; " +
+      "windows only ever partition by the bounded qid") {
+    for (q <- Seq("t23_bm25", "s12_hybrid_rrf")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: the query-term side must broadcast")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: scoring must never pair all docs with all docs")
+      // every Window in the plan partitions by qid — never by a
+      // corpus-cardinality key
+      plan.split("\n").filter(_.contains("Window")).foreach { l =>
+        assert(!l.contains("doc_id#") || l.contains("qid"),
+          s"$q: window must partition by the bounded qid: $l")
+      }
+    }
+  }
+
   test("t10/t11/t14 never window the raw corpus partitioned by lang alone") {
     // lang is skewed (en ≈ 43% of documents): a Window partitioned only
     // by lang over the raw corpus sort-spills ~43% of the input in one
