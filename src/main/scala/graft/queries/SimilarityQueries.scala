@@ -1064,6 +1064,61 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** PQ with a PERSISTED codes column — [[s11Sq8Stored]]'s build/query
+    * split applied to product quantization, closing the pair the round-5
+    * review asked for: the sub-codebook and the corpus's 8 sub-codes per
+    * vector are trained/encoded ONCE and written to parquet (4 B-scale
+    * state per vector vs 256 B of floats — the index build), and the
+    * query side reads the STORED codes back, reconstructs by codebook
+    * LOOKUP only (per-row `filter`+`element_at` against the one-row
+    * broadcast codebook pack — no distance math on the corpus at query
+    * time, which is precisely what distinguishes decode from re-encode),
+    * then scores probes exactly like [[s6PqAdc]]. Same oracle as s6: the
+    * materialized index must answer bit-identically to the in-plan
+    * recompute.
+    */
+  def s13PqStored(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_s13_pq"
+    val e = quantized(s, dir)
+    val cj = centroids(e).select(col("clabel"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("c"))
+      .select(col("clabel"), col("j"),
+        slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
+    // ---- index build: encode once, persist codes + codebook
+    val cjp = packCodebook(cj, "clabel")
+    val codes = transform(col("byJ"), jc =>
+      nearestCode(col("v"), jc).getField("code"))
+    e.crossJoin(broadcast(cjp))
+      .select(col("vec_id"), codes.as("codes"))
+      .write.mode("overwrite").parquet(idx + "/codes")
+    cj.write.mode("overwrite").parquet(idx + "/codebook")
+    // ---- query: lookup-only reconstruction from the stored codes
+    val stored = s.read.parquet(idx + "/codes")
+    val cjp2 = packCodebook(s.read.parquet(idx + "/codebook"), "clabel")
+    val recon = flatten(transform(col("byJ"), jc =>
+      element_at(filter(jc.getField("cands"), c =>
+        c.getField("code") ===
+          element_at(col("codes"), jc.getField("j") + 1)), 1)
+        .getField("sc")))
+    val rec = stored.crossJoin(broadcast(cjp2))
+      .select(col("vec_id"), recon.as("r"))
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val adist = sqDistLong(col("qv"), col("r"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("nid"))
+    broadcast(probes).crossJoin(rec)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("adist"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion — the full RAG stack's
     * retrieval layer in one query: the DENSE side is s1's brute cosine
     * kNN (probe vectors 0–4, top-20), the SPARSE side is BM25
@@ -1200,6 +1255,7 @@ object SimilarityQueries {
     "s10_sq8" -> (s10Sq8 _),
     "s11_sq8_stored" -> (s11Sq8Stored _),
     "s12_hybrid_rrf" -> (s12HybridRrf _),
+    "s13_pq_stored" -> (s13PqStored _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1217,5 +1273,7 @@ object SimilarityQueries {
     // the oracle recomputes the same arithmetic DuckDB-side
     "s11_sq8_stored" -> s10Oracle,
     "s12_hybrid_rrf" -> s12Oracle,
+    // the stored-codes PQ read path must reproduce s6's result exactly
+    "s13_pq_stored" -> s6Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
