@@ -1361,6 +1361,67 @@ object TextQueries {
       |SELECT qid, rk, doc_id, score_fp FROM r WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  /** BM25 answered from a PERSISTED inverted index — the build/query
+    * split ([[graft.queries.SimilarityQueries]]'s s11/s13 discipline
+    * applied to lexical retrieval): tokenization runs ONCE and the
+    * postings (doc, term, tf), document-frequency table, doc lengths
+    * and the corpus stats row are written to parquet; the query side
+    * never touches `documents` — query-term selection, scoring, and
+    * ranking all read the STORED index. At 100 TB you tokenize the
+    * corpus at build time, not per query batch; the postings are the
+    * scan, and a query's cost is posting-list-proportional. Same oracle
+    * as [[tBm25]]: the materialized index must answer bit-identically
+    * to the in-plan recompute.
+    */
+  def tBm25Stored(s: SparkSession, dir: String): DataFrame = {
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_t24_bm25"
+    // ---- index build: one tokenize pass, four parquet artifacts
+    val withDl = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+      .write.mode("overwrite").parquet(idx + "/stats")
+    withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(idx + "/postings")
+    s.read.parquet(idx + "/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(idx + "/df")
+    withDl.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(idx + "/doclen")
+    // ---- query: STORED index only — documents is never re-read
+    val tf = s.read.parquet(idx + "/postings")
+    val dft = s.read.parquet(idx + "/df")
+    val dl = s.read.parquet(idx + "/doclen")
+    val stats = s.read.parquet(idx + "/stats").collect()(0)
+    val (nDocs, totLen) = (stats.getLong(0), stats.getLong(1))
+    val avgdl = totLen.toDouble / nDocs
+    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(15).collect()
+    val qterms = s.createDataFrame(
+      top.slice(5, 15).toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
+      .toDF("qid", "term")
+    val contrib =
+      (lit(nDocs).cast("double") / col("df")) * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp", floor(contrib * lit(1e7)).cast("long"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1384,7 +1445,8 @@ object TextQueries {
     "t20_url_canon" -> (tUrlCanon _),
     "t21_pseudonymize" -> (tPseudonymize _),
     "t22_chunking" -> (tChunking _),
-    "t23_bm25" -> (tBm25 _))
+    "t23_bm25" -> (tBm25 _),
+    "t24_bm25_stored" -> (tBm25Stored _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1409,5 +1471,7 @@ object TextQueries {
     "t20_url_canon" -> tUrlCanonOracle,
     "t21_pseudonymize" -> tPseudonymizeOracle,
     "t22_chunking" -> tChunkingOracle,
-    "t23_bm25" -> tBm25Oracle)
+    "t23_bm25" -> tBm25Oracle,
+    // the stored-index read path must reproduce t23's result exactly
+    "t24_bm25_stored" -> tBm25Oracle)
 }
