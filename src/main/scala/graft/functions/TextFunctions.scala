@@ -28,6 +28,24 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Okapi BM25 per-term contribution on a 1e-7 fixed-point grid, as a
+    * LONG: idf kept RATIONAL (N/df — no libm log whose last ulp could
+    * differ across engines), tf saturation k1=1.2, length normalization
+    * b=0.75, the per-term double floored to an integer so per-doc SUMs
+    * are independent of partial-aggregation order. The parenthesization
+    * is ORACLE-PINNED — every DuckDB oracle replays this exact
+    * expression tree (IEEE +,-,*,/ are deterministic cross-engine only
+    * when the tree shape matches), so t23/t24/s12 all score through
+    * this ONE definition and cannot drift from each other.
+    */
+  def bm25Fp(tf: Column, df: Column, dl: Column, nDocs: Long,
+      avgdl: Double): Column =
+    floor(
+      (lit(nDocs).cast("double") / df) * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (dl.cast("double") / lit(avgdl)))) * lit(1e7))
+      .cast("long")
+
   /** Distinct-token (type) count — type/token ratio is a standard
     * repetitiveness quality signal.
     */

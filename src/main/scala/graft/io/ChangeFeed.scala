@@ -51,7 +51,12 @@ object ChangeFeed {
     * writing but before committing leaves an invisible orphan that the
     * re-run overwrites; re-running with no new source version is a
     * no-op; an empty diff (a window that only rewrote layout) still
-    * advances the cursor. This is st8's at-least-once → exactly-once
+    * advances the cursor. Two consumers whose runs overlap cannot
+    * double-list a window (the commit is [[Manifest.commitIfAbsent]],
+    * idempotent per directory) — though their racing writes share the
+    * staging path, so run one consumer per output table (the same
+    * single-committer scope the manifest already documents for
+    * local/S3A stores). This is st8's at-least-once → exactly-once
     * replay guard applied to CDC consumption: the delivery attempt is
     * idempotent because the commit is keyed by what it covers. The
     * first sync bootstraps with the full merged snapshot as inserts.
@@ -60,9 +65,11 @@ object ChangeFeed {
   def sync(s: SparkSession, srcRoot: String, keyCol: String,
       outRoot: String, stagingDir: String,
       committer: Committer = FsCreateCommitter): Option[Int] = {
-    val latest = Manifest.versions(s, srcRoot).last
+    // a source with no commits yet is "nothing to sync", not a crash
+    val latest = Manifest.versions(s, srcRoot)
+      .lastOption.getOrElse(return None)
     val cursor = cursorOf(s, outRoot)
-    if (cursor.contains(latest)) return None
+    if (cursor.exists(_ >= latest)) return None
     val feed = cursor match {
       case None => MergeOnRead.snapshot(s, srcRoot, keyCol, Some(latest))
         .withColumn("_op", lit("I"))
@@ -70,7 +77,10 @@ object ChangeFeed {
     }
     val outDir = s"$stagingDir/$SyncPrefix$latest"
     feed.write.mode("overwrite").parquet(outDir)
-    Manifest.commit(s, outRoot, outDir, committer)
+    // commitIfAbsent, not commit: two overlapping consumers that both
+    // read the same cursor would otherwise both append this entry and
+    // every snapshot would read the window twice
+    Manifest.commitIfAbsent(s, outRoot, outDir, committer)
     Some(latest)
   }
 

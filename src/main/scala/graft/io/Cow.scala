@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared copy-on-write machinery under [[RowDelete]],
+  * [[MergeOnRead.fold]] and [[Merge.upsert]]: find the directories whose
+  * rows a marker touches (one scan, parent derived from the scan's
+  * `_metadata.file_path` — `input_file_name` cannot cross a join),
+  * partition hit/carried, and rewrite each hit through a transform while
+  * [[SkipStats.carry]]ing its sidecar. One implementation so a fix to
+  * the path mapping or the stats discipline lands in every mutation at
+  * once.
+  */
+private[io] object Cow {
+
+  /** Partition `dirs` into (hit, carried) by whether `matches` keeps any
+    * of their rows. The scan exposes the file path as `_graft_fp`; the
+    * distinct parent set is bounded by the commit count, so the collect
+    * is manifest-sized.
+    */
+  def split(s: SparkSession, dirs: Seq[String],
+      matches: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
+    if (dirs.isEmpty) return (Nil, Nil)
+    val touched = matches(s.read.parquet(dirs: _*)
+        .withColumn("_graft_fp", col("_metadata.file_path")))
+      .select(regexp_replace(col("_graft_fp"), "/[^/]*$", "").as("d"))
+      .distinct().collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath)
+    def owns(dir: String): Boolean = {
+      val p = new Path(dir).toUri.getPath
+      touched.exists(tp => tp == p || tp.startsWith(p + "/"))
+    }
+    dirs.partition(owns)
+  }
+
+  /** Rewrite every hit directory through `xform` into
+    * `stagingDir/prefixN`, carrying skip-stats sidecars so maintenance
+    * never costs a table its scan planning. Returns the replacements in
+    * hit order.
+    */
+  def rewrite(s: SparkSession, hit: Seq[String], stagingDir: String,
+      prefix: String, xform: DataFrame => DataFrame): Seq[String] =
+    hit.zipWithIndex.map { case (d, i) =>
+      val outd = s"$stagingDir/$prefix$i"
+      xform(s.read.parquet(d)).write.mode("overwrite").parquet(outd)
+      SkipStats.carry(s, d, outd)
+      outd
+    }
+}

@@ -229,6 +229,30 @@ object Manifest {
     }
   }
 
+  private final case class AlreadyListed(v: Int)
+    extends RuntimeException with scala.util.control.NoStackTrace
+
+  /** Appending commit that is IDEMPOTENT per directory: if a fresh read
+    * of the latest list already contains `batchDir` — a racing or
+    * replayed committer landed it first — no new version is created and
+    * the current latest version is returned. The re-check runs inside
+    * the commit loop's re-read, so a loser of the create race never
+    * appends the same entry twice (the duplicate would be READ twice by
+    * every snapshot — silent row duplication). This is the commit for
+    * at-least-once producers whose unit of work is the directory itself
+    * (e.g. [[ChangeFeed.sync]]'s version-named sync output).
+    */
+  def commitIfAbsent(s: SparkSession, root: String, batchDir: String,
+      committer: Committer = FsCreateCommitter): Int = {
+    val f = fs(s, root)
+    try commitLoop(f, root, committer) { prev =>
+      val prevList = prev.lastOption
+        .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
+      if (prevList.contains(batchDir)) throw AlreadyListed(prev.last)
+      (prevList :+ batchDir).mkString("\n")
+    } catch { case AlreadyListed(v) => v }
+  }
+
   /** REPLACING commit — the maintenance primitive (compaction, clustering
     * rewrite): the next manifest lists exactly `dirs`, not the previous
     * list plus them. Old versions keep reading the old files, so a

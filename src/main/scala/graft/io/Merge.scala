@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * appended directory. Write IO ∝ data sharing a directory with a
   * matched key + the source itself, never the table. Upsert semantics
   * are key-replacing: every existing row of a matched key is superseded
-  * by that key's source rows.
+  * by that key's source rows — including a key currently DELETED by a
+  * live [[MergeOnRead]] tombstone, whose tombstone entry is rewritten
+  * minus the source keys (the upsert is the key's new truth; other
+  * tombstoned keys keep masking).
   */
 object Merge {
 
@@ -34,29 +37,29 @@ object Merge {
       source: DataFrame, stagingDir: String,
       committer: Committer = FsCreateCommitter): Option[RowDelete.Result] = {
     if (source.isEmpty) return None
-    val dirs = Manifest.committed(s, root)
+    val (tombs, dirs) = Manifest.committed(s, root)
+      .partition(MergeOnRead.isTombstone)
     val keys = source.select(col(keyCol)).distinct()
-    val touchedParents = s.read.parquet(dirs: _*)
-      .select(col(keyCol), col("_metadata.file_path").as("fp"))
-      .join(broadcast(keys), Seq(keyCol), "left_semi")
-      .select(regexp_replace(col("fp"), "/[^/]*$", "").as("d"))
-      .distinct().collect()
-      .map(r => new Path(r.getString(0)).toUri.getPath)
-    def owns(dir: String): Boolean = {
-      val p = new Path(dir).toUri.getPath
-      touchedParents.exists(tp => tp == p || tp.startsWith(p + "/"))
-    }
-    val (hit, carried) = dirs.partition(owns)
-    val rewritten = hit.zipWithIndex.map { case (d, i) =>
-      val outd = s"$stagingDir/merge$i"
-      s.read.parquet(d)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
-        .write.parquet(outd)
-      SkipStats.carry(s, d, outd)
+    def minusKeys(df: DataFrame): DataFrame =
+      df.join(broadcast(keys), Seq(keyCol), "left_anti")
+    val (hit, carried) = Cow.split(s, dirs,
+      _.join(broadcast(keys), Seq(keyCol), "left_semi"))
+    val rewritten = Cow.rewrite(s, hit, stagingDir, "merge", minusKeys)
+    // a live tombstone over an upserted key would mask the incoming row
+    // (MergeOnRead masking is by key, table-wide) — the upsert IS the
+    // key's new truth, so intersecting tombstones rewrite minus the
+    // source keys, under a tombstone-prefixed name so they keep masking
+    // their remaining keys; the key's stale data rows were already
+    // rewritten out above, so nothing resurrects
+    val (tombHit, tombCarried) = Cow.split(s, tombs,
+      _.join(broadcast(keys), Seq(keyCol), "left_semi"))
+    val newTombs = tombHit.zipWithIndex.map { case (d, i) =>
+      val outd = s"$stagingDir/${MergeOnRead.TombstonePrefix}merge$i"
+      minusKeys(s.read.parquet(d)).write.mode("overwrite").parquet(outd)
       outd
-    }
+    }.filter(d => !s.read.parquet(d).isEmpty)
     val upsertDir = s"$stagingDir/merge-upsert"
-    source.write.parquet(upsertDir)
+    source.write.mode("overwrite").parquet(upsertDir)
     // the appended source inherits the table's stats discipline: if any
     // directory tracks skip-stats, the new one tracks the same columns
     val f = new Path(root)
@@ -64,7 +67,8 @@ object Merge {
     dirs.find(d => SkipStats.read(f, d).nonEmpty)
       .foreach(d => SkipStats.carry(s, d, upsertDir))
     val v = Manifest.rewrite(s, root,
-      carried ++ rewritten :+ upsertDir, committer)
+      carried ++ tombCarried ++ newTombs ++ rewritten :+ upsertDir,
+      committer)
     Some(RowDelete.Result(v, carried, rewritten :+ upsertDir))
   }
 }

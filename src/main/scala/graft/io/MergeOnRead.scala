@@ -46,8 +46,10 @@ object MergeOnRead {
     val v = Manifest.versions(s, root).last
     val keys = snapshot(s, root, keyCol, Some(v)).filter(pred)
       .select(col(keyCol)).distinct()
+    // overwrite: a delete that crashed between write and commit left an
+    // invisible orphan at this same path — the retry must not trip on it
     val tombDir = s"$stagingDir/${TombstonePrefix}v$v"
-    keys.write.parquet(tombDir)
+    keys.write.mode("overwrite").parquet(tombDir)
     if (s.read.parquet(tombDir).isEmpty) {
       new Path(tombDir).getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new Path(tombDir), true)
@@ -83,25 +85,10 @@ object MergeOnRead {
     val (tombs, data) = Manifest.entries(s, root).partition(isTombstone)
     if (tombs.isEmpty) return None
     val keys = s.read.parquet(tombs: _*).select(col(keyCol)).distinct()
-    val touchedParents = s.read.parquet(data: _*)
-      .select(col(keyCol), col("_metadata.file_path").as("fp"))
-      .join(broadcast(keys), Seq(keyCol), "left_semi")
-      .select(regexp_replace(col("fp"), "/[^/]*$", "").as("d"))
-      .distinct().collect()
-      .map(r => new Path(r.getString(0)).toUri.getPath)
-    def owns(dir: String): Boolean = {
-      val p = new Path(dir).toUri.getPath
-      touchedParents.exists(tp => tp == p || tp.startsWith(p + "/"))
-    }
-    val (hit, carried) = data.partition(owns)
-    val rewritten = hit.zipWithIndex.map { case (d, i) =>
-      val outd = s"$stagingDir/fold$i"
-      s.read.parquet(d)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
-        .write.parquet(outd)
-      SkipStats.carry(s, d, outd)
-      outd
-    }
+    val (hit, carried) = Cow.split(s, data,
+      _.join(broadcast(keys), Seq(keyCol), "left_semi"))
+    val rewritten = Cow.rewrite(s, hit, stagingDir, "fold",
+      _.join(broadcast(keys), Seq(keyCol), "left_anti"))
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
     Some(RowDelete.Result(v, carried, rewritten))
   }

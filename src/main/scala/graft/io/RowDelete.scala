@@ -1,8 +1,6 @@
 package graft.io
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Copy-on-write row-level DELETE on a [[Manifest]] table — the takedown
   * primitive a training-data lake needs (rights requests, contaminated or
@@ -39,26 +37,18 @@ object RowDelete {
   def deleteWhere(s: SparkSession, root: String, pred: Column,
       stagingDir: String,
       committer: Committer = FsCreateCommitter): Result = {
-    val dirs = Manifest.committed(s, root)
-    // one pushdown-filtered scan; the distinct parent-directory set is
-    // bounded by the commit count, so the collect is manifest-sized
-    val touchedParents = s.read.parquet(dirs: _*).filter(pred)
-      .select(regexp_replace(input_file_name(), "/[^/]*$", "").as("d"))
-      .distinct().collect()
-      .map(r => new Path(r.getString(0)).toUri.getPath)
-    def owns(dir: String): Boolean = {
-      val p = new Path(dir).toUri.getPath
-      touchedParents.exists(tp => tp == p || tp.startsWith(p + "/"))
-    }
-    val (hit, carried) = dirs.partition(owns)
+    // live MergeOnRead tombstone directories are key lists, not data —
+    // a row predicate must never classify or rewrite them (losing the
+    // tombstone basename would resurrect every row it masks); they
+    // carry verbatim and keep masking
+    val (tombs, dirs) = Manifest.committed(s, root)
+      .partition(MergeOnRead.isTombstone)
+    val (hit, carriedData) = Cow.split(s, dirs, _.filter(pred))
+    val carried = carriedData ++ tombs
     if (hit.isEmpty)
       return Result(Manifest.versions(s, root).last, carried, Nil)
-    val rewritten = hit.zipWithIndex.map { case (d, i) =>
-      val outd = s"$stagingDir/cow$i"
-      s.read.parquet(d).filter(!pred).write.parquet(outd)
-      SkipStats.carry(s, d, outd)
-      outd
-    }
+    val rewritten = Cow.rewrite(s, hit, stagingDir, "cow",
+      _.filter(!pred))
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
     Result(v, carried, rewritten)
   }

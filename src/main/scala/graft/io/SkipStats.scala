@@ -113,16 +113,19 @@ object SkipStats {
     val lines = body.split("\n", -1)
     if (lines.headOption.forall(_ != Header) || !lines.contains("end"))
       return None
-    Some(lines.takeWhile(_ != "end").collect {
+    // a malformed line (partial corruption, a future format's extra
+    // field) poisons the WHOLE sidecar to None — one bad directory must
+    // degrade to "kept", never make every scan of the table throw
+    val parsed = lines.takeWhile(_ != "end").collect {
       case l if l.startsWith("col\t") =>
         l.split("\t", -1) match {
-          case Array(_, c, t) => dec(c) -> ColStats(t, None)
+          case Array(_, c, t) => Some(dec(c) -> ColStats(t, None))
           case Array(_, c, t, mn, mx) =>
-            dec(c) -> ColStats(t, Some((dec(mn), dec(mx))))
-          case other => throw new IllegalStateException(
-            s"malformed stats line in $p: ${other.mkString("\t")}")
+            Some(dec(c) -> ColStats(t, Some((dec(mn), dec(mx)))))
+          case _ => None
         }
-    }.toMap)
+    }
+    if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten.toMap)
   }
 
   private def overlaps(cs: ColStats, lo: String, hi: String): Boolean =
@@ -130,8 +133,12 @@ object SkipStats {
       case None => false // no values at all — nothing in range
       case Some((mn, mx)) => cs.tpe match {
         case "long" | "double" =>
-          BigDecimal(mn) <= BigDecimal(hi) &&
-            BigDecimal(mx) >= BigDecimal(lo)
+          // NaN/Infinity bounds (a double column containing them) are
+          // not decimal-parseable: degrade to KEEP — stats may only
+          // ever skip work, never break a query
+          scala.util.Try(
+            BigDecimal(mn) <= BigDecimal(hi) &&
+              BigDecimal(mx) >= BigDecimal(lo)).getOrElse(true)
         case _ => mn <= hi && mx >= lo
       }
     }
@@ -173,7 +180,14 @@ object SkipStats {
       s"table at $root has live tombstones — pass morKey so the " +
         "pruned scan merges them (or fold first)")
     val df =
-      if (data.isEmpty) Manifest.snapshot(s, root, version).limit(0)
+      if (data.isEmpty) {
+        // everything pruned: an empty frame with the DATA schema —
+        // never let a key-only tombstone dir decide the schema
+        val allData = Manifest.entries(s, root, version)
+          .filterNot(MergeOnRead.isTombstone)
+        require(allData.nonEmpty, s"table at $root has no data entries")
+        s.read.parquet(allData: _*).limit(0)
+      }
       else if (tombs.isEmpty) s.read.parquet(data: _*)
       else s.read.parquet(data: _*).join(
         broadcast(s.read.parquet(tombs: _*)

@@ -1164,16 +1164,13 @@ object SimilarityQueries {
     val dl = withDl.select(col("doc_id"), col("dl"))
     val qterms = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("term"))
-    val contrib =
-      (lit(nDocs).cast("double") / col("df")) * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) +
-          lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
     val ws = Window.partitionBy(col("qid"))
       .orderBy(col("score_fp").desc, col("nid"))
     val sparse = tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
-      .withColumn("fp", floor(contrib * lit(1e7)).cast("long"))
+      .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
+        col("tf"), col("df"), col("dl"), nDocs, avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
       .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))

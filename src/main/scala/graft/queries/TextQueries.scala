@@ -1315,13 +1315,10 @@ object TextQueries {
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = withDl.select(col("doc_id"), col("dl"))
-    val contrib =
-      (lit(nDocs).cast("double") / col("df")) * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) +
-          lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
     val scored = tf.join(broadcast(qterms), Seq("term"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
-      .withColumn("fp", floor(contrib * lit(1e7)).cast("long"))
+      .withColumn("fp",
+        bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1404,16 +1401,13 @@ object TextQueries {
       top.slice(5, 15).toSeq.zipWithIndex
         .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
       .toDF("qid", "term")
-    val contrib =
-      (lit(nDocs).cast("double") / col("df")) * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) +
-          lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("score_fp").desc, col("doc_id"))
     tf.join(broadcast(qterms), Seq("term"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
-      .withColumn("fp", floor(contrib * lit(1e7)).cast("long"))
+      .withColumn("fp",
+        bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
       .withColumn("rk", row_number().over(w))

@@ -498,6 +498,84 @@ class LayoutSpec extends AnyFunSuite {
       "a range over only the upsert batch must prune everything else")
   }
 
+  test("io22: upsert over a tombstoned key revives it with the new " +
+      "row; other tombstoned keys stay deleted") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_mortup_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 100).selectExpr("id", "id * 10 AS v")
+      .write.parquet(s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    // keys 40..49 merge-on-read deleted, NOT folded
+    graft.io.MergeOnRead.deleteWhere(spark, root, "id",
+      col("id").between(40, 49), s"$root/data")
+    // upsert key 42 (currently tombstoned) and key 7 (live)
+    val src = spark.createDataFrame(Seq((42L, -1L), (7L, -2L)))
+      .toDF("id", "v")
+    graft.io.Merge.upsert(spark, root, "id", src, s"$root/data/up")
+    val got = graft.io.MergeOnRead.snapshot(spark, root, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(42L) == -1L, "the upsert is the tombstoned key's new truth")
+    assert(got(7L) == -2L)
+    assert(!(40L to 49L).filter(_ != 42L).exists(got.contains),
+      "other tombstoned keys must stay deleted")
+    assert(got.size == 91, s"90 survivors + revived 42, got ${got.size}")
+    // the remaining tombstone entry still carries the tombstone name
+    assert(graft.io.Manifest.entries(spark, root)
+      .exists(graft.io.MergeOnRead.isTombstone))
+  }
+
+  test("io20: a predicate delete carries live tombstones verbatim — " +
+      "never rewrites them into data") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_cowts_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 100).toDF("id").write.parquet(s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.MergeOnRead.deleteWhere(spark, root, "id",
+      col("id").between(50, 59), s"$root/data")
+    // the predicate overlaps tombstoned keys 50..54
+    graft.io.RowDelete.deleteWhere(spark, root,
+      col("id").between(20, 54), s"$root/data/del")
+    val entries = graft.io.Manifest.entries(spark, root)
+    assert(entries.count(graft.io.MergeOnRead.isTombstone) == 1,
+      "the tombstone entry must survive under its tombstone name")
+    val ids = graft.io.MergeOnRead.snapshot(spark, root, "id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements((0L until 20L) ++ (60L until 100L)),
+      s"55..59 must stay deleted (masked), 20..54 predicate-deleted")
+  }
+
+  test("manifest: commitIfAbsent is idempotent per directory") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_cia_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 10).toDF("id").write.parquet(s"$root/data/b1")
+    val v1 = graft.io.Manifest.commitIfAbsent(spark, root, s"$root/data/b1")
+    // the replayed/racing duplicate commit burns no version and adds
+    // no duplicate entry
+    val v2 = graft.io.Manifest.commitIfAbsent(spark, root, s"$root/data/b1")
+    assert(v1 == 1 && v2 == 1)
+    assert(graft.io.Manifest.entries(spark, root) == Seq(s"$root/data/b1"))
+  }
+
+  test("io25: sync on a source with no commits is a graceful no-op") {
+    import org.apache.hadoop.fs.Path
+    val src = System.getProperty("java.io.tmpdir") + "/graft_nosync_src"
+    val out = System.getProperty("java.io.tmpdir") + "/graft_nosync_out"
+    val f = new Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(src), true); f.delete(new Path(out), true)
+    assert(graft.io.ChangeFeed
+      .sync(spark, src, "id", out, s"$out/data").isEmpty)
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1

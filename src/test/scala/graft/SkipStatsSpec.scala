@@ -86,6 +86,42 @@ class SkipStatsSpec extends AnyFunSuite {
     assert(cs.bounds.contains(("a\tb", "z%20\nq")))
   }
 
+  test("a malformed col line poisons the sidecar to None, not a throw") {
+    import spark.implicits._
+    val dir = fresh("malformed")
+    Seq(1L, 2L).toDF("k").write.parquet(dir)
+    SkipStats.write(spark, dir, Seq("k"))
+    val p = new Path(dir, SkipStats.StatsFile)
+    val f = fsOf(dir)
+    val doctored = {
+      val in = f.open(p)
+      val s0 =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s0.replaceFirst("(?m)^col\t.*$", "col\tk\tlong\t1\t2\textra\tfield")
+    }
+    val out = f.create(p, true)
+    try out.write(doctored
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(SkipStats.read(f, dir).isEmpty,
+      "a line with unexpected fields must degrade to conservative keep")
+  }
+
+  test("NaN double bounds degrade to conservative keep, never a crash") {
+    import spark.implicits._
+    val root = System.getProperty("java.io.tmpdir") + "/graft_sstat_nan"
+    fsOf(root).delete(new Path(root), true)
+    Seq(1.0, Double.NaN).toDF("x").write.parquet(s"$root/data/b1")
+    SkipStats.write(spark, s"$root/data/b1", Seq("x"))
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    // Spark's max orders NaN above everything → mx = "NaN"; the range
+    // probe must keep the dir (and return the filtered rows), not throw
+    val (kept, skipped) = SkipStats.prunedDirs(spark, root, "x",
+      "100", "200")
+    assert(kept == Seq(s"$root/data/b1") && skipped.isEmpty)
+  }
+
   test("an unsupported column type is rejected loudly") {
     import spark.implicits._
     val dir = fresh("badtype")
