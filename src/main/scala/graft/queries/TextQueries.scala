@@ -1416,6 +1416,75 @@ object TextQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** BM25 over an INCREMENTALLY-built index — the inverted index as a
+    * [[graft.io.Manifest]] table, which is how a 100 TB corpus actually
+    * maintains one: each arriving document batch tokenizes ONLY itself
+    * and lands as an appending commit (postings + a per-increment
+    * (n_docs, total_len) stats row — both distributive, so query-time
+    * aggregation over increments reconstructs the exact global stats);
+    * nothing previously ingested is ever re-read or rewritten at build
+    * time. The query side reads the postings snapshot and derives
+    * df / doc-length / corpus stats from the STORED index (vocabulary-
+    * and doc-sized aggregates of the postings — never a corpus
+    * re-tokenize). Same oracle as [[tBm25]]: two increments must answer
+    * bit-identically to the one-shot build.
+    */
+  def tBm25Incr(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_t25_bm25"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val (pRoot, sRoot) = (idx + "/postings", idx + "/stats")
+    def ingest(part: DataFrame, tag: String): Unit = {
+      val withDl = part
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .write.parquet(s"$idx/p_$tag")
+      Manifest.commit(s, pRoot, s"$idx/p_$tag")
+      withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        .write.parquet(s"$idx/s_$tag")
+      Manifest.commit(s, sRoot, s"$idx/s_$tag")
+    }
+    val docs = Tables.documents(s, dir)
+    ingest(docs.filter(col("doc_id") % 2 === 0), "a")
+    val pre = Manifest.entries(s, pRoot)
+    ingest(docs.filter(col("doc_id") % 2 === 1), "b")
+    require(Manifest.entries(s, pRoot).startsWith(pre),
+      "incremental ingest must append to the index, never rewrite it")
+    // ---- query: the stored postings are the only corpus state touched
+    val tf = Manifest.snapshot(s, pRoot)
+    val st = Manifest.snapshot(s, sRoot)
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val avgdl = totLen.toDouble / nDocs
+    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(15).collect()
+    val qterms = s.createDataFrame(
+      top.slice(5, 15).toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
+      .toDF("qid", "term")
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp",
+        bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1440,7 +1509,8 @@ object TextQueries {
     "t21_pseudonymize" -> (tPseudonymize _),
     "t22_chunking" -> (tChunking _),
     "t23_bm25" -> (tBm25 _),
-    "t24_bm25_stored" -> (tBm25Stored _))
+    "t24_bm25_stored" -> (tBm25Stored _),
+    "t25_bm25_incr" -> (tBm25Incr _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1467,5 +1537,7 @@ object TextQueries {
     "t22_chunking" -> tChunkingOracle,
     "t23_bm25" -> tBm25Oracle,
     // the stored-index read path must reproduce t23's result exactly
-    "t24_bm25_stored" -> tBm25Oracle)
+    "t24_bm25_stored" -> tBm25Oracle,
+    // the two-increment index must answer identically to one-shot t23
+    "t25_bm25_incr" -> tBm25Oracle)
 }
