@@ -51,12 +51,14 @@ object ChangeFeed {
     * writing but before committing leaves an invisible orphan that the
     * re-run overwrites; re-running with no new source version is a
     * no-op; an empty diff (a window that only rewrote layout) still
-    * advances the cursor. Two consumers whose runs overlap cannot
-    * double-list a window (the commit is [[Manifest.commitIfAbsent]],
-    * idempotent per directory) — though their racing writes share the
-    * staging path, so run one consumer per output table (the same
-    * single-committer scope the manifest already documents for
-    * local/S3A stores). This is st8's at-least-once → exactly-once
+    * advances the cursor. The commit is [[Manifest.commitIfAbsent]], so
+    * a replayed or racing run that lands the SAME window directory can
+    * never list it twice — but two overlapping consumers that observe
+    * DIFFERENT source versions (one sees v4, one v5, both from cursor 3)
+    * would commit overlapping windows and double-deliver the shared
+    * delta, and their writes race on the staging path: run ONE consumer
+    * per output table, the same single-committer scope the manifest
+    * documents for local/S3A stores. This is st8's at-least-once → exactly-once
     * replay guard applied to CDC consumption: the delivery attempt is
     * idempotent because the commit is keyed by what it covers. The
     * first sync bootstraps with the full merged snapshot as inserts.

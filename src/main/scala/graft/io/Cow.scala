@@ -36,14 +36,23 @@ private[io] object Cow {
   }
 
   /** Rewrite every hit directory through `xform` into
-    * `stagingDir/prefixN`, carrying skip-stats sidecars so maintenance
-    * never costs a table its scan planning. Returns the replacements in
-    * hit order.
+    * `stagingDir/prefix-vV-N`, carrying skip-stats sidecars so
+    * maintenance never costs a table its scan planning. Returns the
+    * replacements in hit order.
+    *
+    * Staging names are keyed by `baseVersion` (the version the rewrite
+    * was planned against): a LATER maintenance run on the same staging
+    * dir gets fresh names and can never clobber a directory an earlier
+    * run committed into the live manifest, while a RETRY of a crashed
+    * run (same base version) overwrites its own orphan instead of
+    * tripping on it. Two concurrent runs at the same version are the
+    * manifest's documented single-committer scope.
     */
   def rewrite(s: SparkSession, hit: Seq[String], stagingDir: String,
-      prefix: String, xform: DataFrame => DataFrame): Seq[String] =
+      prefix: String, baseVersion: Int,
+      xform: DataFrame => DataFrame): Seq[String] =
     hit.zipWithIndex.map { case (d, i) =>
-      val outd = s"$stagingDir/$prefix$i"
+      val outd = s"$stagingDir/$prefix-v$baseVersion-$i"
       xform(s.read.parquet(d)).write.mode("overwrite").parquet(outd)
       SkipStats.carry(s, d, outd)
       outd

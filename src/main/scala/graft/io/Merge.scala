@@ -37,6 +37,7 @@ object Merge {
       source: DataFrame, stagingDir: String,
       committer: Committer = FsCreateCommitter): Option[RowDelete.Result] = {
     if (source.isEmpty) return None
+    val baseV = Manifest.versions(s, root).last
     val (tombs, dirs) = Manifest.committed(s, root)
       .partition(MergeOnRead.isTombstone)
     val keys = source.select(col(keyCol)).distinct()
@@ -44,21 +45,29 @@ object Merge {
       df.join(broadcast(keys), Seq(keyCol), "left_anti")
     val (hit, carried) = Cow.split(s, dirs,
       _.join(broadcast(keys), Seq(keyCol), "left_semi"))
-    val rewritten = Cow.rewrite(s, hit, stagingDir, "merge", minusKeys)
+    val rewritten = Cow.rewrite(s, hit, stagingDir, "merge", baseV,
+      minusKeys)
     // a live tombstone over an upserted key would mask the incoming row
     // (MergeOnRead masking is by key, table-wide) — the upsert IS the
     // key's new truth, so intersecting tombstones rewrite minus the
     // source keys, under a tombstone-prefixed name so they keep masking
     // their remaining keys; the key's stale data rows were already
-    // rewritten out above, so nothing resurrects
+    // rewritten out above, so nothing resurrects. A tombstone the
+    // source fully covers drops from the manifest without being
+    // rewritten at all.
     val (tombHit, tombCarried) = Cow.split(s, tombs,
       _.join(broadcast(keys), Seq(keyCol), "left_semi"))
-    val newTombs = tombHit.zipWithIndex.map { case (d, i) =>
-      val outd = s"$stagingDir/${MergeOnRead.TombstonePrefix}merge$i"
-      minusKeys(s.read.parquet(d)).write.mode("overwrite").parquet(outd)
-      outd
-    }.filter(d => !s.read.parquet(d).isEmpty)
-    val upsertDir = s"$stagingDir/merge-upsert"
+    val newTombs = tombHit.zipWithIndex.flatMap { case (d, i) =>
+      val remaining = minusKeys(s.read.parquet(d))
+      if (remaining.isEmpty) None
+      else {
+        val outd = s"$stagingDir/${MergeOnRead.TombstonePrefix}" +
+          s"merge-v$baseV-$i"
+        remaining.write.mode("overwrite").parquet(outd)
+        Some(outd)
+      }
+    }
+    val upsertDir = s"$stagingDir/merge-upsert-v$baseV"
     source.write.mode("overwrite").parquet(upsertDir)
     // the appended source inherits the table's stats discipline: if any
     // directory tracks skip-stats, the new one tracks the same columns
@@ -69,6 +78,7 @@ object Merge {
     val v = Manifest.rewrite(s, root,
       carried ++ tombCarried ++ newTombs ++ rewritten :+ upsertDir,
       committer)
-    Some(RowDelete.Result(v, carried, rewritten :+ upsertDir))
+    Some(RowDelete.Result(v, carried ++ tombCarried,
+      (newTombs ++ rewritten) :+ upsertDir))
   }
 }

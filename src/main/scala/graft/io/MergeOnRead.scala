@@ -82,12 +82,13 @@ object MergeOnRead {
   def fold(s: SparkSession, root: String, keyCol: String,
       stagingDir: String,
       committer: Committer = FsCreateCommitter): Option[RowDelete.Result] = {
+    val baseV = Manifest.versions(s, root).last
     val (tombs, data) = Manifest.entries(s, root).partition(isTombstone)
     if (tombs.isEmpty) return None
     val keys = s.read.parquet(tombs: _*).select(col(keyCol)).distinct()
     val (hit, carried) = Cow.split(s, data,
       _.join(broadcast(keys), Seq(keyCol), "left_semi"))
-    val rewritten = Cow.rewrite(s, hit, stagingDir, "fold",
+    val rewritten = Cow.rewrite(s, hit, stagingDir, "fold", baseV,
       _.join(broadcast(keys), Seq(keyCol), "left_anti"))
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
     Some(RowDelete.Result(v, carried, rewritten))

@@ -41,13 +41,13 @@ object RowDelete {
     // a row predicate must never classify or rewrite them (losing the
     // tombstone basename would resurrect every row it masks); they
     // carry verbatim and keep masking
+    val baseV = Manifest.versions(s, root).last
     val (tombs, dirs) = Manifest.committed(s, root)
       .partition(MergeOnRead.isTombstone)
     val (hit, carriedData) = Cow.split(s, dirs, _.filter(pred))
     val carried = carriedData ++ tombs
-    if (hit.isEmpty)
-      return Result(Manifest.versions(s, root).last, carried, Nil)
-    val rewritten = Cow.rewrite(s, hit, stagingDir, "cow",
+    if (hit.isEmpty) return Result(baseV, carried, Nil)
+    val rewritten = Cow.rewrite(s, hit, stagingDir, "cow", baseV,
       _.filter(!pred))
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
     Result(v, carried, rewritten)

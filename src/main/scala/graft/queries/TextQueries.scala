@@ -1293,6 +1293,38 @@ object TextQueries {
     * partitions by `qid` (≤5 keys over candidate docs only — the
     * bounded-key window shape the s-family probes use).
     */
+  /** The ONE query side of the BM25 family: query-term selection (the
+    * rank band, from the postings' term totals — a 15-row bounded
+    * collect), posting-list join-scoring through
+    * [[graft.functions.TextFunctions.bm25Fp]], and the top-5-per-query
+    * bounded-qid window. t23/t24/t25 differ ONLY in where the index
+    * tables come from (in-plan, stored parquet, manifest snapshot);
+    * they rank through this single definition so the bit-identical
+    * answer contract between them cannot drift on a one-sided edit.
+    */
+  private def bm25TopK(s: SparkSession, tf: DataFrame, dft: DataFrame,
+      dl: DataFrame, nDocs: Long, avgdl: Double): DataFrame = {
+    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(15).collect()
+    val qterms = s.createDataFrame(
+      top.slice(5, 15).toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
+      .toDF("qid", "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp",
+        bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   def tBm25(s: SparkSession, dir: String): DataFrame = {
     // doc length is a per-row projection (size of the token array) and
     // the corpus stats one aggregate — tokenizing once and never
@@ -1302,32 +1334,12 @@ object TextQueries {
       .withColumn("dl", size(col("toks")))
     val stats = withDl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
     val (nDocs, totLen) = (stats.getLong(0), stats.getLong(1))
-    val avgdl = totLen.toDouble / nDocs
-    val toks = withDl.select(col("doc_id"),
-      explode(col("toks")).as("term"))
-    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("term")).limit(15).collect()
-    val qterms = s.createDataFrame(
-      top.slice(5, 15).toSeq.zipWithIndex
-        .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
-      .toDF("qid", "term")
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = withDl
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = withDl.select(col("doc_id"), col("dl"))
-    val scored = tf.join(broadcast(qterms), Seq("term"))
-      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
-      .withColumn("fp",
-        bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("fp")).as("score_fp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
-      .orderBy(col("qid"), col("rk"))
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
   }
 
   val tBm25Oracle: String =
@@ -1389,31 +1401,11 @@ object TextQueries {
     withDl.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(idx + "/doclen")
     // ---- query: STORED index only — documents is never re-read
-    val tf = s.read.parquet(idx + "/postings")
-    val dft = s.read.parquet(idx + "/df")
-    val dl = s.read.parquet(idx + "/doclen")
     val stats = s.read.parquet(idx + "/stats").collect()(0)
     val (nDocs, totLen) = (stats.getLong(0), stats.getLong(1))
-    val avgdl = totLen.toDouble / nDocs
-    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-      .orderBy(col("c").desc, col("term")).limit(15).collect()
-    val qterms = s.createDataFrame(
-      top.slice(5, 15).toSeq.zipWithIndex
-        .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
-      .toDF("qid", "term")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("doc_id"))
-    tf.join(broadcast(qterms), Seq("term"))
-      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
-      .withColumn("fp",
-        bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("fp")).as("score_fp"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
-      .orderBy(col("qid"), col("rk"))
+    bm25TopK(s, s.read.parquet(idx + "/postings"),
+      s.read.parquet(idx + "/df"), s.read.parquet(idx + "/doclen"),
+      nDocs, totLen.toDouble / nDocs)
   }
 
   /** BM25 over an INCREMENTALLY-built index — the inverted index as a
@@ -1461,28 +1453,9 @@ object TextQueries {
     val st = Manifest.snapshot(s, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
-    val avgdl = totLen.toDouble / nDocs
-    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-      .orderBy(col("c").desc, col("term")).limit(15).collect()
-    val qterms = s.createDataFrame(
-      top.slice(5, 15).toSeq.zipWithIndex
-        .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
-      .toDF("qid", "term")
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("doc_id"))
-    tf.join(broadcast(qterms), Seq("term"))
-      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
-      .withColumn("fp",
-        bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("fp")).as("score_fp"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
-      .orderBy(col("qid"), col("rk"))
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
