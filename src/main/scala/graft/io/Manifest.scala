@@ -253,6 +253,35 @@ object Manifest {
     } catch { case AlreadyListed(v) => v }
   }
 
+  /** Remove ORPHAN directories — the reclaim path for the one artifact
+    * the commit protocol deliberately produces: a writer that crashed
+    * after landing its directory but before committing leaves data that
+    * no manifest references (invisible to every reader, re-done by the
+    * retry) and that [[expire]] can never touch (expire reclaims only
+    * directories DEAD VERSIONS referenced). Sweeps the immediate
+    * children of `dataRoot` that appear in NO version's entry list —
+    * live or historical — and are older than `graceMs` (the guard for
+    * a writer mid-landing RIGHT NOW whose commit hasn't happened yet;
+    * size it to the longest plausible write+commit gap). Returns the
+    * deleted directories.
+    */
+  def sweepOrphans(s: SparkSession, root: String, dataRoot: String,
+      graceMs: Long = 0L): Seq[String] = {
+    val f = fs(s, root)
+    val referenced: Set[String] = versions(s, root)
+      .flatMap(v => readList(f, manifestPath(root, v)))
+      .map(e => new Path(e).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val rootPath = new Path(dataRoot)
+    if (!f.exists(rootPath)) return Seq.empty
+    f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory &&
+        !referenced.contains(st.getPath.toUri.getPath) &&
+        st.getModificationTime < cutoff)
+      .map { st => f.delete(st.getPath, true); st.getPath.toUri.getPath }
+      .sorted
+  }
+
   /** REPLACING commit — the maintenance primitive (compaction, clustering
     * rewrite): the next manifest lists exactly `dirs`, not the previous
     * list plus them. Old versions keep reading the old files, so a

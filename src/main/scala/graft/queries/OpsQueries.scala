@@ -1335,6 +1335,72 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM f GROUP BY 1, 2 ORDER BY op, l_returnflag""".stripMargin
 
+  /** Orphan-directory sweep under the gate
+    * ([[graft.io.Manifest.sweepOrphans]]) — the reclaim the commit
+    * protocol's own crash artifact needs: a writer that died between
+    * landing its directory and committing leaves invisible data that
+    * neither readers nor [[graft.io.Manifest.expire]] will ever touch.
+    * The censuses pin that sweeping changes NOTHING visible (pre/post
+    * snapshot identical); the in-query requires pin the sweep itself:
+    * exactly the unreferenced directories go, every referenced entry
+    * stays on disk, and the grace window protects a just-landed
+    * directory whose commit is still in flight.
+    */
+  def io26OrphanSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io26_tbl"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    Manifest.commit(s, root, s"$root/data/b2")
+    // two crashed writers: landed, never committed
+    batch(0, 100).write.parquet(s"$root/data/orphan1")
+    batch(100, 200).write.parquet(s"$root/data/orphan2")
+    def census(tag: Int) = Manifest.snapshot(s, root)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    val pre = census(0)
+    // a fresh directory inside the grace window must survive the sweep
+    require(Manifest.sweepOrphans(s, root, s"$root/data",
+        graceMs = 3600000L).isEmpty,
+      "everything here is younger than the grace window")
+    val swept = Manifest.sweepOrphans(s, root, s"$root/data")
+    require(swept == Seq(s"$root/data/orphan1", s"$root/data/orphan2")
+        .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath),
+      s"exactly the unreferenced directories go, got $swept")
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b2")),
+      "referenced directories must never be swept")
+    require(Manifest.sweepOrphans(s, root, s"$root/data").isEmpty,
+      "a second sweep finds nothing")
+    pre.unionByName(census(1))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io26Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM li)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -2105,6 +2171,7 @@ object OpsQueries {
     "io23_incremental" -> (io23Incremental _),
     "io24_skip_scan" -> (io24SkipScan _),
     "io25_feed_sync" -> (io25FeedSync _),
+    "io26_orphan_sweep" -> (io26OrphanSweep _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2150,6 +2217,7 @@ object OpsQueries {
     "io23_incremental" -> io23Oracle,
     "io24_skip_scan" -> io24Oracle,
     "io25_feed_sync" -> io25Oracle,
+    "io26_orphan_sweep" -> io26Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

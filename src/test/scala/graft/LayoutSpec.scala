@@ -576,6 +576,28 @@ class LayoutSpec extends AnyFunSuite {
       .sync(spark, src, "id", out, s"$out/data").isEmpty)
   }
 
+  test("io26: orphan sweep never touches a directory referenced only " +
+      "by a historical version — time travel survives the sweep") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_sweep_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 100).toDF("id").write.parquet(s"$root/data/b1")
+    spark.range(100, 200).toDF("id").write.parquet(s"$root/data/b2")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+    // a REPLACING commit drops b1 from the LATEST version only
+    graft.io.Manifest.rewrite(spark, root, Seq(s"$root/data/b2"))
+    spark.range(900, 950).toDF("id").write.parquet(s"$root/data/orphan")
+    val swept = graft.io.Manifest.sweepOrphans(spark, root, s"$root/data")
+    assert(swept.map(new Path(_).getName) == Seq("orphan"),
+      s"only the never-committed dir goes: $swept")
+    // b1 is referenced by versions 1 and 2 — time travel still reads it
+    assert(graft.io.Manifest.snapshot(spark, root, Some(2)).count() == 200)
+    assert(graft.io.Manifest.snapshot(spark, root).count() == 100)
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
