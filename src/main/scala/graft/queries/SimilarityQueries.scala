@@ -1119,6 +1119,74 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** IVF with INCREMENTAL list ingestion — [[graft.queries.TextQueries]]
+    * t25's manifest-table discipline applied to the vector index, which
+    * is how a production IVF index absorbs a growing corpus: the coarse
+    * quantizer is trained ONCE on the first block and FROZEN to parquet
+    * (retraining per arrival would re-shuffle every existing list);
+    * each arriving block runs only its own nearest-centroid assignment
+    * (the per-row projection — zero corpus-side shuffle) and appends
+    * its list entries as a manifest commit. Nothing previously filed is
+    * re-read or rewritten; readers snapshot the lists table. The oracle
+    * replays the frozen-quantizer semantics exactly — centroids from
+    * the first block, assignment over everything — so the census pins
+    * both the incremental mechanics and the assignment arithmetic.
+    */
+  def s14IvfIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_s14_ivf"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val lRoot = idx + "/lists"
+    val e = quantized(s, dir)
+    // train on the first block only, then freeze the quantizer
+    centroids(e.filter(col("vec_id") % 2 === 0))
+      .write.parquet(idx + "/centroids")
+    val cent = s.read.parquet(idx + "/centroids")
+    def ingest(part: DataFrame, tag: String): Unit = {
+      centroidRanked(part, cent, maxRank = 1)
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"), col("clabel"))
+        .write.parquet(s"$idx/l_$tag")
+      Manifest.commit(s, lRoot, s"$idx/l_$tag")
+    }
+    ingest(e.filter(col("vec_id") % 2 === 0), "a")
+    val pre = Manifest.entries(s, lRoot)
+    ingest(e.filter(col("vec_id") % 2 === 1), "b")
+    require(Manifest.entries(s, lRoot).startsWith(pre),
+      "incremental ingest must append to the lists, never rewrite them")
+    Manifest.snapshot(s, lRoot)
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  val s14Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx,
+      |    COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT q.vec_id, q.label, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM q CROSS JOIN cent),
+      |r AS (SELECT vec_id, label, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |  FROM d)
+      |SELECT label, clabel AS assigned, COUNT(*) n FROM r WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin
+
   /** Hybrid retrieval via reciprocal-rank fusion — the full RAG stack's
     * retrieval layer in one query: the DENSE side is s1's brute cosine
     * kNN (probe vectors 0–4, top-20), the SPARSE side is BM25
@@ -1253,6 +1321,7 @@ object SimilarityQueries {
     "s11_sq8_stored" -> (s11Sq8Stored _),
     "s12_hybrid_rrf" -> (s12HybridRrf _),
     "s13_pq_stored" -> (s13PqStored _),
+    "s14_ivf_incr" -> (s14IvfIncr _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1272,5 +1341,6 @@ object SimilarityQueries {
     "s12_hybrid_rrf" -> s12Oracle,
     // the stored-codes PQ read path must reproduce s6's result exactly
     "s13_pq_stored" -> s6Oracle,
+    "s14_ivf_incr" -> s14Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
