@@ -935,23 +935,38 @@ object OpsQueries {
     * reclaims it, which is what makes the delete eventually physical)
     * while the new version must lack exactly the matched rows.
     */
+  /** Key-space unit for the io-family's synthetic manifest tables: a
+    * tenth of the observed lineitem key space, so every batch and
+    * delete range is nonempty at EVERY scale factor (sf0.001's keys
+    * stop at 1499, where a hardcoded `[1500, 3000)` batch is empty and
+    * the in-query requires trip). The oracles derive the identical
+    * unit with `(MAX(l_orderkey)+1)//10`, so both sides move together;
+    * at sf0.01 (max key 14999) the unit is exactly 1500 — the
+    * boundaries this family originally hardcoded.
+    */
+  private def okeyUnit(s: SparkSession, dir: String, frac: Int = 10): Long =
+    (Tables.lineitem(s, dir).agg(max(col("l_orderkey")))
+      .collect()(0).getLong(0) + 1) / frac
+
   def io20RowDelete(s: SparkSession, dir: String): DataFrame = {
     import graft.io.{Manifest, RowDelete}
     val root = tmpDir(s) + "/graft_io20_tbl"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
     def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, 1500).write.parquet(s"$root/data/b1")
+    batch(0, k).write.parquet(s"$root/data/b1")
     Manifest.commit(s, root, s"$root/data/b1")
-    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    batch(k, 2 * k).write.parquet(s"$root/data/b2")
     val v2 = Manifest.commit(s, root, s"$root/data/b2")
     val res = RowDelete.deleteWhere(s, root,
-      col("l_orderkey").between(2000, 2399), s"$root/data/del1")
+      col("l_orderkey").between(k + k / 3, k + k / 3 + (4 * k) / 15 - 1),
+      s"$root/data/del1")
     require(res.carried == Seq(s"$root/data/b1"),
       s"the unaffected directory must carry verbatim, got ${res.carried}")
     require(res.rewritten.size == 1,
@@ -972,13 +987,15 @@ object OpsQueries {
   }
 
   val io20Oracle: String =
-    """WITH li AS (SELECT l_orderkey, l_returnflag,
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
       |snap AS (
       |  SELECT 0 AS phase, * FROM li
       |  UNION ALL
-      |  SELECT 1, * FROM li WHERE l_orderkey NOT BETWEEN 2000 AND 2399)
+      |  SELECT 1, li.* FROM li, mk WHERE l_orderkey
+      |    NOT BETWEEN k + k // 3 AND k + k // 3 + (4 * k) // 15 - 1)
       |SELECT phase, l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
@@ -1005,17 +1022,19 @@ object OpsQueries {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
     def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, 1500).write.parquet(s"$root/data/b1")
+    batch(0, k).write.parquet(s"$root/data/b1")
     Manifest.commit(s, root, s"$root/data/b1")
-    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    batch(k, 2 * k).write.parquet(s"$root/data/b2")
     val v2 = Manifest.commit(s, root, s"$root/data/b2")
     val v3 = MergeOnRead.deleteWhere(s, root, "l_orderkey",
-      col("l_orderkey").between(2000, 2399), s"$root/data")
+      col("l_orderkey").between(k + k / 3, k + k / 3 + (4 * k) / 15 - 1),
+      s"$root/data")
     require(v3.nonEmpty, "a matching delete must commit a tombstone")
     require(Manifest.entries(s, root).take(2) ==
       Seq(s"$root/data/b1", s"$root/data/b2"),
@@ -1043,11 +1062,12 @@ object OpsQueries {
   }
 
   val io21Oracle: String =
-    """WITH li AS (SELECT l_orderkey, l_returnflag,
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
-      |del AS (SELECT * FROM li
-      |  WHERE l_orderkey NOT BETWEEN 2000 AND 2399),
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |del AS (SELECT li.* FROM li, mk WHERE l_orderkey
+      |  NOT BETWEEN k + k // 3 AND k + k // 3 + (4 * k) // 15 - 1),
       |snap AS (
       |  SELECT 0 AS phase, * FROM li
       |  UNION ALL SELECT 1, * FROM del
@@ -1073,20 +1093,22 @@ object OpsQueries {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
     def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, 1500).write.parquet(s"$root/data/b1")
+    batch(0, k).write.parquet(s"$root/data/b1")
     Manifest.commit(s, root, s"$root/data/b1")
-    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    batch(k, 2 * k).write.parquet(s"$root/data/b2")
     val v2 = Manifest.commit(s, root, s"$root/data/b2")
     val keys = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
-    val src = keys.filter(col("l_orderkey").between(500, 999))
+    val src = keys.filter(col("l_orderkey").between(k / 3, (2 * k) / 3 - 1))
       .select(col("l_orderkey"), lit("U").as("l_returnflag"),
         (col("l_orderkey") * 7).as("cents"))
-      .unionByName(keys.filter(col("l_orderkey").between(3000, 3499))
+      .unionByName(keys
+        .filter(col("l_orderkey").between(2 * k, 2 * k + k / 3 - 1))
         .select(col("l_orderkey"), lit("I").as("l_returnflag"),
           (col("l_orderkey") * 3).as("cents")))
     val res = Merge.upsert(s, root, "l_orderkey", src, s"$root/data")
@@ -1108,17 +1130,18 @@ object OpsQueries {
   }
 
   val io22Oracle: String =
-    """WITH li AS (SELECT l_orderkey, l_returnflag,
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
       |src AS (
       |  SELECT l_orderkey, 'U' AS l_returnflag, l_orderkey * 7 AS cents
-      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem
-      |        WHERE l_orderkey BETWEEN 500 AND 999)
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem, mk
+      |        WHERE l_orderkey BETWEEN k // 3 AND (2 * k) // 3 - 1)
       |  UNION ALL
       |  SELECT l_orderkey, 'I', l_orderkey * 3
-      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem
-      |        WHERE l_orderkey BETWEEN 3000 AND 3499)),
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem, mk
+      |        WHERE l_orderkey BETWEEN 2 * k AND 2 * k + k // 3 - 1)),
       |merged AS (
       |  SELECT * FROM li WHERE l_orderkey NOT IN
       |    (SELECT l_orderkey FROM src)
@@ -1148,18 +1171,20 @@ object OpsQueries {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
     def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, 1500).write.parquet(s"$root/data/b1")
+    batch(0, k).write.parquet(s"$root/data/b1")
     Manifest.commit(s, root, s"$root/data/b1")
-    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    batch(k, 2 * k).write.parquet(s"$root/data/b2")
     val v2 = Manifest.commit(s, root, s"$root/data/b2")
     val v3 = MergeOnRead.deleteWhere(s, root, "l_orderkey",
-      col("l_orderkey").between(500, 599), s"$root/data").get
-    batch(3000, 3600).write.parquet(s"$root/data/b3")
+      col("l_orderkey").between(k / 3, k / 3 + k / 15 - 1),
+      s"$root/data").get
+    batch(2 * k, 2 * k + (2 * k) / 5).write.parquet(s"$root/data/b3")
     val v4 = Manifest.commit(s, root, s"$root/data/b3")
     val folded = MergeOnRead.fold(s, root, "l_orderkey", s"$root/data").get
     require(!Manifest.entries(s, root, Some(folded.version))
@@ -1181,13 +1206,16 @@ object OpsQueries {
   }
 
   val io23Oracle: String =
-    """WITH li AS (SELECT l_orderkey, l_returnflag,
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents FROM lineitem WHERE l_orderkey < 3600),
-      |b2 AS (SELECT * FROM li WHERE l_orderkey >= 1500
-      |       AND l_orderkey < 3000),
-      |b3 AS (SELECT * FROM li WHERE l_orderkey >= 3000),
-      |d AS (SELECT * FROM li WHERE l_orderkey BETWEEN 500 AND 599),
+      |      AS cents FROM lineitem, mk
+      |  WHERE l_orderkey < 2 * k + (2 * k) // 5),
+      |b2 AS (SELECT li.* FROM li, mk WHERE l_orderkey >= k
+      |       AND l_orderkey < 2 * k),
+      |b3 AS (SELECT li.* FROM li, mk WHERE l_orderkey >= 2 * k),
+      |d AS (SELECT li.* FROM li, mk
+      |  WHERE l_orderkey BETWEEN k // 3 AND k // 3 + k // 15 - 1),
       |f0 AS (SELECT 'I' AS op, * FROM b3
       |       UNION ALL SELECT 'D', * FROM d),
       |f1 AS (SELECT 'I' AS op, * FROM b2
@@ -1221,47 +1249,52 @@ object OpsQueries {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val u = okeyUnit(s, dir, 15)
     def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    Seq((0L, 1000L, "b1"), (1000L, 2000L, "b2"), (2000L, 3000L, "b3"))
+    Seq((0L, u, "b1"), (u, 2 * u, "b2"), (2 * u, 3 * u, "b3"))
       .foreach { case (lo, hi, name) =>
         batch(lo, hi).write.parquet(s"$root/data/$name")
         SkipStats.write(s, s"$root/data/$name", Seq("l_orderkey"))
         Manifest.commit(s, root, s"$root/data/$name")
       }
-    batch(3000, 3100).write.parquet(s"$root/data/b4") // no sidecar
+    batch(3 * u, 3 * u + u / 10).write.parquet(s"$root/data/b4") // no sidecar
     Manifest.commit(s, root, s"$root/data/b4")
+    val (plo, phi) = (u + u / 5, u + (4 * u) / 5 - 1)
     val (kept, skipped) = SkipStats.prunedDirs(s, root, "l_orderkey",
-      "1200", "1799")
+      plo.toString, phi.toString)
     require(kept == Seq(s"$root/data/b2", s"$root/data/b4") &&
       skipped.size == 2,
       s"mid-range must keep the overlapping dir + the statless dir: $kept")
-    require(SkipStats.prunedDirs(s, root, "l_orderkey", "5000", "5999")
+    require(SkipStats.prunedDirs(s, root, "l_orderkey",
+        (5 * u).toString, (6 * u - 1).toString)
         ._1 == Seq(s"$root/data/b4"),
       "an out-of-range probe keeps only the statless dir")
-    require(SkipStats.scan(s, root, "l_orderkey", 5000, 5999).isEmpty,
+    require(SkipStats.scan(s, root, "l_orderkey", 5 * u, 6 * u - 1)
+        .isEmpty,
       "the conservative keep still returns zero out-of-range rows")
     def census(df: DataFrame, tag: Int) = df
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
         sum(col("cents")).as("sum_cents"))
       .withColumn("phase", lit(tag))
-    census(SkipStats.scan(s, root, "l_orderkey", 1200, 1799), 0)
+    census(SkipStats.scan(s, root, "l_orderkey", plo, phi), 0)
       .unionByName(census(Manifest.snapshot(s, root)
-        .filter(col("l_orderkey").between(1200, 1799)), 1))
+        .filter(col("l_orderkey").between(plo, phi)), 1))
       .select(col("phase"), col("l_returnflag"), col("n"),
         col("sum_okey"), col("sum_cents"))
       .orderBy(col("phase"), col("l_returnflag"))
   }
 
   val io24Oracle: String =
-    """WITH li AS (SELECT l_orderkey, l_returnflag,
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 15 AS u FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents FROM lineitem
-      |  WHERE l_orderkey BETWEEN 1200 AND 1799),
+      |      AS cents FROM lineitem, mk
+      |  WHERE l_orderkey BETWEEN u + u // 5 AND u + (4 * u) // 5 - 1),
       |snap AS (
       |  SELECT 0 AS phase, * FROM li
       |  UNION ALL SELECT 1, * FROM li)
@@ -1291,22 +1324,23 @@ object OpsQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val k = okeyUnit(s, dir)
     def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, 1500).write.parquet(s"$src/data/b1")
+    batch(0, k).write.parquet(s"$src/data/b1")
     Manifest.commit(s, src, s"$src/data/b1")
-    batch(1500, 3000).write.parquet(s"$src/data/b2")
+    batch(k, 2 * k).write.parquet(s"$src/data/b2")
     Manifest.commit(s, src, s"$src/data/b2")
     require(ChangeFeed.sync(s, src, "l_orderkey", out, s"$out/data")
       .contains(2), "first sync must bootstrap to the latest version")
     require(ChangeFeed.sync(s, src, "l_orderkey", out, s"$out/data")
       .isEmpty, "sync with no new source version must be a no-op")
     MergeOnRead.deleteWhere(s, src, "l_orderkey",
-      col("l_orderkey").between(500, 599), s"$src/data")
-    batch(3000, 3600).write.parquet(s"$src/data/b3")
+      col("l_orderkey").between(k / 3, k / 3 + k / 15 - 1), s"$src/data")
+    batch(2 * k, 2 * k + (2 * k) / 5).write.parquet(s"$src/data/b3")
     Manifest.commit(s, src, s"$src/data/b3")
     require(ChangeFeed.sync(s, src, "l_orderkey", out, s"$out/data")
       .contains(4), "second sync must cover the delete + append window")
@@ -1323,13 +1357,15 @@ object OpsQueries {
   }
 
   val io25Oracle: String =
-    """WITH li AS (SELECT l_orderkey, l_returnflag,
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents FROM lineitem WHERE l_orderkey < 3600),
+      |      AS cents FROM lineitem, mk
+      |  WHERE l_orderkey < 2 * k + (2 * k) // 5),
       |f AS (
       |  SELECT 'I' AS op, * FROM li
-      |  UNION ALL SELECT 'D', * FROM li
-      |    WHERE l_orderkey BETWEEN 500 AND 599)
+      |  UNION ALL SELECT 'D', li.* FROM li, mk
+      |    WHERE l_orderkey BETWEEN k // 3 AND k // 3 + k // 15 - 1)
       |SELECT op, l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
@@ -1352,18 +1388,19 @@ object OpsQueries {
     val hp = new org.apache.hadoop.fs.Path(root)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(hp, true)
+    val k = okeyUnit(s, dir)
     def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
       .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, 1500).write.parquet(s"$root/data/b1")
+    batch(0, k).write.parquet(s"$root/data/b1")
     Manifest.commit(s, root, s"$root/data/b1")
-    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    batch(k, 2 * k).write.parquet(s"$root/data/b2")
     Manifest.commit(s, root, s"$root/data/b2")
     // two crashed writers: landed, never committed
-    batch(0, 100).write.parquet(s"$root/data/orphan1")
-    batch(100, 200).write.parquet(s"$root/data/orphan2")
+    batch(0, k / 15).write.parquet(s"$root/data/orphan1")
+    batch(k / 15, (2 * k) / 15).write.parquet(s"$root/data/orphan2")
     def census(tag: Int) = Manifest.snapshot(s, root)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
@@ -1390,9 +1427,10 @@ object OpsQueries {
   }
 
   val io26Oracle: String =
-    """WITH li AS (SELECT l_orderkey, l_returnflag,
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents FROM lineitem WHERE l_orderkey < 3000),
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
       |snap AS (
       |  SELECT 0 AS phase, * FROM li
       |  UNION ALL SELECT 1, * FROM li)
