@@ -920,6 +920,24 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY version, l_returnflag""".stripMargin
 
+  /** Key-space unit for the io-family's synthetic manifest tables: a
+    * tenth (by default) of the observed lineitem key space, so every
+    * batch and delete range is nonempty at EVERY scale factor
+    * (sf0.001's keys stop at 1499, where a hardcoded `[1500, 3000)`
+    * batch is empty and the in-query requires trip). The oracles derive
+    * the identical unit with `(MAX(l_orderkey)+1)//10`, so both sides
+    * move together; at sf0.01 (max key 14999) the unit is exactly
+    * 1500 — the boundaries this family originally hardcoded. The max is
+    * memoized per data dir: seven io queries share it, and each re-scan
+    * would be a pure-overhead Spark job on their published times.
+    */
+  private val okeyMax =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def okeyUnit(s: SparkSession, dir: String, frac: Int = 10): Long =
+    (okeyMax.getOrElseUpdate(dir,
+      Tables.lineitem(s, dir).agg(max(col("l_orderkey")))
+        .collect()(0).getLong(0)) + 1) / frac
+
   /** Copy-on-write row-level DELETE under the gate
     * ([[graft.io.RowDelete]]) — the takedown primitive (rights requests,
     * recalled documents) on a manifest table: rows matching a predicate
@@ -935,19 +953,6 @@ object OpsQueries {
     * reclaims it, which is what makes the delete eventually physical)
     * while the new version must lack exactly the matched rows.
     */
-  /** Key-space unit for the io-family's synthetic manifest tables: a
-    * tenth of the observed lineitem key space, so every batch and
-    * delete range is nonempty at EVERY scale factor (sf0.001's keys
-    * stop at 1499, where a hardcoded `[1500, 3000)` batch is empty and
-    * the in-query requires trip). The oracles derive the identical
-    * unit with `(MAX(l_orderkey)+1)//10`, so both sides move together;
-    * at sf0.01 (max key 14999) the unit is exactly 1500 — the
-    * boundaries this family originally hardcoded.
-    */
-  private def okeyUnit(s: SparkSession, dir: String, frac: Int = 10): Long =
-    (Tables.lineitem(s, dir).agg(max(col("l_orderkey")))
-      .collect()(0).getLong(0) + 1) / frac
-
   def io20RowDelete(s: SparkSession, dir: String): DataFrame = {
     import graft.io.{Manifest, RowDelete}
     val root = tmpDir(s) + "/graft_io20_tbl"
