@@ -29,6 +29,17 @@ object Checkpoints {
   // unsupported (last bind wins).
   @volatile private var boundDir: Option[(String, String)] = None
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // Reliable-checkpoint directories THIS object's stage() calls wrote.
+  // Reclaim only ever deletes members of this set: a checkpoint some
+  // other code path created (a caller staging two branches, a foreign
+  // library's checkpoint in our lineage) is reachable from the new
+  // round's lineage but is not ours to delete — doing so would hand the
+  // caller a FileNotFound on a DataFrame they still hold.
+  private val ownCheckpoints =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def stage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir")
@@ -52,21 +63,30 @@ object Checkpoints {
         // `spark.graft.checkpointReclaim=true` opts a loop in: once
         // round N's checkpoint MATERIALIZES (a full durable copy, no
         // file-level references back), the round N−1 snapshots in its
-        // lineage are deleted. Opting in asserts the loop only ever
-        // reads its latest round — the invariant every staged loop
-        // here satisfies (each round consumes exactly its predecessor).
+        // lineage are deleted — but ONLY snapshots stage() itself wrote
+        // (tracked in ownCheckpoints), and each deletion is logged, so
+        // a checkpoint created outside this loop can never be yanked
+        // from under a caller still holding it. Opting in asserts the
+        // loop only ever reads its latest stage()d round — the
+        // invariant every staged loop here satisfies (each round
+        // consumes exactly its predecessor).
         val reclaim = s.conf.get("spark.graft.checkpointReclaim",
           "false").toBoolean
         val persisted = df.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val superseded =
-            if (reclaim) checkpointFiles(persisted.rdd) else Nil
+            if (reclaim)
+              checkpointFiles(persisted.rdd).filter(ownCheckpoints.contains)
+            else Nil
           val out = persisted.checkpoint()
+          checkpointFiles(out.rdd).foreach(ownCheckpoints.add)
           superseded.foreach { p =>
+            log.info(s"reclaiming superseded round checkpoint $p")
             val path = new Path(p)
             path.getFileSystem(s.sparkContext.hadoopConfiguration)
               .delete(path, true)
+            ownCheckpoints.remove(p)
           }
           out
         } finally persisted.unpersist()

@@ -262,11 +262,14 @@ object Manifest {
     * children of `dataRoot` that appear in NO version's entry list —
     * live or historical — and are older than `graceMs` (the guard for
     * a writer mid-landing RIGHT NOW whose commit hasn't happened yet;
-    * size it to the longest plausible write+commit gap). Returns the
-    * deleted directories.
+    * size it to the longest plausible write+commit gap). The default is
+    * a conservative hour — the unsafe "sweep immediately" choice (which
+    * would delete a directory a concurrent writer just landed but has
+    * not yet committed) must be asked for explicitly with `graceMs = 0`.
+    * Returns the deleted directories.
     */
   def sweepOrphans(s: SparkSession, root: String, dataRoot: String,
-      graceMs: Long = 0L): Seq[String] = {
+      graceMs: Long = 3600000L): Seq[String] = {
     val f = fs(s, root)
     val referenced: Set[String] = versions(s, root)
       .flatMap(v => readList(f, manifestPath(root, v)))

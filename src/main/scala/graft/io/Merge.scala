@@ -70,11 +70,20 @@ object Merge {
     val upsertDir = s"$stagingDir/merge-upsert-v$baseV"
     source.write.mode("overwrite").parquet(upsertDir)
     // the appended source inherits the table's stats discipline: if any
-    // directory tracks skip-stats, the new one tracks the same columns
+    // directory tracks skip-stats, the new one tracks the same columns —
+    // restricted to columns the SOURCE actually has at a stats-capable
+    // type. The source schema is the caller's, not the table's: a carry
+    // that throws here would abort the upsert AFTER the rewrites were
+    // staged, stranding orphan output mid-protocol; a directory with a
+    // partial (or no) sidecar is merely conservatively unprunable.
     val f = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    dirs.find(d => SkipStats.read(f, d).nonEmpty)
-      .foreach(d => SkipStats.carry(s, d, upsertDir))
+    val srcTypes = source.schema.map(sf => sf.name -> sf.dataType).toMap
+    dirs.iterator.map(d => SkipStats.read(f, d)).collectFirst {
+      case Some(m) => m.keys.toSeq.sorted.filter(c =>
+        srcTypes.get(c).exists(SkipStats.supportedType))
+    }.filter(_.nonEmpty)
+      .foreach(cols => SkipStats.write(s, upsertDir, cols))
     val v = Manifest.rewrite(s, root,
       carried ++ tombCarried ++ newTombs ++ rewritten :+ upsertDir,
       committer)

@@ -57,10 +57,35 @@ object MergeOnRead {
     } else Some(Manifest.commit(s, root, tombDir, committer))
   }
 
+  /** Accumulated-tombstone-key cap for the broadcast form of the
+    * read-path anti-join. Below it the key set broadcasts (one scan of
+    * the data, zero shuffle); above it — a heavy takedown stream between
+    * [[fold]]s — the same anti-join runs SHUFFLED instead, trading a
+    * shuffle for not pushing an unbounded key set through driver memory
+    * and the broadcast limit. Results are identical either way; the cap
+    * only picks the physical strategy. Gated on the RAW tombstone row
+    * count (a parquet metadata-only read, free) which upper-bounds the
+    * distinct key count.
+    */
+  private def maxBroadcastKeys(s: SparkSession): Long =
+    s.conf.get("spark.graft.mor.maxBroadcastKeys", "4194304").toLong
+
+  /** The tombstone key set, broadcast-hinted only while the accumulated
+    * raw key rows stay under [[maxBroadcastKeys]].
+    */
+  private def keySet(s: SparkSession, tombs: Seq[String],
+      keyCol: String): DataFrame = {
+    val raw = s.read.parquet(tombs: _*)
+    val keys = raw.select(col(keyCol)).distinct()
+    if (raw.count() <= maxBroadcastKeys(s)) broadcast(keys) else keys
+  }
+
   /** The merged snapshot a version pins: data entries minus any row
     * whose `keyCol` appears in a tombstone entry. The tombstone side is
     * key-only and broadcast into the anti-join — the per-read price of
-    * deferring the rewrite, bounded by accumulated deletes, not data.
+    * deferring the rewrite, bounded by accumulated deletes, not data —
+    * falling back to a shuffled anti-join past [[maxBroadcastKeys]]
+    * (identical results; see there).
     */
   def snapshot(s: SparkSession, root: String, keyCol: String,
       version: Option[Int] = None): DataFrame = {
@@ -68,9 +93,7 @@ object MergeOnRead {
       .partition(isTombstone)
     val df = s.read.parquet(data: _*)
     if (tombs.isEmpty) df
-    else df.join(
-      broadcast(s.read.parquet(tombs: _*).select(col(keyCol)).distinct()),
-      Seq(keyCol), "left_anti")
+    else df.join(keySet(s, tombs, keyCol), Seq(keyCol), "left_anti")
   }
 
   /** Maintenance: apply the accumulated tombstones copy-on-write — only
@@ -85,11 +108,14 @@ object MergeOnRead {
     val baseV = Manifest.versions(s, root).last
     val (tombs, data) = Manifest.entries(s, root).partition(isTombstone)
     if (tombs.isEmpty) return None
-    val keys = s.read.parquet(tombs: _*).select(col(keyCol)).distinct()
+    // same cap discipline as the read path: a fold running precisely
+    // BECAUSE tombstones piled up must not be the thing that trips the
+    // broadcast limit
+    val keys = keySet(s, tombs, keyCol)
     val (hit, carried) = Cow.split(s, data,
-      _.join(broadcast(keys), Seq(keyCol), "left_semi"))
+      _.join(keys, Seq(keyCol), "left_semi"))
     val rewritten = Cow.rewrite(s, hit, stagingDir, "fold", baseV,
-      _.join(broadcast(keys), Seq(keyCol), "left_anti"))
+      _.join(keys, Seq(keyCol), "left_anti"))
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
     Some(RowDelete.Result(v, carried, rewritten))
   }

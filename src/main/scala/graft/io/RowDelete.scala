@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, lit}
 
 /** Copy-on-write row-level DELETE on a [[Manifest]] table — the takedown
   * primitive a training-data lake needs (rights requests, contaminated or
@@ -33,6 +34,13 @@ object RowDelete {
     * affected directory). A predicate matching nothing commits nothing
     * and returns the current version — a no-op delete must not burn a
     * version slot or invalidate reader caches.
+    *
+    * NULL semantics match SQL DELETE (and Iceberg/Delta copy-on-write):
+    * a row where `pred` evaluates to NULL is NOT matched and is KEPT.
+    * The keep side therefore filters on `NOT coalesce(pred, false)` —
+    * a bare `!pred` would drop NULL-predicate rows from rewritten
+    * directories while identical rows in unaffected directories carry
+    * verbatim, making the outcome depend on physical co-location.
     */
   def deleteWhere(s: SparkSession, root: String, pred: Column,
       stagingDir: String,
@@ -48,7 +56,7 @@ object RowDelete {
     val carried = carriedData ++ tombs
     if (hit.isEmpty) return Result(baseV, carried, Nil)
     val rewritten = Cow.rewrite(s, hit, stagingDir, "cow", baseV,
-      _.filter(!pred))
+      _.filter(!coalesce(pred, lit(false))))
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
     Result(v, carried, rewritten)
   }

@@ -43,6 +43,13 @@ object SkipStats {
     */
   final case class ColStats(tpe: String, bounds: Option[(String, String)])
 
+  /** Whether a column of this type can carry skip-stats — for callers
+    * that must decide BEFORE staging work whether a carry is possible
+    * (e.g. [[Merge.upsert]] propagating the table's stats discipline
+    * onto a source whose schema it does not control).
+    */
+  def supportedType(dt: DataType): Boolean = typeTag(dt).nonEmpty
+
   private def typeTag(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")

@@ -807,13 +807,19 @@ object DedupQueries {
     * bands, 512 buckets) or accept probabilistic recall. Exact hd ≤ k
     * retrieval is inherently Ω(colliding pairs).
     */
-  /** Signature-count cap for the broadcast form of the hamming scan: a
-    * 48-bit signature + id is 16 bytes, so the default 4 Mi signatures
-    * ≈ 64 MB — sane to collect and broadcast. Above it the banded
-    * equi-join path runs instead.
+  /** Signature-count cap for the broadcast form of the hamming scan.
+    * The binding constraint is the O(n²) COMPUTE, not the broadcast
+    * bytes: every row xor+popcounts the whole array, so total work is
+    * n²/2 pair checks. The default 256 Ki signatures means ≈3.4e10
+    * checks — ~1 s/core at ~ns/check across a 32-way stage — while the
+    * broadcast itself is a trivial 4 MB (16 B/sig) and the driver-side
+    * collect is two primitive arrays. A bytes-sized cap (the old 4 Mi)
+    * would admit ~8e12 checks — a wall-clock cliff just under the
+    * threshold even though the broadcast still "fits". Above the cap
+    * the banded equi-join path runs instead.
     */
   private def maxBroadcastSigs(s: SparkSession): Long =
-    s.conf.get("spark.graft.dedup.maxBroadcastSigs", "4194304").toLong
+    s.conf.get("spark.graft.dedup.maxBroadcastSigs", "262144").toLong
 
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
     // staged: the signature table (doc_id + one long per doc) feeds
@@ -831,10 +837,13 @@ object DedupQueries {
       // ~µs row machinery of a shuffled join (measured 10×-probe: the
       // banded join spent ~50 s producing 42M candidate rows; this
       // scan does 1.25G comparisons in ~2 s). No banding → no recall
-      // argument needed at all.
-      val rows = sh.orderBy(col("doc_id")).collect()
-      val ids = rows.map(_.getLong(0))
-      val sigs = rows.map(_.getLong(1))
+      // argument needed at all. Collected as specialized (Long, Long)
+      // tuples, not Rows — at the cap the driver holds two primitive
+      // arrays (~4 MB), not 256Ki InternalRow objects.
+      import s.implicits._
+      val pairs = sh.orderBy(col("doc_id")).as[(Long, Long)].collect()
+      val ids = pairs.map(_._1)
+      val sigs = pairs.map(_._2)
       val bcIds = s.sparkContext.broadcast(ids)
       val bcSigs = s.sparkContext.broadcast(sigs)
       val neighbors = udf((id: Long, sig: Long) => {

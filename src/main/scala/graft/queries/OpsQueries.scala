@@ -1412,18 +1412,21 @@ object OpsQueries {
         sum(col("cents")).as("sum_cents"))
       .withColumn("phase", lit(tag))
     val pre = census(0)
-    // a fresh directory inside the grace window must survive the sweep
-    require(Manifest.sweepOrphans(s, root, s"$root/data",
-        graceMs = 3600000L).isEmpty,
-      "everything here is younger than the grace window")
-    val swept = Manifest.sweepOrphans(s, root, s"$root/data")
+    // a fresh directory inside the grace window must survive the sweep —
+    // and the DEFAULT grace is the conservative hour, so the bare call
+    // is the safe one
+    require(Manifest.sweepOrphans(s, root, s"$root/data").isEmpty,
+      "everything here is younger than the default grace window")
+    val swept = Manifest.sweepOrphans(s, root, s"$root/data",
+      graceMs = 0L)
     require(swept == Seq(s"$root/data/orphan1", s"$root/data/orphan2")
         .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath),
       s"exactly the unreferenced directories go, got $swept")
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b1")) &&
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b2")),
       "referenced directories must never be swept")
-    require(Manifest.sweepOrphans(s, root, s"$root/data").isEmpty,
+    require(Manifest.sweepOrphans(s, root, s"$root/data",
+        graceMs = 0L).isEmpty,
       "a second sweep finds nothing")
     pre.unionByName(census(1))
       .select(col("phase"), col("l_returnflag"), col("n"),

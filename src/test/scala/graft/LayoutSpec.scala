@@ -314,6 +314,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.io.Manifest.snapshot(spark, root, Some(2)).count() == 200)
   }
 
+  test("io20: NULL-predicate rows survive a copy-on-write delete in " +
+      "rewritten directories, matching SQL DELETE semantics") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_cow_null"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    // b1 mixes deletable rows with NULL-predicate rows; b2 holds ONLY
+    // NULL-predicate rows. SQL DELETE keeps NULL-predicate rows, so the
+    // outcome must be identical whether a row shares a directory with a
+    // match (b1, rewritten) or not (b2, carried verbatim).
+    import spark.implicits._
+    Seq((1L, Some(5L)), (2L, Some(50L)), (3L, None: Option[Long]))
+      .toDF("id", "v").write.parquet(s"$root/data/b1")
+    Seq((4L, None: Option[Long]), (5L, None: Option[Long]))
+      .toDF("id", "v").write.parquet(s"$root/data/b2")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b2")
+    val res = graft.io.RowDelete.deleteWhere(spark, root,
+      col("v") > 10, s"$root/data/del")
+    assert(res.carried == Seq(s"$root/data/b2") && res.rewritten.size == 1,
+      s"only b1 holds a match: $res")
+    val ids = graft.io.Manifest.snapshot(spark, root)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Seq(1L, 3L, 4L, 5L)),
+      "exactly the TRUE-predicate row is deleted; NULL-predicate rows " +
+        s"are kept in rewritten and carried dirs alike, got ${ids.toSeq}")
+  }
+
   test("io21: merge-on-read delete writes only keys; fold ends the " +
       "deferral without changing what readers see") {
     import org.apache.hadoop.fs.Path
@@ -565,6 +594,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.io.Manifest.entries(spark, root) == Seq(s"$root/data/b1"))
   }
 
+  test("io21: past the key cap the merge-on-read anti-join runs " +
+      "shuffled, with an identical snapshot") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_mor_cap"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    spark.range(0, 200).toDF("id").write.parquet(s"$root/data/b1")
+    graft.io.Manifest.commit(spark, root, s"$root/data/b1")
+    graft.io.MergeOnRead.deleteWhere(spark, root, "id",
+      col("id").between(50, 99), s"$root/data")
+    // kill auto-broadcast so the physical strategy reflects ONLY the
+    // cap's hint, not Spark's size estimate of the tiny test table
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def plan(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.sparkPlan.toString
+      val under = graft.io.MergeOnRead.snapshot(spark, root, "id")
+      assert(plan(under).contains("BroadcastHashJoin"),
+        "under the cap the tombstone keys broadcast")
+      spark.conf.set("spark.graft.mor.maxBroadcastKeys", "0")
+      val over = graft.io.MergeOnRead.snapshot(spark, root, "id")
+      assert(!plan(over).contains("BroadcastHashJoin"),
+        "past the cap the anti-join must run shuffled, not broadcast")
+      assert(over.select("id").collect().map(_.getLong(0)).sorted
+        .sameElements(under.select("id").collect().map(_.getLong(0))
+          .sorted),
+        "the cap picks a physical strategy, never a different snapshot")
+      // fold under the forced-shuffle regime still ends the deferral
+      assert(graft.io.MergeOnRead
+        .fold(spark, root, "id", s"$root/data").nonEmpty)
+      assert(graft.io.Manifest.snapshot(spark, root)
+        .count() == 150)
+    } finally {
+      spark.conf.unset("spark.graft.mor.maxBroadcastKeys")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("io25: sync on a source with no commits is a graceful no-op") {
     import org.apache.hadoop.fs.Path
     val src = System.getProperty("java.io.tmpdir") + "/graft_nosync_src"
@@ -590,7 +659,9 @@ class LayoutSpec extends AnyFunSuite {
     // a REPLACING commit drops b1 from the LATEST version only
     graft.io.Manifest.rewrite(spark, root, Seq(s"$root/data/b2"))
     spark.range(900, 950).toDF("id").write.parquet(s"$root/data/orphan")
-    val swept = graft.io.Manifest.sweepOrphans(spark, root, s"$root/data")
+    // graceMs = 0: the test IS the crashed writer, sweep immediately
+    val swept = graft.io.Manifest.sweepOrphans(spark, root, s"$root/data",
+      graceMs = 0L)
     assert(swept.map(new Path(_).getName) == Seq("orphan"),
       s"only the never-committed dir goes: $swept")
     // b1 is referenced by versions 1 and 2 — time travel still reads it
