@@ -1508,9 +1508,7 @@ object OpsQueries {
     */
   def st2StreamJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = Tables.events(s, dir).schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = Tables.eventsStream(s, dir)
     def side(t: String) = src
       .filter(col("event_type") === t && col("user_id") < 50)
       .select(col("user_id"),
@@ -1563,9 +1561,7 @@ object OpsQueries {
     */
   def st3StreamWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = Tables.events(s, dir).schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = Tables.eventsStream(s, dir)
       .filter(col("user_id") < 20)
       .select(col("user_id"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"),
@@ -1647,9 +1643,7 @@ object OpsQueries {
     */
   def st4StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = Tables.events(s, dir).schema
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def src = Tables.eventsStream(s, dir)
       .filter(col("user_id") < 30)
       .select(col("event_id"), col("user_id"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"),
@@ -1694,11 +1688,9 @@ object OpsQueries {
     */
   def st5StreamStatic(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = Tables.events(s, dir).schema
     val dim = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = Tables.eventsStream(s, dir)
       .filter(col("user_id") < 100)
       .select(col("event_id"), col("user_id"), col("event_type"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
@@ -1884,9 +1876,7 @@ object OpsQueries {
     */
   def st7StreamSession(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val schema = Tables.events(s, dir).schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = Tables.eventsStream(s, dir)
       .filter(col("user_id") < 30)
       .select(col("user_id"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"),

@@ -110,8 +110,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowed counts with watermark over the events stream") {
     val base = Files.createTempDirectory("graft-window").toString
-    // drive the stream from the static events parquet (ts is epoch nanos)
-    val staticDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // drive the stream from the static events parquet (ts normalized to
+    // epoch nanos by the loader, whatever the on-disk flavor)
+    val staticDf = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val schema = staticDf.schema
     staticDf.write.mode("overwrite").parquet(s"$base/events")
     val stream = spark.readStream.schema(schema).parquet(s"$base/events")
