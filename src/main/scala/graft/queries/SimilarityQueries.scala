@@ -1307,6 +1307,237 @@ object SimilarityQueries {
       |SELECT qid, rk, nid, rrf FROM r WHERE rk <= 5 ORDER BY qid, rk"""
       .stripMargin
 
+  /** Hybrid retrieval answered from the TWO STORED indexes — the
+    * production composition of the retrieval stack. [[s12HybridRrf]]
+    * proves the RRF fusion arithmetic against brute exact legs; THIS
+    * gate runs retrieval the way a 100 TB deployment would: the dense
+    * leg reads a persisted IVF-PQ index (coarse centroids, residual
+    * sub-codebook, per-list PQ codes written `partitionBy(list)`) and
+    * scores ONLY the nprobe=2 probed lists — the codes scan is
+    * partition-pruned to the probed list ids, so no corpus-wide
+    * distance scan exists anywhere in the plan (`PlanSpec` pins both
+    * the partition filter and the list-keyed equi-join); the sparse
+    * leg reads t24's persisted BM25 index, built by the SAME
+    * [[TextQueries.buildBm25Index]] code t24 gates, so the two stored
+    * sparse paths cannot drift; fusion is [[s12HybridRrf]]'s
+    * exact-integer RRF(60). Probes are vec/doc ids < 5 (the two tables
+    * share the 0..N id space by construction).
+    *
+    * Scale shape: both index builds are one-time corpus passes. A query
+    * batch then costs probe routing INSIDE each probe row (k-centroid
+    * scoring against the broadcast pack), a partition-pruned scan of
+    * the ~4 B/vector codes of the probed lists only, per-row
+    * lookup-decode against the one-row broadcast codebook pack, and
+    * posting-list equi-joins on the sparse side — never a
+    * probes × corpus product, never a re-encode. The probed-list set
+    * is a ≤ probes×nprobe collect that becomes the pruning predicate,
+    * the same bounded-collect discipline as the bm25 query-term
+    * derivation.
+    */
+  def s15HybridStored(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_s15_hybrid"
+    val idxP = new org.apache.hadoop.fs.Path(idx)
+    idxP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(idxP, true)
+    val e = quantized(s, dir)
+    // ---- dense index build (once per corpus): coarse quantizer,
+    // residual PQ codebook, per-list codes — s8's arithmetic, persisted
+    centroids(e).write.parquet(idx + "/centroids")
+    val cent = s.read.parquet(idx + "/centroids")
+    val centByList = cent.withColumnRenamed("clabel", "list")
+    val asg = centroidRanked(e, cent, maxRank = 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"),
+        col("clabel").as("list"))
+    val withRes = asg.join(broadcast(centByList), Seq("list"))
+      .select(col("vec_id"), col("label"), col("list"),
+        zip_with(col("v"), col("c"),
+          (x, m) => floor(x.cast("double") - m + lit(0.5d)).cast("long"))
+          .as("rq"))
+    val cb = withRes.groupBy(col("label"))
+      .agg(call_function("graft_elementwise_sum", col("rq")).as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("code"),
+        transform(col("sx"),
+          x => x.cast("double") / col("cnt").cast("double")).as("m"))
+      .select(col("code"), explode(sequence(lit(0), lit(7))).as("j"),
+        slice(col("m"), col("j") * 8 + 1, lit(8)).as("sc"))
+    cb.write.parquet(idx + "/codebook")
+    val cbStored = s.read.parquet(idx + "/codebook")
+    val codes = transform(col("byJ"), jc =>
+      nearestCode(col("rq"), jc).getField("code"))
+    withRes.crossJoin(broadcast(packCodebook(cbStored, "code")))
+      .select(col("vec_id"), codes.as("codes"), col("list"))
+      .write.partitionBy("list").parquet(idx + "/codes")
+    // ---- sparse index build: the t24 artifacts, same build code
+    TextQueries.buildBm25Index(s, dir, idx + "/bm25")
+    // ---- dense query: route probes, scan ONLY the probed partitions
+    val probes = centroidRanked(e.filter(col("vec_id") < 5), cent,
+        maxRank = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("clabel").as("list"))
+    val probedLists = probes.select(col("list")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val resRecon = flatten(transform(col("byJ"), jc =>
+      element_at(filter(jc.getField("cands"), c =>
+        c.getField("code") ===
+          element_at(col("codes"), jc.getField("j") + 1)), 1)
+        .getField("sc")))
+    val rec = s.read.parquet(idx + "/codes")
+      .filter(col("list").isInCollection(probedLists))
+      .crossJoin(broadcast(packCodebook(cbStored, "code")))
+      .select(col("vec_id"), col("list"), resRecon.as("res"))
+      .join(broadcast(centByList), Seq("list"))
+      .select(col("vec_id"), col("list"),
+        zip_with(col("c"), col("res"), (m, r) => m + r).as("r"))
+    val adist = sqDistLong(col("qv"), col("r"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("nid"))
+    val dense = broadcast(probes).join(rec, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
+      .withColumn("rkd", row_number().over(wd))
+      .filter(col("rkd") <= 20)
+      .select(col("qid"), col("nid"), col("rkd"))
+    // ---- sparse query: the STORED BM25 index only
+    val bi = TextQueries.readBm25Index(s, idx + "/bm25")
+    val qterms = bi.tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("nid"))
+    val sparse = bi.tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(bi.dft, Seq("term")).join(bi.dl, Seq("doc_id"))
+      .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
+        col("tf"), col("df"), col("dl"), bi.nDocs, bi.avgdl))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
+      .withColumn("rks", row_number().over(ws))
+      .filter(col("rks") <= 20)
+      .select(col("qid"), col("nid"), col("rks"))
+    // ---- exact-integer RRF fusion (s12's formula verbatim)
+    val rrf =
+      coalesce(floor(lit(1e9) / (lit(60) + col("rkd"))), lit(0L))
+        .cast("long") +
+        coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
+          .cast("long")
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid"))
+    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), col("rrf"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The s8 dense-index machinery (centroids → assignment → residual
+    * codebook → codes → probed-list ADC) at probes < 5 / top-20, the
+    * s12 sparse leg and RRF fusion — recomputed end-to-end by DuckDB,
+    * so the fusion of the two STORED indexes is what the hash pins.
+    */
+  val s15Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx,
+      |    COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT q.vec_id, q.label, q.v, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM q CROSS JOIN cent),
+      |rkall AS (SELECT vec_id, label, v, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |  FROM d),
+      |asg AS (SELECT vec_id, label, v, clabel AS cluster
+      |  FROM rkall WHERE rk = 1),
+      |res AS (SELECT asg.vec_id, asg.label, asg.cluster,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(FLOOR(CAST(v[CAST(i AS INT)] AS DOUBLE)
+      |        - c[CAST(i AS INT)] + 0.5) AS BIGINT)) rq
+      |  FROM asg JOIN cent ON asg.cluster = cent.clabel),
+      |rj AS (SELECT vec_id, label, cluster, CAST(j AS INT) j,
+      |    list_slice(rq, CAST(j*8+1 AS INT), CAST(j*8+8 AS INT)) sv
+      |  FROM res, range(0, 8) r(j)),
+      |rcomp AS (SELECT label, j, CAST(i AS INT) i,
+      |    SUM(sv[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM rj, range(1, 9) r(i) GROUP BY 1, 2, 3),
+      |cb AS (SELECT label AS code, j,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) sc
+      |  FROM rcomp GROUP BY label, j),
+      |enc AS (SELECT rj.vec_id, rj.cluster, rj.j, cb.code,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])
+      |      * (CAST(sv[CAST(i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])),
+      |      (a, b) -> a + b) d
+      |  FROM rj JOIN cb ON rj.j = cb.j),
+      |code AS (SELECT vec_id, cluster, j, code FROM (
+      |    SELECT vec_id, cluster, j, code,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) rk
+      |    FROM enc) WHERE rk = 1),
+      |rrec AS (SELECT code.vec_id, code.cluster,
+      |    flatten(list(cb.sc ORDER BY code.j)) res
+      |  FROM code JOIN cb ON code.j = cb.j AND code.code = cb.code
+      |  GROUP BY code.vec_id, code.cluster),
+      |recon AS (SELECT rrec.vec_id, rrec.cluster AS list,
+      |    list_transform(range(1, 65), i ->
+      |      c[CAST(i AS INT)] + res[CAST(i AS INT)]) r
+      |  FROM rrec JOIN cent ON rrec.cluster = cent.clabel),
+      |probes AS (SELECT vec_id qid, v qv, clabel AS list FROM rkall
+      |  WHERE vec_id < 5 AND rk <= 2),
+      |pd AS (SELECT probes.qid, recon.vec_id nid,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(qv[CAST(i AS INT)] AS DOUBLE) - r[CAST(i AS INT)])
+      |      * (CAST(qv[CAST(i AS INT)] AS DOUBLE) - r[CAST(i AS INT)])),
+      |      (x, y) -> x + y) adist
+      |  FROM probes JOIN recon USING(list)
+      |  WHERE probes.qid <> recon.vec_id),
+      |d20 AS (SELECT qid, nid, rkd FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY adist, nid) rkd FROM pd)
+      |  WHERE rkd <= 20),
+      |t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM documents),
+      |nn2 AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+      |    (SELECT COUNT(*) FROM t) AS tl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS qid, term FROM t WHERE doc_id < 5),
+      |sc2 AS (SELECT qt.qid, tf.doc_id AS nid,
+      |    CAST(SUM(CAST(FLOOR(
+      |      (CAST(nd AS DOUBLE) / df) * (tf * 2.2e0) /
+      |        (tf + 1.2e0 * (0.25e0 +
+      |          0.75e0 * (dl / (CAST(tl AS DOUBLE) / nd)))) * 1e7)
+      |      AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN nn2
+      |  WHERE tf.doc_id <> qt.qid
+      |  GROUP BY 1, 2),
+      |s20 AS (SELECT qid, nid, rks FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY score_fp DESC, nid) rks FROM sc2)
+      |  WHERE rks <= 20),
+      |f AS (SELECT COALESCE(d20.qid, s20.qid) AS qid,
+      |    COALESCE(d20.nid, s20.nid) AS nid,
+      |    CAST(COALESCE(FLOOR(1e9 / (60 + rkd)), 0) AS BIGINT)
+      |      + CAST(COALESCE(FLOOR(1e9 / (60 + rks)), 0) AS BIGINT) AS rrf
+      |  FROM d20 FULL OUTER JOIN s20
+      |    ON d20.qid = s20.qid AND d20.nid = s20.nid),
+      |rr AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER
+      |    (PARTITION BY qid ORDER BY rrf DESC, nid) rk FROM f)
+      |SELECT qid, rk, nid, rrf FROM rr WHERE rk <= 5 ORDER BY qid, rk"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -1322,6 +1553,7 @@ object SimilarityQueries {
     "s12_hybrid_rrf" -> (s12HybridRrf _),
     "s13_pq_stored" -> (s13PqStored _),
     "s14_ivf_incr" -> (s14IvfIncr _),
+    "s15_hybrid_stored" -> (s15HybridStored _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1342,5 +1574,6 @@ object SimilarityQueries {
     // the stored-codes PQ read path must reproduce s6's result exactly
     "s13_pq_stored" -> s6Oracle,
     "s14_ivf_incr" -> s14Oracle,
+    "s15_hybrid_stored" -> s15Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }

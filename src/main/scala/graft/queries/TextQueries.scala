@@ -1386,7 +1386,26 @@ object TextQueries {
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
     val idx = base + "/graft_t24_bm25"
-    // ---- index build: one tokenize pass, four parquet artifacts
+    buildBm25Index(s, dir, idx)
+    // ---- query: STORED index only — documents is never re-read
+    val bi = readBm25Index(s, idx)
+    bm25TopK(s, bi.tf, bi.dft, bi.dl, bi.nDocs, bi.avgdl)
+  }
+
+  /** The persisted BM25 index artifacts, read back: postings (doc, term,
+    * tf), document frequencies, doc lengths, and the corpus stats pair.
+    * Shared by t24 and the stored-index hybrid-retrieval gate (s15) so
+    * the sparse leg both answer from is ONE artifact set.
+    */
+  private[queries] case class Bm25Index(tf: DataFrame, dft: DataFrame,
+      dl: DataFrame, nDocs: Long, avgdl: Double)
+
+  /** t24's index build: one tokenize pass over `documents`, four parquet
+    * artifacts under `idx` (postings / df / doclen / stats). mode
+    * overwrite keeps every calling gate re-runnable.
+    */
+  private[queries] def buildBm25Index(s: SparkSession, dir: String,
+      idx: String): Unit = {
     val withDl = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -1400,10 +1419,13 @@ object TextQueries {
       .write.mode("overwrite").parquet(idx + "/df")
     withDl.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(idx + "/doclen")
-    // ---- query: STORED index only — documents is never re-read
+  }
+
+  private[queries] def readBm25Index(s: SparkSession,
+      idx: String): Bm25Index = {
     val stats = s.read.parquet(idx + "/stats").collect()(0)
     val (nDocs, totLen) = (stats.getLong(0), stats.getLong(1))
-    bm25TopK(s, s.read.parquet(idx + "/postings"),
+    Bm25Index(s.read.parquet(idx + "/postings"),
       s.read.parquet(idx + "/df"), s.read.parquet(idx + "/doclen"),
       nDocs, totLen.toDouble / nDocs)
   }

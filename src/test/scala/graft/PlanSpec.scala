@@ -239,6 +239,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s15 stored hybrid: the dense leg scans ONLY the probed IVF list " +
+      "partitions and meets probes on a list-keyed hash join — no " +
+      "corpus-wide distance scan survives anywhere in the plan") {
+    val df = SparkEntry.queries("s15_hybrid_stored")(spark, sf)
+    val plan = executed(df)
+    // the stored-codes scan must carry a partition filter over the
+    // probed list ids — the pruning that makes query cost ∝ probed
+    // lists instead of corpus size
+    val codesScans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("graft_s15_hybrid/codes"))
+    assert(codesScans.nonEmpty,
+      "expected a scan of the persisted codes table")
+    codesScans.foreach { sc =>
+      assert(sc.contains("PartitionFilters") &&
+        sc.replaceAll("\\s", "").contains("list#"),
+        s"codes scan must prune to the probed list partitions: $sc")
+    }
+    // probes meet the (pruned, decoded) corpus on the list equi-key —
+    // never the broadcast(probes).crossJoin(corpus) shape s12's exact
+    // baseline uses
+    assert(plan.replaceAll("\\s+", " ")
+      .matches(".*BroadcastHashJoin \\[list#.*"),
+      "the probe/corpus pairing must hash-join on list")
+    assert(!plan.contains("CartesianProduct"),
+      "no unbounded product may appear in the stored-index path")
+    // the only nested-loop joins allowed are the one-row broadcast
+    // packs (codebook / centroid / stats rows): every BNLJ must sit
+    // above a grouping-less aggregate on its broadcast side
+    val bnlj = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }
+    bnlj.foreach { j =>
+      val oneRowSide = Seq(j.left, j.right).exists(_.collect {
+        case a: org.apache.spark.sql.execution.aggregate
+          .HashAggregateExec if a.groupingExpressions.isEmpty => a
+        case a: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec if a.groupingExpressions.isEmpty => a
+        case a: org.apache.spark.sql.execution.aggregate
+          .SortAggregateExec if a.groupingExpressions.isEmpty => a
+      }.nonEmpty)
+      assert(oneRowSide,
+        s"nested-loop join without a guaranteed one-row side: $j")
+    }
+  }
+
   test("t10/t11/t14 never window the raw corpus partitioned by lang alone") {
     // lang is skewed (en ≈ 43% of documents): a Window partitioned only
     // by lang over the raw corpus sort-spills ~43% of the input in one
