@@ -1960,9 +1960,12 @@ object OpsQueries {
       if (!batch.isEmpty &&
         !Manifest.committed(batch.sparkSession, tbl).contains(dest)) {
         // overwrite: a crash AFTER write but BEFORE commit leaves an
-        // orphan this replay replaces before committing it
+        // orphan this replay replaces before committing it; the commit
+        // carries skip-stats so the streamed-in table is range-prunable
+        // from its first batch, not only after a maintenance pass
         batch.write.mode("overwrite").parquet(dest)
-        Manifest.commit(batch.sparkSession, tbl, dest)
+        Manifest.commitWithStats(batch.sparkSession, tbl, dest,
+          Seq("user_id", "event_id"))
       }
       ()
     }

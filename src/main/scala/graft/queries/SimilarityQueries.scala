@@ -1152,7 +1152,9 @@ object SimilarityQueries {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("label"), col("clabel"))
         .write.parquet(s"$idx/l_$tag")
-      Manifest.commit(s, lRoot, s"$idx/l_$tag")
+      // vec_id skip-stats at commit: the lists table is range-prunable
+      // from its first block
+      Manifest.commitWithStats(s, lRoot, s"$idx/l_$tag", Seq("vec_id"))
     }
     ingest(e.filter(col("vec_id") % 2 === 0), "a")
     val pre = Manifest.entries(s, lRoot)

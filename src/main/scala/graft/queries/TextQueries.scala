@@ -1459,7 +1459,9 @@ object TextQueries {
       withDl.select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .write.parquet(s"$idx/p_$tag")
-      Manifest.commit(s, pRoot, s"$idx/p_$tag")
+      // commit carries doc_id skip-stats: the postings table is
+      // range-prunable from its first increment
+      Manifest.commitWithStats(s, pRoot, s"$idx/p_$tag", Seq("doc_id"))
       withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
         .write.parquet(s"$idx/s_$tag")
       Manifest.commit(s, sRoot, s"$idx/s_$tag")
@@ -1471,6 +1473,74 @@ object TextQueries {
     require(Manifest.entries(s, pRoot).startsWith(pre),
       "incremental ingest must append to the index, never rewrite it")
     // ---- query: the stored postings are the only corpus state touched
+    val tf = Manifest.snapshot(s, pRoot)
+    val st = Manifest.snapshot(s, sRoot)
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+  }
+
+  /** BM25 over an incrementally-built index AFTER COMPACTION — the
+    * maintenance pass [[tBm25Incr]] defers: three ingest commits land
+    * append-only (t25's discipline), then
+    * [[graft.io.IndexCompaction.compact]] rewrites the postings
+    * snapshot into target-sized files as a REPLACING manifest commit
+    * (skip-stats sidecar over doc_id recomputed from the rewritten
+    * rows) and [[graft.io.IndexCompaction.compactStats]] folds the
+    * three per-increment stats rows into one. Same oracle as
+    * [[tBm25]]: increments + compact must answer bit-identically to
+    * the one-shot build — compaction is an IO layout change, never a
+    * semantic one (BM25's fixed-point LONG scores make that provable:
+    * aggregation order can't move them). The engine itself asserts the
+    * file count dropped, so the gate fails loudly if compaction
+    * silently becomes a no-op; `LayoutSpec` pins the census/pruning
+    * mechanics on the generic helper.
+    *
+    * At 100 TB this is the index lifecycle: ingest cost stays ∝ new
+    * documents (t25), query cost stays ∝ posting lists (t24), and a
+    * periodic compact keeps the file count — the term that otherwise
+    * grows without bound — at snapshot size.
+    */
+  def tBm25Compact(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{IndexCompaction, Manifest}
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_t26_bm25"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val (pRoot, sRoot) = (idx + "/postings", idx + "/stats")
+    def ingest(part: DataFrame, tag: String): Unit = {
+      val withDl = part
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .write.parquet(s"$idx/p_$tag")
+      // the t25 ingest discipline: sidecar at commit, so pruning works
+      // before AND after the compaction this gate exercises
+      Manifest.commitWithStats(s, pRoot, s"$idx/p_$tag", Seq("doc_id"))
+      withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        .write.parquet(s"$idx/s_$tag")
+      Manifest.commit(s, sRoot, s"$idx/s_$tag")
+    }
+    val docs = Tables.documents(s, dir)
+    ingest(docs.filter(col("doc_id") % 3 === 0), "a")
+    ingest(docs.filter(col("doc_id") % 3 === 1), "b")
+    ingest(docs.filter(col("doc_id") % 3 === 2), "c")
+    val preFiles = Manifest.snapshot(s, pRoot).inputFiles.length
+    IndexCompaction.compact(s, pRoot, idx + "/p_compact",
+      statsCols = Seq("doc_id"))
+    IndexCompaction.compactStats(s, sRoot, idx + "/s_compact")(
+      _.agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl")))
+    val postFiles = Manifest.snapshot(s, pRoot).inputFiles.length
+    require(postFiles < preFiles,
+      s"compaction must reduce the postings file count " +
+        s"($preFiles -> $postFiles)")
+    // ---- query: t25's read path, unchanged — the layout is the only
+    // thing compaction may touch
     val tf = Manifest.snapshot(s, pRoot)
     val st = Manifest.snapshot(s, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
@@ -1505,7 +1575,8 @@ object TextQueries {
     "t22_chunking" -> (tChunking _),
     "t23_bm25" -> (tBm25 _),
     "t24_bm25_stored" -> (tBm25Stored _),
-    "t25_bm25_incr" -> (tBm25Incr _))
+    "t25_bm25_incr" -> (tBm25Incr _),
+    "t26_bm25_compact" -> (tBm25Compact _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1534,5 +1605,8 @@ object TextQueries {
     // the stored-index read path must reproduce t23's result exactly
     "t24_bm25_stored" -> tBm25Oracle,
     // the two-increment index must answer identically to one-shot t23
-    "t25_bm25_incr" -> tBm25Oracle)
+    "t25_bm25_incr" -> tBm25Oracle,
+    // increments + compact must answer bit-identically to the one-shot
+    // build — the same oracle pins it
+    "t26_bm25_compact" -> tBm25Oracle)
 }

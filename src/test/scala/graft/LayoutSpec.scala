@@ -438,6 +438,107 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.io.Manifest.snapshot(spark, root).count() == 300)
   }
 
+  test("index compaction: an appending manifest index compacts to fewer " +
+      "files as a replacing commit — census identical, skip-stats " +
+      "re-emitted, per-increment stats folded, time travel intact") {
+    import org.apache.hadoop.fs.Path
+    val root = System.getProperty("java.io.tmpdir") + "/graft_idxcompact"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    // s14-shaped IVF list entries: one append-only commit per block
+    Seq(0, 1, 2).foreach { b =>
+      spark.range(b * 100L, b * 100L + 100L)
+        .selectExpr("id AS vec_id", "CAST(id % 7 AS INT) AS clabel")
+        .repartition(4)
+        .write.parquet(s"$root/data/block$b")
+      graft.io.Manifest.commit(spark, root, s"$root/data/block$b")
+    }
+    val preVersion = graft.io.Manifest.versions(spark, root).last
+    val pre = graft.io.Manifest.snapshot(spark, root)
+    val preFiles = pre.inputFiles.length
+    val preCensus = pre.groupBy("clabel").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    graft.io.IndexCompaction.compact(spark, root,
+      s"$root/data/compacted", statsCols = Seq("vec_id"))
+    val post = graft.io.Manifest.snapshot(spark, root)
+    assert(post.inputFiles.length < preFiles,
+      s"file count must drop ($preFiles -> ${post.inputFiles.length})")
+    assert(post.inputFiles.forall(_.contains("/data/compacted")))
+    val postCensus = post.groupBy("clabel").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(postCensus.sameElements(preCensus),
+      "compaction must not change the census")
+    // the rewritten directory carries FRESH skip-stats — a range scan
+    // keeps planning through the sidecar after maintenance
+    val scan = graft.io.SkipStats.scan(spark, root, "vec_id", 10, 20)
+    assert(scan.count() == 11)
+    // time travel: the pre-compact version still reads the increments
+    assert(graft.io.Manifest
+      .snapshot(spark, root, Some(preVersion)).count() == 300)
+    // per-increment distributive stats: 3 rows fold to 1, same totals
+    val sroot = root + "_stats"
+    f.delete(new Path(sroot), true)
+    Seq(0, 1, 2).foreach { b =>
+      spark.range(1).selectExpr("CAST(100 AS BIGINT) AS nd",
+        s"CAST(${1000 + b} AS BIGINT) AS tl")
+        .write.parquet(s"$sroot/data/s$b")
+      graft.io.Manifest.commit(spark, sroot, s"$sroot/data/s$b")
+    }
+    graft.io.IndexCompaction.compactStats(spark, sroot,
+      s"$sroot/data/folded")(
+      _.agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl")))
+    val folded = graft.io.Manifest.snapshot(spark, sroot)
+    assert(folded.count() == 1)
+    val r0 = folded.select(col("nd"), col("tl")).collect()(0)
+    assert(r0.getLong(0) == 300 && r0.getLong(1) == 3003)
+  }
+
+  test("a streamed-in manifest table is range-prunable from its FIRST " +
+      "batch: foreachBatch ingest via commitWithStats lets a pruned " +
+      "scan read only the overlapping directories") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.streaming.Trigger
+    val root = System.getProperty("java.io.tmpdir") + "/graft_streamstats"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    val srcDir = s"$root/src"
+    val tbl = s"$root/tbl"
+    // three source files with disjoint id ranges → three microbatches
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      spark.range(lo, hi).toDF("id").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    val ingest = (batch: org.apache.spark.sql.DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val dest = s"$tbl/data/batch=$batchId"
+        batch.write.mode("overwrite").parquet(dest)
+        graft.io.Manifest.commitWithStats(batch.sparkSession, tbl, dest,
+          Seq("id"))
+      }
+      ()
+    }
+    spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch(ingest)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // no maintenance pass has run — pruning must already work
+    val (kept, skipped) =
+      graft.io.SkipStats.prunedDirs(spark, tbl, "id", "120", "180")
+    assert(kept.size == 1 && skipped.size == 2,
+      s"expected exactly one overlapping batch dir, got kept=$kept")
+    val scan = graft.io.SkipStats.scan(spark, tbl, "id", 120, 180)
+    assert(scan.inputFiles.forall(p =>
+      kept.exists(k => p.replaceFirst("^file:/*", "/").startsWith(
+        k.replaceFirst("^file:/*", "/")))),
+      s"pruned scan must plan only the overlapping directory's files: " +
+        s"${scan.inputFiles.toSeq} vs $kept")
+    assert(scan.collect().map(_.getLong(0)).sorted
+      .sameElements(120L to 180L))
+  }
+
   test("io24: pruned scan on a tombstoned table merges deletes or " +
       "fails loudly — never resurrects deleted rows") {
     import org.apache.hadoop.fs.Path
