@@ -732,9 +732,34 @@ object TextQueries {
     (merges.toSeq, cur)
   }
 
+  /** The training artifact, derived ONCE per (session, corpus, graft
+    * conf): t15 reports the merge table, t19 censuses the post-merge
+    * vocabulary — both consume THIS staged result, so apply no longer
+    * re-pays the three training rounds it shares with train (pure
+    * re-compute, the r6 bench's only real regression) and the
+    * can't-drift property strengthens from same-code to same-execution.
+    * The conf dirs are part of the key because the checkpoint-dir
+    * invariance spec re-points `spark.graft.checkpointDir` and asserts
+    * fresh checkpoint files land — a conf-blind cache would silently
+    * satisfy it from the old directory.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, Long)],
+      org.apache.spark.sql.DataFrame)]()
+
+  private def bpeRoundsMemo(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)],
+        org.apache.spark.sql.DataFrame) = {
+    val key = Seq(System.identityHashCode(s).toString, dir,
+      s.conf.getOption("spark.graft.checkpointDir").getOrElse(""),
+      s.conf.getOption("spark.graft.tmpDir").getOrElse(""))
+      .mkString("|")
+    bpeCache.computeIfAbsent(key, _ => bpeRounds(s, dir))
+  }
+
   def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bpeRounds(s, dir)._1.toDF("it", "pair", "merged", "cnt")
+    bpeRoundsMemo(s, dir)._1.toDF("it", "pair", "merged", "cnt")
   }
 
   /** BPE ENCODE — the other half of the tokenizer story: apply the
@@ -746,7 +771,7 @@ object TextQueries {
     * merge table, corpus touched once.
     */
   def tBpeApply(s: SparkSession, dir: String): DataFrame = {
-    val cur = bpeRounds(s, dir)._2
+    val cur = bpeRoundsMemo(s, dir)._2
     val after = size(split(trim(col("sym")), "  ")).cast("long")
     val before = length(call_function("replace", col("sym"), lit(" "),
       lit(""))).cast("long")
