@@ -301,6 +301,22 @@ object Manifest {
       .sorted
   }
 
+  /** [[sweepOrphans]] over EVERY root a table's writers land data under
+    * — the convenience that closes the crashed-MAINTENANCE gap: ingest
+    * orphans live under the table's data root, but a [[Cow]]/[[Merge]]/
+    * [[RowDelete]] rewrite that crashed between landing its `cow-v*` /
+    * `merge-v*` output and the replacing commit leaves its orphan under
+    * the caller's STAGING root, which a data-root-only sweep never
+    * visits. Committed rewrites are referenced by their version like any
+    * entry, so a staging sweep deletes only the crashed ones. Pass every
+    * root the table's operators stage under; the same grace applies to
+    * each.
+    */
+  def sweepAllOrphans(s: SparkSession, root: String,
+      dataRoots: Seq[String], graceMs: Long = 3600000L): Seq[String] =
+    dataRoots.distinct.flatMap(d => sweepOrphans(s, root, d, graceMs))
+      .sorted
+
   /** REPLACING commit — the maintenance primitive (compaction, clustering
     * rewrite): the next manifest lists exactly `dirs`, not the previous
     * list plus them. Old versions keep reading the old files, so a

@@ -539,6 +539,43 @@ class LayoutSpec extends AnyFunSuite {
       .sameElements(120L to 180L))
   }
 
+  test("sweepAllOrphans reclaims a crashed-rewrite STAGING orphan " +
+      "alongside ingest orphans, while committed rewrites, live data " +
+      "and time travel survive") {
+    import org.apache.hadoop.fs.Path
+    import graft.io.Manifest
+    val root = System.getProperty("java.io.tmpdir") + "/graft_sweepall"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    val dataRoot = s"$root/data"
+    val staging = s"$root/staging"
+    spark.range(0, 100).toDF("id").write.parquet(s"$dataRoot/b0")
+    Manifest.commit(spark, root, s"$dataRoot/b0")
+    spark.range(100, 200).toDF("id").write.parquet(s"$dataRoot/b1")
+    val v2 = Manifest.commit(spark, root, s"$dataRoot/b1")
+    // a SUCCESSFUL maintenance rewrite: staged, then committed — its
+    // directory is referenced like any entry and must survive the sweep
+    spark.read.parquet(s"$dataRoot/b0", s"$dataRoot/b1").repartition(1)
+      .write.parquet(s"$staging/cow-v2-0")
+    Manifest.rewrite(spark, root, Seq(s"$staging/cow-v2-0"))
+    // a CRASHED maintenance rewrite: landed under staging, never
+    // committed — the orphan a data-root-only sweep would never visit
+    spark.range(0, 200).toDF("id").write.parquet(s"$staging/cow-v3-0")
+    // and a plain crashed-ingest orphan under the data root
+    spark.range(0, 9).toDF("id").write.parquet(s"$dataRoot/b_orphan")
+    val swept = Manifest.sweepAllOrphans(spark, root,
+      Seq(dataRoot, staging), graceMs = 0L)
+    assert(swept.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+      Set("b_orphan", "cow-v3-0"), s"swept: $swept")
+    // the live snapshot reads the committed rewrite; time travel to the
+    // pre-rewrite version still reads the original directories
+    assert(Manifest.snapshot(spark, root).count() == 200)
+    assert(Manifest.snapshot(spark, root, Some(v2)).count() == 200)
+    assert(Manifest.snapshot(spark, root).inputFiles
+      .forall(_.contains("/staging/cow-v2-0")))
+  }
+
   test("io24: pruned scan on a tombstoned table merges deletes or " +
       "fails loudly — never resurrects deleted rows") {
     import org.apache.hadoop.fs.Path
