@@ -44,12 +44,30 @@ object MergeOnRead {
       pred: Column, stagingDir: String,
       committer: Committer = FsCreateCommitter): Option[Int] = {
     val v = Manifest.versions(s, root).last
-    val keys = snapshot(s, root, keyCol, Some(v)).filter(pred)
-      .select(col(keyCol)).distinct()
+    deleteKeys(s, root, keyCol,
+      snapshot(s, root, keyCol, Some(v)).filter(pred), stagingDir,
+      committer)
+  }
+
+  /** [[deleteWhere]] for the takedown shape requests actually arrive in
+    * — an EXPLICIT key list (a right-to-be-forgotten ticket, an
+    * upstream-retraction feed), no predicate scan of the table needed:
+    * the tombstone commit costs only the key list's write. Keys absent
+    * from the table are harmless (the read-side anti-join ignores
+    * them), matching DELETE semantics on a missing row. Callers
+    * deleting the same logical victims from SEVERAL derived tables
+    * (postings + doclen, lists + codes) pass the one key frame to each
+    * root and pay the derivation once.
+    */
+  def deleteKeys(s: SparkSession, root: String, keyCol: String,
+      keys: DataFrame, stagingDir: String,
+      committer: Committer = FsCreateCommitter): Option[Int] = {
+    val v = Manifest.versions(s, root).last
     // overwrite: a delete that crashed between write and commit left an
     // invisible orphan at this same path — the retry must not trip on it
     val tombDir = s"$stagingDir/${TombstonePrefix}v$v"
-    keys.write.mode("overwrite").parquet(tombDir)
+    keys.select(col(keyCol)).distinct()
+      .write.mode("overwrite").parquet(tombDir)
     if (s.read.parquet(tombDir).isEmpty) {
       new Path(tombDir).getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new Path(tombDir), true)

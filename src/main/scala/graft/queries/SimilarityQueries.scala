@@ -1189,6 +1189,102 @@ object SimilarityQueries {
       |SELECT label, clabel AS assigned, COUNT(*) n FROM r WHERE rk = 1
       |GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin
 
+  /** Vector TAKEDOWN propagated through the stored ANN index —
+    * [[graft.queries.TextQueries]] t27's right-to-be-forgotten path on
+    * the dense side: embeddings of deleted source documents must leave
+    * the index with work ∝ takedown size, not an index rebuild. Build
+    * is [[s14IvfIncr]]'s frozen-quantizer incremental ingestion; the
+    * takedown is ONE appending [[graft.io.MergeOnRead]] tombstone
+    * commit on the lists table (keys-only write IO), after which every
+    * merged snapshot answers as if the victims were never filed —
+    * probes can no longer surface them. [[graft.io.MergeOnRead.fold]]
+    * then rewrites only victim-bearing list directories and the engine
+    * requires the post-fold census row-identical to the deferred one.
+    *
+    * Deliberately retained: the FROZEN coarse quantizer, which was
+    * trained while the victims were present. Takedown removes the
+    * vectors from everything a query can touch; scrubbing their
+    * statistical influence from the trained artifact is a retrain
+    * ([[s14IvfIncr]]'s first step) — the two operations have different
+    * costs and different triggers, and a production index schedules
+    * them separately. The oracle pins exactly this semantics: centroids
+    * from the original first block, census over survivors only.
+    */
+  def s16AnnTakedown(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, MergeOnRead}
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_s16_ivf"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val lRoot = idx + "/lists"
+    val e = quantized(s, dir)
+    centroids(e.filter(col("vec_id") % 2 === 0))
+      .write.parquet(idx + "/centroids")
+    val cent = s.read.parquet(idx + "/centroids")
+    def ingest(part: DataFrame, tag: String): Unit = {
+      centroidRanked(part, cent, maxRank = 1)
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"), col("clabel"))
+        .write.parquet(s"$idx/l_$tag")
+      Manifest.commitWithStats(s, lRoot, s"$idx/l_$tag", Seq("vec_id"))
+    }
+    // concurrent loaders against one index — the manifest commit loop
+    // absorbs the append race (see [[GraftPar]])
+    GraftPar.par(
+      ingest(e.filter(col("vec_id") % 2 === 0), "a"),
+      ingest(e.filter(col("vec_id") % 2 === 1), "b"))
+    val pre = Manifest.entries(s, lRoot)
+    MergeOnRead.deleteWhere(s, lRoot, "vec_id",
+      col("vec_id") % 13 === 3, idx + "/stage")
+    require(Manifest.entries(s, lRoot).startsWith(pre),
+      "a takedown must append a tombstone, never rewrite the lists")
+    def census(): DataFrame = MergeOnRead.snapshot(s, lRoot, "vec_id")
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+    val deferred = census().collect().toSeq
+    MergeOnRead.fold(s, lRoot, "vec_id", idx + "/stage")
+    val folded = census()
+    val foldedRows = folded.collect().toSeq
+    require(foldedRows == deferred,
+      "folding the tombstones must not change what probes see")
+    // the parity require already ran both reads; return the verified
+    // rows as a local relation rather than re-running the census
+    s.createDataFrame(s.sparkContext.parallelize(foldedRows, 1),
+      folded.schema)
+  }
+
+  /** [[s14Oracle]]'s frozen-quantizer assignment, censused over the
+    * surviving vectors only — centroids still come from the full first
+    * block (the trained artifact predates the takedown; see the
+    * engine-side scaladoc).
+    */
+  val s16Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx,
+      |    COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT q.vec_id, q.label, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM q CROSS JOIN cent),
+      |r AS (SELECT vec_id, label, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |  FROM d)
+      |SELECT label, clabel AS assigned, COUNT(*) n FROM r
+      |WHERE rk = 1 AND vec_id % 13 <> 3
+      |GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin
+
   /** Hybrid retrieval via reciprocal-rank fusion — the full RAG stack's
     * retrieval layer in one query: the DENSE side is s1's brute cosine
     * kNN (probe vectors 0–4, top-20), the SPARSE side is BM25
@@ -1556,6 +1652,7 @@ object SimilarityQueries {
     "s13_pq_stored" -> (s13PqStored _),
     "s14_ivf_incr" -> (s14IvfIncr _),
     "s15_hybrid_stored" -> (s15HybridStored _),
+    "s16_ann_takedown" -> (s16AnnTakedown _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1577,5 +1674,6 @@ object SimilarityQueries {
     "s13_pq_stored" -> s6Oracle,
     "s14_ivf_incr" -> s14Oracle,
     "s15_hybrid_stored" -> s15Oracle,
+    "s16_ann_takedown" -> s16Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }

@@ -1575,6 +1575,243 @@ object TextQueries {
     bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
   }
 
+  /** Document TAKEDOWN propagated through the stored retrieval index —
+    * the right-to-be-forgotten path a 100 TB deployment actually needs:
+    * when a takedown request arrives, re-tokenizing the corpus or
+    * rebuilding the index per request is off the table; the index must
+    * absorb the deletion with work ∝ takedown size and keep answering.
+    *
+    * Build is [[tBm25Incr]]'s incremental discipline, extended with a
+    * doclen manifest table ((doc_id, dl) per increment — doc-count-sized
+    * state a production BM25 index stores anyway; it is ALSO what makes
+    * the takedown self-contained, since token-less victims have no
+    * postings rows to learn their existence from). The takedown itself
+    * is three appending-size writes, never a data rewrite:
+    *  1. a COMPENSATING stats increment — (−victims, −Σ victim dl)
+    *     computed from the STORED doclen rows (distributive, so the
+    *     query-time stats fold stays exact — nd/tl are integer sums);
+    *  2. a [[graft.io.MergeOnRead]] tombstone on the postings table;
+    *  3. the same tombstone on the doclen table.
+    * The query side reads merged snapshots (tombstones applied) and
+    * derives df from the surviving postings — so term statistics,
+    * document frequencies, doc lengths, corpus stats, and even the
+    * self-derived query-term band all behave as if the victims were
+    * never ingested, which is exactly what the oracle demands (the same
+    * BM25 SQL over `documents` minus the victims). [[graft.io
+    * .MergeOnRead.fold]] then rewrites only victim-bearing directories
+    * and the engine requires the post-fold answer row-identical — the
+    * deferral-never-changes-what-readers-see contract, now across a
+    * three-table index.
+    */
+  def tBm25Takedown(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, MergeOnRead}
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_t27_bm25"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val (pRoot, dRoot, sRoot) =
+      (idx + "/postings", idx + "/doclen", idx + "/stats")
+    def ingest(part: DataFrame, tag: String): Unit = {
+      val withDl = part
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")))
+      withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .write.parquet(s"$idx/p_$tag")
+      Manifest.commitWithStats(s, pRoot, s"$idx/p_$tag", Seq("doc_id"))
+      // plain commit for the registry: ingest-time sidecars are t25/t26's
+      // pinned discipline; this gate exercises the takedown protocol
+      withDl.select(col("doc_id"), col("dl"))
+        .write.parquet(s"$idx/d_$tag")
+      Manifest.commit(s, dRoot, s"$idx/d_$tag")
+      withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        .write.parquet(s"$idx/s_$tag")
+      Manifest.commit(s, sRoot, s"$idx/s_$tag")
+    }
+    val docs = Tables.documents(s, dir)
+    // the two increments land concurrently — appending commits from
+    // racing writers are exactly what Manifest's commit loop absorbs
+    // (each re-reads and retries on a lost create race), and a real
+    // ingest tier runs many loaders against the same index
+    GraftPar.par(
+      ingest(docs.filter(col("doc_id") % 2 === 0), "a"),
+      ingest(docs.filter(col("doc_id") % 2 === 1), "b"))
+    // ---- the takedown: victims derived ONCE from the doc registry
+    // (the doclen table — doc-count-sized, never the postings), then
+    // applied everywhere: a compensating stats increment computed from
+    // the victims' stored dl rows, and the SAME key frame tombstoned
+    // onto both derived tables via [[graft.io.MergeOnRead.deleteKeys]]
+    // (the explicit-key-list shape takedown requests arrive in).
+    val pred = col("doc_id") % 13 === 3
+    val preP = Manifest.entries(s, pRoot)
+    // takedown-sized, read three times (compensation + two tombstones)
+    // — cache so the doclen snapshot is scanned once
+    val victims = MergeOnRead.snapshot(s, dRoot, "doc_id").filter(pred)
+      .cache()
+    victims
+      .agg((-count(lit(1))).as("nd"),
+        (-coalesce(sum(col("dl")), lit(0)).cast("long")).as("tl"))
+      .coalesce(1).write.parquet(s"$idx/s_takedown")
+    Manifest.commit(s, sRoot, s"$idx/s_takedown")
+    // the two derived tables are independent manifest roots: tombstone
+    // (and later fold) them concurrently
+    GraftPar.par(
+      MergeOnRead.deleteKeys(s, pRoot, "doc_id", victims,
+        idx + "/stage-p"),
+      MergeOnRead.deleteKeys(s, dRoot, "doc_id", victims,
+        idx + "/stage-d"))
+    victims.unpersist()
+    require(Manifest.entries(s, pRoot).startsWith(preP),
+      "a takedown must append tombstones, never rewrite the index")
+    // fold-parity at ROW level — stronger than comparing the 25-row
+    // answer (any divergence in any posting or registry row trips it,
+    // not only divergence that survives top-5 ranking) and far cheaper:
+    // one fixed-width aggregate per table per side, no joins/windows
+    def tableCensus(): Seq[org.apache.spark.sql.Row] =
+      MergeOnRead.snapshot(s, pRoot, "doc_id")
+        .agg(count(lit(1)).as("pn"), sum(pmod(
+          xxhash64(col("doc_id"), col("term"), col("tf")), lit(HashMod)))
+          .as("ph"))
+        .crossJoin(MergeOnRead.snapshot(s, dRoot, "doc_id")
+          .agg(count(lit(1)).as("dn"), sum(pmod(
+            xxhash64(col("doc_id"), col("dl")), lit(HashMod))).as("dh")))
+        .collect().toSeq
+    val deferred = tableCensus()
+    GraftPar.par(
+      MergeOnRead.fold(s, pRoot, "doc_id", idx + "/stage-p"),
+      MergeOnRead.fold(s, dRoot, "doc_id", idx + "/stage-d"))
+    require(tableCensus() == deferred,
+      "folding the tombstones must not change what readers see")
+    // ---- the post-takedown answer, off the folded index
+    val st = Manifest.snapshot(s, sRoot)
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val tf = MergeOnRead.snapshot(s, pRoot, "doc_id")
+    val dl = MergeOnRead.snapshot(s, dRoot, "doc_id")
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ans = bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+    // the gate's caller only counts/writes the 25-row answer — hand it
+    // back materialized rather than making every downstream action
+    // re-run the snapshot + join + window pipeline
+    s.createDataFrame(
+      s.sparkContext.parallelize(ans.collect().toSeq, 1), ans.schema)
+  }
+
+  /** [[tBm25Oracle]] over the surviving documents — the takedown
+    * contract in one line: the index must answer as if the victims were
+    * never ingested.
+    */
+  val tBm25TakedownOracle: String =
+    """WITH docs AS (SELECT * FROM documents WHERE doc_id % 13 <> 3),
+      |t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM docs),
+      |n AS (SELECT (SELECT COUNT(*) FROM docs) AS nd,
+      |    (SELECT COUNT(*) FROM t) AS tl),
+      |qt AS (SELECT term, (rn - 6) // 2 AS qid FROM (
+      |    SELECT term, ROW_NUMBER() OVER
+      |        (ORDER BY COUNT(*) DESC, term) AS rn
+      |    FROM t GROUP BY term) WHERE rn BETWEEN 6 AND 15),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |sc AS (SELECT qid, tf.doc_id,
+      |    CAST(SUM(CAST(FLOOR(
+      |      (CAST(nd AS DOUBLE) / df) * (tf * 2.2e0) /
+      |        (tf + 1.2e0 * (0.25e0 +
+      |          0.75e0 * (dl / (CAST(tl AS DOUBLE) / nd)))) * 1e7)
+      |      AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+      |  GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score_fp, ROW_NUMBER() OVER
+      |    (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rk
+      |  FROM sc)
+      |SELECT qid, rk, doc_id, score_fp FROM r WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
+  /** The BM25 index maintained BY A STREAM — [[tBm25Incr]]'s ingest
+    * discipline driven from Structured Streaming, which is how a live
+    * corpus keeps its retrieval index fresh: documents arrive as
+    * microbatches, each `foreachBatch` tokenizes ONLY its batch and
+    * lands postings + a distributive stats increment as manifest
+    * commits. Exactly-once by construction, st8's recipe composed with
+    * the index tables: the batch directory is keyed by `batchId`, a
+    * replayed batch overwrites its own (possibly half-written) orphan
+    * and [[graft.io.Manifest.commitIfAbsent]] makes the re-commit a
+    * no-op — at-least-once delivery from the engine becomes an
+    * exactly-once index, with the skip-stats sidecar emitted at commit
+    * so the streamed-in postings are doc_id-prunable from the first
+    * batch. The query side is [[tBm25Incr]]'s read path unchanged, and
+    * the oracle is [[tBm25Oracle]] — the streamed-in index must answer
+    * bit-identically to a one-shot batch build over the same corpus.
+    */
+  def stBm25Stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.{Manifest, SkipStats}
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val root = base + "/graft_st11_bm25"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val srcDir = s"$root/src"
+    val (pRoot, sRoot) = (s"$root/postings", s"$root/stats")
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        val withDl = batch
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val pDir = s"$root/p_$batchId"
+        if (!Manifest.committed(ss, pRoot).contains(pDir)) {
+          withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+            .write.mode("overwrite").parquet(pDir)
+          SkipStats.write(ss, pDir, Seq("doc_id"))
+          Manifest.commitIfAbsent(ss, pRoot, pDir)
+        }
+        val sDir = s"$root/s_$batchId"
+        if (!Manifest.committed(ss, sRoot).contains(sDir)) {
+          withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+            .write.mode("overwrite").parquet(sDir)
+          Manifest.commitIfAbsent(ss, sRoot, sDir)
+        }
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // 4 source files under maxFilesPerTrigger=1 ⇒ one commit per
+    // data-carrying microbatch; ≥2 pins that the build was really
+    // incremental (a range so an engine-scheduled empty batch can't
+    // flake it)
+    val nv = Manifest.versions(s, pRoot).size
+    require(nv >= 2 && nv <= 4,
+      s"expected one index commit per data-carrying microbatch, got $nv")
+    // ---- t25's read path, unchanged: the stream fed the same tables
+    val tf = Manifest.snapshot(s, pRoot)
+    val st = Manifest.snapshot(s, sRoot)
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1601,7 +1838,9 @@ object TextQueries {
     "t23_bm25" -> (tBm25 _),
     "t24_bm25_stored" -> (tBm25Stored _),
     "t25_bm25_incr" -> (tBm25Incr _),
-    "t26_bm25_compact" -> (tBm25Compact _))
+    "t26_bm25_compact" -> (tBm25Compact _),
+    "t27_bm25_takedown" -> (tBm25Takedown _),
+    "st11_stream_bm25" -> (stBm25Stream _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -1633,5 +1872,9 @@ object TextQueries {
     "t25_bm25_incr" -> tBm25Oracle,
     // increments + compact must answer bit-identically to the one-shot
     // build — the same oracle pins it
-    "t26_bm25_compact" -> tBm25Oracle)
+    "t26_bm25_compact" -> tBm25Oracle,
+    "t27_bm25_takedown" -> tBm25TakedownOracle,
+    // the streamed-in index must answer bit-identically to a one-shot
+    // batch build over the same corpus
+    "st11_stream_bm25" -> tBm25Oracle)
 }
