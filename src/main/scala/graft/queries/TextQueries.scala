@@ -1812,6 +1812,214 @@ object TextQueries {
     bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
   }
 
+  /** Reproducible epoch shuffle + sharding — the "global shuffle" every
+    * training run needs before writing shard files. `df.sample`/`rand()`
+    * are partitioning-dependent; instead each doc's position comes from
+    * a two-round LCG of its id (seeded, so epoch 2 is a different but
+    * equally deterministic permutation), the shard from the hash's
+    * residue. At 100 TB the shard count is the parallelism knob: one
+    * window partition per shard, each sized to one training file
+    * (~1 GB), so the per-reducer sort is bounded by construction — the
+    * within-shard sequence has to be materialized in shard order anyway
+    * to write the file. The doc id is reduced mod 2^31 before the
+    * multiply so the arithmetic stays inside 63 bits (DuckDB BIGINT
+    * overflow is an error, not a wrap). The order-sensitive checksum
+    * Σ pos·doc_id pins the exact within-shard sequence cross-engine.
+    */
+  def tShard(s: SparkSession, dir: String): DataFrame = {
+    val seed = 7L
+    val h1 = ((col("doc_id") % 2147483648L) * 1103515245L + lit(seed)) %
+      2147483648L
+    val h2 = (h1 * 1103515245L + 12345L) % 2147483648L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), h2.as("h"))
+      .withColumn("shard", col("h") % 64)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val tShardOracle: String =
+    """WITH h AS (SELECT doc_id,
+      |    (((doc_id % 2147483648) * 1103515245 + 7) % 2147483648
+      |      * 1103515245 + 12345) % 2147483648 AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, h % 64 AS shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)
+      |      AS BIGINT) AS pos FROM h)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Bigram-LM document scoring — the CCNet-style "train a small LM on
+    * clean text, rank documents by likelihood" quality signal. The LM is
+    * add-one-smoothed bigram conditional probability trained on the
+    * t9 train split; each document's score is its mean per-bigram
+    * conditional likelihood. All arithmetic is fixed-point: the
+    * conditional probability is `(1e6·(c12+1)) div (c1+V)` — exact
+    * BIGINT ops both engines (a log-prob formulation would hang
+    * cross-engine determinism on libm; production would swap in log-odds
+    * here, the train/score plumbing is identical). Scale shape: one
+    * explode → map-side-combined aggregate per n-gram order (shuffle at
+    * distinct-bigram volume), then two equi-joins at token volume — no
+    * broadcast of the (large) bigram table, so the plan is the same
+    * sort-merge shape at 100 TB. Lowest-scoring docs (≥5 bigrams so a
+    * two-word doc can't win on variance) are the junk candidates.
+    */
+  def tLmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
+    val train = docs.filter(bucket < 90)
+    val uni = train
+      .select(explode(tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.count()
+    val bi = train
+      .select(explode(wordBigrams(col("text"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val docBi = docs
+      .select(col("doc_id"), explode(wordBigrams(col("text"))).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    docBi
+      .join(bi, Seq("bigram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .withColumn("p_fx", expr(
+        s"(1000000 * (coalesce(c12, 0) + 1)) div (coalesce(c1, 0) + $vocab)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), expr("sum(p_fx) div count(1)")
+        .as("lm_fx"))
+      .filter(col("n_bigrams") >= 5)
+      .orderBy(col("lm_fx"), col("doc_id"))
+      .limit(15)
+  }
+
+  val tLmScoreOracle: String =
+    """WITH tr AS (SELECT * FROM documents
+      |    WHERE (doc_id * 2654435761) % 4294967296 % 100 < 90),
+      |toks AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t FROM tr),
+      |uni AS (SELECT unnest(t) AS w1 FROM toks),
+      |uc AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY 1),
+      |v AS (SELECT COUNT(*) AS vocab FROM uc),
+      |bit AS (SELECT unnest(list_transform(list_zip(t, t[2:]),
+      |    z -> z[1] || ' ' || z[2])) AS bigram FROM toks),
+      |bc AS (SELECT bigram, COUNT(*) AS c12 FROM bit
+      |  WHERE bigram IS NOT NULL GROUP BY 1),
+      |dt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |db AS (SELECT doc_id, unnest(list_transform(list_zip(t, t[2:]),
+      |    z -> z[1] || ' ' || z[2])) AS bigram FROM dt),
+      |j AS (SELECT d.doc_id,
+      |    (1000000 * (COALESCE(bc.c12, 0) + 1))
+      |      // (COALESCE(uc.c1, 0) + v.vocab) AS p_fx
+      |  FROM db d
+      |  LEFT JOIN bc ON d.bigram = bc.bigram
+      |  LEFT JOIN uc ON split_part(d.bigram, ' ', 1) = uc.w1
+      |  CROSS JOIN v
+      |  WHERE d.bigram IS NOT NULL),
+      |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(p_fx) // COUNT(*) AS BIGINT) AS lm_fx FROM j GROUP BY 1)
+      |SELECT doc_id, n_bigrams, lm_fx FROM sc WHERE n_bigrams >= 5
+      |ORDER BY lm_fx, doc_id LIMIT 15""".stripMargin
+
+  /** Supervised language classifier: train token/class counts on the t9
+    * train split (labels come free from `lang`), predict the test
+    * split, report the confusion matrix. The scorer is the additive
+    * fixed-point form of multinomial Naive Bayes: per class,
+    * Σ_t tf_t · fx_c(c_t+1) with fx_c(x) = (1e6·x) div (N_c+V) — the
+    * add-one-smoothed class-conditional likelihood on an exact integer
+    * grid (sum instead of log-product so the oracle is bit-exact;
+    * production swaps in log-space weights, same train/score shape).
+    * Unseen (term, class) pairs are handled WITHOUT densifying the
+    * token × class space: score_c = matched_sum + (ntok − matched_tf) ·
+    * fx_c(1), so the only per-token work is one equi-join against the
+    * count table; the class constants (4 rows) broadcast. At 100 TB the
+    * count table is distinct-(term,class) volume, map-side combined,
+    * and the argmax window partitions by doc_id — unskewed by
+    * construction.
+    */
+  def tNbLangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
+    val train = docs.filter(bucket < 90)
+    val test = docs.filter(bucket >= 95)
+    val cnt = train
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    val classTot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("nc"))
+    val vocab = cnt.select(col("term")).distinct().count()
+    val cntW = cnt.join(broadcast(classTot), Seq("lang"))
+      .withColumn("w", expr(s"(1000000 * (c + 1)) div (nc + $vocab)"))
+      .select(col("lang"), col("term"), col("w"))
+    val base = classTot
+      .withColumn("w1", expr(s"1000000 div (nc + $vocab)"))
+      .select(col("lang"), col("w1"))
+    val testTf = test
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val matched = testTf.join(cntW, Seq("term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * col("w")).as("msum"), sum(col("tf")).as("mtf"))
+    val docLen = test.select(col("doc_id"), col("lang").as("true_lang"),
+      tokenCount(col("text")).cast("long").as("ntok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    docLen.crossJoin(broadcast(base))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .withColumn("score", coalesce(col("msum"), lit(0L)) +
+        (col("ntok") - coalesce(col("mtf"), lit(0L))) * col("w1"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("checksum"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  val tNbLangIdOracle: String =
+    """WITH b AS (SELECT *, (doc_id * 2654435761) % 4294967296 % 100
+      |    AS bucket FROM documents),
+      |tr AS (SELECT * FROM b WHERE bucket < 90),
+      |te AS (SELECT * FROM b WHERE bucket >= 95),
+      |trt AS (SELECT lang, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM tr),
+      |cnt AS (SELECT lang, term, COUNT(*) AS c FROM trt GROUP BY 1, 2),
+      |ct AS (SELECT lang, SUM(c) AS nc FROM cnt GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT term) AS vocab FROM cnt),
+      |cw AS (SELECT cnt.lang, term,
+      |    (1000000 * (c + 1)) // (nc + vocab) AS w
+      |  FROM cnt JOIN ct ON cnt.lang = ct.lang CROSS JOIN v),
+      |base AS (SELECT lang, 1000000 // (nc + vocab) AS w1
+      |  FROM ct CROSS JOIN v),
+      |tet AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM te),
+      |ttf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tet GROUP BY 1, 2),
+      |m AS (SELECT doc_id, cw.lang, SUM(tf * w) AS msum, SUM(tf) AS mtf
+      |  FROM ttf JOIN cw ON ttf.term = cw.term GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, lang AS true_lang,
+      |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS BIGINT)
+      |      AS ntok FROM te),
+      |sc AS (SELECT dl.doc_id, dl.true_lang, base.lang,
+      |    COALESCE(m.msum, 0) + (dl.ntok - COALESCE(m.mtf, 0)) * base.w1
+      |      AS score
+      |  FROM dl CROSS JOIN base
+      |  LEFT JOIN m ON m.doc_id = dl.doc_id AND m.lang = base.lang),
+      |p AS (SELECT doc_id, true_lang, lang AS pred_lang,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang) AS rk FROM sc)
+      |SELECT true_lang, pred_lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS checksum
+      |FROM p WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -1840,6 +2048,9 @@ object TextQueries {
     "t25_bm25_incr" -> (tBm25Incr _),
     "t26_bm25_compact" -> (tBm25Compact _),
     "t27_bm25_takedown" -> (tBm25Takedown _),
+    "t28_shard" -> (tShard _),
+    "t29_lm_score" -> (tLmScore _),
+    "t30_nb_langid" -> (tNbLangId _),
     "st11_stream_bm25" -> (stBm25Stream _))
 
   val oracle: Map[String, String] = Map(
@@ -1874,6 +2085,9 @@ object TextQueries {
     // build — the same oracle pins it
     "t26_bm25_compact" -> tBm25Oracle,
     "t27_bm25_takedown" -> tBm25TakedownOracle,
+    "t28_shard" -> tShardOracle,
+    "t29_lm_score" -> tLmScoreOracle,
+    "t30_nb_langid" -> tNbLangIdOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle)
