@@ -400,4 +400,34 @@ object Manifest {
   def snapshot(s: SparkSession, root: String,
       version: Option[Int] = None): DataFrame =
     s.read.parquet(entries(s, root, version): _*)
+
+  /** ZERO-COPY shallow clone (Delta `CLONE`'s shallow form): `dstRoot`
+    * becomes a new table whose version 1 lists exactly the directories
+    * the source version pins — no data moves, the clone is one manifest
+    * write regardless of table size, which is what makes "branch a
+    * 100 TB table for an experiment" an O(1) operation. From then on
+    * the tables diverge freely: commits/rewrites/deletes on either side
+    * never touch the other's manifest, and a copy-on-write mutation on
+    * the clone rewrites only ITS affected directories, leaving the
+    * shared ones for the source.
+    *
+    * Sharing caveat (same as Delta shallow clones): the clone
+    * REFERENCES the source's data directories, so [[expire]] on the
+    * source can delete directories the clone still lists — a manifest
+    * table knows only its own references. Vacuum the source only after
+    * the clone is dropped or deep-copied; [[sweepOrphans]] is safe
+    * (it spares committed directories of whatever root it's given, and
+    * staging roots are per-table).
+    *
+    * Refuses a non-empty destination: cloning ONTO a live table would
+    * orphan its history silently — that's [[rewrite]]'s explicit job.
+    */
+  def shallowClone(s: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Int] = None,
+      committer: Committer = FsCreateCommitter): Int = {
+    val dirs = entries(s, srcRoot, version)
+    require(versionsOf(fs(s, dstRoot), dstRoot).isEmpty,
+      s"refusing to clone onto non-empty table $dstRoot")
+    rewrite(s, dstRoot, dirs, committer)
+  }
 }

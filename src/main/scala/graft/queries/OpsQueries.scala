@@ -1447,6 +1447,136 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** ZERO-COPY table branching — [[graft.io.Manifest.shallowClone]]
+    * (Delta shallow CLONE): version 1 of the clone pins exactly the
+    * source's committed directories with ONE manifest write, no data
+    * movement, which is what makes "branch a 100 TB table for an
+    * experiment" O(1). The gate then appends a different batch to each
+    * side and demands three censuses: the clone as cloned (time travel
+    * to its v1), the diverged source, and the diverged clone — plus a
+    * physical pin that the clone root holds no data directories of its
+    * own, and that cloning onto a live table refuses.
+    */
+  def io27Clone(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val base = tmpDir(s) + "/graft_io27"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val (src, cln) = (s"$base/src", s"$base/clone")
+    val k = okeyUnit(s, dir)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, k).write.parquet(s"$base/data/b1")
+    Manifest.commit(s, src, s"$base/data/b1")
+    batch(k, 2 * k).write.parquet(s"$base/data/b2")
+    Manifest.commit(s, src, s"$base/data/b2")
+    val cloneV = Manifest.shallowClone(s, src, cln)
+    // zero-copy pin: the clone root is ONE manifest file, no data
+    val cloneFiles = fs.listStatus(new org.apache.hadoop.fs.Path(cln))
+      .map(_.getPath.getName).toSeq
+    require(cloneFiles == Seq("manifest-v000001"),
+      s"shallow clone must write only a manifest, found $cloneFiles")
+    // cloning onto a live table must refuse, not silently orphan history
+    val refused =
+      try { Manifest.shallowClone(s, src, cln); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "clone onto a non-empty table must refuse")
+    // diverge both sides independently
+    batch(2 * k, 3 * k).write.parquet(s"$base/data/src_b3")
+    Manifest.commit(s, src, s"$base/data/src_b3")
+    batch(3 * k, 4 * k).write.parquet(s"$base/data/cln_b3")
+    Manifest.commit(s, cln, s"$base/data/cln_b3")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(Manifest.snapshot(s, cln, Some(cloneV)), 0)
+      .unionByName(census(Manifest.snapshot(s, src), 1))
+      .unionByName(census(Manifest.snapshot(s, cln), 2))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io27Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents, k FROM lineitem, mk),
+      |snap AS (
+      |  SELECT 0 AS phase, * EXCLUDE (k) FROM li WHERE l_orderkey < 2 * k
+      |  UNION ALL
+      |  SELECT 1, * EXCLUDE (k) FROM li WHERE l_orderkey < 3 * k
+      |  UNION ALL
+      |  SELECT 2, * EXCLUDE (k) FROM li WHERE l_orderkey < 2 * k
+      |    OR (l_orderkey >= 3 * k AND l_orderkey < 4 * k))
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
+  /** Write-time constraint enforcement —
+    * [[graft.io.Constraints.commitChecked]] (Delta invariants / SQL
+    * CHECK): a batch violating any declared constraint is rejected
+    * WHOLE before its manifest commit, its staged files deleted, the
+    * table untouched. The gate ingests three batches of `documents`:
+    * batch 2 arrives corrupted (NULLed ids) and must bounce; the CHECK
+    * predicates also exercise the UNKNOWN-passes rule (rows where the
+    * predicate is NULL pass, per ANSI CHECK). The final table is
+    * batches 1 and 3 exactly — which is precisely what the oracle can
+    * state without knowing anything about staging or manifests.
+    */
+  def io28Constraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Constraints, Manifest}
+    val root = tmpDir(s) + "/graft_io28_tbl"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val constraints = Seq(
+      "doc_id_not_null" -> col("doc_id").isNotNull,
+      "n_chars_nonneg" -> (col("n_chars") >= 0),
+      // UNKNOWN passes: NULL predicate rows are NOT violations
+      "chk_unknown_passes" -> when(col("doc_id") % 10 === 0,
+        lit(null).cast("boolean")).otherwise(col("n_chars") >= 0))
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    Constraints.commitChecked(s, root, slice(0, 100),
+      s"$root/data/b1", constraints)
+    // batch 2 arrives with ids corrupted to NULL — bounce it whole
+    val corrupt = slice(100, 200).withColumn("doc_id",
+      when(col("doc_id") % 7 === 3, lit(null).cast("long"))
+        .otherwise(col("doc_id")))
+    val bounced =
+      try {
+        Constraints.commitChecked(s, root, corrupt,
+          s"$root/data/b2", constraints)
+        Seq.empty
+      } catch {
+        case e: Constraints.ConstraintViolationException => e.violations
+      }
+    require(bounced.map(_.name) == Seq("doc_id_not_null"),
+      s"exactly the NOT NULL constraint trips, got $bounced")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/b2")),
+      "a rejected batch's staged files must be deleted")
+    require(Manifest.versions(s, root) == Seq(1),
+      "a rejected batch must not burn a version")
+    Constraints.commitChecked(s, root, slice(200, 300),
+      s"$root/data/b3", constraints)
+    Manifest.snapshot(s, root).orderBy(col("doc_id"))
+  }
+
+  val io28Oracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id < 100 OR (doc_id >= 200 AND doc_id < 300)
+      |ORDER BY doc_id""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -2211,6 +2341,8 @@ object OpsQueries {
     "io24_skip_scan" -> (io24SkipScan _),
     "io25_feed_sync" -> (io25FeedSync _),
     "io26_orphan_sweep" -> (io26OrphanSweep _),
+    "io27_clone" -> (io27Clone _),
+    "io28_constraints" -> (io28Constraints _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2257,6 +2389,8 @@ object OpsQueries {
     "io24_skip_scan" -> io24Oracle,
     "io25_feed_sync" -> io25Oracle,
     "io26_orphan_sweep" -> io26Oracle,
+    "io27_clone" -> io27Oracle,
+    "io28_constraints" -> io28Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
