@@ -1678,6 +1678,81 @@ object OpsQueries {
       |  CAST(SUM(re) AS BIGINT) AS sum_right
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER join as a REAL streaming run — the
+    * alerting/enrichment shape st2's inner join can't express: every
+    * left event must surface even when no right event ever arrives
+    * (clicks with no error within the bound → null-padded row). Outer
+    * results emit at STATE EVICTION, not on match: a left row
+    * null-pads only once the global watermark (min across both
+    * inputs' watermarks) passes its upper join bound, so a bounded
+    * AvailableNow run withholds rows near the end of the stream whose
+    * eviction point the final watermark never reaches. The gate
+    * therefore reduces over left rows below an emission-safety cutoff
+    * — final watermark minus the join bound minus an hour of slack —
+    * computed by the SAME integer arithmetic on both sides, which is
+    * exactly the production contract for bounded replays of an outer
+    * join (a 100 TB backfill has the same tail). Right side is
+    * restricted to `user_id < 25`, so users 25–49 null-pad ALWAYS and
+    * users < 25 null-pad only where their per-row window is empty —
+    * both outer paths exercised.
+    */
+  def st12StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Tables.eventsStream(s, dir)
+    def side(t: String, maxUser: Long) = src
+      .filter(col("event_type") === t && col("user_id") < maxUser)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"), col("event_id"))
+    val joined = graft.streaming.StreamingPipeline.streamStreamJoin(
+      side("click", 50), side("error", 25), "user_id", "ets", "ets",
+      "24 hours", "48 hours", "left_outer")
+    val name = s"graft_st12_${st2Seq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // emission-safety cutoff from the STATIC table (one 1-row collect):
+    // finalWatermark = min(max left ts, max right ts) - 24h delay;
+    // guaranteed-resolved left rows sit a full bound + 1h below it
+    val ev = Tables.events(s, dir)
+    val mx = ev.agg(
+      max(when(col("event_type") === "click" && col("user_id") < 50,
+        expr("ts DIV 1000"))).as("ml"),
+      max(when(col("event_type") === "error" && col("user_id") < 25,
+        expr("ts DIV 1000"))).as("mr")).collect()(0)
+    val cutoffUs = math.min(mx.getLong(0), mx.getLong(1)) -
+      86400000000L - 172800000000L - 3600000000L
+    s.table(name)
+      .filter(unix_micros(col("ets")) <= cutoffUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("event_id_r")).as("n_matched"),
+        sum(col("event_id")).as("sum_left"),
+        sum(col("event_id_r")).as("sum_right"))
+      .orderBy(col("user_id"))
+  }
+
+  val st12Oracle: String =
+    """WITH l AS (SELECT user_id, epoch_us(ts) tsu, event_id FROM events
+      |  WHERE event_type = 'click' AND user_id < 50),
+      |r AS (SELECT user_id, epoch_us(ts) tsu, event_id FROM events
+      |  WHERE event_type = 'error' AND user_id < 25),
+      |cut AS (SELECT LEAST((SELECT MAX(tsu) FROM l),
+      |    (SELECT MAX(tsu) FROM r))
+      |    - 86400000000 - 172800000000 - 3600000000 AS c),
+      |p AS (SELECT l.user_id, l.event_id le, r.event_id re
+      |  FROM l LEFT JOIN r ON l.user_id = r.user_id
+      |    AND r.tsu >= l.tsu - 172800000000
+      |    AND r.tsu <= l.tsu + 172800000000
+      |  WHERE l.tsu <= (SELECT c FROM cut))
+      |SELECT user_id, COUNT(*) AS n_rows, COUNT(re) AS n_matched,
+      |  CAST(SUM(le) AS BIGINT) AS sum_left,
+      |  CAST(SUM(re) AS BIGINT) AS sum_right
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Event-time tumbling-window aggregation as a REAL streaming run —
     * §2.6's windowed-counts semantics under the oracle gate (st2's
     * pattern: file source, AvailableNow, memory sink, batch reduction).
@@ -2352,7 +2427,8 @@ object OpsQueries {
     "st7_stream_session" -> (st7StreamSession _),
     "st8_stream_ingest" -> (st8StreamIngest _),
     "st9_incremental_etl" -> (st9IncrementalEtl _),
-    "st10_sessionize_tws" -> (st10SessionizeTws _))
+    "st10_sessionize_tws" -> (st10SessionizeTws _),
+    "st12_stream_left_join" -> (st12StreamLeftJoin _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -2400,5 +2476,6 @@ object OpsQueries {
     "st7_stream_session" -> st7Oracle,
     "st8_stream_ingest" -> st8Oracle,
     "st9_incremental_etl" -> st9Oracle,
-    "st10_sessionize_tws" -> st1Oracle)
+    "st10_sessionize_tws" -> st1Oracle,
+    "st12_stream_left_join" -> st12Oracle)
 }

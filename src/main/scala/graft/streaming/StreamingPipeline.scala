@@ -119,7 +119,7 @@ object StreamingPipeline {
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, watermark: String,
-      bound: String): DataFrame = {
+      bound: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     // every right column colliding with a left column gets a _r suffix
     // (including a shared event-time name like "ts") — the join stays
@@ -133,7 +133,8 @@ object StreamingPipeline {
     l.join(renamed,
       col(key) === rcol(key) &&
         rcol(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
-        rcol(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
+        rcol(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
+      joinType)
       .drop(s"${key}_r")
   }
 }
