@@ -1465,15 +1465,18 @@ object OpsQueries {
     fs.delete(hp, true)
     val (src, cln) = (s"$base/src", s"$base/clone")
     val k = okeyUnit(s, dir)
-    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
-      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+    // all four batches from ONE scan: tag each row with its batch and
+    // let the partitioned write fan the directories out (vs four
+    // filtered scans of lineitem — same dirs, a quarter of the read IO)
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 4 * k)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-    batch(0, k).write.parquet(s"$base/data/b1")
-    Manifest.commit(s, src, s"$base/data/b1")
-    batch(k, 2 * k).write.parquet(s"$base/data/b2")
-    Manifest.commit(s, src, s"$base/data/b2")
+          .as("cents"),
+        expr(s"l_orderkey div $k").cast("int").as("b"))
+      .write.partitionBy("b").parquet(s"$base/data")
+    Manifest.commit(s, src, s"$base/data/b=0")
+    Manifest.commit(s, src, s"$base/data/b=1")
     val cloneV = Manifest.shallowClone(s, src, cln)
     // zero-copy pin: the clone root is ONE manifest file, no data
     val cloneFiles = fs.listStatus(new org.apache.hadoop.fs.Path(cln))
@@ -1486,10 +1489,8 @@ object OpsQueries {
       catch { case _: IllegalArgumentException => true }
     require(refused, "clone onto a non-empty table must refuse")
     // diverge both sides independently
-    batch(2 * k, 3 * k).write.parquet(s"$base/data/src_b3")
-    Manifest.commit(s, src, s"$base/data/src_b3")
-    batch(3 * k, 4 * k).write.parquet(s"$base/data/cln_b3")
-    Manifest.commit(s, cln, s"$base/data/cln_b3")
+    Manifest.commit(s, src, s"$base/data/b=2")
+    Manifest.commit(s, cln, s"$base/data/b=3")
     def census(df: DataFrame, tag: Int) = df
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),

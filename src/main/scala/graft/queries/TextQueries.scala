@@ -1874,9 +1874,11 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
     val train = docs.filter(bucket < 90)
+    // staged: consumed twice (vocabulary count + the score-side join)
     val uni = train
       .select(explode(tokens(col("text"))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .staged()
     val vocab = uni.count()
     val bi = train
       .select(explode(wordBigrams(col("text"))).as("bigram"))
@@ -1948,9 +1950,11 @@ object TextQueries {
     val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
     val train = docs.filter(bucket < 90)
     val test = docs.filter(bucket >= 95)
+    // staged: consumed three times (class totals, vocabulary, weights)
     val cnt = train
       .select(col("lang"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+      .staged()
     val classTot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("nc"))
     val vocab = cnt.select(col("term")).distinct().count()
     val cntW = cnt.join(broadcast(classTot), Seq("lang"))
