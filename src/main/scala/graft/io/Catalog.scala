@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog-level ATOMIC multi-table commits — the Iceberg-catalog /
+  * Nessie pattern on top of [[Manifest]]: a catalog is itself a manifest
+  * table whose entries are `tableRoot@version` pins, so publishing a
+  * consistent snapshot ACROSS tables is one create-if-absent manifest
+  * write, exactly as atomic as a single-table commit.
+  *
+  * Why it matters here: an index is usually SEVERAL tables that must
+  * move together — t25's postings + corpus-stats tables, s14's IVF
+  * lists + frozen quantizer. Committing them independently leaves a
+  * window where a reader sees new postings against old stats (a wrong
+  * BM25 normalizer, silently). The transaction protocol closes it:
+  *
+  *  1. commit each table's batch at the TABLE level (any order — these
+  *     versions are staged-but-unpublished as far as catalog readers
+  *     are concerned);
+  *  2. [[pin]] the catalog at the new (table → version) vector — the
+  *     single atomic publish point.
+  *
+  * A crash between 1 and 2 leaves the catalog at the previous pin
+  * vector: catalog readers still resolve the old CONSISTENT pair, and
+  * the half-landed table versions are ordinary superseded versions the
+  * table's own retention ([[Manifest.expire]]) later reclaims. Readers
+  * that want cross-table consistency read through [[snapshotOf]];
+  * reading a table's latest directly remains possible and remains
+  * single-table-consistent only — the same split Iceberg makes between
+  * table-level and catalog-level reads.
+  *
+  * Scale: resolve cost is one small-file read regardless of how many
+  * tables or how much data the pins cover; time travel across the
+  * catalog's own versions gives consistent-pair history for free.
+  */
+object Catalog {
+
+  /** Publish an atomic pin vector: the catalog's next version maps each
+    * table root to the exact manifest version a consistent reader must
+    * use. One manifest write — all-or-nothing. Returns the catalog
+    * version.
+    */
+  def pin(s: SparkSession, catRoot: String, pins: Seq[(String, Int)],
+      committer: Committer = FsCreateCommitter): Int = {
+    require(pins.nonEmpty, "empty pin vector")
+    Manifest.rewrite(s, catRoot,
+      pins.map { case (root, v) => s"$root@$v" }, committer)
+  }
+
+  /** The (table root → manifest version) vector a catalog version pins
+    * (latest when unspecified).
+    */
+  def resolve(s: SparkSession, catRoot: String,
+      version: Option[Int] = None): Map[String, Int] =
+    Manifest.entries(s, catRoot, version).map { line =>
+      val i = line.lastIndexOf('@')
+      require(i > 0, s"malformed catalog entry: $line")
+      (line.substring(0, i), line.substring(i + 1).toInt)
+    }.toMap
+
+  /** A table's snapshot AS PINNED by the catalog — the cross-table-
+    * consistent read path. Fails loudly if the catalog doesn't pin the
+    * table (a reader asking for consistency must not silently fall
+    * back to latest).
+    */
+  def snapshotOf(s: SparkSession, catRoot: String, tableRoot: String,
+      version: Option[Int] = None): DataFrame = {
+    val pins = resolve(s, catRoot, version)
+    require(pins.contains(tableRoot),
+      s"catalog $catRoot does not pin $tableRoot (pins: ${pins.keys})")
+    Manifest.snapshot(s, tableRoot, Some(pins(tableRoot)))
+  }
+}

@@ -1578,6 +1578,85 @@ object OpsQueries {
       |WHERE doc_id < 100 OR (doc_id >= 200 AND doc_id < 300)
       |ORDER BY doc_id""".stripMargin
 
+  /** Catalog-level ATOMIC multi-table commit —
+    * [[graft.io.Catalog]] (Iceberg-catalog / Nessie): an index is
+    * usually several tables that must move together (t25's postings +
+    * corpus stats; s14's lists + quantizer), and committing them
+    * independently opens a window where a reader sees new postings
+    * against old stats. The gate runs the real failure: batch 2 lands
+    * in the postings TABLE but the writer dies before the stats commit
+    * and the catalog pin. A catalog reader still resolves the old
+    * CONSISTENT pair — the in-query requires pin that the torn state
+    * exists at table level and is invisible through the catalog — and
+    * after recovery the next pin publishes both atomically. The oracle
+    * recomputes BOTH tables' censuses from `documents`, so the
+    * hash-compare re-proves postings and stats agree in every phase.
+    */
+  def io29TxCatalog(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Catalog, Manifest}
+    import graft.functions.TextFunctions.tokens
+    val base = tmpDir(s) + "/graft_io29"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val (pRoot, sRoot, cat) = (s"$base/postings", s"$base/stats",
+      s"$base/cat")
+    def postings(lo: Long, hi: Long) = Tables.documents(s, dir)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    def landStats(batch: Int): Unit = {
+      s.read.parquet(s"$base/data/p$batch")
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          sum(col("tf")).as("tl"))
+        .write.parquet(s"$base/data/s$batch")
+      Manifest.commit(s, sRoot, s"$base/data/s$batch")
+    }
+    // transaction 1: both tables, then the atomic pin
+    postings(0, 100).write.parquet(s"$base/data/p1")
+    val pv1 = Manifest.commit(s, pRoot, s"$base/data/p1")
+    landStats(1)
+    Catalog.pin(s, cat, Seq(pRoot -> pv1, sRoot -> 1))
+    // transaction 2 TORN: postings commit lands, writer dies before
+    // the stats commit and the pin
+    postings(100, 200).write.parquet(s"$base/data/p2")
+    Manifest.commit(s, pRoot, s"$base/data/p2")
+    def census(tag: Int) = {
+      val p = Catalog.snapshotOf(s, cat, pRoot)
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_postings"), sum(col("tf")).as("sum_tf"))
+      val st = Catalog.snapshotOf(s, cat, sRoot)
+        .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+      p.crossJoin(st).withColumn("phase", lit(tag))
+    }
+    val phase0 = census(0)
+    // the torn state is real at TABLE level, invisible via the catalog
+    val tornDocs = Manifest.snapshot(s, pRoot)
+      .select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val catDocs = phase0.select(col("n_docs")).collect()(0).getLong(0)
+    require(tornDocs > catDocs,
+      s"table-level latest must already hold batch 2 ($tornDocs vs $catDocs)")
+    // recovery: finish the transaction, then the atomic publish
+    landStats(2)
+    Catalog.pin(s, cat, Seq(pRoot -> 2, sRoot -> 2))
+    phase0.unionByName(census(1))
+      .select(col("phase"), col("n_docs"), col("n_postings"),
+        col("sum_tf"), col("nd"), col("tl"))
+      .orderBy(col("phase"))
+  }
+
+  val io29Oracle: String =
+    """WITH t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM documents WHERE doc_id < 200),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |ph AS (SELECT 0 AS phase, * FROM tf WHERE doc_id < 100
+      |  UNION ALL SELECT 1, * FROM tf)
+      |SELECT phase, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_postings, CAST(SUM(tf) AS BIGINT) AS sum_tf,
+      |  COUNT(DISTINCT doc_id) AS nd, CAST(SUM(tf) AS BIGINT) AS tl
+      |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -2419,6 +2498,7 @@ object OpsQueries {
     "io26_orphan_sweep" -> (io26OrphanSweep _),
     "io27_clone" -> (io27Clone _),
     "io28_constraints" -> (io28Constraints _),
+    "io29_tx_catalog" -> (io29TxCatalog _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2468,6 +2548,7 @@ object OpsQueries {
     "io26_orphan_sweep" -> io26Oracle,
     "io27_clone" -> io27Oracle,
     "io28_constraints" -> io28Oracle,
+    "io29_tx_catalog" -> io29Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
