@@ -1636,6 +1636,73 @@ object SimilarityQueries {
       |SELECT qid, rk, nid, rrf FROM rr WHERE rk <= 5 ORDER BY qid, rk"""
       .stripMargin
 
+  /** STREAM-maintained IVF index — [[s14IvfIncr]]'s manifest-commit
+    * ingestion driven by a real Structured Streaming run, the dense
+    * sibling of the t-family's `st11_stream_bm25`: the coarse quantizer
+    * is trained once and FROZEN (the batch step a production index
+    * schedules offline), then every arriving microbatch assigns ONLY
+    * its own vectors (per-row fused projection against the broadcast
+    * centroid pack — zero corpus-side shuffle) and lands as an
+    * exactly-once manifest commit keyed by batchId
+    * ([[graft.io.Manifest.commitIfAbsent]] absorbs replays), with
+    * vec_id skip-stats at commit so the lists table is range-prunable
+    * from its first streamed block. The census must equal [[s14Oracle]]
+    * — assignment is per-row, so HOW the stream batched the vectors
+    * cannot move a single list entry.
+    */
+  def st13StreamIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_st13_ivf"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val lRoot = idx + "/lists"
+    val e = quantized(s, dir)
+    // offline batch step: train on the designated block, freeze
+    centroids(e.filter(col("vec_id") % 2 === 0))
+      .write.parquet(idx + "/centroids")
+    e.repartition(4).write.parquet(idx + "/src")
+    val schema = s.read.parquet(idx + "/src").schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        val bDir = s"$idx/l_$batchId"
+        if (!Manifest.committed(ss, lRoot).contains(bDir)) {
+          val cent = ss.read.parquet(idx + "/centroids")
+          centroidRanked(batch, cent, maxRank = 1)
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("label"), col("clabel"))
+            .write.mode("overwrite").parquet(bDir)
+          graft.io.SkipStats.write(ss, bDir, Seq("vec_id"))
+          Manifest.commitIfAbsent(ss, lRoot, bDir)
+        }
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(idx + "/src")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$idx/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // ≥2 data-carrying microbatches pins that the build was really
+    // incremental (4 source files under maxFilesPerTrigger=1)
+    val nv = Manifest.versions(s, lRoot).size
+    require(nv >= 2 && nv <= 4,
+      s"expected one list commit per data-carrying microbatch, got $nv")
+    Manifest.snapshot(s, lRoot)
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -1653,6 +1720,7 @@ object SimilarityQueries {
     "s14_ivf_incr" -> (s14IvfIncr _),
     "s15_hybrid_stored" -> (s15HybridStored _),
     "s16_ann_takedown" -> (s16AnnTakedown _),
+    "st13_stream_ivf" -> (st13StreamIvf _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1675,5 +1743,8 @@ object SimilarityQueries {
     "s14_ivf_incr" -> s14Oracle,
     "s15_hybrid_stored" -> s15Oracle,
     "s16_ann_takedown" -> s16Oracle,
+    // batching cannot move a per-row assignment: the streamed-in lists
+    // must census exactly like the batch incremental build
+    "st13_stream_ivf" -> s14Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
