@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
 
 /** Write-time constraint enforcement for [[Manifest]] tables — the
   * Delta-invariants / SQL `CHECK` discipline: a batch that violates any
@@ -74,5 +74,48 @@ object Constraints {
     if (statsCols.nonEmpty)
       Manifest.commitWithStats(s, root, batchDir, statsCols, committer)
     else Manifest.commit(s, root, batchDir, committer)
+  }
+
+  /** Row-level routing alternative to [[commitChecked]]'s batch-level
+    * abort — the dead-letter pattern: clean rows commit into the table,
+    * violating rows commit into a QUARANTINE table tagged with the
+    * first (declaration-order) constraint they fail, so a mostly-good
+    * batch isn't held hostage by a handful of corrupt rows and the
+    * corrupt rows stay queryable for triage instead of vanishing into
+    * a log line. Same CHECK semantics: a row routes to quarantine iff
+    * some predicate is FALSE (UNKNOWN passes).
+    *
+    * Like [[commitChecked]], the (possibly expensive) source runs ONCE:
+    * the tagged batch stages first, the clean/quarantine split re-reads
+    * the staged parquet. An all-clean batch leaves the quarantine table
+    * untouched — no empty directories, no burned versions. Returns
+    * (table version, quarantine version if any rows routed).
+    */
+  def commitQuarantined(s: SparkSession, root: String,
+      quarantineRoot: String, df: DataFrame, batchDir: String,
+      quarantineDir: String, constraints: Seq[(String, Column)],
+      committer: Committer = FsCreateCommitter): (Int, Option[Int]) = {
+    require(constraints.nonEmpty, "no constraints to route on")
+    val tag = constraints.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, pred)) =>
+        when(coalesce(pred, lit(true)) === false, lit(name))
+          .otherwise(acc)
+    }
+    val stagingDir = s"$batchDir.tagged"
+    df.withColumn("violation", tag)
+      .write.mode("overwrite").parquet(stagingDir)
+    val staged = s.read.parquet(stagingDir)
+    staged.filter(col("violation").isNull).drop("violation")
+      .write.mode("overwrite").parquet(batchDir)
+    val nBad = staged.filter(col("violation").isNotNull).count()
+    val qv = if (nBad > 0) {
+      staged.filter(col("violation").isNotNull)
+        .write.mode("overwrite").parquet(quarantineDir)
+      Some(Manifest.commit(s, quarantineRoot, quarantineDir, committer))
+    } else None
+    val v = Manifest.commit(s, root, batchDir, committer)
+    val sp = new org.apache.hadoop.fs.Path(stagingDir)
+    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    (v, qv)
   }
 }

@@ -1578,6 +1578,65 @@ object OpsQueries {
       |WHERE doc_id < 100 OR (doc_id >= 200 AND doc_id < 300)
       |ORDER BY doc_id""".stripMargin
 
+  /** Row-level constraint QUARANTINE —
+    * [[graft.io.Constraints.commitQuarantined]], the dead-letter
+    * complement of io28's batch-level abort: a mostly-good batch lands
+    * minus its corrupt rows, which commit into a quarantine table
+    * tagged with the constraint they failed — queryable for triage,
+    * never silently dropped. The gate corrupts a deterministic subset
+    * of batch 2 (NULLed ids), ingests three batches, and emits BOTH
+    * tables' contents; the oracle reproduces the exact split from
+    * `documents`, including the first-failed-constraint tag and the
+    * no-quarantine-version-for-clean-batches protocol pin.
+    */
+  def io30Quarantine(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Constraints, Manifest}
+    val base = tmpDir(s) + "/graft_io30"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val (root, qRoot) = (s"$base/tbl", s"$base/quar")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val constraints = Seq(
+      "doc_id_not_null" -> col("doc_id").isNotNull,
+      "n_chars_nonneg" -> (col("n_chars") >= 0))
+    def land(df: DataFrame, b: Int) =
+      Constraints.commitQuarantined(s, root, qRoot, df,
+        s"$base/data/b$b", s"$base/data/q$b", constraints)
+    val r1 = land(docs.filter(col("doc_id") < 100), 1)
+    require(r1._2.isEmpty,
+      "a clean batch must not burn a quarantine version")
+    val corrupt = docs
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .withColumn("doc_id", when(col("doc_id") % 7 === 3,
+        lit(null).cast("long")).otherwise(col("doc_id")))
+    val r2 = land(corrupt, 2)
+    require(r2._2 == Some(1), "the corrupt rows must route to quarantine")
+    land(docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), 3)
+    require(Manifest.versions(s, qRoot) == Seq(1),
+      "clean batches leave the quarantine table untouched")
+    Manifest.snapshot(s, root)
+      .select(lit("main").as("tbl"), col("doc_id"), col("lang"),
+        col("n_chars"), lit(null).cast("string").as("violation"))
+      .unionByName(Manifest.snapshot(s, qRoot)
+        .select(lit("quarantine").as("tbl"), col("doc_id"), col("lang"),
+          col("n_chars"), col("violation")))
+      .orderBy(col("tbl"), col("doc_id"))
+  }
+
+  val io30Oracle: String =
+    """WITH b AS (SELECT CASE WHEN doc_id >= 100 AND doc_id < 200
+      |      AND doc_id % 7 = 3 THEN NULL ELSE doc_id END AS doc_id,
+      |    lang, n_chars FROM documents WHERE doc_id < 300)
+      |SELECT 'main' AS tbl, doc_id, lang, n_chars,
+      |  CAST(NULL AS VARCHAR) AS violation
+      |FROM b WHERE doc_id IS NOT NULL
+      |UNION ALL
+      |SELECT 'quarantine', doc_id, lang, n_chars, 'doc_id_not_null'
+      |FROM b WHERE doc_id IS NULL
+      |ORDER BY tbl, doc_id""".stripMargin
+
   /** Catalog-level ATOMIC multi-table commit —
     * [[graft.io.Catalog]] (Iceberg-catalog / Nessie): an index is
     * usually several tables that must move together (t25's postings +
@@ -2499,6 +2558,7 @@ object OpsQueries {
     "io27_clone" -> (io27Clone _),
     "io28_constraints" -> (io28Constraints _),
     "io29_tx_catalog" -> (io29TxCatalog _),
+    "io30_quarantine" -> (io30Quarantine _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2549,6 +2609,7 @@ object OpsQueries {
     "io27_clone" -> io27Oracle,
     "io28_constraints" -> io28Oracle,
     "io29_tx_catalog" -> io29Oracle,
+    "io30_quarantine" -> io30Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

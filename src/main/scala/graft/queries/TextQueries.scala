@@ -2024,6 +2024,42 @@ object TextQueries {
       |FROM p WHERE rk = 1
       |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
 
+  /** Dataset card — the datasheet census every released training corpus
+    * publishes: per (lang, source) stratum, document count, token and
+    * character totals, length bounds, and mean document length (one
+    * IEEE division of two exact integers). The grand-total and
+    * per-lang margins come from ROLLUP in the same pass, so the card is
+    * one map-side-combined aggregate over one corpus scan — the shape
+    * that holds at 100 TB (the output is strata-count-sized, never
+    * corpus-sized).
+    */
+  def tDatasetCard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        tokenCount(col("text")).cast("long").as("ntok"), col("n_chars"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("ntok")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tokens"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val tDatasetCardOracle: String =
+    """WITH t AS (SELECT lang, source,
+      |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS BIGINT)
+      |      AS ntok, n_chars FROM documents)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_tokens
+      |FROM t GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -2055,6 +2091,7 @@ object TextQueries {
     "t28_shard" -> (tShard _),
     "t29_lm_score" -> (tLmScore _),
     "t30_nb_langid" -> (tNbLangId _),
+    "t31_dataset_card" -> (tDatasetCard _),
     "st11_stream_bm25" -> (stBm25Stream _))
 
   val oracle: Map[String, String] = Map(
@@ -2092,6 +2129,7 @@ object TextQueries {
     "t28_shard" -> tShardOracle,
     "t29_lm_score" -> tLmScoreOracle,
     "t30_nb_langid" -> tNbLangIdOracle,
+    "t31_dataset_card" -> tDatasetCardOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle)
