@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Catalog, Constraints, Manifest}
+
+/** Unit pins for the round-7 commit-protocol additions beyond what the
+  * io27–io30 oracle gates exercise: catalog time travel and
+  * missing-pin refusal, CHECK evaluation corner cases (UNKNOWN passes,
+  * empty input, empty constraint list), and quarantine's
+  * first-failed-constraint tag ordering.
+  */
+class CatalogConstraintsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String = {
+    val d = System.getProperty("java.io.tmpdir") + s"/graft_ccs_$name"
+    new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(d), true)
+    d
+  }
+
+  test("catalog: time travel resolves historical pin vectors; a reader " +
+      "asking for an unpinned table fails instead of falling back") {
+    val base = fresh("tt")
+    val (a, cat) = (s"$base/a", s"$base/cat")
+    Seq(1L, 2L).toDF("k").write.parquet(s"$base/d1")
+    Manifest.commit(spark, a, s"$base/d1")
+    val c1 = Catalog.pin(spark, cat, Seq(a -> 1))
+    Seq(3L).toDF("k").write.parquet(s"$base/d2")
+    Manifest.commit(spark, a, s"$base/d2")
+    Catalog.pin(spark, cat, Seq(a -> 2))
+    // latest pin sees both directories, the historical pin only one
+    assert(Catalog.snapshotOf(spark, cat, a).count() == 3)
+    assert(Catalog.snapshotOf(spark, cat, a, Some(c1)).count() == 2)
+    assert(Catalog.resolve(spark, cat) == Map(a -> 2))
+    val e = intercept[IllegalArgumentException] {
+      Catalog.snapshotOf(spark, cat, s"$base/other")
+    }
+    assert(e.getMessage.contains("does not pin"))
+  }
+
+  test("check: UNKNOWN passes, empty input and empty constraints " +
+      "violate nothing, counts are per-constraint") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, null), (3L, -5L), (null, -7L))
+      .toDF("id", "x")
+    // x >= 0 is UNKNOWN for the null row — passes; two genuine fails
+    val vs = Constraints.check(df, Seq(
+      "id_not_null" -> col("id").isNotNull,
+      "x_nonneg" -> (col("x") >= 0)))
+    assert(vs == Seq(
+      Constraints.Violation("id_not_null", 1),
+      Constraints.Violation("x_nonneg", 2)))
+    assert(Constraints.check(df.limit(0),
+      Seq("any" -> col("id").isNotNull)).isEmpty)
+    assert(Constraints.check(df, Nil).isEmpty)
+  }
+
+  test("quarantine: a row failing several constraints is tagged with " +
+      "the FIRST in declaration order") {
+    val base = fresh("quar")
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (null, -1L)).toDF("id", "x")
+    val (v, qv) = Constraints.commitQuarantined(spark, s"$base/t",
+      s"$base/q", df, s"$base/b1", s"$base/q1", Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "x_nonneg" -> (col("x") >= 0)))
+    assert(v == 1 && qv == Some(1))
+    val quarantined = Manifest.snapshot(spark, s"$base/q")
+      .select("violation").as[String].collect().toSeq
+    assert(quarantined == Seq("id_not_null"))
+    assert(Manifest.snapshot(spark, s"$base/t").count() == 1)
+    // the one-pass staging directory is cleaned up either way
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$base/b1.tagged")))
+  }
+}
