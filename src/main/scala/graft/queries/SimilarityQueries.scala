@@ -313,6 +313,74 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
       |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** FILTERED vector search — the attribute-constrained ANN every
+    * retrieval stack needs ("top-k neighbors WHERE lang = 'en'"), and
+    * the composition with a correctness trap: filtering AFTER top-k
+    * returns fewer than k results (or none) whenever the neighborhood
+    * is dominated by non-matching vectors. The correct-and-scalable
+    * order is PRE-FILTER: the attribute predicate lands on the corpus
+    * side BEFORE the probe join, so the join input shrinks to the
+    * matching subset and the top-k ranks only eligible vectors — on the
+    * stored-codes layout (s11/s13) the same predicate reaches the
+    * parquet scan as a pushed filter and skip-stats prune whole
+    * directories before Spark plans the scan. Probes still search
+    * their nprobe=2 nearest lists; the filter must not change WHERE a
+    * probe looks (list selection is a property of the query vector),
+    * only what competes inside the lists.
+    */
+  def s17FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val e = quantized(s, dir)
+    val ranked = centroidRanked(e, centroids(e)).staged()
+    // attribute pre-filter on the CORPUS side, before any scoring
+    val lists = ranked.filter(col("rk") === 1 && col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("v"), col("nn"), col("clabel").as("list"))
+    val probes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("clabel").as("list"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(probes).join(lists, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s17Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk
+      |  WHERE rk = 1 AND vec_id % 3 = 0),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 25 AND rk <= 2),
+      |p AS (SELECT probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) WHERE probes.qid <> lists.vec_id),
+      |r AS (SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
+      |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   /** IVF coarse-quantizer TRAINING: two unrolled Lloyd (k-means)
     * iterations with k=8, seeded by the first 8 vectors. Each iteration
     * is the canonical distributed shape — centroids broadcast, one
@@ -1721,6 +1789,7 @@ object SimilarityQueries {
     "s15_hybrid_stored" -> (s15HybridStored _),
     "s16_ann_takedown" -> (s16AnnTakedown _),
     "st13_stream_ivf" -> (st13StreamIvf _),
+    "s17_filtered_ann" -> (s17FilteredAnn _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1746,5 +1815,6 @@ object SimilarityQueries {
     // batching cannot move a per-row assignment: the streamed-in lists
     // must census exactly like the batch incremental build
     "st13_stream_ivf" -> s14Oracle,
+    "s17_filtered_ann" -> s17Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
