@@ -316,6 +316,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t29/t30 model joins stay equi-keyed; only the bounded class " +
+      "table may nested-loop") {
+    // the bigram/count model tables are corpus-vocabulary-sized — a
+    // plan that nested-loops or cartesians them against the token
+    // stream is quadratic at 100 TB. The ONLY non-equi join allowed is
+    // t30's crossJoin against the 4-row broadcast class-constant table.
+    for (q <- Seq("t29_lm_score", "t30_nb_langid")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: model joins must be equi-keyed")
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      val limit = if (q == "t30_nb_langid") 1 else 0
+      assert(bnl <= limit,
+        s"$q: only the bounded class-constant table may nested-loop")
+    }
+  }
+
+  test("s17 filtered ANN pre-filters the corpus side below the probe " +
+      "join") {
+    // filter-after-top-k silently under-fills k; the pin: the attribute
+    // predicate must sit UNDER the probe join in the optimized plan (on
+    // the corpus/list side), so ranking only ever sees eligible vectors
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join,
+      Window => LWindow}
+    val df = SparkEntry.queries("s17_filtered_ann")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    val filteredBelowJoin = joins.exists(_.children.exists(side =>
+      side.collect {
+        case f: Filter if f.condition.toString.contains("% 3") => f
+      }.nonEmpty))
+    assert(filteredBelowJoin,
+      "the attribute predicate must land below the probe join")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    windows.foreach { w =>
+      val filterAbove = w.collect {
+        case f: Filter if f.condition.toString.contains("% 3") => f
+      }
+      assert(filterAbove.isEmpty || filteredBelowJoin,
+        "the attribute filter must not run after the top-k window")
+    }
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
