@@ -2060,6 +2060,82 @@ object TextQueries {
       |FROM t GROUP BY ROLLUP (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
+  /** The WHOLE curation pipeline as one run — exact dedup → quality
+    * gate → split assignment → per-split token budget, each stage on
+    * the previous stage's survivors, ending in the census a training
+    * run starts from. This is the composition gate: every stage is
+    * individually oracle-proved elsewhere (d1, t8/t18, t9, t31); this
+    * one proves the handoffs. Shapes are the scale-safe ones
+    * throughout: dedup's keeper election is a window over the
+    * fingerprint key (dup groups are small — unskewed by nature),
+    * quality is per-row integer cross-multiplication, the split is a
+    * per-row hash, and every census is map-side combined. Intermediate
+    * survivors are staged once and feed both their census and the next
+    * stage, so the corpus is scanned once per stage, not once per
+    * consumer.
+    */
+  def tCurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(substring(col("text"), 1, 40)))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        typeCount(col("text")).cast("long").as("ntyp"))
+    val deduped = docs
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("keeper")
+      .staged()
+    val quality = deduped
+      .filter(col("ntok").between(20, 2000) &&
+        col("ntyp") * 10 >= col("ntok") * 3)
+      .staged()
+    val bucket = (col("doc_id") * 2654435761L) % 4294967296L % 100
+    val split = quality.withColumn("split",
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test"))
+    def census(df: DataFrame, phase: String,
+        key: org.apache.spark.sql.Column) = df
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tokens"))
+      .withColumn("phase", lit(phase))
+    census(docs, "p0_raw", lit("all"))
+      .unionByName(census(deduped, "p1_dedup", lit("all")))
+      .unionByName(census(quality, "p2_quality", lit("all")))
+      .unionByName(census(split, "p3_split", col("split")))
+      .select(col("phase"), col("key"), col("n_docs"), col("sum_tokens"))
+      .orderBy(col("phase"), col("key"))
+  }
+
+  val tCurationE2eOracle: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END) AS BIGINT)
+      |      AS ntok,
+      |    CAST(len(list_distinct(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END)) AS BIGINT)
+      |      AS ntyp FROM documents),
+      |dd AS (SELECT * FROM (SELECT *, MIN(doc_id)
+      |      OVER (PARTITION BY md5(substr(text, 1, 40))) AS keeper
+      |    FROM d) WHERE doc_id = keeper),
+      |q AS (SELECT * FROM dd
+      |  WHERE ntok BETWEEN 20 AND 2000 AND ntyp * 10 >= ntok * 3),
+      |sp AS (SELECT *, CASE
+      |    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+      |    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+      |    ELSE 'test' END AS split FROM q),
+      |u AS (
+      |  SELECT 'p0_raw' AS phase, 'all' AS key, COUNT(*) AS n_docs,
+      |    CAST(SUM(ntok) AS BIGINT) AS sum_tokens FROM d
+      |  UNION ALL SELECT 'p1_dedup', 'all', COUNT(*),
+      |    CAST(SUM(ntok) AS BIGINT) FROM dd
+      |  UNION ALL SELECT 'p2_quality', 'all', COUNT(*),
+      |    CAST(SUM(ntok) AS BIGINT) FROM q
+      |  UNION ALL SELECT 'p3_split', split, COUNT(*),
+      |    CAST(SUM(ntok) AS BIGINT) FROM sp GROUP BY split)
+      |SELECT phase, key, n_docs, sum_tokens FROM u
+      |ORDER BY phase, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -2092,6 +2168,7 @@ object TextQueries {
     "t29_lm_score" -> (tLmScore _),
     "t30_nb_langid" -> (tNbLangId _),
     "t31_dataset_card" -> (tDatasetCard _),
+    "t32_curation_e2e" -> (tCurationE2e _),
     "st11_stream_bm25" -> (stBm25Stream _))
 
   val oracle: Map[String, String] = Map(
@@ -2130,6 +2207,7 @@ object TextQueries {
     "t29_lm_score" -> tLmScoreOracle,
     "t30_nb_langid" -> tNbLangIdOracle,
     "t31_dataset_card" -> tDatasetCardOracle,
+    "t32_curation_e2e" -> tCurationE2eOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle)
