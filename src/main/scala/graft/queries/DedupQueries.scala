@@ -536,6 +536,124 @@ object DedupQueries {
     }
   }
 
+  /** Near-CONTAINMENT pairs — the asymmetric overlap question jaccard
+    * can't ask: is the smaller document essentially quoted inside the
+    * larger one? C(A,B) = |A∩B| / min(|A|,|B|) ≥ τ catches a short doc
+    * embedded in a long one at ANY size ratio, exactly the pair whose
+    * jaccard is tiny — so resemblance-LSH (d3) structurally misses it
+    * and a containment detector needs its own candidate scheme.
+    * Representation-adaptive like [[dJaccard]]:
+    *
+    *  - **Small vocabulary** (bitset dictionary fits): no lossless
+    *    size filter exists for containment (a 10-shingle doc can be
+    *    fully contained in a 10k-shingle one), so the pair scan runs
+    *    the full AND+popcount sweep — broadcast under the doc cap,
+    *    blocked equi-join above it ([[bitsetPairScanBlocked]]'s shape
+    *    minus the jaccard-only filters).
+    *  - **Large vocabulary** (Zipfian text): prefix-filtered overlap
+    *    join, rarest-first — if C(A,B) ≥ τ with A smaller, B misses at
+    *    most (1−τ)·|A| of A's shingles, so one of A's (1−τ)·|A|+1
+    *    globally-rarest shingles MUST appear in B (lossless); each doc
+    *    emits that prefix against the full inverted index, candidate
+    *    volume ∝ Σ_prefix df(g) — small when prefixes are rare —
+    *    and a sorted-merge intersection verifies exactly.
+    *
+    * Both routes are EXACT, so one oracle covers either. Output is the
+    * per-band census (pairs are O(n²) in the worst case; the census is
+    * bands-sized), with id-sum checksums pinning the exact pair set.
+    */
+  def dContainment(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val tau = 0.9
+    val minSh = 30
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"),
+      shinglesPacked3(col("text")).as("gs")).cache()
+    val nDocs = docs.count()
+    val scored = vocabOf(base) match {
+      case Some(vocab) =>
+        val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val enc = encodeBitsets(base, vocab, par)
+        val cap = maxBroadcastDocs(s)
+        val raw = if (nDocs <= cap) {
+          def side(x: String) = enc.select(col("doc_id").as("i" + x),
+            col("bits").as("b" + x), col("n").as("n" + x))
+          side("a").join(broadcast(side("b")),
+            col("ia") < col("ib") &&
+              least(col("na"), col("nb")) >= minSh)
+        } else {
+          val blocks = math.max(2L,
+            math.min(1024L, (nDocs + cap - 1) / cap)).toInt
+          def side(x: String) = enc
+            .withColumn("blk", pmod(hash(col("doc_id")), lit(blocks)))
+            .withColumn("ob", explode(sequence(lit(0), lit(blocks - 1))))
+            .select(least(col("blk"), col("ob")).as("lo"),
+              greatest(col("blk"), col("ob")).as("hi"),
+              col("blk").as("blk" + x), col("doc_id").as("i" + x),
+              col("bits").as("b" + x), col("n").as("n" + x))
+          side("a").join(side("b"), Seq("lo", "hi"))
+            .filter((col("blka") =!= col("blkb") ||
+                col("lo") === col("hi")) &&
+              col("ia") < col("ib") &&
+              least(col("na"), col("nb")) >= minSh)
+        }
+        raw.withColumn("i", intersectBits(col("ba"), col("bb")))
+      case None =>
+        val ex = base.select(col("doc_id"), explode(col("gs")).as("g"))
+        val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+        val pref = ex.join(gdf, Seq("g"))
+          .withColumn("rk", row_number().over(w))
+          .join(base.select(col("doc_id"), size(col("gs")).as("n")),
+            Seq("doc_id"))
+          .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+          .select(col("doc_id"), col("g"))
+        val cand = pref.as("a")
+          .join(ex.as("b"), col("a.g") === col("b.g") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("ia"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("ib"))
+          .distinct()
+        cand
+          .join(base.select(col("doc_id").as("ia"), col("gs").as("ga")),
+            Seq("ia"))
+          .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")),
+            Seq("ib"))
+          .withColumn("na", size(col("ga")))
+          .withColumn("nb", size(col("gb")))
+          .filter(least(col("na"), col("nb")) >= minSh)
+          .withColumn("i", intersectSortedCount(col("ga"), col("gb")))
+    }
+    val census = scored
+      .withColumn("bp",
+        expr("(CAST(10000 AS BIGINT) * i) div least(na, nb)"))
+      .filter(col("bp") >= (tau * 10000).toLong)
+      .groupBy(expr("bp div 1000").as("band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ia")).as("sum_ia"),
+        sum(col("ib")).as("sum_ib"))
+      .staged()
+    base.unpersist()
+    census.orderBy(col("band"))
+  }
+
+  val dContainmentOracle: String =
+    """WITH s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |c AS (SELECT ia, ib, (10000 * i) // LEAST(x.n, y.n) AS bp
+      |  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE LEAST(x.n, y.n) >= 30)
+      |SELECT bp // 1000 AS band, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
+      |  CAST(SUM(ib) AS BIGINT) AS sum_ib
+      |FROM c WHERE bp >= 9000 GROUP BY 1 ORDER BY band""".stripMargin
+
   /** Materialize `pairs` eagerly (localCheckpoint), release the cached
     * corpus projection behind it, and return the pairs sorted — shared
     * cache-lifetime discipline for the pair queries (without it, each
@@ -1442,6 +1560,7 @@ object DedupQueries {
     "d15_canonical" -> (d15Canonical _),
     "d16_minhash_calib" -> (d16MinhashCalib _),
     "d17_funnel" -> (d17Funnel _),
+    "d19_containment" -> (dContainment _),
     "d18_span_scrub" -> (d18SpanScrub _))
 
   val oracle: Map[String, String] = Map(
@@ -1461,5 +1580,6 @@ object DedupQueries {
     "d15_canonical" -> d15Oracle,
     "d16_minhash_calib" -> d16Oracle,
     "d17_funnel" -> d17Oracle,
-    "d18_span_scrub" -> d18Oracle)
+    "d18_span_scrub" -> d18Oracle,
+    "d19_containment" -> dContainmentOracle)
 }

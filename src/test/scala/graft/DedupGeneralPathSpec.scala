@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{col, explode}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.DedupQueries
@@ -126,6 +127,54 @@ class DedupGeneralPathSpec extends AnyFunSuite {
       assert(run()._1 == bcastPairs,
         "pair set must be block-count invariant")
     } finally spark.conf.unset("spark.graft.dedup.maxBroadcastDocs")
+  }
+
+  test("d19 containment takes the prefix-filtered overlap join on a " +
+      "high-diversity corpus and finds exactly the brute-force census") {
+    import spark.implicits._
+    // plant true containment: doc 2000 is a strict prefix of the dupA
+    // family (1000–1003) — near-zero jaccard pairs vs the randoms, but
+    // bp=10000 containment inside each family member
+    val baseDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .as[(Long, String)].collect().toSeq
+    val contained = baseDocs.find(_._1 == 1000L).get._2.take(200)
+    val d2 = Files.createTempDirectory("graft-contain").toString
+    (baseDocs :+ (2000L, contained)).toDF("doc_id", "text")
+      .write.parquet(s"$d2/documents.parquet")
+    // the vocabulary (~40³ trigram space) exceeds the 16384-bit bitset
+    // cap, which is exactly vocabOf's routing condition — so equality
+    // with the brute census below proves the PREFIX path is exact (the
+    // staged result hides the plan, so the route is pinned by its
+    // precondition on the data, not by plan text)
+    val vocabSize = spark.read.parquet(s"$d2/documents.parquet")
+      .select(explode(graft.functions.DedupFunctions
+        .shinglesPacked3(col("text")))).distinct().count()
+    assert(vocabSize > 16384,
+      s"corpus must exceed the bitset cap to route the prefix path " +
+        s"(got $vocabSize distinct shingles)")
+    val q = SparkEntry.queries("d19_containment")(spark, d2)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // brute-force reference over the same trigram sets
+    val sets = (baseDocs :+ (2000L, contained)).map { case (id, t) =>
+      id -> t.sliding(3).toSet
+    }
+    val brute = (for {
+      (ia, ga) <- sets; (ib, gb) <- sets if ia < ib
+      small = math.min(ga.size, gb.size) if small >= 30
+      bp = 10000L * (ga & gb).size / small if bp >= 9000
+    } yield (bp / 1000, ia, ib))
+      .groupBy(_._1).toSeq
+      .map { case (band, xs) =>
+        (band, xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+      }
+      .sortBy(_._1)
+    assert(got == brute,
+      s"containment census diverged: got=$got expected=$brute")
+    assert(brute.nonEmpty && brute.map(_._2).sum >= 10,
+      "the planted family must produce containment pairs or the " +
+        "equivalence proves nothing")
   }
 
   test("d9 contamination routes oversized benchmark vocabularies " +
