@@ -43,6 +43,34 @@ class CatalogConstraintsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not pin"))
   }
 
+  test("shallow clone of a merge-on-read table carries the tombstones: " +
+      "the clone masks identically, and folding the clone never " +
+      "touches the source") {
+    import graft.io.MergeOnRead
+    val base = fresh("morclone")
+    val (src, cln) = (s"$base/src", s"$base/cln")
+    (1L to 10L).toDF("k").write.parquet(s"$base/d1")
+    Manifest.commit(spark, src, s"$base/d1")
+    MergeOnRead.deleteKeys(spark, src, "k",
+      Seq(3L, 7L).toDF("k"), s"$base/t1")
+    Manifest.shallowClone(spark, src, cln)
+    // the clone's snapshot masks exactly like the source's
+    def keys(root: String) = MergeOnRead.snapshot(spark, root, "k")
+      .as[Long].collect().toSet
+    assert(keys(cln) == (1L to 10L).toSet -- Set(3L, 7L))
+    // divergence: a further takedown on the source is invisible to the
+    // clone — its pin is the version at clone time
+    MergeOnRead.deleteKeys(spark, src, "k",
+      Seq(9L).toDF("k"), s"$base/t2")
+    assert(keys(src) == (1L to 10L).toSet -- Set(3L, 7L, 9L))
+    assert(keys(cln) == (1L to 10L).toSet -- Set(3L, 7L))
+    // folding the clone rewrites only CLONE-listed state; the source
+    // still masks its own tombstones afterwards
+    MergeOnRead.fold(spark, cln, "k", s"$base/fold")
+    assert(keys(cln) == (1L to 10L).toSet -- Set(3L, 7L))
+    assert(keys(src) == (1L to 10L).toSet -- Set(3L, 7L, 9L))
+  }
+
   test("check: UNKNOWN passes, empty input and empty constraints " +
       "violate nothing, counts are per-constraint") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
