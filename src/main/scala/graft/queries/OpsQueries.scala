@@ -1376,6 +1376,78 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM f GROUP BY 1, 2 ORDER BY op, l_returnflag""".stripMargin
 
+  /** STREAM-driven change-feed replication — io25's consumer run inside
+    * the producer's streaming loop: each microbatch commits into the
+    * source table (st8's exactly-once recipe) and then syncs the
+    * replica, so the replication lag is one microbatch and the cursor
+    * (encoded in the replica's own manifest) advances with the stream.
+    * A takedown lands after the bounded run and one final sync carries
+    * its D pre-images — the append windows themselves read only
+    * appended bytes. The replica's materialized feed must census
+    * exactly like a batch recomputation REGARDLESS of how the engine
+    * batched the files: per-batch windows make every row's I exactly
+    * once, and the post-stream delete's pre-images are
+    * batching-invariant because every victim is present at the
+    * pre-delete version.
+    */
+  def st14StreamFeedSync(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.{ChangeFeed, Manifest, MergeOnRead}
+    val base = tmpDir(s) + "/graft_st14"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val (src, out) = (s"$base/src", s"$base/out")
+    Tables.documents(s, dir).filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(4).write.parquet(s"$base/feed_src")
+    val schema = s.read.parquet(s"$base/feed_src").schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        val bDir = s"$base/data/b$batchId"
+        if (!Manifest.committed(ss, src).contains(bDir)) {
+          batch.write.mode("overwrite").parquet(bDir)
+          Manifest.commitIfAbsent(ss, src, bDir)
+        }
+        ChangeFeed.sync(ss, src, "doc_id", out, s"$out/data")
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/feed_src")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val streamedSyncs = Manifest.versions(s, out).size
+    require(streamedSyncs >= 2,
+      s"replication must have followed the stream, got $streamedSyncs syncs")
+    // the takedown arrives after the bounded run; one sync propagates it
+    MergeOnRead.deleteKeys(s, src, "doc_id",
+      Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id")), s"$base/data")
+    require(ChangeFeed.sync(s, src, "doc_id", out, s"$out/data").isDefined,
+      "the delete window must sync")
+    Manifest.snapshot(s, out)
+      .groupBy(col("_op").as("op"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("op"))
+  }
+
+  val st14Oracle: String =
+    """WITH b AS (SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id < 400),
+      |f AS (SELECT 'I' AS op, * FROM b
+      |  UNION ALL SELECT 'D', * FROM b WHERE doc_id < 50)
+      |SELECT op, COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM f GROUP BY 1 ORDER BY op""".stripMargin
+
   /** Orphan-directory sweep under the gate
     * ([[graft.io.Manifest.sweepOrphans]]) — the reclaim the commit
     * protocol's own crash artifact needs: a writer that died between
@@ -2569,7 +2641,8 @@ object OpsQueries {
     "st8_stream_ingest" -> (st8StreamIngest _),
     "st9_incremental_etl" -> (st9IncrementalEtl _),
     "st10_sessionize_tws" -> (st10SessionizeTws _),
-    "st12_stream_left_join" -> (st12StreamLeftJoin _))
+    "st12_stream_left_join" -> (st12StreamLeftJoin _),
+    "st14_stream_feed_sync" -> (st14StreamFeedSync _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -2620,5 +2693,6 @@ object OpsQueries {
     "st8_stream_ingest" -> st8Oracle,
     "st9_incremental_etl" -> st9Oracle,
     "st10_sessionize_tws" -> st1Oracle,
-    "st12_stream_left_join" -> st12Oracle)
+    "st12_stream_left_join" -> st12Oracle,
+    "st14_stream_feed_sync" -> st14Oracle)
 }
