@@ -516,6 +516,45 @@ object Relational {
       |FROM p JOIN c ON pts >= cstart AND pts <= cend
       |GROUP BY campaign_id ORDER BY campaign_id""".stripMargin
 
+  /** Interval-OVERLAP join ([[graft.operators.RangeJoin.intervalOverlap]])
+    * — q19's two-sided sibling: both join inputs are spans, the match is
+    * any overlap, and the naive plan is the same fatal
+    * BroadcastNestedLoopJoin. Sessions (15-min windows seeded every
+    * 89th event) against incidents (10-min windows every 97th): which
+    * sessions were exposed to which incidents. The bucketed rewrite
+    * replicates both sides ~2× and pairs them through the bucket
+    * equi-key with first-shared-bucket dedup — no distinct pass, no
+    * broadcast, shuffle partitioned by time bucket.
+    */
+  def q29IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val m15 = 900000000000L
+    val m10 = 600000000000L
+    val ev = Tables.events(s, dir)
+    val sessions = ev.filter(col("event_id") % 89 === 0)
+      .select(col("event_id").as("sid"), col("ts").as("ss"),
+        (col("ts") + m15).as("se"))
+    val incidents = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("iid"), col("ts").as("is_"),
+        (col("ts") + m10).as("ie"))
+    graft.operators.RangeJoin.intervalOverlap(
+        sessions, incidents, "ss", "se", "is_", "ie", bucketWidth = m15)
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_incidents"), sum(col("iid")).as("checksum"))
+      .orderBy(col("sid"))
+  }
+
+  val q29Oracle: String =
+    """WITH s AS (SELECT event_id AS sid, epoch_ns(ts) AS ss,
+      |    epoch_ns(ts) + 900000000000 AS se
+      |  FROM events WHERE event_id % 89 = 0),
+      |i AS (SELECT event_id AS iid, epoch_ns(ts) AS is_,
+      |    epoch_ns(ts) + 600000000000 AS ie
+      |  FROM events WHERE event_id % 97 = 0)
+      |SELECT sid, COUNT(*) AS n_incidents,
+      |  CAST(SUM(iid) AS BIGINT) AS checksum
+      |FROM s JOIN i ON ss <= ie AND is_ <= se
+      |GROUP BY sid ORDER BY sid""".stripMargin
+
   /** Global contiguous ids via [[graft.operators.ContiguousIds]] (range
     * repartition + per-partition offsets — never the single-partition
     * global window). The oracle recomputes every id as a global
@@ -875,7 +914,8 @@ object Relational {
     "q25_multi_distinct" -> (q25MultiDistinct _),
     "q26_argmax" -> (q26ArgMax _),
     "q27_skew_salted" -> (q27SkewSalted _),
-    "q28_range_rewrite" -> (q28RangeRewrite _))
+    "q28_range_rewrite" -> (q28RangeRewrite _),
+    "q29_interval_overlap" -> (q29IntervalOverlap _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -905,5 +945,6 @@ object Relational {
     "q25_multi_distinct" -> q25Oracle,
     "q26_argmax" -> q26Oracle,
     "q27_skew_salted" -> q27Oracle,
-    "q28_range_rewrite" -> q19Oracle)
+    "q28_range_rewrite" -> q19Oracle,
+    "q29_interval_overlap" -> q29Oracle)
 }

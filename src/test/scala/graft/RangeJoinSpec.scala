@@ -72,4 +72,39 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid").collect().map(_.getLong(0)).toSeq
     assert(got === Seq(1L))
   }
+
+  test("intervalOverlap matches the naive theta join across bucket " +
+      "widths, with no duplicate pairs") {
+    import spark.implicits._
+    val ls = (0L until 80L).map(i => (i, i * 41 % 700, i * 41 % 700 + i % 90))
+    val rs = (0L until 60L).map(i => (i, i * 59 % 650, i * 59 % 650 + i % 120))
+    val want = (for {
+      (lid, s1, e1) <- ls; (rid, s2, e2) <- rs
+      if s1 <= e2 && s2 <= e1
+    } yield (lid, rid)).toSeq.sorted
+    for (w <- Seq(7L, 64L, 100L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(
+          ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+          "ls", "le", "rs", "re", bucketWidth = w)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // == on sorted SEQUENCES: first-shared-bucket dedup must emit each
+      // pair exactly once — a duplicate would pass a Set comparison
+      assert(got == want, s"bucketWidth=$w diverged")
+    }
+  }
+
+  test("intervalOverlap drops backwards intervals and plans an " +
+      "equi-join, not a nested loop") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 20L), (2L, 30L, 25L)).toDF("lid", "ls", "le")
+    val r = Seq((7L, 15L, 18L), (8L, 26L, 29L)).toDF("rid", "rs", "re")
+    val q = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 8)
+    assert(q.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet == Set((1L, 7L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "overlap pairs must meet through the bucket equi-key")
+  }
 }
