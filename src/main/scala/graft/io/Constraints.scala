@@ -71,9 +71,11 @@ object Constraints {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       throw new ConstraintViolationException(violations)
     }
-    if (statsCols.nonEmpty)
-      Manifest.commitWithStats(s, root, batchDir, statsCols, committer)
-    else Manifest.commit(s, root, batchDir, committer)
+    // commitIfAbsent: a retried ingest whose predecessor crashed after
+    // this directory's commit must not append it twice (the staged
+    // overwrite above already absorbed a crash BEFORE the commit)
+    if (statsCols.nonEmpty) SkipStats.write(s, batchDir, statsCols)
+    Manifest.commitIfAbsent(s, root, batchDir, committer)
   }
 
   /** Row-level routing alternative to [[commitChecked]]'s batch-level
@@ -108,12 +110,16 @@ object Constraints {
     staged.filter(col("violation").isNull).drop("violation")
       .write.mode("overwrite").parquet(batchDir)
     val nBad = staged.filter(col("violation").isNotNull).count()
+    // both commits idempotent per directory: an at-least-once retry of
+    // the whole ingest re-overwrites the same dirs and re-commits as
+    // no-ops — no duplicated rows in either table
     val qv = if (nBad > 0) {
       staged.filter(col("violation").isNotNull)
         .write.mode("overwrite").parquet(quarantineDir)
-      Some(Manifest.commit(s, quarantineRoot, quarantineDir, committer))
+      Some(Manifest.commitIfAbsent(s, quarantineRoot, quarantineDir,
+        committer))
     } else None
-    val v = Manifest.commit(s, root, batchDir, committer)
+    val v = Manifest.commitIfAbsent(s, root, batchDir, committer)
     val sp = new org.apache.hadoop.fs.Path(stagingDir)
     sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     (v, qv)

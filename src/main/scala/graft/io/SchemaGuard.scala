@@ -69,6 +69,8 @@ object SchemaGuard {
       if (problems.nonEmpty) throw new SchemaMismatchException(problems)
     }
     df.write.mode("overwrite").parquet(batchDir)
-    Manifest.commit(s, root, batchDir, committer)
+    // idempotent per directory: an at-least-once retry re-overwrites
+    // the same batchDir and the re-commit is a no-op
+    Manifest.commitIfAbsent(s, root, batchDir, committer)
   }
 }

@@ -106,5 +106,26 @@ class CatalogConstraintsSpec extends AnyFunSuite {
     val fs = new Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new Path(s"$base/b1.tagged")))
+    // at-least-once retry of the SAME ingest is a no-op on both tables
+    val (v2, qv2) = Constraints.commitQuarantined(spark, s"$base/t",
+      s"$base/q", df, s"$base/b1", s"$base/q1", Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "x_nonneg" -> (col("x") >= 0)))
+    assert(v2 == v && qv2 == qv)
+    assert(Manifest.snapshot(spark, s"$base/t").count() == 1)
+    assert(Manifest.snapshot(spark, s"$base/q").count() == 1)
+  }
+
+  test("commitChecked retries are idempotent per directory") {
+    val base = fresh("retry")
+    val df = Seq((1L, 5L)).toDF("id", "x")
+    val cs = Seq("id_not_null" -> col("id").isNotNull)
+    val v1 = Constraints.commitChecked(spark, s"$base/t", df,
+      s"$base/b1", cs)
+    val v2 = Constraints.commitChecked(spark, s"$base/t", df,
+      s"$base/b1", cs)
+    assert(v1 == 1 && v2 == 1,
+      "a replayed ingest must re-land the same directory, not append it")
+    assert(Manifest.snapshot(spark, s"$base/t").count() == 1)
   }
 }
