@@ -401,6 +401,38 @@ object Manifest {
       version: Option[Int] = None): DataFrame =
     s.read.parquet(entries(s, root, version): _*)
 
+  /** TIMESTAMP-based time travel (Delta `TIMESTAMP AS OF`): the latest
+    * version whose manifest file was committed at or before `tsMillis`,
+    * by the manifest's filesystem mtime — the commit instant itself,
+    * since a manifest is written exactly once (create-if-absent, never
+    * rewritten). None before the first commit. Resolution is one
+    * metadata listing; combine with [[snapshot]] via [[snapshotAt]].
+    *
+    * Caveat shared with every mtime-based AS OF (Delta included): the
+    * clock is the storage system's, so sub-second orderings and clock
+    * skew across writers resolve by whatever the store recorded, and a
+    * version already reclaimed by [[expire]] is not resolvable.
+    */
+  def versionAt(s: SparkSession, root: String, tsMillis: Long)
+      : Option[Int] = {
+    val f = fs(s, root)
+    versionsOf(f, root)
+      .filter(v => f.getFileStatus(manifestPath(root, v))
+        .getModificationTime <= tsMillis)
+      .lastOption
+  }
+
+  /** The snapshot as of a wall-clock instant — [[versionAt]] composed
+    * with [[snapshot]]; fails loudly when nothing was committed yet.
+    */
+  def snapshotAt(s: SparkSession, root: String, tsMillis: Long)
+      : DataFrame = {
+    val v = versionAt(s, root, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $root existed at $tsMillis"))
+    snapshot(s, root, Some(v))
+  }
+
   /** ZERO-COPY shallow clone (Delta `CLONE`'s shallow form): `dstRoot`
     * becomes a new table whose version 1 lists exactly the directories
     * the source version pins — no data moves, the clone is one manifest

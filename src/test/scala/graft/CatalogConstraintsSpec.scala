@@ -116,6 +116,29 @@ class CatalogConstraintsSpec extends AnyFunSuite {
     assert(Manifest.snapshot(spark, s"$base/q").count() == 1)
   }
 
+  test("timestamp time travel resolves the version committed at or " +
+      "before the instant") {
+    val base = fresh("asof")
+    val root = s"$base/tbl"
+    assert(Manifest.versionAt(spark, root,
+      System.currentTimeMillis()).isEmpty)
+    Seq(1L, 2L).toDF("k").write.parquet(s"$base/d1")
+    Manifest.commit(spark, root, s"$base/d1")
+    Thread.sleep(1100)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    Seq(3L).toDF("k").write.parquet(s"$base/d2")
+    Manifest.commit(spark, root, s"$base/d2")
+    assert(Manifest.versionAt(spark, root, between) == Some(1))
+    assert(Manifest.snapshotAt(spark, root, between).count() == 2)
+    assert(Manifest.snapshotAt(spark, root,
+      System.currentTimeMillis()).count() == 3)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.snapshotAt(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("no version"))
+  }
+
   test("commitChecked retries are idempotent per directory") {
     val base = fresh("retry")
     val df = Seq((1L, 5L)).toDF("id", "x")
