@@ -381,6 +381,76 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
       |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** PCA / whitening SUFFICIENT STATISTICS — the distributed half of
+    * training a linear transform (PCA projection, ZCA whitening, the
+    * preprocessing that lifts SQ8/PQ recall): exact per-dimension sums
+    * and the upper-triangle second-moment matrix Σxᵢxⱼ, reduced with
+    * the native `graft_elementwise_sum` long-array aggregate — ONE
+    * corpus pass, map-side combined, shuffle of d(d+1)/2+d longs per
+    * partition regardless of corpus size. Everything downstream
+    * (centering, eigendecomposition, building the projection) is
+    * O(d²–d³) DRIVER work on these statistics — the correct split at
+    * 100 TB, where the corpus pass is the only thing that scales with
+    * data (the 64-dim fixed-point products stay within int64 up to
+    * ~10⁴ corpus rows per partial; larger corpora promote the
+    * accumulator to per-block partials — the aggregate shape is
+    * unchanged). The oracle recomputes every sum exactly; the
+    * eigensolver/whitening end is pinned by `WhitenSpec`.
+    */
+  def s18PcaMoments(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val dim = 64
+    val prodUdf = udf((v: Seq[Long]) => {
+      val n = v.length
+      val out = new Array[Long](n * (n + 1) / 2)
+      var k = 0
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n) { out(k) = v(i) * v(j); k += 1; j += 1 }
+        i += 1
+      }
+      out
+    })
+    val e = quantized(s, dir).withColumn("prod", prodUdf(col("v")))
+    val agg1 = e.agg(
+      expr("graft_elementwise_sum(prod)").as("sxy"),
+      expr("graft_elementwise_sum(v)").as("sx"),
+      count(lit(1)).as("n"))
+    // constant (k → (i, j)) triangular index map — dim²-sized driver
+    // literals, not data
+    val idx = {
+      import s.implicits._
+      (for (i <- 0 until dim; j <- i until dim)
+        yield ((i * (2 * dim - i + 1)) / 2 + (j - i), i, j))
+        .toDF("k", "i", "j")
+    }
+    agg1.select(posexplode(col("sxy")).as(Seq("k", "sxy")),
+        col("sx"), col("n"))
+      .join(broadcast(idx), Seq("k"))
+      .select(col("i"), col("j"), col("sxy"),
+        col("sx").getItem(col("i")).as("si"),
+        col("sx").getItem(col("j")).as("sj"), col("n"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val s18Oracle: String =
+    """WITH q AS (SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT COUNT(*) c FROM q),
+      |dims AS (SELECT CAST(i AS INT) i, CAST(SUM(v[CAST(i AS INT)]) AS BIGINT) sx
+      |  FROM q, range(1, 65) r(i) GROUP BY 1),
+      |pairs AS (SELECT CAST(a.i AS INT) i, CAST(b.i AS INT) j
+      |  FROM range(1, 65) a(i), range(1, 65) b(i) WHERE a.i <= b.i),
+      |m AS (SELECT p.i, p.j,
+      |    CAST(SUM(v[p.i] * v[p.j]) AS BIGINT) sxy
+      |  FROM q CROSS JOIN pairs p GROUP BY 1, 2)
+      |SELECT m.i - 1 AS i, m.j - 1 AS j, m.sxy,
+      |  di.sx AS si, dj.sx AS sj, n.c AS n
+      |FROM m JOIN dims di ON di.i = m.i JOIN dims dj ON dj.i = m.j
+      |CROSS JOIN n ORDER BY i, j""".stripMargin
+
   /** IVF coarse-quantizer TRAINING: two unrolled Lloyd (k-means)
     * iterations with k=8, seeded by the first 8 vectors. Each iteration
     * is the canonical distributed shape — centroids broadcast, one
@@ -1790,6 +1860,7 @@ object SimilarityQueries {
     "s16_ann_takedown" -> (s16AnnTakedown _),
     "st13_stream_ivf" -> (st13StreamIvf _),
     "s17_filtered_ann" -> (s17FilteredAnn _),
+    "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
@@ -1816,5 +1887,6 @@ object SimilarityQueries {
     // must census exactly like the batch incremental build
     "st13_stream_ivf" -> s14Oracle,
     "s17_filtered_ann" -> s17Oracle,
+    "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
