@@ -401,6 +401,41 @@ object Manifest {
       version: Option[Int] = None): DataFrame =
     s.read.parquet(entries(s, root, version): _*)
 
+  /** One table version's history entry: what the commit did, expressed
+    * as directory-set deltas against its predecessor.
+    */
+  final case class HistoryEntry(version: Int, commitMs: Long,
+      nDirs: Int, added: Seq[String], removed: Seq[String]) {
+    /** A replacing commit both adds and removes; an append only adds. */
+    def kind: String =
+      if (removed.nonEmpty) "replace"
+      else if (added.nonEmpty) "append" else "noop"
+  }
+
+  /** The table's commit history, oldest first — `DESCRIBE HISTORY` for
+    * manifest tables: per version, its commit instant (the manifest
+    * file's mtime — written exactly once), directory count, and the
+    * added/removed directory deltas vs the previous version, from
+    * which appends, replacing maintenance (compaction, COW deletes,
+    * folds), and no-ops are distinguishable. Cost: one manifest read
+    * per LIVE version — metadata only, independent of data size.
+    * Expired versions are gone from disk and so from history, the
+    * standard retention trade.
+    */
+  def history(s: SparkSession, root: String): Seq[HistoryEntry] = {
+    val f = fs(s, root)
+    var prev = Set.empty[String]
+    versionsOf(f, root).map { v =>
+      val p = manifestPath(root, v)
+      val dirs = readList(f, p)
+      val cur = dirs.toSet
+      val e = HistoryEntry(v, f.getFileStatus(p).getModificationTime,
+        dirs.size, dirs.filterNot(prev), prev.diff(cur).toSeq.sorted)
+      prev = cur
+      e
+    }
+  }
+
   /** TIMESTAMP-based time travel (Delta `TIMESTAMP AS OF`): the latest
     * version whose manifest file was committed at or before `tsMillis`,
     * by the manifest's filesystem mtime — the commit instant itself,

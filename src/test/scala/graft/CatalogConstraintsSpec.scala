@@ -139,6 +139,27 @@ class CatalogConstraintsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no version"))
   }
 
+  test("history distinguishes appends, replacing maintenance, and " +
+      "no-op re-commits") {
+    val base = fresh("hist")
+    val root = s"$base/tbl"
+    Seq(1L).toDF("k").write.parquet(s"$base/d1")
+    Manifest.commit(spark, root, s"$base/d1")
+    Seq(2L).toDF("k").write.parquet(s"$base/d2")
+    Manifest.commit(spark, root, s"$base/d2")
+    Seq(1L, 2L).toDF("k").write.parquet(s"$base/compacted")
+    Manifest.rewrite(spark, root, Seq(s"$base/compacted"))
+    val h = Manifest.history(spark, root)
+    assert(h.map(_.version) == Seq(1, 2, 3))
+    assert(h.map(_.kind) == Seq("append", "append", "replace"))
+    assert(h(1).added == Seq(s"$base/d2") && h(1).removed.isEmpty)
+    assert(h(2).added == Seq(s"$base/compacted") &&
+      h(2).removed.toSet == Set(s"$base/d1", s"$base/d2"))
+    assert(h.map(_.commitMs).sorted == h.map(_.commitMs),
+      "commit instants must be monotone")
+    assert(h(2).nDirs == 1)
+  }
+
   test("commitChecked retries are idempotent per directory") {
     val base = fresh("retry")
     val df = Seq((1L, 5L)).toDF("id", "x")
