@@ -177,6 +177,23 @@ class DedupGeneralPathSpec extends AnyFunSuite {
         "equivalence proves nothing")
   }
 
+  test("d19 containment's blocked pair scan (above the broadcast cap) " +
+      "matches the broadcast scan") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("d19_containment")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val bcast = run()
+    spark.conf.set("spark.graft.dedup.maxBroadcastDocs", "10")
+    try {
+      assert(run() == bcast,
+        "blocked and broadcast containment scans must census identically")
+      assert(bcast.nonEmpty && bcast.map(_._2).sum > 0,
+        "sf0.001 must contain containment pairs or the equivalence " +
+          "proves nothing")
+    } finally spark.conf.unset("spark.graft.dedup.maxBroadcastDocs")
+  }
+
   test("d9 contamination routes oversized benchmark vocabularies " +
       "through the bloom-prefiltered join, identically") {
     val sf = "/root/testdata/sf0.001"
