@@ -2136,6 +2136,63 @@ object TextQueries {
       |SELECT phase, key, n_docs, sum_tokens FROM u
       |ORDER BY phase, key""".stripMargin
 
+  /** Epoch / repeat PLAN under a data-constrained token budget — the
+    * planning step between the dataset card (t31) and the mixture draw
+    * (t14): given a token budget and per-domain token counts, assign
+    * each domain a √-temperature quota, cap repetition at 4 epochs (the
+    * data-constrained-scaling rule: tokens repeated past a few epochs
+    * stop helping), and report the per-domain effective tokens, epoch
+    * fraction, and the budget deficit the caps leave unassigned. One
+    * aggregate over one corpus scan; the plan itself is domains-sized.
+    * All arithmetic exact: the integer square root is Newton-adjusted
+    * from the float sqrt (`s ± 1` correction), so both engines agree on
+    * every weight even at perfect-square boundaries.
+    */
+  def tEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val isqrtAdj = (c: String) => s"""(CAST(floor(sqrt($c)) AS BIGINT)
+      | - CAST(CAST(floor(sqrt($c)) AS BIGINT) * CAST(floor(sqrt($c)) AS BIGINT) > $c AS INT)
+      | + CAST((CAST(floor(sqrt($c)) AS BIGINT) + 1) * (CAST(floor(sqrt($c)) AS BIGINT) + 1) <= $c AS INT))"""
+      .stripMargin.replace("\n", " ")
+    val dom = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(tokenCount(col("text")).cast("long")).as("tokens"))
+      .withColumn("w", expr(isqrtAdj("tokens")))
+    val tot = dom.agg(sum(col("tokens")).as("total"), sum(col("w"))
+      .as("sumw"))
+    dom.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("quota", expr("(budget * w) div sumw"))
+      .withColumn("effective", least(col("quota"), col("tokens") * 4))
+      .withColumn("epochs_bp", expr("(10000 * effective) div tokens"))
+      .select(col("source"), col("tokens"), col("quota"),
+        col("effective"), col("epochs_bp"))
+      .orderBy(col("source"))
+  }
+
+  val tEpochPlanOracle: String =
+    """WITH t AS (SELECT source,
+      |    CAST(SUM(len(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END)) AS BIGINT)
+      |      AS tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, tokens,
+      |    (CAST(floor(sqrt(tokens)) AS BIGINT)
+      |      - CAST(CAST(floor(sqrt(tokens)) AS BIGINT)
+      |          * CAST(floor(sqrt(tokens)) AS BIGINT) > tokens AS INT)
+      |      + CAST((CAST(floor(sqrt(tokens)) AS BIGINT) + 1)
+      |          * (CAST(floor(sqrt(tokens)) AS BIGINT) + 1)
+      |            <= tokens AS INT)) AS w
+      |  FROM t),
+      |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+      |    CAST(SUM(w) AS BIGINT) AS sumw FROM w),
+      |p AS (SELECT source, tokens,
+      |    ((total // 2) * w) // sumw AS quota FROM w CROSS JOIN g)
+      |SELECT source, tokens, CAST(quota AS BIGINT) AS quota,
+      |  CAST(LEAST(quota, tokens * 4) AS BIGINT) AS effective,
+      |  CAST((10000 * LEAST(quota, tokens * 4)) // tokens AS BIGINT)
+      |    AS epochs_bp
+      |FROM p ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -2169,6 +2226,7 @@ object TextQueries {
     "t30_nb_langid" -> (tNbLangId _),
     "t31_dataset_card" -> (tDatasetCard _),
     "t32_curation_e2e" -> (tCurationE2e _),
+    "t33_epoch_plan" -> (tEpochPlan _),
     "st11_stream_bm25" -> (stBm25Stream _))
 
   val oracle: Map[String, String] = Map(
@@ -2208,6 +2266,7 @@ object TextQueries {
     "t30_nb_langid" -> tNbLangIdOracle,
     "t31_dataset_card" -> tDatasetCardOracle,
     "t32_curation_e2e" -> tCurationE2eOracle,
+    "t33_epoch_plan" -> tEpochPlanOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle)
