@@ -384,22 +384,46 @@ object SimilarityQueries {
   /** PCA / whitening SUFFICIENT STATISTICS — the distributed half of
     * training a linear transform (PCA projection, ZCA whitening, the
     * preprocessing that lifts SQ8/PQ recall): exact per-dimension sums
-    * and the upper-triangle second-moment matrix Σxᵢxⱼ, reduced with
-    * the native `graft_elementwise_sum` long-array aggregate — ONE
-    * corpus pass, map-side combined, shuffle of d(d+1)/2+d longs per
-    * partition regardless of corpus size. Everything downstream
-    * (centering, eigendecomposition, building the projection) is
-    * O(d²–d³) DRIVER work on these statistics — the correct split at
-    * 100 TB, where the corpus pass is the only thing that scales with
-    * data (the 64-dim fixed-point products stay within int64 up to
-    * ~10⁴ corpus rows per partial; larger corpora promote the
-    * accumulator to per-block partials — the aggregate shape is
-    * unchanged). The oracle recomputes every sum exactly; the
-    * eigensolver/whitening end is pinned by `WhitenSpec`.
+    * and the upper-triangle second-moment matrix Σxᵢxⱼ — ONE corpus
+    * pass, map-side combined. Everything downstream (centering,
+    * eigendecomposition, building the projection) is O(d²–d³) DRIVER
+    * work on these statistics — the correct split at 100 TB, where the
+    * corpus pass is the only thing that scales with data.
+    *
+    * ACCUMULATOR WIDTH (the scale hazard this design closes): per-row
+    * products of 2²⁰-fixed-point components are bounded by 2⁴⁰, so a
+    * single global int64 sum would wrap SILENTLY past ~2²³ rows — far
+    * below a 100 TB corpus. The moments are therefore accumulated in
+    * two exact levels: (1) per-BLOCK long partials, the block being
+    * `vec_id DIV blockRows` with `blockRows ≤ 2²²` so each partial is
+    * ≤ 2²²·2⁴⁰ = 2⁶² < 2⁶³ BY CONSTRUCTION (vec_id unique); (2) the
+    * block partials — #blocks·(d(d+1)/2+d) longs, corpus-size
+    * independent per block — re-reduced as `DECIMAL(38,0)`, which is
+    * exact and overflow-CHECKED at any realistic corpus (10³⁸ headroom
+    * ≈ 2·10¹⁹ blocks). The gate's BIGINT projection goes through a
+    * `raise_error` guard, so a value past int64 fails LOUDLY instead
+    * of wrapping. Boundary pinned by `WhitenSpec` ("exact past the
+    * int64 accumulator boundary"): 2²³ max-magnitude rows, sum =
+    * exactly 2⁶³, matched against a BigInt recomputation.
+    * The oracle recomputes every sum exactly; the eigensolver /
+    * whitening end is pinned by `WhitenSpec`.
     */
-  def s18PcaMoments(s: SparkSession, dir: String): DataFrame = {
+  def s18PcaMoments(s: SparkSession, dir: String): DataFrame =
+    pcaMomentsChecked(s, quantized(s, dir), dim = 64,
+      blockRows = 1L << 22)
+
+  /** Exact moment core over (vec_id LONG unique, v ARRAY&lt;LONG&gt;):
+    * per-block long partials re-reduced as DECIMAL(38,0). Output
+    * columns (i, j, sxy, si, sj, n) with the sums as DECIMAL(38,0) —
+    * the scale path keeps this width. Components must satisfy
+    * |v| ≤ 2²⁰ (the corpus quantization bound) for the per-block
+    * partial to stay within int64 at `blockRows = 2²²`; smaller
+    * blockRows admits proportionally larger components (the boundary
+    * spec uses both knobs).
+    */
+  private[graft] def pcaMomentsExact(s: SparkSession, e0: DataFrame,
+      dim: Int, blockRows: Long): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
-    val dim = 64
     val prodUdf = udf((v: Seq[Long]) => {
       val n = v.length
       val out = new Array[Long](n * (n + 1) / 2)
@@ -412,11 +436,19 @@ object SimilarityQueries {
       }
       out
     })
-    val e = quantized(s, dir).withColumn("prod", prodUdf(col("v")))
-    val agg1 = e.agg(
-      expr("graft_elementwise_sum(prod)").as("sxy"),
-      expr("graft_elementwise_sum(v)").as("sx"),
-      count(lit(1)).as("n"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val blocks = e0
+      .withColumn("prod", prodUdf(col("v")))
+      .withColumn("blk", expr(s"CAST(vec_id DIV $blockRows AS BIGINT)"))
+      .groupBy(col("blk"))
+      .agg(expr("graft_elementwise_sum(prod)").as("sxy"),
+        expr("graft_elementwise_sum(v)").as("sx"),
+        count(lit(1)).as("cnt"))
+    val sxy = blocks.select(posexplode(col("sxy")).as(Seq("k", "p")))
+      .groupBy(col("k")).agg(sum(col("p").cast(dec)).as("sxy"))
+    val sx = blocks.select(posexplode(col("sx")).as(Seq("d", "p")))
+      .groupBy(col("d")).agg(sum(col("p").cast(dec)).as("sx"))
+    val nTot = blocks.agg(sum(col("cnt")).as("n"))
     // constant (k → (i, j)) triangular index map — dim²-sized driver
     // literals, not data
     val idx = {
@@ -425,12 +457,35 @@ object SimilarityQueries {
         yield ((i * (2 * dim - i + 1)) / 2 + (j - i), i, j))
         .toDF("k", "i", "j")
     }
-    agg1.select(posexplode(col("sxy")).as(Seq("k", "sxy")),
-        col("sx"), col("n"))
-      .join(broadcast(idx), Seq("k"))
-      .select(col("i"), col("j"), col("sxy"),
-        col("sx").getItem(col("i")).as("si"),
-        col("sx").getItem(col("j")).as("sj"), col("n"))
+    sxy.join(broadcast(idx), Seq("k"))
+      .join(broadcast(sx.select(col("d").as("i"), col("sx").as("si"))),
+        Seq("i"))
+      .join(broadcast(sx.select(col("d").as("j"), col("sx").as("sj"))),
+        Seq("j"))
+      .crossJoin(broadcast(nTot))
+      .select(col("i"), col("j"), col("sxy"), col("si"), col("sj"),
+        col("n"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** [[pcaMomentsExact]] projected to BIGINT behind a loud overflow
+    * guard: a moment past int64 raises instead of wrapping (the old
+    * single-long-accumulator path wrapped silently).
+    */
+  private[graft] def pcaMomentsChecked(s: SparkSession, e0: DataFrame,
+      dim: Int, blockRows: Long): DataFrame = {
+    def checked(c: Column): Column = {
+      val lim = lit("9223372036854775807")
+        .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))
+      when(abs(c) > lim,
+        raise_error(concat(lit("graft s18: moment exceeds int64: "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c.cast("long"))
+    }
+    pcaMomentsExact(s, e0, dim, blockRows)
+      .select(col("i"), col("j"), checked(col("sxy")).as("sxy"),
+        checked(col("si")).as("si"), checked(col("sj")).as("sj"),
+        col("n"))
       .orderBy(col("i"), col("j"))
   }
 

@@ -28,6 +28,50 @@ class WhitenSpec extends AnyFunSuite {
     }
   }
 
+  test("s18 moments stay exact past the int64 accumulator boundary") {
+    // 2^23 rows of max-magnitude (+2^20) components: every per-row
+    // product is exactly 2^40, so the TRUE second moment is
+    // 2^23 * 2^40 = 2^63 — one past Long.MaxValue. The old global long
+    // accumulator wrapped this silently to Long.MinValue; the
+    // per-block + DECIMAL(38,0) path must return it exactly.
+    import org.apache.spark.sql.functions._
+    val n = 1L << 23
+    val comp = 1L << 20
+    val df = spark.range(n).select(col("id").as("vec_id"),
+      array(lit(comp), lit(comp)).as("v"))
+    val rows = graft.queries.SimilarityQueries
+      .pcaMomentsExact(spark, df, dim = 2, blockRows = 1L << 22)
+      .collect()
+    assert(rows.length == 3) // (0,0) (0,1) (1,1)
+    val wantSxy = BigInt(1) << 63            // exceeds int64
+    val wantSx = BigInt(comp) * BigInt(n)    // 2^43, fits
+    assert(wantSxy > BigInt(Long.MaxValue))
+    rows.foreach { r =>
+      assert(BigInt(r.getDecimal(2).toBigInteger) == wantSxy,
+        s"sxy at (${r.getInt(0)},${r.getInt(1)}): ${r.getDecimal(2)}")
+      assert(BigInt(r.getDecimal(3).toBigInteger) == wantSx)
+      assert(BigInt(r.getDecimal(4).toBigInteger) == wantSx)
+      assert(r.getLong(5) == n)
+    }
+  }
+
+  test("a moment past int64 raises loudly at the BIGINT gate " +
+      "projection instead of wrapping") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1L << 23).select(col("id").as("vec_id"),
+      array(lit(1L << 20), lit(1L << 20)).as("v"))
+    val ex = intercept[Exception] {
+      graft.queries.SimilarityQueries
+        .pcaMomentsChecked(spark, df, dim = 2, blockRows = 1L << 22)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("moment exceeds int64")),
+      s"unexpected failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("whitening the embedding corpus with the s18 moments yields " +
       "identity covariance") {
     val dim = 64
