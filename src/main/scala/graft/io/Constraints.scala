@@ -98,6 +98,12 @@ object Constraints {
       quarantineDir: String, constraints: Seq[(String, Column)],
       committer: Committer = FsCreateCommitter): (Int, Option[Int]) = {
     require(constraints.nonEmpty, "no constraints to route on")
+    // reserved tag column — silently overwriting a user column of the
+    // same name would lose its data in BOTH tables (same guard as
+    // RangeJoin's reserved column)
+    require(!df.columns.contains("violation"),
+      "input already has a 'violation' column — rename it before " +
+        "commitQuarantined (reserved for the quarantine route tag)")
     val tag = constraints.reverse.foldLeft(lit(null).cast("string")) {
       case (acc, (name, pred)) =>
         when(coalesce(pred, lit(true)) === false, lit(name))

@@ -64,8 +64,14 @@ object SchemaGuard {
       batchDir: String, allowAdd: Boolean = false,
       committer: Committer = FsCreateCommitter): Int = {
     if (Manifest.versions(s, root).nonEmpty) {
-      val problems = check(Manifest.snapshot(s, root).schema,
-        df.schema, allowAdd)
+      // the table schema is the UNION across committed batches — after
+      // an allowAdd=true evolution a plain read infers from an
+      // arbitrary file footer, making the guard nondeterministic;
+      // mergeSchema reads every footer (metadata-only, commit-time
+      // cost) and is deterministic
+      val tableSchema = s.read.option("mergeSchema", "true")
+        .parquet(Manifest.entries(s, root): _*).schema
+      val problems = check(tableSchema, df.schema, allowAdd)
       if (problems.nonEmpty) throw new SchemaMismatchException(problems)
     }
     df.write.mode("overwrite").parquet(batchDir)

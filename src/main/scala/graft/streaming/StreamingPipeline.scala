@@ -130,11 +130,16 @@ object StreamingPipeline {
       (df, c) => df.withColumnRenamed(c, s"${c}_r")
     }
     def rcol(c: String) = col(if (collisions(c)) s"${c}_r" else c)
-    l.join(renamed,
+    val joined = l.join(renamed,
       col(key) === rcol(key) &&
         rcol(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
         rcol(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
       joinType)
-      .drop(s"${key}_r")
+    // for right/full outer, an unmatched right row's only non-null key
+    // is key_r — coalesce before dropping so no join type loses keys
+    (if (collisions(key))
+      joined.withColumn(key, coalesce(col(key), col(s"${key}_r")))
+        .drop(s"${key}_r")
+    else joined)
   }
 }

@@ -160,6 +160,20 @@ class CatalogConstraintsSpec extends AnyFunSuite {
     assert(h(2).nDirs == 1)
   }
 
+  test("quarantine refuses an input that already has a 'violation' " +
+      "column instead of silently overwriting it") {
+    val base = fresh("quarres")
+    val df = Seq((1L, "user-data")).toDF("id", "violation")
+    val e = intercept[IllegalArgumentException] {
+      Constraints.commitQuarantined(spark, s"$base/t", s"$base/q", df,
+        s"$base/b1", s"$base/q1",
+        Seq("id_not_null" -> col("id").isNotNull))
+    }
+    assert(e.getMessage.contains("violation"))
+    // nothing staged, nothing committed
+    assert(Manifest.versions(spark, s"$base/t").isEmpty)
+  }
+
   test("commitChecked retries are idempotent per directory") {
     val base = fresh("retry")
     val df = Seq((1L, 5L)).toDF("id", "x")

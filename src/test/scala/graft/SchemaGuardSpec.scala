@@ -69,4 +69,25 @@ class SchemaGuardSpec extends AnyFunSuite {
     assert(SchemaGuard.commitAppend(spark, root,
       Seq((2L, "x")).toDF("id", "s"), s"$base/b2") == 2)
   }
+
+  test("post-evolution enforcement is deterministic: the table schema " +
+      "is the UNION across batches, not an arbitrary footer") {
+    val base = fresh("evolve")
+    val root = s"$base/tbl"
+    SchemaGuard.commitAppend(spark, root,
+      Seq((1L, "a")).toDF("id", "s"), s"$base/b1")
+    SchemaGuard.commitAppend(spark, root,
+      Seq((2L, "b", 1.5)).toDF("id", "s", "score"), s"$base/b2",
+      allowAdd = true)
+    // a batch missing the evolved column is refused — regardless of
+    // which file footer a plain (non-merged) read would infer from
+    val e = intercept[SchemaGuard.SchemaMismatchException] {
+      SchemaGuard.commitAppend(spark, root,
+        Seq((3L, "c")).toDF("id", "s"), s"$base/b3")
+    }
+    assert(e.problems.exists(_.contains("missing column score")))
+    // and a batch carrying the union appends fine
+    assert(SchemaGuard.commitAppend(spark, root,
+      Seq((3L, "c", 2.0)).toDF("id", "s", "score"), s"$base/b3") == 3)
+  }
 }

@@ -170,6 +170,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq === Seq("k1"))
   }
 
+  test("stream-stream join keeps the key for outer-unmatched RIGHT " +
+      "rows (key coalesced before the rename is dropped)") {
+    // batch-mode shape check (the EventTimeWatermark node is a no-op
+    // on batch plans): an unmatched right row's only non-null key
+    // lives in the renamed key_r — the output must carry it
+    import spark.implicits._
+    val t0 = 1700000000L
+    val l = Seq(("a", t0 + 5L)).toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val r = Seq(("a", t0 + 8L), ("b", t0 + 9L)).toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"))
+    val out = StreamingPipeline.streamStreamJoin(l, r, "k",
+      "ts", "ts", "1 minute", "10 seconds", joinType = "right_outer")
+    assert(out.columns.count(_ == "k") == 1)
+    assert(out.select("k").as[String].collect().toSet == Set("a", "b"))
+  }
+
   test("dedup by element within watermark") {
     val base = Files.createTempDirectory("graft-dedup").toString
     write(s"$base/in/b1.txt", Seq("dup", "dup", "uniq").mkString("\n"))
