@@ -47,6 +47,27 @@ object Catalog {
       pins.map { case (root, v) => s"$root@$v" }, committer)
   }
 
+  /** Publish the CURRENT latest version of each table as one atomic
+    * pin vector — the "commit tables first, pin last" ingest
+    * discipline's final step. Idempotent for replayed writers: when
+    * the catalog already pins exactly this vector (a Structured
+    * Streaming batch replayed after its pin landed), no new catalog
+    * version is burned. Returns the catalog version holding the
+    * vector.
+    */
+  def pinLatest(s: SparkSession, catRoot: String, roots: Seq[String],
+      committer: Committer = FsCreateCommitter): Int = {
+    val vec = roots.map { r =>
+      val vs = Manifest.versions(s, r)
+      require(vs.nonEmpty, s"cannot pin $r: no committed version")
+      r -> vs.last
+    }
+    val catVersions = Manifest.versions(s, catRoot)
+    if (catVersions.nonEmpty && resolve(s, catRoot) == vec.toMap)
+      catVersions.last
+    else pin(s, catRoot, vec, committer)
+  }
+
   /** The (table root → manifest version) vector a catalog version pins
     * (latest when unspecified).
     */

@@ -1324,9 +1324,19 @@ object SimilarityQueries {
     * replays the frozen-quantizer semantics exactly — centroids from
     * the first block, assignment over everything — so the census pins
     * both the incremental mechanics and the assignment arithmetic.
+    *
+    * The index is TWO tables that must move together — the lists AND
+    * the frozen quantizer they were assigned against (lists read
+    * against a retrained quantizer are silently mis-bucketed), so the
+    * quantizer freezes as a manifest table, every ingest publishes
+    * (lists, quantizer) with one atomic
+    * [[graft.io.Catalog.pinLatest]] AFTER the table commits, and the
+    * census resolves the lists through
+    * [[graft.io.Catalog.snapshotOf]] (`io31_torn_index` gates the
+    * crash-between-commit-and-pin window on the sparse sibling).
     */
   def s14IvfIncr(s: SparkSession, dir: String): DataFrame = {
-    import graft.io.Manifest
+    import graft.io.{Catalog, Manifest}
     graft.expressions.LongArrayOps.register(s)
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
@@ -1334,12 +1344,15 @@ object SimilarityQueries {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-    val lRoot = idx + "/lists"
+    val (lRoot, qRoot, cRoot) =
+      (idx + "/lists", idx + "/quantizer", idx + "/catalog")
     val e = quantized(s, dir)
-    // train on the first block only, then freeze the quantizer
+    // train on the first block only, then freeze the quantizer — as a
+    // manifest table, so the catalog can pin it with the lists
     centroids(e.filter(col("vec_id") % 2 === 0))
       .write.parquet(idx + "/centroids")
-    val cent = s.read.parquet(idx + "/centroids")
+    Manifest.commit(s, qRoot, idx + "/centroids")
+    val cent = Manifest.snapshot(s, qRoot)
     def ingest(part: DataFrame, tag: String): Unit = {
       centroidRanked(part, cent, maxRank = 1)
         .filter(col("rk") === 1)
@@ -1348,13 +1361,15 @@ object SimilarityQueries {
       // vec_id skip-stats at commit: the lists table is range-prunable
       // from its first block
       Manifest.commitWithStats(s, lRoot, s"$idx/l_$tag", Seq("vec_id"))
+      // atomic publish point: lists + the quantizer they assign against
+      Catalog.pinLatest(s, cRoot, Seq(lRoot, qRoot))
     }
     ingest(e.filter(col("vec_id") % 2 === 0), "a")
     val pre = Manifest.entries(s, lRoot)
     ingest(e.filter(col("vec_id") % 2 === 1), "b")
     require(Manifest.entries(s, lRoot).startsWith(pre),
       "incremental ingest must append to the lists, never rewrite them")
-    Manifest.snapshot(s, lRoot)
+    Catalog.snapshotOf(s, cRoot, lRoot)
       .groupBy(col("label"), col("clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))
@@ -1839,13 +1854,18 @@ object SimilarityQueries {
     * exactly-once manifest commit keyed by batchId
     * ([[graft.io.Manifest.commitIfAbsent]] absorbs replays), with
     * vec_id skip-stats at commit so the lists table is range-prunable
-    * from its first streamed block. The census must equal [[s14Oracle]]
+    * from its first streamed block. Each batch publishes (lists,
+    * quantizer) with one atomic [[graft.io.Catalog.pinLatest]] AFTER
+    * its table commit — a crash mid-batch leaves catalog readers on
+    * the previous consistent pair, a replay re-pins idempotently —
+    * and the census resolves through [[graft.io.Catalog.snapshotOf]].
+    * The census must equal [[s14Oracle]]
     * — assignment is per-row, so HOW the stream batched the vectors
     * cannot move a single list entry.
     */
   def st13StreamIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    import graft.io.Manifest
+    import graft.io.{Catalog, Manifest}
     graft.expressions.LongArrayOps.register(s)
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
@@ -1853,11 +1873,14 @@ object SimilarityQueries {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-    val lRoot = idx + "/lists"
+    val (lRoot, qRoot, cRoot) =
+      (idx + "/lists", idx + "/quantizer", idx + "/catalog")
     val e = quantized(s, dir)
-    // offline batch step: train on the designated block, freeze
+    // offline batch step: train on the designated block, freeze — as a
+    // manifest table so the catalog pins it with the lists
     centroids(e.filter(col("vec_id") % 2 === 0))
       .write.parquet(idx + "/centroids")
+    Manifest.commit(s, qRoot, idx + "/centroids")
     e.repartition(4).write.parquet(idx + "/src")
     val schema = s.read.parquet(idx + "/src").schema
     val ingest = (batch: DataFrame, batchId: Long) => {
@@ -1865,7 +1888,7 @@ object SimilarityQueries {
         val ss = batch.sparkSession
         val bDir = s"$idx/l_$batchId"
         if (!Manifest.committed(ss, lRoot).contains(bDir)) {
-          val cent = ss.read.parquet(idx + "/centroids")
+          val cent = Manifest.snapshot(ss, qRoot)
           centroidRanked(batch, cent, maxRank = 1)
             .filter(col("rk") === 1)
             .select(col("vec_id"), col("label"), col("clabel"))
@@ -1873,6 +1896,8 @@ object SimilarityQueries {
           graft.io.SkipStats.write(ss, bDir, Seq("vec_id"))
           Manifest.commitIfAbsent(ss, lRoot, bDir)
         }
+        // atomic publish LAST (idempotent under replay)
+        Catalog.pinLatest(ss, cRoot, Seq(lRoot, qRoot))
       }
       ()
     }
@@ -1890,7 +1915,7 @@ object SimilarityQueries {
     val nv = Manifest.versions(s, lRoot).size
     require(nv >= 2 && nv <= 4,
       s"expected one list commit per data-carrying microbatch, got $nv")
-    Manifest.snapshot(s, lRoot)
+    Catalog.snapshotOf(s, cRoot, lRoot)
       .groupBy(col("label"), col("clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))

@@ -1467,9 +1467,18 @@ object TextQueries {
     * and doc-sized aggregates of the postings — never a corpus
     * re-tokenize). Same oracle as [[tBm25]]: two increments must answer
     * bit-identically to the one-shot build.
+    *
+    * The index is TWO tables that must move together (postings +
+    * stats: new postings against old stats is a silently-wrong BM25
+    * normalizer), so every ingest commits both tables FIRST and
+    * publishes them with one atomic [[graft.io.Catalog.pinLatest]]
+    * LAST, and the query side resolves both through
+    * [[graft.io.Catalog.snapshotOf]] — a crash between the table
+    * commits and the pin leaves catalog readers on the previous
+    * consistent pair (`io31_torn_index` gates exactly that).
     */
   def tBm25Incr(s: SparkSession, dir: String): DataFrame = {
-    import graft.io.Manifest
+    import graft.io.{Catalog, Manifest}
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
     val idx = base + "/graft_t25_bm25"
@@ -1477,6 +1486,7 @@ object TextQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val (pRoot, sRoot) = (idx + "/postings", idx + "/stats")
+    val cRoot = idx + "/catalog"
     def ingest(part: DataFrame, tag: String): Unit = {
       val withDl = part
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1490,6 +1500,8 @@ object TextQueries {
       withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
         .write.parquet(s"$idx/s_$tag")
       Manifest.commit(s, sRoot, s"$idx/s_$tag")
+      // the atomic publish point: both tables committed, one pin
+      Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
     }
     val docs = Tables.documents(s, dir)
     ingest(docs.filter(col("doc_id") % 2 === 0), "a")
@@ -1497,9 +1509,10 @@ object TextQueries {
     ingest(docs.filter(col("doc_id") % 2 === 1), "b")
     require(Manifest.entries(s, pRoot).startsWith(pre),
       "incremental ingest must append to the index, never rewrite it")
-    // ---- query: the stored postings are the only corpus state touched
-    val tf = Manifest.snapshot(s, pRoot)
-    val st = Manifest.snapshot(s, sRoot)
+    // ---- query: the stored postings are the only corpus state
+    // touched, resolved through the catalog's consistent pin vector
+    val tf = Catalog.snapshotOf(s, cRoot, pRoot)
+    val st = Catalog.snapshotOf(s, cRoot, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1744,13 +1757,17 @@ object TextQueries {
     * no-op — at-least-once delivery from the engine becomes an
     * exactly-once index, with the skip-stats sidecar emitted at commit
     * so the streamed-in postings are doc_id-prunable from the first
-    * batch. The query side is [[tBm25Incr]]'s read path unchanged, and
+    * batch. Each batch publishes its (postings, stats) pair with one
+    * atomic [[graft.io.Catalog.pinLatest]] AFTER both table commits —
+    * a replayed batch re-pins idempotently, a crash mid-batch leaves
+    * catalog readers on the previous consistent pair. The query side
+    * is [[tBm25Incr]]'s read path unchanged (catalog-resolved), and
     * the oracle is [[tBm25Oracle]] — the streamed-in index must answer
     * bit-identically to a one-shot batch build over the same corpus.
     */
   def stBm25Stream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    import graft.io.{Manifest, SkipStats}
+    import graft.io.{Catalog, Manifest, SkipStats}
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
     val root = base + "/graft_st11_bm25"
@@ -1759,6 +1776,7 @@ object TextQueries {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val srcDir = s"$root/src"
     val (pRoot, sRoot) = (s"$root/postings", s"$root/stats")
+    val cRoot = s"$root/catalog"
     Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .repartition(4).write.mode("overwrite").parquet(srcDir)
     val schema = s.read.parquet(srcDir).schema
@@ -1783,6 +1801,11 @@ object TextQueries {
             .write.mode("overwrite").parquet(sDir)
           Manifest.commitIfAbsent(ss, sRoot, sDir)
         }
+        // atomic publish LAST: a replayed batch whose pin already
+        // landed re-resolves to the same vector and burns nothing;
+        // a crash before this line leaves catalog readers on the
+        // previous consistent (postings, stats) pair
+        Catalog.pinLatest(ss, cRoot, Seq(pRoot, sRoot))
       }
       ()
     }
@@ -1802,9 +1825,79 @@ object TextQueries {
     val nv = Manifest.versions(s, pRoot).size
     require(nv >= 2 && nv <= 4,
       s"expected one index commit per data-carrying microbatch, got $nv")
-    // ---- t25's read path, unchanged: the stream fed the same tables
-    val tf = Manifest.snapshot(s, pRoot)
-    val st = Manifest.snapshot(s, sRoot)
+    // ---- t25's read path, unchanged: the stream fed the same tables,
+    // resolved through the catalog's last atomic pin
+    val tf = Catalog.snapshotOf(s, cRoot, pRoot)
+    val st = Catalog.snapshotOf(s, cRoot, sRoot)
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+  }
+
+  /** The TORN-INDEX window, closed on the real index path — the gate
+    * for the commit-tables-first / pin-last discipline [[tBm25Incr]],
+    * `st11`, `s14`, and `st13` now ship (the io29 transaction
+    * protocol on a shipping index, not a demo pair): a writer crashes
+    * AFTER landing a new postings commit but BEFORE the stats commit
+    * and the catalog pin. At the TABLE level the tear is live and
+    * visible — the postings table's latest version is past the pinned
+    * one, and reading latest would score BM25 with inflated tf/df
+    * against stale corpus stats, a silently-wrong normalizer. Through
+    * the CATALOG the reader still resolves the last atomically
+    * published (postings, stats) pair, and the engine REQUIRES both
+    * facts before answering: the torn version is live table state,
+    * and the catalog vector did not move. The answer must be
+    * bit-identical to [[tBm25Oracle]] over the full corpus — the
+    * half-landed version is an ordinary superseded table version that
+    * retention ([[graft.io.Manifest.expire]]) later reclaims.
+    */
+  def ioTornIndexRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Catalog, Manifest}
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_io31_bm25"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val (pRoot, sRoot, cRoot) =
+      (idx + "/postings", idx + "/stats", idx + "/catalog")
+    def tokenized(part: DataFrame): DataFrame = part
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    def postingsOf(withDl: DataFrame): DataFrame = withDl
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    def ingest(part: DataFrame, tag: String): Unit = {
+      val withDl = tokenized(part)
+      postingsOf(withDl).write.parquet(s"$idx/p_$tag")
+      Manifest.commitWithStats(s, pRoot, s"$idx/p_$tag", Seq("doc_id"))
+      withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        .write.parquet(s"$idx/s_$tag")
+      Manifest.commit(s, sRoot, s"$idx/s_$tag")
+      Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
+    }
+    val docs = Tables.documents(s, dir)
+    ingest(docs.filter(col("doc_id") % 2 === 0), "a")
+    ingest(docs.filter(col("doc_id") % 2 === 1), "b")
+    val pinned = Catalog.resolve(s, cRoot)
+    // ---- the crash: a third increment's postings land, then the
+    // writer dies — no stats commit, no catalog pin
+    postingsOf(tokenized(docs.filter(col("doc_id") % 7 === 0)))
+      .write.parquet(s"$idx/p_torn")
+    Manifest.commitWithStats(s, pRoot, s"$idx/p_torn", Seq("doc_id"))
+    // the tear IS live, visible table state...
+    require(Manifest.versions(s, pRoot).last > pinned(pRoot),
+      "the torn commit must land as a live postings version")
+    require(Manifest.snapshot(s, pRoot).count() >
+      Manifest.snapshot(s, pRoot, Some(pinned(pRoot))).count(),
+      "table-level latest must expose the inflated postings")
+    // ...and invisible through the catalog, which never moved
+    require(Catalog.resolve(s, cRoot) == pinned,
+      "a crashed writer must not move the catalog")
+    val tf = Catalog.snapshotOf(s, cRoot, pRoot)
+    val st = Catalog.snapshotOf(s, cRoot, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -2227,7 +2320,8 @@ object TextQueries {
     "t31_dataset_card" -> (tDatasetCard _),
     "t32_curation_e2e" -> (tCurationE2e _),
     "t33_epoch_plan" -> (tEpochPlan _),
-    "st11_stream_bm25" -> (stBm25Stream _))
+    "st11_stream_bm25" -> (stBm25Stream _),
+    "io31_torn_index" -> (ioTornIndexRead _))
 
   val oracle: Map[String, String] = Map(
     "t1_tokens" -> tTokensOracle,
@@ -2269,5 +2363,6 @@ object TextQueries {
     "t33_epoch_plan" -> tEpochPlanOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
-    "st11_stream_bm25" -> tBm25Oracle)
+    "st11_stream_bm25" -> tBm25Oracle,
+    "io31_torn_index" -> tBm25Oracle)
 }
