@@ -320,10 +320,13 @@ object SimilarityQueries {
     * is dominated by non-matching vectors. The correct-and-scalable
     * order is PRE-FILTER: the attribute predicate lands on the corpus
     * side BEFORE the probe join, so the join input shrinks to the
-    * matching subset and the top-k ranks only eligible vectors — on the
-    * stored-codes layout (s11/s13) the same predicate reaches the
-    * parquet scan as a pushed filter and skip-stats prune whole
-    * directories before Spark plans the scan. Probes still search
+    * matching subset and the top-k ranks only eligible vectors — this
+    * gate proves the ordering in-plan; its STORED sibling
+    * [[s19FilteredAnnStored]] proves the same composition against the
+    * persisted codes layout, where an attribute-range predicate
+    * reaches the parquet scan as a pushed filter and skip-stats prune
+    * whole directories before Spark plans the scan (PlanSpec pins
+    * both). Probes still search
     * their nprobe=2 nearest lists; the filter must not change WHERE a
     * probe looks (list selection is a property of the query vector),
     * only what competes inside the lists.
@@ -370,6 +373,104 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
       |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk
       |  WHERE rk = 1 AND vec_id % 3 = 0),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 25 AND rk <= 2),
+      |p AS (SELECT probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) WHERE probes.qid <> lists.vec_id),
+      |r AS (SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
+      |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
+  /** FILTERED vector search on the STORED layout — [[s17FilteredAnn]]'s
+    * pre-filter composition run the way a 100 TB deployment runs it:
+    * the corpus codes live as a [[graft.io.Manifest]] table committed
+    * in vec_id-RANGE blocks with skip-stats sidecars (s14's ingest
+    * discipline), and the attribute predicate (here the realistic
+    * range shape — "WHERE date/id/tenant in range" — rather than
+    * s17's in-plan modulo demo) does its filtering at THREE levels
+    * before a single distance is computed: (1)
+    * [[graft.io.SkipStats.prunedDirs]] drops every non-overlapping
+    * directory before Spark even plans the scan — the engine REQUIRES
+    * a directory actually pruned; (2) the predicate reaches the
+    * parquet reader as a pushed filter on the codes scan
+    * (`PlanSpec` pins `PushedFilters`); (3) the row-level filter
+    * keeps the scan exact at block boundaries. Probes still search
+    * their nprobe=2 nearest lists — the filter changes what competes
+    * inside a list, never where a probe looks. The oracle replays the
+    * full build + the range predicate on the corpus, so the pruned
+    * stored path must answer bit-identically to an unpruned
+    * recomputation.
+    */
+  def s19FilteredAnnStored(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, SkipStats}
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_s19_ivf"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val lRoot = idx + "/lists"
+    val e = quantized(s, dir)
+    val ranked = centroidRanked(e, centroids(e)).staged()
+    val full = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nn"), col("clabel").as("list"))
+    // the eligibility cut: the lower half of the id range (bounded
+    // 1-row collect — the knob a real deployment gets from its
+    // predicate, not its data)
+    val cut = e.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    // stored layout: two range blocks, skip-stats at commit
+    full.filter(col("vec_id") <= cut).write.parquet(s"$idx/l_lo")
+    Manifest.commitWithStats(s, lRoot, s"$idx/l_lo", Seq("vec_id"))
+    full.filter(col("vec_id") > cut).write.parquet(s"$idx/l_hi")
+    Manifest.commitWithStats(s, lRoot, s"$idx/l_hi", Seq("vec_id"))
+    // level 1 — directory pruning must actually bite: the upper block
+    // cannot overlap [0, cut]
+    val (kept, skipped) =
+      SkipStats.prunedDirs(s, lRoot, "vec_id", "0", cut.toString)
+    require(skipped.contains(s"$idx/l_hi") && kept.contains(s"$idx/l_lo"),
+      s"skip-stats must prune the non-overlapping block (kept=$kept " +
+        s"skipped=$skipped)")
+    // levels 2+3 — the pruned scan with the pushed row filter
+    val lists = SkipStats.scan(s, lRoot, "vec_id", 0L, cut)
+    val probes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("clabel").as("list"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(probes).join(lists, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s19Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk
+      |  WHERE rk = 1 AND vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings)),
       |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
       |  WHERE vec_id < 25 AND rk <= 2),
       |p AS (SELECT probes.qid, lists.vec_id nid,
@@ -1940,6 +2041,7 @@ object SimilarityQueries {
     "s16_ann_takedown" -> (s16AnnTakedown _),
     "st13_stream_ivf" -> (st13StreamIvf _),
     "s17_filtered_ann" -> (s17FilteredAnn _),
+    "s19_filtered_ann_stored" -> (s19FilteredAnnStored _),
     "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
@@ -1967,6 +2069,7 @@ object SimilarityQueries {
     // must census exactly like the batch incremental build
     "st13_stream_ivf" -> s14Oracle,
     "s17_filtered_ann" -> s17Oracle,
+    "s19_filtered_ann_stored" -> s19Oracle,
     "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }

@@ -360,6 +360,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s19 stored filtered ANN: the range predicate reaches the codes " +
+      "scan as a pushed filter and skip-stats prune the other block") {
+    val df = SparkEntry.queries("s19_filtered_ann_stored")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+      .filter(p => p.contains("parquet") && p.contains("graft_s19_ivf"))
+    assert(scans.nonEmpty, "the stored codes scan must appear in the plan")
+    assert(scans.exists(p => p.contains("PushedFilters") &&
+      p.contains("LessThanOrEqual(vec_id") &&
+      p.contains("GreaterThanOrEqual(vec_id")),
+      s"the range predicate must reach the codes scan pushed:\n$scans")
+    // directory-level pruning happened BEFORE Spark planned the scan:
+    // the non-overlapping block's directory never appears
+    assert(scans.forall(!_.contains("l_hi")),
+      "the pruned block must not reach the scan's location list")
+    // and SkipStats reports exactly that split on the persisted layout
+    val base = spark.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val cut = Tables.embeddings(spark, sf)
+      .agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    val (kept, skipped) = graft.io.SkipStats.prunedDirs(spark,
+      s"$base/graft_s19_ivf/lists", "vec_id", "0", cut.toString)
+    assert(skipped.exists(_.endsWith("l_hi")) &&
+      kept.exists(_.endsWith("l_lo")),
+      s"prunedDirs must drop the non-overlapping block " +
+        s"(kept=$kept skipped=$skipped)")
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
