@@ -211,11 +211,13 @@ object SimilarityQueries {
   /** Nearest code of subspace `jc` for the slice of `v` it covers —
     * `struct(d, code, sc)` lexicographic min = the ROW_NUMBER
     * `ORDER BY d, code` pick (codes are unique, sc is never compared).
+    * `width` is the subspace dimensionality (8 for the s6 layout).
     */
-  private def nearestCode(v: Column, jc: Column): Column =
+  private def nearestCode(v: Column, jc: Column,
+      width: Int = 8): Column =
     array_min(transform(jc.getField("cands"), c =>
       struct(
-        sqDistLong(slice(v, jc.getField("j") * 8 + 1, lit(8)),
+        sqDistLong(slice(v, jc.getField("j") * width + 1, lit(width)),
           c.getField("sc")).as("d"),
         c.getField("code").as("code"),
         c.getField("sc").as("sc"))))
@@ -2022,6 +2024,694 @@ object SimilarityQueries {
       .orderBy(col("label"), col("assigned"))
   }
 
+  /** Shared corpus for the whitened-quantizer gates (s20/s21): the
+    * embeddings with a PLANTED pairwise correlation (each even
+    * position becomes 3× its pair partner plus itself — strong
+    * anisotropy concentrated in 2×2 blocks), plus the PCA half of
+    * whitening for exactly that structure, computed end-to-end in
+    * fixed-point so the DuckDB oracle replays the TRANSFORM itself:
+    *
+    *  - block moments (Σy, Σyᵢyⱼ per pair) in one map-side-combined
+    *    corpus pass — s18's split; at 100 TB the per-block/decimal
+    *    promotion of [[pcaMomentsExact]] applies unchanged;
+    *  - the per-pair EIGENBASIS in CLOSED FORM (for 2×2 symmetric
+    *    [[a,b],[b,c]]: λ₊ = ((a+c) + √((a−c)²+4b²))/2, leading
+    *    eigenvector ∝ (b, λ₊−a)) — each entry a short chain of IEEE
+    *    ops over exactly-agreed inputs, so both engines compute
+    *    bit-identical doubles where a d×d eigensolve could not be
+    *    replayed in SQL (the full-matrix path stays driver-side on
+    *    the same moments — `WhitenSpec` pins it against identity
+    *    covariance). The planted shear makes every pair's
+    *    off-diagonal moment strictly positive, so the eigenvector
+    *    normalization never degenerates;
+    *  - the rotation quantized to 12-bit fixed point as the integer
+    *    CONFORMAL matrix [[p, q], [−q, p]] (quantize once, negate
+    *    exactly), applied to 8-bit-truncated centered coordinates —
+    *    integer matvec, exactly invertible up to the uniform scale
+    *    p²+q² ≈ 4096², so every downstream quantizer/distance stays
+    *    in exact int64.
+    *
+    * Output per corpus row: `u2` (centered truncated coordinates in
+    * the sheared data space — the space both index variants are
+    * judged in), `z` (the same point in the fixed-point eigenbasis),
+    * and the broadcast rotation columns `pl`/`ql` for decode.
+    */
+  private def shearedRotated(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val e = quantized(s, dir)
+    val sheared = e.select(col("vec_id"), col("label"),
+      expr("""transform(sequence(1, 64), i ->
+        CASE WHEN i % 2 = 0
+          THEN 3L * element_at(v, i - 1) + element_at(v, i)
+          ELSE element_at(v, i) END)""").as("sv"))
+    val mom = sheared
+      .select(col("sv"),
+        expr("""flatten(transform(sequence(0, 31), k -> array(
+          element_at(sv, 2*k+1) * element_at(sv, 2*k+1),
+          element_at(sv, 2*k+1) * element_at(sv, 2*k+2),
+          element_at(sv, 2*k+2) * element_at(sv, 2*k+2))))""").as("pr"))
+      .agg(call_function("graft_elementwise_sum", col("pr")).as("sxy"),
+        call_function("graft_elementwise_sum", col("sv")).as("sx"),
+        count(lit(1)).as("n"))
+    val wRow = pairRotation(mom).crossJoin(
+      mom.select(expr("""transform(sx, x ->
+        CAST(floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT))""")
+        .as("mean")))
+    sheared.crossJoin(broadcast(wRow))
+      .withColumn("u2", expr("""transform(sequence(1, 64), i ->
+        CAST(floor(CAST(element_at(sv, i) - element_at(mean, i) AS DOUBLE)
+          / 256.0D) AS BIGINT))"""))
+      .withColumn("z", expr("""flatten(transform(sequence(0, 31), k -> array(
+        element_at(pl, k+1) * element_at(u2, 2*k+1)
+          + element_at(ql, k+1) * element_at(u2, 2*k+2),
+        -element_at(ql, k+1) * element_at(u2, 2*k+1)
+          + element_at(pl, k+1) * element_at(u2, 2*k+2))))"""))
+      .select(col("vec_id"), col("label"), col("u2"), col("z"),
+        col("pl"), col("ql"))
+  }
+
+  /** recall@3 histogram helper: exact top-3 on `u2` (integer L2 in
+    * the shared judged space) intersected with top-3 against a
+    * reconstructed corpus (`rec`: vec_id, r — reconstruction in the
+    * SAME space), per-probe hits histogrammed s9-style.
+    */
+  private def reconRecall(base: DataFrame, rec: DataFrame,
+      variant: String): DataFrame = {
+    val probes = base.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("y").as("qy"),
+        col("yn").as("qn"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("d2"), col("nid"))
+    val exact = broadcast(probes).crossJoin(base)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (col("qn") - lit(2L) * dotLong(col("qy"), col("y")) + col("yn"))
+          .as("d2"))
+      .withColumn("rk", row_number().over(topk)).filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"))
+    val ann = broadcast(probes)
+      .crossJoin(rec.withColumn("rn", normSqLong(col("r"))))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (col("qn") - lit(2L) * dotLong(col("qy"), col("r")) + col("rn"))
+          .as("d2"))
+      .withColumn("rk", row_number().over(topk)).filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"))
+    val hits = exact.join(ann, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    probes.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+      .groupBy(col("h").as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("qid")).as("checksum"))
+      .withColumn("variant", lit(variant))
+      .select(col("variant"), col("hits"), col("n_probes"),
+        col("checksum"))
+  }
+
+  /** Per-dimension linear (SQ) reconstruction of `ycol` with a
+    * per-dimension LEVEL budget (`levels(i)` quantization steps for
+    * 1-based dimension i) — s10's scheme with the bit budget as a
+    * knob. All integer arithmetic.
+    */
+  private def sqRecon(df: DataFrame, ycol: String,
+      levels: Int => Int): DataFrame = {
+    val lv = (1 to 64).map(levels).mkString("array(", "L, ", "L)")
+    val base = df.select(col("vec_id"), col(ycol).as("y"))
+    val mm = base.groupBy()
+      .agg(call_function("graft_elementwise_min", col("y")).as("mins"),
+        call_function("graft_elementwise_max", col("y")).as("maxs"))
+    val recon = expr(s"""transform(sequence(1, 64), i ->
+      element_at(mins, i) + CAST(floor(CAST(
+        CASE WHEN element_at(maxs, i) > element_at(mins, i) THEN
+          CAST(floor(CAST((element_at(y, i) - element_at(mins, i))
+              * element_at($lv, i) AS DOUBLE)
+            / CAST(element_at(maxs, i) - element_at(mins, i) AS DOUBLE))
+            AS BIGINT)
+        ELSE 0L END * (element_at(maxs, i) - element_at(mins, i))
+        AS DOUBLE) / CAST(element_at($lv, i) AS DOUBLE)) AS BIGINT))""")
+    base.crossJoin(broadcast(mm))
+      .select(col("vec_id"), recon.as("r"))
+  }
+
+  val s20Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |sh AS (SELECT vec_id, label, list_transform(range(1, 65), i ->
+      |    CASE WHEN i % 2 = 0 THEN 3 * v[CAST(i - 1 AS INT)] + v[CAST(i AS INT)]
+      |    ELSE v[CAST(i AS INT)] END) sv FROM q),
+      |sxyt AS (SELECT m,
+      |    CAST(SUM(CASE WHEN m % 3 = 0
+      |      THEN sv[CAST(2*(m//3)+1 AS INT)] * sv[CAST(2*(m//3)+1 AS INT)]
+      |    WHEN m % 3 = 1
+      |      THEN sv[CAST(2*(m//3)+1 AS INT)] * sv[CAST(2*(m//3)+2 AS INT)]
+      |    ELSE sv[CAST(2*(m//3)+2 AS INT)] * sv[CAST(2*(m//3)+2 AS INT)] END)
+      |      AS BIGINT) sm
+      |  FROM sh, range(0, 96) r(m) GROUP BY m),
+      |sxyl AS (SELECT list(sm ORDER BY m) sxy FROM sxyt),
+      |sxt AS (SELECT i, CAST(SUM(sv[CAST(i AS INT)]) AS BIGINT) sm
+      |  FROM sh, range(1, 65) r(i) GROUP BY i),
+      |sxl AS (SELECT list(sm ORDER BY i) sx FROM sxt),
+      |cnt AS (SELECT COUNT(*) n FROM sh),
+      |w1 AS (SELECT sxy, sx, n,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+1 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)) av,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+2 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)) bv,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+3 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)) cv
+      |  FROM sxyl, sxl, cnt),
+      |w2 AS (SELECT *, list_transform(range(1, 33), k ->
+      |    ((av[CAST(k AS INT)] + cv[CAST(k AS INT)])
+      |      + sqrt((av[CAST(k AS INT)] - cv[CAST(k AS INT)])
+      |          * (av[CAST(k AS INT)] - cv[CAST(k AS INT)])
+      |        + 4.0 * bv[CAST(k AS INT)] * bv[CAST(k AS INT)])) / 2.0) lam
+      |  FROM w1),
+      |w3 AS (SELECT *, list_transform(range(1, 33), k ->
+      |    sqrt(bv[CAST(k AS INT)] * bv[CAST(k AS INT)]
+      |      + (lam[CAST(k AS INT)] - av[CAST(k AS INT)])
+      |      * (lam[CAST(k AS INT)] - av[CAST(k AS INT)]))) nrm
+      |  FROM w2),
+      |w4 AS (SELECT
+      |    list_transform(range(1, 33), k -> CAST(floor(
+      |      bv[CAST(k AS INT)] / nrm[CAST(k AS INT)] * 4096.0 + 0.5)
+      |      AS BIGINT)) pl,
+      |    list_transform(range(1, 33), k -> CAST(floor(
+      |      (lam[CAST(k AS INT)] - av[CAST(k AS INT)]) / nrm[CAST(k AS INT)]
+      |        * 4096.0 + 0.5) AS BIGINT)) ql,
+      |    list_transform(sx, x -> CAST(floor(CAST(x AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) AS BIGINT)) mean
+      |  FROM w3),
+      |wh AS (SELECT sh.vec_id, sh.label,
+      |    list_transform(range(1, 65), i -> CAST(floor(
+      |      CAST(sv[CAST(i AS INT)] - mean[CAST(i AS INT)] AS DOUBLE) / 256.0)
+      |      AS BIGINT)) u2
+      |  FROM sh CROSS JOIN w4),
+      |zt AS (SELECT vec_id, label, u2,
+      |    flatten(list_transform(range(0, 32), k -> [
+      |      pl[CAST(k+1 AS INT)] * u2[CAST(2*k+1 AS INT)]
+      |        + ql[CAST(k+1 AS INT)] * u2[CAST(2*k+2 AS INT)],
+      |      -ql[CAST(k+1 AS INT)] * u2[CAST(2*k+1 AS INT)]
+      |        + pl[CAST(k+1 AS INT)] * u2[CAST(2*k+2 AS INT)]])) z
+      |  FROM wh CROSS JOIN w4),
+      |mmu AS (SELECT i, MIN(u2[CAST(i AS INT)]) mn, MAX(u2[CAST(i AS INT)]) mx
+      |  FROM wh, range(1, 65) r(i) GROUP BY i),
+      |mmul AS (SELECT list(mn ORDER BY i) umn, list(mx ORDER BY i) umx FROM mmu),
+      |rraw AS (SELECT vec_id, list_transform(range(1, 65), i ->
+      |    umn[CAST(i AS INT)] + CAST(floor(CAST(
+      |      CASE WHEN umx[CAST(i AS INT)] > umn[CAST(i AS INT)] THEN
+      |        CAST(floor(CAST((u2[CAST(i AS INT)] - umn[CAST(i AS INT)]) * 15
+      |            AS DOUBLE)
+      |          / CAST(umx[CAST(i AS INT)] - umn[CAST(i AS INT)] AS DOUBLE))
+      |          AS BIGINT)
+      |      ELSE 0 END * (umx[CAST(i AS INT)] - umn[CAST(i AS INT)])
+      |      AS DOUBLE) / CAST(15 AS DOUBLE)) AS BIGINT)) rr
+      |  FROM wh CROSS JOIN mmul),
+      |mmz AS (SELECT i, MIN(z[CAST(i AS INT)]) mn, MAX(z[CAST(i AS INT)]) mx
+      |  FROM zt, range(1, 65) r(i) GROUP BY i),
+      |mmzl AS (SELECT list(mn ORDER BY i) zmn, list(mx ORDER BY i) zmx FROM mmz),
+      |rz AS (SELECT vec_id, list_transform(range(1, 65), i ->
+      |    zmn[CAST(i AS INT)] + CAST(floor(CAST(
+      |      CASE WHEN zmx[CAST(i AS INT)] > zmn[CAST(i AS INT)] THEN
+      |        CAST(floor(CAST((z[CAST(i AS INT)] - zmn[CAST(i AS INT)])
+      |            * (CASE WHEN i % 2 = 1 THEN 63 ELSE 3 END) AS DOUBLE)
+      |          / CAST(zmx[CAST(i AS INT)] - zmn[CAST(i AS INT)] AS DOUBLE))
+      |          AS BIGINT)
+      |      ELSE 0 END * (zmx[CAST(i AS INT)] - zmn[CAST(i AS INT)])
+      |      AS DOUBLE) / CAST(CASE WHEN i % 2 = 1 THEN 63 ELSE 3 END AS DOUBLE))
+      |      AS BIGINT)) zr
+      |  FROM zt CROSS JOIN mmzl),
+      |rwhite AS (SELECT vec_id, flatten(list_transform(range(0, 32), k -> [
+      |    CAST(floor(CAST(pl[CAST(k+1 AS INT)] * zr[CAST(2*k+1 AS INT)]
+      |        - ql[CAST(k+1 AS INT)] * zr[CAST(2*k+2 AS INT)] AS DOUBLE)
+      |      / CAST(pl[CAST(k+1 AS INT)] * pl[CAST(k+1 AS INT)]
+      |        + ql[CAST(k+1 AS INT)] * ql[CAST(k+1 AS INT)] AS DOUBLE))
+      |      AS BIGINT),
+      |    CAST(floor(CAST(ql[CAST(k+1 AS INT)] * zr[CAST(2*k+1 AS INT)]
+      |        + pl[CAST(k+1 AS INT)] * zr[CAST(2*k+2 AS INT)] AS DOUBLE)
+      |      / CAST(pl[CAST(k+1 AS INT)] * pl[CAST(k+1 AS INT)]
+      |        + ql[CAST(k+1 AS INT)] * ql[CAST(k+1 AS INT)] AS DOUBLE))
+      |      AS BIGINT)])) rr
+      |  FROM rz CROSS JOIN w4),
+      |bs AS (SELECT vec_id, u2,
+      |    list_aggregate(list_transform(u2, x -> x * x), 'sum') un FROM wh),
+      |pr AS (SELECT vec_id qid, u2 qy, un qn FROM bs WHERE vec_id < 25),
+      |ex AS (SELECT pr.qid, bs.vec_id nid,
+      |    pr.qn - 2 * list_aggregate(list_transform(range(1, 65), i ->
+      |      qy[CAST(i AS INT)] * bs.u2[CAST(i AS INT)]), 'sum') + bs.un d2
+      |  FROM pr CROSS JOIN bs WHERE pr.qid <> bs.vec_id),
+      |ex3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk FROM ex)
+      |  WHERE rk <= 3),
+      |araw AS (SELECT pr.qid, t.vec_id nid,
+      |    pr.qn - 2 * list_aggregate(list_transform(range(1, 65), i ->
+      |      qy[CAST(i AS INT)] * t.rr[CAST(i AS INT)]), 'sum')
+      |      + list_aggregate(list_transform(t.rr, x -> x * x), 'sum') d2
+      |  FROM pr CROSS JOIN rraw t WHERE pr.qid <> t.vec_id),
+      |araw3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk FROM araw)
+      |  WHERE rk <= 3),
+      |awhite AS (SELECT pr.qid, t.vec_id nid,
+      |    pr.qn - 2 * list_aggregate(list_transform(range(1, 65), i ->
+      |      qy[CAST(i AS INT)] * t.rr[CAST(i AS INT)]), 'sum')
+      |      + list_aggregate(list_transform(t.rr, x -> x * x), 'sum') d2
+      |  FROM pr CROSS JOIN rwhite t WHERE pr.qid <> t.vec_id),
+      |awhite3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk FROM awhite)
+      |  WHERE rk <= 3),
+      |hraw AS (SELECT p2.qid, COALESCE(h.h, 0) h FROM (SELECT qid FROM pr) p2
+      |  LEFT JOIN (SELECT ex3.qid, COUNT(*) h FROM ex3 JOIN araw3
+      |    ON ex3.qid = araw3.qid AND ex3.nid = araw3.nid GROUP BY ex3.qid) h
+      |  ON p2.qid = h.qid),
+      |hwhite AS (SELECT p2.qid, COALESCE(h.h, 0) h FROM (SELECT qid FROM pr) p2
+      |  LEFT JOIN (SELECT ex3.qid, COUNT(*) h FROM ex3 JOIN awhite3
+      |    ON ex3.qid = awhite3.qid AND ex3.nid = awhite3.nid GROUP BY ex3.qid) h
+      |  ON p2.qid = h.qid),
+      |hist AS (
+      |  SELECT 'raw' variant, CAST(h AS BIGINT) hits, COUNT(*) n_probes,
+      |    CAST(SUM(qid) AS BIGINT) checksum FROM hraw GROUP BY h
+      |  UNION ALL
+      |  SELECT 'white' variant, CAST(h AS BIGINT) hits, COUNT(*) n_probes,
+      |    CAST(SUM(qid) AS BIGINT) checksum FROM hwhite GROUP BY h)
+      |SELECT variant, hits, n_probes, checksum FROM hist
+      |ORDER BY variant, hits""".stripMargin
+
+  /** WHITENING APPLIED TO A QUANTIZER — the stated point of s18's
+    * moments. A range-adaptive scalar quantizer is INVARIANT to
+    * per-dimension scaling (each dimension's error is range/levels
+    * regardless), so the scaling half of ZCA cannot move SQ recall;
+    * what lifts it is the PCA half plus bit ALLOCATION — classic
+    * transform coding: rotate each correlated pair to its eigenbasis
+    * (trained from the s18-style moments) and give the
+    * high-variance direction the bits the low-variance direction
+    * wastes (6+2 vs 4+4 — the SAME total budget). On the planted
+    * 3×-sheared corpus (λ₋/λ₊ ≈ 10⁻²) equal allocation spends half
+    * its budget on a direction carrying 1% of the energy; the
+    * eigen-allocated variant reconstructs in the ORIGINAL space (the
+    * integer conformal back-rotation), so BOTH variants are judged
+    * against the same exact top-3 in the same space — and the engine
+    * REQUIRES the transformed index's total hits ≥ the raw one
+    * before answering. The oracle replays the ENTIRE path — moments,
+    * closed-form eigenbasis, fixed-point rotation, SQ
+    * encode/decode at both allocations, back-rotation, both
+    * searches, the histogram — bit-identically in DuckDB.
+    */
+  def s20WhitenedSqRecall(s: SparkSession, dir: String): DataFrame = {
+    val c = shearedRotated(s, dir).staged()
+    val base = c.select(col("vec_id"), col("u2").as("y"))
+      .withColumn("yn", normSqLong(col("y")))
+    // raw: equal allocation, 15 levels (4 bits) per dimension
+    val rawRec = sqRecon(c, "u2", _ => 15)
+    // transformed: 63 levels on each pair's leading eigendirection,
+    // 3 on the trailing one (6+2 bits — same budget), decoded back
+    // to the judged space through the exact integer conformal inverse
+    val zRec = sqRecon(c, "z", i => if (i % 2 == 1) 63 else 3)
+    val whiteRec = zRec
+      .join(c.select(col("vec_id"), col("pl"), col("ql")), Seq("vec_id"))
+      .select(col("vec_id"),
+        expr("""flatten(transform(sequence(0, 31), k -> array(
+          CAST(floor(CAST(element_at(pl, k+1) * element_at(r, 2*k+1)
+              - element_at(ql, k+1) * element_at(r, 2*k+2) AS DOUBLE)
+            / CAST(element_at(pl, k+1) * element_at(pl, k+1)
+              + element_at(ql, k+1) * element_at(ql, k+1) AS DOUBLE))
+            AS BIGINT),
+          CAST(floor(CAST(element_at(ql, k+1) * element_at(r, 2*k+1)
+              + element_at(pl, k+1) * element_at(r, 2*k+2) AS DOUBLE)
+            / CAST(element_at(pl, k+1) * element_at(pl, k+1)
+              + element_at(ql, k+1) * element_at(ql, k+1) AS DOUBLE))
+            AS BIGINT))))""").as("r"))
+    val out = reconRecall(base, rawRec, "raw")
+      .unionAll(reconRecall(base, whiteRec, "white"))
+      .orderBy(col("variant"), col("hits"))
+    val rows = out.collect() // bounded: ≤ 8 histogram rows
+    val tot = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
+    require(tot("white") >= tot("raw"),
+      s"the eigen-allocated quantizer must not lose recall: $tot")
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The closed-form per-pair eigen rotation of [[shearedRotated]],
+    * factored over arbitrary block moments: given a 1-row DF with
+    * `sxy` (96 pair moments), `sx` (64 sums) and `n`, emit the 1-row
+    * fixed-point conformal rotation (`pl`, `ql` — 32 each).
+    */
+  private def pairRotation(mom: DataFrame): DataFrame = mom
+    .withColumn("av", expr("""transform(sequence(0, 31), k ->
+      CAST(n AS DOUBLE) * CAST(element_at(sxy, 3*k+1) AS DOUBLE)
+        - CAST(element_at(sx, 2*k+1) AS DOUBLE)
+        * CAST(element_at(sx, 2*k+1) AS DOUBLE))"""))
+    .withColumn("bv", expr("""transform(sequence(0, 31), k ->
+      CAST(n AS DOUBLE) * CAST(element_at(sxy, 3*k+2) AS DOUBLE)
+        - CAST(element_at(sx, 2*k+1) AS DOUBLE)
+        * CAST(element_at(sx, 2*k+2) AS DOUBLE))"""))
+    .withColumn("cv", expr("""transform(sequence(0, 31), k ->
+      CAST(n AS DOUBLE) * CAST(element_at(sxy, 3*k+3) AS DOUBLE)
+        - CAST(element_at(sx, 2*k+2) AS DOUBLE)
+        * CAST(element_at(sx, 2*k+2) AS DOUBLE))"""))
+    .withColumn("lam", expr("""transform(sequence(1, 32), k ->
+      ((element_at(av, k) + element_at(cv, k))
+        + sqrt((element_at(av, k) - element_at(cv, k))
+            * (element_at(av, k) - element_at(cv, k))
+          + 4.0D * element_at(bv, k) * element_at(bv, k))) / 2.0D)"""))
+    .withColumn("nrm", expr("""transform(sequence(1, 32), k ->
+      sqrt(element_at(bv, k) * element_at(bv, k)
+        + (element_at(lam, k) - element_at(av, k))
+        * (element_at(lam, k) - element_at(av, k))))"""))
+    .withColumn("pl", expr("""transform(sequence(1, 32), k ->
+      CAST(floor(element_at(bv, k) / element_at(nrm, k) * 4096.0D
+        + 0.5D) AS BIGINT))"""))
+    .withColumn("ql", expr("""transform(sequence(1, 32), k ->
+      CAST(floor((element_at(lam, k) - element_at(av, k))
+        / element_at(nrm, k) * 4096.0D + 0.5D) AS BIGINT))"""))
+    .select(col("pl"), col("ql"))
+
+  /** PQ WITH A WHITENED RESIDUAL STAGE — [[s20WhitenedSqRecall]]'s
+    * sibling for the production IVF-PQ+refine composition, and the
+    * honest finding about where whitening bites a vector quantizer:
+    * a per-subspace PQ whose codebook ADAPTS (means, k-means) is
+    * EQUIVARIANT to within-subspace conformal transforms — codebooks
+    * rotate with the data, so rotation/regrouping provably cannot
+    * move its recall (measured: ±1 hit, noise). What whitening DOES
+    * lift is the separable refinement stage every production index
+    * stacks on PQ (residual/additive quantization): both variants
+    * share the identical first stage — s6's per-label-mean PQ over
+    * 8-dim subspaces, reconstruction rounded to integers — and spend
+    * the SAME residual bit budget (4 bits/dim); the raw variant
+    * SQ-quantizes the residual per dimension, the whitened variant
+    * rotates each residual pair to its eigenbasis (trained from the
+    * RESIDUAL's own s18-style block moments — the planted 3× shear
+    * survives the label-mean subtraction) and allocates 6+2 bits by
+    * variance before decoding back through the exact integer
+    * conformal inverse. Same judged space, same exact top-3 ground
+    * truth; the engine REQUIRES whitened total hits ≥ raw
+    * (prototyped margins: 54→69 and 58→71 of 75 at the two gate
+    * scales). The oracle replays the ENTIRE path in DuckDB.
+    */
+  def s21WhitenedPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val c0 = shearedRotated(s, dir)
+    // ---- shared stage 1: s6's per-label-mean PQ, integer recon
+    val means = c0.groupBy(col("label"))
+      .agg(call_function("graft_elementwise_sum", col("u2")).as("sv"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("clabel"),
+        transform(col("sv"),
+          x => x.cast("double") / col("cnt").cast("double")).as("c"))
+    val cj = means.select(col("clabel"),
+        explode(sequence(lit(0), lit(7))).as("j"), col("c"))
+      .select(col("clabel"), col("j"),
+        slice(col("c"), col("j") * 8 + 1, lit(8)).as("sc"))
+    val cjp = packCodebook(cj, "clabel")
+    val rqCol = transform(
+      flatten(transform(col("byJ"), jc =>
+        nearestCode(col("u2"), jc).getField("sc"))),
+      m => floor(m + lit(0.5d)).cast("long"))
+    val c = c0.crossJoin(broadcast(cjp))
+      .select(col("vec_id"), col("u2"), rqCol.as("rq"))
+      .withColumn("resid",
+        zip_with(col("u2"), col("rq"), (a, b) => a - b))
+      .staged()
+    val base = c.select(col("vec_id"), col("u2").as("y"))
+      .withColumn("yn", normSqLong(col("y")))
+    // ---- raw: equal-allocation SQ15 on the residual
+    val rawRec = sqRecon(c, "resid", _ => 15)
+      .join(c.select(col("vec_id"), col("rq")), Seq("vec_id"))
+      .select(col("vec_id"),
+        zip_with(col("rq"), col("r"), (a, b) => a + b).as("r"))
+    // ---- white: residual rotated to its per-pair eigenbasis
+    // (moments of the RESIDUAL), 63/3 allocation, conformal decode
+    val momR = c.select(col("resid"),
+        expr("""flatten(transform(sequence(0, 31), k -> array(
+          element_at(resid, 2*k+1) * element_at(resid, 2*k+1),
+          element_at(resid, 2*k+1) * element_at(resid, 2*k+2),
+          element_at(resid, 2*k+2) * element_at(resid, 2*k+2))))""")
+          .as("pr"))
+      .agg(call_function("graft_elementwise_sum", col("pr")).as("sxy"),
+        call_function("graft_elementwise_sum", col("resid")).as("sx"),
+        count(lit(1)).as("n"))
+    val rot = pairRotation(momR)
+    val cz = c.crossJoin(broadcast(rot))
+      .withColumn("zr", expr("""flatten(transform(sequence(0, 31), k -> array(
+        element_at(pl, k+1) * element_at(resid, 2*k+1)
+          + element_at(ql, k+1) * element_at(resid, 2*k+2),
+        -element_at(ql, k+1) * element_at(resid, 2*k+1)
+          + element_at(pl, k+1) * element_at(resid, 2*k+2))))"""))
+    val whiteRec = sqRecon(cz, "zr", i => if (i % 2 == 1) 63 else 3)
+      .join(cz.select(col("vec_id"), col("rq"), col("pl"), col("ql")),
+        Seq("vec_id"))
+      .select(col("vec_id"), zip_with(col("rq"),
+        expr("""flatten(transform(sequence(0, 31), k -> array(
+          CAST(floor(CAST(element_at(pl, k+1) * element_at(r, 2*k+1)
+              - element_at(ql, k+1) * element_at(r, 2*k+2) AS DOUBLE)
+            / CAST(element_at(pl, k+1) * element_at(pl, k+1)
+              + element_at(ql, k+1) * element_at(ql, k+1) AS DOUBLE))
+            AS BIGINT),
+          CAST(floor(CAST(element_at(ql, k+1) * element_at(r, 2*k+1)
+              + element_at(pl, k+1) * element_at(r, 2*k+2) AS DOUBLE)
+            / CAST(element_at(pl, k+1) * element_at(pl, k+1)
+              + element_at(ql, k+1) * element_at(ql, k+1) AS DOUBLE))
+            AS BIGINT))))"""),
+        (a, b) => a + b).as("r"))
+    val out = reconRecall(base, rawRec, "raw")
+      .unionAll(reconRecall(base, whiteRec, "white"))
+      .orderBy(col("variant"), col("hits"))
+    val rows = out.collect() // bounded: ≤ 8 histogram rows
+    val tot = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
+    require(tot("white") >= tot("raw"),
+      s"the whitened residual stage must not lose recall: $tot")
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val s21Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |sh AS (SELECT vec_id, label, list_transform(range(1, 65), i ->
+      |    CASE WHEN i % 2 = 0 THEN 3 * v[CAST(i - 1 AS INT)] + v[CAST(i AS INT)]
+      |    ELSE v[CAST(i AS INT)] END) sv FROM q),
+      |sxyt AS (SELECT m,
+      |    CAST(SUM(CASE WHEN m % 3 = 0
+      |      THEN sv[CAST(2*(m//3)+1 AS INT)] * sv[CAST(2*(m//3)+1 AS INT)]
+      |    WHEN m % 3 = 1
+      |      THEN sv[CAST(2*(m//3)+1 AS INT)] * sv[CAST(2*(m//3)+2 AS INT)]
+      |    ELSE sv[CAST(2*(m//3)+2 AS INT)] * sv[CAST(2*(m//3)+2 AS INT)] END)
+      |      AS BIGINT) sm
+      |  FROM sh, range(0, 96) r(m) GROUP BY m),
+      |sxyl AS (SELECT list(sm ORDER BY m) sxy FROM sxyt),
+      |sxt AS (SELECT i, CAST(SUM(sv[CAST(i AS INT)]) AS BIGINT) sm
+      |  FROM sh, range(1, 65) r(i) GROUP BY i),
+      |sxl AS (SELECT list(sm ORDER BY i) sx FROM sxt),
+      |cnt AS (SELECT COUNT(*) n FROM sh),
+      |w1 AS (SELECT sxy, sx, n,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+1 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)) av,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+2 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)) bv,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+3 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)) cv
+      |  FROM sxyl, sxl, cnt),
+      |w2 AS (SELECT *, list_transform(range(1, 33), k ->
+      |    ((av[CAST(k AS INT)] + cv[CAST(k AS INT)])
+      |      + sqrt((av[CAST(k AS INT)] - cv[CAST(k AS INT)])
+      |          * (av[CAST(k AS INT)] - cv[CAST(k AS INT)])
+      |        + 4.0 * bv[CAST(k AS INT)] * bv[CAST(k AS INT)])) / 2.0) lam
+      |  FROM w1),
+      |w3 AS (SELECT *, list_transform(range(1, 33), k ->
+      |    sqrt(bv[CAST(k AS INT)] * bv[CAST(k AS INT)]
+      |      + (lam[CAST(k AS INT)] - av[CAST(k AS INT)])
+      |      * (lam[CAST(k AS INT)] - av[CAST(k AS INT)]))) nrm
+      |  FROM w2),
+      |w4 AS (SELECT
+      |    list_transform(range(1, 33), k -> CAST(floor(
+      |      bv[CAST(k AS INT)] / nrm[CAST(k AS INT)] * 4096.0 + 0.5)
+      |      AS BIGINT)) pl,
+      |    list_transform(range(1, 33), k -> CAST(floor(
+      |      (lam[CAST(k AS INT)] - av[CAST(k AS INT)]) / nrm[CAST(k AS INT)]
+      |        * 4096.0 + 0.5) AS BIGINT)) ql,
+      |    list_transform(sx, x -> CAST(floor(CAST(x AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) AS BIGINT)) mean
+      |  FROM w3),
+      |wh AS (SELECT sh.vec_id, sh.label,
+      |    list_transform(range(1, 65), i -> CAST(floor(
+      |      CAST(sv[CAST(i AS INT)] - mean[CAST(i AS INT)] AS DOUBLE) / 256.0)
+      |      AS BIGINT)) u2
+      |  FROM sh CROSS JOIN w4),
+      |labm AS (SELECT label, i,
+      |    CAST(CAST(SUM(u2[CAST(i AS INT)]) AS BIGINT) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) m
+      |  FROM wh, range(1, 65) r(i) GROUP BY label, i),
+      |labml AS (SELECT label clabel, list(m ORDER BY i) c FROM labm
+      |  GROUP BY label),
+      |cjq AS (SELECT clabel, CAST(j AS INT) j,
+      |    list_slice(c, CAST(j*8+1 AS INT), CAST(j*8+8 AS INT)) sc
+      |  FROM labml, range(0, 8) r(j)),
+      |encq AS (SELECT wh.vec_id, cjq.j, cjq.clabel,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      (CAST(u2[CAST(cjq.j*8+i AS INT)] AS DOUBLE) - sc[CAST(i AS INT)])
+      |      * (CAST(u2[CAST(cjq.j*8+i AS INT)] AS DOUBLE)
+      |        - sc[CAST(i AS INT)])), (a, b) -> a + b) d
+      |  FROM wh CROSS JOIN cjq),
+      |codeq AS (SELECT vec_id, j, clabel FROM (SELECT vec_id, j, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, clabel) rk
+      |  FROM encq) WHERE rk = 1),
+      |rqt AS (SELECT codeq.vec_id,
+      |    flatten(list(list_transform(cjq.sc, m ->
+      |      CAST(floor(m + 0.5) AS BIGINT)) ORDER BY codeq.j)) rq
+      |  FROM codeq JOIN cjq ON codeq.j = cjq.j AND codeq.clabel = cjq.clabel
+      |  GROUP BY codeq.vec_id),
+      |res AS (SELECT wh.vec_id, u2, rq, list_transform(range(1, 65), i ->
+      |    u2[CAST(i AS INT)] - rq[CAST(i AS INT)]) rs
+      |  FROM wh JOIN rqt ON wh.vec_id = rqt.vec_id),
+      |sxyrt AS (SELECT m, CAST(SUM(CASE WHEN m % 3 = 0
+      |      THEN rs[CAST(2*(m//3)+1 AS INT)] * rs[CAST(2*(m//3)+1 AS INT)]
+      |    WHEN m % 3 = 1
+      |      THEN rs[CAST(2*(m//3)+1 AS INT)] * rs[CAST(2*(m//3)+2 AS INT)]
+      |    ELSE rs[CAST(2*(m//3)+2 AS INT)] * rs[CAST(2*(m//3)+2 AS INT)] END)
+      |      AS BIGINT) sm
+      |  FROM res, range(0, 96) r(m) GROUP BY m),
+      |sxyrl AS (SELECT list(sm ORDER BY m) sxy FROM sxyrt),
+      |sxrt AS (SELECT i, CAST(SUM(rs[CAST(i AS INT)]) AS BIGINT) sm
+      |  FROM res, range(1, 65) r(i) GROUP BY i),
+      |sxrl AS (SELECT list(sm ORDER BY i) sx FROM sxrt),
+      |r1 AS (SELECT sxy, sx, n,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+1 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)) av,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+2 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+1 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)) bv,
+      |    list_transform(range(0, 32), k ->
+      |      CAST(n AS DOUBLE) * CAST(sxy[CAST(3*k+3 AS INT)] AS DOUBLE)
+      |        - CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)
+      |        * CAST(sx[CAST(2*k+2 AS INT)] AS DOUBLE)) cv
+      |  FROM sxyrl, sxrl, cnt),
+      |r2 AS (SELECT *, list_transform(range(1, 33), k ->
+      |    ((av[CAST(k AS INT)] + cv[CAST(k AS INT)])
+      |      + sqrt((av[CAST(k AS INT)] - cv[CAST(k AS INT)])
+      |          * (av[CAST(k AS INT)] - cv[CAST(k AS INT)])
+      |        + 4.0 * bv[CAST(k AS INT)] * bv[CAST(k AS INT)])) / 2.0) lam
+      |  FROM r1),
+      |r3 AS (SELECT *, list_transform(range(1, 33), k ->
+      |    sqrt(bv[CAST(k AS INT)] * bv[CAST(k AS INT)]
+      |      + (lam[CAST(k AS INT)] - av[CAST(k AS INT)])
+      |      * (lam[CAST(k AS INT)] - av[CAST(k AS INT)]))) nrm
+      |  FROM r2),
+      |r4 AS (SELECT
+      |    list_transform(range(1, 33), k -> CAST(floor(
+      |      bv[CAST(k AS INT)] / nrm[CAST(k AS INT)] * 4096.0 + 0.5)
+      |      AS BIGINT)) pl,
+      |    list_transform(range(1, 33), k -> CAST(floor(
+      |      (lam[CAST(k AS INT)] - av[CAST(k AS INT)]) / nrm[CAST(k AS INT)]
+      |        * 4096.0 + 0.5) AS BIGINT)) ql
+      |  FROM r3),
+      |zrt AS (SELECT res.vec_id, u2, rq, rs,
+      |    flatten(list_transform(range(0, 32), k -> [
+      |      pl[CAST(k+1 AS INT)] * rs[CAST(2*k+1 AS INT)]
+      |        + ql[CAST(k+1 AS INT)] * rs[CAST(2*k+2 AS INT)],
+      |      -ql[CAST(k+1 AS INT)] * rs[CAST(2*k+1 AS INT)]
+      |        + pl[CAST(k+1 AS INT)] * rs[CAST(2*k+2 AS INT)]])) zr
+      |  FROM res CROSS JOIN r4),
+      |mmr AS (SELECT i, MIN(rs[CAST(i AS INT)]) mn, MAX(rs[CAST(i AS INT)]) mx
+      |  FROM res, range(1, 65) r(i) GROUP BY i),
+      |mmrl AS (SELECT list(mn ORDER BY i) rmn, list(mx ORDER BY i) rmx FROM mmr),
+      |rawrec AS (SELECT vec_id, list_transform(range(1, 65), i ->
+      |    rq[CAST(i AS INT)] + rmn[CAST(i AS INT)] + CAST(floor(CAST(
+      |      CASE WHEN rmx[CAST(i AS INT)] > rmn[CAST(i AS INT)] THEN
+      |        CAST(floor(CAST((rs[CAST(i AS INT)] - rmn[CAST(i AS INT)]) * 15
+      |            AS DOUBLE)
+      |          / CAST(rmx[CAST(i AS INT)] - rmn[CAST(i AS INT)] AS DOUBLE))
+      |          AS BIGINT)
+      |      ELSE 0 END * (rmx[CAST(i AS INT)] - rmn[CAST(i AS INT)])
+      |      AS DOUBLE) / CAST(15 AS DOUBLE)) AS BIGINT)) rr
+      |  FROM res CROSS JOIN mmrl),
+      |mmz AS (SELECT i, MIN(zr[CAST(i AS INT)]) mn, MAX(zr[CAST(i AS INT)]) mx
+      |  FROM zrt, range(1, 65) r(i) GROUP BY i),
+      |mmzl AS (SELECT list(mn ORDER BY i) zmn, list(mx ORDER BY i) zmx FROM mmz),
+      |zrec AS (SELECT vec_id, rq, list_transform(range(1, 65), i ->
+      |    zmn[CAST(i AS INT)] + CAST(floor(CAST(
+      |      CASE WHEN zmx[CAST(i AS INT)] > zmn[CAST(i AS INT)] THEN
+      |        CAST(floor(CAST((zr[CAST(i AS INT)] - zmn[CAST(i AS INT)])
+      |            * (CASE WHEN i % 2 = 1 THEN 63 ELSE 3 END) AS DOUBLE)
+      |          / CAST(zmx[CAST(i AS INT)] - zmn[CAST(i AS INT)] AS DOUBLE))
+      |          AS BIGINT)
+      |      ELSE 0 END * (zmx[CAST(i AS INT)] - zmn[CAST(i AS INT)])
+      |      AS DOUBLE) / CAST(CASE WHEN i % 2 = 1 THEN 63 ELSE 3 END AS DOUBLE))
+      |      AS BIGINT)) zs
+      |  FROM zrt CROSS JOIN mmzl),
+      |whiterec AS (SELECT vec_id, list_transform(range(1, 65), i ->
+      |    rq[CAST(i AS INT)] + wb[CAST(i AS INT)]) rr
+      |  FROM (SELECT vec_id, rq, flatten(list_transform(range(0, 32), k -> [
+      |      CAST(floor(CAST(pl[CAST(k+1 AS INT)] * zs[CAST(2*k+1 AS INT)]
+      |          - ql[CAST(k+1 AS INT)] * zs[CAST(2*k+2 AS INT)] AS DOUBLE)
+      |        / CAST(pl[CAST(k+1 AS INT)] * pl[CAST(k+1 AS INT)]
+      |          + ql[CAST(k+1 AS INT)] * ql[CAST(k+1 AS INT)] AS DOUBLE))
+      |        AS BIGINT),
+      |      CAST(floor(CAST(ql[CAST(k+1 AS INT)] * zs[CAST(2*k+1 AS INT)]
+      |          + pl[CAST(k+1 AS INT)] * zs[CAST(2*k+2 AS INT)] AS DOUBLE)
+      |        / CAST(pl[CAST(k+1 AS INT)] * pl[CAST(k+1 AS INT)]
+      |          + ql[CAST(k+1 AS INT)] * ql[CAST(k+1 AS INT)] AS DOUBLE))
+      |        AS BIGINT)])) wb
+      |    FROM zrec CROSS JOIN r4)),
+      |bs AS (SELECT vec_id, u2,
+      |    list_aggregate(list_transform(u2, x -> x * x), 'sum') un FROM wh),
+      |pr AS (SELECT vec_id qid, u2 qy, un qn FROM bs WHERE vec_id < 25),
+      |ex AS (SELECT pr.qid, bs.vec_id nid,
+      |    pr.qn - 2 * list_aggregate(list_transform(range(1, 65), i ->
+      |      qy[CAST(i AS INT)] * bs.u2[CAST(i AS INT)]), 'sum') + bs.un d2
+      |  FROM pr CROSS JOIN bs WHERE pr.qid <> bs.vec_id),
+      |ex3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk FROM ex)
+      |  WHERE rk <= 3),
+      |araw AS (SELECT pr.qid, t.vec_id nid,
+      |    pr.qn - 2 * list_aggregate(list_transform(range(1, 65), i ->
+      |      qy[CAST(i AS INT)] * t.rr[CAST(i AS INT)]), 'sum')
+      |      + list_aggregate(list_transform(t.rr, x -> x * x), 'sum') d2
+      |  FROM pr CROSS JOIN rawrec t WHERE pr.qid <> t.vec_id),
+      |araw3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk FROM araw)
+      |  WHERE rk <= 3),
+      |awhite AS (SELECT pr.qid, t.vec_id nid,
+      |    pr.qn - 2 * list_aggregate(list_transform(range(1, 65), i ->
+      |      qy[CAST(i AS INT)] * t.rr[CAST(i AS INT)]), 'sum')
+      |      + list_aggregate(list_transform(t.rr, x -> x * x), 'sum') d2
+      |  FROM pr CROSS JOIN whiterec t WHERE pr.qid <> t.vec_id),
+      |awhite3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk FROM awhite)
+      |  WHERE rk <= 3),
+      |hraw AS (SELECT p2.qid, COALESCE(h.h, 0) h FROM (SELECT qid FROM pr) p2
+      |  LEFT JOIN (SELECT ex3.qid, COUNT(*) h FROM ex3 JOIN araw3
+      |    ON ex3.qid = araw3.qid AND ex3.nid = araw3.nid GROUP BY ex3.qid) h
+      |  ON p2.qid = h.qid),
+      |hwhite AS (SELECT p2.qid, COALESCE(h.h, 0) h FROM (SELECT qid FROM pr) p2
+      |  LEFT JOIN (SELECT ex3.qid, COUNT(*) h FROM ex3 JOIN awhite3
+      |    ON ex3.qid = awhite3.qid AND ex3.nid = awhite3.nid GROUP BY ex3.qid) h
+      |  ON p2.qid = h.qid),
+      |hist AS (
+      |  SELECT 'raw' variant, CAST(h AS BIGINT) hits, COUNT(*) n_probes,
+      |    CAST(SUM(qid) AS BIGINT) checksum FROM hraw GROUP BY h
+      |  UNION ALL
+      |  SELECT 'white' variant, CAST(h AS BIGINT) hits, COUNT(*) n_probes,
+      |    CAST(SUM(qid) AS BIGINT) checksum FROM hwhite GROUP BY h)
+      |SELECT variant, hits, n_probes, checksum FROM hist
+      |ORDER BY variant, hits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -2042,6 +2732,8 @@ object SimilarityQueries {
     "st13_stream_ivf" -> (st13StreamIvf _),
     "s17_filtered_ann" -> (s17FilteredAnn _),
     "s19_filtered_ann_stored" -> (s19FilteredAnnStored _),
+    "s20_whitened_sq_recall" -> (s20WhitenedSqRecall _),
+    "s21_whitened_pq_recall" -> (s21WhitenedPqRecall _),
     "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
@@ -2070,6 +2762,8 @@ object SimilarityQueries {
     "st13_stream_ivf" -> s14Oracle,
     "s17_filtered_ann" -> s17Oracle,
     "s19_filtered_ann_stored" -> s19Oracle,
+    "s20_whitened_sq_recall" -> s20Oracle,
+    "s21_whitened_pq_recall" -> s21Oracle,
     "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
