@@ -2712,6 +2712,49 @@ object SimilarityQueries {
       |SELECT variant, hits, n_probes, checksum FROM hist
       |ORDER BY variant, hits""".stripMargin
 
+  /** Retrieval QUALITY of the stored hybrid path — [[s15HybridStored]]
+    * proves the stored-index plumbing answers consistently; nothing
+    * yet measured what the compressed dense leg COSTS in result
+    * quality. This gate is the s9-style recall@5 report: for each of
+    * the bounded probe set, intersect s15's fused top-5 (IVF-PQ codes
+    * + stored BM25, RRF(60)) with the brute fused baseline
+    * ([[s12HybridRrf]]: both legs exact, same fusion), and histogram
+    * the per-probe hit counts. Both sides are deterministic
+    * (ties break by neighbor id), so the recall measurement is
+    * engine-exact and the oracle recomputes BOTH retrieval stacks
+    * end-to-end — the quality number itself is what hashes. At 100 TB
+    * this is the always-on index-health probe: a bounded probe sample
+    * against the exact answer on that sample, never a corpus-wide
+    * exact search.
+    */
+  def s22HybridRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = s12HybridRrf(s, dir).select(col("qid"), col("nid"))
+    val ann = s15HybridStored(s, dir).select(col("qid"), col("nid"))
+    val hits = exact.join(ann, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+      .groupBy(col("h").as("hits"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("qid")).as("checksum"))
+      .orderBy(col("hits"))
+  }
+
+  /** Both retrieval stacks recomputed in full (the s12 and s15 oracle
+    * bodies as subqueries), intersected per probe.
+    */
+  lazy val s22Oracle: String =
+    s"""WITH ex AS (SELECT qid, nid FROM ($s12Oracle)),
+       |ann AS (SELECT qid, nid FROM ($s15Oracle)),
+       |ph AS (SELECT p.qid, COALESCE(h.h, 0) h FROM
+       |  (SELECT DISTINCT qid FROM ex) p LEFT JOIN
+       |  (SELECT ex.qid, COUNT(*) h FROM ex JOIN ann
+       |    ON ex.qid = ann.qid AND ex.nid = ann.nid GROUP BY ex.qid) h
+       |  ON p.qid = h.qid)
+       |SELECT CAST(h AS BIGINT) hits, COUNT(*) n_probes,
+       |  CAST(SUM(qid) AS BIGINT) checksum
+       |FROM ph GROUP BY h ORDER BY hits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -2734,6 +2777,7 @@ object SimilarityQueries {
     "s19_filtered_ann_stored" -> (s19FilteredAnnStored _),
     "s20_whitened_sq_recall" -> (s20WhitenedSqRecall _),
     "s21_whitened_pq_recall" -> (s21WhitenedPqRecall _),
+    "s22_hybrid_recall" -> (s22HybridRecall _),
     "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
@@ -2764,6 +2808,7 @@ object SimilarityQueries {
     "s19_filtered_ann_stored" -> s19Oracle,
     "s20_whitened_sq_recall" -> s20Oracle,
     "s21_whitened_pq_recall" -> s21Oracle,
+    "s22_hybrid_recall" -> s22Oracle,
     "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
