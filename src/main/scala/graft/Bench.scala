@@ -75,13 +75,56 @@ object Bench {
           name -> math.min(firstPass(name), run1(name, fn))
         }
       }
+    // Contention hygiene vs the PREVIOUS record (r7 judge task #7):
+    // same-code queries have drifted 2–5× between rounds purely from
+    // suite contention, consuming review attention every round. At the
+    // END of the suite (caches warm, machine quiet), re-run ONCE any
+    // query that exceeds its previous recorded time by >2× (and a 0.5 s
+    // floor — micro-queries jitter freely) and keep the minimum: a
+    // phantom can't survive two independent runs, while a genuine
+    // regression stays visible because both runs reproduce it. The
+    // previous record is the last BENCH_LOCAL.json (committed per
+    // round); SPARK_GRAFT_BENCH_PREV overrides, missing file = no-op.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_LOCAL.json")
+    val prev: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val qstart = txt.indexOf("\"queries\":{")
+        if (qstart < 0) Map.empty
+        else {
+          val sub = txt.substring(qstart + 11, txt.indexOf("}", qstart))
+          """"([A-Za-z0-9_]+)":([-0-9.eE]+)""".r.findAllMatchIn(sub)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
+    val finalResults =
+      if (prev.isEmpty) results
+      else {
+        val regressed = queriesToRun.filter { case (name, _) =>
+          !failed.contains(name) && results(name) > 0.5 &&
+            prev.get(name).exists(p => p > 0 && results(name) > 2.0 * p)
+        }
+        if (regressed.nonEmpty)
+          System.err.println(s"[bench] end-of-suite re-run of " +
+            s"${regressed.size} quer(ies) >2x their previous record: " +
+            regressed.map(_._1).mkString(","))
+        results ++ regressed.map { case (name, fn) =>
+          name -> math.min(results(name), run1(name, fn))
+        }
+      }
     // 0.1 ms precision: full double repr at 119 queries pushed the line
     // past log-truncation limits and cost a round's worth of timings
     def r4(v: Double): Double = math.rint(v * 10000) / 10000
-    val qs = results.toSeq.sortBy(_._1)
+    val qs = finalResults.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total =
+      if (finalResults.nonEmpty) finalResults.values.sum else 0.0
     // failed queries are visible in the machine-readable output too — a
     // fast failure must not read as a speedup
     val failedJson = failed.distinct.map("\"" + _ + "\"")
@@ -92,8 +135,7 @@ object Bench {
     // file is the complete, always-parseable record of the same line.
     // Default is cwd-relative so the record lands next to wherever the
     // bench was launched; SPARK_GRAFT_BENCH_OUT overrides.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_LOCAL.json")
+    val out = outPath
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
