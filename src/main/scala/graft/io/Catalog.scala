@@ -79,6 +79,35 @@ object Catalog {
       (line.substring(0, i), line.substring(i + 1).toInt)
     }.toMap
 
+  /** Retention for a table the catalog pins: [[Manifest.expire]] with
+    * PIN PROTECTION. The catalog root itself is an ordinary manifest
+    * table — expiring ITS old versions with `Manifest.expire(catRoot,
+    * keepLast)` is always safe (a pin vector only references other
+    * tables; dropping an old vector never breaks a live one). But a
+    * TABLE version still referenced by any live catalog version must
+    * stay reachable, or `snapshotOf` through an old-but-live vector
+    * would fail on a vanished manifest — a dangling pin. This wrapper
+    * REFUSES loudly when the expire window would reclaim a version a
+    * live catalog version still pins; expire the catalog's own old
+    * versions first (shrinking the pinned set), then retry. Returns
+    * the versions reclaimed.
+    */
+  def expireTable(s: SparkSession, catRoot: String, tableRoot: String,
+      keepLast: Int): Seq[Int] = {
+    val vs = Manifest.versions(s, tableRoot)
+    val dead = vs.dropRight(keepLast)
+    val pinned = Manifest.versions(s, catRoot)
+      .flatMap(cv => resolve(s, catRoot, Some(cv)).get(tableRoot))
+      .toSet
+    val clash = dead.filter(pinned)
+    require(clash.isEmpty,
+      s"refusing to expire $tableRoot version(s) ${clash.mkString(",")}" +
+        s": still pinned by a live catalog version of $catRoot — " +
+        "expire the catalog's old versions first, or keep more " +
+        "table versions")
+    Manifest.expire(s, tableRoot, keepLast)
+  }
+
   /** A table's snapshot AS PINNED by the catalog — the cross-table-
     * consistent read path. Fails loudly if the catalog doesn't pin the
     * table (a reader asking for consistency must not silently fall

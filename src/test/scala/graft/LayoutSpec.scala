@@ -807,6 +807,67 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.io.Manifest.snapshot(spark, root).count() == 100)
   }
 
+  test("catalog retention: expiring old catalog versions is safe, " +
+      "expiring a still-pinned table version refuses loudly") {
+    import org.apache.hadoop.fs.Path
+    import graft.io.{Catalog, Manifest}
+    val base = System.getProperty("java.io.tmpdir") + "/graft_cat_ret"
+    val f = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(base), true)
+    val (tbl, cat) = (s"$base/tbl", s"$base/cat")
+    spark.range(0, 10).toDF("k").write.parquet(s"$base/d1")
+    Manifest.commit(spark, tbl, s"$base/d1")
+    Catalog.pin(spark, cat, Seq(tbl -> 1)) // catalog v1 pins tbl@1
+    spark.range(10, 30).toDF("k").write.parquet(s"$base/d2")
+    Manifest.commit(spark, tbl, s"$base/d2")
+    Catalog.pin(spark, cat, Seq(tbl -> 2)) // catalog v2 pins tbl@2
+    // the table cannot shed tbl@1 while catalog v1 still pins it —
+    // a dangling pin must be a refusal, not a later read failure
+    val e = intercept[IllegalArgumentException] {
+      Catalog.expireTable(spark, cat, tbl, keepLast = 1)
+    }
+    assert(e.getMessage.contains("still pinned"))
+    assert(Manifest.versions(spark, tbl) == Seq(1, 2), "nothing expired")
+    // the catalog root is an ordinary manifest table: expiring ITS
+    // old versions is always safe (drops old pin vectors only)
+    assert(Manifest.expire(spark, cat, keepLast = 1) == Seq(1))
+    assert(Catalog.resolve(spark, cat) == Map(tbl -> 2))
+    // the pinned table data was NOT touched by the catalog expire
+    // (catalog entries are root@version strings, not data dirs)
+    assert(Manifest.snapshot(spark, tbl, Some(1)).count() == 10)
+    // with the old vector gone, the table expire now proceeds and the
+    // catalog read path still answers from the surviving pin (tbl@2
+    // is an APPEND — its dir list carries d1, so the data survives
+    // and only the v1 manifest is reclaimed)
+    assert(Catalog.expireTable(spark, cat, tbl, keepLast = 1) == Seq(1))
+    assert(Catalog.snapshotOf(spark, cat, tbl).count() == 30)
+  }
+
+  test("quarantine retention: the quarantine table is an ordinary " +
+      "manifest table — expire keeps the latest triage set readable") {
+    import org.apache.hadoop.fs.Path
+    import graft.io.{Constraints, Manifest}
+    val base = System.getProperty("java.io.tmpdir") + "/graft_q_ret"
+    val fsys = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new Path(base), true)
+    import spark.implicits._
+    def ingest(rows: Seq[(java.lang.Long, Long)], tag: String) =
+      Constraints.commitQuarantined(spark, s"$base/t", s"$base/q",
+        rows.toDF("id", "x"), s"$base/b$tag", s"$base/q$tag",
+        Seq("id_not_null" -> col("id").isNotNull))
+    ingest(Seq((1L, 1L), (null, 2L)), "1")
+    ingest(Seq((2L, 3L), (null, 4L)), "2")
+    assert(Manifest.versions(spark, s"$base/q") == Seq(1, 2))
+    assert(Manifest.expire(spark, s"$base/q", keepLast = 1) == Seq(1))
+    // latest still reads both quarantine batches? No — expire drops
+    // the v1 manifest but v2 is an APPEND whose dir-list includes q1,
+    // so the latest triage set keeps every surviving violation
+    assert(Manifest.snapshot(spark, s"$base/q").count() == 2)
+    assert(Manifest.snapshot(spark, s"$base/t").count() == 2)
+  }
+
   test("bucketed point lookup prunes to a single bucket") {
     OpsQueries.io10BucketedJoin(spark, sf).collect()
     // a literal equality on the bucketing key must prune the scan to 1
