@@ -81,15 +81,163 @@ object DedupQueries {
       nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     i.cast("double") / (na + nb - i).cast("double")
 
-  /** Encoded-corpus docs cap for the broadcast form of the pair scan:
-    * ~2 KB per encoded doc → the default 64 Ki docs ≈ 128 MB broadcast,
-    * a sane executor/driver ceiling. Above it [[bitsetPairScanBlocked]]
-    * runs instead — the vocabulary gate alone is NOT enough, because a
-    * billion-row corpus with a tiny shingle alphabet still routes to the
-    * bitset representation and must not be broadcast.
+  /** Encoded-corpus docs cap for the broadcast form of the pair scan.
+    * The real constraint is BYTES pinned per executor, so the default
+    * derives from the measured per-doc pack width against a 128 MB
+    * budget (`spark.graft.dedup.maxBroadcastBytes`): a 377-shingle
+    * corpus packs at ~76 B/doc and broadcasts comfortably at 1 M+
+    * docs, where the old fixed 64 Ki-doc cap forced the shuffled
+    * blocked scan and paid ~µs of join machinery per candidate pair —
+    * measured 10–40× over the fused in-row sweep at the 30× octave
+    * probe. An explicit `spark.graft.dedup.maxBroadcastDocs` still
+    * overrides (the escape the route-equivalence specs force). Above
+    * the cap [[bitsetPairScanBlocked]] runs — the vocabulary gate
+    * alone is NOT enough, because a billion-row corpus with a tiny
+    * shingle alphabet still routes to the bitset representation and
+    * must not be broadcast.
     */
-  private def maxBroadcastDocs(s: SparkSession): Long =
-    s.conf.get("spark.graft.dedup.maxBroadcastDocs", "65536").toLong
+  private def maxBroadcastDocs(s: SparkSession, bytesPerDoc: Long): Long =
+    s.conf.getOption("spark.graft.dedup.maxBroadcastDocs").map(_.toLong)
+      .getOrElse(
+        s.conf.get("spark.graft.dedup.maxBroadcastBytes",
+          (128L * 1024 * 1024).toString).toLong / math.max(bytesPerDoc, 1L))
+
+  /** The encoded corpus packed into primitive arrays sorted by doc_id —
+    * the one-broadcast state of [[bitsetPairScanFused]].
+    */
+  private final case class BitsetPack(ids: Array[Long], ns: Array[Int],
+    bits: Array[Long], sigs: Array[String], w: Int)
+
+  private def packBitsets(enc: DataFrame, withSigs: Boolean): BitsetPack = {
+    val cols = Seq(col("doc_id"), col("bits"), col("n")) ++
+      (if (withSigs) Seq(col("sigs")) else Nil)
+    val rows = enc.select(cols: _*).collect().sortBy(_.getLong(0))
+    val m = rows.length
+    val w = if (m == 0) 0 else rows(0).getSeq[Long](1).length
+    val ids = new Array[Long](m)
+    val ns = new Array[Int](m)
+    val bits = new Array[Long](m * w)
+    val sigs = if (withSigs) new Array[String](m * 4) else null
+    var i = 0
+    while (i < m) {
+      val r = rows(i)
+      ids(i) = r.getLong(0)
+      ns(i) = r.getInt(2)
+      val b = r.getSeq[Long](1)
+      var j = 0
+      while (j < w) { bits(i * w + j) = b(j); j += 1 }
+      if (withSigs) {
+        val sg = r.getSeq[String](3)
+        var k = 0
+        while (k < 4) { sigs(i * 4 + k) = sg(k); k += 1 }
+      }
+      i += 1
+    }
+    BitsetPack(ids, ns, bits, sigs, w)
+  }
+
+  /** FUSED broadcast pair scan — the under-the-cap fast path: the
+    * encoded corpus packs into primitive arrays broadcast ONCE, and
+    * each corpus row sweeps all higher-id partners INSIDE the row
+    * (size filter → w-word AND+popcount → jaccard ≥ τ → optional
+    * band-agreement), emitting only surviving pairs. The same
+    * ~1.1·10¹⁰ candidate pairs that cost the broadcast JOIN form
+    * ~µs/pair of row machinery run here at ~ns/pair in one tight
+    * loop — the d3/d19 octave-probe fix. Exact same pair set and
+    * jaccard doubles as the join/blocked forms (the equivalence
+    * specs force all routes against each other).
+    */
+  private def bitsetPairScanFused(enc: DataFrame, tau: Double,
+      s: SparkSession, bandAgree: Boolean): DataFrame = {
+    val bc = s.sparkContext.broadcast(packBitsets(enc, bandAgree))
+    val pairUdf = udf((id: Long, myBits: Seq[Long], myN: Int,
+        mySigs: Seq[String]) => {
+      val pk = bc.value
+      val mb = myBits.toArray
+      val msig = if (mySigs == null) null else mySigs.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      var p = java.util.Arrays.binarySearch(pk.ids, id)
+      p = if (p >= 0) p + 1 else -p - 1
+      while (p < pk.ids.length) {
+        val nb = pk.ns(p)
+        val mn = math.min(myN, nb)
+        val mx = math.max(myN, nb)
+        if (mn >= math.ceil(tau * mx)) {
+          var inter = 0L
+          var j = 0
+          val off = p * pk.w
+          while (j < pk.w) {
+            inter += java.lang.Long.bitCount(mb(j) & pk.bits(off + j))
+            j += 1
+          }
+          val jac = inter.toDouble / (myN + nb - inter).toDouble
+          if (jac >= tau) {
+            if (msig == null) out += ((pk.ids(p), jac))
+            else {
+              var agree = false
+              var k = 0
+              while (k < 4 && !agree) {
+                agree = msig(k) == pk.sigs(p * 4 + k)
+                k += 1
+              }
+              if (agree) out += ((pk.ids(p), jac))
+            }
+          }
+        }
+        p += 1
+      }
+      out.toSeq
+    })
+    val sigsCol =
+      if (bandAgree) col("sigs") else lit(null).cast("array<string>")
+    enc.select(col("doc_id").as("ia"),
+        explode(pairUdf(col("doc_id"), col("bits"), col("n"), sigsCol))
+          .as("pj"))
+      .select(col("ia"), col("pj._1").as("ib"), col("pj._2").as("jac"))
+  }
+
+  /** [[bitsetPairScanFused]] for the CONTAINMENT census: size floor
+    * instead of the jaccard size filter, and the band predicate
+    * bp = (10000·i) div min(na,nb) ≥ `minBp` applied INSIDE the sweep
+    * (same integer arithmetic as the census expression) — without it
+    * the sweep materializes all ~n²/2 passing pairs as rows just for
+    * the census to drop them, which dominated the 30× probe. Emits
+    * (ib, intersection, nb) so the caller's exact integer band
+    * arithmetic is unchanged on the survivors.
+    */
+  private def containmentPairScanFused(enc: DataFrame, minSh: Int,
+      minBp: Long, s: SparkSession): DataFrame = {
+    val bc = s.sparkContext.broadcast(packBitsets(enc, withSigs = false))
+    val pairUdf = udf((id: Long, myBits: Seq[Long], myN: Int) => {
+      val pk = bc.value
+      val mb = myBits.toArray
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var p = java.util.Arrays.binarySearch(pk.ids, id)
+      p = if (p >= 0) p + 1 else -p - 1
+      while (p < pk.ids.length) {
+        val nb = pk.ns(p)
+        val mn = math.min(myN, nb)
+        if (mn >= minSh) {
+          var inter = 0L
+          var j = 0
+          val off = p * pk.w
+          while (j < pk.w) {
+            inter += java.lang.Long.bitCount(mb(j) & pk.bits(off + j))
+            j += 1
+          }
+          if (10000L * inter / mn >= minBp)
+            out += ((pk.ids(p), inter, nb))
+        }
+        p += 1
+      }
+      out.toSeq
+    })
+    enc.select(col("doc_id").as("ia"), col("n").as("na"),
+        explode(pairUdf(col("doc_id"), col("bits"), col("n"))).as("pj"))
+      .select(col("ia"), col("na"), col("pj._1").as("ib"),
+        col("pj._2").as("i"), col("pj._3").as("nb"))
+  }
 
   /** Pair scan under the lossless size filter
     * min(|A|,|B|) ≥ ⌈τ·max(|A|,|B|)⌉, routed by corpus size: broadcast
@@ -98,22 +246,34 @@ object DedupQueries {
     * as `<name>_a`/`<name>_b` for caller post-filters (band agreement).
     */
   private def bitsetPairScan(enc: DataFrame, tau: Double, nDocs: Long,
-      s: SparkSession, carry: Seq[String] = Seq.empty): DataFrame = {
-    val cap = maxBroadcastDocs(s)
-    if (nDocs <= cap) {
-      def side(suffix: String) =
-        enc.select((col("doc_id").as("i" + suffix) +:
-          col("bits").as("b" + suffix) +: col("n").as("n" + suffix) +:
-          carry.map(c => col(c).as(s"${c}_$suffix"))): _*)
-      side("a").join(broadcast(side("b")), col("ia") < col("ib") &&
-          least(col("na"), col("nb")) >=
-            ceil(lit(tau) * greatest(col("na"), col("nb"))))
-        .withColumn("i", intersectBits(col("ba"), col("bb")))
-        .withColumn("jac", jacCol(col("i"), col("na"), col("nb")))
-        .filter(col("jac") >= tau)
-    } else {
-      val blocks = math.max(2L, math.min(1024L, (nDocs + cap - 1) / cap)).toInt
-      bitsetPairScanBlocked(enc, tau, blocks, carry)
+      s: SparkSession, bytesPerDoc: Long): DataFrame = {
+    val cap = maxBroadcastDocs(s, bytesPerDoc)
+    if (nDocs <= cap) bitsetPairScanFused(enc, tau, s, bandAgree = false)
+    else {
+      val blocks =
+        math.max(2L, math.min(1024L, (nDocs + cap - 1) / cap)).toInt
+      bitsetPairScanBlocked(enc, tau, blocks, Seq.empty)
+    }
+  }
+
+  /** d3's degenerate-bucket route: the jaccard pair scan with the LSH
+    * band-agreement post-condition applied WHERE the pairs are
+    * produced (inside the fused sweep under the cap, as a column
+    * filter on the blocked form above it).
+    */
+  private def jacPairScanBandAgree(enc: DataFrame, tau: Double,
+      nDocs: Long, s: SparkSession, bytesPerDoc: Long): DataFrame = {
+    val cap = maxBroadcastDocs(s, bytesPerDoc)
+    if (nDocs <= cap) bitsetPairScanFused(enc, tau, s, bandAgree = true)
+    else {
+      val blocks =
+        math.max(2L, math.min(1024L, (nDocs + cap - 1) / cap)).toInt
+      val bandAgree = (0 until 4)
+        .map(i => col("sigs_a").getItem(i) === col("sigs_b").getItem(i))
+        .reduce(_ || _)
+      bitsetPairScanBlocked(enc, tau, blocks, Seq("sigs"))
+        .filter(bandAgree)
+        .select(col("ia"), col("ib"), col("jac"))
     }
   }
 
@@ -244,7 +404,8 @@ object DedupQueries {
         // would force the shingle UDF over the corpus just to count rows)
         val nDocs = Tables.documents(s, dir).count()
         // unsorted: every caller sorts after materializing (finishReleasing)
-        bitsetPairScan(encodeBitsets(base, vocab, par), tau, nDocs, s)
+        bitsetPairScan(encodeBitsets(base, vocab, par), tau, nDocs, s,
+            bytesPerDoc = ((vocab.length + 63) / 64) * 8L + 28L)
           .select(col("ia"), col("ib"), col("jac"))
       case None => jaccardPPJoin(base, tau)
     }
@@ -513,12 +674,8 @@ object DedupQueries {
       val enc = base.repartition(par).select(col("doc_id"),
         bitsetUdf(vocab)(col("gs")).as("bits"), size(col("gs")).as("n"),
         bandSignatures(col("mh"), 4, 4).as("sigs"))
-      val bandAgree = (0 until 4)
-        .map(i => col("sigs_a").getItem(i) === col("sigs_b").getItem(i))
-        .reduce(_ || _)
-      val raw = bitsetPairScan(enc, tau, nDocs, s, carry = Seq("sigs"))
-        .filter(bandAgree)
-        .select(col("ia"), col("ib"), col("jac"))
+      val raw = jacPairScanBandAgree(enc, tau, nDocs, s,
+        bytesPerDoc = ((vocab.length + 63) / 64) * 8L + 60L)
       finishReleasing(raw, base)
     } else {
       val cand = bands.as("a").join(bands.as("b"),
@@ -574,14 +731,11 @@ object DedupQueries {
       case Some(vocab) =>
         val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
         val enc = encodeBitsets(base, vocab, par)
-        val cap = maxBroadcastDocs(s)
-        val raw = if (nDocs <= cap) {
-          def side(x: String) = enc.select(col("doc_id").as("i" + x),
-            col("bits").as("b" + x), col("n").as("n" + x))
-          side("a").join(broadcast(side("b")),
-            col("ia") < col("ib") &&
-              least(col("na"), col("nb")) >= minSh)
-        } else {
+        val cap = maxBroadcastDocs(s,
+          bytesPerDoc = ((vocab.length + 63) / 64) * 8L + 28L)
+        if (nDocs <= cap)
+          containmentPairScanFused(enc, minSh, (tau * 10000).toLong, s)
+        else {
           val blocks = math.max(2L,
             math.min(1024L, (nDocs + cap - 1) / cap)).toInt
           def side(x: String) = enc
@@ -596,8 +750,9 @@ object DedupQueries {
                 col("lo") === col("hi")) &&
               col("ia") < col("ib") &&
               least(col("na"), col("nb")) >= minSh)
+            .withColumn("i", intersectBits(col("ba"), col("bb")))
+            .select(col("ia"), col("na"), col("ib"), col("i"), col("nb"))
         }
-        raw.withColumn("i", intersectBits(col("ba"), col("bb")))
       case None =>
         val ex = base.select(col("doc_id"), explode(col("gs")).as("g"))
         val gdf = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))

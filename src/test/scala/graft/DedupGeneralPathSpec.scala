@@ -112,8 +112,11 @@ class DedupGeneralPathSpec extends AnyFunSuite {
       (got, analyzed)
     }
     val (bcastPairs, bcastPlan) = run()
-    assert(bcastPlan.contains("ResolvedHint"),
-      "below the cap the corpus side must broadcast")
+    // below the cap the FUSED scan runs: the packed corpus travels as
+    // one broadcast variable and pairs are produced inside each row —
+    // no join of any kind in the plan
+    assert(!bcastPlan.contains("Join"),
+      s"below the cap the fused scan must not plan a join:\n$bcastPlan")
     spark.conf.set("spark.graft.dedup.maxBroadcastDocs", "10")
     try {
       val (blockedPairs, blockedPlan) = run()
