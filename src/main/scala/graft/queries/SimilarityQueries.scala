@@ -2323,6 +2323,21 @@ object SimilarityQueries {
     * searches, the histogram — bit-identically in DuckDB.
     */
   def s20WhitenedSqRecall(s: SparkSession, dir: String): DataFrame = {
+    val out = s20Pipeline(s, dir)
+    val rows = out.collect() // bounded: ≤ 8 histogram rows
+    val tot = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
+    require(tot("white") >= tot("raw"),
+      s"the eigen-allocated quantizer must not lose recall: $tot")
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The distributed pipeline behind [[s20WhitenedSqRecall]], exposed
+    * pre-collect so `PlanSpec` can pin its join shapes.
+    */
+  private[graft] def s20Pipeline(s: SparkSession, dir: String)
+      : DataFrame = {
     val c = shearedRotated(s, dir).staged()
     val base = c.select(col("vec_id"), col("u2").as("y"))
       .withColumn("yn", normSqLong(col("y")))
@@ -2346,16 +2361,9 @@ object SimilarityQueries {
             / CAST(element_at(pl, k+1) * element_at(pl, k+1)
               + element_at(ql, k+1) * element_at(ql, k+1) AS DOUBLE))
             AS BIGINT))))""").as("r"))
-    val out = reconRecall(base, rawRec, "raw")
+    reconRecall(base, rawRec, "raw")
       .unionAll(reconRecall(base, whiteRec, "white"))
       .orderBy(col("variant"), col("hits"))
-    val rows = out.collect() // bounded: ≤ 8 histogram rows
-    val tot = rows.groupBy(_.getString(0)).view
-      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
-    require(tot("white") >= tot("raw"),
-      s"the eigen-allocated quantizer must not lose recall: $tot")
-    s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** The closed-form per-pair eigen rotation of [[shearedRotated]],
@@ -2416,6 +2424,21 @@ object SimilarityQueries {
     * scales). The oracle replays the ENTIRE path in DuckDB.
     */
   def s21WhitenedPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val out = s21Pipeline(s, dir)
+    val rows = out.collect() // bounded: ≤ 8 histogram rows
+    val tot = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
+    require(tot("white") >= tot("raw"),
+      s"the whitened residual stage must not lose recall: $tot")
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The distributed pipeline behind [[s21WhitenedPqRecall]], exposed
+    * pre-collect so `PlanSpec` can pin its join shapes.
+    */
+  private[graft] def s21Pipeline(s: SparkSession, dir: String)
+      : DataFrame = {
     val c0 = shearedRotated(s, dir)
     // ---- shared stage 1: s6's per-label-mean PQ, integer recon
     val means = c0.groupBy(col("label"))
@@ -2479,16 +2502,9 @@ object SimilarityQueries {
               + element_at(ql, k+1) * element_at(ql, k+1) AS DOUBLE))
             AS BIGINT))))"""),
         (a, b) => a + b).as("r"))
-    val out = reconRecall(base, rawRec, "raw")
+    reconRecall(base, rawRec, "raw")
       .unionAll(reconRecall(base, whiteRec, "white"))
       .orderBy(col("variant"), col("hits"))
-    val rows = out.collect() // bounded: ≤ 8 histogram rows
-    val tot = rows.groupBy(_.getString(0)).view
-      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
-    require(tot("white") >= tot("raw"),
-      s"the whitened residual stage must not lose recall: $tot")
-    s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   val s21Oracle: String =

@@ -388,6 +388,41 @@ class PlanSpec extends AnyFunSuite {
         s"(kept=$kept skipped=$skipped)")
   }
 
+  test("s20/s21 whitening-recall pipelines: no cartesian product; " +
+      "every nested-loop broadcast side is a one-row pack or the " +
+      "bounded probe set") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    for ((name, df) <- Seq(
+        "s20" -> graft.queries.SimilarityQueries.s20Pipeline(spark, sf),
+        "s21" -> graft.queries.SimilarityQueries.s21Pipeline(spark, sf))) {
+      val plan = df.queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"$name: no unbounded product may appear")
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        .foreach { j =>
+          val bounded = Seq(j.left, j.right).exists(side =>
+            side.collect {
+              case a: HashAggregateExec
+                if a.groupingExpressions.isEmpty => a
+              case a: ObjectHashAggregateExec
+                if a.groupingExpressions.isEmpty => a
+              case a: SortAggregateExec
+                if a.groupingExpressions.isEmpty => a
+            }.nonEmpty ||
+            side.collect {
+              case f: FilterExec
+                if f.condition.toString.contains("< 25") => f
+            }.nonEmpty)
+          assert(bounded,
+            s"$name: nested-loop join without a one-row pack or " +
+              s"bounded probe side: $j")
+        }
+    }
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
