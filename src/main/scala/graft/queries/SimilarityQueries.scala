@@ -1522,7 +1522,7 @@ object SimilarityQueries {
     * from the original first block, census over survivors only.
     */
   def s16AnnTakedown(s: SparkSession, dir: String): DataFrame = {
-    import graft.io.{Manifest, MergeOnRead}
+    import graft.io.{Catalog, Manifest, MergeOnRead}
     graft.expressions.LongArrayOps.register(s)
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
@@ -1530,11 +1530,14 @@ object SimilarityQueries {
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-    val lRoot = idx + "/lists"
+    val (lRoot, qRoot, cRoot) =
+      (idx + "/lists", idx + "/quantizer", idx + "/catalog")
     val e = quantized(s, dir)
+    // frozen quantizer as a manifest table, pinnable with the lists
     centroids(e.filter(col("vec_id") % 2 === 0))
       .write.parquet(idx + "/centroids")
-    val cent = s.read.parquet(idx + "/centroids")
+    Manifest.commit(s, qRoot, idx + "/centroids")
+    val cent = Manifest.snapshot(s, qRoot)
     def ingest(part: DataFrame, tag: String): Unit = {
       centroidRanked(part, cent, maxRank = 1)
         .filter(col("rk") === 1)
@@ -1547,17 +1550,24 @@ object SimilarityQueries {
     GraftPar.par(
       ingest(e.filter(col("vec_id") % 2 === 0), "a"),
       ingest(e.filter(col("vec_id") % 2 === 1), "b"))
+    // concurrent loaders never pin mid-race; fan-in is the publish
+    Catalog.pinLatest(s, cRoot, Seq(lRoot, qRoot))
     val pre = Manifest.entries(s, lRoot)
     MergeOnRead.deleteWhere(s, lRoot, "vec_id",
       col("vec_id") % 13 === 3, idx + "/stage")
     require(Manifest.entries(s, lRoot).startsWith(pre),
       "a takedown must append a tombstone, never rewrite the lists")
-    def census(): DataFrame = MergeOnRead.snapshot(s, lRoot, "vec_id")
+    // the takedown publish: probes stop surfacing victims atomically
+    Catalog.pinLatest(s, cRoot, Seq(lRoot, qRoot))
+    def census(): DataFrame = MergeOnRead.snapshot(s, lRoot, "vec_id",
+        Some(Catalog.resolve(s, cRoot)(lRoot)))
       .groupBy(col("label"), col("clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))
     val deferred = census().collect().toSeq
     MergeOnRead.fold(s, lRoot, "vec_id", idx + "/stage")
+    // the maintenance fold publishes as its own pin vector
+    Catalog.pinLatest(s, cRoot, Seq(lRoot, qRoot))
     val folded = census()
     val foldedRows = folded.collect().toSeq
     require(foldedRows == deferred,

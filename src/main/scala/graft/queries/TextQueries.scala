@@ -1542,7 +1542,7 @@ object TextQueries {
     * grows without bound — at snapshot size.
     */
   def tBm25Compact(s: SparkSession, dir: String): DataFrame = {
-    import graft.io.{IndexCompaction, Manifest}
+    import graft.io.{Catalog, IndexCompaction, Manifest}
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
     val idx = base + "/graft_t26_bm25"
@@ -1550,6 +1550,7 @@ object TextQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val (pRoot, sRoot) = (idx + "/postings", idx + "/stats")
+    val cRoot = idx + "/catalog"
     def ingest(part: DataFrame, tag: String): Unit = {
       val withDl = part
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1563,6 +1564,7 @@ object TextQueries {
       withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
         .write.parquet(s"$idx/s_$tag")
       Manifest.commit(s, sRoot, s"$idx/s_$tag")
+      Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
     }
     val docs = Tables.documents(s, dir)
     ingest(docs.filter(col("doc_id") % 3 === 0), "a")
@@ -1577,10 +1579,12 @@ object TextQueries {
     require(postFiles < preFiles,
       s"compaction must reduce the postings file count " +
         s"($preFiles -> $postFiles)")
+    // the maintenance pair is itself one atomic publish
+    Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
     // ---- query: t25's read path, unchanged — the layout is the only
-    // thing compaction may touch
-    val tf = Manifest.snapshot(s, pRoot)
-    val st = Manifest.snapshot(s, sRoot)
+    // thing compaction may touch; resolution through the catalog pin
+    val tf = Catalog.snapshotOf(s, cRoot, pRoot)
+    val st = Catalog.snapshotOf(s, cRoot, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1617,7 +1621,7 @@ object TextQueries {
     * three-table index.
     */
   def tBm25Takedown(s: SparkSession, dir: String): DataFrame = {
-    import graft.io.{Manifest, MergeOnRead}
+    import graft.io.{Catalog, Manifest, MergeOnRead}
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
     val idx = base + "/graft_t27_bm25"
@@ -1626,6 +1630,7 @@ object TextQueries {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val (pRoot, dRoot, sRoot) =
       (idx + "/postings", idx + "/doclen", idx + "/stats")
+    val cRoot = idx + "/catalog"
     def ingest(part: DataFrame, tag: String): Unit = {
       val withDl = part
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1651,6 +1656,10 @@ object TextQueries {
     GraftPar.par(
       ingest(docs.filter(col("doc_id") % 2 === 0), "a"),
       ingest(docs.filter(col("doc_id") % 2 === 1), "b"))
+    // concurrent loaders never pin mid-race (a pin taken while a peer
+    // sits between its table commits would capture a torn vector); the
+    // fan-in point is the publish point
+    Catalog.pinLatest(s, cRoot, Seq(pRoot, dRoot, sRoot))
     // ---- the takedown: victims derived ONCE from the doc registry
     // (the doclen table — doc-count-sized, never the postings), then
     // applied everywhere: a compensating stats increment computed from
@@ -1678,6 +1687,10 @@ object TextQueries {
     victims.unpersist()
     require(Manifest.entries(s, pRoot).startsWith(preP),
       "a takedown must append tombstones, never rewrite the index")
+    // the takedown transaction (compensating stats + two tombstones)
+    // publishes atomically — no reader may see new postings against
+    // the old normalizer
+    Catalog.pinLatest(s, cRoot, Seq(pRoot, dRoot, sRoot))
     // fold-parity at ROW level — stronger than comparing the 25-row
     // answer (any divergence in any posting or registry row trips it,
     // not only divergence that survives top-5 ranking) and far cheaper:
@@ -1697,12 +1710,16 @@ object TextQueries {
       MergeOnRead.fold(s, dRoot, "doc_id", idx + "/stage-d"))
     require(tableCensus() == deferred,
       "folding the tombstones must not change what readers see")
-    // ---- the post-takedown answer, off the folded index
-    val st = Manifest.snapshot(s, sRoot)
+    // the maintenance fold is the third atomic publish
+    Catalog.pinLatest(s, cRoot, Seq(pRoot, dRoot, sRoot))
+    // ---- the post-takedown answer, off the folded index, resolved
+    // through the catalog's pin vector
+    val pins = Catalog.resolve(s, cRoot)
+    val st = Manifest.snapshot(s, sRoot, Some(pins(sRoot)))
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
-    val tf = MergeOnRead.snapshot(s, pRoot, "doc_id")
-    val dl = MergeOnRead.snapshot(s, dRoot, "doc_id")
+    val tf = MergeOnRead.snapshot(s, pRoot, "doc_id", Some(pins(pRoot)))
+    val dl = MergeOnRead.snapshot(s, dRoot, "doc_id", Some(pins(dRoot)))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ans = bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
     // the gate's caller only counts/writes the 25-row answer — hand it
