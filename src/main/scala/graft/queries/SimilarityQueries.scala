@@ -2781,6 +2781,227 @@ object SimilarityQueries {
        |  CAST(SUM(qid) AS BIGINT) checksum
        |FROM ph GROUP BY h ORDER BY hits""".stripMargin
 
+  /** ONE stream maintaining BOTH retrieval indexes under ONE atomic
+    * publish — the production composition st11 (streamed BM25) and
+    * st13 (streamed IVF) each proved half of: every microbatch
+    * tokenizes/assigns ONLY itself, lands postings + stats increments
+    * (sparse) and list entries (dense) as exactly-once manifest
+    * commits keyed by batchId, and then publishes the FOUR-table
+    * state (postings, stats, lists, frozen quantizer) with a single
+    * [[graft.io.Catalog.pinLatest]] — so a hybrid query can never see
+    * the sparse index ahead of the dense one or either ahead of its
+    * own statistics, no matter where the stream crashes. The query
+    * side is the hybrid RRF stack resolved entirely through the
+    * catalog pin: BM25 more-like-this top-20 from the pinned
+    * postings, dense cosine top-20 over the nprobe=2 probed pinned
+    * lists, [[s12HybridRrf]]'s exact-integer RRF(60) fusion. The
+    * oracle recomputes the whole composition — the streamed-in pair
+    * of indexes must answer bit-identically to a batch build.
+    *
+    * Corpus note: documents and embeddings share the low id range by
+    * construction; the source stream is documents LEFT JOIN
+    * embeddings, so the sparse corpus is every document and the dense
+    * corpus exactly the embedded subset — the oracle mirrors both.
+    */
+  def st15StreamHybrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.{Catalog, Manifest, SkipStats}
+    import graft.functions.TextFunctions.tokens
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_st15_hybrid"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val (pRoot, sRoot, lRoot, qRoot, cRoot) = (idx + "/postings",
+      idx + "/stats", idx + "/lists", idx + "/quantizer",
+      idx + "/catalog")
+    val e = quantized(s, dir)
+    // offline batch step: the coarse quantizer trains on the full
+    // embedded corpus and freezes as a manifest table
+    centroids(e).write.parquet(idx + "/centroids")
+    Manifest.commit(s, qRoot, idx + "/centroids")
+    // source: documents with their embedding when one exists
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"),
+          col("embedding")), Seq("doc_id"), "left")
+      .repartition(4).write.mode("overwrite").parquet(s"$idx/src")
+    val schema = s.read.parquet(s"$idx/src").schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        graft.expressions.LongArrayOps.register(ss)
+        val withDl = batch
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val pDir = s"$idx/p_$batchId"
+        if (!Manifest.committed(ss, pRoot).contains(pDir)) {
+          withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+            .write.mode("overwrite").parquet(pDir)
+          SkipStats.write(ss, pDir, Seq("doc_id"))
+          Manifest.commitIfAbsent(ss, pRoot, pDir)
+        }
+        val sDir = s"$idx/s_$batchId"
+        if (!Manifest.committed(ss, sRoot).contains(sDir)) {
+          withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+            .write.mode("overwrite").parquet(sDir)
+          Manifest.commitIfAbsent(ss, sRoot, sDir)
+        }
+        val lDir = s"$idx/l_$batchId"
+        if (!Manifest.committed(ss, lRoot).contains(lDir)) {
+          val eb = batch.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("label"),
+              quantize(col("embedding")).as("v"))
+            .withColumn("nn", normSqLong(col("v")))
+          val cent = Manifest.snapshot(ss, qRoot)
+          centroidRanked(eb, cent, maxRank = 1)
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("v"), col("nn"),
+              col("clabel").as("list"))
+            .write.mode("overwrite").parquet(lDir)
+          SkipStats.write(ss, lDir, Seq("vec_id"))
+          Manifest.commitIfAbsent(ss, lRoot, lDir)
+        }
+        // the SINGLE publish point for the whole hybrid index state
+        Catalog.pinLatest(ss, cRoot,
+          Seq(pRoot, sRoot, lRoot, qRoot))
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$idx/src")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$idx/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val nv = Manifest.versions(s, pRoot).size
+    require(nv >= 2 && nv <= 4,
+      s"expected one index commit per data-carrying microbatch, got $nv")
+    // ---- hybrid query, resolved entirely through the catalog pin
+    val pins = Catalog.resolve(s, cRoot)
+    // sparse leg: t25's read path off the pinned postings
+    val tf = Manifest.snapshot(s, pRoot, Some(pins(pRoot)))
+    val st = Manifest.snapshot(s, sRoot, Some(pins(sRoot)))
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val avgdl = totLen.toDouble / nDocs
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val qterms = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("nid"))
+    val sparse = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
+        col("tf"), col("df"), col("dl"), nDocs, avgdl))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
+      .withColumn("rks", row_number().over(ws))
+      .filter(col("rks") <= 20)
+      .select(col("qid"), col("nid"), col("rks"))
+    // dense leg: probes route against the pinned quantizer, scoring
+    // only the nprobe=2 probed pinned lists
+    val cent = Manifest.snapshot(s, qRoot, Some(pins(qRoot)))
+    val probes = centroidRanked(e.filter(col("vec_id") < 5), cent,
+        maxRank = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("clabel").as("list"))
+    val lists = Manifest.snapshot(s, lRoot, Some(pins(lRoot)))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val dense = broadcast(probes).join(lists, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rkd", row_number().over(wd))
+      .filter(col("rkd") <= 20)
+      .select(col("qid"), col("nid"), col("rkd"))
+    val rrf =
+      coalesce(floor(lit(1e9) / (lit(60) + col("rkd"))), lit(0L))
+        .cast("long") +
+        coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
+          .cast("long")
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid"))
+    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), col("rrf"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val st15Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk WHERE rk = 1),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 5 AND rk <= 2),
+      |pd AS (SELECT probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) WHERE probes.qid <> lists.vec_id),
+      |d20 AS (SELECT qid, nid, rkd FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY cos DESC, nid) rkd FROM pd)
+      |  WHERE rkd <= 20),
+      |t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM documents),
+      |nn2 AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+      |    (SELECT COUNT(*) FROM t) AS tl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS qid, term FROM t WHERE doc_id < 5),
+      |sc AS (SELECT qid, tf.doc_id AS nid,
+      |    CAST(SUM(CAST(FLOOR(
+      |      (CAST(nd AS DOUBLE) / df) * (tf * 2.2e0) /
+      |        (tf + 1.2e0 * (0.25e0 +
+      |          0.75e0 * (dl / (CAST(tl AS DOUBLE) / nd)))) * 1e7)
+      |      AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN nn2
+      |  WHERE tf.doc_id <> qt.qid
+      |  GROUP BY 1, 2),
+      |s20 AS (SELECT qid, nid, rks FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY score_fp DESC, nid) rks FROM sc)
+      |  WHERE rks <= 20),
+      |f AS (SELECT COALESCE(d20.qid, s20.qid) AS qid,
+      |    COALESCE(d20.nid, s20.nid) AS nid,
+      |    CAST(COALESCE(FLOOR(1e9 / (60 + rkd)), 0) AS BIGINT)
+      |      + CAST(COALESCE(FLOOR(1e9 / (60 + rks)), 0) AS BIGINT) AS rrf
+      |  FROM d20 FULL OUTER JOIN s20
+      |    ON d20.qid = s20.qid AND d20.nid = s20.nid),
+      |r AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER
+      |    (PARTITION BY qid ORDER BY rrf DESC, nid) rk FROM f)
+      |SELECT qid, rk, nid, rrf FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -2804,6 +3025,7 @@ object SimilarityQueries {
     "s20_whitened_sq_recall" -> (s20WhitenedSqRecall _),
     "s21_whitened_pq_recall" -> (s21WhitenedPqRecall _),
     "s22_hybrid_recall" -> (s22HybridRecall _),
+    "st15_stream_hybrid" -> (st15StreamHybrid _),
     "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
@@ -2835,6 +3057,7 @@ object SimilarityQueries {
     "s20_whitened_sq_recall" -> s20Oracle,
     "s21_whitened_pq_recall" -> s21Oracle,
     "s22_hybrid_recall" -> s22Oracle,
+    "st15_stream_hybrid" -> st15Oracle,
     "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
