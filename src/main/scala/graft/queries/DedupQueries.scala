@@ -1643,37 +1643,94 @@ object DedupQueries {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"),
         minhash16(col("text")).as("mh"))
-    def banded(df: DataFrame, id: String, g: String, sg: String) = df
-      .select(col("doc_id").as(id), col("gs").as(g),
-        bandSignatures(col("mh"), 4, 4).as(sg))
-      .select(col(id), col(g), col(sg),
-        posexplode(col(sg)).as(Seq("band", "sig")))
-    val fresh = banded(docs.filter(col("doc_id") < 100), "ia", "ga", "sa")
-    val corpus = banded(docs.filter(col("doc_id") >= 100), "ib", "gb", "sb")
-    // A pair agreeing in several bands would verify once per band; keep
-    // only the FIRST agreeing band (no earlier band matches) so each pair
-    // verifies exactly once and no distinct pass is needed — the standard
-    // LSH dedup guard. Unrolled element_at comparisons, not slice/zip
-    // HOFs: this predicate runs on every joined row (millions when
-    // buckets engulf), and HOF lambdas are interpreted + allocating
-    // while element_at stays inside codegen.
-    val firstBand = !(0 until 3).map(b =>
-      col("band") > b &&
-        element_at(col("sa"), b + 1) === element_at(col("sb"), b + 1))
-      .reduce(_ || _)
-    // lossless size prefilter (jac ≥ τ ⇒ min/max ≥ τ): candidates from
-    // engulfing buckets mostly die here, before the O(|A|+|B|) merge
-    // intersection. Exact integer form of τ = 4/5 — a double ⌈τ·max⌉
-    // mis-rounds on exact-ratio pairs (0.8·295 → 236.000…03 → 237)
-    val sizeOk = least(size(col("ga")), size(col("gb"))) * 5 >=
-      greatest(size(col("ga")), size(col("gb"))) * 4
-    corpus.join(broadcast(fresh), Seq("band", "sig"))
-      .filter(firstBand && sizeOk)
-      .withColumn("i", intersectSortedCount(col("ga"), col("gb")))
-      .select(col("ia"), col("ib"),
-        jacCol(col("i"), size(col("ga")), size(col("gb"))).as("jac"))
-      .filter(col("jac") >= tau)
-      .orderBy(col("ia"), col("ib"))
+    // representation-adaptive like d2/d3: when the dictionary fits,
+    // the ARRIVING BLOCK (bitsets + sizes + band sigs, ~100 B/doc)
+    // packs into one broadcast and each corpus row sweeps it in a
+    // tight loop — band agreement → lossless size filter →
+    // AND+popcount → jac ≥ τ — so a candidate costs ~ns instead of
+    // the ~µs row machinery of the banded join (which shuffles every
+    // bucket collision as a row; on a degenerate-bucket corpus that
+    // is nearly block×corpus rows). Exact same pair set: a pair
+    // qualifies iff ≥1 band agrees and jac ≥ τ, and the single sweep
+    // visits each pair exactly once (the join form needed the
+    // first-agreeing-band guard for that).
+    val vocabOpt = vocabOf(docs.select(col("doc_id"), col("gs")))
+    vocabOpt match {
+      case Some(vocab) =>
+        def enc(df: DataFrame) = df.select(col("doc_id"),
+          bitsetUdf(vocab)(col("gs")).as("bits"),
+          size(col("gs")).as("n"),
+          bandSignatures(col("mh"), 4, 4).as("sigs"))
+        val pk = packBitsets(enc(docs.filter(col("doc_id") < 100)),
+          withSigs = true)
+        val bc = s.sparkContext.broadcast(pk)
+        val sweep = udf((myBits: Seq[Long], myN: Int,
+            mySigs: Seq[String]) => {
+          val p = bc.value
+          val mb = myBits.toArray
+          val ms = mySigs.toArray
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          var a = 0
+          while (a < p.ids.length) {
+            var agree = false
+            var k = 0
+            while (k < 4 && !agree) {
+              agree = ms(k) == p.sigs(a * 4 + k)
+              k += 1
+            }
+            val na = p.ns(a)
+            // exact integer form of τ = 4/5 — a double ⌈τ·max⌉
+            // mis-rounds on exact-ratio pairs (0.8·295 → 237)
+            if (agree && math.min(na, myN) * 5L >=
+                math.max(na, myN) * 4L) {
+              var inter = 0L
+              var j = 0
+              val off = a * p.w
+              while (j < p.w) {
+                inter += java.lang.Long.bitCount(mb(j) & p.bits(off + j))
+                j += 1
+              }
+              val jac = inter.toDouble / (na + myN - inter).toDouble
+              if (jac >= tau) out += ((p.ids(a), jac))
+            }
+            a += 1
+          }
+          out.toSeq
+        })
+        enc(docs.filter(col("doc_id") >= 100))
+          .select(col("doc_id").as("ib"),
+            explode(sweep(col("bits"), col("n"), col("sigs"))).as("pj"))
+          .select(col("pj._1").as("ia"), col("ib"),
+            col("pj._2").as("jac"))
+          .orderBy(col("ia"), col("ib"))
+      case None =>
+        // general-vocabulary path: the banded equi-join over sorted
+        // shingle arrays, first-agreeing-band guarded
+        def banded(df: DataFrame, id: String, g: String, nn: String,
+            sg: String) = df
+          .select(col("doc_id").as(id), col("gs").as(g),
+            size(col("gs")).as(nn), bandSignatures(col("mh"), 4, 4).as(sg))
+          .select(col(id), col(g), col(nn), col(sg),
+            posexplode(col(sg)).as(Seq("band", "sig")))
+        val fresh =
+          banded(docs.filter(col("doc_id") < 100), "ia", "ga", "na", "sa")
+        val corpus =
+          banded(docs.filter(col("doc_id") >= 100), "ib", "gb", "nb", "sb")
+        val firstBand = !(0 until 3).map(b =>
+          col("band") > b &&
+            element_at(col("sa"), b + 1) === element_at(col("sb"), b + 1))
+          .reduce(_ || _)
+        val sizeOk = least(col("na"), col("nb")) * 5 >=
+          greatest(col("na"), col("nb")) * 4
+        corpus.join(broadcast(fresh), Seq("band", "sig"))
+          .filter(firstBand && sizeOk)
+          .withColumn("i", intersectSortedCount(col("ga"), col("gb")))
+          .select(col("ia"), col("ib"),
+            jacCol(col("i"), col("na"), col("nb")).as("jac"))
+          .filter(col("jac") >= tau)
+          .orderBy(col("ia"), col("ib"))
+    }
   }
 
   val dIncrementalOracle: String =
