@@ -862,25 +862,106 @@ object DedupQueries {
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"),
         minhash16(col("text")).as("mh"))
-    val probes = base.filter(col("doc_id") < 30)
-      .select(col("doc_id").as("ia"), col("gs").as("ga"),
-        col("mh").as("ma"))
-    val est16 = size(filter(
-      zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b))
-      .cast("long")
-    val inter = intersectSortedCount(col("ga"), col("gb"))
-    broadcast(probes)
-      .crossJoin(base.select(col("doc_id").as("ib"), col("gs").as("gb"),
-        col("mh").as("mb")))
-      .filter(col("ia") < col("ib"))
-      .select(est16.as("est16"),
-        floor(jacCol(inter, size(col("ga")), size(col("gb"))) * 10000)
-          .cast("long").as("jac_bp"))
-      .groupBy(col("est16"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_bp")).as("sum_jac_bp"),
-        min(col("jac_bp")).as("min_jac_bp"),
-        max(col("jac_bp")).as("max_jac_bp"))
-      .orderBy(col("est16"))
+    vocabOf(base) match {
+      case Some(vocab) =>
+        // fused sweep under the dictionary cap: the 30 probes pack
+        // (bitsets + sizes + 16 minhash components each) into one
+        // broadcast, and every corpus row buckets its ≤30 pairs
+        // LOCALLY (component-match count → est16, AND+popcount →
+        // exact jaccard basis points) emitting per-bucket partials —
+        // the 4.5M-pair probe×corpus product never materializes as
+        // rows (the crossJoin form paid ~µs of row machinery plus an
+        // interpreted zip_with per pair). Exact same statistics: the
+        // bitset popcount IS the distinct-shingle intersection when
+        // the dictionary fits, and jac_bp floors the identical IEEE
+        // double chain.
+        val rows = base.filter(col("doc_id") < 30)
+          .select(col("doc_id"), bitsetUdf(vocab)(col("gs")).as("bits"),
+            size(col("gs")).as("n"), col("mh"))
+          .collect().sortBy(_.getLong(0))
+        val m = rows.length
+        val w = if (m == 0) 0 else rows(0).getSeq[Long](1).length
+        val pIds = new Array[Long](m)
+        val pNs = new Array[Int](m)
+        val pBits = new Array[Long](m * w)
+        val pMh = new Array[Long](m * 16)
+        for (i <- 0 until m) {
+          pIds(i) = rows(i).getLong(0)
+          pNs(i) = rows(i).getInt(2)
+          val b = rows(i).getSeq[Long](1)
+          for (j <- 0 until w) pBits(i * w + j) = b(j)
+          val h = rows(i).getSeq[Long](3)
+          for (k <- 0 until 16) pMh(i * 16 + k) = h(k)
+        }
+        val bc = s.sparkContext.broadcast((pIds, pNs, pBits, pMh, w))
+        val sweep = udf((id: Long, myBits: Seq[Long], myN: Int,
+            myMh: Seq[Long]) => {
+          val (ids, ns, bits, mhs, w) = bc.value
+          val mb = myBits.toArray
+          val mm = myMh.toArray
+          val n = new Array[Long](17)
+          val sum = new Array[Long](17)
+          val mn = Array.fill(17)(Long.MaxValue)
+          val mx = Array.fill(17)(Long.MinValue)
+          var a = 0
+          while (a < ids.length && ids(a) < id) {
+            var est = 0
+            var k = 0
+            while (k < 16) {
+              if (mm(k) == mhs(a * 16 + k)) est += 1
+              k += 1
+            }
+            var inter = 0L
+            var j = 0
+            val off = a * w
+            while (j < w) {
+              inter += java.lang.Long.bitCount(mb(j) & bits(off + j))
+              j += 1
+            }
+            val na = ns(a)
+            val bp = math.floor(
+              inter.toDouble / (na + myN - inter).toDouble * 10000).toLong
+            n(est) += 1
+            sum(est) += bp
+            if (bp < mn(est)) mn(est) = bp
+            if (bp > mx(est)) mx(est) = bp
+            a += 1
+          }
+          (0 to 16).filter(n(_) > 0)
+            .map(e => (e.toLong, n(e), sum(e), mn(e), mx(e)))
+        })
+        base.select(col("doc_id"), bitsetUdf(vocab)(col("gs")).as("bits"),
+            size(col("gs")).as("n"), col("mh"))
+          .select(explode(sweep(col("doc_id"), col("bits"), col("n"),
+            col("mh"))).as("p"))
+          .groupBy(col("p._1").as("est16"))
+          .agg(sum(col("p._2")).as("n_pairs"),
+            sum(col("p._3")).as("sum_jac_bp"),
+            min(col("p._4")).as("min_jac_bp"),
+            max(col("p._5")).as("max_jac_bp"))
+          .orderBy(col("est16"))
+      case None =>
+        val probes = base.filter(col("doc_id") < 30)
+          .select(col("doc_id").as("ia"), col("gs").as("ga"),
+            col("mh").as("ma"))
+        val est16 = size(filter(
+          zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b))
+          .cast("long")
+        val inter = intersectSortedCount(col("ga"), col("gb"))
+        broadcast(probes)
+          .crossJoin(base.select(col("doc_id").as("ib"),
+            col("gs").as("gb"), col("mh").as("mb")))
+          .filter(col("ia") < col("ib"))
+          .select(est16.as("est16"),
+            floor(jacCol(inter, size(col("ga")), size(col("gb"))) * 10000)
+              .cast("long").as("jac_bp"))
+          .groupBy(col("est16"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("jac_bp")).as("sum_jac_bp"),
+            min(col("jac_bp")).as("min_jac_bp"),
+            max(col("jac_bp")).as("max_jac_bp"))
+          .orderBy(col("est16"))
+    }
   }
 
   val d16Oracle: String =
