@@ -93,9 +93,24 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8)
+        // Identity gate: a record left behind by an octave-probe run
+        // (different SF_DIR) or a different machine would make every
+        // >2x comparison meaningless — only compare same-sf, same-cpu
+        // records. Older records without a "cpus" field pass the cpu
+        // check (same-machine rounds wrote them).
+        val sfOk = {
+          val m = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+          m.exists(_.group(1) == sfDir)
+        }
+        val cpuOk = """"cpus":(\d+)""".r.findFirstMatchIn(txt)
+          .forall(_.group(1) == cpus)
         val qstart = txt.indexOf("\"queries\":{")
-        if (qstart < 0) Map.empty
-        else {
+        if (qstart < 0 || !sfOk || !cpuOk) {
+          if (qstart >= 0)
+            System.err.println("[bench] previous record is for a " +
+              "different sf dir or cpu count — skipping >2x comparison")
+          Map.empty
+        } else {
           val sub = txt.substring(qstart + 11, txt.indexOf("}", qstart))
           """"([A-Za-z0-9_]+)":([-0-9.eE]+)""".r.findAllMatchIn(sub)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -129,7 +144,7 @@ object Bench {
     // fast failure must not read as a speedup
     val failedJson = failed.distinct.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     println(json)
     // stdout goes through log capture that has truncated before; the
     // file is the complete, always-parseable record of the same line.

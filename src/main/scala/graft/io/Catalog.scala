@@ -54,13 +54,31 @@ object Catalog {
     * Streaming batch replayed after its pin landed), no new catalog
     * version is burned. Returns the catalog version holding the
     * vector.
+    *
+    * CONCURRENCY CONTRACT: assumes a SINGLE concurrent publisher per
+    * catalog. The per-root latest reads are sequential, so with a
+    * concurrent writer mid-publish the captured vector could mix the
+    * writer's old and new versions (lists@3 read, peer lands
+    * lists@4 + quantizer@2, quantizer@2 read). A stabilization
+    * re-read below retries until two consecutive scans of the vector
+    * agree, which closes the common in-motion window, but it is NOT a
+    * cross-table isolation guarantee — multi-publisher catalogs need
+    * external serialization of the publish step (the streaming paths
+    * get this for free: one query, one publisher).
     */
   def pinLatest(s: SparkSession, catRoot: String, roots: Seq[String],
       committer: Committer = FsCreateCommitter): Int = {
-    val vec = roots.map { r =>
+    def readVec(): Seq[(String, Int)] = roots.map { r =>
       val vs = Manifest.versions(s, r)
       require(vs.nonEmpty, s"cannot pin $r: no committed version")
       r -> vs.last
+    }
+    var vec = readVec()
+    var tries = 0
+    var settled = false
+    while (!settled && tries < 5) {
+      val again = readVec()
+      if (again == vec) settled = true else { vec = again; tries += 1 }
     }
     val catVersions = Manifest.versions(s, catRoot)
     if (catVersions.nonEmpty && resolve(s, catRoot) == vec.toMap)

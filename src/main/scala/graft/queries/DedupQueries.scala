@@ -111,29 +111,33 @@ object DedupQueries {
   private def packBitsets(enc: DataFrame, withSigs: Boolean): BitsetPack = {
     val cols = Seq(col("doc_id"), col("bits"), col("n")) ++
       (if (withSigs) Seq(col("sigs")) else Nil)
-    val rows = enc.select(cols: _*).collect().sortBy(_.getLong(0))
-    val m = rows.length
-    val w = if (m == 0) 0 else rows(0).getSeq[Long](1).length
-    val ids = new Array[Long](m)
-    val ns = new Array[Int](m)
-    val bits = new Array[Long](m * w)
-    val sigs = if (withSigs) new Array[String](m * 4) else null
-    var i = 0
-    while (i < m) {
-      val r = rows(i)
-      ids(i) = r.getLong(0)
-      ns(i) = r.getInt(2)
+    // Pack incrementally from a sorted toLocalIterator: the cap bounds
+    // the FINAL packed bytes, so transient driver memory must stay at
+    // packed-size + one fetched partition of rows — a full collect()
+    // materializes every Row (boxed Seq[Long] + per-doc Strings, ~10×
+    // the packed width) and would OOM the driver near the byte cap.
+    val it = enc.select(cols: _*).sort("doc_id").toLocalIterator()
+    val idsB = Array.newBuilder[Long]
+    val nsB = Array.newBuilder[Int]
+    val bitsB = Array.newBuilder[Long]
+    val sigsB = if (withSigs) Array.newBuilder[String] else null
+    var w = -1
+    while (it.hasNext) {
+      val r = it.next()
+      idsB += r.getLong(0)
+      nsB += r.getInt(2)
       val b = r.getSeq[Long](1)
+      if (w < 0) w = b.length
       var j = 0
-      while (j < w) { bits(i * w + j) = b(j); j += 1 }
+      while (j < w) { bitsB += b(j); j += 1 }
       if (withSigs) {
         val sg = r.getSeq[String](3)
         var k = 0
-        while (k < 4) { sigs(i * 4 + k) = sg(k); k += 1 }
+        while (k < 4) { sigsB += sg(k); k += 1 }
       }
-      i += 1
     }
-    BitsetPack(ids, ns, bits, sigs, w)
+    BitsetPack(idsB.result(), nsB.result(), bitsB.result(),
+      if (withSigs) sigsB.result() else null, math.max(w, 0))
   }
 
   /** FUSED broadcast pair scan — the under-the-cap fast path: the
