@@ -287,8 +287,9 @@ object Manifest {
   def sweepOrphans(s: SparkSession, root: String, dataRoot: String,
       graceMs: Long = 3600000L): Seq[String] = {
     val f = fs(s, root)
-    val referenced: Set[String] = versions(s, root)
-      .flatMap(v => readList(f, manifestPath(root, v)))
+    val referenced: Set[String] = (versions(s, root)
+      .flatMap(v => readList(f, manifestPath(root, v))) ++
+      cloneReferencedDirs(s, root))
       .map(e => new Path(e).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val rootPath = new Path(dataRoot)
@@ -350,20 +351,41 @@ object Manifest {
     * expire heals it (the reverse order would instead strand
     * unreferenced data directories no later run could ever reclaim).
     */
-  def expire(s: SparkSession, root: String, keepLast: Int): Seq[Int] = {
+  def expire(s: SparkSession, root: String, keepLast: Int,
+      force: Boolean = false): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val f = fs(s, root)
     val vs = versionsOf(f, root)
     val (dead, live) = vs.splitAt(math.max(vs.size - keepLast, 0))
     val keepDirs = live.flatMap(v => readList(f, manifestPath(root, v)))
       .toSet
+    val deadDirs: Map[Int, Seq[String]] = dead.map { v =>
+      v -> (try readList(f, manifestPath(root, v))
+        catch { case _: IncompleteManifestException => Seq.empty[String] })
+    }.toMap
+    // Clone protection: a registered shallow clone references this
+    // table's data directories through ITS OWN manifests, which this
+    // expire cannot see through keepDirs — deleting them is silent data
+    // loss on the clone's read path. Refuse loudly while any would-be-
+    // deleted directory is still listed by a live registered clone;
+    // `force = true` is the explicit deep-copied-or-I-accept-the-loss
+    // override.
+    if (!force) {
+      val wouldDelete = deadDirs.values.flatten.toSet -- keepDirs
+      if (wouldDelete.nonEmpty) registeredClones(s, root).foreach { c =>
+        val refs = cloneDirsOf(s, c).toSet
+        val clash = wouldDelete.intersect(refs)
+        require(clash.isEmpty,
+          s"refusing to expire $root: directories " +
+            s"${clash.toSeq.sorted.mkString(", ")} are still referenced " +
+            s"by registered clone $c — dropClone it (or deep-copy and " +
+            "force=true)")
+      }
+    }
     dead.foreach { v =>
-      val p = manifestPath(root, v)
-      val dirs =
-        try readList(f, p)
-        catch { case _: IncompleteManifestException => Seq.empty }
-      dirs.filterNot(keepDirs).foreach(d => f.delete(new Path(d), true))
-      f.delete(p, false)
+      deadDirs(v).filterNot(keepDirs)
+        .foreach(d => f.delete(new Path(d), true))
+      f.delete(manifestPath(root, v), false)
     }
     dead
   }
@@ -480,11 +502,15 @@ object Manifest {
     *
     * Sharing caveat (same as Delta shallow clones): the clone
     * REFERENCES the source's data directories, so [[expire]] on the
-    * source can delete directories the clone still lists — a manifest
-    * table knows only its own references. Vacuum the source only after
-    * the clone is dropped or deep-copied; [[sweepOrphans]] is safe
-    * (it spares committed directories of whatever root it's given, and
-    * staging roots are per-table).
+    * source could delete directories the clone still lists — a manifest
+    * table knows only its own references. ENFORCED here: the clone is
+    * registered on the source (`_clones/` marker, written BEFORE the
+    * clone's first manifest so a crash can only leave a harmless stale
+    * marker, never an unprotected clone), source [[expire]] refuses
+    * loudly while a registered clone still lists a would-be-deleted
+    * directory, and source-side [[sweepOrphans]] spares clone-referenced
+    * directories. [[dropClone]] deregisters once the clone is dropped
+    * or deep-copied.
     *
     * Refuses a non-empty destination: cloning ONTO a live table would
     * orphan its history silently — that's [[rewrite]]'s explicit job.
@@ -495,6 +521,67 @@ object Manifest {
     val dirs = entries(s, srcRoot, version)
     require(versionsOf(fs(s, dstRoot), dstRoot).isEmpty,
       s"refusing to clone onto non-empty table $dstRoot")
+    registerClone(s, srcRoot, dstRoot, committer)
     rewrite(s, dstRoot, dirs, committer)
+  }
+
+  // ── Clone registry — what makes shallow clones retention-safe ────
+
+  private def cloneMarker(srcRoot: String, dstRoot: String): Path =
+    new Path(new Path(srcRoot, "_clones"),
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(dstRoot.getBytes(StandardCharsets.UTF_8)))
+
+  /** Record on the SOURCE that `dstRoot` shallow-clones it — one
+    * create-if-absent marker under `srcRoot/_clones/` (the filename is
+    * the url-base64 of the clone root, the body the readable path).
+    * Idempotent; [[shallowClone]] calls it automatically.
+    */
+  def registerClone(s: SparkSession, srcRoot: String, dstRoot: String,
+      committer: Committer = FsCreateCommitter): Unit =
+    committer.createIfAbsent(fs(s, srcRoot),
+      cloneMarker(srcRoot, dstRoot),
+      dstRoot.getBytes(StandardCharsets.UTF_8))
+
+  /** The clone roots registered on `srcRoot`. Markers are dropped by
+    * [[dropClone]]; a marker whose clone table has no committed version
+    * (a crashed [[shallowClone]]) is reported too — it protects nothing
+    * (no manifests → no referenced dirs) but stays visible for cleanup.
+    */
+  def registeredClones(s: SparkSession, srcRoot: String): Seq[String] = {
+    val f = fs(s, srcRoot)
+    val dir = new Path(srcRoot, "_clones")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .map(st => new String(
+        java.util.Base64.getUrlDecoder.decode(st.getPath.getName),
+        StandardCharsets.UTF_8))
+      .sorted
+  }
+
+  /** Deregister a clone — one marker delete. The clone TABLE is not
+    * touched (it may have been deep-copied and live on); after this,
+    * source [[expire]]/[[sweepOrphans]] stop protecting the directories
+    * it references. Returns whether a registration was removed.
+    */
+  def dropClone(s: SparkSession, srcRoot: String, dstRoot: String)
+      : Boolean =
+    fs(s, srcRoot).delete(cloneMarker(srcRoot, dstRoot), false)
+
+  /** Every data directory any registered clone of `srcRoot` still
+    * references, across ALL of the clone's live versions — the set
+    * source-side retention must not reclaim.
+    */
+  private def cloneReferencedDirs(s: SparkSession, srcRoot: String)
+      : Seq[String] =
+    registeredClones(s, srcRoot).flatMap(c => cloneDirsOf(s, c))
+
+  private def cloneDirsOf(s: SparkSession, cloneRoot: String)
+      : Seq[String] = {
+    val cf = fs(s, cloneRoot)
+    versionsOf(cf, cloneRoot).flatMap { v =>
+      try readList(cf, manifestPath(cloneRoot, v))
+      catch { case _: IncompleteManifestException => Seq.empty[String] }
+    }
   }
 }

@@ -891,6 +891,68 @@ class LayoutSpec extends AnyFunSuite {
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
 
+  test("expire on a cloned-from table refuses while a registered clone " +
+      "references the dirs; dropClone unblocks it") {
+    import org.apache.hadoop.fs.Path
+    import graft.io.Manifest
+    val base = System.getProperty("java.io.tmpdir") + "/graft_clone_ret"
+    val f = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(base), true)
+    val (src, cln) = (s"$base/src", s"$base/clone")
+    spark.range(5).toDF("id").write.parquet(s"$base/data/b1")
+    spark.range(5, 9).toDF("id").write.parquet(s"$base/data/b2")
+    Manifest.commit(spark, src, s"$base/data/b1")
+    // clone pins src@v1 = {b1}; the source then rewrites away from b1,
+    // so expire(keepLast=1) would reclaim exactly what the clone reads
+    Manifest.shallowClone(spark, src, cln)
+    assert(Manifest.registeredClones(spark, src) == Seq(cln))
+    Manifest.rewrite(spark, src, Seq(s"$base/data/b2"))
+    val ex = intercept[IllegalArgumentException] {
+      Manifest.expire(spark, src, keepLast = 1)
+    }
+    assert(ex.getMessage.contains(cln) &&
+      ex.getMessage.contains(s"$base/data/b1"),
+      s"refusal must name the clone and the dirs: ${ex.getMessage}")
+    // nothing was reclaimed by the refused attempt
+    assert(Manifest.versions(spark, src) == Seq(1, 2))
+    assert(Manifest.snapshot(spark, cln).count() == 5)
+    // force overrides explicitly (deep-copied-or-accepted-loss path)
+    // — not exercised destructively here; dropClone is the normal path
+    assert(Manifest.dropClone(spark, src, cln))
+    assert(Manifest.registeredClones(spark, src).isEmpty)
+    assert(Manifest.expire(spark, src, keepLast = 1) == Seq(1))
+    assert(!f.exists(new Path(s"$base/data/b1")))
+    // expire with NO clash never consults clones: re-clone the current
+    // version and expire again — single live version, nothing dead
+    Manifest.shallowClone(spark, src, s"$base/clone2")
+    assert(Manifest.expire(spark, src, keepLast = 1) == Seq.empty)
+  }
+
+  test("sweepOrphans spares directories only a registered clone " +
+      "references; dropClone releases them") {
+    import org.apache.hadoop.fs.Path
+    import graft.io.Manifest
+    val base = System.getProperty("java.io.tmpdir") + "/graft_clone_swp"
+    val f = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(base), true)
+    val (src, cln) = (s"$base/src", s"$base/clone")
+    spark.range(3).toDF("id").write.parquet(s"$base/data/b1")
+    spark.range(3).toDF("id").write.parquet(s"$base/data/lost")
+    Manifest.commit(spark, src, s"$base/data/b1")
+    // the post-expire-force shape: a dir no SOURCE version references
+    // but a registered clone still lists
+    Manifest.registerClone(spark, src, cln)
+    Manifest.rewrite(spark, cln, Seq(s"$base/data/lost"))
+    assert(Manifest.sweepOrphans(spark, src, s"$base/data",
+      graceMs = 0L).isEmpty)
+    assert(f.exists(new Path(s"$base/data/lost")))
+    assert(Manifest.dropClone(spark, src, cln))
+    assert(Manifest.sweepOrphans(spark, src, s"$base/data", graceMs = 0L)
+      == Seq(new Path(s"$base/data/lost").toUri.getPath))
+  }
+
   test("z-order prefix decomposition never misses a boxed point") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 200) {
