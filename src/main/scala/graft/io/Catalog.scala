@@ -138,4 +138,40 @@ object Catalog {
       s"catalog $catRoot does not pin $tableRoot (pins: ${pins.keys})")
     Manifest.snapshot(s, tableRoot, Some(pins(tableRoot)))
   }
+
+  /** The catalog's own commit history: every live catalog version with
+    * the full pin vector it published, ascending — CONSISTENT-PAIR time
+    * travel ("what did the hybrid index look like two publishes ago").
+    * Each entry is a cross-table-consistent state by construction (one
+    * pin = one atomic vector), so replaying history through
+    * [[snapshotOf]] with these versions replays exactly the states
+    * readers ever saw. Cost: one small-file read per live version.
+    */
+  def history(s: SparkSession, catRoot: String): Seq[(Int, Map[String, Int])] =
+    Manifest.versions(s, catRoot)
+      .map(v => v -> resolve(s, catRoot, Some(v)))
+
+  /** The catalog version live as of a wall-clock instant —
+    * [[Manifest.versionAt]] on the catalog's own manifests (a pin is
+    * written exactly once, so its file mtime IS the publish instant).
+    * None before the first pin; shares every mtime caveat of the
+    * single-table AS OF.
+    */
+  def versionAt(s: SparkSession, catRoot: String, tsMillis: Long)
+      : Option[Int] =
+    Manifest.versionAt(s, catRoot, tsMillis)
+
+  /** Cross-table-consistent snapshot AS OF a wall-clock instant: the
+    * table as the catalog pinned it at `tsMillis` — every table read
+    * through the same instant resolves through the SAME pin vector, so
+    * a multi-table reader gets the consistent pair of that moment, not
+    * a mix of epochs.
+    */
+  def snapshotOfAt(s: SparkSession, catRoot: String, tableRoot: String,
+      tsMillis: Long): DataFrame = {
+    val v = versionAt(s, catRoot, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of catalog $catRoot existed at $tsMillis"))
+    snapshotOf(s, catRoot, tableRoot, Some(v))
+  }
 }

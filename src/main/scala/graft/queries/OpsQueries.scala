@@ -1788,6 +1788,94 @@ object OpsQueries {
       |  COUNT(DISTINCT doc_id) AS nd, CAST(SUM(tf) AS BIGINT) AS tl
       |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
 
+  /** Cross-table TIME TRAVEL through the catalog —
+    * [[graft.io.Catalog.history]] / [[graft.io.Catalog.snapshotOfAt]]
+    * (Nessie tags / Iceberg catalog history): a catalog version is a
+    * consistent PAIR by construction, so replaying its history replays
+    * exactly the cross-table states readers ever saw — "what did the
+    * index look like yesterday" answered with postings and stats from
+    * the SAME epoch, never a mix. The gate publishes two epochs of a
+    * postings+stats pair, then drifts the postings TABLE with an
+    * unpinned batch 3; in-query requires pin the history vectors, the
+    * mtime-based AS-OF resolution of each publish instant, and that
+    * the drift is invisible through every epoch. Phase 0 reads epoch 1
+    * via the wall-clock [[graft.io.Catalog.snapshotOfAt]] path, phase 1
+    * reads epoch 2 via the explicit-version path, and the oracle
+    * recomputes both epochs' censuses from `documents` — the
+    * hash-compare proves each phase saw its epoch's consistent pair.
+    */
+  def io32CatalogHistory(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Catalog, Manifest}
+    import graft.functions.TextFunctions.tokens
+    val base = tmpDir(s) + "/graft_io32"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val (pRoot, sRoot, cat) = (s"$base/postings", s"$base/stats",
+      s"$base/cat")
+    def postings(lo: Long, hi: Long) = Tables.documents(s, dir)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    def land(batch: Int, lo: Long, hi: Long): (Int, Int) = {
+      postings(lo, hi).write.parquet(s"$base/data/p$batch")
+      val pv = Manifest.commit(s, pRoot, s"$base/data/p$batch")
+      s.read.parquet(s"$base/data/p$batch")
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          sum(col("tf")).as("tl"))
+        .write.parquet(s"$base/data/s$batch")
+      (pv, Manifest.commit(s, sRoot, s"$base/data/s$batch"))
+    }
+    val (pv1, sv1) = land(1, 0, 100)
+    val cv1 = Catalog.pin(s, cat, Seq(pRoot -> pv1, sRoot -> sv1))
+    // distinct publish instants for the mtime AS-OF (ms granularity)
+    Thread.sleep(50)
+    val (pv2, sv2) = land(2, 100, 200)
+    val cv2 = Catalog.pin(s, cat, Seq(pRoot -> pv2, sRoot -> sv2))
+    // TABLE-level drift after the last publish: batch 3 lands unpinned
+    postings(200, 250).write.parquet(s"$base/data/p3")
+    Manifest.commit(s, pRoot, s"$base/data/p3")
+    val hist = Catalog.history(s, cat)
+    require(hist == Seq(
+      cv1 -> Map(pRoot -> pv1, sRoot -> sv1),
+      cv2 -> Map(pRoot -> pv2, sRoot -> sv2)),
+      s"catalog history must replay both published vectors, got $hist")
+    def pinInstant(cv: Int) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(cat, f"manifest-v$cv%06d"))
+      .getModificationTime
+    val (t1, t2) = (pinInstant(cv1), pinInstant(cv2))
+    require(Catalog.versionAt(s, cat, t1).contains(cv1) &&
+      Catalog.versionAt(s, cat, t2).contains(cv2),
+      "AS-OF must resolve each publish instant to its own epoch")
+    require(Catalog.versionAt(s, cat, t1 - 3600000L).isEmpty,
+      "AS-OF before the first publish must resolve to nothing")
+    def census(p: DataFrame, st: DataFrame, tag: Int) =
+      p.agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_postings"), sum(col("tf")).as("sum_tf"))
+        .crossJoin(st.agg(sum(col("nd")).as("nd"),
+          sum(col("tl")).as("tl")))
+        .withColumn("phase", lit(tag))
+    census(Catalog.snapshotOfAt(s, cat, pRoot, t1),
+        Catalog.snapshotOfAt(s, cat, sRoot, t1), 0)
+      .unionByName(census(Catalog.snapshotOf(s, cat, pRoot, Some(cv2)),
+        Catalog.snapshotOf(s, cat, sRoot, Some(cv2)), 1))
+      .select(col("phase"), col("n_docs"), col("n_postings"),
+        col("sum_tf"), col("nd"), col("tl"))
+      .orderBy(col("phase"))
+  }
+
+  val io32Oracle: String =
+    """WITH t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM documents WHERE doc_id < 200),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |ph AS (SELECT 0 AS phase, * FROM tf WHERE doc_id < 100
+      |  UNION ALL SELECT 1, * FROM tf)
+      |SELECT phase, COUNT(DISTINCT doc_id) AS n_docs,
+      |  COUNT(*) AS n_postings, CAST(SUM(tf) AS BIGINT) AS sum_tf,
+      |  COUNT(DISTINCT doc_id) AS nd, CAST(SUM(tf) AS BIGINT) AS tl
+      |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -2631,6 +2719,7 @@ object OpsQueries {
     "io28_constraints" -> (io28Constraints _),
     "io29_tx_catalog" -> (io29TxCatalog _),
     "io30_quarantine" -> (io30Quarantine _),
+    "io32_catalog_history" -> (io32CatalogHistory _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2683,6 +2772,7 @@ object OpsQueries {
     "io28_constraints" -> io28Oracle,
     "io29_tx_catalog" -> io29Oracle,
     "io30_quarantine" -> io30Oracle,
+    "io32_catalog_history" -> io32Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
