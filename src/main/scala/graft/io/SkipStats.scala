@@ -150,6 +150,11 @@ object SkipStats {
       }
     }
 
+  /** One conjunct of a pruning predicate: `lo <= c <= hi`, bounds
+    * rendered as strings and compared in the column's stored type.
+    */
+  final case class ColRange(c: String, lo: String, hi: String)
+
   /** Split a version's data directories into (kept, skipped) for a
     * range query `lo <= c <= hi` (bounds rendered as strings, compared
     * in the column's stored type). Directories without a readable
@@ -157,13 +162,28 @@ object SkipStats {
     * ([[MergeOnRead]]) are always kept — they are not data.
     */
   def prunedDirs(s: SparkSession, root: String, c: String, lo: String,
-      hi: String, version: Option[Int] = None): (Seq[String], Seq[String]) = {
+      hi: String, version: Option[Int] = None): (Seq[String], Seq[String]) =
+    prunedDirs(s, root, Seq(ColRange(c, lo, hi)), version)
+
+  /** CONJUNCTION pruning — the production predicate shape
+    * ("lang = 'en' AND date BETWEEN …"): a directory survives only if
+    * EVERY range overlaps its stats, so the skipped set is the UNION
+    * of what each conjunct would skip alone (per-column min/max
+    * sidecars carry no cross-column correlation — the Iceberg/Delta
+    * add-file-stats semantics exactly). A conjunct whose column has no
+    * readable stats in a directory cannot prune that directory.
+    */
+  def prunedDirs(s: SparkSession, root: String, ranges: Seq[ColRange],
+      version: Option[Int]): (Seq[String], Seq[String]) = {
+    require(ranges.nonEmpty, "empty range conjunction")
     val f = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     Manifest.entries(s, root, version).partition { d =>
-      MergeOnRead.isTombstone(d) ||
-        read(f, d).flatMap(_.get(c))
-          .forall(cs => overlaps(cs, lo, hi))
+      MergeOnRead.isTombstone(d) || {
+        val stats = read(f, d)
+        ranges.forall(r => stats.flatMap(_.get(r.c))
+          .forall(cs => overlaps(cs, r.lo, r.hi)))
+      }
     }
   }
 
@@ -179,9 +199,20 @@ object SkipStats {
     */
   def scan(s: SparkSession, root: String, c: String, lo: Long,
       hi: Long, version: Option[Int] = None,
+      morKey: Option[String] = None): DataFrame =
+    scanRanges(s, root, Seq(ColRange(c, lo.toString, hi.toString)),
+      version, morKey)
+
+  /** [[scan]] for a CONJUNCTION of ranges: scan only the directories
+    * every range overlaps, then apply the full row-level conjunction
+    * (each bound cast to its column's type, so the filter both stays
+    * exact at block boundaries and reaches the parquet reader as a
+    * pushed filter per conjunct).
+    */
+  def scanRanges(s: SparkSession, root: String, ranges: Seq[ColRange],
+      version: Option[Int] = None,
       morKey: Option[String] = None): DataFrame = {
-    val (kept, _) = prunedDirs(s, root, c, lo.toString, hi.toString,
-      version)
+    val (kept, _) = prunedDirs(s, root, ranges, version)
     val (tombs, data) = kept.partition(MergeOnRead.isTombstone)
     require(tombs.isEmpty || morKey.nonEmpty,
       s"table at $root has live tombstones — pass morKey so the " +
@@ -200,6 +231,9 @@ object SkipStats {
         broadcast(s.read.parquet(tombs: _*)
           .select(col(morKey.get)).distinct()),
         Seq(morKey.get), "left_anti")
-    df.filter(col(c).between(lo, hi))
+    df.filter(ranges.map { r =>
+      val dt = df.schema(r.c).dataType
+      col(r.c).between(lit(r.lo).cast(dt), lit(r.hi).cast(dt))
+    }.reduce(_ && _))
   }
 }

@@ -484,6 +484,115 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
       |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** CONJUNCTION-predicate filtered search on the STORED layout —
+    * [[s19FilteredAnnStored]] with the predicate shape production
+    * actually sends: TWO attribute ranges ANDed ("tenant in range AND
+    * date in range"), against a corpus stored in blocks laid out on
+    * BOTH columns (vec_id half × label half — the 2-D block grid a
+    * multi-tenant ingest produces). [[graft.io.SkipStats.prunedDirs]]'s
+    * conjunction form must prune the UNION of what each conjunct
+    * prunes alone — per-column min/max sidecars exactly (no
+    * cross-column correlation, the Iceberg/Delta semantics) — so the
+    * engine requires: the vec_id range alone skips exactly the two
+    * hi-id blocks, the label range alone exactly the two hi-label
+    * blocks, and the conjunction exactly their union (3 of 4 blocks,
+    * strictly more than either conjunct alone achieves — the gap the
+    * old single-range API left on the floor). The surviving block is
+    * then scanned via [[graft.io.SkipStats.scanRanges]], whose
+    * row-level conjunction keeps the answer exact at block boundaries
+    * (both conjuncts pushed to parquet — PlanSpec pins it), and the
+    * oracle replays the whole build + both predicates unpruned.
+    */
+  def s23ConjPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, SkipStats}
+    import graft.io.SkipStats.ColRange
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_s23_ivf"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val lRoot = idx + "/lists"
+    val e = quantized(s, dir)
+    val ranked = centroidRanked(e, centroids(e)).staged()
+    val full = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nn"),
+        col("clabel").as("list"))
+    val vcut = e.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    val lcut = 4 // labels are 0..9: lo half [0,4], hi half [5,9]
+    // 2-D block grid, stats on BOTH columns at commit
+    for ((tag, vp, lp) <- Seq(
+        ("ll", col("vec_id") <= vcut, col("label") <= lcut),
+        ("lh", col("vec_id") <= vcut, col("label") > lcut),
+        ("hl", col("vec_id") > vcut, col("label") <= lcut),
+        ("hh", col("vec_id") > vcut, col("label") > lcut))) {
+      full.filter(vp && lp).write.parquet(s"$idx/l_$tag")
+      Manifest.commitWithStats(s, lRoot, s"$idx/l_$tag",
+        Seq("vec_id", "label"))
+    }
+    val vidRange = ColRange("vec_id", "0", vcut.toString)
+    val labRange = ColRange("label", "0", lcut.toString)
+    def skippedTags(rs: Seq[ColRange]): Set[String] =
+      SkipStats.prunedDirs(s, lRoot, rs, None)._2
+        .map(_.split("/l_").last).toSet
+    require(skippedTags(Seq(vidRange)) == Set("hl", "hh"),
+      "the id range alone must skip exactly the two hi-id blocks")
+    require(skippedTags(Seq(labRange)) == Set("lh", "hh"),
+      "the label range alone must skip exactly the two hi-label blocks")
+    require(skippedTags(Seq(vidRange, labRange)) ==
+      Set("lh", "hl", "hh"),
+      "the conjunction must skip the union — every block either " +
+        "conjunct can rule out")
+    val lists = SkipStats.scanRanges(s, lRoot, Seq(vidRange, labRange))
+    val probes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("clabel").as("list"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val topk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(probes).join(lists, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s23Oracle: String =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.label, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, label, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk
+      |  WHERE rk = 1 AND vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings)
+      |    AND label <= 4),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 25 AND rk <= 2),
+      |p AS (SELECT probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) WHERE probes.qid <> lists.vec_id),
+      |r AS (SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk FROM p)
+      |SELECT qid, rk, nid, cos FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   /** PCA / whitening SUFFICIENT STATISTICS — the distributed half of
     * training a linear transform (PCA projection, ZCA whitening, the
     * preprocessing that lifts SQ8/PQ recall): exact per-dimension sums
@@ -3025,6 +3134,7 @@ object SimilarityQueries {
     "s20_whitened_sq_recall" -> (s20WhitenedSqRecall _),
     "s21_whitened_pq_recall" -> (s21WhitenedPqRecall _),
     "s22_hybrid_recall" -> (s22HybridRecall _),
+    "s23_conj_prune" -> (s23ConjPrune _),
     "st15_stream_hybrid" -> (st15StreamHybrid _),
     "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
@@ -3057,6 +3167,7 @@ object SimilarityQueries {
     "s20_whitened_sq_recall" -> s20Oracle,
     "s21_whitened_pq_recall" -> s21Oracle,
     "s22_hybrid_recall" -> s22Oracle,
+    "s23_conj_prune" -> s23Oracle,
     "st15_stream_hybrid" -> st15Oracle,
     "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)

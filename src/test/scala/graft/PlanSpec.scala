@@ -393,6 +393,39 @@ class PlanSpec extends AnyFunSuite {
         s"(kept=$kept skipped=$skipped)")
   }
 
+  test("s23 conjunction pruning: BOTH predicates reach the codes scan " +
+      "pushed, and only the doubly-overlapping block is planned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("s23_conj_prune")(spark, sf)
+    // the plan's toString truncates long filter lists — assert on the
+    // scan node's untruncated metadata (descending through AQE wrappers,
+    // which plain collect treats as leaves)
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("graft_s23_ivf"))
+    assert(scans.nonEmpty, "the stored codes scan must appear in the plan")
+    val pushed = scans.map(_.metadata("PushedFilters"))
+    assert(pushed.exists(p =>
+      p.contains("LessThanOrEqual(vec_id") &&
+      p.contains("GreaterThanOrEqual(vec_id") &&
+      p.contains("LessThanOrEqual(label") &&
+      p.contains("GreaterThanOrEqual(label")),
+      s"both conjuncts must reach the codes scan pushed:\n$pushed")
+    // pruning removed every block either conjunct rules out BEFORE the
+    // scan was planned: only l_ll may appear in the location list
+    val locs = scans.map(_.metadata("Location"))
+    for (tag <- Seq("l_lh", "l_hl", "l_hh"))
+      assert(locs.forall(!_.contains(tag)),
+        s"pruned block $tag must not reach the scan's location list")
+    assert(locs.exists(_.contains("l_ll")),
+      "the surviving block must be the one planned")
+  }
+
   test("s20/s21 whitening-recall pipelines: no cartesian product; " +
       "every nested-loop broadcast side is a one-row pack or the " +
       "bounded probe set") {
