@@ -860,8 +860,32 @@ object DedupQueries {
     * per-pair work is two primitive kernels (component match count +
     * sorted-merge intersection).
     */
-  def d16MinhashCalib(s: SparkSession, dir: String): DataFrame = {
+  def d16MinhashCalib(s: SparkSession, dir: String): DataFrame =
+    minhashCalibCensus(s, dir, sample = None)
+
+  /** [[d16MinhashCalib]] under a DETERMINISTIC pair-sampling keep rule
+    * — the 100 TB calibration shape: a confusion table doesn't need
+    * every probe×corpus pair, it needs an unbiased sample whose census
+    * scales back by 1/r. The keep rule is pure id arithmetic
+    * (`(ia·1000003 + ib) mod 64 < 8`, r = 1/8), so (a) it is decided
+    * BEFORE any per-pair work — skipped pairs never pay the component
+    * match or the popcount, making the sweep cost ∝ r·pairs, the
+    * sub-linear escape for the suite's steepest 30× grower — and (b)
+    * the oracle replays the identical rule exactly, no RNG. Output
+    * carries both the raw sampled counts and the 1/r-scaled estimate.
+    */
+  def d20SampledCalib(s: SparkSession, dir: String): DataFrame =
+    minhashCalibCensus(s, dir, sample = Some((64L, 8L)))
+      .select(col("est16"), col("n_pairs").as("n_sampled"),
+        (col("n_pairs") * lit(8L)).as("n_est"),
+        col("sum_jac_bp"), col("min_jac_bp"), col("max_jac_bp"))
+
+  private def minhashCalibCensus(s: SparkSession, dir: String,
+      sample: Option[(Long, Long)]): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
+    // (mod, keepBelow) — None keeps every pair; the rule must stay id-
+    // only so both routes AND the oracle replay it identically
+    val (sMod, sKeep) = sample.getOrElse((1L, 1L))
     val base = Tables.documents(s, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"),
@@ -909,6 +933,9 @@ object DedupQueries {
           val mx = Array.fill(17)(Long.MinValue)
           var a = 0
           while (a < ids.length && ids(a) < id) {
+            // sampling decides on ids alone, BEFORE any pair work
+            if (sample.isEmpty ||
+                (ids(a) * 1000003L + id) % sMod < sKeep) {
             var est = 0
             var k = 0
             while (k < 16) {
@@ -929,6 +956,7 @@ object DedupQueries {
             sum(est) += bp
             if (bp < mn(est)) mn(est) = bp
             if (bp > mx(est)) mx(est) = bp
+            }
             a += 1
           }
           (0 to 16).filter(n(_) > 0)
@@ -956,6 +984,9 @@ object DedupQueries {
           .crossJoin(base.select(col("doc_id").as("ib"),
             col("gs").as("gb"), col("mh").as("mb")))
           .filter(col("ia") < col("ib"))
+          .filter(if (sample.isEmpty) lit(true)
+            else (col("ia") * lit(1000003L) + col("ib")) % lit(sMod)
+              < lit(sKeep))
           .select(est16.as("est16"),
             floor(jacCol(inter, size(col("ga")), size(col("gb"))) * 10000)
               .cast("long").as("jac_bp"))
@@ -988,6 +1019,33 @@ object DedupQueries {
       |      * 10000) AS BIGINT) AS jac_bp
       |  FROM pr)
       |SELECT est16, COUNT(*) AS n_pairs,
+      |  CAST(SUM(jac_bp) AS BIGINT) AS sum_jac_bp,
+      |  CAST(MIN(jac_bp) AS BIGINT) AS min_jac_bp,
+      |  CAST(MAX(jac_bp) AS BIGINT) AS max_jac_bp
+      |FROM calc GROUP BY est16 ORDER BY est16""".stripMargin
+
+  val d20Oracle: String =
+    """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS gs FROM documents
+      |  WHERE length(text) >= 3),
+      |hs AS (SELECT doc_id, gs, list_transform(gs, g ->
+      |    ((CAST(ascii(substr(g,1,1)) AS BIGINT) * 31 + ascii(substr(g,2,1))) * 31
+      |     + ascii(substr(g,3,1))) % 1000000007) AS hv FROM sh),
+      |mh AS (SELECT doc_id, gs, list_transform(range(0, 16), i ->
+      |    list_aggregate(list_transform(hv, h -> ((2*i+1)*h + 7*i+3) % 1000000007), 'min')) AS m
+      |  FROM hs),
+      |pr AS (SELECT a.gs ga, b.gs gb, a.m ma, b.m mb
+      |  FROM mh a JOIN mh b ON a.doc_id < 30 AND a.doc_id < b.doc_id
+      |  WHERE (a.doc_id * 1000003 + b.doc_id) % 64 < 8),
+      |calc AS (SELECT
+      |    CAST(len(list_filter(range(1, 17),
+      |      i -> ma[CAST(i AS INT)] = mb[CAST(i AS INT)])) AS BIGINT) AS est16,
+      |    CAST(FLOOR(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+      |      / CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE)
+      |      * 10000) AS BIGINT) AS jac_bp
+      |  FROM pr)
+      |SELECT est16, COUNT(*) AS n_sampled,
+      |  CAST(COUNT(*) * 8 AS BIGINT) AS n_est,
       |  CAST(SUM(jac_bp) AS BIGINT) AS sum_jac_bp,
       |  CAST(MIN(jac_bp) AS BIGINT) AS min_jac_bp,
       |  CAST(MAX(jac_bp) AS BIGINT) AS max_jac_bp
@@ -1856,6 +1914,7 @@ object DedupQueries {
     "d13_incremental_lsh" -> (dIncrementalLsh _),
     "d15_canonical" -> (d15Canonical _),
     "d16_minhash_calib" -> (d16MinhashCalib _),
+    "d20_sampled_calib" -> (d20SampledCalib _),
     "d17_funnel" -> (d17Funnel _),
     "d19_containment" -> (dContainment _),
     "d18_span_scrub" -> (d18SpanScrub _))
@@ -1876,6 +1935,7 @@ object DedupQueries {
     "d13_incremental_lsh" -> dIncrementalOracle,
     "d15_canonical" -> d15Oracle,
     "d16_minhash_calib" -> d16Oracle,
+    "d20_sampled_calib" -> d20Oracle,
     "d17_funnel" -> d17Oracle,
     "d18_span_scrub" -> d18Oracle,
     "d19_containment" -> dContainmentOracle)

@@ -102,6 +102,34 @@ class DedupGeneralPathSpec extends AnyFunSuite {
     base
   }
 
+  test("d20's sampling keep rule is exact on the general (over-cap) " +
+      "route: bucket totals count exactly the id-rule-kept pairs") {
+    // the genpath corpus's vocabulary exceeds the bitset cap, so this
+    // runs the crossJoin route — the one the oracle can't reach (the
+    // driver corpus always routes dense). The keep rule is pure id
+    // arithmetic, so the expected sampled-pair total is computable
+    // from ids alone; bucket-level statistics are oracle-pinned on the
+    // dense route and the bucketing code is shared between routes.
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    def pairCount(keep: (Long, Long) => Boolean): Long =
+      (for (a <- ids if a < 30; b <- ids if a < b && keep(a, b)) yield 1L).sum
+    val expAll = pairCount((_, _) => true)
+    val expKept = pairCount((a, b) => (a * 1000003L + b) % 64 < 8)
+    assert(expKept > 0 && expKept < expAll,
+      "the planted corpus must make sampling non-trivial")
+    val d20 = SparkEntry.queries("d20_sampled_calib")(spark, dir)
+      .collect()
+    assert(d20.map(_.getLong(1)).sum == expKept,
+      "n_sampled must total exactly the id-rule-kept pairs")
+    assert(d20.forall(r => r.getLong(2) == r.getLong(1) * 8),
+      "n_est must be the 1/r-scaled sampled count")
+    val d16 = SparkEntry.queries("d16_minhash_calib")(spark, dir)
+      .collect()
+    assert(d16.map(_.getLong(1)).sum == expAll,
+      "the unsampled census must still see every probe pair")
+  }
+
   test("bitset pair scan drops the broadcast above the corpus-size cap") {
     def run(): (Set[(Long, Long)], String) = {
       val (pairs, base) =
