@@ -20,6 +20,27 @@ import graft.functions.DedupFunctions._
   */
 object SimilarityQueries {
 
+  /** Exact-integer RRF(60) fusion of a dense top-20 (`qid, nid, rkd`)
+    * and a sparse top-20 (`qid, nid, rks`), keeping the fused top-5 —
+    * the fusion tail shared by every hybrid query path (s12, s15,
+    * st15, st16's health probe): per-leg reciprocal ranks scaled to
+    * exact integers, full-outer joined, re-ranked.
+    */
+  private def rrfTop5(dense: DataFrame, sparse: DataFrame): DataFrame = {
+    val rrf =
+      coalesce(floor(lit(1e9) / (lit(60) + col("rkd"))), lit(0L))
+        .cast("long") +
+        coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
+          .cast("long")
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid"))
+    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), col("rrf"))
+  }
+
   private def quantized(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     Tables.embeddings(s, dir)
@@ -1773,19 +1794,7 @@ object SimilarityQueries {
       .withColumn("rks", row_number().over(ws))
       .filter(col("rks") <= 20)
       .select(col("qid"), col("nid"), col("rks"))
-    val rrf =
-      coalesce(floor(lit(1e9) / (lit(60) + col("rkd"))), lit(0L))
-        .cast("long") +
-        coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
-          .cast("long")
-    val wf = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("nid"))
-    dense.join(sparse, Seq("qid", "nid"), "full_outer")
-      .withColumn("rrf", rrf)
-      .withColumn("rk", row_number().over(wf))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("nid"), col("rrf"))
-      .orderBy(col("qid"), col("rk"))
+    rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
   }
 
   val s12Oracle: String =
@@ -1948,19 +1957,7 @@ object SimilarityQueries {
       .filter(col("rks") <= 20)
       .select(col("qid"), col("nid"), col("rks"))
     // ---- exact-integer RRF fusion (s12's formula verbatim)
-    val rrf =
-      coalesce(floor(lit(1e9) / (lit(60) + col("rkd"))), lit(0L))
-        .cast("long") +
-        coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
-          .cast("long")
-    val wf = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("nid"))
-    dense.join(sparse, Seq("qid", "nid"), "full_outer")
-      .withColumn("rrf", rrf)
-      .withColumn("rk", row_number().over(wf))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("nid"), col("rrf"))
-      .orderBy(col("qid"), col("rk"))
+    rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
   }
 
   /** The s8 dense-index machinery (centroids → assignment → residual
@@ -3035,19 +3032,7 @@ object SimilarityQueries {
       .withColumn("rkd", row_number().over(wd))
       .filter(col("rkd") <= 20)
       .select(col("qid"), col("nid"), col("rkd"))
-    val rrf =
-      coalesce(floor(lit(1e9) / (lit(60) + col("rkd"))), lit(0L))
-        .cast("long") +
-        coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
-          .cast("long")
-    val wf = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("nid"))
-    dense.join(sparse, Seq("qid", "nid"), "full_outer")
-      .withColumn("rrf", rrf)
-      .withColumn("rk", row_number().over(wf))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("nid"), col("rrf"))
-      .orderBy(col("qid"), col("rk"))
+    rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
   }
 
   val st15Oracle: String =
@@ -3111,6 +3096,310 @@ object SimilarityQueries {
       |    (PARTITION BY qid ORDER BY rrf DESC, nid) rk FROM f)
       |SELECT qid, rk, nid, rrf FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  /** STREAMING index-health probe — [[st15StreamHybrid]]'s maintained
+    * hybrid index composed with [[s22HybridRecall]]'s quality
+    * measurement, run the way production runs it: AFTER EVERY catalog
+    * pin, a bounded-probe recall@5 census executes THROUGH the pins
+    * just published (hybrid fused top-5 with the nprobe=2 probed
+    * dense leg vs the exact fused baseline whose dense leg scores
+    * every pinned vector — the dense-probing loss through the fused
+    * rank) and appends one row, keyed by epoch = catalog version, to
+    * a METRICS manifest table with the same exactly-once batchId
+    * discipline as the index increments. The gate's output is the
+    * whole per-epoch recall HISTORY of a real streamed run: the
+    * always-on quality monitor, with each epoch's number computed on
+    * exactly the consistent snapshot that epoch's readers saw. The
+    * source is written as THREE doc_id-range files with forced
+    * mtime order, so epoch k's corpus is a doc_id prefix the oracle
+    * replays epoch by epoch — every census recomputed from scratch in
+    * DuckDB, both retrieval stacks per epoch.
+    */
+  def st16StreamIndexHealth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.Path
+    import graft.io.{Catalog, Manifest}
+    import graft.functions.TextFunctions.tokens
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_st16_health"
+    val fs = new Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(idx), true)
+    val (pRoot, sRoot, lRoot, qRoot, cRoot, mRoot) = (idx + "/postings",
+      idx + "/stats", idx + "/lists", idx + "/quantizer",
+      idx + "/catalog", idx + "/metrics")
+    val e = quantized(s, dir)
+    centroids(e).write.parquet(idx + "/centroids")
+    Manifest.commit(s, qRoot, idx + "/centroids")
+    // ordered prefix source: 3 doc_id-range files; FileStreamSource
+    // schedules oldest-first, so force strictly increasing mtimes —
+    // epoch k's corpus must be the doc_id < cut(k) prefix the oracle
+    // can express
+    val maxId = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cuts = Seq((maxId + 1) / 4, (maxId + 1) / 2, maxId + 1)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"),
+          col("embedding")), Seq("doc_id"), "left")
+    fs.mkdirs(new Path(s"$idx/src"))
+    for ((hi, k) <- cuts.zipWithIndex) {
+      val lo = if (k == 0) 0L else cuts(k - 1)
+      src.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.parquet(s"$idx/stage_$k")
+      val part = fs.listStatus(new Path(s"$idx/stage_$k"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new Path(s"$idx/src/b$k.parquet")
+      require(fs.rename(part, dst), s"rename of range file $k failed")
+      fs.setTimes(dst, 1600000000000L + k * 60000L, -1)
+    }
+    val schema = s.read.parquet(s"$idx/src").schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        graft.expressions.LongArrayOps.register(ss)
+        val withDl = batch
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val pDir = s"$idx/p_$batchId"
+        if (!Manifest.committed(ss, pRoot).contains(pDir)) {
+          withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+            .write.mode("overwrite").parquet(pDir)
+          Manifest.commitIfAbsent(ss, pRoot, pDir)
+        }
+        val sDir = s"$idx/s_$batchId"
+        if (!Manifest.committed(ss, sRoot).contains(sDir)) {
+          withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+            .write.mode("overwrite").parquet(sDir)
+          Manifest.commitIfAbsent(ss, sRoot, sDir)
+        }
+        val lDir = s"$idx/l_$batchId"
+        if (!Manifest.committed(ss, lRoot).contains(lDir)) {
+          val eb = batch.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("label"),
+              quantize(col("embedding")).as("v"))
+            .withColumn("nn", normSqLong(col("v")))
+          val cent = Manifest.snapshot(ss, qRoot)
+          centroidRanked(eb, cent, maxRank = 1)
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("v"), col("nn"),
+              col("clabel").as("list"))
+            .write.mode("overwrite").parquet(lDir)
+          Manifest.commitIfAbsent(ss, lRoot, lDir)
+        }
+        val epoch = Catalog.pinLatest(ss, cRoot,
+          Seq(pRoot, sRoot, lRoot, qRoot))
+        // the health probe: recall@5 through the pins JUST published,
+        // appended to the metrics table with the same exactly-once key
+        val mDir = s"$idx/m_$batchId"
+        if (!Manifest.committed(ss, mRoot).contains(mDir)) {
+          healthCensus(ss, dir, pRoot, sRoot, lRoot, qRoot,
+            Catalog.resolve(ss, cRoot), epoch)
+            .write.mode("overwrite").parquet(mDir)
+          Manifest.commitIfAbsent(ss, mRoot, mDir)
+        }
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$idx/src")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$idx/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val out = Manifest.snapshot(s, mRoot)
+      .select(col("epoch"), col("n_probes"), col("sum_hits"),
+        col("min_hits"), col("max_hits"), col("checksum"))
+      .orderBy(col("epoch"))
+    val epochs = out.select(col("epoch")).collect().map(_.getLong(0)).toSeq
+    require(epochs == Seq(1L, 2L, 3L),
+      s"one census row per epoch in pin order, got $epochs")
+    out
+  }
+
+  /** One bounded-probe recall@5 census row for the hybrid index state
+    * `pins` publishes: the fused top-5 whose dense leg probes nprobe=2
+    * pinned lists, intersected per probe with the exact fused baseline
+    * whose dense leg scores EVERY pinned vector (same sparse leg, same
+    * RRF) — everything resolved through the pinned versions only.
+    */
+  private def healthCensus(ss: SparkSession, dir: String, pRoot: String,
+      sRoot: String, lRoot: String, qRoot: String,
+      pins: Map[String, Int], epoch: Int): DataFrame = {
+    import graft.io.Manifest
+    val tf = Manifest.snapshot(ss, pRoot, Some(pins(pRoot)))
+    val st = Manifest.snapshot(ss, sRoot, Some(pins(sRoot)))
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val avgdl = totLen.toDouble / nDocs
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val qterms = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("nid"))
+    val sparse = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
+        col("tf"), col("df"), col("dl"), nDocs, avgdl))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
+      .withColumn("rks", row_number().over(ws))
+      .filter(col("rks") <= 20)
+      .select(col("qid"), col("nid"), col("rks")).staged()
+    val cent = Manifest.snapshot(ss, qRoot, Some(pins(qRoot)))
+    val lists = Manifest.snapshot(ss, lRoot, Some(pins(lRoot)))
+    val eProbes = quantized(ss, dir).filter(col("vec_id") < 5)
+    val probed = centroidRanked(eProbes, cent, maxRank = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("clabel").as("list"))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    def top20(cands: DataFrame): DataFrame = cands
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rkd", row_number().over(wd))
+      .filter(col("rkd") <= 20)
+      .select(col("qid"), col("nid"), col("rkd"))
+    val dense = top20(broadcast(probed).join(lists, Seq("list")))
+    val exactDense = top20(broadcast(eProbes
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nn").as("qn")))
+      .crossJoin(lists.select(col("vec_id"), col("v"), col("nn"))))
+    val hyb5 = rrfTop5(dense, sparse).select(col("qid"), col("nid"))
+    val ex5 = rrfTop5(exactDense, sparse).select(col("qid"), col("nid"))
+    val hits = ex5.join(hyb5, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    ex5.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+      .agg(count(lit(1)).as("n_probes"), sum(col("h")).as("sum_hits"),
+        min(col("h")).as("min_hits"), max(col("h")).as("max_hits"),
+        sum(col("qid") * lit(10L) + col("h")).as("checksum"))
+      .withColumn("epoch", lit(epoch.toLong))
+  }
+
+  /** Every epoch's census recomputed from scratch: epoch k's corpus is
+    * the doc_id < cut(k) prefix, and both retrieval stacks (probed
+    * hybrid AND exact fused baseline) are replayed per epoch via an
+    * epochs-CTE cross join — the per-epoch snapshot semantics of the
+    * catalog pins expressed as prefix filters.
+    */
+  val st16Oracle: String =
+    """WITH cuts AS (SELECT (MAX(doc_id)+1)//4 c1, (MAX(doc_id)+1)//2 c2,
+      |    MAX(doc_id)+1 c3 FROM documents),
+      |epochs AS (SELECT 1 ep, c1 cut FROM cuts
+      |  UNION ALL SELECT 2, c2 FROM cuts
+      |  UNION ALL SELECT 3, c3 FROM cuts),
+      |q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk WHERE rk = 1),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 5 AND rk <= 2),
+      |probe1 AS (SELECT vec_id qid, v qv, nn qn FROM rk
+      |  WHERE vec_id < 5 AND rk = 1),
+      |pd AS (SELECT ep.ep, probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) CROSS JOIN epochs ep
+      |  WHERE probes.qid <> lists.vec_id AND lists.vec_id < ep.cut),
+      |d20 AS (SELECT ep, qid, nid, rkd FROM (SELECT ep, qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY ep, qid ORDER BY cos DESC, nid) rkd FROM pd)
+      |  WHERE rkd <= 20),
+      |pe AS (SELECT ep.ep, probe1.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probe1 CROSS JOIN lists CROSS JOIN epochs ep
+      |  WHERE probe1.qid <> lists.vec_id AND lists.vec_id < ep.cut),
+      |e20 AS (SELECT ep, qid, nid, rkd FROM (SELECT ep, qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY ep, qid ORDER BY cos DESC, nid) rkd FROM pe)
+      |  WHERE rkd <= 20),
+      |t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM documents),
+      |tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |nde AS (SELECT ep.ep, COUNT(*) nd FROM documents dd CROSS JOIN epochs ep
+      |  WHERE dd.doc_id < ep.cut GROUP BY 1),
+      |tle AS (SELECT ep.ep, COUNT(*) tl FROM t CROSS JOIN epochs ep
+      |  WHERE t.doc_id < ep.cut GROUP BY 1),
+      |dfte AS (SELECT ep.ep, term, COUNT(*) df FROM tfq CROSS JOIN epochs ep
+      |  WHERE tfq.doc_id < ep.cut GROUP BY 1, 2),
+      |dle AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS qid, term FROM t WHERE doc_id < 5),
+      |sc AS (SELECT ep.ep, qt.qid, tfq.doc_id AS nid,
+      |    CAST(SUM(CAST(FLOOR(
+      |      (CAST(nde.nd AS DOUBLE) / dfte.df) * (tfq.tf * 2.2e0) /
+      |        (tfq.tf + 1.2e0 * (0.25e0 +
+      |          0.75e0 * (dle.dl / (CAST(tle.tl AS DOUBLE) / nde.nd)))) * 1e7)
+      |      AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM tfq JOIN qt USING (term)
+      |    CROSS JOIN epochs ep
+      |    JOIN dfte ON dfte.ep = ep.ep AND dfte.term = tfq.term
+      |    JOIN dle ON dle.doc_id = tfq.doc_id
+      |    JOIN nde ON nde.ep = ep.ep
+      |    JOIN tle ON tle.ep = ep.ep
+      |  WHERE tfq.doc_id <> qt.qid AND tfq.doc_id < ep.cut
+      |  GROUP BY 1, 2, 3),
+      |s20 AS (SELECT ep, qid, nid, rks FROM (SELECT ep, qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY ep, qid ORDER BY score_fp DESC, nid) rks FROM sc)
+      |  WHERE rks <= 20),
+      |fh AS (SELECT COALESCE(d20.ep, s20.ep) ep, COALESCE(d20.qid, s20.qid) qid,
+      |    COALESCE(d20.nid, s20.nid) nid,
+      |    CAST(COALESCE(FLOOR(1e9 / (60 + rkd)), 0) AS BIGINT)
+      |      + CAST(COALESCE(FLOOR(1e9 / (60 + rks)), 0) AS BIGINT) AS rrf
+      |  FROM d20 FULL OUTER JOIN s20
+      |    ON d20.ep = s20.ep AND d20.qid = s20.qid AND d20.nid = s20.nid),
+      |h5 AS (SELECT ep, qid, nid FROM (SELECT ep, qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY ep, qid ORDER BY rrf DESC, nid) rk FROM fh)
+      |  WHERE rk <= 5),
+      |fx AS (SELECT COALESCE(e20.ep, s20.ep) ep, COALESCE(e20.qid, s20.qid) qid,
+      |    COALESCE(e20.nid, s20.nid) nid,
+      |    CAST(COALESCE(FLOOR(1e9 / (60 + rkd)), 0) AS BIGINT)
+      |      + CAST(COALESCE(FLOOR(1e9 / (60 + rks)), 0) AS BIGINT) AS rrf
+      |  FROM e20 FULL OUTER JOIN s20
+      |    ON e20.ep = s20.ep AND e20.qid = s20.qid AND e20.nid = s20.nid),
+      |x5 AS (SELECT ep, qid, nid FROM (SELECT ep, qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY ep, qid ORDER BY rrf DESC, nid) rk FROM fx)
+      |  WHERE rk <= 5),
+      |ph AS (SELECT p.ep, p.qid, COALESCE(h.h, 0) h
+      |  FROM (SELECT DISTINCT ep, qid FROM x5) p
+      |  LEFT JOIN (SELECT x5.ep, x5.qid, COUNT(*) h FROM x5 JOIN h5
+      |    ON x5.ep = h5.ep AND x5.qid = h5.qid AND x5.nid = h5.nid
+      |    GROUP BY 1, 2) h
+      |  ON p.ep = h.ep AND p.qid = h.qid)
+      |SELECT CAST(ep AS BIGINT) AS epoch, COUNT(*) AS n_probes,
+      |  CAST(SUM(h) AS BIGINT) AS sum_hits,
+      |  CAST(MIN(h) AS BIGINT) AS min_hits,
+      |  CAST(MAX(h) AS BIGINT) AS max_hits,
+      |  CAST(SUM(qid * 10 + h) AS BIGINT) AS checksum
+      |FROM ph GROUP BY ep ORDER BY epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -3136,6 +3425,7 @@ object SimilarityQueries {
     "s22_hybrid_recall" -> (s22HybridRecall _),
     "s23_conj_prune" -> (s23ConjPrune _),
     "st15_stream_hybrid" -> (st15StreamHybrid _),
+    "st16_stream_health" -> (st16StreamIndexHealth _),
     "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
@@ -3169,6 +3459,7 @@ object SimilarityQueries {
     "s22_hybrid_recall" -> s22Oracle,
     "s23_conj_prune" -> s23Oracle,
     "st15_stream_hybrid" -> st15Oracle,
+    "st16_stream_health" -> st16Oracle,
     "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
