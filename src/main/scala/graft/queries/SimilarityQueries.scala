@@ -3400,6 +3400,269 @@ object SimilarityQueries {
       |  CAST(SUM(qid * 10 + h) AS BIGINT) AS checksum
       |FROM ph GROUP BY ep ORDER BY epoch""".stripMargin
 
+  /** TAKEDOWN through the LIVE streamed hybrid index — the production
+    * composition of [[st15StreamHybrid]] (stream maintains both
+    * indexes, one pin per batch) with t27/s16's right-to-be-forgotten
+    * propagation: a takedown request arriving MID-STREAM (after the
+    * second microbatch) is applied to the live four-table state as
+    * work ∝ takedown size — one appending [[graft.io.MergeOnRead]]
+    * tombstone on the postings, one on the lists, one compensating
+    * stats row — and published under the SAME single-pin discipline as
+    * the ingest batches, so readers flip from victims-present to
+    * victims-gone atomically and mid-crash leaves them on the previous
+    * consistent state. Ingestion then CONTINUES into the
+    * post-takedown index (batch 3's docs land on top of the
+    * tombstones; its same-residue doc_ids are NOT victims — the
+    * request named the docs that existed when it arrived). In-query
+    * requires pin the four-epoch catalog history, victims present
+    * through epoch 2's pins and absent from epoch 3's on, and the
+    * takedown commits appending (never a rewrite). The final hybrid
+    * query — both legs read through merged tombstone-aware snapshots
+    * of the last pin — must answer bit-identically to a fresh build
+    * over the survivors, which is exactly what the oracle computes.
+    */
+  def st17StreamTakedown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.hadoop.fs.Path
+    import graft.io.{Catalog, Manifest, MergeOnRead}
+    import graft.functions.TextFunctions.tokens
+    graft.expressions.LongArrayOps.register(s)
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    val idx = base + "/graft_st17_takedown"
+    val fs = new Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(idx), true)
+    val (pRoot, sRoot, lRoot, qRoot, cRoot) = (idx + "/postings",
+      idx + "/stats", idx + "/lists", idx + "/quantizer",
+      idx + "/catalog")
+    val e = quantized(s, dir)
+    centroids(e).write.parquet(idx + "/centroids")
+    Manifest.commit(s, qRoot, idx + "/centroids")
+    val maxId = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cuts = Seq((maxId + 1) / 4, (maxId + 1) / 2, maxId + 1)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label"),
+          col("embedding")), Seq("doc_id"), "left")
+    fs.mkdirs(new Path(s"$idx/src"))
+    for ((hi, k) <- cuts.zipWithIndex) {
+      val lo = if (k == 0) 0L else cuts(k - 1)
+      src.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.parquet(s"$idx/stage_$k")
+      val part = fs.listStatus(new Path(s"$idx/stage_$k"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new Path(s"$idx/src/b$k.parquet")
+      require(fs.rename(part, dst), s"rename of range file $k failed")
+      fs.setTimes(dst, 1600000000000L + k * 60000L, -1)
+    }
+    val schema = s.read.parquet(s"$idx/src").schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        graft.expressions.LongArrayOps.register(ss)
+        val withDl = batch
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")))
+        val pDir = s"$idx/p_$batchId"
+        if (!Manifest.committed(ss, pRoot).contains(pDir)) {
+          withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+            .write.mode("overwrite").parquet(pDir)
+          Manifest.commitIfAbsent(ss, pRoot, pDir)
+        }
+        val sDir = s"$idx/s_$batchId"
+        if (!Manifest.committed(ss, sRoot).contains(sDir)) {
+          withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+            .write.mode("overwrite").parquet(sDir)
+          Manifest.commitIfAbsent(ss, sRoot, sDir)
+        }
+        val lDir = s"$idx/l_$batchId"
+        if (!Manifest.committed(ss, lRoot).contains(lDir)) {
+          val eb = batch.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("label"),
+              quantize(col("embedding")).as("v"))
+            .withColumn("nn", normSqLong(col("v")))
+          val cent = Manifest.snapshot(ss, qRoot)
+          centroidRanked(eb, cent, maxRank = 1)
+            .filter(col("rk") === 1)
+            .select(col("vec_id"), col("v"), col("nn"),
+              col("clabel").as("list"))
+            .write.mode("overwrite").parquet(lDir)
+          Manifest.commitIfAbsent(ss, lRoot, lDir)
+        }
+        Catalog.pinLatest(ss, cRoot, Seq(pRoot, sRoot, lRoot, qRoot))
+        if (batchId == 1L) {
+          // the takedown request arrives NOW, naming the residue-13
+          // docs that exist at this point — applied to the live index
+          // as three ∝-takedown-size commits, each replay-guarded,
+          // then ONE atomic publish
+          if (!Manifest.entries(ss, pRoot).exists(MergeOnRead.isTombstone))
+            MergeOnRead.deleteWhere(ss, pRoot, "doc_id",
+              col("doc_id") % 13 === 3, s"$idx/td_p")
+          if (!Manifest.entries(ss, lRoot).exists(MergeOnRead.isTombstone))
+            MergeOnRead.deleteWhere(ss, lRoot, "vec_id",
+              col("vec_id") % 13 === 3, s"$idx/td_l")
+          val cDir = s"$idx/s_td"
+          if (!Manifest.committed(ss, sRoot).contains(cDir)) {
+            Tables.documents(ss, dir)
+              .filter(col("doc_id") < cuts(1) &&
+                col("doc_id") % 13 === 3)
+              .select(col("doc_id"), tokens(col("text")).as("toks"))
+              .agg((-count(lit(1))).as("nd"),
+                (-sum(size(col("toks")))).as("tl"))
+              .write.mode("overwrite").parquet(cDir)
+            Manifest.commitIfAbsent(ss, sRoot, cDir)
+          }
+          Catalog.pinLatest(ss, cRoot, Seq(pRoot, sRoot, lRoot, qRoot))
+        }
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$idx/src")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$idx/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // ---- the takedown is an EPOCH in the live index's history:
+    // present at epoch 2, gone from epoch 3 on, ingest continued after
+    val hist = Catalog.history(s, cRoot)
+    require(hist.size == 4,
+      s"expected pins b0, b1, takedown, b2 — got ${hist.size} epochs")
+    def victimPostings(cv: Int): Long =
+      MergeOnRead.snapshot(s, pRoot, "doc_id",
+          Some(Catalog.resolve(s, cRoot, Some(cv))(pRoot)))
+        .filter(col("doc_id") % 13 === 3 && col("doc_id") < cuts(1))
+        .count()
+    require(victimPostings(2) > 0,
+      "victims must be live through the pre-takedown epoch")
+    require(victimPostings(3) == 0 && victimPostings(4) == 0,
+      "victims must be gone from every post-takedown epoch")
+    require(Manifest.entries(s, pRoot).exists(MergeOnRead.isTombstone) &&
+      Manifest.entries(s, lRoot).exists(MergeOnRead.isTombstone),
+      "the takedown must be live appending tombstones, not a rewrite")
+    // ---- hybrid query over the FINAL pin, tombstone-merged reads
+    val pins = Catalog.resolve(s, cRoot)
+    val tf = MergeOnRead.snapshot(s, pRoot, "doc_id", Some(pins(pRoot)))
+    val st = Manifest.snapshot(s, sRoot, Some(pins(sRoot)))
+      .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
+    val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
+    val avgdl = totLen.toDouble / nDocs
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val qterms = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("term"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("nid"))
+    val sparse = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dft, Seq("term")).join(dl, Seq("doc_id"))
+      .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
+        col("tf"), col("df"), col("dl"), nDocs, avgdl))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
+      .withColumn("rks", row_number().over(ws))
+      .filter(col("rks") <= 20)
+      .select(col("qid"), col("nid"), col("rks"))
+    val cent = Manifest.snapshot(s, qRoot, Some(pins(qRoot)))
+    // surviving probes only — probe 3 was taken down with its document
+    val probes = centroidRanked(
+        e.filter(col("vec_id") < 5 && col("vec_id") % 13 =!= 3), cent,
+        maxRank = 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("clabel").as("list"))
+    val lists = MergeOnRead.snapshot(s, lRoot, "vec_id",
+      Some(pins(lRoot)))
+    val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
+    val wd = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val dense = broadcast(probes).join(lists, Seq("list"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .withColumn("rkd", row_number().over(wd))
+      .filter(col("rkd") <= 20)
+      .select(col("qid"), col("nid"), col("rkd"))
+    rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
+  }
+
+  /** [[st15Oracle]] over the SURVIVORS: the takedown set (residue-13
+    * docs that existed when the mid-stream request arrived, id < cut2)
+    * excluded from both legs' corpora and from the probes; the frozen
+    * quantizer keeps its full-corpus training (the trained artifact
+    * predates the takedown — s16's retained-quantizer semantics).
+    */
+  val st17Oracle: String =
+    """WITH c2 AS (SELECT (MAX(doc_id)+1)//2 cut FROM documents),
+      |q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM q),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx, COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT n.vec_id, n.v, n.nn, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM n CROSS JOIN cent),
+      |rk AS (SELECT vec_id, v, nn, clabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk FROM d),
+      |lists AS (SELECT vec_id, v, nn, clabel AS list FROM rk CROSS JOIN c2
+      |  WHERE rk = 1 AND NOT (vec_id % 13 = 3 AND vec_id < cut)),
+      |probes AS (SELECT vec_id qid, v qv, nn qn, clabel AS list FROM rk
+      |  WHERE vec_id < 5 AND vec_id % 13 <> 3 AND rk <= 2),
+      |pd AS (SELECT probes.qid, lists.vec_id nid,
+      |    CAST(list_aggregate(list_transform(range(1, len(qv) + 1),
+      |        i -> qv[CAST(i AS INT)] * lists.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(lists.nn AS DOUBLE))) AS cos
+      |  FROM probes JOIN lists USING(list) WHERE probes.qid <> lists.vec_id),
+      |d20 AS (SELECT qid, nid, rkd FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY cos DESC, nid) rkd FROM pd)
+      |  WHERE rkd <= 20),
+      |surv AS (SELECT dd.* FROM documents dd CROSS JOIN c2
+      |  WHERE NOT (dd.doc_id % 13 = 3 AND dd.doc_id < cut)),
+      |t AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+      |    THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |    AS term FROM surv),
+      |nn2 AS (SELECT (SELECT COUNT(*) FROM surv) AS nd,
+      |    (SELECT COUNT(*) FROM t) AS tl),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+      |qt AS (SELECT DISTINCT doc_id AS qid, term FROM t WHERE doc_id < 5),
+      |sc AS (SELECT qid, tf.doc_id AS nid,
+      |    CAST(SUM(CAST(FLOOR(
+      |      (CAST(nd AS DOUBLE) / df) * (tf * 2.2e0) /
+      |        (tf + 1.2e0 * (0.25e0 +
+      |          0.75e0 * (dl / (CAST(tl AS DOUBLE) / nd)))) * 1e7)
+      |      AS BIGINT)) AS BIGINT) AS score_fp
+      |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN nn2
+      |  WHERE tf.doc_id <> qt.qid
+      |  GROUP BY 1, 2),
+      |s20 AS (SELECT qid, nid, rks FROM (SELECT qid, nid, ROW_NUMBER()
+      |    OVER (PARTITION BY qid ORDER BY score_fp DESC, nid) rks FROM sc)
+      |  WHERE rks <= 20),
+      |f AS (SELECT COALESCE(d20.qid, s20.qid) AS qid,
+      |    COALESCE(d20.nid, s20.nid) AS nid,
+      |    CAST(COALESCE(FLOOR(1e9 / (60 + rkd)), 0) AS BIGINT)
+      |      + CAST(COALESCE(FLOOR(1e9 / (60 + rks)), 0) AS BIGINT) AS rrf
+      |  FROM d20 FULL OUTER JOIN s20
+      |    ON d20.qid = s20.qid AND d20.nid = s20.nid),
+      |r AS (SELECT qid, nid, rrf, ROW_NUMBER() OVER
+      |    (PARTITION BY qid ORDER BY rrf DESC, nid) rk FROM f)
+      |SELECT qid, rk, nid, rrf FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -3426,6 +3689,7 @@ object SimilarityQueries {
     "s23_conj_prune" -> (s23ConjPrune _),
     "st15_stream_hybrid" -> (st15StreamHybrid _),
     "st16_stream_health" -> (st16StreamIndexHealth _),
+    "st17_stream_takedown" -> (st17StreamTakedown _),
     "s18_pca_moments" -> (s18PcaMoments _),
     "d14_semantic_dedup" -> (d14SemanticDedup _))
 
@@ -3460,6 +3724,7 @@ object SimilarityQueries {
     "s23_conj_prune" -> s23Oracle,
     "st15_stream_hybrid" -> st15Oracle,
     "st16_stream_health" -> st16Oracle,
+    "st17_stream_takedown" -> st17Oracle,
     "s18_pca_moments" -> s18Oracle,
     "d14_semantic_dedup" -> d14Oracle)
 }
