@@ -40,6 +40,18 @@ import pyarrow.parquet as pq
 
 factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_scale10"
+# 'heaps' mode: the default bootstrap reuses sf0.1's OBSERVED vocabulary,
+# which is CONSTANT in the factor — exactly the degenerate case the dedup
+# routers escape to dense bitset sweeps for, so the banded/prefix scale
+# routes never run. A real corpus grows vocabulary with Heaps' law
+# (V = K * N^beta), so this mode grows the WORD list until the distinct
+# char-TRIGRAM count (the shingle vocabulary the routers gate on) reaches
+# T(N) = 0.6 * N^0.7 for N total tokens at this factor, sampling words
+# with Zipf(1.0) frequencies over (observed head + synthetic tail) ranks.
+# Anchors: T(1x) ~ 3.6k (dense route, like the driver corpus),
+# T(10x) ~ 18k and T(30x) ~ 39k (both past the 16384 bitset cap -> the
+# banded/prefix routes a 100 TB corpus takes).
+heaps = len(sys.argv) > 3 and sys.argv[3] == "heaps"
 src = "/root/testdata/sf0.1"
 rng = np.random.default_rng(4242)
 os.makedirs(out, exist_ok=True)
@@ -51,6 +63,22 @@ docs = con.execute(
 ).fetchall()
 vocab = np.array(sorted({w for t, _, _ in docs for w in t.split(" ")}))
 lens = np.array([len(t.split(" ")) for t, _, _ in docs])
+zipf_p = None
+if heaps:
+    n_tokens = int(lens.sum()) * factor
+    target_tri = int(0.6 * n_tokens ** 0.7)
+    tris = {t[i:i + 3] for t, _, _ in docs for i in range(len(t) - 2)}
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789"))
+    synth = []
+    while len(tris) < target_tri:
+        w = "".join(rng.choice(alpha, 8))
+        synth.append(w)
+        tris.update(w[i:i + 3] for i in range(6))
+    vocab = np.concatenate([vocab, np.array(synth)])
+    ranks = np.arange(1, len(vocab) + 1, dtype=float)
+    zipf_p = (1.0 / ranks) / (1.0 / ranks).sum()
+    print(f"heaps mode: {len(synth)} synthetic words, "
+          f"~{len(tris)} distinct trigrams (target {target_tri})")
 lang_vals, lang_counts = np.unique([l for _, l, _ in docs],
                                    return_counts=True)
 n_docs = len(docs) * factor
@@ -63,12 +91,12 @@ for i in range(n_docs):
         # near-dup: perturb ~10% of an earlier doc's words in place
         words = texts[int(rng.integers(0, i))].split(" ")
         idx = rng.random(len(words)) < 0.10
-        repl = rng.choice(vocab, int(idx.sum()))
+        repl = rng.choice(vocab, int(idx.sum()), p=zipf_p)
         words = np.array(words, dtype=object)
         words[idx] = repl
         texts.append(" ".join(words))
     else:
-        texts.append(" ".join(rng.choice(vocab, out_lens[i])))
+        texts.append(" ".join(rng.choice(vocab, out_lens[i], p=zipf_p)))
 pq.write_table(
     pa.table(
         {

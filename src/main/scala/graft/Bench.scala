@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2": runtime confs for route-forcing
+    // probe runs (e.g. spark.graft.dedup.maxBroadcastSigs=0 to measure
+    // the banded simhash path below its natural engagement size)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     // Warmup: touch every table once (parquet footers, FS cache, codegen,
     // executor threads) so per-query timings measure the query, not
     // first-job session initialization.

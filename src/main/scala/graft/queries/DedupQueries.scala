@@ -348,6 +348,123 @@ object DedupQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** Banded-LSH verification as a BUCKET-LOCAL chunked pair sweep — the
+    * big-vocabulary banded route's answer to the candidate-join cliff
+    * the heaps-law 10× octave exposed: a Zipf-headed corpus makes LSH
+    * buckets only semi-selective (candidates ≈ 10% of all pairs, 1.2·10⁸
+    * at 10×), and the join form shipped BOTH ~325-long shingle arrays
+    * through shuffles PER CANDIDATE PAIR — hundreds of GB of sort spill
+    * before a single verification ran. Here the payload moves once per
+    * (doc, band) — docs×bands rows, corpus-proportional — into
+    * bucket-chunk groups, and every candidate pair is generated, gated,
+    * and verified INSIDE its group: lossless size gate first (~ns), then
+    * the sorted-merge intersection only for survivors. Exactly one
+    * verification per qualifying pair corpus-wide: a pair colliding in
+    * several bands is emitted only by its FIRST agreeing band (the ≤12
+    * long compares against earlier band signatures replace the
+    * 10⁸-row `distinct()`), and chunking splits giant buckets into
+    * bounded (lo, hi) chunk-pair groups so one degenerate bucket cannot
+    * serialize a straggler task. Output ≡ the join form: pair ⟺
+    * shares ≥1 band bucket AND exact jaccard ≥ τ (same IEEE division).
+    */
+  private def bandedBucketSweep(base: DataFrame, tau: Double,
+      s: SparkSession, nBands: Int = 4, r: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val chunk = 2048
+    val w = Window.partitionBy(col("band"), col("sig"))
+    val bands = base.select(col("doc_id"), col("gs"),
+        size(col("gs")).as("n"), col("mh"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("sig", slice(col("mh"), col("band") * r + 1, lit(r)))
+      .withColumn("chk",
+        ((row_number().over(w.orderBy(col("doc_id"))) - 1) / chunk)
+          .cast("int"))
+      .withColumn("nchk",
+        ceil(count(lit(1)).over(w) / lit(chunk)).cast("int"))
+    val fan = bands
+      .withColumn("ob", explode(sequence(lit(0), col("nchk") - 1)))
+      .select(col("band"), col("sig"),
+        least(col("chk"), col("ob")).as("lo"),
+        greatest(col("chk"), col("ob")).as("hi"),
+        col("chk"), col("doc_id"), col("gs"), col("n"), col("mh"))
+    fan.repartition(col("band"), col("sig"), col("lo"), col("hi"))
+      .sortWithinPartitions(col("band"), col("sig"), col("lo"),
+        col("hi"), col("chk"), col("doc_id"))
+      .mapPartitions { it =>
+        final case class Doc(id: Long, gs: Array[Long], n: Int,
+          mh: Array[Long])
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        var key: (Int, Seq[Long], Int, Int) = null
+        val loBuf = scala.collection.mutable.ArrayBuffer.empty[Doc]
+        val hiBuf = scala.collection.mutable.ArrayBuffer.empty[Doc]
+        def earlierBandAgrees(a: Doc, b: Doc, band: Int): Boolean = {
+          var b2 = 0
+          while (b2 < band) {
+            var k = 0
+            var same = true
+            while (same && k < r) {
+              if (a.mh(b2 * r + k) != b.mh(b2 * r + k)) same = false
+              k += 1
+            }
+            if (same) return true
+            b2 += 1
+          }
+          false
+        }
+        def mergeCount(a: Array[Long], b: Array[Long]): Int = {
+          var (i, j, c) = (0, 0, 0)
+          while (i < a.length && j < b.length) {
+            if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+            else if (a(i) < b(j)) i += 1
+            else j += 1
+          }
+          c
+        }
+        def pair(a: Doc, b: Doc, band: Int): Unit = {
+          val mn = math.min(a.n, b.n)
+          val mx = math.max(a.n, b.n)
+          if (mx > 0 && mn >= math.ceil(tau * mx) &&
+              !earlierBandAgrees(a, b, band)) {
+            val i = mergeCount(a.gs, b.gs)
+            val jac = i.toDouble / (a.n + b.n - i).toDouble
+            if (jac >= tau) out += ((a.id, b.id, jac))
+          }
+        }
+        def flush(): Unit = if (key != null) {
+          val band = key._1
+          val triangle = key._3 == key._4
+          var i = 0
+          while (i < loBuf.length) {
+            // chunk assignment is doc_id-ordered, so lo-chunk ids all
+            // precede hi-chunk ids — (lo member, hi member) is already
+            // the (ia < ib) orientation; the triangle case orders by i<j
+            var j = if (triangle) i + 1 else 0
+            val other = if (triangle) loBuf else hiBuf
+            while (j < other.length) {
+              pair(loBuf(i), other(j), band)
+              j += 1
+            }
+            i += 1
+          }
+          loBuf.clear(); hiBuf.clear()
+        }
+        it.foreach { row =>
+          val k = (row.getInt(0), row.getSeq[Long](1), row.getInt(2),
+            row.getInt(3))
+          if (k != key) { flush(); key = k }
+          val d = Doc(row.getLong(5), row.getSeq[Long](6).toArray,
+            row.getInt(7), row.getSeq[Long](8).toArray)
+          if (row.getInt(4) == key._3) loBuf += d else hiBuf += d
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("ia", "ib", "jac")
+      .orderBy(col("ia"), col("ib"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, representation-adaptive.
     *
     * A naive inverted-index self-join explodes on frequent shingles (a
@@ -655,17 +772,19 @@ object DedupQueries {
     val bands = base.select(col("doc_id"),
       posexplode(bandSignatures(col("mh"), 4, 4)).as(Seq("band", "sig")))
     // Decision stats: each a narrow one-pass aggregate (docs is counted
-    // without running the shingle/minhash projections).
+    // without running the shingle/minhash projections). The bucket
+    // census is only consulted on the dictionary route — the bucket
+    // sweep is degeneracy-robust, so the big-vocab path skips the pass.
     val nDocs = docs.count()
+    val vocabOpt = vocabOf(base)
     // sum() over an empty corpus aggregates to null, not 0
-    val bucketPairs = Option(bands.groupBy(col("band"), col("sig"))
+    def bucketPairs: Long = Option(bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("k"))
       .agg(sum(col("k") * (col("k") - 1))).first().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
     // compared in double: n(n-1)/2 overflows Long past ~4.3e9 docs, which
     // would silently force the quadratic path at exactly the wrong scale
     val allPairs = math.max(nDocs.toDouble * (nDocs - 1) / 2, 1.0)
-    val vocabOpt = vocabOf(base)
     if (vocabOpt.isDefined && bucketPairs >= allPairs / 2) {
       val vocab = vocabOpt.get
       // Degenerate buckets: the SAME bitset pair scan as dJaccard, with
@@ -681,19 +800,24 @@ object DedupQueries {
       val raw = jacPairScanBandAgree(enc, tau, nDocs, s,
         bytesPerDoc = ((vocab.length + 63) / 64) * 8L + 60L)
       finishReleasing(raw, base)
-    } else {
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-        .distinct()
-      val raw = vocabOpt match {
-        case Some(vocab) =>
-          val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-          verifyBitset(cand, encodeBitsets(base, vocab, par), tau)
-        case None => verifySorted(cand, base, tau)
-      }
-      finishReleasing(raw, base)
+    } else vocabOpt match {
+      case Some(vocab) =>
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+        val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        finishReleasing(verifyBitset(cand,
+          encodeBitsets(base, vocab, par), tau), base)
+      case None =>
+        // big vocabulary: the bucket-local sweep — candidates are
+        // generated, gated, and verified inside their (band, sig)
+        // chunk groups; the payload shuffle is docs×bands, never
+        // candidates (see [[bandedBucketSweep]] for the 10× cliff
+        // the join form hit here)
+        finishReleasing(bandedBucketSweep(base, tau, s), base)
     }
   }
 

@@ -75,6 +75,48 @@ class DedupGeneralPathSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a >= 1000L && b >= 1000L })
   }
 
+  test("the banded bucket sweep equals a brute-force band-agreement + " +
+      "exact-jaccard replay, pair for pair") {
+    // independent reference: every doc pair, jaccard on distinct char
+    // trigrams, band agreement on the engine's own minhash formula —
+    // the full semantics of the banded route with no shared code path
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val P = 1000000007L
+    // jaccard sets use the raw (injective) packed trigrams like the
+    // engine's gs; only the minhash goes through the mod-P hash
+    def tris(t: String): Set[Long] =
+      (0 until t.length - 2).map(i => (t(i).toLong << 32) |
+        (t(i + 1).toLong << 16) | t(i + 2).toLong).toSet
+    def mh16(t: String): Array[Long] = {
+      val mins = Array.fill(16)(P)
+      (0 until t.length - 2).foreach { i =>
+        val h = ((t(i).toLong * 31 + t(i + 1)) * 31 + t(i + 2)) % P
+        for (k <- 0 until 16) {
+          val p = ((2 * k + 1) * h + 7 * k + 3) % P
+          if (p < mins(k)) mins(k) = p
+        }
+      }
+      mins
+    }
+    val sets = docs.map { case (_, t) => tris(t) }
+    val sigs = docs.map { case (_, t) => mh16(t) }
+    val expected = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      if (0 until 4).exists(b => (0 until 4).forall(k =>
+        sigs(i)(b * 4 + k) == sigs(j)(b * 4 + k)))
+      inter = (sets(i) & sets(j)).size
+      jac = inter.toDouble / (sets(i).size + sets(j).size - inter)
+      if jac >= 0.8
+    } yield (docs(i)._1, docs(j)._1, jac)).toSet
+    val got = SparkEntry.queries("d3_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.nonEmpty, "the planted pairs must make this non-vacuous")
+  }
+
   test("clustering elects one keeper across the planted component") {
     val rows = DedupQueries.dCluster(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
