@@ -413,23 +413,17 @@ object DedupQueries {
           }
           false
         }
-        def mergeCount(a: Array[Long], b: Array[Long]): Int = {
-          var (i, j, c) = (0, 0, 0)
-          while (i < a.length && j < b.length) {
-            if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-            else if (a(i) < b(j)) i += 1
-            else j += 1
-          }
-          c
-        }
         def pair(a: Doc, b: Doc, band: Int): Unit = {
           val mn = math.min(a.n, b.n)
           val mx = math.max(a.n, b.n)
           if (mx > 0 && mn >= math.ceil(tau * mx) &&
               !earlierBandAgrees(a, b, band)) {
-            val i = mergeCount(a.gs, b.gs)
-            val jac = i.toDouble / (a.n + b.n - i).toDouble
-            if (jac >= tau) out += ((a.id, b.id, jac))
+            val need = math.ceil(tau * (a.n + b.n) / (1 + tau)).toInt
+            val i = mergeCountBounded(a.gs, b.gs, need)
+            if (i >= 0) {
+              val jac = i.toDouble / (a.n + b.n - i).toDouble
+              if (jac >= tau) out += ((a.id, b.id, jac))
+            }
           }
         }
         def flush(): Unit = if (key != null) {
@@ -463,6 +457,169 @@ object DedupQueries {
       }
       .toDF("ia", "ib", "jac")
       .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Sweep-if-candidates-explode threshold: the prefix-filtered join
+    * routes are kept while their candidate estimate stays under
+    * `ratio × allPairs` (healthy text: candidates ≈ near-dups ≈ O(n));
+    * past it the join machinery's per-candidate cost (µs of shuffle
+    * rows carrying ~325-long arrays) exceeds a blocked all-pairs
+    * sweep's per-pair cost (~ns gate, merge only for gate survivors),
+    * so the sweep is strictly cheaper — the crossover is ~1/200, the
+    * default 1/64 is conservative. Tests set 0 to force the sweep.
+    */
+  private def sweepCandRatio(s: SparkSession): Double =
+    s.conf.get("spark.graft.dedup.sweepCandRatio", "0.015625").toDouble
+
+  /** The chunk-pair fan shared by the blocked sorted-array sweeps:
+    * docs hash into ⌈n/chunk⌉ chunks and each row copies to every
+    * (lo, hi) chunk-pair group containing its chunk, so every unordered
+    * doc pair lands in EXACTLY one group and group memory is bounded by
+    * two chunks of payloads. Payload shuffle is n × ⌈n/chunk⌉ rows —
+    * the √-decomposition trade every blocked pair scan makes.
+    */
+  private def chunkPairFan(enc: DataFrame, nDocs: Long,
+      chunk: Int = 4096): DataFrame = {
+    val nchk = math.max(1L, (nDocs + chunk - 1) / chunk).toInt
+    enc
+      .withColumn("chk", pmod(hash(col("doc_id")), lit(nchk)).cast("int"))
+      .withColumn("ob", explode(sequence(lit(0), lit(nchk - 1))))
+      .select(least(col("chk"), col("ob")).as("lo"),
+        greatest(col("chk"), col("ob")).as("hi"),
+        col("chk"), col("doc_id"), col("gs"), col("n"))
+      .repartition(col("lo"), col("hi"))
+      .sortWithinPartitions(col("lo"), col("hi"), col("chk"),
+        col("doc_id"))
+  }
+
+  /** Blocked all-pairs jaccard sweep on sorted shingle arrays — the
+    * big-vocabulary escape for a corpus whose prefix index degenerates
+    * (Zipf-headed short docs: the heaps-law octave measured PPJoin
+    * candidates at 29% of ALL pairs, and the join-form verification
+    * died in sort spill). Per pair: lossless size gate (~ns), then the
+    * sorted-merge intersection only for gate survivors. Same pair set
+    * and the same one-IEEE-division jaccard as [[verifySorted]].
+    */
+  private def jaccardBlockSweep(enc: DataFrame, nDocs: Long, tau: Double,
+      s: SparkSession): DataFrame = {
+    import s.implicits._
+    chunkPairFan(enc, nDocs).mapPartitions { it =>
+      sweepGroups(it) { (a, b, out) =>
+        val mn = math.min(a.n, b.n)
+        val mx = math.max(a.n, b.n)
+        if (mx > 0 && mn >= math.ceil(tau * mx)) {
+          // jac ≥ τ ⟺ |A∩B| ≥ τ(|A|+|B|)/(1+τ): the merge abandons as
+          // soon as the remainder can't reach it — dissimilar pairs
+          // (the overwhelming majority) exit after ~10% of the scan
+          val need = math.ceil(tau * (a.n + b.n) / (1 + tau)).toInt
+          val i = mergeCountBounded(a.gs, b.gs, need)
+          if (i >= 0) {
+            val jac = i.toDouble / (a.n + b.n - i).toDouble
+            if (jac >= tau) out +=
+              ((math.min(a.id, b.id), math.max(a.id, b.id), jac))
+          }
+        }
+      }
+    }.toDF("ia", "ib", "jac")
+  }
+
+  /** [[jaccardBlockSweep]]'s containment sibling: gate is the minimum
+    * set size (no lossless ratio gate exists for containment), the
+    * emitted measure is the intersection count with both sizes, and
+    * the τ cut (basis points against the smaller set) applies in-loop
+    * so only survivors become rows.
+    */
+  private def containBlockSweep(enc: DataFrame, nDocs: Long, minSh: Int,
+      tauBp: Long, s: SparkSession): DataFrame = {
+    import s.implicits._
+    chunkPairFan(enc, nDocs).mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Int, Int)]
+      sweepGroupsRaw(it) { (a, b) =>
+        val mn = math.min(a.n, b.n)
+        if (mn >= minSh) {
+          // C ≥ τ ⟺ |A∩B| ≥ ⌈τ·min⌉ (basis points): early-abandoned
+          // like the jaccard sweep — non-contained pairs exit fast
+          val need = ((tauBp * mn + 9999L) / 10000L).toInt
+          val i = mergeCountBounded(a.gs, b.gs, need)
+          if (i >= 0 && 10000L * i / mn >= tauBp) {
+            val (x, y) = if (a.id < b.id) (a, b) else (b, a)
+            out += ((x.id, x.n, y.id, i, y.n))
+          }
+        }
+      }
+      out.iterator
+    }.toDF("ia", "na", "ib", "i", "nb")
+  }
+
+  private final case class SweepDoc(id: Long, gs: Array[Long], n: Int)
+
+  /** Sorted-merge intersection count with EARLY ABANDON: returns −1 the
+    * moment `count + min(remaining)` can no longer reach `need` (the
+    * caller's lossless threshold), the exact count otherwise. The
+    * advancement is branch-reduced (conditional increments, no
+    * three-way branch) — merge misprediction was the measured cost of
+    * the block sweeps' first version.
+    */
+  private def mergeCountBounded(a: Array[Long], b: Array[Long],
+      need: Int): Int = {
+    val (la, lb) = (a.length, b.length)
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < la && j < lb) {
+      if (c + math.min(la - i, lb - j) < need) return -1
+      val x = a(i)
+      val y = b(j)
+      if (x == y) c += 1
+      if (x <= y) i += 1
+      if (y <= x) j += 1
+    }
+    c
+  }
+
+  /** Group-flush skeleton over [[chunkPairFan]]'s sorted partitions:
+    * buffers one (lo, hi) group's two chunk sides, runs `pair` on the
+    * cross product (triangle when lo == hi), accumulating into a
+    * buffer the caller owns via the closure.
+    */
+  private def sweepGroupsRaw(it: Iterator[org.apache.spark.sql.Row])(
+      pair: (SweepDoc, SweepDoc) => Unit): Unit = {
+    var key: (Int, Int) = null
+    val loBuf = scala.collection.mutable.ArrayBuffer.empty[SweepDoc]
+    val hiBuf = scala.collection.mutable.ArrayBuffer.empty[SweepDoc]
+    def flush(): Unit = if (key != null) {
+      val triangle = key._1 == key._2
+      var i = 0
+      while (i < loBuf.length) {
+        var j = if (triangle) i + 1 else 0
+        val other = if (triangle) loBuf else hiBuf
+        while (j < other.length) {
+          pair(loBuf(i), other(j))
+          j += 1
+        }
+        i += 1
+      }
+      loBuf.clear(); hiBuf.clear()
+    }
+    it.foreach { row =>
+      val k = (row.getInt(0), row.getInt(1))
+      if (k != key) { flush(); key = k }
+      val d = SweepDoc(row.getLong(3), row.getSeq[Long](4).toArray,
+        row.getInt(5))
+      if (row.getInt(2) == key._1) loBuf += d else hiBuf += d
+    }
+    flush()
+  }
+
+  private def sweepGroups(it: Iterator[org.apache.spark.sql.Row])(
+      pair: (SweepDoc, SweepDoc,
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]) => Unit)
+      : Iterator[(Long, Long, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    sweepGroupsRaw(it)((a, b) => pair(a, b, out))
+    out.iterator
   }
 
   /** Exact n-gram Jaccard near-dup pairs, representation-adaptive.
@@ -534,9 +691,16 @@ object DedupQueries {
   }
 
   /** The prefix-filtered (PPJoin) candidate path for large vocabularies —
-    * see [[dJaccard]] for when each path applies.
+    * see [[dJaccard]] for when each path applies. Guarded by a prefix
+    * census: when the estimated candidate volume explodes past
+    * [[sweepCandRatio]] × allPairs (a Zipf-headed short-doc corpus
+    * defeats prefix filtering — the heaps octave measured 29% of all
+    * pairs as candidates, and the join form died in sort spill), the
+    * operator drops the index and runs [[jaccardBlockSweep]] instead —
+    * same pair set, candidate-machinery-free.
     */
   private def jaccardPPJoin(base: DataFrame, tau: Double): DataFrame = {
+    val s = base.sparkSession
     val sh = base.select(col("doc_id"), size(col("gs")).as("n"),
       explode(col("gs")).as("g"))
     val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -546,13 +710,30 @@ object DedupQueries {
           .orderBy(col("df"), col("g"))))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select(col("doc_id"), col("g"), col("n"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) >=
-            ceil(lit(tau) * greatest(col("a.n"), col("b.n"))))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .distinct()
-    verifySorted(cand, base, tau)
+    // census before committing to the index route: one aggregate over
+    // the prefix rows (re-derived by the healthy route's join — cheap
+    // relative to either verification, and caching it here would leak
+    // past the return)
+    val candEst = Option(prefix.groupBy(col("g"))
+      .agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") * (col("k") - 1))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    val nDocs = base.count()
+    val allPairs = math.max(nDocs.toDouble * (nDocs - 1) / 2, 1.0)
+    if (candEst >= sweepCandRatio(s) * allPairs)
+      jaccardBlockSweep(
+        base.select(col("doc_id"), col("gs"), size(col("gs")).as("n")),
+        nDocs, tau, s)
+    else {
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n"), col("b.n")) >=
+              ceil(lit(tau) * greatest(col("a.n"), col("b.n"))))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      verifySorted(cand, base, tau)
+    }
   }
 
   val dJaccardOracle: String =
@@ -892,21 +1073,38 @@ object DedupQueries {
             Seq("doc_id"))
           .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
           .select(col("doc_id"), col("g"))
-        val cand = pref.as("a")
-          .join(ex.as("b"), col("a.g") === col("b.g") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("ia"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("ib"))
-          .distinct()
-        cand
-          .join(base.select(col("doc_id").as("ia"), col("gs").as("ga")),
-            Seq("ia"))
-          .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")),
-            Seq("ib"))
-          .withColumn("na", size(col("ga")))
-          .withColumn("nb", size(col("gb")))
-          .filter(least(col("na"), col("nb")) >= minSh)
-          .withColumn("i", intersectSortedCount(col("ga"), col("gb")))
+        // census before committing to the index route: containment's
+        // candidate volume is Σ_prefix df(g) against the FULL index —
+        // on a Zipf-headed corpus it explodes past all-pairs and the
+        // per-candidate join machinery dies in sort spill (the heaps
+        // octave's finding); past the ratio the blocked sweep is
+        // strictly cheaper
+        val candEst = Option(pref.join(gdf, Seq("g"))
+          .agg(sum(col("df"))).first().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val allPairs = math.max(nDocs.toDouble * (nDocs - 1) / 2, 1.0)
+        if (candEst >= sweepCandRatio(s) * allPairs)
+          containBlockSweep(
+            base.select(col("doc_id"), col("gs"),
+              size(col("gs")).as("n")),
+            nDocs, minSh, (tau * 10000).toLong, s)
+        else {
+          val cand = pref.as("a")
+            .join(ex.as("b"), col("a.g") === col("b.g") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("ia"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("ib"))
+            .distinct()
+          cand
+            .join(base.select(col("doc_id").as("ia"), col("gs").as("ga")),
+              Seq("ia"))
+            .join(base.select(col("doc_id").as("ib"), col("gs").as("gb")),
+              Seq("ib"))
+            .withColumn("na", size(col("ga")))
+            .withColumn("nb", size(col("gb")))
+            .filter(least(col("na"), col("nb")) >= minSh)
+            .withColumn("i", intersectSortedCount(col("ga"), col("gb")))
+        }
     }
     val census = scored
       .withColumn("bp",

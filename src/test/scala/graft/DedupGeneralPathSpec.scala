@@ -63,6 +63,31 @@ class DedupGeneralPathSpec extends AnyFunSuite {
       (1000L, 1003L), (1001L, 1003L), (1002L, 1003L)))
   }
 
+  test("the forced block sweeps reproduce the prefix routes' results " +
+      "exactly (d2 pair set, d19 census)") {
+    // sweepCandRatio=0 forces the census-gated escapes the heaps-law
+    // octave added — same corpora, index route vs blocked sweep must be
+    // row-identical
+    val ppJoin = DedupQueries.jaccardPairs(spark, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val d19Pref = SparkEntry.queries("d19_containment")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.dedup.sweepCandRatio", "0")
+    try {
+      val swept = DedupQueries.jaccardPairs(spark, dir, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(swept == ppJoin,
+        s"missing=${(ppJoin -- swept).take(5)} extra=${(swept -- ppJoin).take(5)}")
+      assert(ppJoin.nonEmpty, "planted pairs required")
+      val d19Swept = SparkEntry.queries("d19_containment")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(d19Swept == d19Pref,
+        s"containment census diverged: $d19Swept vs $d19Pref")
+    } finally spark.conf.unset("spark.graft.dedup.sweepCandRatio")
+  }
+
   test("healthy banded LSH finds the planted pairs without degenerating") {
     val pairs = DedupQueries.dMinhashLsh(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
