@@ -1295,28 +1295,83 @@ object DedupQueries {
             max(col("p._5")).as("max_jac_bp"))
           .orderBy(col("est16"))
       case None =>
-        val probes = base.filter(col("doc_id") < 30)
-          .select(col("doc_id").as("ia"), col("gs").as("ga"),
-            col("mh").as("ma"))
-        val est16 = size(filter(
-          zip_with(col("ma"), col("mb"), (x, y) => x === y), b => b))
-          .cast("long")
-        val inter = intersectSortedCount(col("ga"), col("gb"))
-        broadcast(probes)
-          .crossJoin(base.select(col("doc_id").as("ib"),
-            col("gs").as("gb"), col("mh").as("mb")))
-          .filter(col("ia") < col("ib"))
-          .filter(if (sample.isEmpty) lit(true)
-            else (col("ia") * lit(1000003L) + col("ib")) % lit(sMod)
-              < lit(sKeep))
-          .select(est16.as("est16"),
-            floor(jacCol(inter, size(col("ga")), size(col("gb"))) * 10000)
-              .cast("long").as("jac_bp"))
-          .groupBy(col("est16"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(col("jac_bp")).as("sum_jac_bp"),
-            min(col("jac_bp")).as("min_jac_bp"),
-            max(col("jac_bp")).as("max_jac_bp"))
+        // big vocabulary: same fused one-broadcast sweep as the dense
+        // route, on the SORTED-ARRAY representation — the crossJoin
+        // form paid ~µs of row machinery plus an interpreted zip_with
+        // per probe×corpus pair (90 s at the heaps 30× octave; the
+        // sweep's 4.5M primitive merges are seconds). Calibration
+        // needs the EXACT jaccard of every kept pair (it is the
+        // bucketed value, not a threshold), so merges cannot
+        // early-abandon — the sampling keep rule, decided on ids
+        // alone, is the cost lever.
+        val rows = base.filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("gs"), col("mh"))
+          .collect().sortBy(_.getLong(0))
+        val m = rows.length
+        val pIds = new Array[Long](m)
+        val pOff = new Array[Int](m + 1)
+        val pMh = new Array[Long](m * 16)
+        for (i <- 0 until m)
+          pOff(i + 1) = pOff(i) + rows(i).getSeq[Long](1).length
+        val pGs = new Array[Long](pOff(m))
+        for (i <- 0 until m) {
+          pIds(i) = rows(i).getLong(0)
+          val g = rows(i).getSeq[Long](1)
+          var j = 0
+          while (j < g.length) { pGs(pOff(i) + j) = g(j); j += 1 }
+          val h = rows(i).getSeq[Long](2)
+          for (k <- 0 until 16) pMh(i * 16 + k) = h(k)
+        }
+        val bc = s.sparkContext.broadcast((pIds, pOff, pGs, pMh))
+        val sweep = udf((id: Long, myGs: Seq[Long], myMh: Seq[Long]) => {
+          val (ids, off, gsAll, mhs) = bc.value
+          val mg = myGs.toArray
+          val mm = myMh.toArray
+          val n = new Array[Long](17)
+          val sum = new Array[Long](17)
+          val mn = Array.fill(17)(Long.MaxValue)
+          val mx = Array.fill(17)(Long.MinValue)
+          var a = 0
+          while (a < ids.length && ids(a) < id) {
+            if (sample.isEmpty ||
+                (ids(a) * 1000003L + id) % sMod < sKeep) {
+              var est = 0
+              var k = 0
+              while (k < 16) {
+                if (mm(k) == mhs(a * 16 + k)) est += 1
+                k += 1
+              }
+              var inter = 0
+              var i = off(a)
+              var j = 0
+              val end = off(a + 1)
+              while (i < end && j < mg.length) {
+                val x = gsAll(i)
+                val y = mg(j)
+                if (x == y) inter += 1
+                if (x <= y) i += 1
+                if (y <= x) j += 1
+              }
+              val na = end - off(a)
+              val bp = math.floor(inter.toDouble /
+                (na + mg.length - inter).toDouble * 10000).toLong
+              n(est) += 1
+              sum(est) += bp
+              if (bp < mn(est)) mn(est) = bp
+              if (bp > mx(est)) mx(est) = bp
+            }
+            a += 1
+          }
+          (0 to 16).filter(n(_) > 0)
+            .map(e => (e.toLong, n(e), sum(e), mn(e), mx(e)))
+        })
+        base.select(explode(sweep(col("doc_id"), col("gs"),
+            col("mh"))).as("p"))
+          .groupBy(col("p._1").as("est16"))
+          .agg(sum(col("p._2")).as("n_pairs"),
+            sum(col("p._3")).as("sum_jac_bp"),
+            min(col("p._4")).as("min_jac_bp"),
+            max(col("p._5")).as("max_jac_bp"))
           .orderBy(col("est16"))
     }
   }
