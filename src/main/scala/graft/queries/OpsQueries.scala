@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Checkpoints.StageOps
 import graft.io.EventIO
 import graft.model.{KlioJobRef, KlioMessage, KlioWire}
 import graft.multimodal.Multimodal
@@ -1876,6 +1877,88 @@ object OpsQueries {
       |  COUNT(DISTINCT doc_id) AS nd, CAST(SUM(tf) AS BIGINT) AS tl
       |FROM ph GROUP BY phase ORDER BY phase""".stripMargin
 
+  /** Clone-aware RETENTION enforcement — the lifecycle io27's zero-copy
+    * clone leaves open: a shallow clone references the SOURCE's data
+    * directories, so vacuuming the source could silently destroy the
+    * clone's read path. r9 closes it ([[graft.io.Manifest.expire]] +
+    * the `_clones` registry): the gate clones the source at v1,
+    * rewrites the source away from the shared directory, and REQUIRES
+    * that expire refuses loudly — naming the registered clone and the
+    * shared directory — with nothing reclaimed and the clone still
+    * answering its census; after [[graft.io.Manifest.dropClone]] the
+    * SAME expire succeeds and the directory is physically gone, with
+    * the source's live version untouched. Phase 0 hashes the clone's
+    * census through the protected directory (materialized before the
+    * reclaim), phase 1 the source's live version AFTER it.
+    */
+  def io33CloneRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val base = tmpDir(s) + "/graft_io33"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val (src, cln) = (s"$base/src", s"$base/clone")
+    val k = okeyUnit(s, dir)
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 2 * k)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        expr(s"l_orderkey div $k").cast("int").as("b"))
+      .write.partitionBy("b").parquet(s"$base/data")
+    Manifest.commit(s, src, s"$base/data/b=0")
+    val cloneV = Manifest.shallowClone(s, src, cln)
+    require(Manifest.registeredClones(s, src) == Seq(cln),
+      "shallowClone must register the clone on the source")
+    // the source moves on: a replacing rewrite supersedes the shared dir
+    Manifest.rewrite(s, src, Seq(s"$base/data/b=1"))
+    // retention with a live clone must refuse, naming clone and dir
+    val refused =
+      try { Manifest.expire(s, src, keepLast = 1); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    require(refused.exists(m => m.contains(cln) &&
+      m.contains(s"$base/data/b=0")),
+      s"expire must refuse naming the clone and the shared dir: $refused")
+    require(Manifest.versions(s, src) == Seq(1, 2) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/b=0")),
+      "a refused expire must reclaim nothing")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    // phase 0: the clone still answers through the protected dir —
+    // materialized NOW (the expire below reclaims the dir this census
+    // reads; a lazy plan would execute after the delete)
+    val p0 = census(Manifest.snapshot(s, cln, Some(cloneV)), 0).staged()
+    // dropClone releases the protection; the same expire now succeeds
+    require(Manifest.dropClone(s, src, cln), "dropClone must deregister")
+    require(Manifest.expire(s, src, keepLast = 1) == Seq(1),
+      "expire must reclaim the superseded version after dropClone")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/b=0")),
+      "the superseded shared dir must be physically reclaimed")
+    // phases 1/2: the source's live version before and after reclaim
+    p0.unionByName(census(Manifest.snapshot(s, src), 1))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io33Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents, k FROM lineitem, mk),
+      |snap AS (
+      |  SELECT 0 AS phase, * EXCLUDE (k) FROM li WHERE l_orderkey < k
+      |  UNION ALL
+      |  SELECT 1, * EXCLUDE (k) FROM li
+      |    WHERE l_orderkey >= k AND l_orderkey < 2 * k)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Partition backfill via DYNAMIC partition overwrite — the daily-job
     * reality: re-running one day must replace exactly that day's
     * partition and leave every other day's files untouched. With
@@ -2720,6 +2803,7 @@ object OpsQueries {
     "io29_tx_catalog" -> (io29TxCatalog _),
     "io30_quarantine" -> (io30Quarantine _),
     "io32_catalog_history" -> (io32CatalogHistory _),
+    "io33_clone_retention" -> (io33CloneRetention _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -2773,6 +2857,7 @@ object OpsQueries {
     "io29_tx_catalog" -> io29Oracle,
     "io30_quarantine" -> io30Oracle,
     "io32_catalog_history" -> io32Oracle,
+    "io33_clone_retention" -> io33Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
