@@ -467,6 +467,18 @@ object DedupQueries {
     * sweep's per-pair cost (~ns gate, merge only for gate survivors),
     * so the sweep is strictly cheaper — the crossover is ~1/200, the
     * default 1/64 is conservative. Tests set 0 to force the sweep.
+    *
+    * REGIME BOUNDARY (documented, not closed): a RELATIVE threshold
+    * leaves one corner — a very large corpus whose index is healthy in
+    * ratio terms but whose candidate count is large absolutely (say
+    * n = 10⁷, candidates = 10⁸ = 0.0002 % of pairs). There the join
+    * form's intermediate (candidates × both payloads) is spill-heavy
+    * while the all-pairs sweep's n² gates are unaffordable; the route
+    * that serves it is a PREFIX-GROUP sweep — the [[bandedBucketSweep]]
+    * pattern keyed by prefix shingle with min-shared-prefix
+    * canonicalization, payload ∝ prefix rows (≈ 66× corpus) instead of
+    * ∝ candidates. Not built because no gate reaches that regime at
+    * probe scale; the group-sweep machinery it would reuse is in place.
     */
   private def sweepCandRatio(s: SparkSession): Double =
     s.conf.get("spark.graft.dedup.sweepCandRatio", "0.015625").toDouble
