@@ -166,7 +166,8 @@ object DedupQueries {
         val nb = pk.ns(p)
         val mn = math.min(myN, nb)
         val mx = math.max(myN, nb)
-        if (mn >= math.ceil(tau * mx)) {
+        // lossless IEEE size gate — see losslessNeed for the ceil hazard
+        if (mx > 0 && mn.toDouble / mx.toDouble >= tau) {
           var inter = 0L
           var j = 0
           val off = p * pk.w
@@ -308,8 +309,8 @@ object DedupQueries {
     side("a").join(side("b"), Seq("lo", "hi"))
       .filter((col("blka") =!= col("blkb") || col("lo") === col("hi")) &&
         col("ia") < col("ib") &&
-        least(col("na"), col("nb")) >=
-          ceil(lit(tau) * greatest(col("na"), col("nb"))))
+        least(col("na"), col("nb")).cast("double") /
+          greatest(col("na"), col("nb")) >= lit(tau))
       .withColumn("i", intersectBits(col("ba"), col("bb")))
       .withColumn("jac", jacCol(col("i"), col("na"), col("nb")))
       .filter(col("jac") >= tau)
@@ -416,9 +417,12 @@ object DedupQueries {
         def pair(a: Doc, b: Doc, band: Int): Unit = {
           val mn = math.min(a.n, b.n)
           val mx = math.max(a.n, b.n)
-          if (mx > 0 && mn >= math.ceil(tau * mx) &&
+          // best achievable jac is IEEE(mn/mx) (smaller ⊆ larger):
+          // the division form is lossless where ceil(τ·mx) can
+          // overshoot an exact-integer boundary under IEEE rounding
+          if (mx > 0 && mn.toDouble / mx.toDouble >= tau &&
               !earlierBandAgrees(a, b, band)) {
-            val need = math.ceil(tau * (a.n + b.n) / (1 + tau)).toInt
+            val need = losslessNeed(tau, a.n + b.n)
             val i = mergeCountBounded(a.gs, b.gs, need)
             if (i >= 0) {
               val jac = i.toDouble / (a.n + b.n - i).toDouble
@@ -519,11 +523,14 @@ object DedupQueries {
       sweepGroups(it) { (a, b, out) =>
         val mn = math.min(a.n, b.n)
         val mx = math.max(a.n, b.n)
-        if (mx > 0 && mn >= math.ceil(tau * mx)) {
+        if (mx > 0 && mn.toDouble / mx.toDouble >= tau) {
           // jac ≥ τ ⟺ |A∩B| ≥ τ(|A|+|B|)/(1+τ): the merge abandons as
           // soon as the remainder can't reach it — dissimilar pairs
-          // (the overwhelming majority) exit after ~10% of the scan
-          val need = math.ceil(tau * (a.n + b.n) / (1 + tau)).toInt
+          // (the overwhelming majority) exit after ~10% of the scan.
+          // Both the size gate and the bound are the LOSSLESS IEEE
+          // forms (see losslessNeed) so exact-boundary pairs the join
+          // form and the oracle emit survive the sweep too.
+          val need = losslessNeed(tau, a.n + b.n)
           val i = mergeCountBounded(a.gs, b.gs, need)
           if (i >= 0) {
             val jac = i.toDouble / (a.n + b.n - i).toDouble
@@ -566,6 +573,42 @@ object DedupQueries {
 
   private final case class SweepDoc(id: Long, gs: Array[Long], n: Int)
 
+  /** Smallest intersection count whose IEEE jaccard `i/(s-i)` passes τ —
+    * the LOSSLESS early-abandon bound for a pair with |A|+|B| = s. The
+    * closed form `ceil(τ·s/(1+τ))` overshoots by 1 under IEEE rounding
+    * exactly when the rational threshold is an integer (τ=0.8, s=63:
+    * `0.8*63/1.8` evaluates to 28.000000000000004, so ceil gives 29 —
+    * but 28/35 = 0.8 ≥ τ passes the final filter, and the join form and
+    * the DuckDB oracle both emit that pair; every s divisible by 9 at
+    * τ=0.8 is exposed). i ↦ IEEE(i/(s-i)) is monotone (numerator grows,
+    * denominator shrinks, and double rounding preserves ≤), so a local
+    * search from the closed-form estimate is exact; it moves at most one
+    * step in practice.
+    */
+  private[graft] def losslessNeed(tau: Double, s: Int): Int = {
+    var t = math.ceil(tau * s / (1 + tau)).toInt
+    if (t < 0) t = 0
+    if (t > s) t = s
+    while (t > 0 && (t - 1).toDouble / (s - (t - 1)).toDouble >= tau) t -= 1
+    while (t < s && t.toDouble / (s - t).toDouble < tau) t += 1
+    t
+  }
+
+  /** Smallest intersection count that lets a doc of size `n` pass the
+    * final IEEE `jac ≥ τ` filter against SOME partner (best case is a
+    * partner of size i — union = n, jac = IEEE(i/n)). The lossless
+    * per-doc bound behind the prefix length: same IEEE-boundary hazard
+    * as [[losslessNeed]], same monotone local search.
+    */
+  private[graft] def minNeedJac(tau: Double, n: Int): Int = {
+    var t = math.ceil(tau * n).toInt
+    if (t < 0) t = 0
+    if (t > n) t = n
+    while (t > 0 && (t - 1).toDouble / n.toDouble >= tau) t -= 1
+    while (t < n && t.toDouble / n.toDouble < tau) t += 1
+    t
+  }
+
   /** Sorted-merge intersection count with EARLY ABANDON: returns −1 the
     * moment `count + min(remaining)` can no longer reach `need` (the
     * caller's lossless threshold), the exact count otherwise. The
@@ -573,7 +616,7 @@ object DedupQueries {
     * three-way branch) — merge misprediction was the measured cost of
     * the block sweeps' first version.
     */
-  private def mergeCountBounded(a: Array[Long], b: Array[Long],
+  private[graft] def mergeCountBounded(a: Array[Long], b: Array[Long],
       need: Int): Int = {
     val (la, lb) = (a.length, b.length)
     var i = 0
@@ -720,7 +763,8 @@ object DedupQueries {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("g"))))
-      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .filter(col("rn") <= col("n") -
+        udf((n: Int) => minNeedJac(tau, n)).apply(col("n")) + 1)
       .select(col("doc_id"), col("g"), col("n"))
     // census before committing to the index route: one aggregate over
     // the prefix rows (re-derived by the healthy route's join — cheap
@@ -740,8 +784,8 @@ object DedupQueries {
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.g") === col("b.g") &&
             col("a.doc_id") < col("b.doc_id") &&
-            least(col("a.n"), col("b.n")) >=
-              ceil(lit(tau) * greatest(col("a.n"), col("b.n"))))
+            least(col("a.n"), col("b.n")).cast("double") /
+              greatest(col("a.n"), col("b.n")) >= lit(tau))
         .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
         .distinct()
       verifySorted(cand, base, tau)
@@ -1083,7 +1127,13 @@ object DedupQueries {
           .withColumn("rk", row_number().over(w))
           .join(base.select(col("doc_id"), size(col("gs")).as("n")),
             Seq("doc_id"))
-          .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+          // the final cut is exact integer basis points, so the
+          // lossless per-doc bound is exact integer ceil too — the
+          // IEEE ceil(τ·n) form can overshoot an integer boundary
+          // and leave the prefix one token short
+          .filter(col("rk") <= col("n") -
+            floor((lit((tau * 10000).toLong) * col("n") + lit(9999L)) /
+              lit(10000L)) + 1)
           .select(col("doc_id"), col("g"))
         // census before committing to the index route: containment's
         // candidate volume is Σ_prefix df(g) against the FULL index —
