@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // validated up front: the value is interpolated unquoted into the
+    // JSON record below ("*" would emit invalid JSON and silently break
+    // every consumer, including the next run's cpu identity check) and
+    // spark.sql.shuffle.partitions requires a number anyway
+    require(cpus.matches("\\d+"),
+      s"SPARK_GRAFT_CPUS must be a positive integer, got '$cpus' " +
+        "(local[*] is not supported — pass the actual core count)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -80,10 +80,30 @@ object Catalog {
       val again = readVec()
       if (again == vec) settled = true else { vec = again; tries += 1 }
     }
-    val catVersions = Manifest.versions(s, catRoot)
-    if (catVersions.nonEmpty && resolve(s, catRoot) == vec.toMap)
-      catVersions.last
-    else pin(s, catRoot, vec, committer)
+    // fail loudly rather than publish a potentially mixed old/new
+    // cross-table vector: an unsettled scan after 5 retries means a
+    // writer is actively publishing — the caller should serialize
+    // with it, not race it (pinning a torn vector is the one state
+    // the catalog exists to prevent)
+    require(settled, s"pinLatest($catRoot): table versions still " +
+      s"changing after $tries stabilization re-reads — a concurrent " +
+      "publisher is mid-publish; serialize the publish step and retry")
+    // The idempotence probe reads the LATEST catalog manifest, which a
+    // racing pinner may be writing right now (created, terminator not
+    // yet landed). That is a not-yet-visible version, not an error:
+    // treat it as "not already pinned" and fall through to pin, whose
+    // commitLoop is already in-flight-tolerant.
+    val alreadyPinned =
+      try {
+        val catVersions = Manifest.versions(s, catRoot)
+        if (catVersions.nonEmpty && resolve(s, catRoot) == vec.toMap)
+          Some(catVersions.last)
+        else None
+      } catch {
+        case _: Manifest.IncompleteManifestException |
+             _: java.io.FileNotFoundException => None
+      }
+    alreadyPinned.getOrElse(pin(s, catRoot, vec, committer))
   }
 
   /** The (table root → manifest version) vector a catalog version pins

@@ -521,7 +521,16 @@ object Manifest {
     val dirs = entries(s, srcRoot, version)
     require(versionsOf(fs(s, dstRoot), dstRoot).isEmpty,
       s"refusing to clone onto non-empty table $dstRoot")
-    registerClone(s, srcRoot, dstRoot, committer)
+    // CHAINED clones: when srcRoot is itself a shallow clone, the dirs
+    // being copied belong to ITS sources' data roots — registering the
+    // new clone only on srcRoot would leave it unprotected the moment
+    // the intermediate clone is dropped and deregistered (the exact
+    // data-loss mode the registry exists to prevent). Register on every
+    // root in the chain, and record the full source set on the clone so
+    // a further clone of IT can do the same.
+    val chain = (srcRoot +: cloneSources(s, srcRoot)).distinct
+    chain.foreach(r => registerClone(s, r, dstRoot, committer))
+    chain.foreach(r => recordCloneSource(s, dstRoot, r, committer))
     rewrite(s, dstRoot, dirs, committer)
   }
 
@@ -562,11 +571,55 @@ object Manifest {
   /** Deregister a clone — one marker delete. The clone TABLE is not
     * touched (it may have been deep-copied and live on); after this,
     * source [[expire]]/[[sweepOrphans]] stop protecting the directories
-    * it references. Returns whether a registration was removed.
+    * it references. Returns whether a registration was removed. A
+    * CHAINED clone is registered on every root in its source chain —
+    * use [[dropCloneEverywhere]] to release all of them at once.
     */
   def dropClone(s: SparkSession, srcRoot: String, dstRoot: String)
       : Boolean =
     fs(s, srcRoot).delete(cloneMarker(srcRoot, dstRoot), false)
+
+  /** Deregister `dstRoot` from EVERY root its `_clone_sources/` registry
+    * names (the whole chain for a clone-of-a-clone), removing the
+    * reverse markers too. Returns the roots a registration was actually
+    * removed from.
+    */
+  def dropCloneEverywhere(s: SparkSession, dstRoot: String)
+      : Seq[String] = {
+    val f = fs(s, dstRoot)
+    cloneSources(s, dstRoot).filter { r =>
+      val dropped = dropClone(s, r, dstRoot)
+      f.delete(cloneSourceMarker(dstRoot, r), false)
+      dropped
+    }
+  }
+
+  private def cloneSourceMarker(dstRoot: String, srcRoot: String): Path =
+    new Path(new Path(dstRoot, "_clone_sources"),
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString(srcRoot.getBytes(StandardCharsets.UTF_8)))
+
+  /** The roots `dstRoot`'s data directories may belong to — its direct
+    * clone source plus that source's own recorded sources (written by
+    * [[shallowClone]]; empty for a table that is not a clone). This is
+    * the set the clone must stay registered on for retention safety.
+    */
+  def cloneSources(s: SparkSession, dstRoot: String): Seq[String] = {
+    val f = fs(s, dstRoot)
+    val dir = new Path(dstRoot, "_clone_sources")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .map(st => new String(
+        java.util.Base64.getUrlDecoder.decode(st.getPath.getName),
+        StandardCharsets.UTF_8))
+      .sorted
+  }
+
+  private def recordCloneSource(s: SparkSession, dstRoot: String,
+      srcRoot: String, committer: Committer): Unit =
+    committer.createIfAbsent(fs(s, dstRoot),
+      cloneSourceMarker(dstRoot, srcRoot),
+      srcRoot.getBytes(StandardCharsets.UTF_8))
 
   /** Every data directory any registered clone of `srcRoot` still
     * references, across ALL of the clone's live versions — the set

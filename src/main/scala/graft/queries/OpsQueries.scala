@@ -1551,11 +1551,12 @@ object OpsQueries {
     Manifest.commit(s, src, s"$base/data/b=0")
     Manifest.commit(s, src, s"$base/data/b=1")
     val cloneV = Manifest.shallowClone(s, src, cln)
-    // zero-copy pin: the clone root is ONE manifest file, no data
+    // zero-copy pin: the clone root is ONE manifest file plus the
+    // chained-clone source registry — still O(1) metadata, no data
     val cloneFiles = fs.listStatus(new org.apache.hadoop.fs.Path(cln))
-      .map(_.getPath.getName).toSeq
-    require(cloneFiles == Seq("manifest-v000001"),
-      s"shallow clone must write only a manifest, found $cloneFiles")
+      .map(_.getPath.getName).toSeq.sorted
+    require(cloneFiles == Seq("_clone_sources", "manifest-v000001"),
+      s"shallow clone must write only metadata, found $cloneFiles")
     // cloning onto a live table must refuse, not silently orphan history
     val refused =
       try { Manifest.shallowClone(s, src, cln); false }

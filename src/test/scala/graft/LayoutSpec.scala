@@ -929,6 +929,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(Manifest.expire(spark, src, keepLast = 1) == Seq.empty)
   }
 
+  test("a chained shallow clone stays retention-protected on the " +
+      "ORIGINAL source after the intermediate clone is dropped") {
+    import org.apache.hadoop.fs.Path
+    import graft.io.Manifest
+    val base = System.getProperty("java.io.tmpdir") + "/graft_clone_chain"
+    val f = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(base), true)
+    val (src, c1, c2) = (s"$base/src", s"$base/c1", s"$base/c2")
+    spark.range(5).toDF("id").write.parquet(s"$base/data/b1")
+    spark.range(5, 9).toDF("id").write.parquet(s"$base/data/b2")
+    Manifest.commit(spark, src, s"$base/data/b1")
+    Manifest.shallowClone(spark, src, c1)
+    // clone-of-a-clone: c2's dirs belong to SRC's data root, so it
+    // must be registered on src as well as on c1
+    Manifest.shallowClone(spark, c1, c2)
+    assert(Manifest.registeredClones(spark, src).sorted == Seq(c1, c2))
+    assert(Manifest.registeredClones(spark, c1) == Seq(c2))
+    assert(Manifest.cloneSources(spark, c2).sorted == Seq(c1, src))
+    // the documented lifecycle: c1 is dropped and deregistered — the
+    // pre-fix registry now forgot c2 entirely and expire reclaimed b1
+    // out from under it
+    assert(Manifest.dropClone(spark, src, c1))
+    Manifest.rewrite(spark, src, Seq(s"$base/data/b2"))
+    val ex = intercept[IllegalArgumentException] {
+      Manifest.expire(spark, src, keepLast = 1)
+    }
+    assert(ex.getMessage.contains(c2) &&
+      ex.getMessage.contains(s"$base/data/b1"),
+      s"refusal must name the surviving chained clone: ${ex.getMessage}")
+    assert(Manifest.snapshot(spark, c2).count() == 5)
+    // dropCloneEverywhere releases the whole chain in one call
+    assert(Manifest.dropCloneEverywhere(spark, c2).contains(src))
+    assert(Manifest.registeredClones(spark, src).isEmpty)
+    assert(Manifest.expire(spark, src, keepLast = 1) == Seq(1))
+    assert(!f.exists(new Path(s"$base/data/b1")))
+  }
+
   test("sweepOrphans spares directories only a registered clone " +
       "references; dropClone releases them") {
     import org.apache.hadoop.fs.Path
