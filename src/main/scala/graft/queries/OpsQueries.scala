@@ -2751,6 +2751,151 @@ object OpsQueries {
       .orderBy(col("img_id"), col("block"))
   }
 
+  /** Image perceptual-hash near-dup — the multimodal curation operator
+    * the text dedups (d1–d20) have no image sibling for: every planted
+    * PNG goes through the REAL codec round trip (closed-form pixels →
+    * PNG encode → javax.imageio decode → [[graft.multimodal.PHash]]'s
+    * integer-exact luma/resize/DCT/median pipeline), pairs within
+    * hamming distance ≤ 6 come from a hamming-LSH banded equi-join (7
+    * bands over 64 bits — pigeonhole makes recall exact, the d4
+    * construction) or the exact broadcast scan below the signature cap,
+    * and DuckDB replays the whole hash from the pixel formula with the
+    * SAME fixed-point DCT table (embedded via
+    * [[graft.multimodal.PHash.dctTableSql]], so a libm-vs-JVM cosine
+    * ULP can never flip a bit). The planted set covers exact dups
+    * (identical pixels), near dups (a 4×4 corner block +8 gray — ≤ 4
+    * bits moved, prototyped), and a 48×48 render exercising the
+    * fractional-area resize weights; unrelated images sit ≥ 20 bits
+    * apart, so the census is exactly the planted relationships.
+    */
+  def m5PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.PHash
+    val variants = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id")).as[Long].flatMap { id =>
+        val out = scala.collection.mutable.ArrayBuffer(
+          (id, id, 64, 64, 0))
+        if (id % 5 == 0) out += ((10000 + id, id, 64, 64, 0))
+        if (id % 3 == 0) out += ((20000 + id, id, 64, 64, 1))
+        if (id % 7 == 0) out += ((30000 + id, id, 48, 48, 0))
+        out
+      }.toDF("img_id", "src", "w", "h", "pert")
+    val hashUdf = udf((src: Long, w: Int, h: Int, pert: Int) => {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (src * 31 + x * (7 + src % 11) + y * (13 + src % 17) +
+          (x.toLong * y * (1 + src % 3)) % 29) % 256
+        val g = (if (pert == 1 && x < 4 && y < 4) (base + 8) % 256
+                 else base).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      PHash.ofBytes(baos.toByteArray).get
+    })
+    val sigs = variants
+      .select(col("img_id"),
+        hashUdf(col("src"), col("w"), col("h"), col("pert")).as("ph"))
+      .staged()
+    val maxHd = 6
+    val cap = s.conf.get("spark.graft.dedup.maxBroadcastSigs", "262144")
+      .toLong
+    val pairs = if (sigs.count() <= cap) {
+      // exact broadcast hamming scan (the dSimhash fast form): the
+      // signature table is 16 B/image, the scan is xor+popcount/pair
+      val rows = sigs.orderBy(col("img_id")).as[(Long, Long)].collect()
+      val ids = rows.map(_._1)
+      val ss = rows.map(_._2)
+      val bcIds = s.sparkContext.broadcast(ids)
+      val bcSigs = s.sparkContext.broadcast(ss)
+      val neighbors = udf((id: Long, sig: Long) => {
+        val is = bcIds.value
+        val sv = bcSigs.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        var i = 0
+        while (i < sv.length) {
+          if (is(i) > id) {
+            val hd = java.lang.Long.bitCount(sig ^ sv(i))
+            if (hd <= maxHd) out += ((is(i), hd))
+          }
+          i += 1
+        }
+        out.toSeq
+      })
+      sigs.select(col("img_id").as("ia"),
+          explode(neighbors(col("img_id"), col("ph"))).as("p"))
+        .select(col("ia"), col("p._1").as("ib"), col("p._2").as("hd"))
+    } else {
+      // scale route: 7 bands (6×9 + 1×10 bits) — hd ≤ 6 pairs must
+      // agree on ≥ 1 band (pigeonhole), so the equi-join on (band,
+      // bits) has exact recall; shuffle volume is images×7, never
+      // images². Arithmetic >> then mask is a logical shift for the
+      // low bits we keep.
+      val bandDefs = Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 9),
+        (45, 9), (54, 10))
+      val banded = sigs.select(col("img_id"), col("ph"),
+        explode(array(bandDefs.zipWithIndex.map { case ((off, wd), b) =>
+          struct(lit(b).as("band"),
+            expr(s"(ph >> $off) & ${(1L << wd) - 1}").as("bits"))
+        }: _*)).as("bk"))
+        .select(col("img_id"), col("ph"), col("bk.band").as("band"),
+          col("bk.bits").as("bits"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bits") === col("b.bits") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("ia"), col("b.img_id").as("ib"),
+          expr("bit_count(a.ph ^ b.ph)").as("hd"))
+        .filter(col("hd") <= maxHd)
+        .distinct()
+    }
+    pairs.select(col("ia"), col("ib"), col("hd").cast("int").as("hd"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val m5Oracle: String =
+    s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
+      |dct(u, x, t) AS (SELECT * FROM (VALUES ${
+        graft.multimodal.PHash.dctTableSql})),
+      |imgs AS (
+      |  SELECT id AS img_id, id AS src, 64 AS w, 64 AS h, 0 AS pert FROM ids
+      |  UNION ALL SELECT 10000+id, id, 64, 64, 0 FROM ids WHERE id % 5 = 0
+      |  UNION ALL SELECT 20000+id, id, 64, 64, 1 FROM ids WHERE id % 3 = 0
+      |  UNION ALL SELECT 30000+id, id, 48, 48, 0 FROM ids WHERE id % 7 = 0),
+      |px AS (SELECT img_id, w, h, x, y,
+      |    1000 * (CASE WHEN pert = 1 AND x < 4 AND y < 4
+      |      THEN ((src*31 + x*(7+src%11) + y*(13+src%17) + (x*y*(1+src%3))%29) % 256 + 8) % 256
+      |      ELSE (src*31 + x*(7+src%11) + y*(13+src%17) + (x*y*(1+src%3))%29) % 256 END) AS l
+      |  FROM imgs, range(0, 64) rx(x), range(0, 64) ry(y)
+      |  WHERE x < w AND y < h),
+      |cols AS (SELECT img_id, h, y, i,
+      |    SUM(l * ((GREATEST(0, LEAST((x+1)*32, (i+1)*w) - GREATEST(x*32, i*w)))
+      |             // (CASE WHEN w = 64 THEN 32 ELSE 16 END))) AS s
+      |  FROM px, range(0, 32) ri(i)
+      |  GROUP BY 1, 2, 3, 4),
+      |rs AS (SELECT img_id, j, i,
+      |    SUM(s * ((GREATEST(0, LEAST((y+1)*32, (j+1)*h) - GREATEST(y*32, j*h)))
+      |             // (CASE WHEN h = 64 THEN 32 ELSE 16 END))) AS p
+      |  FROM cols, range(0, 32) rj(j)
+      |  GROUP BY 1, 2, 3),
+      |a AS (SELECT img_id, dct.u AS u, j, SUM(p * t) AS av
+      |  FROM rs JOIN dct ON dct.x = rs.i GROUP BY 1, 2, 3),
+      |c AS (SELECT img_id, a.u AS u, dct.u AS v, SUM(av * t) AS c
+      |  FROM a JOIN dct ON dct.x = a.j GROUP BY 1, 2, 3),
+      |med AS (SELECT img_id, c AS med FROM (
+      |    SELECT img_id, c, ROW_NUMBER() OVER (PARTITION BY img_id ORDER BY c) rn
+      |    FROM c WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+      |bits AS (SELECT c.img_id, u * 8 + v AS k,
+      |    CASE WHEN c > med THEN 1 ELSE 0 END AS b
+      |  FROM c JOIN med ON med.img_id = c.img_id),
+      |hd AS (SELECT x.img_id ia, y.img_id ib,
+      |    SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) AS hd
+      |  FROM bits x JOIN bits y ON x.k = y.k AND x.img_id < y.img_id
+      |  GROUP BY 1, 2)
+      |SELECT ia, ib, CAST(hd AS INT) AS hd FROM hd WHERE hd <= 6
+      |ORDER BY ia, ib""".stripMargin
+
   val m4Oracle: String =
     """WITH px AS (SELECT event_id AS img_id, x, y,
       |    (event_id * 31 + x * 7 + y * 13) % 256 AS g
@@ -2773,6 +2918,7 @@ object OpsQueries {
     "m2_wav_codec" -> (m2WavCodec _),
     "m3_audio_features" -> (m3AudioFeatures _),
     "m4_image_decode" -> (m4ImageDecode _),
+    "m5_phash_neardup" -> (m5PhashNeardup _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -2827,6 +2973,7 @@ object OpsQueries {
     "m2_wav_codec" -> m2Oracle,
     "m3_audio_features" -> m3Oracle,
     "m4_image_decode" -> m4Oracle,
+    "m5_phash_neardup" -> m5Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
