@@ -100,6 +100,13 @@ object AudioFunctions {
   val nnFilter = udf((spec: Seq[Seq[Float]], k: Int) =>
     toF2(Dsp.nnFilter(spec.map(f => toD(f)).toArray, k)))
 
+  /** Landmark fingerprint hashes over a magnitude STFT
+    * ([[Dsp.fingerprints]]): distinct successive-stable-peak pair
+    * hashes — the audio near-dup signature.
+    */
+  val fingerprints = udf((spec: Seq[Seq[Float]]) =>
+    Dsp.fingerprints(spec.map(f => toD(f)).toArray).toSeq)
+
   /** LoadAudio stand-in (audio.py:26-73): WAV PCM16 bytes → samples. */
   val decodeWav = udf((bytes: Array[Byte]) =>
     toF(Dsp.decodeWavPcm16(bytes)._1))

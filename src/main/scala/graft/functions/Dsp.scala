@@ -292,6 +292,43 @@ object Dsp {
     * stand-in, audio/io.py:28-111 + audio.py:26-73; OGG needs a codec the
     * container lacks — binary plumbing for it lives in graft.multimodal).
     */
+  /** Landmark-style audio fingerprint (the Shazam construction's
+    * constellation idea reduced to its exactly-testable core): per-frame
+    * DOMINANT spectral peak → STABLE runs (the same argmax bin across
+    * ≥ `minRun` consecutive frames — a note-boundary frame mixes two
+    * tones and cannot persist, so boundary junk self-filters) → the
+    * run-bin sequence's successive pairs hashed as b1·256+b2, distinct,
+    * sorted. Two clips sharing many pair hashes are near-duplicate
+    * audio regardless of time shift (runs shift with the signal) or
+    * requantization (argmax is amplitude-invariant). Bin-0 runs
+    * (silence / DC) are dropped; adjacent equal run bins collapse.
+    */
+  def fingerprints(mag: Array[Array[Double]], minRun: Int = 2)
+      : Array[Long] = {
+    val am = mag.map { fr =>
+      var bi = 0
+      var bv = fr(0)
+      var b = 1
+      while (b < fr.length) {
+        if (fr(b) > bv) { bv = fr(b); bi = b }
+        b += 1
+      }
+      bi
+    }
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < am.length) {
+      var j = i
+      while (j < am.length && am(j) == am(i)) j += 1
+      if (j - i >= minRun && am(i) != 0 &&
+          (runs.isEmpty || runs.last != am(i))) runs += am(i)
+      i = j
+    }
+    runs.iterator.zip(runs.iterator.drop(1))
+      .map { case (a, b) => a.toLong * 256 + b }
+      .toArray.distinct.sorted
+  }
+
   def decodeWavPcm16(bytes: Array[Byte]): (Array[Double], Int) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Checkpoints.StageOps
 import graft.functions.AudioFunctions._
+import graft.functions.Dsp
 
 /** Audio DSP under the correctness gate. The oracle cannot run an FFT, but
   * analytic signals make STFT results SQL-predictable: a pure tone centered
@@ -211,13 +213,93 @@ object AudioQueries {
       |GROUP BY fe.event_id, fs.first_sample
       |ORDER BY fe.event_id""".stripMargin
 
+  /** Audio fingerprint near-dup (a7) — the audio sibling of d4/m5:
+    * landmark-style stable-peak pair hashes ([[graft.functions.Dsp
+    * .fingerprints]]) over the REAL decode → STFT path, matched by an
+    * exact hash equi-join (shuffle volume = clips × hashes, the posting
+    * -list shape — never clips²). Each planted clip is an 8-note melody
+    * of exact-bin tones (note k: bin 3 + ((h²/64) mod 12) + 12·(k mod 2)
+    * with h = src·37 + k·11 + 5 — the even/odd register split makes
+    * adjacent notes distinct WITHOUT a sequential fixup, so DuckDB
+    * replays the melody closed-form); copies are requantized (amp 5600
+    * vs 8000 — argmax is amplitude-invariant) or time-shifted by 2.5
+    * frames (runs shift with the signal; the leading silence becomes a
+    * dropped bin-0 run). Planted copies share all 7 pair hashes,
+    * unrelated clips at most 5 (prototyped over the full id range), so
+    * the ≥ 6 cut reports exactly the planted relationships — and the
+    * oracle replays hash sets and the join from the formula while Spark
+    * goes through WAV encode → decode → hann STFT → argmax runs.
+    */
+  def a7Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.AudioFunctions.{decodeWav, fingerprints}
+    val clips = Tables.events(s, dir).filter(col("event_id") < 40)
+      .select(col("event_id")).as[Long].flatMap { id =>
+        val out = scala.collection.mutable.ArrayBuffer(
+          (id, id, 0, 8000))
+        if (id % 3 == 0) out += ((10000 + id, id, 0, 5600))
+        if (id % 4 == 0) out += ((20000 + id, id, 160, 8000))
+        out
+      }.toDF("clip_id", "src", "shift", "amp")
+    val synth = udf((src: Long, shift: Int, amp: Int) => {
+      val y = new Array[Double](shift + 8 * 256)
+      var k = 0
+      while (k < 8) {
+        val h = src * 37 + k * 11 + 5
+        val b = (3 + (h * h / 64) % 12 + 12 * (k % 2)).toInt
+        var n = 0
+        while (n < 256) {
+          y(shift + k * 256 + n) =
+            math.round(amp * math.cos(2 * math.Pi * b * n / 64)) / 32768.0
+          n += 1
+        }
+        k += 1
+      }
+      Dsp.encodeWavPcm16(y, 8000)
+    })
+    val hs = clips
+      .select(col("clip_id"),
+        decodeWav(synth(col("src"), col("shift"), col("amp"))).as("y"))
+      .select(col("clip_id"),
+        explode(fingerprints(stftMag(col("y"), lit(64), lit(64))))
+          .as("hash"))
+      .staged()
+    hs.as("a").join(hs.as("b"),
+        col("a.hash") === col("b.hash") &&
+          col("a.clip_id") < col("b.clip_id"))
+      .groupBy(col("a.clip_id").as("ia"), col("b.clip_id").as("ib"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 6)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val a7Oracle: String =
+    """WITH ids AS (SELECT event_id AS id FROM events WHERE event_id < 40),
+      |clips AS (
+      |  SELECT id AS clip_id, id AS src FROM ids
+      |  UNION ALL SELECT 10000 + id, id FROM ids WHERE id % 3 = 0
+      |  UNION ALL SELECT 20000 + id, id FROM ids WHERE id % 4 = 0),
+      |mel AS (SELECT clip_id, k,
+      |    3 + ((src*37 + k*11 + 5) * (src*37 + k*11 + 5) // 64) % 12
+      |      + 12 * (k % 2) AS b
+      |  FROM clips, range(0, 8) r(k)),
+      |hs AS (SELECT DISTINCT x.clip_id, x.b * 256 + y.b AS hash
+      |  FROM mel x JOIN mel y
+      |    ON x.clip_id = y.clip_id AND y.k = x.k + 1)
+      |SELECT x.clip_id AS ia, y.clip_id AS ib,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM hs x JOIN hs y ON x.hash = y.hash AND x.clip_id < y.clip_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 6
+      |ORDER BY ia, ib""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stft_peak" -> (a1StftPeak _),
     "a2_mel_mfcc" -> (a2MelMfcc _),
     "a3_softmask_nn" -> (a3SoftmaskNn _),
     "a4_spec_plot" -> (a4SpecPlot _),
     "a5_resample" -> (a5Resample _),
-    "a6_silence_trim" -> (a6SilenceTrim _))
+    "a6_silence_trim" -> (a6SilenceTrim _),
+    "a7_fingerprint" -> (a7Fingerprint _))
 
   val oracle: Map[String, String] = Map(
     "a1_stft_peak" -> a1Oracle,
@@ -225,5 +307,6 @@ object AudioQueries {
     "a3_softmask_nn" -> a3Oracle,
     "a4_spec_plot" -> a4Oracle,
     "a5_resample" -> a5Oracle,
-    "a6_silence_trim" -> a6Oracle)
+    "a6_silence_trim" -> a6Oracle,
+    "a7_fingerprint" -> a7Oracle)
 }

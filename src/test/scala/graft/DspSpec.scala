@@ -143,6 +143,37 @@ class DspSpec extends AnyFunSuite {
     assert(Dsp.resample(y, sr, sr).toSeq === y.toSeq)
   }
 
+  test("fingerprints: stable-peak pair hashes survive time shift and " +
+      "requantization; boundary junk and silence runs are filtered") {
+    def melody(src: Long): Seq[Int] = (0 until 8).map { k =>
+      val h = src * 37 + k * 11 + 5
+      (3 + (h * h / 64) % 12 + 12 * (k % 2)).toInt
+    }
+    def clip(src: Long, shift: Int, amp: Int): Array[Double] = {
+      val y = new Array[Double](shift + 8 * 256)
+      for (k <- 0 until 8; n <- 0 until 256)
+        y(shift + k * 256 + n) = math.round(
+          amp * math.cos(2 * math.Pi * melody(src)(k) * n / 64)) / 32768.0
+      y
+    }
+    def fp(y: Array[Double]) =
+      Dsp.fingerprints(Dsp.stftMag(y, 64, 64)).toSeq
+    val expect = melody(9).sliding(2)
+      .map(p => p(0).toLong * 256 + p(1)).toSeq.distinct.sorted
+    assert(fp(clip(9, 0, 8000)) === expect)
+    // time shift by 2.5 frames: leading silence is a dropped bin-0 run,
+    // note boundaries move — hashes identical
+    assert(fp(clip(9, 160, 8000)) === expect)
+    // requantization: argmax is amplitude-invariant
+    assert(fp(clip(9, 0, 5600)) === expect)
+    // a different melody shares few hashes
+    val other = fp(clip(10, 0, 8000)).toSet
+    assert(expect.toSet.intersect(other).size < 6)
+    // pure silence fingerprints to nothing
+    assert(Dsp.fingerprints(Dsp.stftMag(new Array[Double](2048), 64, 64))
+      .isEmpty)
+  }
+
   test("resample downsampling filters out above-Nyquist content") {
     val sr = 8000
     // 3 kHz tone: below input Nyquist (4 kHz) but above the 2:1 output's
