@@ -941,6 +941,125 @@ object SimilarityQueries {
       .orderBy(col("cluster"))
   }
 
+  /** SEMANTIC decontamination (t34) — the leakage mode t17's n-gram
+    * near-dup decontamination cannot see: a PARAPHRASED benchmark item
+    * shares almost no trigrams with its source but sits at cosine ≈ 1
+    * in embedding space. Composes [[d14SemanticDedup]]'s SemDeDup
+    * machinery (per-label centroid clusters bound the pair search; the
+    * cluster-local self-join is the scalable shape) across t9's hash
+    * split labels with t17's reassignment rule: any val/test doc with a
+    * same-cluster cosine ≥ 0.9 partner in a DIFFERENT split moves to
+    * train; the census reports final sizes and movement. Planted
+    * paraphrases: every ninth embedding gets a copy (id + 100000) with a
+    * ±1 integer nudge per component at the quantized scale (≈ 1e-6
+    * relative — cosine ≈ 1), built INSIDE the query so DuckDB replays
+    * the construction exactly; the copy's id hashes to its own split,
+    * so a deterministic subset genuinely leaks across the boundary.
+    * Never corpus×corpus: clusters bound candidates, the label joins
+    * are corpus-linear, the split is a stateless per-row hash.
+    */
+  def t34SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val base = quantized(s, dir).drop("nn")
+    val para = base.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        transform(col("v"),
+          (x, i) => x + (col("vec_id") + i) % 3 - 1).as("v"))
+    val corpus = base.unionByName(para)
+      .withColumn("nn", normSqLong(col("v")))
+      .staged()
+    val asg = centroidRanked(corpus, centroids(corpus), maxRank = 1)
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nn"),
+        col("clabel").as("cluster"))
+    val cos = cosineQ(dotLong(col("a.v"), col("b.v")),
+      col("a.nn"), col("b.nn"))
+    val pairs = asg.as("a").join(asg.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        cos.as("cos"))
+      .filter(col("cos") >= 0.9)
+      .select(col("ia"), col("ib"))
+    val sym = pairs.unionByName(
+      pairs.select(col("ib").as("ia"), col("ia").as("ib")))
+    val bucket = (col("vec_id") * 2654435761L) % 4294967296L % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val").otherwise("test")
+    val spl = corpus.select(col("vec_id"), split.as("split"))
+    val crossed = sym
+      .join(spl.select(col("vec_id").as("ia"), col("split").as("sa")),
+        Seq("ia"))
+      .join(spl.select(col("vec_id").as("ib"), col("split").as("sb")),
+        Seq("ib"))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("ib").as("vec_id")).distinct()
+      .withColumn("crossed", lit(true))
+    spl.join(crossed, Seq("vec_id"), "left")
+      .withColumn("final_split",
+        when(coalesce(col("crossed"), lit(false)) &&
+          col("split") =!= "train", "train").otherwise(col("split")))
+      .groupBy(col("final_split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("final_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_moved_in"),
+        sum(col("vec_id")).as("checksum"))
+      .orderBy(col("final_split"))
+  }
+
+  val t34Oracle: String =
+    """WITH q0 AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |para AS (SELECT 100000 + vec_id AS vec_id, label,
+      |    list_transform(range(1, 65), i ->
+      |      v[CAST(i AS INT)] + (vec_id + i - 1) % 3 - 1) AS v
+      |  FROM q0 WHERE vec_id % 9 = 0),
+      |corpus AS (SELECT * FROM q0 UNION ALL SELECT * FROM para),
+      |spl AS (SELECT vec_id,
+      |    CASE WHEN (vec_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+      |      WHEN (vec_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM corpus),
+      |comp AS (SELECT label, CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx,
+      |    COUNT(*) cnt
+      |  FROM corpus, range(1, 65) r(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS clabel,
+      |    list(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) c
+      |  FROM comp GROUP BY label),
+      |d AS (SELECT corpus.vec_id, corpus.v, cent.clabel,
+      |    list_reduce(list_transform(range(1, 65), i ->
+      |      (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+      |      * (CAST(v[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])),
+      |      (a, b) -> a + b) dist
+      |  FROM corpus CROSS JOIN cent),
+      |asg AS (SELECT vec_id, v, clabel AS cluster FROM (
+      |    SELECT vec_id, v, clabel,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) rk
+      |    FROM d) WHERE rk = 1),
+      |n AS (SELECT vec_id, v, cluster,
+      |    list_aggregate(list_transform(v, x -> x * x), 'sum') nn FROM asg),
+      |pr AS (SELECT a.vec_id ia, b.vec_id ib,
+      |    CAST(list_aggregate(list_transform(range(1, 65),
+      |        i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) cos
+      |  FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |pairs AS (SELECT ia, ib FROM pr WHERE cos >= 0.9),
+      |sym AS (SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+      |crossed AS (SELECT DISTINCT sym.ib AS vec_id FROM sym
+      |  JOIN spl ra ON ra.vec_id = sym.ia
+      |  JOIN spl rb ON rb.vec_id = sym.ib
+      |  WHERE ra.split <> rb.split),
+      |fin AS (SELECT spl.vec_id, spl.split,
+      |    CASE WHEN crossed.vec_id IS NOT NULL AND spl.split <> 'train'
+      |      THEN 'train' ELSE spl.split END AS final_split
+      |  FROM spl LEFT JOIN crossed ON crossed.vec_id = spl.vec_id)
+      |SELECT final_split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN final_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_moved_in,
+      |  CAST(SUM(vec_id) AS BIGINT) AS checksum
+      |FROM fin GROUP BY final_split ORDER BY final_split""".stripMargin
+
   val d14Oracle: String =
     """WITH q AS (SELECT vec_id, label, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
@@ -3691,7 +3810,8 @@ object SimilarityQueries {
     "st16_stream_health" -> (st16StreamIndexHealth _),
     "st17_stream_takedown" -> (st17StreamTakedown _),
     "s18_pca_moments" -> (s18PcaMoments _),
-    "d14_semantic_dedup" -> (d14SemanticDedup _))
+    "d14_semantic_dedup" -> (d14SemanticDedup _),
+    "t34_semantic_decontam" -> (t34SemanticDecontam _))
 
   val oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Oracle,
@@ -3726,5 +3846,6 @@ object SimilarityQueries {
     "st16_stream_health" -> st16Oracle,
     "st17_stream_takedown" -> st17Oracle,
     "s18_pca_moments" -> s18Oracle,
-    "d14_semantic_dedup" -> d14Oracle)
+    "d14_semantic_dedup" -> d14Oracle,
+    "t34_semantic_decontam" -> t34Oracle)
 }
