@@ -2644,6 +2644,103 @@ object OpsQueries {
       |FROM events WHERE user_id < 40
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Late-data census — the monitoring gate production streams publish
+    * next to every watermark: HOW MANY rows arrived too late and were
+    * dropped, measured from the engine's own
+    * `numRowsDroppedByWatermark` state-operator metric and hash-gated
+    * against DuckDB replaying the watermark arithmetic. Two
+    * checkpointed `AvailableNow` runs (st9's two-night shape): night 1
+    * establishes the watermark (max event time, ms-truncated, minus the
+    * 48 h delay — persisted in the checkpoint); night 2 delivers an
+    * out-of-order slice whose older rows fall beyond it. The stateful
+    * dedup operator filters those rows RAW (one metric increment per
+    * dropped input row — an aggregation would count partial-agg rows,
+    * which is partitioning-dependent), so the dropped count is exactly
+    * replayable: night-2 rows with `ets <= wm1`. The sentinel row also
+    * carries accepted-count and dropped+accepted, so conservation
+    * (nothing silently lost beyond the declared drops) is part of the
+    * hash. At 100 TB this is the operator you alarm on: state stays
+    * bounded by the watermark either way; the census tells you what
+    * that bound COST in data.
+    */
+  def st18LateCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir(s) + s"/graft_st18_${st2Seq.incrementAndGet()}"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val srcDir = s"$root/src"
+    val outDir = s"$root/out"
+    def slice(lo: Long, hi: Long) = Tables.events(s, dir)
+      .filter(col("user_id") >= lo && col("user_id") < hi)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val schema = slice(0, 0).schema
+    // one AvailableNow pass over whatever is new in srcDir; returns the
+    // run's dropped-late count summed across its (single-data-batch)
+    // progress records
+    def runOnce(): Long = {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = s.readStream.schema(schema).parquet(srcDir)
+          .withWatermark("ets", "48 hours")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.iterator.flatMap(_.stateOperators)
+          .map(_.numRowsDroppedByWatermark).sum
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // night 1: the on-time slice, one file ⇒ one data batch ⇒ the
+    // watermark only moves AFTER all its rows are in (zero drops, which
+    // the structural check pins — a multi-batch split would make drops
+    // timing-dependent)
+    slice(0, 30).coalesce(1).write.mode("append").parquet(srcDir)
+    val d1 = runOnce()
+    require(d1 == 0L,
+      s"night-1 must process as one batch with no drops, got $d1")
+    // night 2: a disjoint slice spanning the same 30 days lands late —
+    // everything older than night-1's watermark is beyond recovery
+    slice(30, 60).coalesce(1).write.mode("append").parquet(srcDir)
+    val dropped = runOnce()
+    val accepted = s.read.parquet(outDir)
+    val acceptedN = accepted.count()
+    accepted
+      .groupBy(expr("user_id DIV 10").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .unionByName(s.range(1).select(lit(-1L).as("bucket"),
+        lit(dropped).as("n"), lit(acceptedN).as("sum_id"),
+        lit(dropped + acceptedN).as("sum_cents")))
+      .orderBy(col("bucket"))
+  }
+
+  val st18Oracle: String =
+    """WITH n1 AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 30),
+      |n2 AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id >= 30 AND user_id < 60),
+      |-- Spark tracks event-time stats in MILLISECONDS, so night-1's
+      |-- persisted watermark is floor(max/1ms) - 48h; a night-2 row at
+      |-- or before it is dropped (LateDataSpec pins the <= boundary)
+      |wm AS (SELECT (MAX(tsu) // 1000) * 1000 - 172800000000 AS w FROM n1),
+      |acc AS (SELECT * FROM n1 UNION ALL
+      |  SELECT * FROM n2 WHERE tsu > (SELECT w FROM wm))
+      |SELECT user_id // 10 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents FROM acc GROUP BY 1
+      |UNION ALL
+      |SELECT -1, (SELECT COUNT(*) FROM n2 WHERE tsu <= (SELECT w FROM wm)),
+      |  (SELECT COUNT(*) FROM acc),
+      |  (SELECT COUNT(*) FROM n1) + (SELECT COUNT(*) FROM n2)
+      |ORDER BY bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -2962,7 +3059,8 @@ object OpsQueries {
     "st9_incremental_etl" -> (st9IncrementalEtl _),
     "st10_sessionize_tws" -> (st10SessionizeTws _),
     "st12_stream_left_join" -> (st12StreamLeftJoin _),
-    "st14_stream_feed_sync" -> (st14StreamFeedSync _))
+    "st14_stream_feed_sync" -> (st14StreamFeedSync _),
+    "st18_late_census" -> (st18LateCensus _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -3017,5 +3115,6 @@ object OpsQueries {
     "st9_incremental_etl" -> st9Oracle,
     "st10_sessionize_tws" -> st1Oracle,
     "st12_stream_left_join" -> st12Oracle,
-    "st14_stream_feed_sync" -> st14Oracle)
+    "st14_stream_feed_sync" -> st14Oracle,
+    "st18_late_census" -> st18Oracle)
 }
