@@ -487,6 +487,55 @@ object DedupQueries {
   private def sweepCandRatio(s: SparkSession): Double =
     s.conf.get("spark.graft.dedup.sweepCandRatio", "0.015625").toDouble
 
+  /** Candidate-volume BUDGET — the rung below the sweep escape. The
+    * sweep routes make an adversarial corpus affordable per-candidate
+    * (~µs → ~ns gates), but a corpus whose qualifying-candidate set is
+    * quadratic BY CONSTRUCTION (template-heavy text: the heaps octave
+    * measured 10–29 % of ALL pairs as candidates) has no sub-quadratic
+    * exact route — at 100 TB the run needs a budget, not a proof.
+    * When a route's measured candidate volume exceeds this budget, the
+    * EXACT pair operators refuse loudly (the pair list would be wrong
+    * if silently sampled) and point at the sampled census forms
+    * ([[dJaccardCensusBudget]] / [[dContainmentCensusBudget]]), which
+    * apply d20's deterministic id-arithmetic keep rule at the
+    * verification stage and scale the census back by the rate.
+    * 0 (default) = unlimited.
+    */
+  private def candBudget(s: SparkSession): Long =
+    s.conf.get("spark.graft.dedup.candBudget", "0").toLong
+
+  /** Forced sampling rate for the budget escape (gates/specs pin 8 so
+    * the oracle replays d20's exact `mod 64 < 8` rule); 0 = derive
+    * from the budget as ⌈volume/budget⌉ — the setting that makes
+    * sweep wall-time ∝ budget instead of ∝ corpus².
+    */
+  private def candSampleRate(s: SparkSession): Long =
+    s.conf.get("spark.graft.dedup.candSampleRate", "0").toLong
+
+  /** 1-in-r keep rate for a candidate volume against a budget; the
+    * forced rate wins when set (deterministic oracles need a pinned
+    * modulus).
+    */
+  private[graft] def budgetRate(volume: Long, budget: Long,
+      forced: Long): Long =
+    if (forced > 0) forced
+    else math.max(1L, (volume + budget - 1) / budget)
+
+  /** Fail-loud guard on the EXACT routes: over budget, the honest
+    * answers are "raise the budget" or "take the sampled census" —
+    * never a silently truncated pair list.
+    */
+  private def requireUnderBudget(s: SparkSession, volume: Long,
+      op: String): Unit = {
+    val b = candBudget(s)
+    require(b <= 0L || volume <= b,
+      s"[$op] candidate volume $volume exceeds " +
+        s"spark.graft.dedup.candBudget=$b: the exact pair form is " +
+        "Ω(candidates) by construction on this corpus — raise the " +
+        "budget or use the sampled census form " +
+        "(dJaccardCensusBudget / dContainmentCensusBudget)")
+  }
+
   /** The chunk-pair fan shared by the blocked sorted-array sweeps:
     * docs hash into ⌈n/chunk⌉ chunks and each row copies to every
     * (lo, hi) chunk-pair group containing its chunk, so every unordered
@@ -517,13 +566,19 @@ object DedupQueries {
     * and the same one-IEEE-division jaccard as [[verifySorted]].
     */
   private def jaccardBlockSweep(enc: DataFrame, nDocs: Long, tau: Double,
-      s: SparkSession): DataFrame = {
+      s: SparkSession, sample: Option[(Long, Long)] = None): DataFrame = {
     import s.implicits._
+    val (sMod, sKeep) = sample.getOrElse((0L, 0L))
+    val sampled = sample.isDefined
     chunkPairFan(enc, nDocs).mapPartitions { it =>
       sweepGroups(it) { (a, b, out) =>
         val mn = math.min(a.n, b.n)
         val mx = math.max(a.n, b.n)
-        if (mx > 0 && mn.toDouble / mx.toDouble >= tau) {
+        // the budget keep rule is pure id arithmetic, decided BEFORE
+        // the size gate and the merge — skipped pairs pay 2 ops
+        if ((!sampled || (math.min(a.id, b.id) * 1000003L +
+              math.max(a.id, b.id)) % sMod < sKeep) &&
+            mx > 0 && mn.toDouble / mx.toDouble >= tau) {
           // jac ≥ τ ⟺ |A∩B| ≥ τ(|A|+|B|)/(1+τ): the merge abandons as
           // soon as the remainder can't reach it — dissimilar pairs
           // (the overwhelming majority) exit after ~10% of the scan.
@@ -549,14 +604,19 @@ object DedupQueries {
     * so only survivors become rows.
     */
   private def containBlockSweep(enc: DataFrame, nDocs: Long, minSh: Int,
-      tauBp: Long, s: SparkSession): DataFrame = {
+      tauBp: Long, s: SparkSession,
+      sample: Option[(Long, Long)] = None): DataFrame = {
     import s.implicits._
+    val (sMod, sKeep) = sample.getOrElse((0L, 0L))
+    val sampled = sample.isDefined
     chunkPairFan(enc, nDocs).mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Int, Long, Int, Int)]
       sweepGroupsRaw(it) { (a, b) =>
         val mn = math.min(a.n, b.n)
-        if (mn >= minSh) {
+        if ((!sampled || (math.min(a.id, b.id) * 1000003L +
+              math.max(a.id, b.id)) % sMod < sKeep) &&
+            mn >= minSh) {
           // C ≥ τ ⟺ |A∩B| ≥ ⌈τ·min⌉ (basis points): early-abandoned
           // like the jaccard sweep — non-contained pairs exit fast
           val need = ((tauBp * mn + 9999L) / 10000L).toInt
@@ -736,6 +796,10 @@ object DedupQueries {
         // count on the source table (running count() on `base` instead
         // would force the shingle UDF over the corpus just to count rows)
         val nDocs = Tables.documents(s, dir).count()
+        // the dense route's verification volume IS all pairs (the size
+        // gate is ~ns but n² of them): budget-guard on that
+        requireUnderBudget(s, nDocs * math.max(nDocs - 1, 0L) / 2,
+          "dJaccard[bitset]")
         // unsorted: every caller sorts after materializing (finishReleasing)
         bitsetPairScan(encodeBitsets(base, vocab, par), tau, nDocs, s,
             bytesPerDoc = ((vocab.length + 63) / 64) * 8L + 28L)
@@ -776,6 +840,9 @@ object DedupQueries {
       .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
     val nDocs = base.count()
     val allPairs = math.max(nDocs.toDouble * (nDocs - 1) / 2, 1.0)
+    // the candidate estimate guards BOTH routes: over the budget the
+    // exact pair list has no affordable route and refuses
+    requireUnderBudget(s, candEst, "dJaccard")
     if (candEst >= sweepCandRatio(s) * allPairs)
       jaccardBlockSweep(
         base.select(col("doc_id"), col("gs"), size(col("gs")).as("n")),
@@ -1094,6 +1161,8 @@ object DedupQueries {
     val nDocs = docs.count()
     val scored = vocabOf(base) match {
       case Some(vocab) =>
+        requireUnderBudget(s, nDocs * math.max(nDocs - 1, 0L) / 2,
+          "dContainment[bitset]")
         val par = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
         val enc = encodeBitsets(base, vocab, par)
         val cap = maxBroadcastDocs(s,
@@ -1145,6 +1214,7 @@ object DedupQueries {
           .agg(sum(col("df"))).first().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         val allPairs = math.max(nDocs.toDouble * (nDocs - 1) / 2, 1.0)
+        requireUnderBudget(s, candEst, "dContainment")
         if (candEst >= sweepCandRatio(s) * allPairs)
           containBlockSweep(
             base.select(col("doc_id"), col("gs"),
@@ -1196,6 +1266,175 @@ object DedupQueries {
       |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
       |  CAST(SUM(ib) AS BIGINT) AS sum_ib
       |FROM c WHERE bp >= 9000 GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** Budget-escaped near-dup CENSUS — the answer for the corner the
+    * exact pair operators now REFUSE ([[requireUnderBudget]]): a
+    * template-heavy or adversarial corpus whose qualifying-candidate
+    * volume is quadratic by construction has no sub-quadratic exact
+    * route, so a 100 TB run needs a budget, not a proof. This form
+    * applies d20's deterministic id-arithmetic keep rule
+    * (`(min·1000003 + max) mod 8r < 8`, r = 1 in r kept) INSIDE the
+    * block sweep, decided before the size gate and the merge — skipped
+    * pairs pay two integer ops, so sweep verification cost is
+    * ∝ pairs/r, and with the derived rate r = ⌈allPairs/budget⌉
+    * wall-time is ∝ budget instead of ∝ corpus². Output is the
+    * per-band jaccard census with the RAW sampled counts, the
+    * 1/r-scaled estimate, and the rate stamped on every row (a census
+    * that hides that it sampled is a lie); the band −1 rollup row is
+    * the always-present total. Under budget (or no budget) r = 1 and
+    * the census is exact with the same schema. The id rule is pure
+    * arithmetic, so the oracle replays the SAME sample — the gate pins
+    * r = 8 via `candSampleRate` to keep the modulus static in SQL.
+    */
+  def dJaccardCensusBudget(s: SparkSession, dir: String,
+      tau: Double): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"),
+      shinglesPacked3(col("text")).as("gs")).cache()
+    val nDocs = docs.count()
+    val (r, sample) = budgetSample(s, nDocs, "dJaccardCensusBudget")
+    val pairs = jaccardBlockSweep(
+      base.select(col("doc_id"), col("gs"), size(col("gs")).as("n")),
+      nDocs, tau, s, sample)
+    val census = pairs
+      .withColumn("bp", floor(col("jac") * lit(10000.0)))
+      .rollup(expr("bp div 1000").as("band"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("ia")).as("sum_ia"),
+        sum(col("ib")).as("sum_ib"))
+      .select(coalesce(col("band"), lit(-1L)).as("band"),
+        lit(r).as("rate"), col("n_sampled"),
+        (col("n_sampled") * lit(r)).as("n_est"),
+        col("sum_ia"), col("sum_ib"))
+      .staged()
+    base.unpersist()
+    census.orderBy(col("band"))
+  }
+
+  /** [[dJaccardCensusBudget]]'s containment sibling — same budget
+    * rung, same keep rule, [[containBlockSweep]] underneath, d19's
+    * integer basis-point banding (no IEEE ops at all on this side).
+    */
+  def dContainmentCensusBudget(s: SparkSession, dir: String,
+      tau: Double, minSh: Int): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"),
+      shinglesPacked3(col("text")).as("gs")).cache()
+    val nDocs = docs.count()
+    val (r, sample) = budgetSample(s, nDocs, "dContainmentCensusBudget")
+    val scored = containBlockSweep(
+      base.select(col("doc_id"), col("gs"), size(col("gs")).as("n")),
+      nDocs, minSh, (tau * 10000).toLong, s, sample)
+    val census = scored
+      .withColumn("bp",
+        expr("(CAST(10000 AS BIGINT) * i) div least(na, nb)"))
+      .rollup(expr("bp div 1000").as("band"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("ia")).as("sum_ia"),
+        sum(col("ib")).as("sum_ib"))
+      .select(coalesce(col("band"), lit(-1L)).as("band"),
+        lit(r).as("rate"), col("n_sampled"),
+        (col("n_sampled") * lit(r)).as("n_est"),
+        col("sum_ia"), col("sum_ib"))
+      .staged()
+    base.unpersist()
+    census.orderBy(col("band"))
+  }
+
+  /** The budget decision shared by the census forms: rate 1 (exact,
+    * no sampling) while all-pairs volume fits the budget; above it,
+    * the derived-or-forced rate and d20's (mod 8r, keep 8) rule —
+    * route choice logged, it changes what the numbers MEAN.
+    */
+  private def budgetSample(s: SparkSession, nDocs: Long,
+      op: String): (Long, Option[(Long, Long)]) = {
+    val volume = nDocs * math.max(nDocs - 1, 0L) / 2
+    val budget = candBudget(s)
+    if (budget > 0L && volume > budget) {
+      val r = budgetRate(volume, budget, candSampleRate(s))
+      System.err.println(
+        s"[$op] budget escape: volume=$volume budget=$budget rate=1/$r")
+      (r, if (r > 1L) Some((8L * r, 8L)) else None)
+    } else (1L, None)
+  }
+
+  /** d21 gate: [[dJaccardCensusBudget]] with the escape FORCED
+    * (budget 1) at the PINNED d20 rate 8, τ = 0.5 — the oracle replays
+    * the full pair join, the `mod 64 < 8` keep rule at verification,
+    * and the scaled band census. The derived-rate arithmetic is
+    * spec-covered ([[budgetRate]], `DedupBudgetSpec`).
+    */
+  def d21BudgetNeardup(s: SparkSession, dir: String): DataFrame =
+    withConf(s, "spark.graft.dedup.candBudget" -> "1",
+      "spark.graft.dedup.candSampleRate" -> "8")(
+      dJaccardCensusBudget(s, dir, 0.5))
+
+  /** d22 gate: [[dContainmentCensusBudget]] under the same forced
+    * escape, d19's τ = 0.9 / minSh = 30 cut.
+    */
+  def d22BudgetContainment(s: SparkSession, dir: String): DataFrame =
+    withConf(s, "spark.graft.dedup.candBudget" -> "1",
+      "spark.graft.dedup.candSampleRate" -> "8")(
+      dContainmentCensusBudget(s, dir, 0.9, 30))
+
+  /** Set confs for the duration of `body` (which must MATERIALIZE its
+    * result — the census forms `.staged()` — before returning, or the
+    * restore races the read), restoring previous values after.
+    */
+  private def withConf(s: SparkSession, kv: (String, String)*)(
+      body: => DataFrame): DataFrame = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val d21Oracle: String =
+    """WITH s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |-- d20's deterministic keep rule at rate 1/8, decided on ids
+      |-- alone — the sample is identical on both engines, no RNG
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  WHERE (a.doc_id * 1000003 + b.doc_id) % 64 < 8
+      |  GROUP BY 1, 2),
+      |j AS (SELECT ia, ib,
+      |    CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jac
+      |  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5),
+      |b AS (SELECT CAST(FLOOR(jac * 10000) AS BIGINT) // 1000 AS band,
+      |    ia, ib FROM j)
+      |SELECT COALESCE(band, -1) AS band, CAST(8 AS BIGINT) AS rate,
+      |  COUNT(*) AS n_sampled, CAST(COUNT(*) * 8 AS BIGINT) AS n_est,
+      |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
+      |  CAST(SUM(ib) AS BIGINT) AS sum_ib
+      |FROM b GROUP BY ROLLUP(band) ORDER BY band""".stripMargin
+
+  val d22Oracle: String =
+    """WITH s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  WHERE (a.doc_id * 1000003 + b.doc_id) % 64 < 8
+      |  GROUP BY 1, 2),
+      |c AS (SELECT ia, ib, (10000 * i) // LEAST(x.n, y.n) AS bp
+      |  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE LEAST(x.n, y.n) >= 30),
+      |b AS (SELECT bp // 1000 AS band, ia, ib FROM c WHERE bp >= 9000)
+      |SELECT COALESCE(band, -1) AS band, CAST(8 AS BIGINT) AS rate,
+      |  COUNT(*) AS n_sampled, CAST(COUNT(*) * 8 AS BIGINT) AS n_est,
+      |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
+      |  CAST(SUM(ib) AS BIGINT) AS sum_ib
+      |FROM b GROUP BY ROLLUP(band) ORDER BY band""".stripMargin
 
   /** Materialize `pairs` eagerly (localCheckpoint), release the cached
     * corpus projection behind it, and return the pairs sorted — shared
@@ -2354,6 +2593,8 @@ object DedupQueries {
     "d15_canonical" -> (d15Canonical _),
     "d16_minhash_calib" -> (d16MinhashCalib _),
     "d20_sampled_calib" -> (d20SampledCalib _),
+    "d21_budget_neardup" -> (d21BudgetNeardup _),
+    "d22_budget_containment" -> (d22BudgetContainment _),
     "d17_funnel" -> (d17Funnel _),
     "d19_containment" -> (dContainment _),
     "d18_span_scrub" -> (d18SpanScrub _))
@@ -2375,6 +2616,8 @@ object DedupQueries {
     "d15_canonical" -> d15Oracle,
     "d16_minhash_calib" -> d16Oracle,
     "d20_sampled_calib" -> d20Oracle,
+    "d21_budget_neardup" -> d21Oracle,
+    "d22_budget_containment" -> d22Oracle,
     "d17_funnel" -> d17Oracle,
     "d18_span_scrub" -> d18Oracle,
     "d19_containment" -> dContainmentOracle)
