@@ -1998,7 +1998,10 @@ object SimilarityQueries {
     val idxP = new org.apache.hadoop.fs.Path(idx)
     idxP.getFileSystem(s.sparkContext.hadoopConfiguration)
       .delete(idxP, true)
-    val e = quantized(s, dir)
+    // cached for the build's duration: the quantizer train, the list
+    // assignment, and the probe routing all consume the quantized
+    // corpus — uncached, each action re-reads + re-quantizes it
+    val e = quantized(s, dir).cache()
     // ---- dense index build (once per corpus): coarse quantizer,
     // residual PQ codebook, per-list codes — s8's arithmetic, persisted
     centroids(e).write.parquet(idx + "/centroids")
@@ -2031,12 +2034,16 @@ object SimilarityQueries {
     // ---- sparse index build: the t24 artifacts, same build code
     TextQueries.buildBm25Index(s, dir, idx + "/bm25")
     // ---- dense query: route probes, scan ONLY the probed partitions
+    // probes are tiny (5 ids × nprobe) — materialize them eagerly so
+    // the cached corpus can be released before the query side runs
     val probes = centroidRanked(e.filter(col("vec_id") < 5), cent,
         maxRank = 2)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("clabel").as("list"))
+      .staged()
     val probedLists = probes.select(col("list")).distinct()
       .collect().map(_.get(0)).toSeq
+    e.unpersist()
     val resRecon = flatten(transform(col("byJ"), jc =>
       element_at(filter(jc.getField("cands"), c =>
         c.getField("code") ===

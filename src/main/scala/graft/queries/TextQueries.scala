@@ -1431,19 +1431,25 @@ object TextQueries {
     */
   private[queries] def buildBm25Index(s: SparkSession, dir: String,
       idx: String): Unit = {
+    // cached for the build's duration: three of the four artifacts
+    // derive from the tokenized corpus, and without the cache each
+    // write re-runs the tokenizer scan
     val withDl = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
-    withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
-      .write.mode("overwrite").parquet(idx + "/stats")
-    withDl.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(idx + "/postings")
-    s.read.parquet(idx + "/postings")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(idx + "/df")
-    withDl.select(col("doc_id"), col("dl"))
-      .write.mode("overwrite").parquet(idx + "/doclen")
+      .cache()
+    try {
+      withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        .write.mode("overwrite").parquet(idx + "/stats")
+      withDl.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(idx + "/postings")
+      s.read.parquet(idx + "/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(idx + "/df")
+      withDl.select(col("doc_id"), col("dl"))
+        .write.mode("overwrite").parquet(idx + "/doclen")
+    } finally withDl.unpersist()
   }
 
   private[queries] def readBm25Index(s: SparkSession,
