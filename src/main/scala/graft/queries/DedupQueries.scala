@@ -512,15 +512,6 @@ object DedupQueries {
   private def candSampleRate(s: SparkSession): Long =
     s.conf.get("spark.graft.dedup.candSampleRate", "0").toLong
 
-  /** 1-in-r keep rate for a candidate volume against a budget; the
-    * forced rate wins when set (deterministic oracles need a pinned
-    * modulus).
-    */
-  private[graft] def budgetRate(volume: Long, budget: Long,
-      forced: Long): Long =
-    if (forced > 0) forced
-    else math.max(1L, (volume + budget - 1) / budget)
-
   /** Fail-loud guard on the EXACT routes: over budget, the honest
     * answers are "raise the budget" or "take the sampled census" —
     * never a silently truncated pair list.
@@ -1290,13 +1281,18 @@ object DedupQueries {
       tau: Double): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     val docs = Tables.documents(s, dir)
-    val base = docs.select(col("doc_id"),
-      shinglesPacked3(col("text")).as("gs")).cache()
     val nDocs = docs.count()
-    val (r, sample) = budgetSample(s, nDocs, "dJaccardCensusBudget")
+    val plan = budgetSample(s, nDocs, "dJaccardCensusBudget")
+    // the doc rule applies BEFORE the shingle UDF, so even the linear
+    // scan term divides by q — at 100 TB that is the difference
+    // between "census costs a corpus pass" and "census costs 1/q of
+    // one"
+    val base = plan.docFiltered(docs).select(col("doc_id"),
+      shinglesPacked3(col("text")).as("gs")).cache()
     val pairs = jaccardBlockSweep(
       base.select(col("doc_id"), col("gs"), size(col("gs")).as("n")),
-      nDocs, tau, s, sample)
+      plan.sweepDocs(nDocs), tau, s, plan.pairSample)
+    val r = plan.rate
     val census = pairs
       .withColumn("bp", floor(col("jac") * lit(10000.0)))
       .rollup(expr("bp div 1000").as("band"))
@@ -1319,13 +1315,15 @@ object DedupQueries {
       tau: Double, minSh: Int): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
     val docs = Tables.documents(s, dir)
-    val base = docs.select(col("doc_id"),
-      shinglesPacked3(col("text")).as("gs")).cache()
     val nDocs = docs.count()
-    val (r, sample) = budgetSample(s, nDocs, "dContainmentCensusBudget")
+    val plan = budgetSample(s, nDocs, "dContainmentCensusBudget")
+    val base = plan.docFiltered(docs).select(col("doc_id"),
+      shinglesPacked3(col("text")).as("gs")).cache()
     val scored = containBlockSweep(
       base.select(col("doc_id"), col("gs"), size(col("gs")).as("n")),
-      nDocs, minSh, (tau * 10000).toLong, s, sample)
+      plan.sweepDocs(nDocs), minSh, (tau * 10000).toLong, s,
+      plan.pairSample)
+    val r = plan.rate
     val census = scored
       .withColumn("bp",
         expr("(CAST(10000 AS BIGINT) * i) div least(na, nb)"))
@@ -1341,21 +1339,66 @@ object DedupQueries {
     census.orderBy(col("band"))
   }
 
-  /** The budget decision shared by the census forms: rate 1 (exact,
-    * no sampling) while all-pairs volume fits the budget; above it,
-    * the derived-or-forced rate and d20's (mod 8r, keep 8) rule —
-    * route choice logged, it changes what the numbers MEAN.
+  /** The budget decision shared by the census forms. Under budget (or
+    * no budget): exact, rate 1. Over budget, TWO rungs:
+    *
+    *  - **pair rule** (when `candSampleRate` forces a rate — the gates
+    *    pin 8 so the oracle's modulus is static): d20's
+    *    `(min·1000003 + max) mod 8r < 8` decided per pair inside the
+    *    sweep. Verification cost drops to pairs/r, but the sweep still
+    *    ENUMERATES every pair (~ns each) and the fan still ships every
+    *    doc — an n² floor survives.
+    *  - **doc rule** (auto): keep docs with
+    *    `(doc_id·1000003) mod 8q < 8` (1-in-q), q = ⌈√(pairs/budget)⌉,
+    *    applied BEFORE shingling — pair volume among survivors is
+    *    ≤ budget, and scan, fan, enumeration, and merges ALL divide by
+    *    q or q²: wall-time ∝ budget + 1/q of the corpus scan. The
+    *    100 TB rung. Census scale is q² (a pair survives iff both ends
+    *    do).
+    *
+    * Route choice is logged — it changes what the numbers MEAN.
     */
-  private def budgetSample(s: SparkSession, nDocs: Long,
-      op: String): (Long, Option[(Long, Long)]) = {
+  private[graft] def budgetSample(s: SparkSession, nDocs: Long,
+      op: String): BudgetPlan = {
     val volume = nDocs * math.max(nDocs - 1, 0L) / 2
     val budget = candBudget(s)
-    if (budget > 0L && volume > budget) {
-      val r = budgetRate(volume, budget, candSampleRate(s))
-      System.err.println(
-        s"[$op] budget escape: volume=$volume budget=$budget rate=1/$r")
-      (r, if (r > 1L) Some((8L * r, 8L)) else None)
-    } else (1L, None)
+    if (budget <= 0L || volume <= budget) BudgetPlan(1L, None, None)
+    else {
+      val forcedPair = candSampleRate(s)
+      if (forcedPair > 0L) {
+        System.err.println(s"[$op] budget escape (pair rule): " +
+          s"volume=$volume budget=$budget rate=1/$forcedPair")
+        BudgetPlan(forcedPair, Some((8L * forcedPair, 8L)), None)
+      } else {
+        val forcedDoc =
+          s.conf.get("spark.graft.dedup.candDocSampleRate", "0").toLong
+        val q = if (forcedDoc > 0L) forcedDoc
+          else math.max(2L,
+            math.ceil(math.sqrt(volume.toDouble / budget)).toLong)
+        System.err.println(s"[$op] budget escape (doc rule): " +
+          s"volume=$volume budget=$budget docRate=1/$q scale=${q * q}")
+        BudgetPlan(q * q, None, Some((8L * q, 8L)))
+      }
+    }
+  }
+
+  /** rate = what the sampled census scales by; pairSample = the in-
+    * sweep pair rule; docSample = the pre-shingle doc rule.
+    */
+  private[graft] final case class BudgetPlan(rate: Long,
+      pairSample: Option[(Long, Long)], docSample: Option[(Long, Long)]) {
+    def docFiltered(docs: DataFrame): DataFrame = docSample match {
+      case Some((m, k)) =>
+        docs.filter(pmod(col("doc_id") * 1000003L, lit(m)) < k)
+      case None => docs
+    }
+    /** Survivor-count estimate for the sweep's chunk sizing (order of
+      * magnitude is all it needs).
+      */
+    def sweepDocs(nDocs: Long): Long = docSample match {
+      case Some((m, k)) => math.max(1L, nDocs * k / m)
+      case None => nDocs
+    }
   }
 
   /** d21 gate: [[dJaccardCensusBudget]] with the escape FORCED
@@ -1376,6 +1419,19 @@ object DedupQueries {
     withConf(s, "spark.graft.dedup.candBudget" -> "1",
       "spark.graft.dedup.candSampleRate" -> "8")(
       dContainmentCensusBudget(s, dir, 0.9, 30))
+
+  /** d23 gate: the DOC-rule rung — the 100 TB escape where even
+    * enumerating pairs is over budget — with q PINNED at 8
+    * (`candDocSampleRate`), so the oracle filters documents by
+    * `(doc_id·1000003) mod 64 < 8` BEFORE shingling, joins only
+    * survivors, and scales the band census by q² = 64. The derived-q
+    * arithmetic and the cost claims are spec-covered
+    * (`DedupBudgetSpec`).
+    */
+  def d23BudgetDocSample(s: SparkSession, dir: String): DataFrame =
+    withConf(s, "spark.graft.dedup.candBudget" -> "1",
+      "spark.graft.dedup.candDocSampleRate" -> "8")(
+      dJaccardCensusBudget(s, dir, 0.5))
 
   /** Set confs for the duration of `body` (which must MATERIALIZE its
     * result — the census forms `.staged()` — before returning, or the
@@ -1412,6 +1468,29 @@ object DedupQueries {
       |    ia, ib FROM j)
       |SELECT COALESCE(band, -1) AS band, CAST(8 AS BIGINT) AS rate,
       |  COUNT(*) AS n_sampled, CAST(COUNT(*) * 8 AS BIGINT) AS n_est,
+      |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
+      |  CAST(SUM(ib) AS BIGINT) AS sum_ib
+      |FROM b GROUP BY ROLLUP(band) ORDER BY band""".stripMargin
+
+  val d23Oracle: String =
+    """WITH docs AS (SELECT * FROM documents
+      |  WHERE (doc_id * 1000003) % 64 < 8),
+      |s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM docs),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT ia, ib,
+      |    CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jac
+      |  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5),
+      |b AS (SELECT CAST(FLOOR(jac * 10000) AS BIGINT) // 1000 AS band,
+      |    ia, ib FROM j)
+      |SELECT COALESCE(band, -1) AS band, CAST(64 AS BIGINT) AS rate,
+      |  COUNT(*) AS n_sampled, CAST(COUNT(*) * 64 AS BIGINT) AS n_est,
       |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
       |  CAST(SUM(ib) AS BIGINT) AS sum_ib
       |FROM b GROUP BY ROLLUP(band) ORDER BY band""".stripMargin
@@ -2595,6 +2674,7 @@ object DedupQueries {
     "d20_sampled_calib" -> (d20SampledCalib _),
     "d21_budget_neardup" -> (d21BudgetNeardup _),
     "d22_budget_containment" -> (d22BudgetContainment _),
+    "d23_budget_docsample" -> (d23BudgetDocSample _),
     "d17_funnel" -> (d17Funnel _),
     "d19_containment" -> (dContainment _),
     "d18_span_scrub" -> (d18SpanScrub _))
@@ -2618,6 +2698,7 @@ object DedupQueries {
     "d20_sampled_calib" -> d20Oracle,
     "d21_budget_neardup" -> d21Oracle,
     "d22_budget_containment" -> d22Oracle,
+    "d23_budget_docsample" -> d23Oracle,
     "d17_funnel" -> d17Oracle,
     "d18_span_scrub" -> d18Oracle,
     "d19_containment" -> dContainmentOracle)

@@ -11,12 +11,36 @@ class DedupBudgetSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("budgetRate derives ceil(volume/budget); forced rate wins") {
-    assert(DedupQueries.budgetRate(100L, 100L, 0L) === 1L)
-    assert(DedupQueries.budgetRate(101L, 100L, 0L) === 2L)
-    assert(DedupQueries.budgetRate(1000L, 3L, 0L) === 334L)
-    assert(DedupQueries.budgetRate(1L, 1000L, 0L) === 1L)
-    assert(DedupQueries.budgetRate(1000000L, 1L, 8L) === 8L)
+  test("budgetSample: exact under budget; pinned pair rule; auto doc rule") {
+    def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    // under budget (or none): exact
+    assert(DedupQueries.budgetSample(spark, 1000L, "t") ===
+      DedupQueries.BudgetPlan(1L, None, None))
+    withConfs("spark.graft.dedup.candBudget" -> "499500") {
+      assert(DedupQueries.budgetSample(spark, 1000L, "t").rate === 1L)
+    }
+    // forced pair rule: d20's (mod 8r, keep 8)
+    withConfs("spark.graft.dedup.candBudget" -> "1",
+      "spark.graft.dedup.candSampleRate" -> "8") {
+      assert(DedupQueries.budgetSample(spark, 1000L, "t") ===
+        DedupQueries.BudgetPlan(8L, Some((64L, 8L)), None))
+    }
+    // auto: doc rule with q = ceil(sqrt(volume/budget)), scale q^2
+    withConfs("spark.graft.dedup.candBudget" -> "10000") {
+      // volume = 499500, q = ceil(sqrt(49.95)) = 8
+      assert(DedupQueries.budgetSample(spark, 1000L, "t") ===
+        DedupQueries.BudgetPlan(64L, None, Some((64L, 8L))))
+    }
+    // pair volume among the 1-in-q doc survivors fits the budget
+    withConfs("spark.graft.dedup.candBudget" -> "1000000") {
+      val p = DedupQueries.budgetSample(spark, 100000L, "t")
+      val q = p.docSample.get._1 / 8L
+      val kept = 100000L / q
+      assert(kept * (kept - 1) / 2 <= 1000000L)
+    }
   }
 
   test("exact pair operators refuse over budget instead of silently sampling") {
@@ -61,5 +85,14 @@ class DedupBudgetSpec extends AnyFunSuite {
     }
     // the rollup total row is always present and first in band order
     assert(rows.head.getLong(0) === -1L)
+  }
+
+  test("doc-rule census stamps q^2 and scales by it") {
+    val rows = DedupQueries.d23BudgetDocSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 64L)
+      assert(r.getLong(3) === r.getLong(2) * 64L)
+    }
   }
 }
