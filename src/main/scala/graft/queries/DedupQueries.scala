@@ -1433,6 +1433,19 @@ object DedupQueries {
       "spark.graft.dedup.candDocSampleRate" -> "8")(
       dJaccardCensusBudget(s, dir, 0.5))
 
+  /** d24/d25 gates: the census forms WITHOUT forced confs — exactly
+    * what a production caller gets. With no budget set (the driver's
+    * Verify), they are the EXACT band censuses (rate 1), which is what
+    * the oracles replay; a probe run steers them through the budget
+    * rungs with `SPARK_GRAFT_CONF=spark.graft.dedup.candBudget=…`
+    * (auto doc rule, q derived) — the heaps-octave entry points.
+    */
+  def d24CensusJaccard(s: SparkSession, dir: String): DataFrame =
+    dJaccardCensusBudget(s, dir, 0.5)
+
+  def d25CensusContainment(s: SparkSession, dir: String): DataFrame =
+    dContainmentCensusBudget(s, dir, 0.9, 30)
+
   /** Set confs for the duration of `body` (which must MATERIALIZE its
     * result — the census forms `.staged()` — before returning, or the
     * restore races the read), restoring previous values after.
@@ -1468,6 +1481,46 @@ object DedupQueries {
       |    ia, ib FROM j)
       |SELECT COALESCE(band, -1) AS band, CAST(8 AS BIGINT) AS rate,
       |  COUNT(*) AS n_sampled, CAST(COUNT(*) * 8 AS BIGINT) AS n_est,
+      |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
+      |  CAST(SUM(ib) AS BIGINT) AS sum_ib
+      |FROM b GROUP BY ROLLUP(band) ORDER BY band""".stripMargin
+
+  val d24Oracle: String =
+    """WITH s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT ia, ib,
+      |    CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) AS jac
+      |  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.5),
+      |b AS (SELECT CAST(FLOOR(jac * 10000) AS BIGINT) // 1000 AS band,
+      |    ia, ib FROM j)
+      |SELECT COALESCE(band, -1) AS band, CAST(1 AS BIGINT) AS rate,
+      |  COUNT(*) AS n_sampled, CAST(COUNT(*) AS BIGINT) AS n_est,
+      |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
+      |  CAST(SUM(ib) AS BIGINT) AS sum_ib
+      |FROM b GROUP BY ROLLUP(band) ORDER BY band""".stripMargin
+
+  val d25Oracle: String =
+    """WITH s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |s AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM s GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |c AS (SELECT ia, ib, (10000 * i) // LEAST(x.n, y.n) AS bp
+      |  FROM inter JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE LEAST(x.n, y.n) >= 30),
+      |b AS (SELECT bp // 1000 AS band, ia, ib FROM c WHERE bp >= 9000)
+      |SELECT COALESCE(band, -1) AS band, CAST(1 AS BIGINT) AS rate,
+      |  COUNT(*) AS n_sampled, CAST(COUNT(*) AS BIGINT) AS n_est,
       |  CAST(SUM(ia) AS BIGINT) AS sum_ia,
       |  CAST(SUM(ib) AS BIGINT) AS sum_ib
       |FROM b GROUP BY ROLLUP(band) ORDER BY band""".stripMargin
@@ -2675,6 +2728,8 @@ object DedupQueries {
     "d21_budget_neardup" -> (d21BudgetNeardup _),
     "d22_budget_containment" -> (d22BudgetContainment _),
     "d23_budget_docsample" -> (d23BudgetDocSample _),
+    "d24_census_jaccard" -> (d24CensusJaccard _),
+    "d25_census_containment" -> (d25CensusContainment _),
     "d17_funnel" -> (d17Funnel _),
     "d19_containment" -> (dContainment _),
     "d18_span_scrub" -> (d18SpanScrub _))
@@ -2699,6 +2754,8 @@ object DedupQueries {
     "d21_budget_neardup" -> d21Oracle,
     "d22_budget_containment" -> d22Oracle,
     "d23_budget_docsample" -> d23Oracle,
+    "d24_census_jaccard" -> d24Oracle,
+    "d25_census_containment" -> d25Oracle,
     "d17_funnel" -> d17Oracle,
     "d18_span_scrub" -> d18Oracle,
     "d19_containment" -> dContainmentOracle)
