@@ -2309,6 +2309,67 @@ object TextQueries {
       |    AS epochs_bp
       |FROM p ORDER BY source""".stripMargin
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — pick the raw-
+    * corpus documents most like a TARGET domain by hashed n-gram
+    * likelihood ratios. Features are char-trigrams hashed to 1024
+    * buckets by the same polynomial the minhash family packs with;
+    * the target here is the `lang = 'en'` slice. Two engine-exactness
+    * substitutions vs the paper, both documented: the bucket weight is
+    * a RATIONAL fixed-point ratio `((tc+1)·10⁶) div (rc+1)` instead of
+    * a log-likelihood ratio (no libm `ln` whose last ulp differs
+    * across engines — same reason BM25's idf stays rational), and the
+    * resample is the deterministic top-m by (score, doc_id) instead of
+    * Gumbel-perturbed sampling (reproducible, resumable). Scale shape:
+    * the weight table is ≤1024 rows and BROADCASTS; scoring is one
+    * occurrence scan joined map-side; the top-m is Spark's
+    * TakeOrdered (per-partition heads, driver merge) — no global sort,
+    * no skewed window, no corpus shuffle beyond the per-doc score
+    * aggregate.
+    */
+  def tDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val buckets = expr("transform(sequence(1, length(text) - 2), i -> " +
+      "((ascii(substring(text, i, 1)) * 31 + " +
+      "ascii(substring(text, i + 1, 1))) * 31 + " +
+      "ascii(substring(text, i + 2, 1))) % 1024)")
+    val tri = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(when(length(col("text")) >= 3, buckets)
+          .otherwise(array().cast("array<int>"))).as("b"))
+      .cache()
+    try {
+      val rc = tri.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      val tc = tri.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val w = rc.join(tc, Seq("b"), "left")
+        .select(col("b"),
+          expr("((coalesce(tc, 0) + 1) * 1000000) DIV (rc + 1)").as("w"))
+      tri.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("w")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(100)
+    } finally tri.unpersist()
+  }
+
+  val tDsirSelectOracle: String =
+    """WITH tri AS (SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, greatest(length(text) - 1, 1)),
+      |      i -> ((ascii(substr(text, CAST(i AS INT), 1)) * 31
+      |           + ascii(substr(text, CAST(i AS INT) + 1, 1))) * 31
+      |           + ascii(substr(text, CAST(i AS INT) + 2, 1))) % 1024))
+      |      AS b
+      |  FROM documents),
+      |rc AS (SELECT b, COUNT(*) AS rc FROM tri GROUP BY 1),
+      |tc AS (SELECT b, COUNT(*) AS tc FROM tri WHERE lang = 'en'
+      |  GROUP BY 1),
+      |w AS (SELECT rc.b, ((COALESCE(tc, 0) + 1) * 1000000) // (rc + 1)
+      |    AS w FROM rc LEFT JOIN tc ON rc.b = tc.b),
+      |sc AS (SELECT doc_id, lang, CAST(SUM(w) AS BIGINT) AS score
+      |  FROM tri JOIN w USING (b) GROUP BY 1, 2)
+      |SELECT doc_id, lang, score FROM sc
+      |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -2343,6 +2404,7 @@ object TextQueries {
     "t31_dataset_card" -> (tDatasetCard _),
     "t32_curation_e2e" -> (tCurationE2e _),
     "t33_epoch_plan" -> (tEpochPlan _),
+    "t35_dsir_select" -> (tDsirSelect _),
     "st11_stream_bm25" -> (stBm25Stream _),
     "io31_torn_index" -> (ioTornIndexRead _))
 
@@ -2384,6 +2446,7 @@ object TextQueries {
     "t31_dataset_card" -> tDatasetCardOracle,
     "t32_curation_e2e" -> tCurationE2eOracle,
     "t33_epoch_plan" -> tEpochPlanOracle,
+    "t35_dsir_select" -> tDsirSelectOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle,
