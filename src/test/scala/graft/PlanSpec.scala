@@ -461,6 +461,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t35 DSIR: weight table broadcasts; top-m is TakeOrdered, not a " +
+      "global sort") {
+    val plan = executed(SparkEntry.queries("t35_dsir_select")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=1024-row weight table must broadcast to the occurrence scan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-100 cut must be per-partition heads + driver merge")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val base = Files.createTempDirectory("graft-part").toString
     Tables.documents(spark, sf)
