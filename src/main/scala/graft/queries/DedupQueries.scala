@@ -904,7 +904,7 @@ object DedupQueries {
     * — see [[dCluster]] for the algorithm notes. Shared by the cluster
     * census and the canonical-member election.
     */
-  private def componentLabels(edges: DataFrame): DataFrame = {
+  private[queries] def componentLabels(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label")).staged()
     var changed = 1L

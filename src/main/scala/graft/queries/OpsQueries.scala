@@ -2951,6 +2951,129 @@ object OpsQueries {
       .orderBy(col("ia"), col("ib"))
   }
 
+  /** CROSS-MODAL duplicate clustering — the composition a multimodal
+    * curation run actually needs: a pair of documents is a duplicate
+    * when they match in EITHER space (near-identical text, d2's
+    * jaccard ≥ 0.8, OR near-identical image, m5's pHash hamming ≤ 6),
+    * and the keep/drop decision is made per CLUSTER of the union edge
+    * set (d6's min-label components) — text-only dedup ships the same
+    * image twice, image-only dedup ships the same text twice; the
+    * union catches both. Planted structure: every doc < 60 carries an
+    * image keyed by `doc_id div 2`, so consecutive pairs share an
+    * identical image (codec round trip + real pHash still computed —
+    * nothing is assumed equal), while the text edges are the corpus's
+    * own jaccard pairs. The oracle replays BOTH edge rules from
+    * scratch (the full pixel→luma→resize→DCT→median→bits pipeline with
+    * the embedded fixed-point DCT table, and the trigram jaccard join)
+    * and the component census via a recursive CTE. Scale: edges are
+    * the SMALL side (pairs that matched); the union adds one set op;
+    * components cost the same log-diameter label rounds as d6.
+    */
+  def m6CrossmodalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.PHash
+    val txt = DedupQueries.jaccardPairs(s, dir, 0.8)
+      .filter(col("ia") < 60 && col("ib") < 60)
+      .select(col("ia"), col("ib"))
+    val hashUdf = udf((src: Long) => {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = ((src * 31 + x * (7 + src % 11) + y * (13 + src % 17) +
+          (x.toLong * y * (1 + src % 3)) % 29) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      PHash.ofBytes(baos.toByteArray).get
+    })
+    val sigs = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      .select(col("doc_id"), hashUdf(expr("doc_id DIV 2")).as("ph"))
+      .staged()
+    // 60 signatures — the m5 broadcast hamming scan, 16 B each
+    val rows = sigs.orderBy(col("doc_id"))
+      .as[(Long, Long)].collect()
+    val bcIds = s.sparkContext.broadcast(rows.map(_._1))
+    val bcSigs = s.sparkContext.broadcast(rows.map(_._2))
+    val neighbors = udf((id: Long, sig: Long) => {
+      val is = bcIds.value
+      val sv = bcSigs.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < sv.length) {
+        if (is(i) > id && java.lang.Long.bitCount(sig ^ sv(i)) <= 6)
+          out += is(i)
+        i += 1
+      }
+      out.toSeq
+    })
+    val img = sigs.select(col("doc_id").as("ia"),
+        explode(neighbors(col("doc_id"), col("ph"))).as("ib"))
+    val pairs = txt.unionByName(img).distinct()
+    val edges = pairs.select(col("ia").as("u"), col("ib").as("v"))
+      .unionByName(pairs.select(col("ib").as("u"), col("ia").as("v")))
+    DedupQueries.componentLabels(edges)
+      .groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("checksum"))
+      .orderBy(col("keeper"))
+  }
+
+  val m6Oracle: String =
+    s"""WITH RECURSIVE s0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(length(text) - 1, 1)),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents),
+      |sdist AS (SELECT DISTINCT doc_id, g FROM s0),
+      |sz AS (SELECT doc_id, COUNT(*) n FROM sdist GROUP BY 1),
+      |inter AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) i
+      |  FROM sdist a JOIN sdist b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |txt AS (SELECT ia, ib FROM inter
+      |  JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      |  WHERE CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE) >= 0.8
+      |    AND ia < 60 AND ib < 60),
+      |dct(u, x, t) AS (SELECT * FROM (VALUES ${
+        graft.multimodal.PHash.dctTableSql})),
+      |imgs AS (SELECT doc_id AS img_id, doc_id // 2 AS src
+      |  FROM documents WHERE doc_id < 60),
+      |px AS (SELECT img_id, x, y,
+      |    1000 * ((src*31 + x*(7+src%11) + y*(13+src%17)
+      |      + (x*y*(1+src%3))%29) % 256) AS l
+      |  FROM imgs, range(0, 64) rx(x), range(0, 64) ry(y)),
+      |cols AS (SELECT img_id, y, i,
+      |    SUM(l * ((GREATEST(0, LEAST((x+1)*32, (i+1)*64)
+      |      - GREATEST(x*32, i*64))) // 32)) AS s
+      |  FROM px, range(0, 32) ri(i) GROUP BY 1, 2, 3),
+      |rs AS (SELECT img_id, j, i,
+      |    SUM(s * ((GREATEST(0, LEAST((y+1)*32, (j+1)*64)
+      |      - GREATEST(y*32, j*64))) // 32)) AS p
+      |  FROM cols, range(0, 32) rj(j) GROUP BY 1, 2, 3),
+      |a AS (SELECT img_id, dct.u AS u, j, SUM(p * t) AS av
+      |  FROM rs JOIN dct ON dct.x = rs.i GROUP BY 1, 2, 3),
+      |c AS (SELECT img_id, a.u AS u, dct.u AS v, SUM(av * t) AS c
+      |  FROM a JOIN dct ON dct.x = a.j GROUP BY 1, 2, 3),
+      |med AS (SELECT img_id, c AS med FROM (
+      |    SELECT img_id, c, ROW_NUMBER() OVER (PARTITION BY img_id
+      |      ORDER BY c) rn
+      |    FROM c WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+      |bits AS (SELECT c.img_id, u * 8 + v AS k,
+      |    CASE WHEN c > med THEN 1 ELSE 0 END AS b
+      |  FROM c JOIN med ON med.img_id = c.img_id),
+      |ipairs AS (SELECT x.img_id ia, y.img_id ib
+      |  FROM bits x JOIN bits y ON x.k = y.k AND x.img_id < y.img_id
+      |  GROUP BY 1, 2
+      |  HAVING SUM(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) <= 6),
+      |pairs AS (SELECT ia, ib FROM txt UNION SELECT ia, ib FROM ipairs),
+      |edges AS (SELECT ia u, ib v FROM pairs
+      |  UNION ALL SELECT ib, ia FROM pairs),
+      |nodes AS (SELECT DISTINCT u FROM edges),
+      |reach AS (
+      |  SELECT u, u AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+      |comp AS (SELECT u, MIN(lbl) AS keeper FROM reach GROUP BY u)
+      |SELECT keeper, COUNT(*) AS n_docs, CAST(SUM(u) AS BIGINT) AS checksum
+      |FROM comp GROUP BY keeper ORDER BY keeper""".stripMargin
+
   val m5Oracle: String =
     s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
       |dct(u, x, t) AS (SELECT * FROM (VALUES ${
@@ -3016,6 +3139,7 @@ object OpsQueries {
     "m3_audio_features" -> (m3AudioFeatures _),
     "m4_image_decode" -> (m4ImageDecode _),
     "m5_phash_neardup" -> (m5PhashNeardup _),
+    "m6_crossmodal_dedup" -> (m6CrossmodalDedup _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -3072,6 +3196,7 @@ object OpsQueries {
     "m3_audio_features" -> m3Oracle,
     "m4_image_decode" -> m4Oracle,
     "m5_phash_neardup" -> m5Oracle,
+    "m6_crossmodal_dedup" -> m6Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
