@@ -164,4 +164,29 @@ object TextFunctions {
       size(call_function("regexp_extract_all", afterIp, lit(PhoneRe),
         lit(0))).as("phones"))
   }
+
+  /** DSIR feature buckets: every char-trigram hashed to 1024 buckets by
+    * the minhash family's base-31 polynomial, one primitive pass per
+    * document (the SQL-expression form pays O(position) per
+    * `substring`, O(len²) per doc — the same trap
+    * [[graft.functions.DedupFunctions.shinglesPacked3]] documents).
+    * With multiplicity: the importance score weights occurrences, not
+    * the distinct set.
+    */
+  val dsirBuckets: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((text: String) => {
+      if (text == null || text.length < 3) Array.empty[Int]
+      else {
+        val n = text.length - 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((text.charAt(i).toInt * 31 +
+            text.charAt(i + 1).toInt) * 31 +
+            text.charAt(i + 2).toInt) % 1024
+          i += 1
+        }
+        out
+      }
+    })
 }

@@ -2328,14 +2328,10 @@ object TextQueries {
     * aggregate.
     */
   def tDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val buckets = expr("transform(sequence(1, length(text) - 2), i -> " +
-      "((ascii(substring(text, i, 1)) * 31 + " +
-      "ascii(substring(text, i + 1, 1))) * 31 + " +
-      "ascii(substring(text, i + 2, 1))) % 1024)")
     val tri = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        explode(when(length(col("text")) >= 3, buckets)
-          .otherwise(array().cast("array<int>"))).as("b"))
+        explode(graft.functions.TextFunctions.dsirBuckets(col("text")))
+          .as("b"))
       .cache()
     try {
       val rc = tri.groupBy(col("b")).agg(count(lit(1)).as("rc"))
