@@ -1688,11 +1688,24 @@ object SimilarityQueries {
     * crash-between-commit-and-pin window on the sparse sibling).
     */
   def s14IvfIncr(s: SparkSession, dir: String): DataFrame = {
+    val (idx, lRoot, _, cRoot) = ivfIncrBuild(s, dir, "graft_s14_ivf")
+    val _ = idx
+    ivfAssignCensus(s, cRoot, lRoot)
+  }
+
+  /** The s14 incremental-IVF build (frozen quantizer + two appending
+    * list commits, each published with an atomic catalog pin), shared
+    * with [[s24IvfCompact]] so the compaction gate proves identity
+    * against the SAME build, not a copy of it. Returns (idx, lists,
+    * quantizer, catalog) roots.
+    */
+  private def ivfIncrBuild(s: SparkSession, dir: String,
+      name: String): (String, String, String, String) = {
     import graft.io.{Catalog, Manifest}
     graft.expressions.LongArrayOps.register(s)
     val base = s.conf.get("spark.graft.tmpDir",
       System.getProperty("java.io.tmpdir"))
-    val idx = base + "/graft_s14_ivf"
+    val idx = base + "/" + name
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
@@ -1721,10 +1734,44 @@ object SimilarityQueries {
     ingest(e.filter(col("vec_id") % 2 === 1), "b")
     require(Manifest.entries(s, lRoot).startsWith(pre),
       "incremental ingest must append to the lists, never rewrite them")
-    Catalog.snapshotOf(s, cRoot, lRoot)
+    (idx, lRoot, qRoot, cRoot)
+  }
+
+  private def ivfAssignCensus(s: SparkSession, cRoot: String,
+      lRoot: String): DataFrame =
+    graft.io.Catalog.snapshotOf(s, cRoot, lRoot)
       .groupBy(col("label"), col("clabel").as("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))
+
+  /** IVF list COMPACTION — t26's maintenance discipline on the dense
+    * side: a streamed/incremental IVF ([[s14IvfIncr]], st13) accretes
+    * one committed directory per ingest, which is right at write time
+    * and wrong after thousands of increments (per-file open overhead,
+    * split enumeration over an ever-growing dir count). The remedy is
+    * [[graft.io.IndexCompaction.compact]]: rewrite the current lists
+    * snapshot into ~target-size files WITH a fresh vec_id skip-stats
+    * sidecar, commit as a REPLACING manifest version, and republish
+    * the catalog pin — readers mid-query keep their resolved version,
+    * time travel keeps every pre-compact increment, and retention
+    * reclaims the fragments later. The gate is identity: the census
+    * through the compacted pin must hash-match s14's oracle exactly
+    * (compaction that changes answers is corruption, not maintenance),
+    * with structural requires pinning ≥2 dirs before and exactly 1
+    * after.
+    */
+  def s24IvfCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Catalog, IndexCompaction, Manifest}
+    val (idx, lRoot, qRoot, cRoot) = ivfIncrBuild(s, dir, "graft_s24_ivf")
+    val preDirs = Manifest.committed(s, lRoot)
+    require(preDirs.size >= 2,
+      s"compaction gate needs a fragmented table, got $preDirs")
+    IndexCompaction.compact(s, lRoot, s"$idx/l_compact",
+      statsCols = Seq("vec_id"))
+    require(Manifest.committed(s, lRoot) == Seq(s"$idx/l_compact"),
+      "compact must land as ONE replacing directory")
+    Catalog.pinLatest(s, cRoot, Seq(lRoot, qRoot))
+    ivfAssignCensus(s, cRoot, lRoot)
   }
 
   val s14Oracle: String =
@@ -3804,6 +3851,7 @@ object SimilarityQueries {
     "s12_hybrid_rrf" -> (s12HybridRrf _),
     "s13_pq_stored" -> (s13PqStored _),
     "s14_ivf_incr" -> (s14IvfIncr _),
+    "s24_ivf_compact" -> (s24IvfCompact _),
     "s15_hybrid_stored" -> (s15HybridStored _),
     "s16_ann_takedown" -> (s16AnnTakedown _),
     "st13_stream_ivf" -> (st13StreamIvf _),
@@ -3838,6 +3886,9 @@ object SimilarityQueries {
     // the stored-codes PQ read path must reproduce s6's result exactly
     "s13_pq_stored" -> s6Oracle,
     "s14_ivf_incr" -> s14Oracle,
+    // compaction is file-level maintenance: answers must be identical,
+    // so the compacted pin is gated against s14's oracle verbatim
+    "s24_ivf_compact" -> s14Oracle,
     "s15_hybrid_stored" -> s15Oracle,
     "s16_ann_takedown" -> s16Oracle,
     // batching cannot move a per-row assignment: the streamed-in lists
