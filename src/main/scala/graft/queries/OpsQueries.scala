@@ -2741,6 +2741,121 @@ object OpsQueries {
       |  (SELECT COUNT(*) FROM n1) + (SELECT COUNT(*) FROM n2)
       |ORDER BY bucket""".stripMargin
 
+  /** Late-data DEAD-LETTER channel — [[st18LateCensus]] measures what
+    * the watermark drops; this operator KEEPS it. The engine's stateful
+    * operators silently discard late rows (st18's counter is the only
+    * trace), but a production ingest usually wants them quarantined for
+    * backfill/reconciliation instead. So the ingest runs as
+    * `foreachBatch` with EXPLICIT watermark bookkeeping in a manifest
+    * stats table: each batch reads the previous batches' committed
+    * max event time (ms-truncated, minus the 48 h delay — the same
+    * arithmetic Spark's watermark tracks and st18's oracle replays),
+    * routes `ets <= wm` rows to the LATE table and the rest to the MAIN
+    * table, then commits its own max as the next watermark state. Every
+    * row lands in exactly one table — conservation is the gate, not a
+    * counter. Two source files with forced mtimes make the batch order
+    * (on-time slice, then the out-of-order slice) deterministic; all
+    * three tables are appending manifest commits with the st8
+    * replay-guard, so the channel inherits exactly-once.
+    */
+  def st19LateQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st19_${st2Seq.incrementAndGet()}"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val (mainRoot, lateRoot, wmRoot) =
+      (s"$root/main", s"$root/late", s"$root/wm")
+    val delayUs = 172800000000L // 48 hours, st18's delay
+    def slice(lo: Long, hi: Long) = Tables.events(s, dir)
+      .filter(col("user_id") >= lo && col("user_id") < hi)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // night 1 (on time) then night 2 (out of order), forced mtime order
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/src"))
+    for ((range, k) <- Seq((0L, 30L), (30L, 60L)).zipWithIndex) {
+      slice(range._1, range._2).coalesce(1).write
+        .parquet(s"$root/stage_$k")
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$root/stage_$k"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(s"$root/src/b$k.parquet")
+      require(fs.rename(part, dst), s"rename of slice file $k failed")
+      fs.setTimes(dst, 1600000000000L + k * 60000L, -1)
+    }
+    val schema = s.read.parquet(s"$root/src").schema
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        // the late boundary is the PRE-batch watermark: previous
+        // batches' committed max, ms-truncated, minus the delay —
+        // exactly when the engine's own late filter would apply
+        val wm = Manifest.versions(ss, wmRoot).lastOption.map { _ =>
+          val mx = Manifest.snapshot(ss, wmRoot)
+            .agg(max(col("max_us"))).collect()(0).getLong(0)
+          (mx / 1000) * 1000 - delayUs
+        }
+        val withUs = batch.withColumn("us", unix_micros(col("ets")))
+        val mainDir = s"$root/m_$batchId"
+        if (!Manifest.committed(ss, mainRoot).contains(mainDir)) {
+          wm.map(w => withUs.filter(col("us") > w)).getOrElse(withUs)
+            .write.mode("overwrite").parquet(mainDir)
+          Manifest.commitIfAbsent(ss, mainRoot, mainDir)
+        }
+        val lateDir = s"$root/l_$batchId"
+        if (!Manifest.committed(ss, lateRoot).contains(lateDir)) {
+          wm.map(w => withUs.filter(col("us") <= w))
+            .getOrElse(withUs.filter(lit(false)))
+            .write.mode("overwrite").parquet(lateDir)
+          Manifest.commitIfAbsent(ss, lateRoot, lateDir)
+        }
+        val wmDir = s"$root/w_$batchId"
+        if (!Manifest.committed(ss, wmRoot).contains(wmDir)) {
+          withUs.agg(max(col("us")).as("max_us"))
+            .write.mode("overwrite").parquet(wmDir)
+          Manifest.commitIfAbsent(ss, wmRoot, wmDir)
+        }
+      }
+      ()
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    def census(tbl: String, r: String) = Manifest.snapshot(s, r)
+      .groupBy(expr("user_id DIV 10").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("tbl", lit(tbl))
+    census("main", mainRoot).unionByName(census("late", lateRoot))
+      .select(col("tbl"), col("bucket"), col("n"), col("sum_id"),
+        col("sum_cents"))
+      .orderBy(col("tbl"), col("bucket"))
+  }
+
+  val st19Oracle: String =
+    """WITH n1 AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 30),
+      |n2 AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id >= 30 AND user_id < 60),
+      |wm AS (SELECT (MAX(tsu) // 1000) * 1000 - 172800000000 AS w FROM n1),
+      |routed AS (SELECT 'main' AS tbl, * FROM n1
+      |  UNION ALL SELECT CASE WHEN tsu <= (SELECT w FROM wm)
+      |    THEN 'late' ELSE 'main' END, * FROM n2)
+      |SELECT tbl, user_id // 10 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM routed GROUP BY 1, 2 ORDER BY tbl, bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -3184,7 +3299,8 @@ object OpsQueries {
     "st10_sessionize_tws" -> (st10SessionizeTws _),
     "st12_stream_left_join" -> (st12StreamLeftJoin _),
     "st14_stream_feed_sync" -> (st14StreamFeedSync _),
-    "st18_late_census" -> (st18LateCensus _))
+    "st18_late_census" -> (st18LateCensus _),
+    "st19_late_quarantine" -> (st19LateQuarantine _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -3241,5 +3357,6 @@ object OpsQueries {
     "st10_sessionize_tws" -> st1Oracle,
     "st12_stream_left_join" -> st12Oracle,
     "st14_stream_feed_sync" -> st14Oracle,
-    "st18_late_census" -> st18Oracle)
+    "st18_late_census" -> st18Oracle,
+    "st19_late_quarantine" -> st19Oracle)
 }
