@@ -292,6 +292,61 @@ object AudioQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 6
       |ORDER BY ia, ib""".stripMargin
 
+  /** Per-clip audio QUALITY census — the audio sibling of t2's text
+    * quality scoring, the gate before a clip enters a training corpus:
+    * length, peak level, clipping count (|s| ≥ 32000 on the int16
+    * grid), signal energy, and zero-crossing count, reduced to an
+    * integer keep/drop flag (clipping ratio ≤ 2 % in basis points).
+    * Everything is integer PCM arithmetic over the REAL WAV decode
+    * (codegen'd array HOFs, zero shuffles before the final sort), and
+    * the oracle recomputes every statistic from the closed-form LCG
+    * sample values — including the LAG-based crossing count, the easy
+    * one to get off by one. At 100 TB this is a per-row projection:
+    * the census never shuffles audio bytes.
+    */
+  def a8AudioQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AudioFunctions.{decodeWav, pcm16, syntheticLcgWav}
+    val k = col("k")
+    val zc = aggregate(
+      zip_with(slice(k, 1, 255), slice(k, 2, 255),
+        (a, b) => when(a * b < 0, 1L).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    Tables.events(s, dir).filter(col("event_id") < 64)
+      .select(col("event_id"),
+        decodeWav(syntheticLcgWav(col("event_id"),
+          (lit(64) + col("event_id") % 64).cast("int"))).as("y"))
+      .select(col("event_id"), pcm16(col("y")).as("k"))
+      .select(col("event_id"),
+        size(k).cast("long").as("n_samples"),
+        array_max(transform(k, x => abs(x))).as("peak"),
+        aggregate(k, lit(0L),
+          (a, x) => a + when(abs(x) >= 32000L, 1L).otherwise(0L))
+          .as("n_clipped"),
+        aggregate(k, lit(0L), (a, x) => a + x * x).as("energy"),
+        zc.as("zero_crossings"))
+      .withColumn("keep",
+        expr("(n_clipped * 10000) DIV n_samples") <= 200L)
+      .orderBy(col("event_id"))
+  }
+
+  val a8Oracle: String =
+    """WITH ks AS (SELECT event_id, j,
+      |    CASE WHEN j < 64 + event_id % 64 THEN 0
+      |      ELSE (event_id * 131 + j * 7919) % 65535 - 32767 END AS k
+      |  FROM events, range(0, 256) r(j) WHERE event_id < 64),
+      |lagged AS (SELECT event_id, j, k,
+      |    LAG(k) OVER (PARTITION BY event_id ORDER BY j) AS pk FROM ks)
+      |SELECT event_id, COUNT(*) AS n_samples,
+      |  CAST(MAX(ABS(k)) AS BIGINT) AS peak,
+      |  CAST(SUM(CASE WHEN ABS(k) >= 32000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped,
+      |  CAST(SUM(k * k) AS BIGINT) AS energy,
+      |  CAST(SUM(CASE WHEN pk IS NOT NULL AND pk * k < 0 THEN 1 ELSE 0
+      |    END) AS BIGINT) AS zero_crossings,
+      |  (SUM(CASE WHEN ABS(k) >= 32000 THEN 1 ELSE 0 END) * 10000)
+      |    // COUNT(*) <= 200 AS keep
+      |FROM lagged GROUP BY event_id ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_stft_peak" -> (a1StftPeak _),
     "a2_mel_mfcc" -> (a2MelMfcc _),
@@ -299,7 +354,8 @@ object AudioQueries {
     "a4_spec_plot" -> (a4SpecPlot _),
     "a5_resample" -> (a5Resample _),
     "a6_silence_trim" -> (a6SilenceTrim _),
-    "a7_fingerprint" -> (a7Fingerprint _))
+    "a7_fingerprint" -> (a7Fingerprint _),
+    "a8_audio_quality" -> (a8AudioQuality _))
 
   val oracle: Map[String, String] = Map(
     "a1_stft_peak" -> a1Oracle,
@@ -308,5 +364,6 @@ object AudioQueries {
     "a4_spec_plot" -> a4Oracle,
     "a5_resample" -> a5Oracle,
     "a6_silence_trim" -> a6Oracle,
-    "a7_fingerprint" -> a7Oracle)
+    "a7_fingerprint" -> a7Oracle,
+    "a8_audio_quality" -> a8Oracle)
 }
