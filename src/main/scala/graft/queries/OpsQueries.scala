@@ -2963,6 +2963,73 @@ object OpsQueries {
       .orderBy(col("img_id"), col("block"))
   }
 
+  /** Per-image QUALITY census — the image sibling of t2 (text) and
+    * a8 (audio), completing the curation triad: a multimodal corpus
+    * drops images that are too small or visually degenerate (uniform
+    * color = tracking pixels, placeholders, failed renders) before
+    * they cost a training step. Planted 32×20 PNGs: every 4th image is
+    * a UNIFORM fill, the rest carry m4's closed-form gradient; all go
+    * through the REAL codec round trip and [[graft.multimodal
+    * .Multimodal.decodeImage]]'s block-luminance features, and the
+    * degeneracy signal is the DISTINCT-feature count over the 16
+    * blocks (1 ⇒ uniform ⇒ drop). The oracle replays the block sums,
+    * the one-division float features, and the distinct count from the
+    * pixel formula. Scale: a per-row projection over binary columns —
+    * bytes never shuffle.
+    */
+  def m7ImageQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val mkPng = (id: Long) => {
+      val img = new java.awt.image.BufferedImage(32, 20,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 32) {
+        val g = (if (id % 4 == 0) (id * 9 + 7) % 256
+                 else (id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val files = Tables.events(s, dir).filter(col("event_id") < 32)
+      .select(col("event_id")).as[Long]
+      .map(id => Multimodal.MediaFile(id.toString, "image/png",
+        mkPng(id), 0L, Map.empty))
+    Multimodal.decodeImage(files).toDF()
+      .select(col("element").cast("long").as("img_id"), col("height"),
+        col("width"),
+        size(col("features")).cast("long").as("n_feat"),
+        size(array_distinct(col("features"))).cast("long")
+          .as("n_distinct"),
+        array_min(col("features")).as("min_feat"),
+        array_max(col("features")).as("max_feat"))
+      .withColumn("uniform", col("n_distinct") === 1L)
+      .withColumn("keep", col("n_distinct") > 1L)
+      .orderBy(col("img_id"))
+  }
+
+  val m7Oracle: String =
+    """WITH px AS (SELECT event_id AS img_id, x, y,
+      |    CASE WHEN event_id % 4 = 0 THEN (event_id * 9 + 7) % 256
+      |      ELSE (event_id * 31 + x * 7 + y * 13) % 256 END AS g
+      |  FROM events, range(0, 32) rx(x), range(0, 20) ry(y)
+      |  WHERE event_id < 32),
+      |blocks AS (SELECT img_id,
+      |    (y * 4 // 20) * 4 + (x * 4 // 32) AS block,
+      |    SUM(g * 1000) AS lsum, COUNT(*) AS n
+      |  FROM px GROUP BY 1, 2),
+      |feats AS (SELECT img_id, block,
+      |    CAST(CAST(lsum AS DOUBLE) / (n * 255000.0) AS FLOAT) AS feat
+      |  FROM blocks)
+      |SELECT img_id, 20 AS height, 32 AS width,
+      |  COUNT(*) AS n_feat, COUNT(DISTINCT feat) AS n_distinct,
+      |  CAST(MIN(feat) AS FLOAT) AS min_feat,
+      |  CAST(MAX(feat) AS FLOAT) AS max_feat,
+      |  COUNT(DISTINCT feat) = 1 AS uniform,
+      |  COUNT(DISTINCT feat) > 1 AS keep
+      |FROM feats GROUP BY img_id ORDER BY img_id""".stripMargin
+
   /** Image perceptual-hash near-dup — the multimodal curation operator
     * the text dedups (d1–d20) have no image sibling for: every planted
     * PNG goes through the REAL codec round trip (closed-form pixels →
@@ -3255,6 +3322,7 @@ object OpsQueries {
     "m4_image_decode" -> (m4ImageDecode _),
     "m5_phash_neardup" -> (m5PhashNeardup _),
     "m6_crossmodal_dedup" -> (m6CrossmodalDedup _),
+    "m7_image_quality" -> (m7ImageQuality _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -3313,6 +3381,7 @@ object OpsQueries {
     "m4_image_decode" -> m4Oracle,
     "m5_phash_neardup" -> m5Oracle,
     "m6_crossmodal_dedup" -> m6Oracle,
+    "m7_image_quality" -> m7Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
