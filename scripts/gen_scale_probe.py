@@ -85,18 +85,49 @@ n_docs = len(docs) * factor
 out_lens = rng.choice(lens, n_docs)  # bootstrap the length distribution
 out_langs = rng.choice(lang_vals, n_docs, p=lang_counts / lang_counts.sum())
 out_src = [f"src{i}" for i in rng.integers(0, 20, n_docs)]
-texts = []
+# One inverse-CDF table for every zipf draw: rng.choice(..., p=...)
+# recomputes an O(vocab) cumulative sum PER CALL, which made the
+# per-document loop O(n_docs x vocab) - hours at factor 100. Inverse-CDF
+# sampling against the precomputed table draws the same distribution in
+# O(n log vocab).
+if zipf_p is not None:
+    _cdf = np.cumsum(zipf_p)
+    _cdf[-1] = 1.0
+
+    def draw_ids(n):
+        return np.searchsorted(_cdf, rng.random(n),
+                               side="right").astype(np.int64)
+else:
+    def draw_ids(n):
+        return rng.integers(0, len(vocab), n)
+
+def draw_words(n):
+    return vocab[draw_ids(n)]
+
+# dup/fresh decisions first, then ONE bulk draw for all fresh docs; the
+# near-dup pass runs ascending so a dup's source (dup or fresh) is
+# always final before it is read - same structure as the old per-doc
+# loop, minus the per-call CDF cost
+is_dup = np.zeros(n_docs, dtype=bool)
+if n_docs > 101:
+    is_dup[101:] = rng.random(n_docs - 101) < 0.05
+fresh_total = int(out_lens[~is_dup].sum())
+flat_ids = draw_ids(fresh_total)
+texts = [None] * n_docs
+pos = 0
 for i in range(n_docs):
-    if i > 100 and rng.random() < 0.05:
+    if not is_dup[i]:
+        ln = int(out_lens[i])
+        texts[i] = " ".join(vocab[flat_ids[pos:pos + ln]])
+        pos += ln
+for i in range(n_docs):
+    if is_dup[i]:
         # near-dup: perturb ~10% of an earlier doc's words in place
-        words = texts[int(rng.integers(0, i))].split(" ")
+        words = np.array(texts[int(rng.integers(0, i))].split(" "),
+                         dtype=object)
         idx = rng.random(len(words)) < 0.10
-        repl = rng.choice(vocab, int(idx.sum()), p=zipf_p)
-        words = np.array(words, dtype=object)
-        words[idx] = repl
-        texts.append(" ".join(words))
-    else:
-        texts.append(" ".join(rng.choice(vocab, out_lens[i], p=zipf_p)))
+        words[idx] = draw_words(int(idx.sum()))
+        texts[i] = " ".join(words)
 pq.write_table(
     pa.table(
         {
