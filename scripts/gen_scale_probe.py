@@ -69,6 +69,21 @@ if heaps:
     target_tri = int(0.6 * n_tokens ** 0.7)
     tris = {t[i:i + 3] for t, _, _ in docs for i in range(len(t) - 2)}
     alpha = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789"))
+    # Synthetic words can only mint trigrams inside the |alpha|^3 space;
+    # past ~factor 30 the raw Heaps target EXCEEDS it (factor 100 asks
+    # for ~320k vs 36^3 = 46656 reachable) and the loop below would
+    # never terminate. Cap at 92% of the still-unminted space (the last
+    # few percent are coupon-collector-slow) — a saturated vocabulary is
+    # MORE adversarial for the banded/prefix routes (denser buckets),
+    # not less.
+    alpha_set = set(alpha.tolist())
+    in_space = sum(1 for t in tris
+                   if len(t) == 3 and all(c in alpha_set for c in t))
+    cap_tri = len(tris) + int(0.92 * (len(alpha) ** 3 - in_space))
+    if cap_tri < target_tri:
+        print(f"heaps target {target_tri} saturates the "
+              f"{len(alpha)}^3 trigram space; capping at {cap_tri}")
+        target_tri = cap_tri
     synth = []
     while len(tris) < target_tri:
         w = "".join(rng.choice(alpha, 8))
