@@ -72,6 +72,48 @@ object Multimodal {
         col("decoded._2").as("sample_rate"))
   }
 
+  /** 4×4 grid of mean luminance over a decoded frame: integer-summed
+    * (ITU-R 601 weights ×1000 — no float accumulation order), one float
+    * division per block. Shared by the still-image ([[decodeImage]]) and
+    * video-frame ([[sampleVideoFrames]]) paths so per-frame features are
+    * comparable across modalities.
+    */
+  private def blockFeatures(img: java.awt.image.BufferedImage)
+      : Array[Float] = {
+    val h = img.getHeight
+    val w = img.getWidth
+    val feats = new Array[Float](16)
+    var by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 4) {
+        val yLo = by * h / 4
+        val yHi = math.max(yLo + 1, (by + 1) * h / 4)
+        val xLo = bx * w / 4
+        val xHi = math.max(xLo + 1, (bx + 1) * w / 4)
+        var sum = 0L
+        var n = 0L
+        var y = yLo
+        while (y < yHi && y < h) {
+          var x = xLo
+          while (x < xHi && x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer ITU-R 601 luma ×1000 — exact, no float order
+            sum += ((rgb >> 16) & 0xff) * 299L +
+              ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        feats(by * 4 + bx) = (sum.toDouble / (n * 255000.0)).toFloat
+        bx += 1
+      }
+      by += 1
+    }
+    feats
+  }
+
   /** REAL image decode for JDK-native formats (PNG / JPEG / BMP / GIF /
     * WBMP via `javax.imageio` — no external codec): dimensions, channel
     * count, and a 16-feature descriptor (4×4 grid of mean luminance,
@@ -88,44 +130,82 @@ object Multimodal {
           new java.io.ByteArrayInputStream(f.content))
         catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) None
+        else Some(ImageFeatures(f.element, img.getHeight, img.getWidth,
+          img.getColorModel.getNumComponents, blockFeatures(img).toSeq))
+      }
+    }
+  }
+
+  /** One sampled video frame: identity + position (index among the
+    * container's frames, count of frames the container holds) + the same
+    * 16-block luminance descriptor still images get — so a video corpus
+    * and an image corpus share feature space (cross-modal dedup, quality
+    * filters, pHash all compose).
+    */
+  case class FrameFeatures(element: String, frameIdx: Int, nFrames: Int,
+      height: Int, width: Int, features: Seq[Float])
+
+  /** REAL video frame sampling for multi-frame JDK-native containers
+    * (animated GIF via `javax.imageio.ImageReader` — each stored frame
+    * decodes independently, no external codec): every `stride`-th frame
+    * of each container becomes one row with the shared 16-block
+    * luminance descriptor. This is the production shape of a
+    * frame-sampling stage — one sequential pass per blob, rows emitted
+    * per kept frame, bytes never shuffled, parallelism = file splits —
+    * so swapping the GIF reader for an mp4 demuxer (JNI/javacv or a
+    * `mapInPandas` stage) changes no schema or plan. Containers the JDK
+    * cannot parse fall back to [[sampleFramesStub]].
+    */
+  def sampleVideoFrames(files: Dataset[MediaFile], stride: Int)
+      : Dataset[FrameFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(f.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
         else {
-          val h = img.getHeight
-          val w = img.getWidth
-          val feats = new Array[Float](16)
-          var by = 0
-          while (by < 4) {
-            var bx = 0
-            while (bx < 4) {
-              val yLo = by * h / 4
-              val yHi = math.max(yLo + 1, (by + 1) * h / 4)
-              val xLo = bx * w / 4
-              val xHi = math.max(xLo + 1, (bx + 1) * w / 4)
-              var sum = 0L
-              var n = 0L
-              var y = yLo
-              while (y < yHi && y < h) {
-                var x = xLo
-                while (x < xHi && x < w) {
-                  val rgb = img.getRGB(x, y)
-                  // integer ITU-R 601 luma ×1000 — exact, no float order
-                  sum += ((rgb >> 16) & 0xff) * 299L +
-                    ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
-                  n += 1
-                  x += 1
-                }
-                y += 1
-              }
-              feats(by * 4 + bx) =
-                (sum.toDouble / (n * 255000.0)).toFloat
-              bx += 1
-            }
-            by += 1
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = try reader.getNumImages(true)
+          catch { case scala.util.control.NonFatal(_) => 0 }
+          val out = (0 until n by stride).flatMap { i =>
+            val img = try reader.read(i)
+            catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) None
+            else Some(FrameFeatures(f.element, i, n, img.getHeight,
+              img.getWidth, blockFeatures(img).toSeq))
           }
-          Some(ImageFeatures(f.element, h, w,
-            img.getColorModel.getNumComponents, feats.toSeq))
+          reader.dispose(); iis.close()
+          out
         }
       }
     }
+  }
+
+  /** Encode frames as an animated GIF (the JDK-native multi-frame
+    * container [[sampleVideoFrames]] reads back) — the test-data writer
+    * for the video path; grayscale frames round-trip bit-exactly through
+    * the 256-entry palette.
+    */
+  def encodeGifAnimation(frames: Seq[java.awt.image.BufferedImage])
+      : Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    baos.toByteArray
   }
 
   /** REAL nearest-neighbor image resize: decode (JDK formats), NN-sample

@@ -666,6 +666,72 @@ object OpsQueries {
       |FROM events WHERE event_type = 'click'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** PARTITION EVOLUTION — the third side of the layout-maintenance
+    * triangle (io12 compaction, io14 Z-order): a table laid out for
+    * yesterday's workload (partitioned by `event_type`) is re-laid for
+    * today's (`user_id`-range queries dominate → partition by
+    * `user_id div 4` buckets) as ONE replacing manifest commit.
+    * Readers mid-query keep the version they resolved; time travel
+    * keeps the old layout readable; retention reclaims it later —
+    * io17's discipline applied to the physical layout itself. The gate
+    * is answer-identity ACROSS the evolution: the same census computed
+    * through the evolved snapshot AND through the time-traveled
+    * original version, both hash-matched against the raw data (a
+    * re-layout that loses or duplicates a row is corruption). A
+    * structural require pins that the new commit really is
+    * hive-partitioned by the new key (the thing that makes `ub`
+    * filters prune at the LISTING level, before a footer opens);
+    * `LayoutSpec` asserts the scan-side pruning.
+    */
+  def io34PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io34"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val tbl = s"$root/tbl"
+    val d0 = s"$root/by_type"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"), col("event_type"))
+      .write.partitionBy("event_type").parquet(d0)
+    Manifest.commit(s, tbl, d0)
+    // the evolution: rewrite the CURRENT snapshot under the new key as
+    // a replacing commit (old version stays readable for time travel)
+    val d1 = s"$root/by_ub"
+    Manifest.snapshot(s, tbl)
+      .withColumn("ub", expr("user_id DIV 4"))
+      .write.partitionBy("ub").parquet(d1)
+    Manifest.rewrite(s, tbl, Seq(d1))
+    require(fs.listStatus(new org.apache.hadoop.fs.Path(d1))
+        .exists(_.getPath.getName.startsWith("ub=")),
+      "evolved layout must be hive-partitioned by the new key")
+    val vs = Manifest.versions(s, tbl)
+    require(vs.size == 2, s"expected original + evolved versions, got $vs")
+    def census(df: DataFrame, tag: String) = df
+      .groupBy(expr("user_id DIV 4").as("ub"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("layout", lit(tag))
+    census(Manifest.snapshot(s, tbl), "evolved")
+      .unionByName(census(Manifest.snapshot(s, tbl, Some(vs.head)),
+        "original"))
+      .select(col("layout"), col("ub"), col("n"), col("sum_id"),
+        col("sum_cents"))
+      .orderBy(col("layout"), col("ub"))
+  }
+
+  val io34Oracle: String =
+    """WITH c AS (SELECT user_id // 4 AS ub, COUNT(*) AS n,
+      |    CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS sum_cents
+      |  FROM events GROUP BY 1)
+      |SELECT 'evolved' AS layout, * FROM c
+      |UNION ALL SELECT 'original', * FROM c
+      |ORDER BY layout, ub""".stripMargin
+
   /** Small-file compaction ([[graft.io.Compaction]]): a deliberately
     * over-parallel write (64 files for a few hundred KB) rewritten to
     * target-size files, then aggregated — the result hash proves row-exact
@@ -3030,6 +3096,65 @@ object OpsQueries {
       |  COUNT(DISTINCT feat) > 1 AS keep
       |FROM feats GROUP BY img_id ORDER BY img_id""".stripMargin
 
+  /** VIDEO frame sampling under the oracle gate — the third modality's
+    * decode path, done with a REAL multi-frame codec: each planted
+    * "video" is an animated GIF (the one multi-frame container the JDK
+    * decodes natively — [[graft.multimodal.Multimodal.sampleVideoFrames]]
+    * walks its frames through `javax.imageio.ImageReader`; grayscale
+    * frames round-trip the 256-entry palette bit-exactly, prototyped).
+    * Video `id` carries 4/6/8 frames of closed-form pixels
+    * g(id,f,x,y) = (id·31 + f·17 + x·7 + y·13) mod 256; the sampler
+    * keeps every 2nd frame and emits m4's 16-block luminance features
+    * per kept frame, so DuckDB replays the whole thing — frame count,
+    * sampling arithmetic, block sums, the one float division — from the
+    * formula, never touching the codec. Scale: one sequential decode
+    * pass per blob, rows ∝ kept frames, bytes never shuffle, parallelism
+    * = file splits — swapping the GIF reader for an mp4 demuxer changes
+    * no schema or plan shape.
+    */
+  def m8VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val mkGif = (id: Long) => {
+      val nF = (4 + (id % 3) * 2).toInt
+      Multimodal.encodeGifAnimation((0 until nF).map { f =>
+        val img = new java.awt.image.BufferedImage(32, 20,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 20; x <- 0 until 32) {
+          val g = ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        img
+      })
+    }
+    val files = Tables.events(s, dir).filter(col("event_id") < 12)
+      .select(col("event_id")).as[Long]
+      .map(id => Multimodal.MediaFile(id.toString, "image/gif",
+        mkGif(id), 0L, Map.empty))
+    Multimodal.sampleVideoFrames(files, stride = 2).toDF()
+      .select(col("element").cast("long").as("vid"),
+        col("frameIdx").as("frame_idx"), col("nFrames").as("n_frames"),
+        posexplode(col("features")).as(Seq("block", "feat")))
+      .orderBy(col("vid"), col("frame_idx"), col("block"))
+  }
+
+  val m8Oracle: String =
+    """WITH vids AS (SELECT event_id AS vid,
+      |    4 + (event_id % 3) * 2 AS nf
+      |  FROM events WHERE event_id < 12),
+      |px AS (SELECT vid, nf, f, x, y,
+      |    (vid * 31 + f * 17 + x * 7 + y * 13) % 256 AS g
+      |  FROM vids, range(0, 8) rf(f), range(0, 32) rx(x),
+      |    range(0, 20) ry(y)
+      |  WHERE f < nf AND f % 2 = 0),
+      |blocks AS (SELECT vid, nf, f,
+      |    (y * 4 // 20) * 4 + (x * 4 // 32) AS block,
+      |    SUM(g * 1000) AS lsum, COUNT(*) AS n
+      |  FROM px GROUP BY 1, 2, 3, 4)
+      |SELECT vid, f AS frame_idx, nf AS n_frames, block,
+      |  CAST(CAST(lsum AS DOUBLE) / (n * 255000.0) AS FLOAT) AS feat
+      |FROM blocks ORDER BY vid, frame_idx, block""".stripMargin
+
   /** Image perceptual-hash near-dup — the multimodal curation operator
     * the text dedups (d1–d20) have no image sibling for: every planted
     * PNG goes through the REAL codec round trip (closed-form pixels →
@@ -3323,6 +3448,7 @@ object OpsQueries {
     "m5_phash_neardup" -> (m5PhashNeardup _),
     "m6_crossmodal_dedup" -> (m6CrossmodalDedup _),
     "m7_image_quality" -> (m7ImageQuality _),
+    "m8_video_frames" -> (m8VideoFrames _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -3355,6 +3481,7 @@ object OpsQueries {
     "io30_quarantine" -> (io30Quarantine _),
     "io32_catalog_history" -> (io32CatalogHistory _),
     "io33_clone_retention" -> (io33CloneRetention _),
+    "io34_partition_evolution" -> (io34PartitionEvolution _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -3382,6 +3509,7 @@ object OpsQueries {
     "m5_phash_neardup" -> m5Oracle,
     "m6_crossmodal_dedup" -> m6Oracle,
     "m7_image_quality" -> m7Oracle,
+    "m8_video_frames" -> m8Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
@@ -3414,6 +3542,7 @@ object OpsQueries {
     "io30_quarantine" -> io30Oracle,
     "io32_catalog_history" -> io32Oracle,
     "io33_clone_retention" -> io33Oracle,
+    "io34_partition_evolution" -> io34Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

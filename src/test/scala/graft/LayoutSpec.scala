@@ -67,6 +67,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(df.count() === 1)
   }
 
+  test("io34: the evolved layout prunes on the NEW partition key") {
+    // the gate itself proves answer-identity; this pins the point of
+    // the evolution — a ub filter prunes at the listing on the evolved
+    // snapshot (it was a data filter under the old event_type layout)
+    OpsQueries.io34PartitionEvolution(spark, sf).collect()
+    val evolved = spark.read.parquet(
+      System.getProperty("java.io.tmpdir") + "/graft_io34/by_ub")
+      .filter(col("ub") === 2)
+    val scan = unwrap(evolved.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "ub = 2 must be a partition filter on the evolved layout")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"scan must prune to exactly the ub=2 directory, got " +
+        s"${scan.selectedPartitions.partitionCount}")
+    val selected = scan.selectedPartitions.toPartitionArray
+      .map(_.urlEncodedPath)
+    assert(selected.nonEmpty && selected.forall(_.contains("ub=2")),
+      s"scan must enumerate only ub=2: ${selected.mkString(", ")}")
+  }
+
   test("io12: compaction collapses 64 files to the planned count, content intact") {
     val tmp = System.getProperty("java.io.tmpdir")
     val result = OpsQueries.io12Compaction(spark, sf).collect()

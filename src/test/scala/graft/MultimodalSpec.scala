@@ -111,4 +111,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.getInt(1)).sorted === Array(0, 2, 4))
     assert(frames.forall(_.getString(0) == "v"))
   }
+
+  test("real video frame sampling decodes animated GIF frames bit-exactly") {
+    import spark.implicits._
+    // 7 frames of distinct uniform gray — stride 3 must keep 0, 3, 6,
+    // and each kept frame's 16 block features must equal its gray level
+    val gif = Multimodal.encodeGifAnimation((0 until 7).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = 30 * f
+      for (y <- 0 until 8; x <- 0 until 16)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      img
+    })
+    val files = spark.createDataset(Seq(
+      Multimodal.MediaFile("v0", "image/gif", gif, gif.length.toLong,
+        Map.empty)))
+    val frames = Multimodal.sampleVideoFrames(files, stride = 3)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq === Seq(0, 3, 6))
+    assert(frames.forall(f => f.nFrames == 7 && f.height == 8 &&
+      f.width == 16 && f.features.length == 16))
+    frames.foreach { f =>
+      val expected = (30 * f.frameIdx * 1000L).toDouble / 255000.0
+      assert(f.features.forall(_ == expected.toFloat),
+        s"frame ${f.frameIdx}: ${f.features}")
+    }
+    // a blob no reader parses yields zero rows, not a crash
+    val junk = spark.createDataset(Seq(Multimodal.MediaFile("x", "video",
+      Array.fill[Byte](64)(3), 64L, Map.empty)))
+    assert(Multimodal.sampleVideoFrames(junk, 1).count() === 0)
+  }
 }
