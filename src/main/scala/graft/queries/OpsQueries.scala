@@ -2922,6 +2922,78 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM routed GROUP BY 1, 2 ORDER BY tbl, bucket""".stripMargin
 
+  /** SCD2 / AS-OF dimension enrichment — st5's stream-static join
+    * upgraded to the slowly-changing-dimension shape production
+    * pipelines actually carry: the dimension is VERSIONED (each key
+    * holds rows with `[valid_from, valid_to)` event-time intervals —
+    * here 3 epochs splitting the stream's time range, tier changing
+    * per epoch), and each fact row must join the version that was
+    * current AT ITS EVENT TIME, not the latest one — the difference
+    * between "what tier is this user" and "what tier WAS this user
+    * when the event happened", which is what makes backfills replayable
+    * and late data correct. Plan shape: broadcast hash join on the key
+    * with the interval predicate evaluated post-match — stateless per
+    * microbatch, zero streaming state, stream never shuffles; at 100 TB
+    * the dimension is the small side by construction (keys × versions)
+    * and a late-arriving fact still lands in its historical epoch. The
+    * oracle replays the epoch construction and the interval join.
+    */
+  def st20Scd2Enrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // bounded collect: ONE row (global time range) to pin the epochs
+    val b = Tables.events(s, dir)
+      .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+      .collect()(0)
+    val tmin = b.getLong(0)
+    val span = (b.getLong(1) - tmin + 3) / 3
+    val dim = Tables.customer(s, dir).filter(col("c_custkey") < 100)
+      .select(col("c_custkey"),
+        explode(array(lit(0), lit(1), lit(2))).as("v"))
+      .select(col("c_custkey"), col("v"),
+        (lit(tmin) + lit(span) * col("v")).as("vf"),
+        when(col("v") === 2, lit(Long.MaxValue))
+          .otherwise(lit(tmin) + lit(span) * (col("v") + 1)).as("vt"),
+        ((col("c_custkey") * 7 + col("v")) % 5).as("tier"))
+    val src = Tables.eventsStream(s, dir).filter(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val enriched = src.join(broadcast(dim),
+      col("user_id") === col("c_custkey") &&
+        col("ts") >= col("vf") && col("ts") < col("vt"))
+    val name = s"graft_st20_${st2Seq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+      .groupBy(col("v"), col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("v"), col("tier"))
+  }
+
+  val st20Oracle: String =
+    """WITH b AS (SELECT MIN(epoch_ns(ts)) AS tmin,
+      |    (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)) + 3) // 3 AS span
+      |  FROM events),
+      |dim AS (SELECT c_custkey, v, tmin + span * v AS vf,
+      |    CASE WHEN v = 2 THEN 9223372036854775807
+      |      ELSE tmin + span * (v + 1) END AS vt,
+      |    (c_custkey * 7 + v) % 5 AS tier
+      |  FROM customer, range(0, 3) rv(v), b
+      |  WHERE c_custkey < 100)
+      |SELECT v, tier, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events JOIN dim ON user_id = c_custkey
+      |  AND epoch_ns(ts) >= vf AND epoch_ns(ts) < vt
+      |WHERE user_id < 100
+      |GROUP BY 1, 2 ORDER BY v, tier""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -3495,7 +3567,8 @@ object OpsQueries {
     "st12_stream_left_join" -> (st12StreamLeftJoin _),
     "st14_stream_feed_sync" -> (st14StreamFeedSync _),
     "st18_late_census" -> (st18LateCensus _),
-    "st19_late_quarantine" -> (st19LateQuarantine _))
+    "st19_late_quarantine" -> (st19LateQuarantine _),
+    "st20_scd2_enrich" -> (st20Scd2Enrich _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -3556,5 +3629,6 @@ object OpsQueries {
     "st12_stream_left_join" -> st12Oracle,
     "st14_stream_feed_sync" -> st14Oracle,
     "st18_late_census" -> st18Oracle,
-    "st19_late_quarantine" -> st19Oracle)
+    "st19_late_quarantine" -> st19Oracle,
+    "st20_scd2_enrich" -> st20Oracle)
 }
