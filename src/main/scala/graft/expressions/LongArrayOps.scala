@@ -268,7 +268,20 @@ object LongArrayOps {
         .toAggregateExpression()),
     "graft_might_contain" -> arity("graft_might_contain", 2)(args =>
       org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(args(0), args(1))))
+        .BloomFilterMightContain(args(0), args(1))),
+    "graft_topk_mg" -> arity("graft_topk_mg", 2)(args => {
+      val k = args(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_mg: k must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "graft_topk_mg: k must be a literal")
+      }
+      MisraGriesTopK(args(0), k).toAggregateExpression()
+    }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -2366,6 +2366,37 @@ object TextQueries {
       |SELECT doc_id, lang, score FROM sc
       |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Heavy-hitters census via the mergeable Misra–Gries sketch
+    * ([[graft.expressions.MisraGriesTopK]]) — "what dominates this
+    * corpus" without shuffling every distinct key: a plain
+    * `groupBy(key).count.orderBy(desc).limit(k)` shuffles the FULL
+    * distinct-key set (billions of rows at web scale) to answer a
+    * k-row question, while the sketch keeps ≤ k counters per partial,
+    * merges map-side under ordinary partial aggregation, and ships
+    * partitions × k entries however large the corpus. The gate runs it
+    * over the bounded (lang, source) categorical key, where distinct ≤ k
+    * by construction and MG is provably EXACT — so DuckDB replays it as
+    * a plain group-count in the sketch's own (est desc, key asc) output
+    * order. `SketchSpec` covers the eviction regime the oracle can't
+    * reach: est ≤ true, true − est ≤ N/(k+1), the presence guarantee
+    * for keys above the threshold, and exactness under repartitioning.
+    */
+  def tHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    Tables.documents(s, dir)
+      .select(concat(col("lang"), lit(":"), col("source")).as("key"))
+      .agg(expr("graft_topk_mg(key, 256)").as("sk"))
+      .select(posexplode(col("sk")).as(Seq("rank", "e")))
+      .select(col("rank"), col("e.key").as("key"), col("e.est").as("est"))
+      .orderBy(col("rank"))
+  }
+
+  val tHeavyHittersOracle: String =
+    """SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, key) - 1 AS rank,
+      |  key, COUNT(*) AS est
+      |FROM (SELECT lang || ':' || source AS key FROM documents)
+      |GROUP BY key ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -2401,6 +2432,7 @@ object TextQueries {
     "t32_curation_e2e" -> (tCurationE2e _),
     "t33_epoch_plan" -> (tEpochPlan _),
     "t35_dsir_select" -> (tDsirSelect _),
+    "t36_heavy_hitters" -> (tHeavyHitters _),
     "st11_stream_bm25" -> (stBm25Stream _),
     "io31_torn_index" -> (ioTornIndexRead _))
 
@@ -2443,6 +2475,7 @@ object TextQueries {
     "t32_curation_e2e" -> tCurationE2eOracle,
     "t33_epoch_plan" -> tEpochPlanOracle,
     "t35_dsir_select" -> tDsirSelectOracle,
+    "t36_heavy_hitters" -> tHeavyHittersOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle,
