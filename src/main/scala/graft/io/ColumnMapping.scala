@@ -1,0 +1,113 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Rename-safe schema evolution via COLUMN MAPPING — rename a column
+  * without rewriting a byte of data, the Iceberg/Delta field-mapping
+  * idea on the manifest table: parquet files keep their PHYSICAL column
+  * names forever, and each manifest version carries a physical→logical
+  * mapping applied at read time. A rename is therefore one metadata
+  * commit on a 100 TB table; old versions keep their old names (time
+  * travel reads the schema of its era), mid-query readers keep the
+  * version they resolved, and a rename chain composes through logical
+  * names while the physical name never changes.
+  *
+  * Representation follows the [[MergeOnRead]] tombstone convention:
+  * manifest entries are always real directories, so the mapping lives
+  * in a `colmap-` directory holding one text file of
+  * `physical=logical` lines — expire/vacuum/clone machinery treat it
+  * like any other superseded directory. The mapping file is written
+  * BEFORE the manifest commit (the [[SkipStats]] sidecar discipline):
+  * a committed version always has its mapping; a crash in between
+  * leaves an orphan that dies like any other.
+  */
+object ColumnMapping {
+
+  val MappingPrefix = "colmap-"
+
+  def isMapping(entry: String): Boolean =
+    new Path(entry).getName.startsWith(MappingPrefix)
+
+  private val FileName = "mapping.txt"
+
+  private def fs(s: SparkSession, p: String) =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The physical→logical map a version pins (empty = identity). */
+  def mapping(s: SparkSession, root: String,
+      version: Option[Int] = None): Map[String, String] = {
+    val dirs = Manifest.entries(s, root, version).filter(isMapping)
+    require(dirs.size <= 1,
+      s"manifest version pins ${dirs.size} mapping dirs, expected <= 1")
+    dirs.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
+  }
+
+  private def readMapping(s: SparkSession, dir: String)
+      : Map[String, String] = {
+    val f = fs(s, dir)
+    val in = f.open(new Path(dir, FileName))
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"bad mapping line '$line' in $dir")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
+
+  /** Rename logical column `from` to `to` as ONE metadata commit: the
+    * new version lists the same data directories plus a fresh mapping
+    * directory; nothing is rewritten. `from` is resolved against the
+    * CURRENT logical schema, so rename chains compose (a→b then b→c
+    * leaves the physical column mapped to c). Refuses unknown columns
+    * and collisions with existing logical names. Returns the committed
+    * version.
+    */
+  def renameColumn(s: SparkSession, root: String, dataRoot: String,
+      from: String, to: String,
+      committer: Committer = FsCreateCommitter): Int = {
+    val entries = Manifest.entries(s, root)
+    val (maps, data) = entries.partition(isMapping)
+    val cur = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
+    val physicalSchema = s.read.parquet(data: _*).schema.fieldNames.toSeq
+    val logical = physicalSchema.map(p => cur.getOrElse(p, p))
+    require(logical.contains(from),
+      s"cannot rename: no logical column '$from' (have " +
+        s"${logical.mkString(", ")})")
+    require(!logical.contains(to) || from == to,
+      s"cannot rename '$from' to '$to': logical column '$to' exists")
+    val physical = physicalSchema(logical.indexOf(from))
+    val next = (cur - physical) ++
+      (if (physical == to) Map.empty[String, String]
+       else Map(physical -> to))
+    // mapping dir first, manifest second — never a committed version
+    // without its mapping
+    val dir = s"$dataRoot/$MappingPrefix${java.util.UUID.randomUUID()}"
+    val f = fs(s, dir)
+    val out = f.create(new Path(dir, FileName), false)
+    try out.write(next.toSeq.sorted.map { case (p, l) => s"$p=$l" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    Manifest.rewrite(s, root,
+      data ++ (if (next.isEmpty) Seq.empty else Seq(dir)), committer)
+  }
+
+  /** The snapshot a version pins, with that VERSION'S logical names
+    * applied — the read path every mapped table uses. Physical parquet
+    * is untouched; the rename is a zero-cost projection.
+    */
+  def snapshot(s: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val (maps, data) = Manifest.entries(s, root, version)
+      .partition(isMapping)
+    val m = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
+    m.foldLeft(s.read.parquet(data: _*)) { case (df, (p, l)) =>
+      df.withColumnRenamed(p, l)
+    }
+  }
+}

@@ -732,6 +732,74 @@ object OpsQueries {
       |UNION ALL SELECT 'original', * FROM c
       |ORDER BY layout, ub""".stripMargin
 
+  /** COLUMN MAPPING — rename-safe schema evolution
+    * ([[graft.io.ColumnMapping]]): renaming a column on a 100 TB table
+    * must be ONE metadata commit, not a rewrite — parquet keeps its
+    * physical names forever and each manifest version carries a
+    * physical→logical mapping applied at read time. The gate drives a
+    * rename CHAIN (cents→amount_cents→amt, proving composition through
+    * logical names) plus a second rename (user_id→uid), then reads the
+    * same census through the evolved head AND the time-traveled
+    * original — both ≡ raw data. Structural requires pin the two claims
+    * that make it a mapping and not a rewrite: every version lists the
+    * SAME data directory, and the physical parquet schema still says
+    * `cents`. `LayoutSpec` pins the refusal edges (unknown column,
+    * logical-name collision).
+    */
+  def io35ColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{ColumnMapping, Manifest}
+    val root = tmpDir(s) + "/graft_io35"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val tbl = s"$root/tbl"
+    val d0 = s"$root/data"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"), col("event_type"))
+      .write.parquet(d0)
+    Manifest.commit(s, tbl, d0)
+    ColumnMapping.renameColumn(s, tbl, root, "cents", "amount_cents")
+    ColumnMapping.renameColumn(s, tbl, root, "amount_cents", "amt")
+    ColumnMapping.renameColumn(s, tbl, root, "user_id", "uid")
+    val vs = Manifest.versions(s, tbl)
+    require(vs.size == 4, s"expected 4 versions, got $vs")
+    // zero-rewrite proof: every version pins the same data directory...
+    vs.foreach { v =>
+      val data = Manifest.entries(s, tbl, Some(v))
+        .filterNot(ColumnMapping.isMapping)
+      require(data == Seq(d0), s"v$v data dirs moved: $data")
+    }
+    // ...and the physical schema never changed
+    require(s.read.parquet(d0).schema.fieldNames.contains("cents"),
+      "physical parquet schema must keep the original column name")
+    def census(df: DataFrame, tag: String) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_uid"),
+        sum(col("v")).as("sum_cents"))
+      .withColumn("layout", lit(tag))
+    val evolved = ColumnMapping.snapshot(s, tbl)
+      .select(col("event_type"), col("uid").as("k"), col("amt").as("v"))
+    val original = ColumnMapping.snapshot(s, tbl, Some(vs.head))
+      .select(col("event_type"), col("user_id").as("k"),
+        col("cents").as("v"))
+    census(evolved, "evolved").unionByName(census(original, "original"))
+      .select(col("layout"), col("event_type"), col("n"), col("sum_uid"),
+        col("sum_cents"))
+      .orderBy(col("layout"), col("event_type"))
+  }
+
+  val io35Oracle: String =
+    """WITH c AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS sum_cents
+      |  FROM events GROUP BY 1)
+      |SELECT 'evolved' AS layout, * FROM c
+      |UNION ALL SELECT 'original', * FROM c
+      |ORDER BY layout, event_type""".stripMargin
+
   /** Small-file compaction ([[graft.io.Compaction]]): a deliberately
     * over-parallel write (64 files for a few hundred KB) rewritten to
     * target-size files, then aggregated — the result hash proves row-exact
@@ -3554,6 +3622,7 @@ object OpsQueries {
     "io32_catalog_history" -> (io32CatalogHistory _),
     "io33_clone_retention" -> (io33CloneRetention _),
     "io34_partition_evolution" -> (io34PartitionEvolution _),
+    "io35_column_mapping" -> (io35ColumnMapping _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -3616,6 +3685,7 @@ object OpsQueries {
     "io32_catalog_history" -> io32Oracle,
     "io33_clone_retention" -> io33Oracle,
     "io34_partition_evolution" -> io34Oracle,
+    "io35_column_mapping" -> io35Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -89,6 +89,32 @@ class LayoutSpec extends AnyFunSuite {
       s"scan must enumerate only ub=2: ${selected.mkString(", ")}")
   }
 
+  test("io35: column mapping refuses unknown columns and logical collisions") {
+    import graft.io.{ColumnMapping, Manifest}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-colmap").toString
+    val tbl = s"$root/tbl"
+    import spark.implicits._
+    Seq((1L, 2L), (3L, 4L)).toDF("a", "b").write.parquet(s"$root/d0")
+    Manifest.commit(spark, tbl, s"$root/d0")
+    ColumnMapping.renameColumn(spark, tbl, root, "a", "x")
+    // logical schema is now (x, b): the OLD name is gone...
+    val eUnknown = intercept[IllegalArgumentException] {
+      ColumnMapping.renameColumn(spark, tbl, root, "a", "y")
+    }
+    assert(eUnknown.getMessage.contains("no logical column 'a'"))
+    // ...and renaming onto an existing logical name refuses
+    val eClash = intercept[IllegalArgumentException] {
+      ColumnMapping.renameColumn(spark, tbl, root, "b", "x")
+    }
+    assert(eClash.getMessage.contains("'x' exists"))
+    // rename-back drops the mapping entirely (identity maps to empty)
+    ColumnMapping.renameColumn(spark, tbl, root, "x", "a")
+    assert(ColumnMapping.mapping(spark, tbl) === Map.empty)
+    assert(ColumnMapping.snapshot(spark, tbl).columns.toSeq ===
+      Seq("a", "b"))
+  }
+
   test("io12: compaction collapses 64 files to the planned count, content intact") {
     val tmp = System.getProperty("java.io.tmpdir")
     val result = OpsQueries.io12Compaction(spark, sf).collect()
