@@ -19,7 +19,8 @@ object SparkEntry {
     (SimilarityQueries.queries, SimilarityQueries.oracle),
     (PreludeQueries.queries, PreludeQueries.oracle),
     (AudioQueries.queries, AudioQueries.oracle),
-    (OpsQueries.queries, OpsQueries.oracle))
+    (OpsQueries.queries, OpsQueries.oracle),
+    (GraphQueries.queries, GraphQueries.oracle))
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)
