@@ -670,7 +670,9 @@ object OpsQueries {
     * triangle (io12 compaction, io14 Z-order): a table laid out for
     * yesterday's workload (partitioned by `event_type`) is re-laid for
     * today's (`user_id`-range queries dominate → partition by
-    * `user_id div 4` buckets) as ONE replacing manifest commit.
+    * `user_id mod 8` buckets — a BOUNDED partition count at any id-space
+    * size, where a range-div key would mint directories in proportion
+    * to the id range) as ONE replacing manifest commit.
     * Readers mid-query keep the version they resolved; time travel
     * keeps the old layout readable; retention reclaims it later —
     * io17's discipline applied to the physical layout itself. The gate
@@ -701,7 +703,7 @@ object OpsQueries {
     // a replacing commit (old version stays readable for time travel)
     val d1 = s"$root/by_ub"
     Manifest.snapshot(s, tbl)
-      .withColumn("ub", expr("user_id DIV 4"))
+      .withColumn("ub", expr("user_id % 8"))
       .write.partitionBy("ub").parquet(d1)
     Manifest.rewrite(s, tbl, Seq(d1))
     require(fs.listStatus(new org.apache.hadoop.fs.Path(d1))
@@ -710,7 +712,7 @@ object OpsQueries {
     val vs = Manifest.versions(s, tbl)
     require(vs.size == 2, s"expected original + evolved versions, got $vs")
     def census(df: DataFrame, tag: String) = df
-      .groupBy(expr("user_id DIV 4").as("ub"))
+      .groupBy(expr("user_id % 8").as("ub"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
         sum(col("cents")).as("sum_cents"))
       .withColumn("layout", lit(tag))
@@ -723,7 +725,7 @@ object OpsQueries {
   }
 
   val io34Oracle: String =
-    """WITH c AS (SELECT user_id // 4 AS ub, COUNT(*) AS n,
+    """WITH c AS (SELECT user_id % 8 AS ub, COUNT(*) AS n,
       |    CAST(SUM(event_id) AS BIGINT) AS sum_id,
       |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |      AS BIGINT) AS sum_cents
