@@ -555,6 +555,31 @@ object Relational {
       |FROM s JOIN i ON ss <= ie AND is_ <= se
       |GROUP BY sid ORDER BY sid""".stripMargin
 
+  /** Exact corpus-profiling quantiles ([[graft.operators.ExactQuantiles]])
+    * — document-length percentiles without a global sort: two bounded
+    * passes (histogram ∝ bins, then a per-bucket window over only the
+    * target buckets' rows), never `ORDER BY` + `ROW_NUMBER` through one
+    * partition and never `approx_percentile`'s no-promise summary. The
+    * oracle replays the rank definition (value at ⌈p·n/1000⌉, 1-indexed)
+    * with a full window — affordable for DuckDB at sf, which is the
+    * point: the oracle does the O(n log n) thing the operator avoids.
+    */
+  def q30ExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactQuantiles(
+      Tables.documents(s, dir), "n_chars",
+      pMilles = Seq(100, 250, 500, 750, 900, 990, 999, 1000))
+
+  val q30Oracle: String =
+    """WITH s AS (SELECT n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents),
+      |pv(p) AS (VALUES (100), (250), (500), (750), (900), (990),
+      |  (999), (1000))
+      |SELECT p AS p_mille, MIN(n_chars) AS value
+      |FROM pv JOIN s ON rn >= (p * n + 999) // 1000
+      |GROUP BY 1 ORDER BY p_mille""".stripMargin
+
   /** Global contiguous ids via [[graft.operators.ContiguousIds]] (range
     * repartition + per-partition offsets — never the single-partition
     * global window). The oracle recomputes every id as a global
@@ -915,7 +940,8 @@ object Relational {
     "q26_argmax" -> (q26ArgMax _),
     "q27_skew_salted" -> (q27SkewSalted _),
     "q28_range_rewrite" -> (q28RangeRewrite _),
-    "q29_interval_overlap" -> (q29IntervalOverlap _))
+    "q29_interval_overlap" -> (q29IntervalOverlap _),
+    "q30_exact_quantiles" -> (q30ExactQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -946,5 +972,6 @@ object Relational {
     "q26_argmax" -> q26Oracle,
     "q27_skew_salted" -> q27Oracle,
     "q28_range_rewrite" -> q19Oracle,
-    "q29_interval_overlap" -> q29Oracle)
+    "q29_interval_overlap" -> q29Oracle,
+    "q30_exact_quantiles" -> q30Oracle)
 }
