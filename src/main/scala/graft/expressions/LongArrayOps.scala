@@ -281,6 +281,19 @@ object LongArrayOps {
           "graft_topk_mg: k must be a literal")
       }
       MisraGriesTopK(args(0), k).toAggregateExpression()
+    }),
+    "graft_topk_merge" -> arity("graft_topk_merge", 2)(args => {
+      val k = args(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_merge: k must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "graft_topk_merge: k must be a literal")
+      }
+      MisraGriesMergeSketches(args(0), k).toAggregateExpression()
     }))
 
   def register(spark: SparkSession): Unit =

@@ -39,13 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null keys are ignored; an empty group yields an empty array.
   */
-case class MisraGriesTopK(child: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+abstract class MisraGriesAgg
   extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
   with UnaryLike[Expression] {
 
-  override def prettyName: String = "graft_topk_mg"
+  def k: Int
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("key", StringType, nullable = false),
@@ -53,44 +51,44 @@ case class MisraGriesTopK(child: Expression, k: Int,
 
   override def nullable: Boolean = false
 
+  /** The concrete input type check (key column vs sketch column). */
+  protected def inputOk(dt: DataType): Boolean
+
+  protected def inputWant: String
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (k < 1)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
-    else child.dataType match {
-      case StringType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(s"$prettyName requires a string key, got " +
-            other.simpleString)
-    }
+    else if (inputOk(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName requires $inputWant, got " +
+          child.dataType.simpleString)
 
   override def createAggregationBuffer(): java.util.HashMap[String, Long] =
     new java.util.HashMap[String, Long]()
 
-  override def update(buffer: java.util.HashMap[String, Long],
-      input: InternalRow): java.util.HashMap[String, Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val key = v.asInstanceOf[UTF8String].toString
-      val cur = buffer.get(key)
-      if (cur != 0L || buffer.containsKey(key)) buffer.put(key, cur + 1L)
-      else if (buffer.size < k) buffer.put(key, 1L)
-      else {
-        // MG eviction: the new key and every counter give up one unit —
-        // k+1 units of weight leave the summary, which is what makes the
-        // undercount at most N/(k+1)
-        val it = buffer.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
-        }
-      }
+  /** Mergeable-summaries shrink: subtract the (k+1)-largest count from
+    * everything, drop the non-positive — at most k survive and each
+    * counter lost no more than under sequential MG.
+    */
+  protected final def shrinkToK(a: java.util.HashMap[String, Long])
+      : Unit = if (a.size > k) {
+    val counts = new Array[Long](a.size)
+    var i = 0
+    val cIt = a.values().iterator()
+    while (cIt.hasNext) { counts(i) = cIt.next(); i += 1 }
+    java.util.Arrays.sort(counts)
+    val cut = counts(a.size - k - 1) // (k+1)-th largest
+    val it = a.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
     }
-    buffer
   }
 
   override def merge(a: java.util.HashMap[String, Long],
@@ -100,22 +98,7 @@ case class MisraGriesTopK(child: Expression, k: Int,
       val e = bIt.next()
       a.put(e.getKey, a.getOrDefault(e.getKey, 0L) + e.getValue)
     }
-    if (a.size > k) {
-      // mergeable-summaries rule: subtract the (k+1)-largest count from
-      // everything, drop the non-positive — at most k survive and each
-      // counter lost no more than under sequential MG
-      val counts = new Array[Long](a.size)
-      var i = 0
-      val cIt = a.values().iterator()
-      while (cIt.hasNext) { counts(i) = cIt.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val cut = counts(a.size - k - 1) // (k+1)-th largest
-      val it = a.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
-      }
-    }
+    shrinkToK(a)
     a
   }
 
@@ -170,6 +153,45 @@ case class MisraGriesTopK(child: Expression, k: Int,
     out
   }
 
+}
+
+/** Build an MG summary from a STRING KEY column — one unit of weight
+  * per row (see [[MisraGriesAgg]] for the bounds).
+  */
+case class MisraGriesTopK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends MisraGriesAgg {
+
+  override def prettyName: String = "graft_topk_mg"
+
+  override protected def inputOk(dt: DataType): Boolean =
+    dt == StringType
+
+  override protected def inputWant: String = "a string key"
+
+  override def update(buffer: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      val cur = buffer.get(key)
+      if (cur != 0L || buffer.containsKey(key)) buffer.put(key, cur + 1L)
+      else if (buffer.size < k) buffer.put(key, 1L)
+      else {
+        // MG eviction: the new key and every counter give up one unit —
+        // k+1 units of weight leave the summary, which is what makes the
+        // undercount at most N/(k+1)
+        val it = buffer.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buffer
+  }
+
   override def withNewMutableAggBufferOffset(newOffset: Int)
       : MisraGriesTopK = copy(mutableAggBufferOffset = newOffset)
 
@@ -178,4 +200,54 @@ case class MisraGriesTopK(child: Expression, k: Int,
 
   override protected def withNewChildInternal(newChild: Expression)
       : MisraGriesTopK = copy(child = newChild)
+}
+
+/** Re-merge STORED MG summaries (`array<struct<key, est>>` rows, the
+  * output shape of [[MisraGriesTopK]]) into one — what makes the
+  * sketch a table-maintainable object: per-batch/per-shard summaries
+  * written by a stream or a partitioned job fold into the corpus
+  * summary with the same mergeable-summaries rule and therefore the
+  * same bounds. Null rows are ignored.
+  */
+case class MisraGriesMergeSketches(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends MisraGriesAgg {
+
+  override def prettyName: String = "graft_topk_merge"
+
+  override protected def inputOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      fields(0).dataType == StringType && fields(1).dataType == LongType
+    case _ => false
+  }
+
+  override protected def inputWant: String =
+    "array<struct<key: string, est: bigint>>"
+
+  override def update(buffer: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        val key = row.getUTF8String(0).toString
+        buffer.put(key, buffer.getOrDefault(key, 0L) + row.getLong(1))
+        i += 1
+      }
+      shrinkToK(buffer)
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : MisraGriesMergeSketches = copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : MisraGriesMergeSketches = copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MisraGriesMergeSketches = copy(child = newChild)
 }

@@ -3064,6 +3064,67 @@ object OpsQueries {
       |WHERE user_id < 100
       |GROUP BY 1, 2 ORDER BY v, tier""".stripMargin
 
+  /** STREAM-MAINTAINED heavy-hitters — t36's Misra–Gries sketch kept up
+    * to date by a stream, the "trending keys" shape (top domains in the
+    * crawl bus, top error classes in the event firehose): each
+    * microbatch aggregates its OWN bounded summary
+    * (`graft_topk_mg`) and appends one sketch ROW to a state table —
+    * per-batch cost ∝ batch, state cost ∝ batches × k, never a raw-key
+    * table — and the corpus answer is one `graft_topk_merge` over the
+    * stored summaries, sound because MG summaries are mergeable (the
+    * Agarwal et al. rule [[graft.expressions.MisraGriesMergeSketches]])
+    * with the same N/(k+1) bounds. The gate runs in the provably-exact
+    * regime (bounded key space ≤ k), so the streamed-and-merged answer
+    * must EQUAL the batch group-count the oracle replays; a require
+    * pins that multiple real microbatches contributed summaries.
+    */
+  def st21StreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.expressions.LongArrayOps.register(s)
+    val root = tmpDir(s) + s"/graft_st21_${st2Seq.incrementAndGet()}"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val srcDir = s"$root/src"
+    Tables.events(s, dir).filter(col("user_id") < 100)
+      .select(col("event_id"),
+        concat(col("event_type"), lit(":"),
+          (col("user_id") % 10).cast("string")).as("key"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val sketchDir = s"$root/sketches"
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty)
+        batch.agg(expr("graft_topk_mg(key, 64)").as("sk"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sketchDir)
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val st = s.read.parquet(sketchDir)
+    require(st.count() >= 2,
+      "expected multiple per-microbatch sketches in the state table")
+    st.agg(expr("graft_topk_merge(sk, 64)").as("sk"))
+      .select(posexplode(col("sk")).as(Seq("rank", "e")))
+      .select(col("rank"), col("e.key").as("key"), col("e.est").as("est"))
+      .orderBy(col("rank"))
+  }
+
+  val st21Oracle: String =
+    """SELECT ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, key) - 1 AS rank,
+      |  key, COUNT(*) AS est
+      |FROM (SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR)
+      |    AS key
+      |  FROM events WHERE user_id < 100)
+      |GROUP BY key ORDER BY rank""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -3639,7 +3700,8 @@ object OpsQueries {
     "st14_stream_feed_sync" -> (st14StreamFeedSync _),
     "st18_late_census" -> (st18LateCensus _),
     "st19_late_quarantine" -> (st19LateQuarantine _),
-    "st20_scd2_enrich" -> (st20Scd2Enrich _))
+    "st20_scd2_enrich" -> (st20Scd2Enrich _),
+    "st21_stream_topk" -> (st21StreamTopk _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -3702,5 +3764,6 @@ object OpsQueries {
     "st14_stream_feed_sync" -> st14Oracle,
     "st18_late_census" -> st18Oracle,
     "st19_late_quarantine" -> st19Oracle,
-    "st20_scd2_enrich" -> st20Oracle)
+    "st20_scd2_enrich" -> st20Oracle,
+    "st21_stream_topk" -> st21Oracle)
 }

@@ -79,6 +79,44 @@ class SketchSpec extends AnyFunSuite {
       s"no map-side partial sketch:\n$plan")
   }
 
+  test("stored-sketch merge: per-shard summaries fold into the direct " +
+      "answer in the exact regime, bounds survive eviction") {
+    import spark.implicits._
+    graft.expressions.LongArrayOps.register(spark)
+    // exact regime: 4 shards, 23 distinct keys, k=64 — merged == direct
+    val rows = (0 until 3000).map(i => (i % 4, s"key_${i % 23}"))
+    val direct = sketch(rows.map(_._2).toDF("key"), 64)
+    val merged = rows.toDF("shard", "key")
+      .groupBy(col("shard"))
+      .agg(expr("graft_topk_mg(key, 64)").as("sk"))
+      .agg(expr("graft_topk_merge(sk, 64)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct)
+    // eviction regime: shard-level k=16 summaries merged at k=16 keep
+    // the MG bounds against the raw truth
+    val k = 16
+    val zipf = (0 until 500).flatMap(j =>
+      Seq.fill(2000 / (j + 1))((j % 8, s"z$j")))
+    val n = zipf.size.toLong
+    val truth = zipf.groupBy(_._2).map { case (key, g) =>
+      key -> g.size.toLong }
+    val got = zipf.toDF("shard", "key")
+      .groupBy(col("shard"))
+      .agg(expr(s"graft_topk_mg(key, $k)").as("sk"))
+      .agg(expr(s"graft_topk_merge(sk, $k)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.size <= k)
+    val bound = n / (k + 1)
+    got.foreach { case (key, est) =>
+      assert(est <= truth(key) && truth(key) - est <= bound,
+        s"$key: est $est vs true ${truth(key)}, bound $bound")
+    }
+  }
+
   test("null keys are ignored; an empty group yields an empty summary") {
     graft.expressions.LongArrayOps.register(spark)
     import spark.implicits._
