@@ -185,6 +185,66 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame reduced to a position-weighted integer
+    * fingerprint — the join key for video near-dup detection.
+    */
+  case class FrameHash(element: String, frameIdx: Int, nFrames: Int,
+      fhash: Long)
+
+  /** Frame fingerprints for video near-dup detection: every `stride`-th
+    * frame reduces to Σ over pixels of (x·131 + y + 1) · (luma + 7) —
+    * a position-weighted integer sum (luma = the exact ITU-R 601
+    * ×1000 weights div 1000), chosen COMMUTATIVE so an oracle can
+    * replay it as a plain SUM over the pixel formula with no
+    * sequential fold. Identical frames (bit-exact decode) hash equal
+    * wherever they sit in their containers, so a trimmed or
+    * re-concatenated copy still shares its surviving frames' hashes —
+    * the equi-join census downstream is shuffle ∝ frames, the a7
+    * landmark-hash shape on the video side.
+    */
+  def sampleVideoFrameHashes(files: Dataset[MediaFile], stride: Int)
+      : Dataset[FrameHash] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(f.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Iterator.empty }
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = try reader.getNumImages(true)
+          catch { case scala.util.control.NonFatal(_) => 0 }
+          val out = (0 until n by stride).flatMap { i =>
+            val img = try reader.read(i)
+            catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) None
+            else {
+              var h = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  val luma = (((rgb >> 16) & 0xff) * 299L +
+                    ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000L
+                  h += (x * 131L + y + 1L) * (luma + 7L)
+                  x += 1
+                }
+                y += 1
+              }
+              Some(FrameHash(f.element, i, n, h))
+            }
+          }
+          reader.dispose(); iis.close()
+          out
+        }
+      }
+    }
+  }
+
   /** Encode frames as an animated GIF (the JDK-native multi-frame
     * container [[sampleVideoFrames]] reads back) — the test-data writer
     * for the video path; grayscale frames round-trip bit-exactly through

@@ -3358,6 +3358,76 @@ object OpsQueries {
       |  CAST(CAST(lsum AS DOUBLE) / (n * 255000.0) AS FLOAT) AS feat
       |FROM blocks ORDER BY vid, frame_idx, block""".stripMargin
 
+  /** VIDEO near-duplicate detection — m8's third-modality decode
+    * composed into the dedup family: re-uploaded, trimmed, or
+    * re-concatenated copies of a video share the fingerprints of their
+    * surviving frames, so the census is an equi-join of per-frame
+    * position-weighted integer hashes ([[graft.multimodal.Multimodal
+    * .sampleVideoFrameHashes]] — commutative by construction so DuckDB
+    * replays it as a plain SUM over the pixel formula), with a pair
+    * reported when ≥ 3 frame hashes match. Planted structure:
+    * consecutive ids share content (exact dups, 6 shared frames), every
+    * 3rd id also has a TRIMMED copy (its frames are the original's
+    * 2..5, so 4 shared hashes at a 2-frame offset — position
+    * independence is the thing frame-hash joins buy over whole-file
+    * hashes), unrelated videos share nothing. All through the REAL GIF
+    * codec round trip. Scale: shuffle ∝ frames; bucket fan-out bounded
+    * by content duplication — the a7 landmark shape on video.
+    */
+  def m9VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val base = Tables.events(s, dir).filter(col("event_id") < 24)
+      .select(col("event_id").as("vid"),
+        expr("event_id DIV 2").as("src"), lit(0).as("off"), lit(6).as("nf"))
+    val trims = Tables.events(s, dir)
+      .filter(col("event_id") < 24 && col("event_id") % 3 === 0)
+      .select((col("event_id") + 1000).as("vid"),
+        expr("event_id DIV 2").as("src"), lit(2).as("off"), lit(4).as("nf"))
+    val mkGif = (src: Long, off: Int, nf: Int) =>
+      Multimodal.encodeGifAnimation((0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(32, 20,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 20; x <- 0 until 32) {
+          val g = ((src * 31 + (f + off) * 17 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        img
+      })
+    val files = base.unionByName(trims).as[(Long, Long, Int, Int)]
+      .map { case (vid, src, off, nf) =>
+        Multimodal.MediaFile(vid.toString, "image/gif",
+          mkGif(src, off, nf), 0L, Map.empty) }
+    val fh = Multimodal.sampleVideoFrameHashes(files, stride = 1).toDF()
+      .select(col("element").cast("long").as("vid"), col("fhash"))
+      .staged()
+    fh.as("a").join(fh.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("va"), col("b.vid").as("vb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val m9Oracle: String =
+    """WITH specs AS (
+      |  SELECT event_id AS vid, event_id // 2 AS src, 0 AS off, 6 AS nf
+      |    FROM events WHERE event_id < 24
+      |  UNION ALL
+      |  SELECT event_id + 1000, event_id // 2, 2, 4
+      |    FROM events WHERE event_id < 24 AND event_id % 3 = 0),
+      |fh AS (SELECT vid, f,
+      |    SUM((x * 131 + y + 1) *
+      |      ((src * 31 + (f + off) * 17 + x * 7 + y * 13) % 256 + 7))
+      |      AS fhash
+      |  FROM specs, range(0, 8) rf(f), range(0, 32) rx(x),
+      |    range(0, 20) ry(y)
+      |  WHERE f < nf GROUP BY 1, 2)
+      |SELECT a.vid AS va, b.vid AS vb, COUNT(*) AS shared
+      |FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.vid < b.vid
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY va, vb""".stripMargin
+
   /** Image perceptual-hash near-dup — the multimodal curation operator
     * the text dedups (d1–d20) have no image sibling for: every planted
     * PNG goes through the REAL codec round trip (closed-form pixels →
@@ -3652,6 +3722,7 @@ object OpsQueries {
     "m6_crossmodal_dedup" -> (m6CrossmodalDedup _),
     "m7_image_quality" -> (m7ImageQuality _),
     "m8_video_frames" -> (m8VideoFrames _),
+    "m9_video_neardup" -> (m9VideoNeardup _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -3716,6 +3787,7 @@ object OpsQueries {
     "m6_crossmodal_dedup" -> m6Oracle,
     "m7_image_quality" -> m7Oracle,
     "m8_video_frames" -> m8Oracle,
+    "m9_video_neardup" -> m9Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
