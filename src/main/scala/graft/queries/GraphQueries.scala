@@ -47,8 +47,13 @@ object GraphQueries {
     * are a fixed unrolled count so the plan stays a static DAG (no
     * driver-side convergence loop reading results back).
     */
-  def g1PageRank(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+  def g1PageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(edges(s, dir), rounds = 3)
+
+  /** The reusable core: integer-fixed-point PageRank over any (u, v)
+    * edge DataFrame. `GraphSpec` pins it against a hand-computed star.
+    */
+  def pageRank(e: DataFrame, rounds: Int): DataFrame = {
     val od = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
     // one edge-list annotation, reused every round
     val ed = e.join(od, "u").select(col("u"), col("v"), col("d"))
@@ -56,7 +61,7 @@ object GraphQueries {
     val nodes = ed.select(col("u").as("n"))
       .union(ed.select(col("v").as("n"))).distinct()
     var ranks = nodes.select(col("n"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val contrib = ed.join(ranks, ed("u") === ranks("n"))
         .groupBy(col("v"))
         .agg(sum(expr("(r * 85) DIV (100 * d)")).as("c"))
@@ -106,8 +111,16 @@ object GraphQueries {
     * unusable raw-wedge join on celebrity nodes. Output: per-node
     * triangle participation (each triangle credits all three corners).
     */
-  def g2TriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val und = edges(s, dir)
+  def g2TriangleCount(s: SparkSession, dir: String): DataFrame =
+    triangleParticipation(edges(s, dir))
+
+  /** The reusable core: per-node triangle participation over any
+    * (u, v) edge DataFrame (undirected semantics — each unordered pair
+    * is one edge). `GraphSpec` pins it against K4 / a triangle-free
+    * star.
+    */
+  def triangleParticipation(e: DataFrame): DataFrame = {
+    val und = e
       .select(least(col("u"), col("v")).as("p"),
         greatest(col("u"), col("v")).as("q"))
       .distinct()
