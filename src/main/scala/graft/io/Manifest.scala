@@ -534,6 +534,41 @@ object Manifest {
     rewrite(s, dstRoot, dirs, committer)
   }
 
+  /** DEEP clone — the environment-promotion copy: the version's data
+    * directories are physically copied under `dstDataRoot` and the
+    * clone commits a fresh manifest listing ONLY the copies, so the
+    * result is fully independent of the source — no `_clones/`
+    * registration, no retention coupling: the source can be expired,
+    * vacuumed, or deleted outright and the clone still reads. Cost is
+    * one copy pass ∝ data (what "deep" means — [[shallowClone]] is the
+    * O(1) form when coupling is acceptable). Directory copies land
+    * under `dstDataRoot/<basename>`; refuses a non-empty destination
+    * table and colliding basenames (two source entries with one name
+    * would silently merge).
+    */
+  def deepClone(s: SparkSession, srcRoot: String, dstRoot: String,
+      dstDataRoot: String, version: Option[Int] = None,
+      committer: Committer = FsCreateCommitter): Int = {
+    val dirs = entries(s, srcRoot, version)
+    require(versionsOf(fs(s, dstRoot), dstRoot).isEmpty,
+      s"refusing to deep-clone onto non-empty table $dstRoot")
+    val names = dirs.map(d => new Path(d).getName)
+    require(names.distinct.size == names.size,
+      s"source entries have colliding basenames: $names")
+    val conf = s.sparkContext.hadoopConfiguration
+    val copies = dirs.map { d =>
+      val src = new Path(d)
+      val dst = new Path(dstDataRoot, src.getName)
+      val sf = src.getFileSystem(conf)
+      val df = dst.getFileSystem(conf)
+      require(!df.exists(dst), s"deep-clone target $dst already exists")
+      org.apache.hadoop.fs.FileUtil.copy(sf, src, df, dst,
+        false /* keep source */, conf)
+      dst.toString
+    }
+    rewrite(s, dstRoot, copies, committer)
+  }
+
   // ── Clone registry — what makes shallow clones retention-safe ────
 
   private def cloneMarker(srcRoot: String, dstRoot: String): Path =

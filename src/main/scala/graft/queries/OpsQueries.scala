@@ -802,6 +802,72 @@ object OpsQueries {
       |UNION ALL SELECT 'original', * FROM c
       |ORDER BY layout, event_type""".stripMargin
 
+  /** DEEP CLONE — the environment-promotion copy
+    * ([[graft.io.Manifest.deepClone]]): io27/io33 prove the O(1)
+    * SHALLOW clone and its retention coupling (the `_clones/` registry
+    * blocks source expiry); this gate proves the opposite contract —
+    * full independence. The clone physically copies the pinned
+    * version's directories and commits a fresh manifest over the
+    * copies, with NO registration; the source is then rewritten away
+    * from the cloned directories and force-expired so they are REALLY
+    * DELETED (a filesystem require pins that), and the clone must
+    * still answer — while the mutated source answers its new
+    * content. Scale: cost is one copy pass ∝ data, exactly what
+    * "promote this table to prod/staging" costs anywhere.
+    */
+  def io36DeepClone(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io36"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val tbl = s"$root/src_tbl"
+    def slice(lo: Int, hi: Int, d: String): String = {
+      Tables.events(s, dir)
+        .filter(col("user_id") >= lo && col("user_id") < hi)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .write.parquet(d)
+      d
+    }
+    Manifest.commit(s, tbl, slice(0, 50, s"$root/d0"))
+    Manifest.commit(s, tbl, slice(50, 100, s"$root/d1"))
+    val cloneTbl = s"$root/clone_tbl"
+    Manifest.deepClone(s, tbl, cloneTbl, s"$root/clone_data")
+    // source moves on: replaced by new content, old dirs force-expired
+    Manifest.rewrite(s, tbl, Seq(slice(100, 150, s"$root/d2")))
+    Manifest.expire(s, tbl, keepLast = 1, force = true)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/d0")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/d1")),
+      "source expiry must have really deleted the cloned-from dirs")
+    def census(df: DataFrame, tag: String) = df
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("side", lit(tag))
+    census(Manifest.snapshot(s, cloneTbl), "clone")
+      .unionByName(census(Manifest.snapshot(s, tbl), "source"))
+      .select(col("side"), col("bucket"), col("n"), col("sum_id"),
+        col("sum_cents"))
+      .orderBy(col("side"), col("bucket"))
+  }
+
+  val io36Oracle: String =
+    """WITH base AS (SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (SELECT 'clone' AS side, user_id % 10 AS bucket,
+      |    COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM base WHERE user_id < 100 GROUP BY 2),
+      |m AS (SELECT 'source', user_id % 10, COUNT(*),
+      |    CAST(SUM(event_id) AS BIGINT),
+      |    CAST(SUM(cents) AS BIGINT)
+      |  FROM base WHERE user_id >= 100 AND user_id < 150 GROUP BY 2)
+      |SELECT * FROM c UNION ALL SELECT * FROM m
+      |ORDER BY side, bucket""".stripMargin
+
   /** Small-file compaction ([[graft.io.Compaction]]): a deliberately
     * over-parallel write (64 files for a few hundred KB) rewritten to
     * target-size files, then aggregated — the result hash proves row-exact
@@ -3757,6 +3823,7 @@ object OpsQueries {
     "io33_clone_retention" -> (io33CloneRetention _),
     "io34_partition_evolution" -> (io34PartitionEvolution _),
     "io35_column_mapping" -> (io35ColumnMapping _),
+    "io36_deep_clone" -> (io36DeepClone _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -3822,6 +3889,7 @@ object OpsQueries {
     "io33_clone_retention" -> io33Oracle,
     "io34_partition_evolution" -> io34Oracle,
     "io35_column_mapping" -> io35Oracle,
+    "io36_deep_clone" -> io36Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
