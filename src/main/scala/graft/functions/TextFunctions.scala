@@ -189,4 +189,41 @@ object TextFunctions {
         out
       }
     })
+
+  /** Unicode cleanup for ingest normalization — the first pass every
+    * text-curation pipeline runs so that downstream exact/near dedup
+    * and tokenization see ONE canonical byte form of equal text: NFC
+    * canonical composition (`java.text.Normalizer` — same Unicode
+    * tables DuckDB's `nfc_normalize` implements, probed equal on
+    * decomposed accents / ring / ligature / ZWSP cases), then strip
+    * zero-width format characters (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup
+    * poison), then collapse ASCII whitespace runs and trim. Pure
+    * per-row projection: no shuffle, order pinned so an oracle replays
+    * it step for step.
+    */
+  val nfcClean: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((text: String) => {
+      if (text == null) null
+      else {
+        val nfc = java.text.Normalizer.normalize(text,
+          java.text.Normalizer.Form.NFC)
+        val sb = new java.lang.StringBuilder(nfc.length)
+        var i = 0
+        var inWs = false
+        while (i < nfc.length) {
+          val c = nfc.charAt(i)
+          if (c == '\u200B' || c == '\u200C' || c == '\u200D' ||
+              c == '\uFEFF') () // zero-width: drop
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+            if (!inWs) sb.append(' ')
+            inWs = true
+          } else {
+            sb.append(c)
+            inWs = false
+          }
+          i += 1
+        }
+        sb.toString.trim
+      }
+    })
 }

@@ -2397,6 +2397,60 @@ object TextQueries {
       |FROM (SELECT lang || ':' || source AS key FROM documents)
       |GROUP BY key ORDER BY rank""".stripMargin
 
+  /** Unicode normalization census ([[graft.functions.TextFunctions
+    * .nfcClean]]) — the ingest-time cleanup pass that makes exact/near
+    * dedup and tokenization see ONE byte form of equal text: NFC
+    * composition, zero-width-format stripping (ZWSP/ZWNJ/ZWJ/BOM — the
+    * classic invisible dedup poison), whitespace-run collapse, trim.
+    * Four planted variants exercise each rule (a whitespace mess, a
+    * decomposed acute that NFC merges, a decomposed diaeresis, a
+    * zero-width space), appended to REAL corpus text so the base text
+    * rides through the same pipeline. JDK `Normalizer` and DuckDB
+    * `nfc_normalize` implement the same Unicode tables (probed equal),
+    * so the oracle replays the whole pipeline step for step. Pure
+    * per-row projection — no shuffle beyond the 4-group census.
+    */
+  def tNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val aug = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select((col("doc_id") % 4).as("variant"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit("  x \n\ty "))
+            .when(col("doc_id") % 4 === 1, lit(" cafe\u0301"))
+            .when(col("doc_id") % 4 === 2, lit(" o\u0308ffnen"))
+            .otherwise(lit(" x\u200By"))).as("raw"))
+    aug.withColumn("clean", TextFunctions.nfcClean(col("raw")))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("raw"))).as("raw_cp"),
+        sum(length(col("clean"))).as("norm_cp"),
+        sum(when(col("raw") =!= col("clean"), 1L).otherwise(0L))
+          .as("n_changed"))
+      .orderBy(col("variant"))
+  }
+
+  val tNormalizeOracle: String =
+    """WITH aug AS (SELECT doc_id % 4 AS variant,
+      |    text || CASE doc_id % 4
+      |      WHEN 0 THEN '  x ' || chr(10) || chr(9) || 'y '
+      |      WHEN 1 THEN ' cafe' || chr(769)
+      |      WHEN 2 THEN ' o' || chr(776) || 'ffnen'
+      |      ELSE ' x' || chr(8203) || 'y' END AS raw
+      |  FROM documents WHERE doc_id < 200),
+      |norm AS (SELECT variant, raw,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(nfc_normalize(raw),
+      |        chr(8203), ''), chr(8204), ''), chr(8205), ''),
+      |        chr(65279), ''),
+      |      '[ \t\n\r]+', ' ', 'g')) AS clean
+      |  FROM aug)
+      |SELECT variant, COUNT(*) AS n,
+      |  CAST(SUM(length(raw)) AS BIGINT) AS raw_cp,
+      |  CAST(SUM(length(clean)) AS BIGINT) AS norm_cp,
+      |  CAST(SUM(CASE WHEN raw != clean THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed
+      |FROM norm GROUP BY 1 ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -2433,6 +2487,7 @@ object TextQueries {
     "t33_epoch_plan" -> (tEpochPlan _),
     "t35_dsir_select" -> (tDsirSelect _),
     "t36_heavy_hitters" -> (tHeavyHitters _),
+    "t37_normalize" -> (tNormalize _),
     "st11_stream_bm25" -> (stBm25Stream _),
     "io31_torn_index" -> (ioTornIndexRead _))
 
@@ -2476,6 +2531,7 @@ object TextQueries {
     "t33_epoch_plan" -> tEpochPlanOracle,
     "t35_dsir_select" -> tDsirSelectOracle,
     "t36_heavy_hitters" -> tHeavyHittersOracle,
+    "t37_normalize" -> tNormalizeOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle,
