@@ -3191,6 +3191,100 @@ object OpsQueries {
       |  FROM events WHERE user_id < 100)
       |GROUP BY key ORDER BY rank""".stripMargin
 
+  /** KEY-TABLE dedup ingest — idempotent-by-key ingestion with NO
+    * time horizon: st4's `dropDuplicatesWithinWatermark` drops a
+    * redelivery only while the key is inside the watermark window,
+    * but production redeliveries (replayed partitions, backfills,
+    * at-least-once upstreams) arrive HOURS later. The answer is a key
+    * TABLE, not stream state: each microbatch anti-joins the
+    * accumulated key set on disk, appends only first-seen rows, and
+    * appends its new keys — state is a table bounded by key
+    * cardinality, survives restarts with the checkpoint, and at 100 TB
+    * the anti-join prunes with the same machinery every table join
+    * uses (d12's bloom prefilter, io18 skip-stats, Z-order on the
+    * key). The gate plants duplicates in LATER microbatches than the
+    * originals — mtime-ordered files, the FileStreamSource contract —
+    * so in-batch dedup alone cannot pass; the census over the ingested
+    * table must equal the distinct-events census.
+    */
+  def st22KeytableDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir(s) + s"/graft_st22_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val srcDir = s"$root/src"
+    val base = Tables.events(s, dir).filter(col("user_id") < 60)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // originals first, duplicates in strictly later files: force the
+    // file order with mtimes (FileStreamSource schedules oldest-first)
+    base.repartition(2).write.parquet(s"$srcDir/a")
+    base.filter(col("event_id") % 4 === 0).repartition(1)
+      .write.parquet(s"$srcDir/b")
+    val now = System.currentTimeMillis()
+    def files(sub: String) = fsH.listStatus(
+      new org.apache.hadoop.fs.Path(s"$srcDir/$sub"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val flat = s"$root/flat"
+    fsH.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    (files("a") ++ files("b")).foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fsH, p, fsH,
+        new org.apache.hadoop.fs.Path(flat,
+          s"${p.getParent.getName}_${p.getName}"), false,
+        s.sparkContext.hadoopConfiguration)
+    }
+    fsH.listStatus(new org.apache.hadoop.fs.Path(flat)).map(_.getPath)
+      .foreach { p =>
+        val early = p.getName.startsWith("a_")
+        fsH.setTimes(p, if (early) now - 60000 else now, -1)
+      }
+    val schema = s.read.parquet(flat).schema
+    val dataDir = s"$root/data"
+    val keysDir = s"$root/keys"
+    val ingest = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        val ss = batch.sparkSession
+        val seen =
+          if (fsH.exists(new org.apache.hadoop.fs.Path(keysDir)))
+            ss.read.parquet(keysDir)
+          else batch.select(col("event_id")).limit(0)
+        val fresh = batch
+          .join(seen.withColumnRenamed("event_id", "seen_id"),
+            col("event_id") === col("seen_id"), "left_anti")
+          .dropDuplicates("event_id") // in-batch copies of a first-seen key
+          .localCheckpoint()
+        if (fresh.count() > 0) {
+          fresh.write.mode("append").parquet(dataDir)
+          fresh.select(col("event_id")).write.mode("append")
+            .parquet(keysDir)
+        }
+      }: Unit
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(flat)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(dataDir)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val st22Oracle: String =
+    """SELECT user_id % 10 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id < 60
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -3839,7 +3933,8 @@ object OpsQueries {
     "st18_late_census" -> (st18LateCensus _),
     "st19_late_quarantine" -> (st19LateQuarantine _),
     "st20_scd2_enrich" -> (st20Scd2Enrich _),
-    "st21_stream_topk" -> (st21StreamTopk _))
+    "st21_stream_topk" -> (st21StreamTopk _),
+    "st22_keytable_dedup" -> (st22KeytableDedup _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -3905,5 +4000,6 @@ object OpsQueries {
     "st18_late_census" -> st18Oracle,
     "st19_late_quarantine" -> st19Oracle,
     "st20_scd2_enrich" -> st20Oracle,
-    "st21_stream_topk" -> st21Oracle)
+    "st21_stream_topk" -> st21Oracle,
+    "st22_keytable_dedup" -> st22Oracle)
 }

@@ -580,6 +580,45 @@ object Relational {
       |FROM pv JOIN s ON rn >= (p * n + 999) // 1000
       |GROUP BY 1 ORDER BY p_mille""".stripMargin
 
+  /** Hierarchy flattening (transitive closure) via PATH DOUBLING — the
+    * org-chart / category-tree / dependency-DAG traversal every warehouse
+    * eventually needs, done the way that survives deep hierarchies at
+    * scale: naive iteration joins the edge list once per LEVEL (a
+    * 40-deep tree = 40 shuffles), while doubling composes paths with
+    * themselves so round r covers depth 2^r — ⌈log₂ depth⌉ self-joins
+    * total, each shuffle ∝ the closure size. Planted ternary tree:
+    * parent(v) = (v−1) div 3 over 121 nodes of the documents table
+    * (max depth 4, so 3 unrolled rounds cover it with headroom ≤ 8);
+    * the output is the full (node, ancestor, distance) closure, which
+    * DuckDB replays with a recursive CTE — the O(depth)-iteration form
+    * the operator avoids.
+    */
+  def q31TreeClosure(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.documents(s, dir)
+      .filter(col("doc_id") >= 1 && col("doc_id") < 121)
+      .select(col("doc_id").as("node"),
+        expr("(doc_id - 1) DIV 3").as("anc"), lit(1L).as("d"))
+    var paths = edges
+    for (_ <- 1 to 3) {
+      val hop = paths.as("a").join(paths.as("b"),
+          col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"),
+          (col("a.d") + col("b.d")).as("d"))
+      // a tree has one path per (node, anc), so distinct is exact dedupe
+      paths = paths.unionByName(hop).distinct().staged()
+    }
+    paths.orderBy(col("node"), col("d"))
+  }
+
+  val q31Oracle: String =
+    """WITH RECURSIVE anc(node, anc, d) AS (
+      |  SELECT doc_id, (doc_id - 1) // 3, CAST(1 AS BIGINT)
+      |    FROM documents WHERE doc_id >= 1 AND doc_id < 121
+      |  UNION ALL
+      |  SELECT a.node, (a.anc - 1) // 3, a.d + 1
+      |    FROM anc a WHERE a.anc >= 1)
+      |SELECT node, anc, d FROM anc ORDER BY node, d""".stripMargin
+
   /** Global contiguous ids via [[graft.operators.ContiguousIds]] (range
     * repartition + per-partition offsets — never the single-partition
     * global window). The oracle recomputes every id as a global
@@ -941,7 +980,8 @@ object Relational {
     "q27_skew_salted" -> (q27SkewSalted _),
     "q28_range_rewrite" -> (q28RangeRewrite _),
     "q29_interval_overlap" -> (q29IntervalOverlap _),
-    "q30_exact_quantiles" -> (q30ExactQuantiles _))
+    "q30_exact_quantiles" -> (q30ExactQuantiles _),
+    "q31_tree_closure" -> (q31TreeClosure _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -973,5 +1013,6 @@ object Relational {
     "q27_skew_salted" -> q27Oracle,
     "q28_range_rewrite" -> q19Oracle,
     "q29_interval_overlap" -> q29Oracle,
-    "q30_exact_quantiles" -> q30Oracle)
+    "q30_exact_quantiles" -> q30Oracle,
+    "q31_tree_closure" -> q31Oracle)
 }
