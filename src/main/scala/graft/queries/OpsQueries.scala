@@ -3285,6 +3285,104 @@ object OpsQueries {
       |FROM events WHERE user_id < 60
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** DIMENSION REFRESH between microbatches — the property st5's
+    * scaladoc claims ("Spark re-plans the static side per microbatch,
+    * which is what picks up dimension updates between batches") made
+    * testable and deterministic: the enrichment runs in `foreachBatch`
+    * and resolves the dimension through the MANIFEST on every batch
+    * (the production shape — a batch job pins the dim's current
+    * snapshot, never a stale captured plan), and the batch-2 callback
+    * itself commits the dimension's v2 before enriching, so batches
+    * 0–1 deterministically join tier-v1 and batches 2–3 join tier-v2.
+    * File order is mtime-forced (the FileStreamSource contract), each
+    * file a known user_id slice, so DuckDB replays exactly which rows
+    * saw which dimension version. Scale: per batch one broadcast
+    * snapshot read + a stateless hash join — zero streaming state, and
+    * the dim update is one manifest commit away from every consumer.
+    */
+  def st23DimRefresh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st23_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val dimTbl = s"$root/dim_tbl"
+    def commitDim(gen: Int): Unit = {
+      val d = s"$root/dim_v$gen"
+      Tables.customer(s, dir).filter(col("c_custkey") < 60)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 3 + lit(gen * 10)).as("tier"))
+        .write.parquet(d)
+      Manifest.rewrite(s, dimTbl, Seq(d))
+    }
+    commitDim(0)
+    // four mtime-ordered source files, each a known user_id slice
+    val srcDir = s"$root/src"
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      val f = s"$srcDir/part_$i"
+      Tables.events(s, dir)
+        .filter(col("user_id") >= i * 15 && col("user_id") < (i + 1) * 15)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .repartition(1).write.parquet(f)
+      fsH.listStatus(new org.apache.hadoop.fs.Path(f)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(p => fsH.setTimes(p, now - 40000 + i * 10000, -1))
+    }
+    val flat = s"$root/flat"
+    fsH.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    (0 until 4).foreach { i =>
+      fsH.listStatus(new org.apache.hadoop.fs.Path(s"$srcDir/part_$i"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .foreach { p =>
+          val dst = new org.apache.hadoop.fs.Path(flat, s"f${i}_${p.getName}")
+          org.apache.hadoop.fs.FileUtil.copy(fsH, p, fsH, dst, false,
+            s.sparkContext.hadoopConfiguration)
+          fsH.setTimes(dst, now - 40000 + i * 10000, -1)
+        }
+    }
+    val schema = s.read.parquet(flat).schema
+    val outDir = s"$root/out"
+    val enrich = (batch: DataFrame, batchId: Long) => {
+      if (!batch.isEmpty) {
+        if (batchId == 2L) commitDim(1) // the dimension moves mid-stream
+        val dim = Manifest.snapshot(batch.sparkSession, dimTbl)
+        batch.join(broadcast(dim),
+            col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("cents"),
+            col("tier"))
+          .write.mode("append").parquet(outDir)
+      }: Unit
+    }
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(flat)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("tier"))
+  }
+
+  val st23Oracle: String =
+    """SELECT CASE WHEN user_id < 30 THEN c_custkey % 3
+      |    ELSE c_custkey % 3 + 10 END AS tier,
+      |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE user_id < 60
+      |GROUP BY 1 ORDER BY tier""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -3934,7 +4032,8 @@ object OpsQueries {
     "st19_late_quarantine" -> (st19LateQuarantine _),
     "st20_scd2_enrich" -> (st20Scd2Enrich _),
     "st21_stream_topk" -> (st21StreamTopk _),
-    "st22_keytable_dedup" -> (st22KeytableDedup _))
+    "st22_keytable_dedup" -> (st22KeytableDedup _),
+    "st23_dim_refresh" -> (st23DimRefresh _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -4001,5 +4100,6 @@ object OpsQueries {
     "st19_late_quarantine" -> st19Oracle,
     "st20_scd2_enrich" -> st20Oracle,
     "st21_stream_topk" -> st21Oracle,
-    "st22_keytable_dedup" -> st22Oracle)
+    "st22_keytable_dedup" -> st22Oracle,
+    "st23_dim_refresh" -> st23Oracle)
 }

@@ -3836,6 +3836,103 @@ object SimilarityQueries {
       |    (PARTITION BY qid ORDER BY rrf DESC, nid) rk FROM f)
       |SELECT qid, rk, nid, rrf FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  /** BINARY quantization ANN — the 1-bit-per-dimension compression
+    * modern vector stores ship as the first coarse filter (256× smaller
+    * than float32: a 64-dim vector becomes two 32-bit-packed longs):
+    * bit i = sign of dimension i against the corpus per-dimension MEAN,
+    * computed divisionless as vᵢ·n > Σᵢ so both engines compare exact
+    * integers. Candidates per probe are the top-12 by hamming distance
+    * — one xor+popcount per pair over 16 B of state, the cheapest scan
+    * a vector index can run — then reranked EXACTLY on the raw
+    * fixed-point vectors by integer L2 for the final top-3. The recall
+    * claim is structural, not asserted: the gate's output is the full
+    * candidate→rerank pipeline, and the oracle replays bit packing,
+    * hamming, candidate ranking, and rerank from the same integers.
+    * Scale: signatures broadcast at 16 B/vector (a billion vectors =
+    * 16 GB, still map-side-joinable sharded); the rerank touches 12
+    * rows per probe.
+    */
+  def s25BinaryQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val stats = e.groupBy()
+      .agg(call_function("graft_elementwise_sum", col("v")).as("sx"),
+        count(lit(1)).as("cnt"))
+    def pack(lo: Int): Column =
+      aggregate(sequence(lit(lo), lit(lo + 31)),
+        lit(0L),
+        (acc, i) => acc + when(
+          element_at(col("v"), i.cast("int")) * col("cnt") >
+            element_at(col("sx"), i.cast("int")),
+          call_function("shiftleft", lit(1L),
+            (i - lo).cast("int"))).otherwise(0L))
+    val sigs = e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("v"), col("nn"),
+        pack(1).as("b_lo"), pack(33).as("b_hi"))
+      .staged()
+    val probes = sigs.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"), col("b_lo").as("q_lo"),
+        col("b_hi").as("q_hi"))
+    val hd = call_function("bit_count",
+        expr("b_lo ^ q_lo")).cast("long") +
+      call_function("bit_count", expr("b_hi ^ q_hi")).cast("long")
+    val candW = Window.partitionBy(col("qid"))
+      .orderBy(col("hd"), col("nid"))
+    val cands = broadcast(probes).crossJoin(sigs)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("vec_id").as("nid"), col("v"), col("nn"), hd.as("hd"))
+      .withColumn("crk", row_number().over(candW))
+      .filter(col("crk") <= 12)
+    val d2 = col("qn") - lit(2L) * dotLong(col("qv"), col("v")) + col("nn")
+    val topW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    cands.select(col("qid"), col("nid"), col("hd"), d2.as("d2"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("hd"), col("d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s25Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_aggregate(list_transform(v,
+      |    x -> x * x), 'sum') nn FROM q),
+      |st AS (SELECT CAST(i AS INT) i, SUM(v[CAST(i AS INT)]) sx,
+      |    COUNT(*) cnt
+      |  FROM q, range(1, 65) r(i) GROUP BY 1),
+      |stl AS (SELECT list(sx ORDER BY i) sx, MAX(cnt) cnt FROM st),
+      |sig AS (SELECT vec_id, v, nn,
+      |    list_aggregate(list_transform(range(1, 33), i ->
+      |      CASE WHEN v[CAST(i AS INT)] * cnt > sx[CAST(i AS INT)]
+      |        THEN CAST(1 AS BIGINT) << (CAST(i AS INT) - 1)
+      |        ELSE 0 END), 'sum') b_lo,
+      |    list_aggregate(list_transform(range(33, 65), i ->
+      |      CASE WHEN v[CAST(i AS INT)] * cnt > sx[CAST(i AS INT)]
+      |        THEN CAST(1 AS BIGINT) << (CAST(i AS INT) - 33)
+      |        ELSE 0 END), 'sum') b_hi
+      |  FROM n CROSS JOIN stl),
+      |cand AS (SELECT a.vec_id qid, a.v qv, a.nn qn, b.vec_id nid,
+      |    b.v, b.nn,
+      |    bit_count(xor(a.b_lo, b.b_lo)) + bit_count(xor(a.b_hi, b.b_hi))
+      |      AS hd
+      |  FROM sig a JOIN sig b ON a.vec_id < 25 AND a.vec_id <> b.vec_id),
+      |c12 AS (SELECT * FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hd, nid) crk
+      |  FROM cand) WHERE crk <= 12),
+      |rr AS (SELECT qid, nid, hd,
+      |    list_aggregate(list_transform(range(1, 65), i ->
+      |      (qv[CAST(i AS INT)] - v[CAST(i AS INT)])
+      |      * (qv[CAST(i AS INT)] - v[CAST(i AS INT)])), 'sum') d2
+      |  FROM c12),
+      |r3 AS (SELECT qid, nid, hd, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk
+      |  FROM rr)
+      |SELECT qid, rk, nid, CAST(hd AS BIGINT) AS hd,
+      |  CAST(d2 AS BIGINT) AS d2
+      |FROM r3 WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -3852,6 +3949,7 @@ object SimilarityQueries {
     "s13_pq_stored" -> (s13PqStored _),
     "s14_ivf_incr" -> (s14IvfIncr _),
     "s24_ivf_compact" -> (s24IvfCompact _),
+    "s25_binary_quant" -> (s25BinaryQuant _),
     "s15_hybrid_stored" -> (s15HybridStored _),
     "s16_ann_takedown" -> (s16AnnTakedown _),
     "st13_stream_ivf" -> (st13StreamIvf _),
@@ -3889,6 +3987,7 @@ object SimilarityQueries {
     // compaction is file-level maintenance: answers must be identical,
     // so the compacted pin is gated against s14's oracle verbatim
     "s24_ivf_compact" -> s14Oracle,
+    "s25_binary_quant" -> s25Oracle,
     "s15_hybrid_stored" -> s15Oracle,
     "s16_ann_takedown" -> s16Oracle,
     // batching cannot move a per-row assignment: the streamed-in lists
