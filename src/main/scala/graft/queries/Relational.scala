@@ -619,6 +619,66 @@ object Relational {
       |    FROM anc a WHERE a.anc >= 1)
       |SELECT node, anc, d FROM anc ORDER BY node, d""".stripMargin
 
+  /** Ordered-sequence FUNNEL (view → click → purchase) — the event-
+    * analytics staple: how far does each user get, where each stage
+    * must happen strictly AFTER the previous one. Expressed as k−1
+    * co-partitioned join-aggregates on the user key (first qualifying
+    * view per user, first click after it, first purchase after that)
+    * instead of the window-sort form — at 100 TB the join form never
+    * sorts a user's full event history, shuffles each stage's filtered
+    * slice once on the same key (co-partitioned after the first
+    * exchange), and stage populations shrink monotonically. The oracle
+    * replays the same conditional-min cascade.
+    */
+  def q32Funnel(s: SparkSession, dir: String): DataFrame = {
+    // sparse slice: with the full table every user completes the funnel
+    // (a 1-row census is no gate); % 13 spreads users across all stages
+    val ev = Tables.events(s, dir).filter(col("event_id") % 13 === 0)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("checksum"))
+      .orderBy(col("stage"))
+  }
+
+  val q32Oracle: String =
+    """WITH ev AS (SELECT * FROM events WHERE event_id % 13 = 0),
+      |t1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+      |  FROM ev e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1.t1
+      |  GROUP BY 1),
+      |t3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3
+      |  FROM ev e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t2
+      |  GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+      |    WHEN t2.t2 IS NOT NULL THEN 2
+      |    WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  COUNT(*) AS n_users, CAST(SUM(u.user_id) AS BIGINT) AS checksum
+      |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+      |LEFT JOIN t2 ON u.user_id = t2.user_id
+      |LEFT JOIN t3 ON u.user_id = t3.user_id
+      |GROUP BY 1 ORDER BY stage""".stripMargin
+
   /** Global contiguous ids via [[graft.operators.ContiguousIds]] (range
     * repartition + per-partition offsets — never the single-partition
     * global window). The oracle recomputes every id as a global
@@ -981,7 +1041,8 @@ object Relational {
     "q28_range_rewrite" -> (q28RangeRewrite _),
     "q29_interval_overlap" -> (q29IntervalOverlap _),
     "q30_exact_quantiles" -> (q30ExactQuantiles _),
-    "q31_tree_closure" -> (q31TreeClosure _))
+    "q31_tree_closure" -> (q31TreeClosure _),
+    "q32_funnel" -> (q32Funnel _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -1014,5 +1075,6 @@ object Relational {
     "q28_range_rewrite" -> q19Oracle,
     "q29_interval_overlap" -> q29Oracle,
     "q30_exact_quantiles" -> q30Oracle,
-    "q31_tree_closure" -> q31Oracle)
+    "q31_tree_closure" -> q31Oracle,
+    "q32_funnel" -> q32Oracle)
 }
