@@ -3869,24 +3869,33 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v"), col("nn"),
         pack(1).as("b_lo"), pack(33).as("b_hi"))
       .staged()
+    // the candidate scan carries ONLY ids + 16 B of signature — the
+    // 64-long vectors must never ride the probes × corpus fan (measured
+    // 10× super-linear at the heaps octave when they did); they join
+    // back onto the 12 survivors per probe for the exact rerank
     val probes = sigs.filter(col("vec_id") < 25)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nn").as("qn"), col("b_lo").as("q_lo"),
+      .select(col("vec_id").as("qid"), col("b_lo").as("q_lo"),
         col("b_hi").as("q_hi"))
     val hd = call_function("bit_count",
         expr("b_lo ^ q_lo")).cast("long") +
       call_function("bit_count", expr("b_hi ^ q_hi")).cast("long")
     val candW = Window.partitionBy(col("qid"))
       .orderBy(col("hd"), col("nid"))
-    val cands = broadcast(probes).crossJoin(sigs)
+    val cands = broadcast(probes)
+      .crossJoin(sigs.select(col("vec_id"), col("b_lo"), col("b_hi")))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("qv"), col("qn"),
-        col("vec_id").as("nid"), col("v"), col("nn"), hd.as("hd"))
+      .select(col("qid"), col("vec_id").as("nid"), hd.as("hd"))
       .withColumn("crk", row_number().over(candW))
       .filter(col("crk") <= 12)
+    val qv = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"))
+    val reranked = cands
+      .join(broadcast(qv), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("v"), col("nn")), "nid")
     val d2 = col("qn") - lit(2L) * dotLong(col("qv"), col("v")) + col("nn")
     val topW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
-    cands.select(col("qid"), col("nid"), col("hd"), d2.as("d2"))
+    reranked.select(col("qid"), col("nid"), col("hd"), d2.as("d2"))
       .withColumn("rk", row_number().over(topW))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("rk"), col("nid"), col("hd"), col("d2"))
