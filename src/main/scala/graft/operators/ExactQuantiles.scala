@@ -76,4 +76,54 @@ object ExactQuantiles {
       .select(col("p_mille"), col("value"))
       .orderBy(col("p_mille"))
   }
+
+  /** GROUPED exact quantiles — one (p, value) set per group, with NO
+    * driver-side step at all: the per-group histogram is a (group, bin)
+    * aggregate, the cumulative ranks are a window over each group's
+    * ≤ bins rows (thousands of groups × thousands of bins is still a
+    * tiny table next to the corpus), target buckets and local ranks
+    * come out of that same window, and only the target buckets' rows
+    * are ever ranked row-wise. Global fixed-width bins over the whole
+    * column's [min, max] keep the bucket arithmetic identical across
+    * groups (a per-group range would need a per-group width join —
+    * same cost, less replayable).
+    */
+  def grouped(df: DataFrame, groupCol: String, valueCol: String,
+      pMilles: Seq[Int], bins: Int = 4096): DataFrame = {
+    require(pMilles.nonEmpty && pMilles.forall(p => p >= 1 && p <= 1000),
+      s"per-mille quantiles must be in [1, 1000], got $pMilles")
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol)
+    val head = df.agg(min(v).as("lo"), max(v).as("hi"),
+      count(v).as("n")).collect()(0)
+    require(head.getLong(2) > 0, "exact quantiles of an empty input")
+    val lo = head.getLong(0)
+    val w = (head.getLong(1) - lo) / bins + 1
+    val bucket = expr(s"($valueCol - ${lo}L) DIV ${w}L")
+    val g = col(groupCol)
+    val hist = df.groupBy(g.as("g"), bucket.as("b"))
+      .agg(count(lit(1)).as("c"))
+    val byBin = Window.partitionBy(col("g")).orderBy(col("b"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byBin))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val ps = pMilles.toDF("p_mille")
+    // target bucket per (group, p): the first bucket whose cumulative
+    // count reaches rank ⌈p·n/1000⌉; its local rank is r − cum_before
+    val targets = cum.crossJoin(broadcast(ps))
+      .withColumn("r", expr("(p_mille * n + 999) DIV 1000"))
+      .filter(col("cum") >= col("r") &&
+        col("cum") - col("c") < col("r"))
+      .select(col("g"), col("p_mille"), col("b"),
+        (col("r") - (col("cum") - col("c"))).as("rn"))
+    val ranked = df.select(g.as("g"), bucket.as("b"), v.as("value"))
+      .join(targets.select(col("g"), col("b")).distinct(), Seq("g", "b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"), col("b")).orderBy(col("value"))))
+    targets.join(ranked, Seq("g", "b", "rn"))
+      .select(col("g").as(groupCol), col("p_mille"), col("value"))
+      .orderBy(col(groupCol), col("p_mille"))
+  }
 }

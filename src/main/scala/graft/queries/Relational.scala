@@ -580,6 +580,28 @@ object Relational {
       |FROM pv JOIN s ON rn >= (p * n + 999) // 1000
       |GROUP BY 1 ORDER BY p_mille""".stripMargin
 
+  /** GROUPED exact quantiles ([[graft.operators.ExactQuantiles.grouped]])
+    * — per-language length percentiles with NO driver-side step: the
+    * (group, bin) histogram is tiny next to the corpus, cumulative
+    * ranks are a window over each group's ≤ bins rows, and only the
+    * target buckets' rows are ever ranked. The per-group profile every
+    * dataset card wants, at any group count.
+    */
+  def q33GroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactQuantiles.grouped(
+      Tables.documents(s, dir), "lang", "n_chars",
+      pMilles = Seq(250, 500, 900, 999))
+
+  val q33Oracle: String =
+    """WITH s AS (SELECT lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |pv(p) AS (VALUES (250), (500), (900), (999))
+      |SELECT lang, p AS p_mille, MIN(n_chars) AS value
+      |FROM pv JOIN s ON rn >= (p * n + 999) // 1000
+      |GROUP BY lang, p ORDER BY lang, p_mille""".stripMargin
+
   /** Hierarchy flattening (transitive closure) via PATH DOUBLING — the
     * org-chart / category-tree / dependency-DAG traversal every warehouse
     * eventually needs, done the way that survives deep hierarchies at
@@ -1042,7 +1064,8 @@ object Relational {
     "q29_interval_overlap" -> (q29IntervalOverlap _),
     "q30_exact_quantiles" -> (q30ExactQuantiles _),
     "q31_tree_closure" -> (q31TreeClosure _),
-    "q32_funnel" -> (q32Funnel _))
+    "q32_funnel" -> (q32Funnel _),
+    "q33_grouped_quantiles" -> (q33GroupedQuantiles _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
@@ -1076,5 +1099,6 @@ object Relational {
     "q29_interval_overlap" -> q29Oracle,
     "q30_exact_quantiles" -> q30Oracle,
     "q31_tree_closure" -> q31Oracle,
-    "q32_funnel" -> q32Oracle)
+    "q32_funnel" -> q32Oracle,
+    "q33_grouped_quantiles" -> q33Oracle)
 }
