@@ -245,6 +245,33 @@ object Multimodal {
     }
   }
 
+  /** Header-only media probe: container type and pixel dimensions
+    * parsed from the first bytes of the blob — PNG's IHDR (big-endian
+    * w/h at offset 16) and GIF's logical screen descriptor
+    * (little-endian at offset 6) — WITHOUT decoding a pixel. At 100 TB
+    * this is the difference between a metadata census that reads
+    * ~32 B/blob (with parquet lazily materializing only what the
+    * expression touches) and one that runs the full codec over every
+    * image; unknown magics surface as ("unknown", -1, -1) rather than
+    * an error, the audit-not-crash contract a corpus census needs.
+    */
+  val probeHeader: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((bytes: Array[Byte]) => {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      if (bytes == null || bytes.length < 10) ("unknown", -1, -1)
+      else if (bytes.length >= 24 &&
+          u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') {
+        val w = (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19)
+        val h = (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)
+        ("png", w, h)
+      } else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+          u8(3) == '8') {
+        val w = u8(6) | (u8(7) << 8)
+        val h = u8(8) | (u8(9) << 8)
+        ("gif", w, h)
+      } else ("unknown", -1, -1)
+    })
+
   /** Encode frames as an animated GIF (the JDK-native multi-frame
     * container [[sampleVideoFrames]] reads back) — the test-data writer
     * for the video path; grayscale frames round-trip bit-exactly through

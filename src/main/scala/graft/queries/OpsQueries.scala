@@ -3686,6 +3686,62 @@ object OpsQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY va, vb""".stripMargin
 
+  /** HEADER-ONLY media census — type and dimensions from the first
+    * bytes of every blob ([[graft.multimodal.Multimodal.probeHeader]]:
+    * PNG IHDR, GIF logical screen descriptor), never a codec: the
+    * ~32 B/blob metadata pass a 100 TB multimodal corpus runs BEFORE
+    * deciding what to decode. Planted blobs go through the REAL
+    * encoders (PNG stills of id-dependent sizes, animated GIFs,
+    * and junk bytes for the unknown route), so the parse is checked
+    * against what actual containers put in their headers; DuckDB
+    * replays the expected type/size census from the planting formula.
+    */
+  def m10HeaderCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val blobs = Tables.events(s, dir).filter(col("event_id") < 48)
+      .select(col("event_id")).as[Long].map { id =>
+        val kind = (id % 3).toInt
+        val bytes: Array[Byte] = kind match {
+          case 0 => // PNG still, id-dependent dims
+            val w = (8 + id % 5).toInt
+            val h = (6 + id % 4).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            baos.toByteArray
+          case 1 => // animated GIF, fixed dims
+            Multimodal.encodeGifAnimation(Seq(
+              new java.awt.image.BufferedImage(16, 12,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)))
+          case _ => // junk: not a container
+            Array.tabulate[Byte](64)(i => ((id * 31 + i * 7) % 251).toByte)
+        }
+        (id, bytes)
+      }.toDF("id", "content")
+    blobs.select(col("id"),
+        Multimodal.probeHeader(col("content")).as("p"))
+      .select(col("p._1").as("kind"), col("p._2").as("w"),
+        col("p._3").as("h"))
+      .groupBy(col("kind"), col("w"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"), col("w"), col("h"))
+  }
+
+  val m10Oracle: String =
+    """WITH b AS (SELECT event_id AS id,
+      |    CASE WHEN event_id % 3 = 0 THEN 'png'
+      |      WHEN event_id % 3 = 1 THEN 'gif' ELSE 'unknown' END AS kind,
+      |    CASE WHEN event_id % 3 = 0 THEN 8 + event_id % 5
+      |      WHEN event_id % 3 = 1 THEN 16 ELSE -1 END AS w,
+      |    CASE WHEN event_id % 3 = 0 THEN 6 + event_id % 4
+      |      WHEN event_id % 3 = 1 THEN 12 ELSE -1 END AS h
+      |  FROM events WHERE event_id < 48)
+      |SELECT kind, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+      |  COUNT(*) AS n
+      |FROM b GROUP BY 1, 2, 3 ORDER BY kind, w, h""".stripMargin
+
   /** Image perceptual-hash near-dup — the multimodal curation operator
     * the text dedups (d1–d20) have no image sibling for: every planted
     * PNG goes through the REAL codec round trip (closed-form pixels →
@@ -3981,6 +4037,7 @@ object OpsQueries {
     "m7_image_quality" -> (m7ImageQuality _),
     "m8_video_frames" -> (m8VideoFrames _),
     "m9_video_neardup" -> (m9VideoNeardup _),
+    "m10_header_census" -> (m10HeaderCensus _),
     "io1_bq_single" -> (io1BqSingle _),
     "io2_bq_json" -> (io2BqJson _),
     "io3_bq_write" -> (io3BqWrite _),
@@ -4049,6 +4106,7 @@ object OpsQueries {
     "m7_image_quality" -> m7Oracle,
     "m8_video_frames" -> m8Oracle,
     "m9_video_neardup" -> m9Oracle,
+    "m10_header_census" -> m10Oracle,
     "io1_bq_single" -> io1Oracle,
     "io2_bq_json" -> io2Oracle,
     "io3_bq_write" -> io3Oracle,
