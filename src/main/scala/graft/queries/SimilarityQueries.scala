@@ -3942,6 +3942,79 @@ object SimilarityQueries {
       |  CAST(d2 AS BIGINT) AS d2
       |FROM r3 WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** Matryoshka (progressive-dimension) rerank — the embedding-side
+    * counterpart of s25's bit-side coarse filter, for models trained
+    * with matryoshka representation learning where a PREFIX of the
+    * vector is itself a usable embedding: the coarse scan scores only
+    * the first 16 of 64 dimensions (at scale: a prefix-truncated
+    * stored column — 4× less IO and arithmetic per corpus row), takes
+    * the top-12 by integer L2 on the prefix, and reranks exactly on
+    * the full vectors. The candidate fan stays skinny (qid, nid,
+    * coarse distance) through the shuffle — the s25 lesson; the
+    * 16-long prefix rides only the map-side scan. Oracle replays both
+    * stages from the same integers.
+    */
+  def s26Matryoshka(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val pre = e.select(col("vec_id"), slice(col("v"), 1, 16).as("v16"))
+      .withColumn("nn16", normSqLong(col("v16")))
+      .staged()
+    val probes = pre.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v16").as("qv16"),
+        col("nn16").as("qn16"))
+    val d2c = col("qn16") - lit(2L) * dotLong(col("qv16"), col("v16")) +
+      col("nn16")
+    val candW = Window.partitionBy(col("qid"))
+      .orderBy(col("d2c"), col("nid"))
+    val cands = broadcast(probes).crossJoin(pre)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), d2c.as("d2c"))
+      .withColumn("crk", row_number().over(candW))
+      .filter(col("crk") <= 12)
+    val qv = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nn").as("qn"))
+    val reranked = cands
+      .join(broadcast(qv), "qid")
+      .join(e.select(col("vec_id").as("nid"), col("v"), col("nn")), "nid")
+    val d2 = col("qn") - lit(2L) * dotLong(col("qv"), col("v")) + col("nn")
+    val topW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    reranked.select(col("qid"), col("nid"), col("d2c"), d2.as("d2"))
+      .withColumn("rk", row_number().over(topW))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"), col("d2c"), col("d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val s26Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    list_aggregate(list_transform(v, x -> x * x), 'sum') nn,
+      |    list_aggregate(list_transform(v[1:16], x -> x * x), 'sum') nn16
+      |  FROM q),
+      |cand AS (SELECT a.vec_id qid, b.vec_id nid,
+      |    a.nn16 - 2 * list_aggregate(list_transform(range(1, 17), i ->
+      |      a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') + b.nn16
+      |      AS d2c
+      |  FROM n a JOIN n b ON a.vec_id < 25 AND a.vec_id <> b.vec_id),
+      |c12 AS (SELECT * FROM (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2c, nid) crk
+      |  FROM cand) WHERE crk <= 12),
+      |rr AS (SELECT c12.qid, c12.nid, c12.d2c,
+      |    a.nn - 2 * list_aggregate(list_transform(range(1, 65), i ->
+      |      a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]), 'sum') + b.nn
+      |      AS d2
+      |  FROM c12 JOIN n a ON c12.qid = a.vec_id
+      |  JOIN n b ON c12.nid = b.vec_id),
+      |r3 AS (SELECT qid, nid, d2c, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) rk
+      |  FROM rr)
+      |SELECT qid, rk, nid, CAST(d2c AS BIGINT) AS d2c,
+      |  CAST(d2 AS BIGINT) AS d2
+      |FROM r3 WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -3959,6 +4032,7 @@ object SimilarityQueries {
     "s14_ivf_incr" -> (s14IvfIncr _),
     "s24_ivf_compact" -> (s24IvfCompact _),
     "s25_binary_quant" -> (s25BinaryQuant _),
+    "s26_matryoshka" -> (s26Matryoshka _),
     "s15_hybrid_stored" -> (s15HybridStored _),
     "s16_ann_takedown" -> (s16AnnTakedown _),
     "st13_stream_ivf" -> (st13StreamIvf _),
@@ -3997,6 +4071,7 @@ object SimilarityQueries {
     // so the compacted pin is gated against s14's oracle verbatim
     "s24_ivf_compact" -> s14Oracle,
     "s25_binary_quant" -> s25Oracle,
+    "s26_matryoshka" -> s26Oracle,
     "s15_hybrid_stored" -> s15Oracle,
     "s16_ann_takedown" -> s16Oracle,
     // batching cannot move a per-row assignment: the streamed-in lists
