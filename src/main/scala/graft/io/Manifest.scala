@@ -356,7 +356,14 @@ object Manifest {
     require(keepLast >= 1, "must keep at least the latest version")
     val f = fs(s, root)
     val vs = versionsOf(f, root)
-    val (dead, live) = vs.splitAt(math.max(vs.size - keepLast, 0))
+    // tagged versions are retention-exempt: a named ref means "someone
+    // depends on exactly this state" (the Iceberg tag contract), so it
+    // and its data outlive any keepLast window until the tag is dropped
+    val tagged = tags(s, root).values.toSet
+    val (dead, live) = {
+      val (d, l) = vs.splitAt(math.max(vs.size - keepLast, 0))
+      (d.filterNot(tagged), l ++ d.filter(tagged))
+    }
     val keepDirs = live.flatMap(v => readList(f, manifestPath(root, v)))
       .toSet
     val deadDirs: Map[Int, Seq[String]] = dead.map { v =>
@@ -568,6 +575,59 @@ object Manifest {
     }
     rewrite(s, dstRoot, copies, committer)
   }
+
+  // ── Version tags — named refs that retention respects ────────────
+
+  private def tagPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"),
+      s"tag name must be [A-Za-z0-9._-]{1,64}, got '$name'")
+    new Path(new Path(root, "_tags"), name)
+  }
+
+  /** Tag a committed version with an immutable name ("prod",
+    * "training-run-7") — the audit-and-reproducibility ref: [[expire]]
+    * keeps tagged versions and their data alive past any keepLast
+    * window until [[dropTag]]. Create-if-absent: re-tagging an
+    * existing name refuses (tags are immutable; drop it first).
+    */
+  def tag(s: SparkSession, root: String, name: String, version: Int,
+      committer: Committer = FsCreateCommitter): Unit = {
+    val vs = versions(s, root)
+    require(vs.contains(version),
+      s"cannot tag unknown version $version (have $vs)")
+    require(committer.createIfAbsent(fs(s, root), tagPath(root, name),
+        version.toString.getBytes(StandardCharsets.UTF_8)),
+      s"tag '$name' already exists on $root — tags are immutable, " +
+        "dropTag it first")
+  }
+
+  /** All tags on the table: name → version. */
+  def tags(s: SparkSession, root: String): Map[String, Int] = {
+    val f = fs(s, root)
+    val dir = new Path(root, "_tags")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).map { st =>
+      val in = f.open(st.getPath)
+      val v = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+      st.getPath.getName -> v
+    }.toMap
+  }
+
+  /** Resolve a tag to its snapshot. */
+  def snapshotOfTag(s: SparkSession, root: String, name: String)
+      : DataFrame = {
+    val t = tags(s, root)
+    require(t.contains(name),
+      s"no tag '$name' on $root (have ${t.keys.toSeq.sorted})")
+    snapshot(s, root, Some(t(name)))
+  }
+
+  /** Drop a tag — the version rejoins the ordinary retention pool. */
+  def dropTag(s: SparkSession, root: String, name: String): Boolean =
+    fs(s, root).delete(tagPath(root, name), false)
 
   // ── Clone registry — what makes shallow clones retention-safe ────
 

@@ -868,6 +868,86 @@ object OpsQueries {
       |SELECT * FROM c UNION ALL SELECT * FROM m
       |ORDER BY side, bucket""".stripMargin
 
+  /** VERSION TAGS — named refs that retention respects
+    * ([[graft.io.Manifest.tag]]): "the exact table state training run
+    * 7 read" must stay reproducible past any keepLast window, which is
+    * what a tag buys — [[graft.io.Manifest.expire]] treats tagged
+    * versions as live however old they are, and [[graft.io.Manifest
+    * .dropTag]] returns them to the ordinary retention pool. The gate
+    * drives the full lifecycle: tag v1, advance the table twice,
+    * expire keepLast=1 (v2 reclaimed — filesystem require — while
+    * tagged v1 and its data SURVIVE), read the same census through the
+    * tag and the latest head, then drop the tag and expire again (now
+    * v1 reclaims too — the require proving tags were the only thing
+    * keeping it). Re-tagging an existing name must refuse (tags are
+    * immutable).
+    */
+  def io37VersionTags(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io37"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"$root/tbl"
+    def slice(lo: Int, hi: Int, d: String): String = {
+      Tables.events(s, dir)
+        .filter(col("user_id") >= lo && col("user_id") < hi)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .write.parquet(d)
+      d
+    }
+    val v1 = Manifest.commit(s, tbl, slice(0, 50, s"$root/d1"))
+    Manifest.tag(s, tbl, "prod", v1)
+    val retag = try { Manifest.tag(s, tbl, "prod", v1); false }
+      catch { case _: IllegalArgumentException => true }
+    require(retag, "re-tagging an existing name must refuse")
+    Manifest.rewrite(s, tbl, Seq(slice(50, 100, s"$root/d2")))
+    Manifest.rewrite(s, tbl, Seq(slice(100, 150, s"$root/d3")))
+    val expired = Manifest.expire(s, tbl, keepLast = 1)
+    require(expired == Seq(2), s"expected only v2 reclaimed, got $expired")
+    require(!fsH.exists(new org.apache.hadoop.fs.Path(s"$root/d2")),
+      "untagged dead version's data must be reclaimed")
+    require(fsH.exists(new org.apache.hadoop.fs.Path(s"$root/d1")),
+      "tagged version's data must survive expire")
+    def census(df: DataFrame, tagName: String) = df
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("side", lit(tagName))
+    // materialize the tagged read BEFORE the tag is dropped below —
+    // DataFrames are lazy and the data is about to be reclaimed
+    val tagged = census(Manifest.snapshotOfTag(s, tbl, "prod"), "tagged")
+      .staged()
+    val latest = census(Manifest.snapshot(s, tbl), "latest").staged()
+    Manifest.dropTag(s, tbl, "prod")
+    val expired2 = Manifest.expire(s, tbl, keepLast = 1)
+    require(expired2 == Seq(v1),
+      s"after dropTag, v$v1 must reclaim; got $expired2")
+    require(!fsH.exists(new org.apache.hadoop.fs.Path(s"$root/d1")),
+      "dropping the tag releases the data to retention")
+    tagged.unionByName(latest)
+      .select(col("side"), col("bucket"), col("n"), col("sum_id"),
+        col("sum_cents"))
+      .orderBy(col("side"), col("bucket"))
+  }
+
+  val io37Oracle: String =
+    """WITH base AS (SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |t AS (SELECT 'tagged' AS side, user_id % 10 AS bucket,
+      |    COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM base WHERE user_id < 50 GROUP BY 2),
+      |l AS (SELECT 'latest' AS side, user_id % 10 AS bucket,
+      |    COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM base WHERE user_id >= 100 AND user_id < 150 GROUP BY 2)
+      |SELECT * FROM l UNION ALL SELECT * FROM t
+      |ORDER BY side, bucket""".stripMargin
+
   /** Small-file compaction ([[graft.io.Compaction]]): a deliberately
     * over-parallel write (64 files for a few hundred KB) rewritten to
     * target-size files, then aggregated — the result hash proves row-exact
@@ -4073,6 +4153,7 @@ object OpsQueries {
     "io34_partition_evolution" -> (io34PartitionEvolution _),
     "io35_column_mapping" -> (io35ColumnMapping _),
     "io36_deep_clone" -> (io36DeepClone _),
+    "io37_version_tags" -> (io37VersionTags _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -4142,6 +4223,7 @@ object OpsQueries {
     "io34_partition_evolution" -> io34Oracle,
     "io35_column_mapping" -> io35Oracle,
     "io36_deep_clone" -> io36Oracle,
+    "io37_version_tags" -> io37Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
