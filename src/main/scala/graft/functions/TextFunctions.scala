@@ -226,4 +226,33 @@ object TextFunctions {
         sb.toString.trim
       }
     })
+
+  /** Script census per document — the multilingual-curation signal
+    * language-ID alone misses (a "Russian" doc that is 80% Latin
+    * code, mixed-script spam, mojibake): counts of codepoints per
+    * Unicode script class (Latin letters, Cyrillic, Greek, CJK
+    * unified ideographs, digits, everything else) in one pass. Range
+    * checks only — no locale tables — so an oracle replays them as
+    * plain comparisons.
+    */
+  val scriptCounts: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((text: String) => {
+      var latin = 0L; var cyr = 0L; var greek = 0L
+      var cjk = 0L; var digit = 0L; var other = 0L
+      if (text != null) {
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z'))
+            latin += 1
+          else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+          else if (cp >= 0x0370 && cp <= 0x03FF) greek += 1
+          else if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+          else if (cp >= '0' && cp <= '9') digit += 1
+          else other += 1
+          i += Character.charCount(cp)
+        }
+      }
+      (latin, cyr, greek, cjk, digit, other)
+    })
 }

@@ -2451,6 +2451,70 @@ object TextQueries {
       |    AS n_changed
       |FROM norm GROUP BY 1 ORDER BY variant""".stripMargin
 
+  /** Script census ([[graft.functions.TextFunctions.scriptCounts]]) —
+    * the multilingual signal language-ID alone misses: per-document
+    * codepoint counts by Unicode script class (Latin, Cyrillic, Greek,
+    * CJK, digits, other), the mixed-script / mojibake / wrong-corpus
+    * detector. Planted suffixes put real Cyrillic/Greek/CJK text on
+    * top of the corpus docs; classification is pure range checks, so
+    * DuckDB replays it per codepoint. One per-row projection + a
+    * 4-group census.
+    */
+  def tScriptCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val aug = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select((col("doc_id") % 4).as("variant"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 1,
+            lit(" \u043f\u0440\u0438\u0432\u0435\u0442"))
+          .when(col("doc_id") % 4 === 2,
+            lit(" \u03bb\u03bf\u03b3\u03bf\u03c2"))
+          .when(col("doc_id") % 4 === 3,
+            lit(" \u4e2d\u6587\u6570\u636e"))
+          .otherwise(lit(""))).as("raw"))
+    aug.select(col("variant"),
+        TextFunctions.scriptCounts(col("raw")).as("sc"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sc._1")).as("latin"), sum(col("sc._2")).as("cyrillic"),
+        sum(col("sc._3")).as("greek"), sum(col("sc._4")).as("cjk"),
+        sum(col("sc._5")).as("digits"), sum(col("sc._6")).as("other"))
+      .orderBy(col("variant"))
+  }
+
+  val tScriptCensusOracle: String =
+    """WITH aug AS (SELECT doc_id % 4 AS variant,
+      |    text || CASE doc_id % 4
+      |      WHEN 1 THEN ' ' || chr(1087) || chr(1088) || chr(1080)
+      |        || chr(1074) || chr(1077) || chr(1090)
+      |      WHEN 2 THEN ' ' || chr(955) || chr(959) || chr(947)
+      |        || chr(959) || chr(962)
+      |      WHEN 3 THEN ' ' || chr(20013) || chr(25991) || chr(25968)
+      |        || chr(25454)
+      |      ELSE '' END AS raw
+      |  FROM documents WHERE doc_id < 200),
+      |cp AS (SELECT variant, ascii(c) AS cp
+      |  FROM aug, unnest(regexp_extract_all(raw, '[\s\S]')) AS t(c)),
+      |cls AS (SELECT variant,
+      |    CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+      |        THEN 'latin'
+      |      WHEN cp BETWEEN 1024 AND 1279 THEN 'cyr'
+      |      WHEN cp BETWEEN 880 AND 1023 THEN 'greek'
+      |      WHEN cp BETWEEN 19968 AND 40959 THEN 'cjk'
+      |      WHEN cp BETWEEN 48 AND 57 THEN 'digit'
+      |      ELSE 'other' END AS k
+      |  FROM cp),
+      |nd AS (SELECT variant, COUNT(*) AS n FROM aug GROUP BY 1)
+      |SELECT cls.variant, MAX(nd.n) AS n,
+      |  COUNT(*) FILTER (k = 'latin') AS latin,
+      |  COUNT(*) FILTER (k = 'cyr') AS cyrillic,
+      |  COUNT(*) FILTER (k = 'greek') AS greek,
+      |  COUNT(*) FILTER (k = 'cjk') AS cjk,
+      |  COUNT(*) FILTER (k = 'digit') AS digits,
+      |  COUNT(*) FILTER (k = 'other') AS other
+      |FROM cls JOIN nd USING (variant)
+      |GROUP BY 1 ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_tokens" -> (tTokens _),
     "t2_quality" -> (tQuality _),
@@ -2488,6 +2552,7 @@ object TextQueries {
     "t35_dsir_select" -> (tDsirSelect _),
     "t36_heavy_hitters" -> (tHeavyHitters _),
     "t37_normalize" -> (tNormalize _),
+    "t38_script_census" -> (tScriptCensus _),
     "st11_stream_bm25" -> (stBm25Stream _),
     "io31_torn_index" -> (ioTornIndexRead _))
 
@@ -2532,6 +2597,7 @@ object TextQueries {
     "t35_dsir_select" -> tDsirSelectOracle,
     "t36_heavy_hitters" -> tHeavyHittersOracle,
     "t37_normalize" -> tNormalizeOracle,
+    "t38_script_census" -> tScriptCensusOracle,
     // the streamed-in index must answer bit-identically to a one-shot
     // batch build over the same corpus
     "st11_stream_bm25" -> tBm25Oracle,
