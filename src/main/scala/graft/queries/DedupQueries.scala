@@ -2708,6 +2708,76 @@ object DedupQueries {
       |  FROM cand)
       |SELECT ia, ib, jac FROM ver WHERE jac >= 0.8 ORDER BY ia, ib""".stripMargin
 
+  /** PARAGRAPH-level boilerplate dedup — the corpus-cleanup operator
+    * between d1 (whole-document exact dup) and d10 (substring spans):
+    * web text repeats PARAGRAPHS (footers, cookie banners, navigation,
+    * license blocks) across millions of otherwise-distinct pages, and
+    * the standard cure (the C4/CCNet line-level rule) keeps each
+    * repeated paragraph only at its FIRST occurrence corpus-wide —
+    * (min doc_id, min position) — and drops every other copy. Planted
+    * docs carry one unique paragraph, two shared boilerplate
+    * paragraphs (keyed mod 5 / mod 3), and a corpus-text prefix. The
+    * 100 TB shape: paragraphs shuffle as (rolling-hash, doc, pos) —
+    * 24 B each, never the text (the engine-wide replayable polynomial
+    * hash, so DuckDB reproduces the grouping key exactly); the winner
+    * per hash is one min(struct) aggregate; text length only rides the
+    * final per-doc census.
+    */
+  def d26ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val sep = "\n\n"
+    val aug = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id"),
+        concat(
+          lit("DOC:"), col("doc_id").cast("string"), lit(sep),
+          lit("SHARE-"), (col("doc_id") % 5).cast("string"), lit(sep),
+          lit("FOOTER-"), (col("doc_id") % 3).cast("string"), lit(sep),
+          substring(col("text"), 1, 40)).as("raw"))
+    val paras = aug.select(col("doc_id"),
+        posexplode(split(col("raw"), sep)).as(Seq("pos", "para")))
+      .withColumn("h", TextFunctions.rollingHash(col("para")))
+    val winner = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    paras.join(winner, "h")
+      .withColumn("keep",
+        col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), length(col("para")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d26Oracle: String =
+    """WITH aug AS (SELECT doc_id,
+      |    'DOC:' || doc_id || chr(10) || chr(10)
+      |    || 'SHARE-' || (doc_id % 5) || chr(10) || chr(10)
+      |    || 'FOOTER-' || (doc_id % 3) || chr(10) || chr(10)
+      |    || substr(text, 1, 40) AS raw
+      |  FROM documents WHERE doc_id < 150),
+      |pl AS (SELECT doc_id,
+      |    string_split(raw, chr(10) || chr(10)) AS p FROM aug),
+      |paras AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+      |    p[CAST(i AS INT)] AS para
+      |  FROM pl, range(1, 20) r(i) WHERE i <= len(p)),
+      |hashed AS (SELECT doc_id, pos, para,
+      |    CASE WHEN length(para) = 0 THEN 0
+      |      ELSE list_reduce(list_transform(
+      |        regexp_extract_all(para, '.'),
+      |        c -> CAST(ascii(c) AS BIGINT)),
+      |        (a, b) -> (a * 31 + b) % 1000000007) END AS h
+      |  FROM paras),
+      |ranked AS (SELECT doc_id, pos, para,
+      |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |  FROM hashed)
+      |SELECT doc_id, COUNT(*) AS n_paras,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN length(para) ELSE 0 END)
+      |    AS BIGINT) AS kept_chars
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (dExact _),
     "d2_jaccard_neardup" -> (dJaccard _),
@@ -2730,6 +2800,7 @@ object DedupQueries {
     "d23_budget_docsample" -> (d23BudgetDocSample _),
     "d24_census_jaccard" -> (d24CensusJaccard _),
     "d25_census_containment" -> (d25CensusContainment _),
+    "d26_paragraph_dedup" -> (d26ParagraphDedup _),
     "d17_funnel" -> (d17Funnel _),
     "d19_containment" -> (dContainment _),
     "d18_span_scrub" -> (d18SpanScrub _))
@@ -2756,6 +2827,7 @@ object DedupQueries {
     "d23_budget_docsample" -> d23Oracle,
     "d24_census_jaccard" -> d24Oracle,
     "d25_census_containment" -> d25Oracle,
+    "d26_paragraph_dedup" -> d26Oracle,
     "d17_funnel" -> d17Oracle,
     "d18_span_scrub" -> d18Oracle,
     "d19_containment" -> dContainmentOracle)
