@@ -282,6 +282,24 @@ object LongArrayOps {
       }
       MisraGriesTopK(args(0), k).toAggregateExpression()
     }),
+    "graft_topk_by" -> arity("graft_topk_by", 4)(args => {
+      def lit[T](e: Expression, what: String): Any =
+        if (e.foldable) e.eval()
+        else throw new IllegalArgumentException(
+          s"graft_topk_by: $what must be a literal")
+      val k = lit(args(2), "k") match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_topk_by: k must be an integer literal, got $other")
+      }
+      val asc = lit(args(3), "asc") match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(
+          s"graft_topk_by: asc must be a boolean literal, got $other")
+      }
+      TopKBy(args(0), args(1), k, asc).toAggregateExpression()
+    }),
     "graft_topk_merge" -> arity("graft_topk_merge", 2)(args => {
       val k = args(1) match {
         case e if e.foldable => e.eval() match {

@@ -59,13 +59,14 @@ object SimilarityQueries {
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    broadcast(probes).crossJoin(e)
+    // per-probe top-5 via the bounded-heap aggregate, NOT a rank window:
+    // the probes × corpus fan partial-aggregates map-side and the
+    // exchange carries 5 rows per probe (see RankFunctions.topKPerGroup)
+    val fan = broadcast(probes).crossJoin(e)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "cos", "nid", 5, asc = false)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -117,13 +118,13 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
         col("bucket"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    broadcast(probes).join(e, Seq("bucket"))
+    // same-bucket fan cut by the bounded-heap top-k aggregate (map-side
+    // partial merge; 3 rows per probe cross the exchange), not a window
+    val fan = broadcast(probes).join(e, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "cos", "nid", 3, asc = false)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -3879,14 +3880,16 @@ object SimilarityQueries {
     val hd = call_function("bit_count",
         expr("b_lo ^ q_lo")).cast("long") +
       call_function("bit_count", expr("b_hi ^ q_hi")).cast("long")
-    val candW = Window.partitionBy(col("qid"))
-      .orderBy(col("hd"), col("nid"))
-    val cands = broadcast(probes)
+    // candidate cut via the bounded-heap top-k aggregate: the probes ×
+    // corpus signature fan partial-aggregates map-side, so the exchange
+    // carries 12 (hd, nid) pairs per probe instead of the whole fan
+    // funneling into ≤ #probes rank-window reducers
+    val candFan = broadcast(probes)
       .crossJoin(sigs.select(col("vec_id"), col("b_lo"), col("b_hi")))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), hd.as("hd"))
-      .withColumn("crk", row_number().over(candW))
-      .filter(col("crk") <= 12)
+    val cands = graft.functions.RankFunctions
+      .topKPerGroup(candFan, "qid", "hd", "nid", 12, asc = true)
     val qv = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"))
@@ -3964,13 +3967,13 @@ object SimilarityQueries {
         col("nn16").as("qn16"))
     val d2c = col("qn16") - lit(2L) * dotLong(col("qv16"), col("v16")) +
       col("nn16")
-    val candW = Window.partitionBy(col("qid"))
-      .orderBy(col("d2c"), col("nid"))
-    val cands = broadcast(probes).crossJoin(pre)
+    // prefix-scan candidate cut through the bounded-heap aggregate —
+    // map-side partial merge, 12 rows per probe across the exchange
+    val candFan = broadcast(probes).crossJoin(pre)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), d2c.as("d2c"))
-      .withColumn("crk", row_number().over(candW))
-      .filter(col("crk") <= 12)
+    val cands = graft.functions.RankFunctions
+      .topKPerGroup(candFan, "qid", "d2c", "nid", 12, asc = true)
     val qv = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"))

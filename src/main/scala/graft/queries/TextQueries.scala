@@ -1335,17 +1335,19 @@ object TextQueries {
       top.slice(5, 15).toSeq.zipWithIndex
         .map { case (r, i) => (i.toLong / 2, r.getString(0)) })
       .toDF("qid", "term")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("doc_id"))
-    tf.join(broadcast(qterms), Seq("term"))
+    // per-query top-5 via the bounded-heap aggregate: the scored
+    // (qid, doc_id) fan partial-aggregates map-side and the final
+    // exchange carries 5 rows per query — no rank window sorting each
+    // query's full posting fan in one reducer
+    graft.expressions.LongArrayOps.register(s)
+    val scored = tf.join(broadcast(qterms), Seq("term"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
       .withColumn("fp",
         bm25Fp(col("tf"), col("df"), col("dl"), nDocs, avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    graft.functions.RankFunctions
+      .topKPerGroup(scored, "qid", "score_fp", "doc_id", 5, asc = false)
       .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"))
       .orderBy(col("qid"), col("rk"))
   }

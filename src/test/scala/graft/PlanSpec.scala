@@ -483,4 +483,53 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(bucket"),
       "partition filter must prune at the scan, not post-filter")
   }
+
+  test("probe-fan candidate cuts are bounded top-k aggregates with " +
+      "map-side partial merge — never a rank window over the fan") {
+    // The window formulation (row_number over partitionBy(qid)) funnels
+    // the probes × corpus fan into ≤ #probes reducers, each sorting the
+    // whole fan. The graft_topk_by TypedImperativeAggregate keeps a
+    // k-entry heap per (partition, qid) and partial-merges map-side, so
+    // the exchange carries qids × k fixed-width rows. s25/s26 keep one
+    // legitimate Window: the final top-3 over the ALREADY-CUT 12-row
+    // candidate sets per probe, not the fan.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Final, Partial}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    // plain collect treats AdaptiveSparkPlanExec as a leaf — descend
+    def collectAll[T](plan: SparkPlan)(
+        pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      plan.collect { case p => p }.flatMap {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case p if pf.isDefinedAt(p) => Seq(pf(p))
+        case _ => Seq.empty
+      }
+    for ((q, maxWindows) <- Seq("s1_knn_brute" -> 0, "s2_ann_lsh" -> 0,
+        "s25_binary_quant" -> 1, "s26_matryoshka" -> 1,
+        "t23_bm25" -> 0, "t24_bm25_stored" -> 0)) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val topk = collectAll(plan) {
+        case a: ObjectHashAggregateExec if a.aggregateExpressions.exists(
+          _.aggregateFunction.isInstanceOf[graft.expressions.TopKBy]) => a
+      }
+      val modes = topk.flatMap(_.aggregateExpressions.map(_.mode)).toSet
+      assert(modes.contains(Partial),
+        s"$q: the candidate cut must partial-aggregate map-side " +
+          s"(found modes $modes)")
+      assert(modes.contains(Final),
+        s"$q: the candidate cut must merge partials (found modes $modes)")
+      assert(topk.forall(_.groupingExpressions.exists(
+          _.references.exists(_.name == "qid"))),
+        s"$q: graft_topk_by must group by the bounded qid")
+      val windows = collectAll(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.size <= maxWindows,
+        s"$q: at most $maxWindows Window(s) allowed (the post-cut " +
+          s"rerank), found ${windows.size}")
+    }
+  }
 }
