@@ -2733,9 +2733,15 @@ object DedupQueries {
           lit("SHARE-"), (col("doc_id") % 5).cast("string"), lit(sep),
           lit("FOOTER-"), (col("doc_id") % 3).cast("string"), lit(sep),
           substring(col("text"), 1, 40)).as("raw"))
+    // the census only ever needs length(para): project it BEFORE the
+    // h-keyed join so the winner exchange carries (h, doc, pos, len) —
+    // 32 B fixed-width rows, never the paragraph text (at 100 TB the
+    // text through that shuffle is the corpus itself)
     val paras = aug.select(col("doc_id"),
         posexplode(split(col("raw"), sep)).as(Seq("pos", "para")))
-      .withColumn("h", TextFunctions.rollingHash(col("para")))
+      .select(col("doc_id"), col("pos"),
+        TextFunctions.rollingHash(col("para")).as("h"),
+        length(col("para")).cast("long").as("len"))
     val winner = paras.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
     paras.join(winner, "h")
@@ -2744,8 +2750,7 @@ object DedupQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), length(col("para")).cast("long"))
-          .otherwise(0L)).as("kept_chars"))
+        sum(when(col("keep"), col("len")).otherwise(0L)).as("kept_chars"))
       .orderBy(col("doc_id"))
   }
 

@@ -35,39 +35,57 @@ object GraphQueries {
       .distinct()
 
   /** PageRank, 3 synchronous rounds of integer fixed-point power
-    * iteration: r₀ = 10^6; rₜ₊₁(v) = 150000 + Σ over in-edges
-    * (rₜ(u)·85) div (100·outdeg(u)) — the damped random surfer with
-    * every float replaced by exact integer arithmetic (dangling mass
-    * is dropped, the standard simplification, replayed identically by
-    * the oracle). Scale shape: each round is one join of the rank
-    * vector onto the edge list (shuffle ∝ edges) plus one aggregate by
-    * destination (shuffle ∝ nodes) — the canonical Pregel-on-DataFrame
-    * round; edges carry their out-degree from a single precomputed
-    * join, the rank vector is the small side every round, and rounds
-    * are a fixed unrolled count so the plan stays a static DAG (no
-    * driver-side convergence loop reading results back).
+    * iteration with DANGLING-MASS REDISTRIBUTION: r₀ = 10^6;
+    * rₜ₊₁(v) = 150000 + (Dₜ·85) div (100·N) + Σ over in-edges
+    * (rₜ(u)·85) div (100·outdeg(u)), where Dₜ = Σ rₜ(u) over nodes
+    * with NO out-edges and N = |nodes| — the damped random surfer
+    * whose dangling mass teleports uniformly (on a real crawl graph
+    * ~20% of pages are dangling; dropping their mass deflates every
+    * rank total). Every float is exact integer arithmetic so DuckDB
+    * replays bit-identically. Scale shape per round: one join of the
+    * rank vector onto the edge list (shuffle ∝ edges), one aggregate
+    * by destination (shuffle ∝ nodes), and ONE scalar aggregate of
+    * dangling rank (the flag rides the rank vector — no extra join)
+    * folded in as a broadcast 1-row term; rounds stay a fixed unrolled
+    * count so the plan is a static DAG. The planted graph drops
+    * out-edges of nodes 27–29 so the gate exercises real dangling
+    * nodes.
     */
   def g1PageRank(s: SparkSession, dir: String): DataFrame =
-    pageRank(edges(s, dir), rounds = 3)
+    pageRank(edges(s, dir).filter(col("u") < 27), rounds = 3)
 
-  /** The reusable core: integer-fixed-point PageRank over any (u, v)
-    * edge DataFrame. `GraphSpec` pins it against a hand-computed star.
+  /** The reusable core: integer-fixed-point PageRank with dangling
+    * redistribution over any (u, v) edge DataFrame. `GraphSpec` pins
+    * it against a hand-computed star (whose hub is dangling) and the
+    * uniform fixed point of a cycle.
     */
   def pageRank(e: DataFrame, rounds: Int): DataFrame = {
     val od = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
     // one edge-list annotation, reused every round
     val ed = e.join(od, "u").select(col("u"), col("v"), col("d"))
       .staged()
+    // nodes annotated once with the dangling flag: it rides the rank
+    // vector through every round, so Dₜ is a filter + 1-row aggregate
     val nodes = ed.select(col("u").as("n"))
       .union(ed.select(col("v").as("n"))).distinct()
-    var ranks = nodes.select(col("n"), lit(1000000L).as("r"))
+      .join(ed.select(col("u").as("n")).distinct()
+        .withColumn("has_out", lit(true)), Seq("n"), "left")
+      .select(col("n"), col("has_out").isNull.as("dang"))
+      .staged()
+    val nN = nodes.agg(count(lit(1)).as("nn"))
+    var ranks = nodes.select(col("n"), col("dang"), lit(1000000L).as("r"))
     for (_ <- 1 to rounds) {
+      val dm = ranks.filter(col("dang"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
       val contrib = ed.join(ranks, ed("u") === ranks("n"))
         .groupBy(col("v"))
         .agg(sum(expr("(r * 85) DIV (100 * d)")).as("c"))
       ranks = nodes.join(contrib, nodes("n") === contrib("v"), "left")
-        .select(col("n"), (lit(150000L) + coalesce(col("c"), lit(0L)))
-          .as("r"))
+        .crossJoin(broadcast(dm))
+        .crossJoin(broadcast(nN))
+        .select(col("n"), col("dang"),
+          (lit(150000L) + expr("(dm * 85) DIV (100 * nn)") +
+            coalesce(col("c"), lit(0L))).as("r"))
     }
     ranks.select(col("n").as("node"), col("r").as("rank"))
       .orderBy(col("node"))
@@ -78,25 +96,39 @@ object GraphQueries {
       |    (doc_id % 30 + 1 + doc_id % 7) % 30 AS v
       |  FROM documents
       |  WHERE doc_id < 400
-      |    AND doc_id % 30 != (doc_id % 30 + 1 + doc_id % 7) % 30),
+      |    AND doc_id % 30 != (doc_id % 30 + 1 + doc_id % 7) % 30
+      |    AND doc_id % 30 < 27),
       |nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+      |nn AS (SELECT COUNT(*) AS c FROM nodes),
       |od AS (SELECT u, COUNT(*) AS d FROM e GROUP BY 1),
       |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      |d1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0
+      |  WHERE n NOT IN (SELECT u FROM e)),
       |c1 AS (SELECT e.v AS n, SUM((r0.r * 85) // (100 * od.d)) AS c
       |  FROM e JOIN r0 ON e.u = r0.n JOIN od ON od.u = e.u GROUP BY 1),
-      |i1 AS (SELECT nodes.n,
-      |    CAST(150000 + COALESCE(c1.c, 0) AS BIGINT) AS r
-      |  FROM nodes LEFT JOIN c1 ON nodes.n = c1.n),
+      |i1 AS (SELECT nodes.n, CAST(150000
+      |      + (d1.dm * 85) // (100 * nn.c)
+      |      + COALESCE(c1.c, 0) AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c1 ON nodes.n = c1.n
+      |  CROSS JOIN d1 CROSS JOIN nn),
+      |d2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM i1
+      |  WHERE n NOT IN (SELECT u FROM e)),
       |c2 AS (SELECT e.v AS n, SUM((i1.r * 85) // (100 * od.d)) AS c
       |  FROM e JOIN i1 ON e.u = i1.n JOIN od ON od.u = e.u GROUP BY 1),
-      |i2 AS (SELECT nodes.n,
-      |    CAST(150000 + COALESCE(c2.c, 0) AS BIGINT) AS r
-      |  FROM nodes LEFT JOIN c2 ON nodes.n = c2.n),
+      |i2 AS (SELECT nodes.n, CAST(150000
+      |      + (d2.dm * 85) // (100 * nn.c)
+      |      + COALESCE(c2.c, 0) AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c2 ON nodes.n = c2.n
+      |  CROSS JOIN d2 CROSS JOIN nn),
+      |d3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM i2
+      |  WHERE n NOT IN (SELECT u FROM e)),
       |c3 AS (SELECT e.v AS n, SUM((i2.r * 85) // (100 * od.d)) AS c
       |  FROM e JOIN i2 ON e.u = i2.n JOIN od ON od.u = e.u GROUP BY 1),
-      |i3 AS (SELECT nodes.n,
-      |    CAST(150000 + COALESCE(c3.c, 0) AS BIGINT) AS r
-      |  FROM nodes LEFT JOIN c3 ON nodes.n = c3.n)
+      |i3 AS (SELECT nodes.n, CAST(150000
+      |      + (d3.dm * 85) // (100 * nn.c)
+      |      + COALESCE(c3.c, 0) AS BIGINT) AS r
+      |  FROM nodes LEFT JOIN c3 ON nodes.n = c3.n
+      |  CROSS JOIN d3 CROSS JOIN nn)
       |SELECT n AS node, r AS rank FROM i3 ORDER BY node""".stripMargin
 
   /** Triangle participation counts via degree-ordered orientation —
@@ -175,11 +207,107 @@ object GraphQueries {
       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
       |GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Weakly-connected components for LONG-DIAMETER graphs (crawl/link
+    * graphs with chain structure) via min-label propagation PLUS
+    * pointer jumping — each round first takes the min label over the
+    * closed neighborhood, then rewrites every label through the label
+    * OF its label (`c ← c(c)`), so label reach doubles per round and
+    * convergence is O(log diameter) rounds (measured: 9 rounds on a
+    * 256-path, 11 on a 1024-path — `GraphSpec` pins the log growth)
+    * instead of the ∝ diameter of plain propagation
+    * ([[graft.queries.DedupQueries]]'s `componentLabels`, which is the
+    * right tool for ~10-diameter similarity graphs but not a million-
+    * hop chain). Per round: one edge-list join (shuffle ∝ edges), one
+    * min-aggregate and one self-join of the label table (shuffle ∝
+    * nodes); lineage is truncated per round and the convergence check
+    * is a LIMIT-1 count, so driver data stays O(1). Fails loudly at
+    * `maxRounds` rather than returning partial labels.
+    */
+  def wccDoubling(e: DataFrame, maxRounds: Int = 40): (DataFrame, Int) = {
+    // symmetrized edges PLUS a self-loop per node: the per-round min is
+    // then over the CLOSED neighborhood through one join-aggregate — no
+    // per-round union (a staged frame inside a Union trips Union's
+    // constraint rewrite against LogicalRDD's origin constraints)
+    val sym = e.select(col("u").as("u"), col("v").as("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val und = sym
+      .union(sym.select(col("u").as("u"), col("u").as("v")))
+      .distinct().staged()
+    var labels = und.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("c")).staged()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val prop = und.join(labels, und("u") === labels("n"))
+        .groupBy(col("v")).agg(min(col("c")).as("c"))
+        .select(col("v").as("n"), col("c"))
+        .staged() // materialized once: both sides of the jump self-join
+      // pointer jump: labels are node ids, so every c has a row in prop
+      val jumped = prop.as("a").join(prop.as("b"),
+          col("a.c") === col("b.n"))
+        .select(col("a.n").as("n"), col("b.c").as("c"))
+        .staged()
+      val changed = jumped.as("x").join(labels.as("y"),
+          col("x.n") === col("y.n"))
+        .filter(col("x.c") =!= col("y.c")).limit(1).count()
+      labels = jumped
+      converged = changed == 0L
+    }
+    require(converged,
+      s"wccDoubling: no convergence after $maxRounds rounds — " +
+        "raise maxRounds (diameter > 2^maxRounds is implausible; " +
+        "suspect a data problem)")
+    (labels, rounds)
+  }
+
+  /** The planted WCC graph: three 40-node paths (0–39, 40–79, 80–119:
+    * real multi-hop diameter), a 30-leaf star at hub 200, and two
+    * isolated edges — six components of three shapes, replayed by a
+    * DuckDB recursive CTE.
+    */
+  def g3Wcc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val path = d.filter(col("doc_id") < 119 && col("doc_id") % 40 =!= 39)
+      .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+    val star = d.filter(col("doc_id") < 100)
+      .select(lit(200L).as("u"), (lit(201L) + col("doc_id") % 30).as("v"))
+    val pairs = d.filter(col("doc_id") < 2)
+      .select((lit(300L) + col("doc_id") * 2).as("u"),
+        (lit(301L) + col("doc_id") * 2).as("v"))
+    val edges = path.union(star).union(pairs).distinct()
+    val (labels, _) = wccDoubling(edges)
+    labels.groupBy(col("c").as("comp"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("n")).as("checksum"))
+      .orderBy(col("comp"))
+  }
+
+  val g3Oracle: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+      |    WHERE doc_id < 119 AND doc_id % 40 != 39
+      |  UNION
+      |  SELECT 200, 201 + doc_id % 30 FROM documents WHERE doc_id < 100
+      |  UNION
+      |  SELECT 300 + doc_id * 2, 301 + doc_id * 2 FROM documents
+      |    WHERE doc_id < 2),
+      |e AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+      |nodes AS (SELECT DISTINCT u AS n FROM e),
+      |reach(n, c) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.c FROM reach JOIN e ON e.u = reach.n),
+      |lab AS (SELECT n, MIN(c) AS comp FROM reach GROUP BY n)
+      |SELECT comp, COUNT(*) AS n_nodes, CAST(SUM(n) AS BIGINT) AS checksum
+      |FROM lab GROUP BY comp ORDER BY comp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> (g1PageRank _),
-    "g2_triangles" -> (g2TriangleCount _))
+    "g2_triangles" -> (g2TriangleCount _),
+    "g3_wcc" -> (g3Wcc _))
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Oracle,
-    "g2_triangles" -> g2Oracle)
+    "g2_triangles" -> g2Oracle,
+    "g3_wcc" -> g3Oracle)
 }

@@ -484,6 +484,34 @@ class PlanSpec extends AnyFunSuite {
       "partition filter must prune at the scan, not post-filter")
   }
 
+  test("d26 paragraph dedup: no string column ever crosses a shuffle") {
+    // the winner join and census exchanges must carry only
+    // (h, doc_id, pos, len) fixed-width rows — paragraph text stays
+    // inside the map-side projection that hashes it
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    def collectAll[T](plan: SparkPlan)(
+        pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      plan.collect { case p => p }.flatMap {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case p if pf.isDefinedAt(p) => Seq(pf(p))
+        case _ => Seq.empty
+      }
+    val df = SparkEntry.queries("d26_paragraph_dedup")(spark, sf)
+    val exchanges = collectAll(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the h-keyed winner exchange")
+    exchanges.foreach { e =>
+      val strings = e.output.filter(_.dataType == StringType)
+      assert(strings.isEmpty,
+        s"string column(s) ${strings.map(_.name).mkString(",")} cross " +
+          s"a shuffle: $e")
+    }
+  }
+
   test("probe-fan candidate cuts are bounded top-k aggregates with " +
       "map-side partial merge — never a rank window over the fan") {
     // The window formulation (row_number over partitionBy(qid)) funnels
