@@ -247,17 +247,51 @@ object Multimodal {
 
   /** Header-only media probe: container type and pixel dimensions
     * parsed from the first bytes of the blob — PNG's IHDR (big-endian
-    * w/h at offset 16) and GIF's logical screen descriptor
-    * (little-endian at offset 6) — WITHOUT decoding a pixel. At 100 TB
-    * this is the difference between a metadata census that reads
-    * ~32 B/blob (with parquet lazily materializing only what the
-    * expression touches) and one that runs the full codec over every
-    * image; unknown magics surface as ("unknown", -1, -1) rather than
-    * an error, the audit-not-crash contract a corpus census needs.
+    * w/h at offset 16), GIF's logical screen descriptor (little-endian
+    * at offset 6), and JPEG's SOF frame header (marker walk from SOI to
+    * SOF0/SOF2, big-endian height then width — a pure byte-walk over
+    * the metadata segments, still no entropy-coded data touched) —
+    * WITHOUT decoding a pixel. At 100 TB this is the difference between
+    * a metadata census that reads ~32 B/blob (with parquet lazily
+    * materializing only what the expression touches; JPEG reads to its
+    * first SOF, a few hundred bytes of APP/DQT segments) and one that
+    * runs the full codec over every image; unknown magics and truncated
+    * or malformed marker streams surface as ("unknown", -1, -1) rather
+    * than an error, the audit-not-crash contract a corpus census needs.
     */
   val probeHeader: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((bytes: Array[Byte]) => {
       def u8(i: Int): Int = bytes(i) & 0xff
+      // SOF markers are C0–CF minus DHT(C4), JPG(C8), DAC(CC)
+      def isSof(m: Int): Boolean =
+        (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+      def jpegSof(): (String, Int, Int) = {
+        var i = 2
+        while (i + 3 < bytes.length) {
+          if (u8(i) != 0xff) return ("unknown", -1, -1)
+          var j = i + 1
+          while (j < bytes.length && u8(j) == 0xff) j += 1 // fill bytes
+          if (j >= bytes.length) return ("unknown", -1, -1)
+          val m = u8(j)
+          if (isSof(m)) {
+            if (j + 8 >= bytes.length) return ("unknown", -1, -1)
+            val h = (u8(j + 4) << 8) | u8(j + 5)
+            val w = (u8(j + 6) << 8) | u8(j + 7)
+            return ("jpeg", w, h)
+          } else if (m == 0xd9 || m == 0xda) {
+            // EOI / start-of-scan before any SOF: malformed for a probe
+            return ("unknown", -1, -1)
+          } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+            i = j + 1 // standalone marker, no payload
+          } else {
+            if (j + 2 >= bytes.length) return ("unknown", -1, -1)
+            val len = (u8(j + 1) << 8) | u8(j + 2)
+            if (len < 2) return ("unknown", -1, -1)
+            i = j + 1 + len
+          }
+        }
+        ("unknown", -1, -1)
+      }
       if (bytes == null || bytes.length < 10) ("unknown", -1, -1)
       else if (bytes.length >= 24 &&
           u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') {
@@ -269,6 +303,8 @@ object Multimodal {
         val w = u8(6) | (u8(7) << 8)
         val h = u8(8) | (u8(9) << 8)
         ("gif", w, h)
+      } else if (u8(0) == 0xff && u8(1) == 0xd8) {
+        jpegSof()
       } else ("unknown", -1, -1)
     })
 

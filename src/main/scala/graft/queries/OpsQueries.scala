@@ -3781,7 +3781,7 @@ object OpsQueries {
     import graft.multimodal.Multimodal
     val blobs = Tables.events(s, dir).filter(col("event_id") < 48)
       .select(col("event_id")).as[Long].map { id =>
-        val kind = (id % 3).toInt
+        val kind = (id % 4).toInt
         val bytes: Array[Byte] = kind match {
           case 0 => // PNG still, id-dependent dims
             val w = (8 + id % 5).toInt
@@ -3795,7 +3795,16 @@ object OpsQueries {
             Multimodal.encodeGifAnimation(Seq(
               new java.awt.image.BufferedImage(16, 12,
                 java.awt.image.BufferedImage.TYPE_INT_RGB)))
-          case _ => // junk: not a container
+          case 2 => // JPEG through the real javax.imageio encoder:
+            // the probe must walk actual APP0/DQT/DHT segments to SOF
+            val w = (10 + id % 6).toInt
+            val h = (7 + id % 5).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            baos.toByteArray
+          case _ => // junk: not a container (bytes < 251, never a magic)
             Array.tabulate[Byte](64)(i => ((id * 31 + i * 7) % 251).toByte)
         }
         (id, bytes)
@@ -3811,12 +3820,17 @@ object OpsQueries {
 
   val m10Oracle: String =
     """WITH b AS (SELECT event_id AS id,
-      |    CASE WHEN event_id % 3 = 0 THEN 'png'
-      |      WHEN event_id % 3 = 1 THEN 'gif' ELSE 'unknown' END AS kind,
-      |    CASE WHEN event_id % 3 = 0 THEN 8 + event_id % 5
-      |      WHEN event_id % 3 = 1 THEN 16 ELSE -1 END AS w,
-      |    CASE WHEN event_id % 3 = 0 THEN 6 + event_id % 4
-      |      WHEN event_id % 3 = 1 THEN 12 ELSE -1 END AS h
+      |    CASE WHEN event_id % 4 = 0 THEN 'png'
+      |      WHEN event_id % 4 = 1 THEN 'gif'
+      |      WHEN event_id % 4 = 2 THEN 'jpeg' ELSE 'unknown' END AS kind,
+      |    CASE WHEN event_id % 4 = 0 THEN 8 + event_id % 5
+      |      WHEN event_id % 4 = 1 THEN 16
+      |      WHEN event_id % 4 = 2 THEN 10 + event_id % 6
+      |      ELSE -1 END AS w,
+      |    CASE WHEN event_id % 4 = 0 THEN 6 + event_id % 4
+      |      WHEN event_id % 4 = 1 THEN 12
+      |      WHEN event_id % 4 = 2 THEN 7 + event_id % 5
+      |      ELSE -1 END AS h
       |  FROM events WHERE event_id < 48)
       |SELECT kind, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
       |  COUNT(*) AS n

@@ -142,4 +142,42 @@ class MultimodalSpec extends AnyFunSuite {
       Array.fill[Byte](64)(3), 64L, Map.empty)))
     assert(Multimodal.sampleVideoFrames(junk, 1).count() === 0)
   }
+
+  test("probeHeader walks JPEG markers to SOF — baseline, progressive, " +
+      "and malformed streams") {
+    import org.apache.spark.sql.functions.col
+    def jpeg(w: Int, h: Int, progressive: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      if (progressive) p.setProgressiveMode(
+        javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      baos.toByteArray
+    }
+    val baseline = jpeg(33, 21, progressive = false)
+    val prog = jpeg(17, 45, progressive = true) // SOF2, not SOF0
+    val truncated = baseline.take(6) // SOI + APP0 marker, cut mid-segment
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte, // SOI then EOI
+      0xff.toByte, 0xd9.toByte) ++ Array.fill[Byte](12)(0)
+    val df = spark.createDataFrame(Seq(
+        ("base", baseline), ("prog", prog), ("trunc", truncated),
+        ("nosof", noSof)))
+      .toDF("tag", "content")
+      .select(col("tag"), Multimodal.probeHeader(col("content")).as("p"))
+      .select(col("tag"), col("p._1").as("kind"), col("p._2").as("w"),
+        col("p._3").as("h"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(df("base") === (("jpeg", 33, 21)))
+    assert(df("prog") === (("jpeg", 17, 45)))
+    assert(df("trunc") === (("unknown", -1, -1)))
+    assert(df("nosof") === (("unknown", -1, -1)))
+  }
 }
