@@ -1328,8 +1328,13 @@ object TextQueries {
     * answer contract between them cannot drift on a one-sided edit.
     */
   private def bm25TopK(s: SparkSession, tf: DataFrame, dft: DataFrame,
-      dl: DataFrame, nDocs: Long, avgdl: Double): DataFrame = {
-    val top = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      dl: DataFrame, nDocs: Long, avgdl: Double,
+      termTotals: Option[DataFrame] = None): DataFrame = {
+    // callers that DERIVE dft from tf can hand in a fused (term, c)
+    // aggregate computed alongside df — one posting scan, not two
+    val totals = termTotals.getOrElse(
+      tf.groupBy(col("term")).agg(sum(col("tf")).as("c")))
+    val top = totals
       .orderBy(col("c").desc, col("term")).limit(15).collect()
     val qterms = s.createDataFrame(
       top.slice(5, 15).toSeq.zipWithIndex
@@ -1523,9 +1528,16 @@ object TextQueries {
     val st = Catalog.snapshotOf(s, cRoot, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // one term-keyed scan of the postings feeds BOTH the query-term
+    // pick (sum tf) and the df normalizer (row count) — the posting
+    // table is the biggest input of this query; don't scan it twice
+    val termAgg = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("c"), count(lit(1)).as("df"))
+      .staged()
+    val dft = termAgg.select(col("term"), col("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs,
+      Some(termAgg.select(col("term"), col("c"))))
   }
 
   /** BM25 over an incrementally-built index AFTER COMPACTION — the
@@ -1595,9 +1607,16 @@ object TextQueries {
     val st = Catalog.snapshotOf(s, cRoot, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // one term-keyed scan of the postings feeds BOTH the query-term
+    // pick (sum tf) and the df normalizer (row count) — the posting
+    // table is the biggest input of this query; don't scan it twice
+    val termAgg = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("c"), count(lit(1)).as("df"))
+      .staged()
+    val dft = termAgg.select(col("term"), col("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs,
+      Some(termAgg.select(col("term"), col("c"))))
   }
 
   /** Document TAKEDOWN propagated through the stored retrieval index —
@@ -1856,9 +1875,16 @@ object TextQueries {
     val st = Catalog.snapshotOf(s, cRoot, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // one term-keyed scan of the postings feeds BOTH the query-term
+    // pick (sum tf) and the df normalizer (row count) — the posting
+    // table is the biggest input of this query; don't scan it twice
+    val termAgg = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("c"), count(lit(1)).as("df"))
+      .staged()
+    val dft = termAgg.select(col("term"), col("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs,
+      Some(termAgg.select(col("term"), col("c"))))
   }
 
   /** The TORN-INDEX window, closed on the real index path — the gate
@@ -1925,9 +1951,16 @@ object TextQueries {
     val st = Catalog.snapshotOf(s, cRoot, sRoot)
       .agg(sum(col("nd")), sum(col("tl"))).collect()(0)
     val (nDocs, totLen) = (st.getLong(0), st.getLong(1))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // one term-keyed scan of the postings feeds BOTH the query-term
+    // pick (sum tf) and the df normalizer (row count) — the posting
+    // table is the biggest input of this query; don't scan it twice
+    val termAgg = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("c"), count(lit(1)).as("df"))
+      .staged()
+    val dft = termAgg.select(col("term"), col("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs)
+    bm25TopK(s, tf, dft, dl, nDocs, totLen.toDouble / nDocs,
+      Some(termAgg.select(col("term"), col("c"))))
   }
 
   /** Reproducible epoch shuffle + sharding — the "global shuffle" every
