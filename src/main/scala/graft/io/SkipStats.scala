@@ -135,6 +135,12 @@ object SkipStats {
     if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten.toMap)
   }
 
+  /** Public overlap test for external pruning drivers (the DSv2 read
+    * path prunes directories at planning with the same rule).
+    */
+  def colOverlaps(cs: ColStats, lo: String, hi: String): Boolean =
+    overlaps(cs, lo, hi)
+
   private def overlaps(cs: ColStats, lo: String, hi: String): Boolean =
     cs.bounds match {
       case None => false // no values at all — nothing in range

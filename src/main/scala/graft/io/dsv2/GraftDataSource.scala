@@ -1,0 +1,334 @@
+package graft.io.dsv2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo,
+  Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, LongType, StringType,
+  StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{Manifest, MergeOnRead, SkipStats}
+
+/** DataSourceV2 READ path for manifest tables — what makes the lakehouse
+  * ([[graft.io.Manifest]] versioned commits, [[graft.io.SkipStats]]
+  * sidecars, [[graft.io.MergeOnRead]] tombstones) consumable from plain
+  * `spark.read` / `spark.sql`, not only the Scala API:
+  *
+  * {{{
+  *   spark.read.format("graft").load(root)                    // latest
+  *   spark.read.format("graft").option("versionAsOf", 3)      // time travel
+  *   spark.read.format("graft").option("timestampAsOf", ms)   // AS OF instant
+  *   spark.read.format("graft").option("tag", "v1.0")         // named ref
+  *   spark.read.format("graft").option("morKey", "doc_id")    // live tombstones
+  *   spark.sql("SELECT ... FROM graft.`/path/to/root`")       // SQL-on-file
+  * }}}
+  *
+  * The three table semantics ride the standard V2 planning hooks:
+  *
+  *  - **Version resolution at table load** — the snapshot is pinned when
+  *    the table is resolved, so one query never mixes versions no matter
+  *    what commits land mid-plan.
+  *  - **Skip-stats pruning AT PLANNING** — pushed filters translate to
+  *    [[SkipStats.ColRange]] conjunctions and prune whole committed
+  *    directories BEFORE the parquet scan is planned: the pruned
+  *    directories never enter the file index, so they are absent from
+  *    `planInputPartitions`, not filtered after the fact ([[GraftScan]]
+  *    records kept/skipped for the plan, `LayoutSpec` pins it). Filters
+  *    are also forwarded to the parquet reader (row-group pruning) and
+  *    ALL are reported residual — directory stats are conservative,
+  *    Spark re-applies every predicate, so pruning can never change an
+  *    answer.
+  *  - **MoR tombstone merging** — a version with live tombstone entries
+  *    reads as data-minus-tombstoned-keys: the key set (bounded by
+  *    accumulated deletes — the MoR contract) is collected once at
+  *    planning and each partition reader drops matching rows. Tables
+  *    with live tombstones REQUIRE the `morKey` option (same fail-loud
+  *    contract as [[SkipStats.scanRanges]]); the merge costs the
+  *    vectorized read path only while tombstones are live — a fold
+  *    restores it.
+  *
+  * The scan itself delegates to Spark's parquet DSv2 machinery over the
+  * kept directories, so column pruning, row-group pushdown, and the
+  * vectorized reader are exactly the stock parquet path.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft source requires a path (the manifest table root)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.resolve(SparkSession.active, root(options), options).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    GraftTable.resolve(SparkSession.active, root(options), options)
+  }
+}
+
+object GraftTable {
+  /** Resolve the pinned version + entry partition once per table load. */
+  def resolve(s: SparkSession, root: String,
+      options: CaseInsensitiveStringMap): GraftTable = {
+    val version: Int =
+      if (options.containsKey("versionAsOf"))
+        options.get("versionAsOf").toInt
+      else if (options.containsKey("timestampAsOf"))
+        Manifest.versionAt(s, root, options.get("timestampAsOf").toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version of $root existed at " +
+              options.get("timestampAsOf")))
+      else if (options.containsKey("tag")) {
+        val t = Manifest.tags(s, root)
+        val name = options.get("tag")
+        require(t.contains(name),
+          s"no tag '$name' on $root (have ${t.keys.toSeq.sorted})")
+        t(name)
+      } else {
+        val vs = Manifest.versions(s, root)
+        require(vs.nonEmpty, s"no committed version at $root")
+        vs.last
+      }
+    val (tombs, data) = Manifest.entries(s, root, Some(version))
+      .partition(MergeOnRead.isTombstone)
+    require(data.nonEmpty, s"version $version of $root has no data entries")
+    val morKey = Option(options.get("morKey"))
+    require(tombs.isEmpty || morKey.nonEmpty,
+      s"version $version of $root has live tombstones — pass the " +
+        "morKey option so the scan merges them (or fold first)")
+    val schema = s.read.parquet(data: _*).schema
+    morKey.filter(_ => tombs.nonEmpty).foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"morKey '$k' is not a column of $root (${schema.fieldNames
+          .mkString(", ")})")
+    }
+    new GraftTable(s, root, version, schema, data, tombs, morKey)
+  }
+}
+
+class GraftTable(s: SparkSession, root: String, version: Int,
+    tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
+    morKey: Option[String]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$root`@v$version"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
+      tombDirs, morKey, options)
+}
+
+class GraftScanBuilder(s: SparkSession, root: String, version: Int,
+    tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
+    morKey: Option[String], options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    // ALL filters stay residual: directory stats are conservative
+    // (missing sidecars keep, bounds are inclusive), so Spark must
+    // re-apply every predicate — pruning is IO-only, never semantic
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Pushed filters → skip-stats range conjunctions. Conservative by
+    * construction: only shapes the sidecars can decide become ranges
+    * (integral equality/bounds, string equality); strict bounds loosen
+    * to inclusive; everything else prunes nothing.
+    */
+  private def toRanges(filters: Seq[Filter]): Seq[SkipStats.ColRange] = {
+    val longMin = Long.MinValue.toString
+    val longMax = Long.MaxValue.toString
+    def integral(c: String): Boolean =
+      tableSchema.find(_.name == c).exists(f =>
+        f.dataType == LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType ||
+          f.dataType == org.apache.spark.sql.types.ByteType)
+    def isString(c: String): Boolean =
+      tableSchema.find(_.name == c).exists(_.dataType == StringType)
+    def num(v: Any): Option[String] = v match {
+      case i: Int => Some(i.toString)
+      case l: Long => Some(l.toString)
+      case sh: Short => Some(sh.toString)
+      case b: Byte => Some(b.toString)
+      case _ => None
+    }
+    def str(v: Any): Option[String] = v match {
+      case st: String => Some(st)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+    filters.flatMap {
+      case And(l, r) => toRanges(Seq(l, r))
+      case EqualTo(c, v) if integral(c) =>
+        num(v).map(x => SkipStats.ColRange(c, x, x)).toSeq
+      case EqualTo(c, v) if isString(c) =>
+        str(v).map(x => SkipStats.ColRange(c, x, x)).toSeq
+      case GreaterThanOrEqual(c, v) if integral(c) =>
+        num(v).map(x => SkipStats.ColRange(c, x, longMax)).toSeq
+      case GreaterThan(c, v) if integral(c) =>
+        num(v).map(x => SkipStats.ColRange(c, x, longMax)).toSeq
+      case LessThanOrEqual(c, v) if integral(c) =>
+        num(v).map(x => SkipStats.ColRange(c, longMin, x)).toSeq
+      case LessThan(c, v) if integral(c) =>
+        num(v).map(x => SkipStats.ColRange(c, longMin, x)).toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  override def build(): Scan = {
+    // ── directory pruning, BEFORE the parquet scan exists ──
+    val ranges = toRanges(pushed.toSeq)
+    val f = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (kept, skipped) =
+      if (ranges.isEmpty) (dataDirs, Seq.empty[String])
+      else dataDirs.partition { d =>
+        val stats = SkipStats.read(f, d)
+        ranges.forall(r => stats.flatMap(_.get(r.c))
+          .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi)))
+      }
+    // ── tombstone key set (bounded by accumulated deletes) ──
+    val tombFilter = if (tombDirs.isEmpty) None else {
+      val key = morKey.get
+      val keyType = tableSchema(key).dataType
+      val vals = s.read.parquet(tombDirs: _*).select(key).distinct()
+        .collect()
+      val set = new util.HashSet[Any](vals.length * 2)
+      keyType match {
+        case LongType => vals.foreach(r => set.add(r.getLong(0)))
+        case StringType =>
+          vals.foreach(r => set.add(UTF8String.fromString(r.getString(0))))
+        case other => throw new IllegalArgumentException(
+          s"morKey '$key' must be bigint or string, got $other")
+      }
+      Some((key, keyType, set))
+    }
+    // the delegate must READ the key column even when the query didn't
+    // ask for it; the extra column rides the advertised readSchema
+    // (Spark projects it away above the scan)
+    val delegateRequired = tombFilter match {
+      case Some((key, _, _)) if !required.fieldNames.contains(key) =>
+        StructType(required.fields :+ tableSchema(key))
+      case _ => required
+    }
+    val scanDirs = if (kept.nonEmpty) kept else dataDirs.take(1)
+    val index = new InMemoryFileIndex(s, scanDirs.map(new Path(_)),
+      Map.empty[String, String], Some(tableSchema),
+      org.apache.spark.sql.execution.datasources.NoopCache,
+      None, None)
+    val delegate = ParquetScanBuilder(s, index, tableSchema, tableSchema,
+      new CaseInsensitiveStringMap(util.Collections.emptyMap()))
+    delegate.pruneColumns(delegateRequired)
+    delegate.pushDataFilters(pushed)
+    val parquetScan = delegate.build()
+    GraftScan(parquetScan, root, version, kept, skipped,
+      allPruned = kept.isEmpty, tombFilter)
+  }
+}
+
+/** The planned scan: a thin veneer over the stock [[ParquetScan]] that
+  * (a) carries the kept/skipped directory record into the physical plan
+  * (what `LayoutSpec` pins), (b) returns zero partitions when every
+  * directory was pruned, and (c) swaps in the tombstone-filtering reader
+  * factory when the version carries live deletes.
+  */
+case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
+      .v2.parquet.ParquetScan,
+    root: String, version: Int, keptDirs: Seq[String],
+    skippedDirs: Seq[String], allPruned: Boolean,
+    tombFilter: Option[(String, DataType, util.HashSet[Any])])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = delegate.readSchema()
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (allPruned) Array.empty
+    else delegate.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = delegate.toBatch.createReaderFactory()
+    tombFilter match {
+      case None => inner
+      case Some((key, keyType, keys)) =>
+        val idx = readSchema().fieldIndex(key)
+        new KeyFilteringReaderFactory(inner, idx, keyType, keys)
+    }
+  }
+
+  override def description(): String =
+    s"GraftScan root=$root version=$version " +
+      s"keptDirs=${keptDirs.size} skippedDirs=${skippedDirs.size} " +
+      s"mor=${tombFilter.nonEmpty}"
+}
+
+/** Row-level tombstone merge: wraps the parquet readers and drops rows
+  * whose key is in the collected tombstone set. Row-based by necessity
+  * (a filtered ColumnarBatch would need rebuilding); the cost lasts only
+  * until the table folds its tombstones.
+  */
+class KeyFilteringReaderFactory(inner: PartitionReaderFactory,
+    keyIndex: Int, keyType: DataType, keys: util.HashSet[Any])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val delegate = inner.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (delegate.next()) {
+          val r = delegate.get()
+          val k = r.get(keyIndex, keyType)
+          if (!keys.contains(k)) { current = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = delegate.close()
+    }
+  }
+}

@@ -4117,6 +4117,145 @@ object OpsQueries {
       |  CAST(CAST(lsum AS DOUBLE) / (n * 255000.0) AS FLOAT) AS feat
       |FROM blocks ORDER BY img_id, block""".stripMargin
 
+  /** io16's time travel RE-ANSWERED through the DataSourceV2 read path
+    * ([[graft.io.dsv2.GraftDataSource]]): the same versioned commits +
+    * orphan, but every read is `spark.read.format("graft")` — latest by
+    * default, `versionAsOf` for v1 — so the gate proves a user who only
+    * knows `spark.read` gets the identical snapshot semantics the Scala
+    * API gives (orphans invisible, old versions immutable). Shares
+    * io16's oracle verbatim: the answers must be the same.
+    */
+  def io38Dsv2TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io38_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.parquet(s"$root/data/b1")
+    val v1 = Manifest.commit(s, root, s"$root/data/b1")
+    batch(1500, 3000).write.parquet(s"$root/data/b2")
+    Manifest.commit(s, root, s"$root/data/b2")
+    batch(3000, 4500).write.parquet(s"$root/data/b3") // orphan
+    val asOfV1 = s.read.format("graft")
+      .option("versionAsOf", v1.toString).load(root)
+      .withColumn("version", lit(1))
+    val latest = s.read.format("graft").load(root)
+      .withColumn("version", lit(2))
+    asOfV1.unionByName(latest)
+      .groupBy(col("version"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("version"), col("l_returnflag"))
+  }
+
+  /** io24's skip-stats pruning RE-ANSWERED through DSv2: the pushed
+    * `BETWEEN` translates to sidecar ranges at PLANNING and whole
+    * committed directories never enter the file index (the gate
+    * requires `skippedDirs=2` off the physical plan — b1 and b3 gone,
+    * b2 kept, statless b4 conservatively kept); phase 1 is the plain
+    * snapshot filtered post-hoc. Shares io24's oracle: pruning is IO
+    * only, the census must be identical.
+    */
+  def io39Dsv2SkipScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, SkipStats}
+    val root = tmpDir(s) + "/graft_io39_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val u = okeyUnit(s, dir, 15)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    Seq((0L, u, "b1"), (u, 2 * u, "b2"), (2 * u, 3 * u, "b3"))
+      .foreach { case (lo, hi, name) =>
+        batch(lo, hi).write.parquet(s"$root/data/$name")
+        SkipStats.write(s, s"$root/data/$name", Seq("l_orderkey"))
+        Manifest.commit(s, root, s"$root/data/$name")
+      }
+    batch(3 * u, 3 * u + u / 10).write.parquet(s"$root/data/b4") // no sidecar
+    Manifest.commit(s, root, s"$root/data/b4")
+    val (plo, phi) = (u + u / 5, u + (4 * u) / 5 - 1)
+    val viaDsv2 = s.read.format("graft").load(root)
+      .filter(col("l_orderkey").between(plo, phi))
+    // the pin that pruning happened AT PLANNING: the physical plan's
+    // scan already records b1/b3 as skipped (LayoutSpec pins the
+    // partition-level consequence)
+    val planned = viaDsv2.queryExecution.executedPlan.toString
+    require(planned.contains("skippedDirs=2"),
+      s"DSv2 scan must record 2 pruned directories, plan:\n$planned")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(viaDsv2, 0)
+      .unionByName(census(Manifest.snapshot(s, root)
+        .filter(col("l_orderkey").between(plo, phi)), 1))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  /** io21's merge-on-read RE-ANSWERED through DSv2: phase 0 reads the
+    * pre-delete version (`versionAsOf` — no tombstones yet), phase 1
+    * the tombstoned version with `morKey` (the reader-side anti-merge:
+    * data files untouched, deleted keys dropped row-level), phase 2 the
+    * folded version plain (no tombstones left — and the gate requires
+    * the no-morKey read to FAIL on the tombstoned version first, the
+    * fail-loud contract). Shares io21's oracle.
+    */
+  def io40Dsv2Mor(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, MergeOnRead}
+    val root = tmpDir(s) + "/graft_io40_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, k).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(k, 2 * k).write.parquet(s"$root/data/b2")
+    val v2 = Manifest.commit(s, root, s"$root/data/b2")
+    val v3 = MergeOnRead.deleteWhere(s, root, "l_orderkey",
+      col("l_orderkey").between(k + k / 3, k + k / 3 + (4 * k) / 15 - 1),
+      s"$root/data")
+    require(v3.nonEmpty, "a matching delete must commit a tombstone")
+    // fail-loud: the tombstoned version must refuse a plain read
+    val refused =
+      try { s.read.format("graft").load(root); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("tombstones") }
+    require(refused, "a live-tombstone table must demand morKey")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    val pre = s.read.format("graft")
+      .option("versionAsOf", v2.toString).load(root)
+    val merged = s.read.format("graft").option("morKey", "l_orderkey")
+      .option("versionAsOf", v3.get.toString).load(root)
+    val folded = MergeOnRead.fold(s, root, "l_orderkey", s"$root/data")
+    require(folded.nonEmpty, "fold must rewrite the tombstoned table")
+    val post = s.read.format("graft").load(root) // no tombstones left
+    census(pre, 0).unionByName(census(merged, 1))
+      .unionByName(census(post, 2))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -4168,6 +4307,9 @@ object OpsQueries {
     "io35_column_mapping" -> (io35ColumnMapping _),
     "io36_deep_clone" -> (io36DeepClone _),
     "io37_version_tags" -> (io37VersionTags _),
+    "io38_dsv2_timetravel" -> (io38Dsv2TimeTravel _),
+    "io39_dsv2_skipscan" -> (io39Dsv2SkipScan _),
+    "io40_dsv2_mor" -> (io40Dsv2Mor _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -4238,6 +4380,11 @@ object OpsQueries {
     "io35_column_mapping" -> io35Oracle,
     "io36_deep_clone" -> io36Oracle,
     "io37_version_tags" -> io37Oracle,
+    // the DSv2 gates share the Scala-API gates' oracles VERBATIM: the
+    // read path may change, the answers may not
+    "io38_dsv2_timetravel" -> io16Oracle,
+    "io39_dsv2_skipscan" -> io24Oracle,
+    "io40_dsv2_mor" -> io21Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{Manifest, MergeOnRead, SkipStats}
+
+/** The plain-SQL surface of the lakehouse: [[graft.io.dsv2.GraftCatalog]]
+  * maps identifiers to manifest roots under a warehouse dir, with
+  * `VERSION AS OF` (number or tag) and `TIMESTAMP AS OF` riding Spark's
+  * native time-travel SQL; the read-only DDL contract refuses loudly.
+  */
+class Dsv2CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val wh: String = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.lake",
+      "graft.io.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.lake.root", wh)
+    import spark.implicits._
+    val root = s"$wh/events"
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i % 7)).toDF("id", "grp")
+    batch(0, 100).write.parquet(s"$root/data/b1")
+    SkipStats.write(spark, s"$root/data/b1", Seq("id"))
+    val v1 = Manifest.commit(spark, root, s"$root/data/b1")
+    batch(100, 200).write.parquet(s"$root/data/b2")
+    SkipStats.write(spark, s"$root/data/b2", Seq("id"))
+    Manifest.commit(spark, root, s"$root/data/b2")
+    Manifest.tag(spark, root, "first", v1)
+    wh
+  }
+
+  test("SQL reads latest, VERSION AS OF number and tag, TIMESTAMP AS OF") {
+    wh
+    assert(spark.sql("SELECT count(*) n FROM lake.events")
+      .collect()(0).getLong(0) === 200L)
+    assert(spark.sql("SELECT count(*) n FROM lake.events VERSION AS OF 1")
+      .collect()(0).getLong(0) === 100L)
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.events VERSION AS OF 'first'")
+      .collect()(0).getLong(0) === 100L)
+    val now = new java.sql.Timestamp(System.currentTimeMillis() + 2000)
+    assert(spark.sql(
+      s"SELECT count(*) n FROM lake.events TIMESTAMP AS OF '$now'")
+      .collect()(0).getLong(0) === 200L)
+  }
+
+  test("SQL filters prune committed directories at planning") {
+    wh
+    val df = spark.sql("SELECT id FROM lake.events WHERE id < 50")
+    assert(df.count() === 50L)
+    df.queryExecution.executedPlan // plan it
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("skippedDirs=1"),
+      s"the b2 directory must be pruned at planning:\n$desc")
+  }
+
+  test("SHOW TABLES lists manifest roots; DDL refuses read-only") {
+    wh
+    val tables = spark.sql("SHOW TABLES IN lake").collect()
+      .map(_.getString(1))
+    assert(tables.contains("events"))
+    val e = intercept[Exception](
+      spark.sql(s"DROP TABLE lake.events"))
+    def unsupported(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[UnsupportedOperationException] ||
+        unsupported(t.getCause))
+    assert(unsupported(e), s"DDL must refuse loudly, got $e")
+  }
+
+  test("a live-tombstone table refuses a plain SQL read until folded") {
+    import spark.implicits._
+    val root = s"$wh/mor"
+    (0L until 50L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    MergeOnRead.deleteWhere(spark, root, "id",
+      col("id") < 10, s"$root/data")
+    val e = intercept[Exception](
+      spark.sql("SELECT count(*) FROM lake.mor").collect())
+    def tombstoned(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("tombstones"))
+        || tombstoned(t.getCause))
+    assert(tombstoned(e))
+    MergeOnRead.fold(spark, root, "id", s"$root/data")
+    assert(spark.sql("SELECT count(*) n FROM lake.mor")
+      .collect()(0).getLong(0) === 40L)
+  }
+}

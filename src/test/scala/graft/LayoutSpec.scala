@@ -31,6 +31,53 @@ class LayoutSpec extends AnyFunSuite {
     new File(dir).listFiles().filter(f =>
       f.isFile && f.getName.endsWith(".parquet"))
 
+  test("DSv2 read path: skip-stats pruning happens BEFORE the scan is " +
+      "planned — pruned directories never enter the input partitions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.io.{Manifest, SkipStats}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dsv2").toString + "/tbl"
+    import spark.implicits._
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i * 3)).toDF("id", "v")
+    Seq((0L, 100L, "b1"), (100L, 200L, "b2"), (200L, 300L, "b3"))
+      .foreach { case (lo, hi, name) =>
+        batch(lo, hi).write.parquet(s"$root/data/$name")
+        SkipStats.write(spark, s"$root/data/$name", Seq("id"))
+        Manifest.commit(spark, root, s"$root/data/$name")
+      }
+    val df = spark.read.format("graft").load(root)
+      .filter(col("id").between(120, 180)).select(col("id"))
+    val scans = unwrap(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+    }
+    assert(scans.size === 1)
+    val scan = scans.head.scan.asInstanceOf[graft.io.dsv2.GraftScan]
+    assert(scan.skippedDirs.map(d => d.substring(d.lastIndexOf('/') + 1))
+      .sorted === Seq("b1", "b3"),
+      "the out-of-range directories must be pruned at planning")
+    assert(scan.keptDirs.map(_.split('/').last) === Seq("b2"))
+    // the partition-level consequence: no planned file touches a
+    // pruned directory — pruning preceded planning, it is not a filter
+    val files = scan.planInputPartitions().flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+    }
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/data/b2/")),
+      s"planned files must come only from the kept directory: " +
+        files.mkString(", "))
+    // column pruning reached the delegate parquet scan
+    assert(scan.readSchema().fieldNames.toSeq === Seq("id"))
+    // and the answer is exact despite pruning (inclusive-bound keeps)
+    assert(df.count() === 61)
+    // everything-pruned still answers (empty, right schema)
+    val none = spark.read.format("graft").load(root)
+      .filter(col("id") === lit(99999L))
+    assert(none.count() === 0)
+  }
+
   test("io10: bucketed join plans with zero shuffle exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
