@@ -760,24 +760,32 @@ object DedupQueries {
     * (localCheckpoint) so the corpus-wide shingle cache behind it can be
     * released here instead of leaking for the session lifetime.
     */
-  def jaccardPairs(s: SparkSession, dir: String, tau: Double): DataFrame = {
-    val (pairs, base) = jaccardPairsWithBase(s, dir, tau)
+  def jaccardPairs(s: SparkSession, dir: String, tau: Double,
+      docBound: Option[Long] = None): DataFrame = {
+    val (pairs, base) = jaccardPairsWithBase(s, dir, tau, docBound)
     finishReleasing(pairs, base)
   }
 
   /** [[jaccardPairs]] plus the cached shingle projection backing it, so
     * callers that materialize the pairs can `unpersist` the projection.
     * Package-visible: specs inspect the pre-checkpoint plan here.
+    * `docBound` restricts the corpus to `doc_id < bound` BEFORE
+    * shingling: jaccard of a pair depends only on its two documents, so
+    * a caller that consumes pairs within a planted slice (m6) must not
+    * pay the corpus-wide scan just to filter the answer afterwards —
+    * at the 10× probe that filter-after was the whole 40 s.
     */
   private[graft] def jaccardPairsWithBase(s: SparkSession, dir: String,
-      tau: Double): (DataFrame, DataFrame) = {
+      tau: Double, docBound: Option[Long] = None): (DataFrame, DataFrame) = {
     graft.expressions.LongArrayOps.register(s)
     // Shingles as sorted packed longs (injective ⇒ identical intersection
     // counts to the oracle's string sets) — one UDF pass per doc, and all
     // joins/verification run on primitive longs instead of strings.
     // Cached: the vocabulary build and the encode/scan are separate jobs,
     // and without the cache each re-runs the shingle UDF over the corpus.
-    val base = Tables.documents(s, dir)
+    def bounded(df: DataFrame): DataFrame =
+      docBound.fold(df)(b => df.filter(col("doc_id") < b))
+    val base = bounded(Tables.documents(s, dir))
       .select(col("doc_id"), shinglesPacked3(col("text")).as("gs"))
       .cache()
     val pairs = vocabOf(base) match {
@@ -786,7 +794,7 @@ object DedupQueries {
         // corpus-size gate for the scan's broadcast — a parquet-metadata
         // count on the source table (running count() on `base` instead
         // would force the shingle UDF over the corpus just to count rows)
-        val nDocs = Tables.documents(s, dir).count()
+        val nDocs = bounded(Tables.documents(s, dir)).count()
         // the dense route's verification volume IS all pairs (the size
         // gate is ~ns but n² of them): budget-guard on that
         requireUnderBudget(s, nDocs * math.max(nDocs - 1, 0L) / 2,

@@ -3960,8 +3960,10 @@ object OpsQueries {
   def m6CrossmodalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.PHash
-    val txt = DedupQueries.jaccardPairs(s, dir, 0.8)
-      .filter(col("ia") < 60 && col("ib") < 60)
+    // the pair universe is the planted 60-doc slice — bound the corpus
+    // BEFORE shingling (jaccard of a pair depends only on its two docs;
+    // the old filter-after paid the full corpus scan, 40 s at heaps-10×)
+    val txt = DedupQueries.jaccardPairs(s, dir, 0.8, docBound = Some(60))
       .select(col("ia"), col("ib"))
     val hashUdf = udf((src: Long) => {
       val img = new java.awt.image.BufferedImage(64, 64,
