@@ -66,7 +66,8 @@ import graft.io.{Manifest, MergeOnRead, SkipStats}
   * kept directories, so column pruning, row-group pushdown, and the
   * vectorized reader are exactly the stock parquet path.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+  with GraftWriteSupport {
 
   override def shortName(): String = "graft"
 
@@ -90,9 +91,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftTable {
-  /** Resolve the pinned version + entry partition once per table load. */
+  /** Resolve the pinned version + entry partition once per table load.
+    * A root with NO committed version resolves to a schemaless stub
+    * that refuses to scan — it must not throw here, because
+    * `DataFrameWriter.save` resolves the table BEFORE deciding the
+    * write path, and creating a new table via `df.write` is legal
+    * (the stub lacks `SupportsWrite`, so Spark falls back to the V1
+    * write — [[GraftWriteSupport]] — which runs the commit protocol).
+    */
   def resolve(s: SparkSession, root: String,
-      options: CaseInsensitiveStringMap): GraftTable = {
+      options: CaseInsensitiveStringMap): Table = {
     val version: Int =
       if (options.containsKey("versionAsOf"))
         options.get("versionAsOf").toInt
@@ -109,16 +117,13 @@ object GraftTable {
         t(name)
       } else {
         val vs = Manifest.versions(s, root)
-        require(vs.nonEmpty, s"no committed version at $root")
+        if (vs.isEmpty) return new GraftMissingTable(root)
         vs.last
       }
     val (tombs, data) = Manifest.entries(s, root, Some(version))
       .partition(MergeOnRead.isTombstone)
     require(data.nonEmpty, s"version $version of $root has no data entries")
     val morKey = Option(options.get("morKey"))
-    require(tombs.isEmpty || morKey.nonEmpty,
-      s"version $version of $root has live tombstones — pass the " +
-        "morKey option so the scan merges them (or fold first)")
     val schema = s.read.parquet(data: _*).schema
     morKey.filter(_ => tombs.nonEmpty).foreach { k =>
       require(schema.fieldNames.contains(k),
@@ -127,6 +132,17 @@ object GraftTable {
     }
     new GraftTable(s, root, version, schema, data, tombs, morKey)
   }
+}
+
+/** Placeholder for a root with no committed version: schemaless, scans
+  * refuse loudly, and — crucially — no `SupportsWrite`, so `df.write`
+  * against a fresh root falls back to the V1 commit-protocol write.
+  */
+class GraftMissingTable(root: String) extends Table {
+  override def name(): String = s"graft.`$root`@<uncommitted>"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
 }
 
 class GraftTable(s: SparkSession, root: String, version: Int,
@@ -141,9 +157,15 @@ class GraftTable(s: SparkSession, root: String, version: Int,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
+      : ScanBuilder = {
+    // the fail-loud contract lives HERE, not at resolve: a WRITE to a
+    // tombstoned table is legal (producers don't merge), a read is not
+    require(tombDirs.isEmpty || morKey.nonEmpty,
+      s"version $version of $root has live tombstones — pass the " +
+        "morKey option so the scan merges them (or fold first)")
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
       tombDirs, morKey, options)
+  }
 }
 
 class GraftScanBuilder(s: SparkSession, root: String, version: Int,

@@ -4233,11 +4233,15 @@ object OpsQueries {
       col("l_orderkey").between(k + k / 3, k + k / 3 + (4 * k) / 15 - 1),
       s"$root/data")
     require(v3.nonEmpty, "a matching delete must commit a tombstone")
-    // fail-loud: the tombstoned version must refuse a plain read
+    // fail-loud: the tombstoned version must refuse a plain read (the
+    // check fires when the scan is built — count() forces planning)
     val refused =
-      try { s.read.format("graft").load(root); false }
-      catch { case e: IllegalArgumentException =>
-        e.getMessage.contains("tombstones") }
+      try { s.read.format("graft").load(root).count(); false }
+      catch { case e: Throwable =>
+        def hit(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage).exists(_.contains("tombstones")) ||
+            hit(t.getCause))
+        hit(e) }
     require(refused, "a live-tombstone table must demand morKey")
     def census(df: DataFrame, tag: Int) = df
       .groupBy(col("l_returnflag"))
@@ -4257,6 +4261,74 @@ object OpsQueries {
         col("sum_okey"), col("sum_cents"))
       .orderBy(col("phase"), col("l_returnflag"))
   }
+
+  /** The WRITE half of the DSv2 story: a table built PURELY through
+    * `df.write.format("graft")` — create (errorifexists → v1), append
+    * (v2, each with `statsCols` sidecars so pruning works from the
+    * first version), then overwrite as a REPLACING commit (v3) that
+    * old versions still time-travel across. Censuses pin all three
+    * versions; in-gate requires pin the version ledger, planning-time
+    * pruning on the WRITTEN sidecars, and the create-on-existing
+    * refusal. The oracle replays the three phases from lineitem.
+    */
+  def io41Dsv2Write(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io41_tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, 1500).write.format("graft")
+      .option("statsCols", "l_orderkey").save(root)
+    batch(1500, 3000).write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("statsCols", "l_orderkey").save(root)
+    batch(0, 1000).write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(root)
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "create/append/overwrite must commit exactly versions 1..3")
+    val refused =
+      try { batch(0, 1).write.format("graft").save(root); false }
+      catch { case _: Throwable => true }
+    require(refused, "errorifexists on an existing table must refuse")
+    // written sidecars prune at planning: the v2 read filtered to the
+    // first batch's key range must skip the appended directory
+    val prunedPlan = s.read.format("graft")
+      .option("versionAsOf", "2").load(root)
+      .filter(col("l_orderkey") < 1000)
+      .queryExecution.executedPlan.toString
+    require(prunedPlan.contains("skippedDirs=1"),
+      s"written sidecars must prune at planning:\n$prunedPlan")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(s.read.format("graft").option("versionAsOf", "1").load(root), 0)
+      .unionByName(census(
+        s.read.format("graft").option("versionAsOf", "2").load(root), 1))
+      .unionByName(census(s.read.format("graft").load(root), 2))
+      .select(col("phase"), col("l_returnflag"), col("n"),
+        col("sum_okey"), col("sum_cents"))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io41Oracle: String =
+    """WITH li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li WHERE l_orderkey < 1500
+      |  UNION ALL SELECT 1, * FROM li WHERE l_orderkey < 3000
+      |  UNION ALL SELECT 2, * FROM li WHERE l_orderkey < 1000)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
@@ -4312,6 +4384,7 @@ object OpsQueries {
     "io38_dsv2_timetravel" -> (io38Dsv2TimeTravel _),
     "io39_dsv2_skipscan" -> (io39Dsv2SkipScan _),
     "io40_dsv2_mor" -> (io40Dsv2Mor _),
+    "io41_dsv2_write" -> (io41Dsv2Write _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -4387,6 +4460,7 @@ object OpsQueries {
     "io38_dsv2_timetravel" -> io16Oracle,
     "io39_dsv2_skipscan" -> io24Oracle,
     "io40_dsv2_mor" -> io21Oracle,
+    "io41_dsv2_write" -> io41Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
