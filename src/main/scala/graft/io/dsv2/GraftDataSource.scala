@@ -154,7 +154,8 @@ class GraftTable(s: SparkSession, root: String, version: Int,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -283,7 +284,8 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     delegate.pushDataFilters(pushed)
     val parquetScan = delegate.build()
     GraftScan(parquetScan, root, version, kept, skipped,
-      allPruned = kept.isEmpty, tombFilter)
+      allPruned = kept.isEmpty, tombFilter, s, tableSchema,
+      delegateRequired, options)
   }
 }
 
@@ -297,12 +299,19 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       .v2.parquet.ParquetScan,
     root: String, version: Int, keptDirs: Seq[String],
     skippedDirs: Seq[String], allPruned: Boolean,
-    tombFilter: Option[(String, DataType, util.HashSet[Any])])
+    tombFilter: Option[(String, DataType, util.HashSet[Any])],
+    session: SparkSession, tableSchema: StructType,
+    requiredSchema: StructType, options: CaseInsensitiveStringMap)
   extends Scan with Batch {
 
   override def readSchema(): StructType = delegate.readSchema()
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(session, root, tableSchema,
+      requiredSchema, options)
 
   override def planInputPartitions(): Array[InputPartition] =
     if (allPruned) Array.empty

@@ -1,0 +1,115 @@
+package graft.io.dsv2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition,
+  PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.{Manifest, MergeOnRead}
+
+/** Offset for the manifest stream: the highest manifest VERSION whose
+  * directories have been emitted. Versions are the table's own commit
+  * ledger — no separate log to reconcile, no file-mtime heuristics.
+  */
+case class GraftStreamOffset(version: Int) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** `spark.readStream.format("graft")` — a manifest table as a
+  * structured-streaming SOURCE (Delta's streaming source, on the commit
+  * ledger this engine already has): each microbatch is exactly the data
+  * directories APPENDED between two manifest versions, so a producer
+  * committing through the protocol (`Manifest.commit`, the DSv2 write
+  * path, a compactor) feeds consumers incrementally with exactly-once
+  * accounting — the offset IS the version number, checkpointed by the
+  * engine like any other stream.
+  *
+  * Contract: the streamed table must be APPEND-ONLY over the consumed
+  * range. A replacing commit (compaction, fold, overwrite) REMOVES
+  * directories; silently re-reading rewritten data would double-count,
+  * so the stream fails loudly unless `ignoreChanges=true` is passed, in
+  * which case only the ADDED directories of each version are emitted
+  * (Delta's `ignoreChanges` semantics — rewritten rows may be missed,
+  * the caller opts into that). Tombstone entries ([[MergeOnRead]]) are
+  * never data and always skipped; `startingVersion` replays from an
+  * older version (default: the version current at stream start — only
+  * NEW commits stream, the Delta default).
+  */
+class GraftMicroBatchStream(s: SparkSession, root: String,
+    tableSchema: StructType, required: StructType,
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private val ignoreChanges =
+    Option(options.get("ignoreChanges")).exists(_.toBoolean)
+
+  // resolved once per stream START (not per batch): the boundary
+  // between "history the stream skips" and "commits it consumes"
+  private lazy val startVersion: Int =
+    Option(options.get("startingVersion")).map(_.toInt - 1)
+      .getOrElse(Manifest.versions(s, root).lastOption.getOrElse(0))
+
+  override def initialOffset(): Offset = GraftStreamOffset(startVersion)
+
+  override def latestOffset(): Offset = {
+    val vs = Manifest.versions(s, root)
+    GraftStreamOffset(vs.lastOption.getOrElse(startVersion))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toInt)
+
+  /** Data directories appended in (`from`, `to`] — the batch. */
+  private def addedDirs(from: Int, to: Int): Seq[String] = {
+    if (to <= from) return Seq.empty
+    val before =
+      if (from <= 0) Set.empty[String]
+      else Manifest.entries(s, root, Some(from)).toSet
+    val after = Manifest.entries(s, root, Some(to))
+    val removed = before -- after.toSet
+    require(removed.isEmpty || ignoreChanges,
+      s"stream over $root: versions $from -> $to REMOVED " +
+        s"${removed.size} director(ies) (a replacing commit — " +
+        "compaction/fold/overwrite). Re-reading rewritten data would " +
+        "double-count; pass ignoreChanges=true to consume only " +
+        "appended directories, accepting that rewritten rows are " +
+        "not re-emitted.")
+    after.filterNot(before).filterNot(MergeOnRead.isTombstone)
+  }
+
+  private def parquetScanOver(dirs: Seq[String]) = {
+    val index = new InMemoryFileIndex(s, dirs.map(new Path(_)),
+      Map.empty[String, String], Some(tableSchema),
+      org.apache.spark.sql.execution.datasources.NoopCache, None, None)
+    val b = ParquetScanBuilder(s, index, tableSchema, tableSchema,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    b.pruneColumns(required) // emitted rows must match scan.readSchema
+    b.build()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val dirs = addedDirs(
+      start.asInstanceOf[GraftStreamOffset].version,
+      end.asInstanceOf[GraftStreamOffset].version)
+    if (dirs.isEmpty) Array.empty
+    else parquetScanOver(dirs).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // schema-bound, file-agnostic: one factory serves every batch's
+    // partitions (each PartitionedFile carries its own path)
+    parquetScanOver(Manifest.entries(s, root)
+      .filterNot(MergeOnRead.isTombstone))
+      .toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

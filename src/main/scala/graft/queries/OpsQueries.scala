@@ -3463,6 +3463,75 @@ object OpsQueries {
       |WHERE user_id < 60
       |GROUP BY 1 ORDER BY tier""".stripMargin
 
+  /** The manifest table as a STREAMING SOURCE
+    * ([[graft.io.dsv2.GraftMicroBatchStream]]) under a REAL streaming
+    * gate — the lakehouse-to-stream bridge Delta calls a streaming
+    * source: offsets are the table's own manifest versions, so a
+    * producer committing through the protocol feeds consumers
+    * incrementally with exactly-once accounting. The gate commits 3
+    * increments, streams them (`readStream.format("graft")`,
+    * AvailableNow) into a parquet sink, commits 2 MORE versions, and
+    * resumes on the SAME checkpoint — only the delta arrives (the
+    * census's exactly-once totals prove no re-read); a replacing
+    * commit then must refuse loudly (re-reading rewritten data would
+    * double-count). Oracle: the five slices' rows exactly once.
+    */
+  def st24ManifestStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st24_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"$root/tbl"
+    def commit(k: Int): Unit = {
+      val d = s"$tbl/data/inc_$k"
+      Tables.events(s, dir)
+        .filter(col("event_id") >= k * 200 && col("event_id") < (k + 1) * 200)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .write.parquet(d)
+      Manifest.commit(s, tbl, d)
+    }
+    (0 until 3).foreach(commit)
+    val outDir = s"$root/out"
+    def runOnce(): Unit =
+      s.readStream.format("graft").option("startingVersion", "1")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    runOnce()
+    (3 until 5).foreach(commit)
+    runOnce() // same checkpoint: versions 4..5 only
+    // a replacing commit (compaction) must refuse the stream loudly
+    graft.io.IndexCompaction.compact(s, tbl, s"$tbl/data/compacted")
+    val refused = try { runOnce(); false }
+      catch { case e: Throwable =>
+        def hit(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage).exists(_.contains("REMOVED")) ||
+            hit(t.getCause))
+        hit(e) }
+    require(refused,
+      "a replacing commit must stop the stream, not double-count")
+    s.read.parquet(outDir)
+      .groupBy((col("event_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_uid"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val st24Oracle: String =
+    """SELECT event_id % 7 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE event_id < 1000
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -4402,7 +4471,8 @@ object OpsQueries {
     "st20_scd2_enrich" -> (st20Scd2Enrich _),
     "st21_stream_topk" -> (st21StreamTopk _),
     "st22_keytable_dedup" -> (st22KeytableDedup _),
-    "st23_dim_refresh" -> (st23DimRefresh _))
+    "st23_dim_refresh" -> (st23DimRefresh _),
+    "st24_manifest_stream" -> (st24ManifestStream _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -4478,5 +4548,6 @@ object OpsQueries {
     "st20_scd2_enrich" -> st20Oracle,
     "st21_stream_topk" -> st21Oracle,
     "st22_keytable_dedup" -> st22Oracle,
-    "st23_dim_refresh" -> st23Oracle)
+    "st23_dim_refresh" -> st23Oracle,
+    "st24_manifest_stream" -> st24Oracle)
 }
