@@ -67,7 +67,7 @@ import graft.io.{Manifest, MergeOnRead, SkipStats}
   * vectorized reader are exactly the stock parquet path.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-  with GraftWriteSupport {
+  with GraftWriteSupport with GraftStreamSinkSupport {
 
   override def shortName(): String = "graft"
 

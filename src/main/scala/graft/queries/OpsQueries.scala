@@ -3532,6 +3532,87 @@ object OpsQueries {
       |FROM events WHERE event_id < 1000
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** The manifest table as a STREAMING SINK
+    * ([[graft.io.dsv2.GraftStreamSink]]): every microbatch is ONE
+    * manifest commit whose directory is named by the batch id, so
+    * exactly-once is the protocol's own `commitIfAbsent` idempotency —
+    * no sink-side dedup log. The gate streams 4 event slices
+    * (maxFilesPerTrigger=1 → one commit each), REPLAYS the finished
+    * query on the same checkpoint (in-gate require: version ledger
+    * unchanged — replay commits nothing), then answers the census off
+    * the table AND off a `versionAsOf` read of the second commit,
+    * proving microbatch commits time-travel like any other. Composes
+    * with st24: the sink's output table is a valid streaming source.
+    */
+  def st25ManifestSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st25_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val flat = s"$root/src"
+    fsH.mkdirs(new org.apache.hadoop.fs.Path(flat))
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      val staging = s"$root/stage_$i"
+      Tables.events(s, dir)
+        .filter(col("event_id") >= i * 150 && col("event_id") < (i + 1) * 150)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .repartition(1).write.parquet(staging)
+      fsH.listStatus(new org.apache.hadoop.fs.Path(staging))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .foreach { p =>
+          val dst = new org.apache.hadoop.fs.Path(flat, s"f${i}_${p.getName}")
+          org.apache.hadoop.fs.FileUtil.copy(fsH, p, fsH, dst, false,
+            s.sparkContext.hadoopConfiguration)
+          fsH.setTimes(dst, now - 40000 + i * 10000, -1)
+        }
+    }
+    val tbl = s"$root/tbl"
+    val schema = s.read.parquet(flat).schema
+    def run(): Unit =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+        .writeStream.format("graft")
+        .option("path", tbl).option("statsCols", "event_id")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run()
+    val versions = Manifest.versions(s, tbl)
+    require(versions.size == 4,
+      s"4 microbatches must land as 4 commits, got $versions")
+    run() // replay on the finished checkpoint
+    require(Manifest.versions(s, tbl) == versions,
+      "a replayed query must commit nothing (exactly-once)")
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy((col("event_id") % 5).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+    census(s.read.format("graft").load(tbl), 0)
+      .unionByName(census(s.read.format("graft")
+        .option("versionAsOf", versions(1).toString).load(tbl), 1))
+      .select(col("phase"), col("bucket"), col("n"), col("sum_id"),
+        col("sum_cents"))
+      .orderBy(col("phase"), col("bucket"))
+  }
+
+  val st25Oracle: String =
+    """WITH li AS (SELECT event_id, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li WHERE event_id < 600
+      |  UNION ALL
+      |  SELECT 1, * FROM li WHERE event_id < 300)
+      |SELECT phase, event_id % 5 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -4472,7 +4553,8 @@ object OpsQueries {
     "st21_stream_topk" -> (st21StreamTopk _),
     "st22_keytable_dedup" -> (st22KeytableDedup _),
     "st23_dim_refresh" -> (st23DimRefresh _),
-    "st24_manifest_stream" -> (st24ManifestStream _))
+    "st24_manifest_stream" -> (st24ManifestStream _),
+    "st25_manifest_sink" -> (st25ManifestSink _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -4549,5 +4631,6 @@ object OpsQueries {
     "st21_stream_topk" -> st21Oracle,
     "st22_keytable_dedup" -> st22Oracle,
     "st23_dim_refresh" -> st23Oracle,
-    "st24_manifest_stream" -> st24Oracle)
+    "st24_manifest_stream" -> st24Oracle,
+    "st25_manifest_sink" -> st25Oracle)
 }
