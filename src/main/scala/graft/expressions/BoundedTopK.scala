@@ -150,14 +150,35 @@ case class TopKBy(left: Expression, right: Expression, k: Int, asc: Boolean,
   @inline private def encode(scoreRaw: Long): Long =
     if (asc) scoreRaw else ~scoreRaw
 
+  // after binding, plain column inputs are BoundReferences: read them
+  // primitively — the generic eval path boxes two values per fan row,
+  // and the fan is the hot loop this aggregate exists for
+  @transient private lazy val bound: Option[(Int, Int)] =
+    (left, right) match {
+      case (a: org.apache.spark.sql.catalyst.expressions.BoundReference,
+            b: org.apache.spark.sql.catalyst.expressions.BoundReference) =>
+        Some((a.ordinal, b.ordinal))
+      case _ => None
+    }
+
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
-    val sv = left.eval(input)
-    val iv = right.eval(input)
-    if (sv != null && iv != null) {
-      val raw =
-        if (scoreIsDouble) TopKBy.encodeDouble(sv.asInstanceOf[Double])
-        else sv.asInstanceOf[Long]
-      buffer.insert(encode(raw), iv.asInstanceOf[Long])
+    bound match {
+      case Some((si, ii)) =>
+        if (!input.isNullAt(si) && !input.isNullAt(ii)) {
+          val raw =
+            if (scoreIsDouble) TopKBy.encodeDouble(input.getDouble(si))
+            else input.getLong(si)
+          buffer.insert(encode(raw), input.getLong(ii))
+        }
+      case None =>
+        val sv = left.eval(input)
+        val iv = right.eval(input)
+        if (sv != null && iv != null) {
+          val raw =
+            if (scoreIsDouble) TopKBy.encodeDouble(sv.asInstanceOf[Double])
+            else sv.asInstanceOf[Long]
+          buffer.insert(encode(raw), iv.asInstanceOf[Long])
+        }
     }
     buffer
   }
