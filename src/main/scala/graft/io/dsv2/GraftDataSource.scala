@@ -173,10 +173,12 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String], options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggPushed: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -237,18 +239,56 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     }
   }
 
-  override def build(): Scan = {
-    // ── directory pruning, BEFORE the parquet scan exists ──
+  // ── directory pruning + the delegate parquet builder, memoized: the
+  // aggregate-pushdown hook needs the delegate BEFORE build(), and by
+  // the time Spark pushes aggregates the filters are final ──
+  private lazy val pruning: (Seq[String], Seq[String]) = {
     val ranges = toRanges(pushed.toSeq)
     val f = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val (kept, skipped) =
-      if (ranges.isEmpty) (dataDirs, Seq.empty[String])
-      else dataDirs.partition { d =>
-        val stats = SkipStats.read(f, d)
-        ranges.forall(r => stats.flatMap(_.get(r.c))
-          .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi)))
-      }
+    if (ranges.isEmpty) (dataDirs, Seq.empty[String])
+    else dataDirs.partition { d =>
+      val stats = SkipStats.read(f, d)
+      ranges.forall(r => stats.flatMap(_.get(r.c))
+        .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi)))
+    }
+  }
+
+  private lazy val delegate: ParquetScanBuilder = {
+    val (kept, _) = pruning
+    val scanDirs = if (kept.nonEmpty) kept else dataDirs.take(1)
+    val index = new InMemoryFileIndex(s, scanDirs.map(new Path(_)),
+      Map.empty[String, String], Some(tableSchema),
+      org.apache.spark.sql.execution.datasources.NoopCache,
+      None, None)
+    val b = ParquetScanBuilder(s, index, tableSchema, tableSchema,
+      new CaseInsensitiveStringMap(util.Collections.emptyMap()))
+    b.pushDataFilters(pushed)
+    b
+  }
+
+  /** Aggregate pushdown (COUNT/MIN/MAX answered from parquet footers —
+    * a metadata-only corpus census at 100 TB): forwarded to the parquet
+    * delegate, but ONLY on tombstone-free versions — a MoR table's
+    * footers still count deleted rows, and an everything-pruned scan
+    * has no delegate rows to aggregate.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    tombDirs.isEmpty && pruning._1.nonEmpty &&
+      delegate.supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (tombDirs.nonEmpty || pruning._1.isEmpty) return false
+    aggPushed = delegate.pushAggregation(agg)
+    aggPushed
+  }
+
+  override def build(): Scan = {
+    val (kept, skipped) = pruning
     // ── tombstone key set (bounded by accumulated deletes) ──
     val tombFilter = if (tombDirs.isEmpty) None else {
       val key = morKey.get
@@ -273,18 +313,12 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
         StructType(required.fields :+ tableSchema(key))
       case _ => required
     }
-    val scanDirs = if (kept.nonEmpty) kept else dataDirs.take(1)
-    val index = new InMemoryFileIndex(s, scanDirs.map(new Path(_)),
-      Map.empty[String, String], Some(tableSchema),
-      org.apache.spark.sql.execution.datasources.NoopCache,
-      None, None)
-    val delegate = ParquetScanBuilder(s, index, tableSchema, tableSchema,
-      new CaseInsensitiveStringMap(util.Collections.emptyMap()))
-    delegate.pruneColumns(delegateRequired)
-    delegate.pushDataFilters(pushed)
+    // a pushed aggregation owns the delegate's read schema; pruning to
+    // the table columns would clobber the aggregate output
+    if (!aggPushed) delegate.pruneColumns(delegateRequired)
     val parquetScan = delegate.build()
     GraftScan(parquetScan, root, version, kept, skipped,
-      allPruned = kept.isEmpty, tombFilter, s, tableSchema,
+      allPruned = kept.isEmpty && !aggPushed, tombFilter, s, tableSchema,
       delegateRequired, options)
   }
 }
@@ -330,7 +364,8 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
   override def description(): String =
     s"GraftScan root=$root version=$version " +
       s"keptDirs=${keptDirs.size} skippedDirs=${skippedDirs.size} " +
-      s"mor=${tombFilter.nonEmpty}"
+      s"mor=${tombFilter.nonEmpty} " +
+      s"pushedAggregate=${delegate.pushedAggregate.nonEmpty}"
 }
 
 /** Row-level tombstone merge: wraps the parquet readers and drops rows

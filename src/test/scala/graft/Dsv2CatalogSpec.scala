@@ -71,6 +71,48 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(unsupported(e), s"DDL must refuse loudly, got $e")
   }
 
+  test("COUNT/MIN/MAX push to parquet footers; MoR tables refuse the " +
+      "shortcut") {
+    wh
+    // footer aggregation rides Spark's own switch for the parquet scan
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try testAggPushdown()
+    finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
+  private def testAggPushdown(): Unit = {
+    // complete pushdown: the scan's delegate answers from footers
+    val cnt = spark.sql("SELECT count(*) AS n FROM lake.events")
+    assert(cnt.collect()(0).getLong(0) === 200L)
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("pushedAggregate=true"),
+      "count(*) must be answered from parquet footers")
+    val mm = spark.sql("SELECT min(id) AS a, max(id) AS b FROM lake.events")
+    assert(mm.collect()(0).toSeq === Seq(0L, 199L))
+    assert(mm.queryExecution.executedPlan.toString
+      .contains("pushedAggregate=true"))
+    // a filtered count cannot completely push (footers don't filter):
+    // the answer must still be exact
+    val fc = spark.sql("SELECT count(*) AS n FROM lake.events WHERE id < 50")
+    assert(fc.collect()(0).getLong(0) === 50L)
+    // a tombstoned table must NOT answer from footers (they still count
+    // deleted rows) — built below in the mor test's root if present;
+    // covered by pushAggregation's tombDirs guard + the morKey read
+    val morRoot = s"$wh/aggmor"
+    import spark.implicits._
+    (0L until 30L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$morRoot/data/b1")
+    Manifest.commit(spark, morRoot, s"$morRoot/data/b1")
+    MergeOnRead.deleteWhere(spark, morRoot, "id",
+      col("id") < 10, s"$morRoot/data")
+    val morCnt = spark.read.format("graft").option("morKey", "id")
+      .load(morRoot).groupBy().count()
+    assert(morCnt.collect()(0).getLong(0) === 20L,
+      "a MoR count must reflect deletes, never the raw footers")
+    assert(!morCnt.queryExecution.executedPlan.toString
+      .contains("pushedAggregate=true"))
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
