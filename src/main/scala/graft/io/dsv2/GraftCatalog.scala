@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, Table,
-  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,7 +41,7 @@ import graft.io.Manifest
   * loudly at load ([[GraftTable.resolve]]) — fold first, or read with
   * the `morKey` option through the reader path.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -100,6 +101,22 @@ class GraftCatalog extends TableCatalog {
         .nonEmpty)
       .map(n => Identifier.of(namespace, n))
   }
+
+  // ── maintenance procedures: CALL lake.history/expire/compact/... ──
+  private lazy val procedures: Map[String, UnboundProcedure] =
+    GraftProcedures.all(name =>
+      (warehouse +: name.split('.').toSeq).mkString("/"))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    procedures.getOrElse(ident.name.toLowerCase,
+      throw new RuntimeException(
+        s"no procedure '${ident.name}' (have ${procedures.keys.toSeq
+          .sorted.mkString(", ")})"))
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    procedures.keys.toArray.sorted
+      .map(n => Identifier.of(namespace, n))
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -1,0 +1,131 @@
+package graft.io.dsv2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
+  StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{IndexCompaction, Manifest, MergeOnRead}
+
+/** SQL `CALL` procedures for manifest-table MAINTENANCE — the verbs
+  * writes must not be (Iceberg's `CALL catalog.system.*` UX, on Spark
+  * 4's native ProcedureCatalog hooks): the catalog's DDL stays
+  * read-only because blind INSERTs can't honor the commit protocol,
+  * but the protocol's own maintenance operations are safe to expose —
+  * each is exactly one library call that commits (or reclaims)
+  * atomically, and each RETURNS its result as rows:
+  *
+  * {{{
+  *   CALL lake.history('events')            -- the commit ledger
+  *   CALL lake.expire('events', 2)          -- retention (keep last 2)
+  *   CALL lake.compact('events')            -- small files → one commit
+  *   CALL lake.fold('events', 'id')         -- apply MoR tombstones
+  *   CALL lake.tag('events', 'v1.0', 3)     -- named ref
+  *   CALL lake.drop_tag('events', 'v1.0')
+  * }}}
+  *
+  * Table arguments are identifiers relative to the catalog's warehouse
+  * root (same resolution as `lake.events`, dots as path separators).
+  */
+object GraftProcedures {
+
+  private def param(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+
+  private def utf(v: Any): String = v.asInstanceOf[UTF8String].toString
+
+  private def session: SparkSession = SparkSession.active
+
+  /** One-result-set procedure: fixed output schema, driver-side body. */
+  private abstract class P(override val name: String,
+      params: Seq[ProcedureParameter], out: StructType)
+    extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false // reads/moves FS state
+    protected def run(input: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val result = run(input).toArray
+      java.util.Collections.singletonList(new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+      }: Scan).iterator()
+    }
+  }
+
+  def all(rootOf: String => String): Map[String, UnboundProcedure] = Map(
+    "history" -> new P("history", Seq(param("table", StringType)),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("commit_ms", LongType), StructField("kind", StringType),
+        StructField("n_dirs", IntegerType),
+        StructField("added", IntegerType),
+        StructField("removed", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] =
+        Manifest.history(session, rootOf(utf(in.get(0, StringType))))
+          .map(h => new GenericInternalRow(Array[Any](h.version,
+            h.commitMs, UTF8String.fromString(h.kind), h.nDirs,
+            h.added.size, h.removed.size)))
+    },
+    "expire" -> new P("expire",
+      Seq(param("table", StringType), param("keep_last", IntegerType)),
+      StructType(Seq(StructField("reclaimed_version", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] =
+        Manifest.expire(session, rootOf(utf(in.get(0, StringType))),
+            in.getInt(1))
+          .map(v => new GenericInternalRow(Array[Any](v)))
+    },
+    "compact" -> new P("compact", Seq(param("table", StringType)),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val s = session
+        val before = Manifest.snapshot(s, root).inputFiles.length
+        val dest = s"$root/data/compact-v${Manifest.versions(s, root)
+          .last + 1}"
+        val v = IndexCompaction.compact(s, root, dest)
+        val after = Manifest.snapshot(s, root).inputFiles.length
+        Seq(new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    },
+    "fold" -> new P("fold",
+      Seq(param("table", StringType), param("key", StringType)),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("carried", IntegerType),
+        StructField("rewritten", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        MergeOnRead.fold(session, root, utf(in.get(1, StringType)),
+            s"$root/data")
+          .map(r => new GenericInternalRow(Array[Any](r.version,
+            r.carried.size, r.rewritten.size)))
+          .toSeq
+      }
+    },
+    "tag" -> new P("tag",
+      Seq(param("table", StringType), param("name", StringType),
+        param("version", IntegerType)),
+      StructType(Seq(StructField("tagged_version", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val v = in.getInt(2)
+        Manifest.tag(session, root, utf(in.get(1, StringType)), v)
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }
+    },
+    "drop_tag" -> new P("drop_tag",
+      Seq(param("table", StringType), param("name", StringType)),
+      StructType(Seq(StructField("dropped", org.apache.spark.sql.types
+        .BooleanType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](
+          Manifest.dropTag(session, rootOf(utf(in.get(0, StringType))),
+            utf(in.get(1, StringType))))))
+    })
+}

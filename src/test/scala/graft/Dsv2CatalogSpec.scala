@@ -113,6 +113,45 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       .contains("pushedAggregate=true"))
   }
 
+  test("CALL procedures run the maintenance verbs: history, tag, " +
+      "compact, fold, expire") {
+    import spark.implicits._
+    val root = s"$wh/maint"
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+    batch(0, 100).write.format("graft").save(root)
+    batch(100, 200).write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(root)
+    // history shows two appends
+    val hist = spark.sql("CALL lake.history('maint')").collect()
+    assert(hist.map(r => (r.getInt(0), r.getString(2))).toSeq ===
+      Seq((1, "append"), (2, "append")))
+    // tag v1, advance, expire keeps the tagged version
+    spark.sql("CALL lake.tag('maint', 'keepme', 1)")
+    // compact: many small files -> one replacing commit
+    val c = spark.sql("CALL lake.compact('maint')").collect()(0)
+    assert(c.getInt(2) <= c.getInt(1),
+      "compaction must not grow the file count")
+    assert(spark.sql("SELECT count(*) n FROM lake.maint")
+      .collect()(0).getLong(0) === 200L)
+    // MoR delete then CALL fold
+    MergeOnRead.deleteWhere(spark, root, "id",
+      org.apache.spark.sql.functions.col("id") < 10, s"$root/data")
+    val f = spark.sql("CALL lake.fold('maint', 'id')").collect()
+    assert(f.nonEmpty, "fold must rewrite the tombstoned table")
+    assert(spark.sql("SELECT count(*) n FROM lake.maint")
+      .collect()(0).getLong(0) === 190L)
+    // expire: the tagged v1 survives any keepLast window
+    spark.sql("CALL lake.expire('maint', 1)").collect()
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.maint VERSION AS OF 'keepme'")
+      .collect()(0).getLong(0) === 100L)
+    spark.sql("CALL lake.drop_tag('maint', 'keepme')")
+    val gone = intercept[Exception](spark.sql(
+      "SELECT count(*) FROM lake.maint VERSION AS OF 'keepme'").collect())
+    assert(gone != null)
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
