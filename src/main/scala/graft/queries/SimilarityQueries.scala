@@ -852,13 +852,13 @@ object SimilarityQueries {
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val adist = sqDistLong(col("qv"), col("r"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("adist"), col("nid"))
-    broadcast(probes).crossJoin(rec)
+    // probes × corpus ADC fan cut by the bounded-heap aggregate
+    // (map-side partial merge) — never a rank window over the fan
+    val fan = broadcast(probes).crossJoin(rec)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "adist", "nid", 3, asc = true)
       .select(col("qid"), col("rk"), col("nid"), col("adist"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -1372,11 +1372,11 @@ object SimilarityQueries {
     // exact top-3: bounded probes broadcast against the corpus stream
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
-    val exact = broadcast(probes).crossJoin(e)
+    val exactFan = broadcast(probes).crossJoin(e)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    val exact = graft.functions.RankFunctions
+      .topKPerGroup(exactFan, "qid", "cos", "nid", 3, asc = false)
       .select(col("qid"), col("nid"))
     // ANN top-3 via the inverted lists (s4's plan, nprobe=2)
     val ranked = centroidRanked(e, centroids(e)).staged()
@@ -1503,12 +1503,13 @@ object SimilarityQueries {
     // ‖q−r‖² = ‖q‖² − 2·q·r + ‖r‖² — the hot per-pair fold runs on the
     // native codegen'd dot kernel instead of an interpreted HOF lambda
     val d2 = col("qn") - lit(2L) * dotLong(col("qv"), col("r")) + col("rn")
-    val topk = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
-    broadcast(probes).crossJoin(rec)
+    // probes × corpus fan cut by the bounded-heap aggregate (map-side
+    // partial merge; 3 rows per probe cross the exchange) — not a window
+    val fan = broadcast(probes).crossJoin(rec)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "d2", "nid", 3, asc = true)
       .select(col("qid"), col("rk"), col("nid"), col("d2"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -1600,12 +1601,13 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"))
     val d2 = col("qn") - lit(2L) * dotLong(col("qv"), col("r")) + col("rn")
-    val topk = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
-    broadcast(probes).crossJoin(rec)
+    // probes × corpus fan cut by the bounded-heap aggregate (map-side
+    // partial merge; 3 rows per probe cross the exchange) — not a window
+    val fan = broadcast(probes).crossJoin(rec)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), d2.as("d2"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "d2", "nid", 3, asc = true)
       .select(col("qid"), col("rk"), col("nid"), col("d2"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -1654,13 +1656,13 @@ object SimilarityQueries {
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val adist = sqDistLong(col("qv"), col("r"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("adist"), col("nid"))
-    broadcast(probes).crossJoin(rec)
+    // probes × corpus ADC fan cut by the bounded-heap aggregate
+    // (map-side partial merge) — never a rank window over the fan
+    val fan = broadcast(probes).crossJoin(rec)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "adist", "nid", 3, asc = true)
       .select(col("qid"), col("rk"), col("nid"), col("adist"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -1924,14 +1926,12 @@ object SimilarityQueries {
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val wd = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    val dense = broadcast(probes).crossJoin(e)
+    val denseFan = broadcast(probes).crossJoin(e)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rkd", row_number().over(wd))
-      .filter(col("rkd") <= 20)
-      .select(col("qid"), col("nid"), col("rkd"))
+    val dense = graft.functions.RankFunctions
+      .topKPerGroup(denseFan, "qid", "cos", "nid", 20, asc = false)
+      .select(col("qid"), col("nid"), col("rk").as("rkd"))
     // single tokenize pass; dl is a projection, corpus stats one agg
     // (t23's shape — see tBm25)
     val withDl = Tables.documents(s, dir)
@@ -1948,9 +1948,7 @@ object SimilarityQueries {
     val dl = withDl.select(col("doc_id"), col("dl"))
     val qterms = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("term"))
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("nid"))
-    val sparse = tf.join(broadcast(qterms), Seq("term"))
+    val sparseScored = tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
       .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
@@ -1958,9 +1956,10 @@ object SimilarityQueries {
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
       .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
-      .withColumn("rks", row_number().over(ws))
-      .filter(col("rks") <= 20)
-      .select(col("qid"), col("nid"), col("rks"))
+    val sparse = graft.functions.RankFunctions
+      .topKPerGroup(sparseScored, "qid", "score_fp", "nid", 20,
+        asc = false)
+      .select(col("qid"), col("nid"), col("rk").as("rks"))
     rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
   }
 
@@ -2390,23 +2389,20 @@ object SimilarityQueries {
     val probes = base.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("y").as("qy"),
         col("yn").as("qn"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("d2"), col("nid"))
-    val exact = broadcast(probes).crossJoin(base)
+    def top3(fan: DataFrame): DataFrame = graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "d2", "nid", 3, asc = true)
+      .select(col("qid"), col("nid"))
+    val exact = top3(broadcast(probes).crossJoin(base)
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
         (col("qn") - lit(2L) * dotLong(col("qy"), col("y")) + col("yn"))
-          .as("d2"))
-      .withColumn("rk", row_number().over(topk)).filter(col("rk") <= 3)
-      .select(col("qid"), col("nid"))
-    val ann = broadcast(probes)
+          .as("d2")))
+    val ann = top3(broadcast(probes)
       .crossJoin(rec.withColumn("rn", normSqLong(col("r"))))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"),
         (col("qn") - lit(2L) * dotLong(col("qy"), col("r")) + col("rn"))
-          .as("d2"))
-      .withColumn("rk", row_number().over(topk)).filter(col("rk") <= 3)
-      .select(col("qid"), col("nid"))
+          .as("d2")))
     val hits = exact.join(ann, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
     probes.select(col("qid")).join(hits, Seq("qid"), "left")

@@ -536,7 +536,12 @@ class PlanSpec extends AnyFunSuite {
       }
     for ((q, maxWindows) <- Seq("s1_knn_brute" -> 0, "s2_ann_lsh" -> 0,
         "s25_binary_quant" -> 1, "s26_matryoshka" -> 1,
-        "t23_bm25" -> 0, "t24_bm25_stored" -> 0)) {
+        "t23_bm25" -> 0, "t24_bm25_stored" -> 0,
+        "s6_pq_adc" -> 0, "s10_sq8" -> 0, "s11_sq8_stored" -> 0,
+        "s13_pq_stored" -> 0,
+        // s12's one remaining window is the RRF fuse over the two
+        // already-cut 20-row legs, never the fan
+        "s12_hybrid_rrf" -> 1)) {
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.executedPlan
       val topk = collectAll(plan) {
