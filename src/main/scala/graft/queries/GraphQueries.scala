@@ -301,13 +301,101 @@ object GraphQueries {
       |SELECT comp, COUNT(*) AS n_nodes, CAST(SUM(n) AS BIGINT) AS checksum
       |FROM lab GROUP BY comp ORDER BY comp""".stripMargin
 
+  /** HyperBall-style 2-hop REACH estimation (Boldi–Vigna's HyperANF /
+    * HyperBall: the canonical big-graph neighborhood-function
+    * algorithm) — "how many pages does each page reach within k
+    * clicks" over a 10^11-edge crawl graph, where enumerating balls is
+    * |ball|-quadratic and the sketch route is k rounds of
+    * register-merge, shuffle ∝ edges per round:
+    *
+    *   regs₀(v) = HLL registers of {v};
+    *   regsₜ(v) = elementwise-max over the CLOSED out-neighborhood of
+    *              regsₜ₋₁ (self-loops make that one join-aggregate,
+    *              the g3 trick),
+    *
+    * so regsₖ(v) is EXACTLY the register array of ball(v, k) — per-
+    * register max is associative/commutative/idempotent, the mergeable-
+    * sketch property (d11's union argument on a graph). Register math
+    * is the d11 integer pipeline (affine hash mod P, bucket = h mod 64,
+    * rank via `bin()`), so the gate's contract is sharp: the ENGINE
+    * never materializes a ball (two unrolled merge rounds, static DAG);
+    * the ORACLE enumerates every ball(v, 2) by brute force and hashes
+    * its members directly — equal signatures prove merge ≡ union. The
+    * exact ball size rides alongside (the d11 exact-beside-sketch
+    * shape); the float estimate stays out of the oracle (bias
+    * constants are not replayable folklore).
+    */
+  def g4HyperBall(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val P = 1000000007L
+    val e = edges(s, dir)
+    val nodes = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct()
+    // closed neighborhood via self-loops: one join-aggregate per round
+    val ed = e.union(nodes.select(col("n").as("u"), col("n").as("v")))
+      .distinct().staged()
+    val h = (col("n") * 48271L + 11L) % P
+    val bucket = (h % 64L).cast("int")
+    val rank = when(expr(s"((n * 48271 + 11) % $P) DIV 64") === 0L,
+      lit(25L)).otherwise(lit(25L) -
+      length(expr(s"bin(((n * 48271 + 11) % $P) DIV 64)")))
+    var regs = nodes.select(col("n"),
+      transform(sequence(lit(0), lit(63)),
+        j => when(j === bucket, rank).otherwise(lit(0L))).as("regs"))
+    for (_ <- 1 to 2) {
+      regs = ed.join(regs, ed("v") === regs("n"))
+        .groupBy(col("u"))
+        .agg(call_function("graft_elementwise_max", col("regs"))
+          .as("regs"))
+        .select(col("u").as("n"), col("regs"))
+    }
+    // exact |ball(v,2)| — the verification term, ∝ 2-hop pairs (the
+    // quantity the sketch exists to avoid at scale)
+    val hop2 = ed.as("a").join(ed.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("n"), col("b.v").as("m")).distinct()
+    val exact = hop2.groupBy(col("n")).agg(count(lit(1)).as("n_exact"))
+    regs.join(exact, Seq("n"))
+      .select(col("n").as("node"), col("n_exact"),
+        concat_ws(":", transform(col("regs"), _.cast("string")))
+          .as("sig"))
+      .orderBy(col("node"))
+  }
+
+  val g4Oracle: String =
+    """WITH e AS (SELECT DISTINCT doc_id % 30 AS u,
+      |    (doc_id % 30 + 1 + doc_id % 7) % 30 AS v
+      |  FROM documents
+      |  WHERE doc_id < 400
+      |    AND doc_id % 30 != (doc_id % 30 + 1 + doc_id % 7) % 30),
+      |nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+      |se AS (SELECT u, v FROM e UNION SELECT n, n FROM nodes),
+      |ball AS (SELECT DISTINCT a.u AS n, b.v AS m
+      |  FROM se a JOIN se b ON a.v = b.u),
+      |hx AS (SELECT n, m, (m * 48271 + 11) % 1000000007 AS h FROM ball),
+      |rk AS (SELECT n, h % 64 AS b,
+      |    CASE WHEN h // 64 = 0 THEN 25
+      |      ELSE 25 - length(bin(h // 64)) END AS r
+      |  FROM hx),
+      |regs AS (SELECT n, b, MAX(r) mr FROM rk GROUP BY 1, 2),
+      |dense AS (SELECT nodes.n, j.j, COALESCE(regs.mr, 0) v
+      |  FROM nodes CROSS JOIN range(0, 64) j(j)
+      |  LEFT JOIN regs ON regs.n = nodes.n AND regs.b = j.j),
+      |sig AS (SELECT n, string_agg(CAST(v AS VARCHAR), ':' ORDER BY j) sig
+      |  FROM dense GROUP BY n),
+      |ex AS (SELECT n, CAST(COUNT(*) AS BIGINT) n_exact
+      |  FROM ball GROUP BY n)
+      |SELECT ex.n AS node, ex.n_exact, sig.sig
+      |FROM ex JOIN sig USING(n) ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> (g1PageRank _),
     "g2_triangles" -> (g2TriangleCount _),
-    "g3_wcc" -> (g3Wcc _))
+    "g3_wcc" -> (g3Wcc _),
+    "g4_hyperball" -> (g4HyperBall _))
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Oracle,
     "g2_triangles" -> g2Oracle,
-    "g3_wcc" -> g3Oracle)
+    "g3_wcc" -> g3Oracle,
+    "g4_hyperball" -> g4Oracle)
 }

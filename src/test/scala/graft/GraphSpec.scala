@@ -75,6 +75,53 @@ class GraphSpec extends AnyFunSuite {
       11L -> 10L))
   }
 
+  test("hyperball: 2-round register merge equals the directly-hashed " +
+      "ball on a hand graph") {
+    // directed path 0→1→2→3: ball(0,2) = {0,1,2}, ball(2,2) = {2,3},
+    // ball(3,2) = {3}. Replay the register math per member directly
+    // and compare to the engine's merge rounds.
+    val P = 1000000007L
+    def regsOf(members: Seq[Long]): Seq[Long] = {
+      val a = Array.fill(64)(0L)
+      members.foreach { m =>
+        val h = (m * 48271L + 11L) % P
+        val b = (h % 64L).toInt
+        val hi = h / 64L
+        val r = if (hi == 0L) 25L
+          else 25L - java.lang.Long.toBinaryString(hi).length
+        if (r > a(b)) a(b) = r
+      }
+      a.toSeq
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.expressions.LongArrayOps.register(spark)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("u", "v")
+    val nodes = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n"))).distinct()
+    val ed = e.union(nodes.select(col("n").as("u"), col("n").as("v")))
+    val bucket = (((col("n") * 48271L + 11L) % P) % 64L).cast("int")
+    val rank = when(expr(s"((n * 48271 + 11) % $P) DIV 64") === 0L,
+      lit(25L)).otherwise(lit(25L) -
+      length(expr(s"bin(((n * 48271 + 11) % $P) DIV 64)")))
+    var regs = nodes.select(col("n"),
+      transform(sequence(lit(0), lit(63)),
+        j => when(j === bucket, rank).otherwise(lit(0L))).as("regs"))
+    for (_ <- 1 to 2) {
+      regs = ed.join(regs, ed("v") === regs("n"))
+        .groupBy(col("u"))
+        .agg(call_function("graft_elementwise_max", col("regs"))
+          .as("regs"))
+        .select(col("u").as("n"), col("regs"))
+    }
+    val got = regs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0L) === regsOf(Seq(0L, 1L, 2L)))
+    assert(got(1L) === regsOf(Seq(1L, 2L, 3L)))
+    assert(got(2L) === regsOf(Seq(2L, 3L)))
+    assert(got(3L) === regsOf(Seq(3L)))
+  }
+
   test("triangles: K4 gives every node 3; a star has none; duplicate " +
       "and reversed edges don't double-count") {
     import spark.implicits._
