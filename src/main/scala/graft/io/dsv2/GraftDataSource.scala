@@ -123,7 +123,12 @@ object GraftTable {
     val (tombs, data) = Manifest.entries(s, root, Some(version))
       .partition(MergeOnRead.isTombstone)
     require(data.nonEmpty, s"version $version of $root has no data entries")
+    // reader option wins; otherwise the table's own recorded merge key
+    // (CALL set_mor_key / GraftMorKey.set — the Iceberg move of keeping
+    // the equality-delete key in table metadata, so plain SQL reads of
+    // a tombstoned table auto-merge instead of failing)
     val morKey = Option(options.get("morKey"))
+      .orElse(GraftMorKey.get(s, root))
     val schema = s.read.parquet(data: _*).schema
     morKey.filter(_ => tombs.nonEmpty).foreach { k =>
       require(schema.fieldNames.contains(k),
@@ -132,6 +137,39 @@ object GraftTable {
     }
     new GraftTable(s, root, version, schema, data, tombs, morKey)
   }
+}
+
+/** The table's recorded merge key — `root/_morkey`, one column name,
+  * create-if-absent (immutable like a tag; re-recording must be a
+  * deliberate drop + set, not a silent flip that changes what every
+  * reader merges on).
+  */
+object GraftMorKey {
+  private def path(root: String) = new Path(root, "_morkey")
+
+  def get(s: SparkSession, root: String): Option[String] = {
+    val f = path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(path(root))) None
+    else {
+      val in = f.open(path(root))
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  def set(s: SparkSession, root: String, key: String): Unit = {
+    val f = path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(graft.io.FsCreateCommitter.createIfAbsent(f, path(root),
+        key.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      s"mor key already recorded on $root (drop it first — " +
+        "changing the merge key under readers is never silent)")
+  }
+
+  def drop(s: SparkSession, root: String): Boolean =
+    path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(path(root), false)
 }
 
 /** Placeholder for a root with no committed version: schemaless, scans

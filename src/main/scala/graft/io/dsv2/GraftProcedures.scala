@@ -119,6 +119,23 @@ object GraftProcedures {
         Seq(new GenericInternalRow(Array[Any](v)))
       }
     },
+    "set_mor_key" -> new P("set_mor_key",
+      Seq(param("table", StringType), param("key", StringType)),
+      StructType(Seq(StructField("key", StringType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val key = utf(in.get(1, StringType))
+        GraftMorKey.set(session, rootOf(utf(in.get(0, StringType))), key)
+        Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(key))))
+      }
+    },
+    "drop_mor_key" -> new P("drop_mor_key",
+      Seq(param("table", StringType)),
+      StructType(Seq(StructField("dropped", org.apache.spark.sql.types
+        .BooleanType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](
+          GraftMorKey.drop(session, rootOf(utf(in.get(0, StringType)))))))
+    },
     "drop_tag" -> new P("drop_tag",
       Seq(param("table", StringType), param("name", StringType)),
       StructType(Seq(StructField("dropped", org.apache.spark.sql.types

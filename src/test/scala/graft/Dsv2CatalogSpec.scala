@@ -152,6 +152,28 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(gone != null)
   }
 
+  test("a recorded mor key auto-merges plain SQL reads of a " +
+      "tombstoned table") {
+    import spark.implicits._
+    val root = s"$wh/autmor"
+    (0L until 40L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    spark.sql("CALL lake.set_mor_key('autmor', 'id')")
+    MergeOnRead.deleteWhere(spark, root, "id",
+      col("id") < 15, s"$root/data")
+    // no morKey option, no fold — the table knows its own merge key
+    assert(spark.sql("SELECT count(*) n FROM lake.autmor")
+      .collect()(0).getLong(0) === 25L)
+    assert(spark.read.format("graft").load(root).count() === 25L)
+    // re-recording must refuse; drop + set is the deliberate path
+    val dup = intercept[Exception](
+      spark.sql("CALL lake.set_mor_key('autmor', 'v')").collect())
+    assert(dup != null)
+    spark.sql("CALL lake.drop_mor_key('autmor')")
+    spark.sql("CALL lake.set_mor_key('autmor', 'id')")
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
