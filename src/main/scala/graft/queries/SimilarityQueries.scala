@@ -4014,6 +4014,90 @@ object SimilarityQueries {
       |  CAST(d2 AS BIGINT) AS d2
       |FROM r3 WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 
+  /** TIME-SERIES subsequence similarity search (the EDBT streaming-
+    * similarity family): "find the k windows most similar to this one"
+    * over per-entity value series — anomaly matching / motif discovery
+    * on metrics, the one similarity modality the s-family didn't cover
+    * (text d-family, vectors s1–s26, media m5/m9, audio a7). Shape:
+    *
+    *  1. per-user time-ordered series: ONE groupBy collecting
+    *     (event_id, cents) structs, sorted in-array — bounded by the
+    *     per-entity series length, never a corpus-wide sort;
+    *  2. sliding windows of length 8 by `slice` over a posexploded
+    *     start index — windows ∝ events, built map-side;
+    *  3. the probe window (first window of the smallest eligible user
+    *     — a 1-row broadcast) scans all windows with the codegen'd
+    *     integer L2 kernel, and the GLOBAL top-5 is one
+    *     `graft_topk_by` over a constant group — the map-side bounded
+    *     heap IS the distributed global-top-k shape (each partition
+    *     ships 5 rows; no sort, no single-reducer window).
+    *
+    * All arithmetic exact fixed-point cents, so DuckDB replays the
+    * distances bit-for-bit; window ids pack (user, start) into one
+    * long for the heap's id slot.
+    */
+  def s27TsSubseq(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.LongArrayOps.register(s)
+    val w = 8
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val series = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("cents"))))
+        .as("sc"))
+      .select(col("user_id"),
+        transform(col("sc"), _.getField("cents")).as("v"))
+      .filter(size(col("v")) >= w)
+      .staged()
+    val wins = series
+      .select(col("user_id"), col("v"),
+        posexplode(sequence(lit(0), size(col("v")) - w))
+          .as(Seq("_i", "st")))
+      .select(col("user_id"), col("st").cast("long").as("st"),
+        slice(col("v"), col("st") + 1, lit(w)).as("win"))
+      .withColumn("nn", normSqLong(col("win")))
+    val qu = series.agg(min(col("user_id")).as("qu"))
+    val probe = wins.join(broadcast(qu),
+        col("user_id") === col("qu") && col("st") === 0)
+      .select(col("user_id").as("qu"), col("win").as("qwin"),
+        col("nn").as("qn"))
+    // ‖w−q‖² = ‖w‖² − 2·w·q + ‖q‖² on the codegen'd integer dot kernel
+    val fan = wins.crossJoin(broadcast(probe))
+      .filter(!(col("user_id") === col("qu") && col("st") === 0))
+      .select(lit(0L).as("g"),
+        (col("user_id") * 1000000L + col("st")).as("wid"),
+        (col("nn") - lit(2L) * dotLong(col("win"), col("qwin")) +
+          col("qn")).as("d2"))
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "g", "d2", "wid", 5, asc = true)
+      .select(col("rk"), col("wid"), col("d2"))
+      .orderBy(col("rk"))
+  }
+
+  val s27Oracle: String =
+    """WITH ev AS (SELECT user_id, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |ser AS (SELECT user_id, list(cents ORDER BY event_id) v
+      |  FROM ev GROUP BY 1),
+      |ok AS (SELECT * FROM ser WHERE len(v) >= 8),
+      |qu AS (SELECT MIN(user_id) u FROM ok),
+      |wins AS (SELECT user_id, CAST(st AS BIGINT) st,
+      |    v[CAST(st + 1 AS INT):CAST(st + 8 AS INT)] AS win
+      |  FROM ok, unnest(range(0, len(v) - 7)) r(st)),
+      |probe AS (SELECT win AS qwin FROM wins, qu
+      |  WHERE user_id = u AND st = 0),
+      |d AS (SELECT user_id * 1000000 + st AS wid,
+      |    CAST(list_aggregate(list_transform(range(1, 9),
+      |      i -> (win[CAST(i AS INT)] - qwin[CAST(i AS INT)])
+      |         * (win[CAST(i AS INT)] - qwin[CAST(i AS INT)])), 'sum')
+      |      AS BIGINT) AS d2
+      |  FROM wins, probe, qu WHERE NOT (user_id = u AND st = 0)),
+      |r AS (SELECT wid, d2, ROW_NUMBER() OVER (ORDER BY d2, wid) rk
+      |  FROM d)
+      |SELECT rk, wid, d2 FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_ann_lsh" -> (s2AnnLsh _),
@@ -4032,6 +4116,7 @@ object SimilarityQueries {
     "s24_ivf_compact" -> (s24IvfCompact _),
     "s25_binary_quant" -> (s25BinaryQuant _),
     "s26_matryoshka" -> (s26Matryoshka _),
+    "s27_ts_subseq" -> (s27TsSubseq _),
     "s15_hybrid_stored" -> (s15HybridStored _),
     "s16_ann_takedown" -> (s16AnnTakedown _),
     "st13_stream_ivf" -> (st13StreamIvf _),
@@ -4071,6 +4156,7 @@ object SimilarityQueries {
     "s24_ivf_compact" -> s14Oracle,
     "s25_binary_quant" -> s25Oracle,
     "s26_matryoshka" -> s26Oracle,
+    "s27_ts_subseq" -> s27Oracle,
     "s15_hybrid_stored" -> s15Oracle,
     "s16_ann_takedown" -> s16Oracle,
     // batching cannot move a per-row assignment: the streamed-in lists
