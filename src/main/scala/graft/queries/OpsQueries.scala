@@ -3613,6 +3613,74 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, bucket""".stripMargin
 
+  /** TABLE-TO-TABLE streaming ETL with STATEFUL dedup — the production
+    * ingest pipeline both bridge halves exist for, in one query:
+    * `readStream.format("graft")` (version offsets, st24) →
+    * `dropDuplicates(key)` (state in the checkpoint's state store) →
+    * `writeStream.format("graft")` (batch-id commits, st25). The
+    * planted commits OVERLAP key ranges — within a run AND across a
+    * stopped-and-resumed run — so the gate proves the dedup state
+    * carries across microbatches sourced from manifest versions and
+    * across query restarts: the sink table holds every key exactly
+    * once no matter which commit(s) carried it. That is "exactly-once
+    * ingest with upstream redelivery" built from nothing but the
+    * commit protocol and stock streaming state.
+    */
+  def st26TableDedupEtl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st26_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val src = s"$root/src"
+    def commit(lo: Long, hi: Long, tag: String): Unit = {
+      val d = s"$src/data/$tag"
+      Tables.events(s, dir)
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .write.parquet(d)
+      Manifest.commit(s, src, d)
+    }
+    // run-1 commits: [0,200) ∪ [100,300) ∪ [250,400) — 150 redelivered
+    commit(0, 200, "c0"); commit(100, 300, "c1"); commit(250, 400, "c2")
+    val sink = s"$root/sink"
+    def run(): Unit =
+      s.readStream.format("graft").option("startingVersion", "1")
+        .load(src)
+        .dropDuplicates("event_id")
+        .writeStream.format("graft")
+        .option("path", sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run()
+    // run-2 commits overlap run-1's ALREADY-SHIPPED range: only the
+    // checkpointed dedup state can know [350,400) was delivered
+    commit(350, 500, "c3")
+    run()
+    val n = s.read.format("graft").load(sink).count()
+    require(n == 500,
+      s"sink must hold each key exactly once across commits AND runs " +
+        s"(got $n rows, want 500)")
+    s.read.format("graft").load(sink)
+      .groupBy((col("event_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val st26Oracle: String =
+    """SELECT event_id % 7 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM events WHERE event_id < 500
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -4554,7 +4622,8 @@ object OpsQueries {
     "st22_keytable_dedup" -> (st22KeytableDedup _),
     "st23_dim_refresh" -> (st23DimRefresh _),
     "st24_manifest_stream" -> (st24ManifestStream _),
-    "st25_manifest_sink" -> (st25ManifestSink _))
+    "st25_manifest_sink" -> (st25ManifestSink _),
+    "st26_table_dedup_etl" -> (st26TableDedupEtl _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -4632,5 +4701,6 @@ object OpsQueries {
     "st22_keytable_dedup" -> st22Oracle,
     "st23_dim_refresh" -> st23Oracle,
     "st24_manifest_stream" -> st24Oracle,
-    "st25_manifest_sink" -> st25Oracle)
+    "st25_manifest_sink" -> st25Oracle,
+    "st26_table_dedup_etl" -> st26Oracle)
 }
