@@ -73,6 +73,41 @@ class BoundedTopKSpec extends AnyFunSuite {
     assert(encodeDouble(-0.0) === encodeDouble(0.0))
   }
 
+  test("serialize/deserialize roundtrips the heap and merge accepts " +
+      "a deserialized buffer") {
+    import graft.expressions.{TopKBy, TopKHeap}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+      Literal}
+    import org.apache.spark.sql.types.LongType
+    val agg = TopKBy(BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k = 5, asc = true)
+    val a = new TopKHeap(5)
+    // LCG stream with ties
+    var x = 7L
+    (0 until 200).foreach { i =>
+      x = (x * 1103515245L + 12345L) % 97L
+      a.insert(x, i.toLong)
+    }
+    val b = agg.deserialize(agg.serialize(a))
+    assert(b.sortedEntries().toSeq === a.sortedEntries().toSeq)
+    // merging a deserialized partial into a live one keeps the global
+    // top-k (simulates the exchange path end to end)
+    val c = new TopKHeap(5)
+    (200 until 400).foreach { i =>
+      x = (x * 1103515245L + 12345L) % 97L
+      c.insert(x, i.toLong)
+    }
+    val all = new TopKHeap(5)
+    // replay both streams through one heap as ground truth
+    var y = 7L
+    (0 until 400).foreach { i =>
+      y = (y * 1103515245L + 12345L) % 97L
+      all.insert(y, i.toLong)
+    }
+    val merged = agg.merge(agg.deserialize(agg.serialize(a)), c)
+    assert(merged.sortedEntries().toSeq === all.sortedEntries().toSeq)
+  }
+
   test("heap merge across partitions is order-insensitive") {
     // 1 group spread over many input partitions: partial heaps must merge
     // to the same answer as a single pass
