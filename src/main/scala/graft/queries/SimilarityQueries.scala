@@ -32,14 +32,25 @@ object SimilarityQueries {
         .cast("long") +
         coalesce(floor(lit(1e9) / (lit(60) + col("rks"))), lit(0L))
           .cast("long")
-    val wf = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("nid"))
-    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+    val fused = dense.join(sparse, Seq("qid", "nid"), "full_outer")
       .withColumn("rrf", rrf)
-      .withColumn("rk", row_number().over(wf))
-      .filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"), col("rrf"))
+    graft.functions.RankFunctions
+      .topKPerGroup(fused, "qid", "rrf", "nid", 5, asc = false)
       .select(col("qid"), col("rk"), col("nid"), col("rrf"))
   }
+
+  /** One per-qid top-k LEG `(qid, nid, <rkName>)` of a hybrid query via
+    * the bounded-heap aggregate — the scale-safe form of the rank-window
+    * candidate cut: the probe fan (an IVF list ∝ corpus/nlists, or the
+    * exact-baseline corpus scan) partial-aggregates map-side and the
+    * exchange carries k rows per probe (see RankFunctions.topKPerGroup).
+    */
+  private def topKLeg(fan: DataFrame, score: String, rkName: String,
+      k: Int, asc: Boolean): DataFrame =
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", score, "nid", k, asc)
+      .select(col("qid"), col("nid"), col("rk").as(rkName))
 
   private def quantized(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
@@ -51,7 +62,7 @@ object SimilarityQueries {
   /** Brute-force cosine top-5 for a probe set (vec_id < 25). The exact
     * baseline every ANN variant is judged against. At scale: broadcast the
     * probe set, stream the corpus — one pass over the big side, then a
-    * per-query top-k (window over rank) on qid, a tiny shuffle.
+    * per-query top-k via the bounded-heap aggregate, a tiny shuffle.
     */
   def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.LongArrayOps.register(s)
@@ -296,13 +307,11 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
         col("clabel").as("list"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    broadcast(probes).join(lists, Seq("list"))
+    val fan = broadcast(probes).join(lists, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "cos", "nid", 3, asc = false)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -366,13 +375,11 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"), col("clabel").as("list"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    broadcast(probes).join(lists, Seq("list"))
+    val fan = broadcast(probes).join(lists, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "cos", "nid", 3, asc = false)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -464,13 +471,11 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"), col("clabel").as("list"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    broadcast(probes).join(lists, Seq("list"))
+    val fan = broadcast(probes).join(lists, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "cos", "nid", 3, asc = false)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -571,13 +576,11 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"), col("clabel").as("list"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    broadcast(probes).join(lists, Seq("list"))
+    val fan = broadcast(probes).join(lists, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "cos", "nid", 3, asc = false)
       .select(col("qid"), col("rk"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -1273,13 +1276,11 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("clabel").as("list"))
     val adist = sqDistLong(col("qv"), col("r"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("adist"), col("nid"))
-    broadcast(probes).join(recon, Seq("list"))
+    val fan = broadcast(probes).join(recon, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    graft.functions.RankFunctions
+      .topKPerGroup(fan, "qid", "adist", "nid", 3, asc = true)
       .select(col("qid"), col("rk"), col("nid"), col("adist"))
       .orderBy(col("qid"), col("rk"))
   }
@@ -1367,8 +1368,6 @@ object SimilarityQueries {
     graft.expressions.LongArrayOps.register(s)
     val e = quantized(s, dir)
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val topk = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
     // exact top-3: bounded probes broadcast against the corpus stream
     val probes = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"))
@@ -1385,11 +1384,11 @@ object SimilarityQueries {
     val lprobes = ranked.filter(col("vec_id") < 25 && col("rk") <= 2)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("qn"),
         col("clabel").as("list"))
-    val ann = broadcast(lprobes).join(lists, Seq("list"))
+    val annFan = broadcast(lprobes).join(lists, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rk", row_number().over(topk))
-      .filter(col("rk") <= 3)
+    val ann = graft.functions.RankFunctions
+      .topKPerGroup(annFan, "qid", "cos", "nid", 3, asc = false)
       .select(col("qid"), col("nid"))
     val hits = exact.join(ann, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
@@ -2104,31 +2103,23 @@ object SimilarityQueries {
       .select(col("vec_id"), col("list"),
         zip_with(col("c"), col("res"), (m, r) => m + r).as("r"))
     val adist = sqDistLong(col("qv"), col("r"))
-    val wd = Window.partitionBy(col("qid"))
-      .orderBy(col("adist"), col("nid"))
-    val dense = broadcast(probes).join(rec, Seq("list"))
+    val dense = topKLeg(broadcast(probes).join(rec, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist"))
-      .withColumn("rkd", row_number().over(wd))
-      .filter(col("rkd") <= 20)
-      .select(col("qid"), col("nid"), col("rkd"))
+      .select(col("qid"), col("vec_id").as("nid"), adist.as("adist")),
+      "adist", "rkd", 20, asc = true)
     // ---- sparse query: the STORED BM25 index only
     val bi = TextQueries.readBm25Index(s, idx + "/bm25")
     val qterms = bi.tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("term"))
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("nid"))
-    val sparse = bi.tf.join(broadcast(qterms), Seq("term"))
+    val sparse = topKLeg(bi.tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .join(bi.dft, Seq("term")).join(bi.dl, Seq("doc_id"))
       .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
         col("tf"), col("df"), col("dl"), bi.nDocs, bi.avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
-      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
-      .withColumn("rks", row_number().over(ws))
-      .filter(col("rks") <= 20)
-      .select(col("qid"), col("nid"), col("rks"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp")),
+      "score_fp", "rks", 20, asc = false)
     // ---- exact-integer RRF fusion (s12's formula verbatim)
     rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
   }
@@ -3172,19 +3163,15 @@ object SimilarityQueries {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val qterms = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("term"))
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("nid"))
-    val sparse = tf.join(broadcast(qterms), Seq("term"))
+    val sparse = topKLeg(tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
       .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
         col("tf"), col("df"), col("dl"), nDocs, avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
-      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
-      .withColumn("rks", row_number().over(ws))
-      .filter(col("rks") <= 20)
-      .select(col("qid"), col("nid"), col("rks"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp")),
+      "score_fp", "rks", 20, asc = false)
     // dense leg: probes route against the pinned quantizer, scoring
     // only the nprobe=2 probed pinned lists
     val cent = Manifest.snapshot(s, qRoot, Some(pins(qRoot)))
@@ -3194,14 +3181,10 @@ object SimilarityQueries {
         col("nn").as("qn"), col("clabel").as("list"))
     val lists = Manifest.snapshot(s, lRoot, Some(pins(lRoot)))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val wd = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    val dense = broadcast(probes).join(lists, Seq("list"))
+    val dense = topKLeg(broadcast(probes).join(lists, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rkd", row_number().over(wd))
-      .filter(col("rkd") <= 20)
-      .select(col("qid"), col("nid"), col("rkd"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos")),
+      "cos", "rkd", 20, asc = false)
     rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
   }
 
@@ -3412,19 +3395,15 @@ object SimilarityQueries {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val qterms = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("term"))
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("nid"))
-    val sparse = tf.join(broadcast(qterms), Seq("term"))
+    val sparse = topKLeg(tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
       .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
         col("tf"), col("df"), col("dl"), nDocs, avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
-      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
-      .withColumn("rks", row_number().over(ws))
-      .filter(col("rks") <= 20)
-      .select(col("qid"), col("nid"), col("rks")).staged()
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp")),
+      "score_fp", "rks", 20, asc = false).staged()
     val cent = Manifest.snapshot(ss, qRoot, Some(pins(qRoot)))
     val lists = Manifest.snapshot(ss, lRoot, Some(pins(lRoot)))
     val eProbes = quantized(ss, dir).filter(col("vec_id") < 5)
@@ -3432,14 +3411,10 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"), col("clabel").as("list"))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val wd = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    def top20(cands: DataFrame): DataFrame = cands
+    def top20(cands: DataFrame): DataFrame = topKLeg(cands
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rkd", row_number().over(wd))
-      .filter(col("rkd") <= 20)
-      .select(col("qid"), col("nid"), col("rkd"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos")),
+      "cos", "rkd", 20, asc = false)
     val dense = top20(broadcast(probed).join(lists, Seq("list")))
     val exactDense = top20(broadcast(eProbes
         .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -3728,19 +3703,15 @@ object SimilarityQueries {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val qterms = tf.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("term"))
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("score_fp").desc, col("nid"))
-    val sparse = tf.join(broadcast(qterms), Seq("term"))
+    val sparse = topKLeg(tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("qid"))
       .join(dft, Seq("term")).join(dl, Seq("doc_id"))
       .withColumn("fp", graft.functions.TextFunctions.bm25Fp(
         col("tf"), col("df"), col("dl"), nDocs, avgdl))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"))
-      .select(col("qid"), col("doc_id").as("nid"), col("score_fp"))
-      .withColumn("rks", row_number().over(ws))
-      .filter(col("rks") <= 20)
-      .select(col("qid"), col("nid"), col("rks"))
+      .select(col("qid"), col("doc_id").as("nid"), col("score_fp")),
+      "score_fp", "rks", 20, asc = false)
     val cent = Manifest.snapshot(s, qRoot, Some(pins(qRoot)))
     // surviving probes only — probe 3 was taken down with its document
     val probes = centroidRanked(
@@ -3751,14 +3722,10 @@ object SimilarityQueries {
     val lists = MergeOnRead.snapshot(s, lRoot, "vec_id",
       Some(pins(lRoot)))
     val cos = cosineQ(dotLong(col("qv"), col("v")), col("qn"), col("nn"))
-    val wd = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    val dense = broadcast(probes).join(lists, Seq("list"))
+    val dense = topKLeg(broadcast(probes).join(lists, Seq("list"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rkd", row_number().over(wd))
-      .filter(col("rkd") <= 20)
-      .select(col("qid"), col("nid"), col("rkd"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos")),
+      "cos", "rkd", 20, asc = false)
     rrfTop5(dense, sparse).orderBy(col("qid"), col("rk"))
   }
 

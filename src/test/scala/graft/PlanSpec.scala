@@ -539,9 +539,14 @@ class PlanSpec extends AnyFunSuite {
         "t23_bm25" -> 0, "t24_bm25_stored" -> 0,
         "s6_pq_adc" -> 0, "s10_sq8" -> 0, "s11_sq8_stored" -> 0,
         "s13_pq_stored" -> 0,
-        // s12's one remaining window is the RRF fuse over the two
-        // already-cut 20-row legs, never the fan
-        "s12_hybrid_rrf" -> 1)) {
+        // the hybrid paths cut every leg AND the RRF fuse with the
+        // aggregate — zero windows anywhere in the plan
+        "s12_hybrid_rrf" -> 0, "s15_hybrid_stored" -> 0,
+        // the IVF probe family: the per-list fan (∝ corpus/nlists) is
+        // cut by the aggregate, not funneled into ≤ #probes reducers
+        "s4_ivf_probe" -> 0, "s8_ivfpq" -> 0, "s9_ann_recall" -> 0,
+        "s17_filtered_ann" -> 0, "s19_filtered_ann_stored" -> 0,
+        "s23_conj_prune" -> 0)) {
       val df = SparkEntry.queries(q)(spark, sf)
       val plan = df.queryExecution.executedPlan
       val topk = collectAll(plan) {
