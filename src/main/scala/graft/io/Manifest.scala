@@ -162,6 +162,23 @@ object Manifest {
       .map(v => readList(fs(s, root), manifestPath(root, v)))
       .getOrElse(Seq.empty)
 
+  /** Whether `dir` appears in ANY retained version's list — the replay
+    * guard for producers whose batch may have been folded OUT of the
+    * latest list by a compaction that ran between its commit and the
+    * replay ([[committed]] alone would miss it and re-commit a
+    * duplicate). Scans newest-first (a replayed batch is usually in a
+    * recent version) and tolerates expired/corrupt old manifests; a
+    * batch older than the retention horizon is beyond what any
+    * checkpoint replays.
+    */
+  def everCommitted(s: SparkSession, root: String, dir: String): Boolean = {
+    val f = fs(s, root)
+    versionsOf(f, root).reverseIterator.exists { v =>
+      scala.util.Try(readList(f, manifestPath(root, v)))
+        .getOrElse(Seq.empty).contains(dir)
+    }
+  }
+
   /** The directory list a specific version pins (latest when
     * unspecified) — the raw entries, for readers that interpret entry
     * conventions themselves (e.g. [[MergeOnRead]] tombstones).

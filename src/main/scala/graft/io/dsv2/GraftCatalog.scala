@@ -72,11 +72,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier): Table =
     GraftTable.resolve(SparkSession.active, rootOf(ident), emptyOpts)
 
-  /** `VERSION AS OF x`: a version number, or a tag name (io37). */
+  /** `VERSION AS OF x`: a version number, or a tag name (io37). An
+    * all-digit literal resolves as a VERSION when that version exists;
+    * otherwise it falls back to a tag of that name — so a tag like
+    * '2024' stays reachable unless it collides with a live version
+    * number (name tags with a non-digit to avoid the shadow).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
-    val key = if (version.forall(_.isDigit)) "versionAsOf" else "tag"
-    GraftTable.resolve(SparkSession.active, root, opts(key -> version))
+    val s = SparkSession.active
+    val key =
+      if (version.forall(_.isDigit) &&
+          (Manifest.versions(s, root).contains(version.toInt) ||
+            !Manifest.tags(s, root).contains(version))) "versionAsOf"
+      else "tag"
+    GraftTable.resolve(s, root, opts(key -> version))
   }
 
   /** `TIMESTAMP AS OF t`: Spark hands epoch MICROseconds. */

@@ -86,7 +86,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    GraftTable.resolve(SparkSession.active, root(options), options)
+    val t = GraftTable.resolve(SparkSession.active, root(options), options)
+    // a caller-supplied schema (spark.read.schema / readStream.schema)
+    // is validated against the resolved snapshot, never silently
+    // replaced by it — honoring supportsExternalMetadata()'s promise
+    // loudly instead of surfacing as a downstream analysis error
+    if (schema != null && t.schema().nonEmpty &&
+        !(schema.fieldNames.sameElements(t.schema().fieldNames) &&
+          DataType.equalsStructurally(schema, t.schema(),
+            ignoreNullability = true)))
+      throw new IllegalArgumentException(
+        s"user-specified schema does not match ${t.name()}: given " +
+          s"${schema.simpleString}, table has ${t.schema().simpleString}")
+    t
   }
 }
 

@@ -41,8 +41,15 @@ class GraftStreamSink(parameters: Map[String, String]) extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
     val dir = f"$root/data/batch-$batchId%09d"
+    // replay guard: the latest list is the common case; a compaction
+    // that folded this batch's dir OUT of the latest list between its
+    // commit and the replay is caught by the full-history membership
+    // check — which only runs when the batch directory is already on
+    // disk (a replay or a crash orphan), never for a fresh batch
     val already = scala.util.Try(Manifest.committed(s, root))
-      .getOrElse(Seq.empty).contains(dir)
+      .getOrElse(Seq.empty).contains(dir) ||
+      (new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new Path(dir)) && Manifest.everCommitted(s, root, dir))
     if (already) return // replayed batch: the commit already holds it
     // the sink receives a streaming-tagged plan; re-wrap its rows as a
     // batch frame to write (the file sink's own move)

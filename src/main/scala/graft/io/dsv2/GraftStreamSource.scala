@@ -34,12 +34,15 @@ case class GraftStreamOffset(version: Int) extends Offset {
   * range. A replacing commit (compaction, fold, overwrite) REMOVES
   * directories; silently re-reading rewritten data would double-count,
   * so the stream fails loudly unless `ignoreChanges=true` is passed, in
-  * which case only the ADDED directories of each version are emitted
-  * (Delta's `ignoreChanges` semantics — rewritten rows may be missed,
-  * the caller opts into that). Tombstone entries ([[MergeOnRead]]) are
-  * never data and always skipped; `startingVersion` replays from an
-  * older version (default: the version current at stream start — only
-  * NEW commits stream, the Delta default).
+  * which case only the ADDED directories of each version are emitted —
+  * and a replacing commit's rewritten OUTPUT is itself an added
+  * directory, so already-streamed rows ARE delivered again (Delta's
+  * `ignoreChanges` semantics exactly: downstream must tolerate
+  * duplicates, typically by keying on a unique id). Tombstone entries
+  * ([[MergeOnRead]]) are never data and always skipped;
+  * `startingVersion` replays from an older version (default: the
+  * version current at stream start — only NEW commits stream, the
+  * Delta default).
   */
 class GraftMicroBatchStream(s: SparkSession, root: String,
     tableSchema: StructType, required: StructType,
@@ -77,9 +80,10 @@ class GraftMicroBatchStream(s: SparkSession, root: String,
       s"stream over $root: versions $from -> $to REMOVED " +
         s"${removed.size} director(ies) (a replacing commit — " +
         "compaction/fold/overwrite). Re-reading rewritten data would " +
-        "double-count; pass ignoreChanges=true to consume only " +
-        "appended directories, accepting that rewritten rows are " +
-        "not re-emitted.")
+        "double-count; pass ignoreChanges=true to consume the " +
+        "replacing commit's output as a fresh append, accepting that " +
+        "already-streamed rows are DELIVERED AGAIN (downstream must " +
+        "tolerate duplicates).")
     after.filterNot(before).filterNot(MergeOnRead.isTombstone)
   }
 
@@ -104,10 +108,10 @@ class GraftMicroBatchStream(s: SparkSession, root: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     // schema-bound, file-agnostic: one factory serves every batch's
-    // partitions (each PartitionedFile carries its own path)
-    parquetScanOver(Manifest.entries(s, root)
-      .filterNot(MergeOnRead.isTombstone))
-      .toBatch.createReaderFactory()
+    // partitions (each PartitionedFile carries its own path), so build
+    // it over an EMPTY index — no whole-table listing per factory, and
+    // no failure if every version expired between batches
+    parquetScanOver(Seq.empty).toBatch.createReaderFactory()
 
   override def commit(end: Offset): Unit = ()
 

@@ -174,6 +174,72 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     spark.sql("CALL lake.set_mor_key('autmor', 'id')")
   }
 
+  test("an all-digit tag resolves through VERSION AS OF when no such " +
+      "version exists; a live version number wins the collision") {
+    wh
+    val root = s"$wh/events"
+    Manifest.tag(spark, root, "2024", 1)
+    // no version 2024 exists — the literal falls back to the tag
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.events VERSION AS OF '2024'")
+      .collect()(0).getLong(0) === 100L)
+    // a live version number keeps priority over a same-named tag
+    Manifest.tag(spark, root, "2", 1)
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.events VERSION AS OF '2'")
+      .collect()(0).getLong(0) === 200L,
+      "a literal matching a LIVE version must resolve as the version")
+    Manifest.dropTag(spark, root, "2024")
+    Manifest.dropTag(spark, root, "2")
+  }
+
+  test("a caller-supplied read schema is validated against the " +
+      "snapshot, not silently replaced") {
+    wh
+    val root = s"$wh/events"
+    val good = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.LongType)))
+    assert(spark.read.format("graft").schema(good).load(root)
+      .count() === 200L)
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[Exception](
+      spark.read.format("graft").schema(bad).load(root).count())
+    def mismatch(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage)
+        .exists(_.contains("does not match")) || mismatch(t.getCause))
+    assert(mismatch(e), s"schema mismatch must fail loudly, got $e")
+  }
+
+  test("a sink replay after a compaction folded its batch out of the " +
+      "latest list does not re-commit the batch") {
+    import spark.implicits._
+    val root = s"$wh/sinkreplay"
+    val sink = new graft.io.dsv2.GraftStreamSink(Map("path" -> root))
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+    sink.addBatch(0, batch(0, 10))
+    sink.addBatch(1, batch(10, 20))
+    // compaction: one folded dir REPLACES both batch dirs — batch-1's
+    // directory is no longer in the latest list
+    spark.read.parquet(s"$root/data/batch-000000000",
+        s"$root/data/batch-000000001")
+      .coalesce(1).write.parquet(s"$root/data/folded")
+    Manifest.rewrite(spark, root, Seq(s"$root/data/folded"))
+    val versionsBefore = Manifest.versions(spark, root)
+    // a restarted query replays batch 1: the full-history membership
+    // check must recognize it as already committed and do nothing
+    sink.addBatch(1, batch(10, 20))
+    assert(Manifest.versions(spark, root) === versionsBefore,
+      "the replay must not add a commit")
+    assert(spark.read.format("graft").load(root).count() === 20L,
+      "the folded table must not gain duplicate rows")
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
