@@ -197,7 +197,8 @@ class GraftMissingTable(root: String) extends Table {
 
 class GraftTable(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
-    morKey: Option[String]) extends Table with SupportsRead {
+    morKey: Option[String]) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft.`$root`@v$version"
 
@@ -205,7 +206,13 @@ class GraftTable(s: SparkSession, root: String, version: Int,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(s, root, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {

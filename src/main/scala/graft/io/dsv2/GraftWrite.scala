@@ -1,19 +1,35 @@
 package graft.io.dsv2
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.distributions.{Distribution,
+  Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo,
+  PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
+  StructType, UserDefinedType}
 
 import graft.io.{Manifest, SkipStats}
 
-/** WRITE path for `format("graft")` — the V1 write fallback
-  * ([[CreatableRelationProvider]], which `DataFrameWriter.save` prefers
-  * over V2 when a TableProvider also implements it): every mode maps to
-  * a manifest-protocol commit, so a plain `df.write` producer gets the
-  * same snapshot isolation, atomicity, and time-travelability as the
-  * Scala API — and the battle-tested vectorized parquet writer does the
-  * data IO.
+/** WRITE paths for `format("graft")`.
+  *
+  * EXISTING tables write through DataSourceV2 ([[GraftTable]] implements
+  * `SupportsWrite`; see [[GraftWriteBuilder]]): `df.write.mode("append")`
+  * plans as `AppendData`, `mode("overwrite")` as truncate-and-write —
+  * both landing in ONE manifest commit, with optional
+  * distribution/ordering hints. NEW tables (no committed version yet)
+  * resolve to [[GraftMissingTable]], which lacks `SupportsWrite`, so
+  * `DataFrameWriter.save` falls back to the V1
+  * [[CreatableRelationProvider]] below — which runs the identical
+  * commit protocol and also serves `errorifexists`/`ignore` modes.
+  * Every mode maps to a manifest-protocol commit, so a plain `df.write`
+  * producer gets the same snapshot isolation, atomicity, and
+  * time-travelability as the Scala API — and the battle-tested
+  * vectorized parquet writer does the data IO in both paths.
   *
   *  - `append`    → write a fresh data directory, then ONE appending
   *                  [[Manifest.commit]]; readers never see a partial
@@ -66,5 +82,104 @@ trait GraftWriteSupport extends CreatableRelationProvider {
       override def sqlContext: SQLContext = s.sqlContext
       override def schema: StructType = data.schema
     }
+  }
+}
+
+/** DSv2 write builder for an EXISTING manifest table: the physical file
+  * IO delegates to Spark's own [[ParquetWrite]] (vectorized writer, task
+  * commit protocol) pointed at a FRESH `data/w-{uuid}` directory, and the
+  * driver-side `BatchWrite.commit` — which Spark calls exactly once,
+  * after every task committed — appends or replaces that directory as
+  * ONE manifest commit. Readers never see a partial write (an
+  * uncommitted directory is an orphan; `abort` leaves only orphans for
+  * the sweep), concurrent appenders race only on the manifest commit.
+  *
+  * Write options:
+  *  - `statsCols` — comma-separated; writes the [[SkipStats]] sidecar
+  *    over the fresh directory BEFORE the commit, so the new files are
+  *    prunable from the moment they are visible.
+  *  - `sortBy` — comma-separated; advertised to Spark as the write's
+  *    required distribution (range-partitioned) AND in-partition
+  *    ordering via [[RequiresDistributionAndOrdering]], so rows land
+  *    range-clustered — tight per-file min/max for the skip-stats the
+  *    sidecar records (pair with `statsCols` on the same columns).
+  *
+  * `SaveMode.Overwrite` arrives as [[SupportsTruncate.truncate]] and
+  * becomes a REPLACING commit ([[Manifest.rewrite]]) — old versions
+  * still time-travel; it is never an rm -rf.
+  */
+class GraftWriteBuilder(s: SparkSession, root: String,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var replacing = false
+
+  override def truncate(): WriteBuilder = { replacing = true; this }
+
+  override def build(): Write = new GraftV2Write(s, root, info, replacing)
+}
+
+class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
+    replacing: Boolean) extends Write
+  with RequiresDistributionAndOrdering {
+
+  private def csv(key: String): Seq[String] =
+    Option(info.options.get(key))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  private val statsCols = csv("statsCols")
+  private val sortBy = csv("sortBy")
+
+  private val dir =
+    s"$root/data/w-" + java.util.UUID.randomUUID().toString
+
+  // parquet's own type support, mirrored (scalars + nested, recursively;
+  // interval/variant-style non-storable types refuse)
+  private def parquetSupports(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.forall(f => parquetSupports(f.dataType))
+    case ArrayType(et, _) => parquetSupports(et)
+    case MapType(k, v, _) => parquetSupports(k) && parquetSupports(v)
+    case udt: UserDefinedType[_] => parquetSupports(udt.sqlType)
+    case _: org.apache.spark.sql.types.CalendarIntervalType => false
+    case _: org.apache.spark.sql.types.NullType => false
+    case _ => true
+  }
+
+  private val delegate =
+    ParquetWrite(Seq(dir), "parquet", parquetSupports, info)
+
+  override def requiredDistribution(): Distribution =
+    if (sortBy.isEmpty) Distributions.unspecified()
+    else Distributions.ordered(requiredOrdering())
+
+  override def requiredOrdering(): Array[SortOrder] =
+    sortBy.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
+
+  override def description(): String =
+    s"GraftWrite root=$root dir=$dir replacing=$replacing " +
+      s"statsCols=${statsCols.mkString("+")} sortBy=${sortBy.mkString("+")}"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val db = delegate.toBatch
+
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo) =
+      db.createBatchWriterFactory(pinfo)
+
+    // the file commit protocol coordinates its own task commits
+    override def useCommitCoordinator(): Boolean = db.useCommitCoordinator()
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      db.commit(messages) // finalize task files into the fresh dir
+      if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
+      if (replacing) Manifest.rewrite(s, root, Seq(dir))
+      else Manifest.commit(s, root, dir)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      db.abort(messages) // the dir stays an orphan for the sweep
+
+    override def toString: String = description()
   }
 }

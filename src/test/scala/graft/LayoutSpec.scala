@@ -78,6 +78,70 @@ class LayoutSpec extends AnyFunSuite {
     assert(none.count() === 0)
   }
 
+  test("DSv2 write path: append/overwrite on an existing table plan as " +
+      "V2 writes; sortBy injects the required range sort; the sidecar " +
+      "written through the V2 path prunes the next read") {
+    import scala.collection.mutable
+    val plans = mutable.ListBuffer.empty[(String, SparkPlan)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += ((funcName, qe.executedPlan)) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-v2write").toString + "/tbl"
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i % 5)).toDF("id", "grp")
+    // create: no committed version yet -> V1 fallback (by design)
+    batch(0, 100).write.format("graft").save(root)
+    spark.listenerManager.register(listener)
+    try {
+      batch(100, 200).write.format("graft")
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .option("statsCols", "id").option("sortBy", "id").save(root)
+      batch(0, 50).write.format("graft")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save(root)
+      // the listener bus is async — wait for both write plans to land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && !plans.synchronized {
+          val t = plans.map(_._2.toString)
+          t.exists(_.contains("AppendData")) &&
+            t.exists(_.contains("OverwriteByExpression")) })
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    val texts = plans.synchronized(plans.toList)
+      .map { case (fn, p) => (fn, p.toString) }
+    val append = texts.filter(_._2.contains("AppendData"))
+    assert(append.nonEmpty,
+      s"the append must plan as a V2 AppendData, saw: " +
+        s"${texts.map(_._1).mkString(", ")}")
+    assert(append.exists { case (_, t) =>
+      t.contains("Sort [id") || t.contains("Sort [id#") ||
+        (t.contains("Sort") && t.contains("AppendData")) },
+      "sortBy must inject the required ordering below the V2 write:\n" +
+        append.map(_._2).mkString("\n"))
+    assert(texts.exists(_._2.contains("OverwriteByExpression")),
+      "overwrite must plan as a V2 truncate-write")
+    // the V2 path committed one version per save, replacing on overwrite
+    assert(graft.io.Manifest.versions(spark, root) === Seq(1, 2, 3))
+    assert(spark.read.format("graft").load(root).count() === 50L)
+    assert(spark.read.format("graft").option("versionAsOf", "2")
+      .load(root).count() === 200L)
+    // the sidecar written through the V2 path prunes the next read
+    val pruned = spark.read.format("graft").option("versionAsOf", "2")
+      .load(root).filter(col("id") >= 150)
+    pruned.collect()
+    // (the create batch has no sidecar, so only the append's dir can
+    // be skipped — pruning must still kick in on the sorted batch)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("skippedDirs="), "the V2 write must stay skip-stats aware")
+  }
+
   test("io10: bucketed join plans with zero shuffle exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
