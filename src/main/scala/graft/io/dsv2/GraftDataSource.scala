@@ -141,11 +141,20 @@ object GraftTable {
     // a tombstoned table auto-merge instead of failing)
     val morKey = Option(options.get("morKey"))
       .orElse(GraftMorKey.get(s, root))
-    val schema = s.read.parquet(data: _*).schema
+    val inferred = s.read.parquet(data: _*).schema
     morKey.filter(_ => tombs.nonEmpty).foreach { k =>
-      require(schema.fieldNames.contains(k),
-        s"morKey '$k' is not a column of $root (${schema.fieldNames
+      require(inferred.fieldNames.contains(k),
+        s"morKey '$k' is not a column of $root (${inferred.fieldNames
           .mkString(", ")})")
+    }
+    // a recorded merge key is a row IDENTITY (Iceberg's identifier
+    // field): advertise it required — non-null by contract, and Spark's
+    // delta-based DELETE refuses nullable row IDs
+    val schema = morKey match {
+      case Some(k) if inferred.fieldNames.contains(k) =>
+        StructType(inferred.map(f =>
+          if (f.name == k) f.copy(nullable = false) else f))
+      case _ => inferred
     }
     new GraftTable(s, root, version, schema, data, tombs, morKey)
   }
@@ -198,7 +207,8 @@ class GraftMissingTable(root: String) extends Table {
 class GraftTable(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String]) extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft.`$root`@v$version"
 
@@ -213,6 +223,15 @@ class GraftTable(s: SparkSession, root: String, version: Int,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(s, root, info)
+
+  /** SQL DML (`DELETE FROM` / `UPDATE` / `MERGE INTO`) — see
+    * [[GraftRowLevelBuilder]] for the CoW-vs-MoR mode rule.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelBuilder(s, root, version, tableSchema, dataDirs,
+      tombDirs, morKey, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {

@@ -1,0 +1,211 @@
+package graft.io.dsv2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite,
+  DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo,
+  PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder,
+  RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.MergeOnRead
+
+/** SQL row-level DML on manifest tables — `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` against a [[GraftCatalog]] table, planned through Spark
+  * 4's native `SupportsRowLevelOperations` hooks so takedowns and
+  * upserts are plain SQL, not `CALL`s or Scala API:
+  *
+  * {{{
+  *   DELETE FROM lake.docs WHERE doc_id % 13 = 3
+  *   UPDATE lake.docs SET quality = 0 WHERE lang = 'xx'
+  *   MERGE INTO lake.docs t USING updates s ON t.doc_id = s.doc_id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * The CoW-vs-MoR mode choice is a property of the TABLE, exactly like
+  * Iceberg's `write.delete.mode`: a table with a recorded merge key
+  * (`CALL lake.set_mor_key(...)` / [[GraftMorKey.set]]) takes the
+  * MERGE-ON-READ delete — Spark's delta-based plan ([[GraftDeltaDelete]])
+  * hands the matched keys to the writer and the commit is ONE appending
+  * tombstone directory of keys-only size, data untouched, later folded
+  * by maintenance ([[MergeOnRead]] semantics, io21's shape). A table
+  * without a merge key takes COPY-ON-WRITE: Spark's group-based plan
+  * rewrites the snapshot's surviving rows through the ordinary
+  * [[GraftV2Write]] as ONE replacing commit (old versions still
+  * time-travel; io20's observable semantics). UPDATE and MERGE are
+  * always copy-on-write — a tombstone-plus-reinsert cannot express them
+  * under this engine's tombstone read rule (a tombstoned key hides
+  * EVERY row carrying it, re-inserted ones included), so the replacing
+  * rewrite is the correct form; on a tombstoned table the rewrite also
+  * folds the live tombstones (the scan merges, the commit replaces).
+  *
+  * Scale note: the delta DELETE funnels matched keys through driver
+  * commit messages — right for the takedown shape (keys-sized), wrong
+  * for a bulk purge, so past `spark.graft.dml.maxDeleteKeys` (default
+  * 4M, aligned with the MoR broadcast cap) it refuses loudly and points
+  * at the CoW path (drop the mor key) which streams instead of
+  * collecting.
+  */
+class GraftRowLevelBuilder(s: SparkSession, root: String, version: Int,
+    tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
+    morKey: Option[String], info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
+
+  override def build(): RowLevelOperation =
+    if (info.command == Command.DELETE && morKey.nonEmpty)
+      new GraftDeltaDelete(s, root, version, tableSchema, dataDirs,
+        tombDirs, morKey.get)
+    else
+      new GraftGroupRewrite(s, root, version, tableSchema, dataDirs,
+        tombDirs, morKey, info.command)
+}
+
+/** Group-based (copy-on-write) op: the "group" is the whole pinned
+  * snapshot — Spark reads it through the ordinary pruning scan, computes
+  * the surviving/updated/merged rows, and the write lands them as ONE
+  * replacing manifest commit. Concurrent appends lose to the rewrite
+  * (last-writer-wins, the same contract as every replacing maintenance
+  * commit in this engine).
+  */
+class GraftGroupRewrite(s: SparkSession, root: String, version: Int,
+    tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
+    morKey: Option[String], cmd: Command) extends RowLevelOperation {
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
+      tombDirs, morKey, options)
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftV2Write(s, root, winfo, replacing = true,
+          fromRowOp = true)
+    }
+
+  override def description(): String =
+    s"GraftGroupRewrite($cmd) root=$root v$version"
+}
+
+/** Delta-based DELETE for a table with a recorded merge key: Spark scans
+  * only matching rows, hands each row's id (the merge key) to the
+  * writer, and the commit is [[MergeOnRead.deleteKeys]] — one appending
+  * tombstone directory, no data rewritten. A DELETE matching nothing
+  * commits nothing (deleteKeys' no-op contract).
+  */
+class GraftDeltaDelete(s: SparkSession, root: String, version: Int,
+    tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
+    morKey: String) extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = Command.DELETE
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(morKey))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
+      tombDirs, Some(morKey), options)
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo)
+      : DeltaWriteBuilder = new DeltaWriteBuilder {
+    override def build(): DeltaWrite = {
+      val keyIsString = tableSchema(morKey).dataType match {
+        case StringType => true
+        case LongType => false
+        case other => throw new IllegalArgumentException(
+          s"mor key '$morKey' must be bigint or string for SQL DELETE, " +
+            s"got $other")
+      }
+      val cap =
+        s.conf.get("spark.graft.dml.maxDeleteKeys", "4194304").toLong
+      new GraftDeltaDeleteWrite(s, root, morKey, keyIsString, cap)
+    }
+  }
+
+  override def description(): String =
+    s"GraftDeltaDelete root=$root v$version key=$morKey"
+}
+
+private case class DeleteKeysMessage(longs: Array[Long],
+    strings: Array[String]) extends WriterCommitMessage
+
+class GraftDeltaDeleteWrite(s: SparkSession, root: String, morKey: String,
+    keyIsString: Boolean, cap: Long) extends DeltaWrite {
+
+  override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
+
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+        : DeltaWriterFactory =
+      new KeyCollectingWriterFactory(keyIsString, cap)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: DeleteKeysMessage => m }
+      val total = msgs.map(m =>
+        if (keyIsString) m.strings.length.toLong
+        else m.longs.length.toLong).sum
+      require(total <= cap,
+        s"SQL DELETE matched $total keys, past " +
+          s"spark.graft.dml.maxDeleteKeys=$cap — this is a bulk purge, " +
+          "not a takedown: drop the mor key to take the copy-on-write " +
+          "path (or raise the cap)")
+      import s.implicits._
+      val keys =
+        if (keyIsString) msgs.flatMap(_.strings).toSeq.toDF(morKey)
+        else msgs.flatMap(_.longs).toSeq.toDF(morKey)
+      MergeOnRead.deleteKeys(s, root, morKey, keys, s"$root/data")
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  override def description(): String =
+    s"GraftDeltaDeleteWrite root=$root key=$morKey"
+}
+
+class KeyCollectingWriterFactory(keyIsString: Boolean, cap: Long)
+  extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
+
+    private val longs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val strings = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    private def checkCap(): Unit =
+      require(longs.length <= cap && strings.length <= cap,
+        s"SQL DELETE matched more than spark.graft.dml.maxDeleteKeys=" +
+          s"$cap keys in one task — drop the mor key for the " +
+          "copy-on-write path (or raise the cap)")
+
+    override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+      if (keyIsString) strings += id.getUTF8String(0).toString
+      else longs += id.getLong(0)
+      checkCap()
+    }
+
+    override def update(metadata: InternalRow, id: InternalRow,
+        row: InternalRow): Unit =
+      throw new UnsupportedOperationException(
+        "the delta op serves DELETE only; UPDATE plans copy-on-write")
+
+    override def insert(row: InternalRow): Unit =
+      throw new UnsupportedOperationException(
+        "the delta op serves DELETE only; MERGE plans copy-on-write")
+
+    override def commit(): WriterCommitMessage =
+      DeleteKeysMessage(longs.toArray, strings.toArray)
+
+    override def abort(): Unit = ()
+
+    override def close(): Unit = ()
+  }
+}

@@ -119,7 +119,7 @@ class GraftWriteBuilder(s: SparkSession, root: String,
 }
 
 class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
-    replacing: Boolean) extends Write
+    replacing: Boolean, fromRowOp: Boolean = false) extends Write
   with RequiresDistributionAndOrdering {
 
   private def csv(key: String): Seq[String] =
@@ -164,8 +164,16 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
   override def toBatch: BatchWrite = new BatchWrite {
     private val db = delegate.toBatch
 
-    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo) =
-      db.createBatchWriterFactory(pinfo)
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo) = {
+      val inner = db.createBatchWriterFactory(pinfo)
+      // a group-based row-level rewrite (SQL DELETE/UPDATE/MERGE) hands
+      // the writer rows prefixed with the __row_operation marker when
+      // the operation declares no metadata attributes (Spark applies
+      // its row projection only alongside a metadata projection) —
+      // strip it so the parquet writer sees exactly the data schema
+      if (fromRowOp) new MarkerStrippingFactory(inner, info.schema())
+      else inner
+    }
 
     // the file commit protocol coordinates its own task commits
     override def useCommitCoordinator(): Boolean = db.useCommitCoordinator()
@@ -181,5 +189,34 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
       db.abort(messages) // the dir stays an orphan for the sweep
 
     override def toString: String = description()
+  }
+}
+
+/** Strips the leading `__row_operation` marker a group-based row-level
+  * rewrite carries into the writer (see [[GraftV2Write]]): rows arriving
+  * with one extra leading field are projected down to the data schema;
+  * rows already at the data arity pass through untouched.
+  */
+class MarkerStrippingFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val d = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, (1 to dataSchema.length).toIndexedSeq)
+      override def write(
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == dataSchema.length) d.write(row)
+        else { proj.project(row); d.write(proj) }
+      override def commit(): WriterCommitMessage = d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+    }
   }
 }

@@ -4548,6 +4548,172 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Register a [[graft.io.dsv2.GraftCatalog]] named `cat` over the tmp
+    * warehouse, build io20/io21's two-batch lineitem table under it,
+    * and return (root, k). Shared by the SQL-DML gates (io42–io44).
+    */
+  private def dmlTable(s: SparkSession, dir: String, cat: String,
+      table: String): (String, Long) = {
+    import graft.io.Manifest
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.io.dsv2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", tmpDir(s))
+    val root = tmpDir(s) + s"/$table"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, k).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    batch(k, 2 * k).write.parquet(s"$root/data/b2")
+    Manifest.commit(s, root, s"$root/data/b2")
+    (root, k)
+  }
+
+  private def dmlCensus(df: DataFrame, tag: Int): DataFrame = df
+    .groupBy(col("l_returnflag"))
+    .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+      sum(col("cents")).as("sum_cents"))
+    .withColumn("phase", lit(tag))
+    .select(col("phase"), col("l_returnflag"), col("n"),
+      col("sum_okey"), col("sum_cents"))
+
+  /** io20's copy-on-write DELETE re-answered as PLAIN SQL — `DELETE
+    * FROM cat.tbl WHERE …` planned through Spark's group-based
+    * `SupportsRowLevelOperations` path ([[graft.io.dsv2
+    * .GraftRowLevelBuilder]]): no mor key recorded, so the snapshot's
+    * surviving rows rewrite as ONE replacing commit; the pre-delete
+    * version still time-travels (phase 0 reads it AFTER the delete).
+    * Same censuses, same oracle text as io20 — what changed is only
+    * WHO issues the delete (a SQL user, not the Scala API).
+    */
+  def io42SqlDeleteCow(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, MergeOnRead}
+    val (root, k) = dmlTable(s, dir, "g42", "graft_io42_tbl")
+    val lo = k + k / 3
+    val hi = k + k / 3 + (4 * k) / 15 - 1
+    s.sql(s"DELETE FROM g42.graft_io42_tbl " +
+      s"WHERE l_orderkey BETWEEN $lo AND $hi")
+    val vs = Manifest.versions(s, root)
+    require(vs == Seq(1, 2, 3),
+      s"the SQL delete must land as ONE replacing commit, got $vs")
+    require(!Manifest.entries(s, root).exists(MergeOnRead.isTombstone),
+      "the copy-on-write path must not write tombstones")
+    val pre = s.sql(
+      "SELECT * FROM g42.graft_io42_tbl VERSION AS OF 2")
+    val post = s.sql("SELECT * FROM g42.graft_io42_tbl")
+    dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io42Oracle: String = io20Oracle
+
+  /** io21's merge-on-read DELETE re-answered as PLAIN SQL: the table
+    * records its merge key, so the same `DELETE FROM` statement plans
+    * DELTA-based — Spark hands the matched keys to the writer and the
+    * commit is one appending tombstone directory, data untouched
+    * ([[graft.io.dsv2.GraftDeltaDelete]]). A no-match DELETE commits
+    * nothing. [[graft.io.MergeOnRead.fold]] later ends the deferral;
+    * the merged and folded censuses must be identical (io21's
+    * contract), and the oracle is io21's text verbatim.
+    */
+  def io43SqlDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, MergeOnRead}
+    import graft.io.dsv2.GraftMorKey
+    val (root, k) = dmlTable(s, dir, "g43", "graft_io43_tbl")
+    GraftMorKey.drop(s, root)
+    GraftMorKey.set(s, root, "l_orderkey")
+    val dataDirs = Manifest.entries(s, root)
+    val lo = k + k / 3
+    val hi = k + k / 3 + (4 * k) / 15 - 1
+    s.sql(s"DELETE FROM g43.graft_io43_tbl " +
+      s"WHERE l_orderkey BETWEEN $lo AND $hi")
+    val entries = Manifest.entries(s, root)
+    require(entries.count(MergeOnRead.isTombstone) == 1,
+      s"the SQL delete must commit exactly one tombstone dir: $entries")
+    require(entries.filterNot(MergeOnRead.isTombstone) == dataDirs,
+      "a merge-on-read delete must leave every data directory in place")
+    val vAfter = Manifest.versions(s, root)
+    s.sql("DELETE FROM g43.graft_io43_tbl WHERE l_orderkey = -1")
+    require(Manifest.versions(s, root) == vAfter,
+      "a DELETE matching nothing must not commit")
+    val pre = s.sql(
+      "SELECT * FROM g43.graft_io43_tbl VERSION AS OF 2")
+    val merged = s.sql("SELECT * FROM g43.graft_io43_tbl")
+    val folded = MergeOnRead.fold(s, root, "l_orderkey", s"$root/data")
+    require(folded.nonEmpty, "fold must rewrite the tombstoned table")
+    require(!Manifest.entries(s, root).exists(MergeOnRead.isTombstone),
+      "after the fold no tombstone entries remain")
+    val post = s.sql("SELECT * FROM g43.graft_io43_tbl")
+    dmlCensus(pre, 0).unionByName(dmlCensus(merged, 1))
+      .unionByName(dmlCensus(post, 2))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io43Oracle: String = io21Oracle
+
+  /** io22's upsert re-answered as PLAIN SQL `MERGE INTO … WHEN MATCHED
+    * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — ANSI MERGE
+    * semantics this time (every matched target ROW updates in place;
+    * lineitem keys repeat, so counts differ from io22's key-replacing
+    * upsert and the oracle replays the ANSI form), planned group-based
+    * copy-on-write: one replacing commit, time travel intact.
+    */
+  def io44SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val (root, k) = dmlTable(s, dir, "g44", "graft_io44_tbl")
+    val keys = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+    keys.filter(col("l_orderkey").between(k / 3, (2 * k) / 3 - 1))
+      .select(col("l_orderkey"), lit("U").as("l_returnflag"),
+        (col("l_orderkey") * 7).as("cents"))
+      .unionByName(keys
+        .filter(col("l_orderkey").between(2 * k, 2 * k + k / 3 - 1))
+        .select(col("l_orderkey"), lit("I").as("l_returnflag"),
+          (col("l_orderkey") * 3).as("cents")))
+      .createOrReplaceTempView("graft_io44_src")
+    s.sql("""MERGE INTO g44.graft_io44_tbl t USING graft_io44_src s
+      ON t.l_orderkey = s.l_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "the SQL MERGE must land as ONE replacing commit")
+    val pre = s.sql(
+      "SELECT * FROM g44.graft_io44_tbl VERSION AS OF 2")
+    val post = s.sql("SELECT * FROM g44.graft_io44_tbl")
+    dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io44Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |upd AS (SELECT DISTINCT l_orderkey FROM lineitem, mk
+      |        WHERE l_orderkey BETWEEN k // 3 AND (2 * k) // 3 - 1),
+      |ins AS (SELECT DISTINCT l_orderkey FROM lineitem, mk
+      |        WHERE l_orderkey BETWEEN 2 * k AND 2 * k + k // 3 - 1),
+      |merged AS (
+      |  SELECT li.l_orderkey,
+      |    CASE WHEN upd.l_orderkey IS NULL THEN li.l_returnflag
+      |         ELSE 'U' END AS l_returnflag,
+      |    CASE WHEN upd.l_orderkey IS NULL THEN li.cents
+      |         ELSE li.l_orderkey * 7 END AS cents
+      |  FROM li LEFT JOIN upd ON li.l_orderkey = upd.l_orderkey
+      |  UNION ALL
+      |  SELECT l_orderkey, 'I', l_orderkey * 3 FROM ins),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM merged)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_audit_log" -> (p3AuditLog _),
     "p4_wire_roundtrip" -> (p4WireRoundtrip _),
@@ -4603,6 +4769,9 @@ object OpsQueries {
     "io39_dsv2_skipscan" -> (io39Dsv2SkipScan _),
     "io40_dsv2_mor" -> (io40Dsv2Mor _),
     "io41_dsv2_write" -> (io41Dsv2Write _),
+    "io42_sql_delete_cow" -> (io42SqlDeleteCow _),
+    "io43_sql_delete_mor" -> (io43SqlDeleteMor _),
+    "io44_sql_merge" -> (io44SqlMerge _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -4682,6 +4851,9 @@ object OpsQueries {
     "io39_dsv2_skipscan" -> io24Oracle,
     "io40_dsv2_mor" -> io21Oracle,
     "io41_dsv2_write" -> io41Oracle,
+    "io42_sql_delete_cow" -> io42Oracle,
+    "io43_sql_delete_mor" -> io43Oracle,
+    "io44_sql_merge" -> io44Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -240,6 +240,86 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       "the folded table must not gain duplicate rows")
   }
 
+  test("SQL DELETE without a mor key plans copy-on-write: a replacing " +
+      "commit, old versions still time-travel") {
+    import spark.implicits._
+    val root = s"$wh/dmlcow"
+    (0L until 100L).map(i => (i, i % 7)).toDF("id", "grp")
+      .write.format("graft").save(root)
+    spark.sql("DELETE FROM lake.dmlcow WHERE id >= 50")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlcow")
+      .collect()(0).getLong(0) === 50L)
+    assert(spark.sql("SELECT sum(id) s FROM lake.dmlcow")
+      .collect()(0).getLong(0) === (0L until 50L).sum)
+    // one replacing commit; the pre-delete version still reads
+    assert(Manifest.versions(spark, root) === Seq(1, 2))
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.dmlcow VERSION AS OF 1")
+      .collect()(0).getLong(0) === 100L)
+    assert(!Manifest.entries(spark, root).exists(MergeOnRead.isTombstone),
+      "copy-on-write must not write tombstones")
+  }
+
+  test("SQL DELETE with a recorded mor key plans merge-on-read: one " +
+      "appending tombstone commit, data untouched; no-match deletes " +
+      "commit nothing") {
+    import spark.implicits._
+    val root = s"$wh/dmlmor"
+    (0L until 100L).map(i => (i, i % 7)).toDF("id", "grp")
+      .write.format("graft").save(root)
+    spark.sql("CALL lake.set_mor_key('dmlmor', 'id')")
+    val dataDirsBefore = Manifest.entries(spark, root)
+    spark.sql("DELETE FROM lake.dmlmor WHERE id % 10 = 3")
+    val entries = Manifest.entries(spark, root)
+    assert(entries.count(MergeOnRead.isTombstone) === 1,
+      s"the delete must commit exactly one tombstone dir: $entries")
+    assert(entries.filterNot(MergeOnRead.isTombstone) === dataDirsBefore,
+      "a merge-on-read delete must leave every data directory in place")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlmor")
+      .collect()(0).getLong(0) === 90L)
+    val versions = Manifest.versions(spark, root)
+    spark.sql("DELETE FROM lake.dmlmor WHERE id = -1")
+    assert(Manifest.versions(spark, root) === versions,
+      "a DELETE matching nothing must not commit")
+    // fold ends the deferral; the answer is unchanged
+    MergeOnRead.fold(spark, root, "id", s"$root/data")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlmor")
+      .collect()(0).getLong(0) === 90L)
+  }
+
+  test("SQL UPDATE and MERGE INTO plan copy-on-write; MERGE on a " +
+      "tombstoned table folds its live tombstones") {
+    import spark.implicits._
+    val root = s"$wh/dmlmerge"
+    (0L until 60L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").save(root)
+    spark.sql("UPDATE lake.dmlmerge SET v = v * 10 WHERE id < 5")
+    assert(spark.sql(
+      "SELECT sum(v) s FROM lake.dmlmerge WHERE id < 5")
+      .collect()(0).getLong(0) === (0L until 5L).map(_ * 10).sum)
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlmerge")
+      .collect()(0).getLong(0) === 60L)
+    // tombstone some rows through the Scala API, then MERGE over the
+    // merged view — the replacing rewrite must fold the tombstones
+    spark.sql("CALL lake.set_mor_key('dmlmerge', 'id')")
+    MergeOnRead.deleteWhere(spark, root, "id",
+      col("id").between(50, 59), s"$root/data")
+    (40L until 55L).map(i => (i, i * 1000)).toDF("id", "v")
+      .createOrReplaceTempView("dml_src")
+    spark.sql("""MERGE INTO lake.dmlmerge t USING dml_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // 0..39 untouched (0..4 updated earlier), 40..49 matched->updated,
+    // 50..54 were tombstoned so they arrive as INSERTS, 55..59 gone
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlmerge")
+      .collect()(0).getLong(0) === 55L)
+    assert(spark.sql(
+      "SELECT sum(v) s FROM lake.dmlmerge WHERE id >= 40")
+      .collect()(0).getLong(0) === (40L until 55L).map(_ * 1000).sum)
+    assert(!Manifest.entries(spark, root).exists(MergeOnRead.isTombstone),
+      "the replacing MERGE commit must fold live tombstones")
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
