@@ -3681,6 +3681,92 @@ object OpsQueries {
       |FROM events WHERE event_id < 500
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** `ignoreChanges` RESUME across a mid-stream compaction
+    * ([[graft.io.dsv2.GraftMicroBatchStream]]'s opt-in path, Delta
+    * parity): three appends stream normally, a compaction then REPLACES
+    * them (st24 pins the refusal — re-required here), and the restart
+    * with `ignoreChanges=true` consumes the versions past the
+    * checkpoint as added-directories-only. The replacing commit's
+    * folded output IS an added directory, so the already-streamed rows
+    * are DELIVERED AGAIN — the documented contract (downstream must
+    * tolerate duplicates) — and the post-compaction append arrives
+    * exactly once. The census runs over the raw DELIVERY stream
+    * (duplicates included), so the oracle pins the re-delivery
+    * multiplicity itself: pre-compaction events count twice, the
+    * post-compaction slice once.
+    */
+  def st27StreamIgnoreChanges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st27_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"$root/tbl"
+    def commit(k: Int): Unit = {
+      val d = s"$tbl/data/inc_$k"
+      Tables.events(s, dir)
+        .filter(col("event_id") >= k * 200 && col("event_id") < (k + 1) * 200)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .write.parquet(d)
+      Manifest.commit(s, tbl, d)
+    }
+    (0 until 3).foreach(commit) // event_id [0, 600)
+    val outDir = s"$root/out"
+    def runOnce(ignoreChanges: Boolean): Unit = {
+      val rs = s.readStream.format("graft").option("startingVersion", "1")
+      (if (ignoreChanges) rs.option("ignoreChanges", "true") else rs)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    runOnce(ignoreChanges = false) // consumes the three appends
+    // compaction REPLACES the three dirs, then a fresh append lands
+    graft.io.IndexCompaction.compact(s, tbl, s"$tbl/data/compacted")
+    commit(3) // event_id [600, 800)
+    val refused = try { runOnce(ignoreChanges = false); false }
+      catch { case e: Throwable =>
+        def hit(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage).exists(_.contains("REMOVED")) ||
+            hit(t.getCause))
+        hit(e) }
+    require(refused,
+      "the resume without ignoreChanges must refuse the replacing commit")
+    runOnce(ignoreChanges = true)
+    val delivered = s.read.parquet(outDir)
+    val n = delivered.count()
+    val firstRun = Tables.events(s, dir)
+      .filter(col("event_id") < 600).count()
+    val append = Tables.events(s, dir)
+      .filter(col("event_id") >= 600 && col("event_id") < 800).count()
+    require(n == 2 * firstRun + append,
+      s"ignoreChanges must re-deliver the folded output once and the " +
+        s"append once (got $n, want ${2 * firstRun + append})")
+    delivered
+      .groupBy((col("event_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val st27Oracle: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id < 800),
+      |deliv AS (
+      |  SELECT * FROM ev
+      |  UNION ALL SELECT * FROM ev WHERE event_id < 600)
+      |SELECT event_id % 7 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM deliv GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -4792,7 +4878,8 @@ object OpsQueries {
     "st23_dim_refresh" -> (st23DimRefresh _),
     "st24_manifest_stream" -> (st24ManifestStream _),
     "st25_manifest_sink" -> (st25ManifestSink _),
-    "st26_table_dedup_etl" -> (st26TableDedupEtl _))
+    "st26_table_dedup_etl" -> (st26TableDedupEtl _),
+    "st27_stream_ignorechanges" -> (st27StreamIgnoreChanges _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -4874,5 +4961,6 @@ object OpsQueries {
     "st23_dim_refresh" -> st23Oracle,
     "st24_manifest_stream" -> st24Oracle,
     "st25_manifest_sink" -> st25Oracle,
-    "st26_table_dedup_etl" -> st26Oracle)
+    "st26_table_dedup_etl" -> st26Oracle,
+    "st27_stream_ignorechanges" -> st27Oracle)
 }
