@@ -3767,6 +3767,91 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM deliv GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** st26's table-to-table dedup ETL under the ROCKSDB state store —
+    * the configuration gate the unbounded-key dedup paths need at
+    * 100 TB: `dropDuplicates` keyed state has NO time horizon (the
+    * correct semantic — a key seen once is deduped forever), so state
+    * grows with distinct keys and must live in RocksDB, not the
+    * HDFS-backed in-memory map. Same commits, same two-run restart,
+    * same oracle text as st26 VERBATIM — run 2's dedup of the
+    * re-delivered range only works if run 1's keyed state SURVIVED the
+    * restart through the RocksDB checkpoint. In-gate requires pin that
+    * the state files on disk are RocksDB artifacts (version zips /
+    * changelogs, no HDFS-backed `.delta`).
+    */
+  def st28DedupRocksdb(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    val root = tmpDir(s) + s"/graft_st28_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val src = s"$root/src"
+    def commit(lo: Long, hi: Long, tag: String): Unit = {
+      val d = s"$src/data/$tag"
+      Tables.events(s, dir)
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .write.parquet(d)
+      Manifest.commit(s, src, d)
+    }
+    commit(0, 200, "c0"); commit(100, 300, "c1"); commit(250, 400, "c2")
+    val sink = s"$root/sink"
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerConf)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set(providerConf, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    def run(): Unit =
+      s.readStream.format("graft").option("startingVersion", "1")
+        .load(src)
+        .dropDuplicates("event_id")
+        .writeStream.format("graft")
+        .option("path", sink)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    try {
+      run()
+      commit(350, 500, "c3") // overlaps the already-shipped range
+      run() // dedup state must survive the restart through RocksDB
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(v) => s.conf.set(providerConf, v)
+        case None => s.conf.unset(providerConf)
+      }
+    }
+    // the state on disk must be ROCKSDB's (version zips/changelogs),
+    // not the HDFS-backed map's .delta files
+    def ls(p: org.apache.hadoop.fs.Path): Seq[String] =
+      if (!fsH.exists(p)) Seq.empty
+      else fsH.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) ls(st.getPath) else Seq(st.getPath.getName)
+      }
+    val stateFiles = ls(new org.apache.hadoop.fs.Path(s"$root/ckpt/state"))
+    require(stateFiles.exists(f =>
+        f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"expected RocksDB state artifacts under the checkpoint, got " +
+        s"${stateFiles.take(10)}")
+    require(!stateFiles.exists(_.endsWith(".delta")),
+      "HDFS-backed .delta state found — the RocksDB provider was not used")
+    val n = s.read.format("graft").load(sink).count()
+    require(n == 500,
+      s"sink must hold each key exactly once across commits AND runs " +
+        s"(got $n rows, want 500)")
+    s.read.format("graft").load(sink)
+      .groupBy((col("event_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val st28Oracle: String = st26Oracle
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -4879,7 +4964,8 @@ object OpsQueries {
     "st24_manifest_stream" -> (st24ManifestStream _),
     "st25_manifest_sink" -> (st25ManifestSink _),
     "st26_table_dedup_etl" -> (st26TableDedupEtl _),
-    "st27_stream_ignorechanges" -> (st27StreamIgnoreChanges _))
+    "st27_stream_ignorechanges" -> (st27StreamIgnoreChanges _),
+    "st28_dedup_rocksdb" -> (st28DedupRocksdb _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -4962,5 +5048,6 @@ object OpsQueries {
     "st24_manifest_stream" -> st24Oracle,
     "st25_manifest_sink" -> st25Oracle,
     "st26_table_dedup_etl" -> st26Oracle,
-    "st27_stream_ignorechanges" -> st27Oracle)
+    "st27_stream_ignorechanges" -> st27Oracle,
+    "st28_dedup_rocksdb" -> st28Oracle)
 }
