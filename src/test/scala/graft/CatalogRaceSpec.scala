@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.{Catalog, Manifest}
@@ -99,5 +100,107 @@ class CatalogRaceSpec extends AnyFunSuite {
         assert(vec(a) <= rounds + 1 && vec(b) >= 1)
       }
     }
+  }
+
+  test("a DSv2 append losing the commit race to a concurrent appender " +
+      "rebases and lands both payloads, ledger gapless (deterministic " +
+      "seam injection)") {
+    val root = System.getProperty("java.io.tmpdir") + "/graft_v2race_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    (0L until 10L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").save(root) // create (v1)
+    // plant a competing APPEND inside the V2 write's read->create window
+    // — the racer wins manifest-v2, our commit must rebase onto its list
+    (100L until 110L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/racer")
+    var planted = false
+    Manifest.betweenReadAndCreate = () => {
+      if (!planted) {
+        planted = true
+        val body = (Manifest.committed(spark, root) :+ s"$root/data/racer")
+          .mkString("\n") + "\n#graft-manifest-complete"
+        val out = f.create(new Path(root, "manifest-v000002"), false)
+        out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }
+    }
+    try {
+      (200L until 210L).map(i => (i, i)).toDF("id", "v")
+        .write.format("graft")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(root)
+    } finally Manifest.betweenReadAndCreate = () => ()
+    assert(Manifest.versions(spark, root) === Seq(1, 2, 3),
+      "the lost race must retry at the next slot — no gap, no clobber")
+    val ids = spark.read.format("graft").load(root)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === ((0L until 10L) ++ (100L until 110L) ++
+      (200L until 210L)).sorted,
+      "both the racer's and the retried append's payloads must land")
+  }
+
+  test("a DSv2 append racing a compaction rebases onto the REPLACING " +
+      "winner's list — the compacted payload plus the append, nothing " +
+      "twice") {
+    val root = System.getProperty("java.io.tmpdir") + "/graft_v2cmp_tbl"
+    val f = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(root), true)
+    (0L until 10L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").save(root)
+    (10L until 20L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft")
+      .mode(org.apache.spark.sql.SaveMode.Append).save(root)
+    // the compaction wins v3 inside the append's read->create window
+    spark.read.format("graft").load(root).coalesce(1)
+      .write.parquet(s"$root/data/compacted")
+    var planted = false
+    Manifest.betweenReadAndCreate = () => {
+      if (!planted) {
+        planted = true
+        val body = s"$root/data/compacted\n#graft-manifest-complete"
+        val out = f.create(new Path(root, "manifest-v000003"), false)
+        out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      }
+    }
+    try {
+      (20L until 30L).map(i => (i, i)).toDF("id", "v")
+        .write.format("graft")
+        .mode(org.apache.spark.sql.SaveMode.Append).save(root)
+    } finally Manifest.betweenReadAndCreate = () => ()
+    assert(Manifest.versions(spark, root) === Seq(1, 2, 3, 4))
+    val entries = Manifest.committed(spark, root)
+    assert(entries.head === s"$root/data/compacted" && entries.size === 2,
+      s"the retried append must fold the compaction winner's list, " +
+        s"not resurrect the compacted-away dirs: $entries")
+    val ids = spark.read.format("graft").load(root)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 30L).toSeq,
+      "exactly the compacted payload plus the append — nothing twice")
+  }
+
+  test("two genuinely concurrent DSv2 appends to one table both land") {
+    val root = System.getProperty("java.io.tmpdir") + "/graft_v2par_tbl"
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(root), true)
+    (0L until 5L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").save(root)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        try (t * 100L until t * 100L + 10L).map(i => (i, i))
+          .toDF("id", "v").write.format("graft")
+          .mode(org.apache.spark.sql.SaveMode.Append).save(root)
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty,
+      s"concurrent append failed: ${Option(errors.peek())}")
+    assert(Manifest.versions(spark, root) === Seq(1, 2, 3),
+      "both appends must land as consecutive versions")
+    assert(spark.read.format("graft").load(root).count() === 25L)
   }
 }
