@@ -16,6 +16,55 @@ class StreamingSpec extends AnyFunSuite {
     Files.writeString(Paths.get(path), content)
   }
 
+  test("keyed dedup state rows grow with DISTINCT keys, not deliveries " +
+      "(the st26 state-size curve), under the RocksDB provider") {
+    // the unbounded-key dedup paths (st22/st26 shape) keep one state row
+    // per distinct key forever — the correct no-horizon semantic. This
+    // pins the curve: deliveries with 50% overlap leave state == the
+    // distinct-key count at each step, measured off the query's own
+    // state-operator metrics, with the store on RocksDB (the 100 TB
+    // provider; st28 gates the e2e oracle).
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-statecurve").toString
+    val src = s"$root/src"
+    def commit(lo: Long, hi: Long, tag: String): Unit = {
+      val d = s"$src/data/$tag"
+      (lo until hi).map(i => (i, i % 9)).toDF("id", "grp")
+        .write.parquet(d)
+      Manifest.commit(spark, src, d)
+    }
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    def run(): Long = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "1").load(src)
+        .dropDuplicates("id")
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.lastProgress.stateOperators(0).numRowsTotal
+    }
+    try {
+      // 450 rows delivered, 300 distinct keys
+      commit(0, 200, "c0"); commit(100, 300, "c1"); commit(250, 300, "c2")
+      assert(run() === 300L,
+        "state rows must equal distinct keys, not rows delivered")
+      // +300 distinct on re-delivery-heavy commits: 600 total
+      commit(200, 500, "c3"); commit(450, 600, "c4")
+      assert(run() === 600L,
+        "state must grow by NEW keys only across restarts")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerConf, v)
+      case None => spark.conf.unset(providerConf)
+    }
+  }
+
   test("file-backed stream runs the prelude per micro-batch") {
     val base = Files.createTempDirectory("graft-stream").toString
     // "publish" three messages: two with input data, one without
