@@ -240,6 +240,25 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       "the folded table must not gain duplicate rows")
   }
 
+  test("INSERT INTO appends one commit; INSERT OVERWRITE replaces; " +
+      "old versions still time-travel") {
+    import spark.implicits._
+    val root = s"$wh/dmlins"
+    (0L until 10L).map(i => (i, i % 7)).toDF("id", "grp")
+      .write.format("graft").save(root)
+    spark.sql("INSERT INTO lake.dmlins VALUES (100, 1), (101, 2)")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlins")
+      .collect()(0).getLong(0) === 12L)
+    assert(Manifest.versions(spark, root) === Seq(1, 2))
+    spark.sql("INSERT OVERWRITE lake.dmlins VALUES (7, 7)")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlins")
+      .collect()(0).getLong(0) === 1L)
+    assert(Manifest.versions(spark, root) === Seq(1, 2, 3),
+      "the overwrite must be a replacing commit, not an rm -rf")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlins VERSION AS OF 2")
+      .collect()(0).getLong(0) === 12L)
+  }
+
   test("SQL DELETE without a mor key plans copy-on-write: a replacing " +
       "commit, old versions still time-travel") {
     import spark.implicits._
