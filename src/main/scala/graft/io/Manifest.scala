@@ -344,6 +344,26 @@ object Manifest {
       committer: Committer = FsCreateCommitter): Int =
     commitLoop(fs(s, root), root, committer)(_ => dirs.mkString("\n"))
 
+  /** PARTIAL replacing commit — the surgical copy-on-write primitive: the
+    * next manifest is the freshly re-read latest list MINUS `remove`
+    * PLUS `add`, so a row-level rewrite replaces only the directories it
+    * actually touched while concurrent appends racing this commit keep
+    * their entries (the rebase [[rewrite]] deliberately does not do —
+    * a full rewrite claims the whole table, a partial one claims only
+    * its groups). Entries in `remove` absent from the latest list are
+    * ignored (a maintenance fold may have replaced them mid-flight; the
+    * new data is still the correct content for what it scanned).
+    */
+  def replaceDirs(s: SparkSession, root: String, remove: Set[String],
+      add: Seq[String], committer: Committer = FsCreateCommitter): Int = {
+    val f = fs(s, root)
+    commitLoop(f, root, committer) { prev =>
+      val prevList = prev.lastOption
+        .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
+      (prevList.filterNot(remove) ++ add).mkString("\n")
+    }
+  }
+
   /** Snapshot EXPIRATION (vacuum) — the retention maintenance every
     * manifest table needs: time travel keeps every version readable,
     * which also keeps every superseded data directory on disk forever.

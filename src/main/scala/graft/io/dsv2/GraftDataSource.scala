@@ -204,11 +204,28 @@ class GraftMissingTable(root: String) extends Table {
     util.Collections.emptySet()
 }
 
+/** The one metadata column: `_dir`, the committed directory a row lives
+  * in — the GROUP identity of this engine's copy-on-write surgery (what
+  * `_file` is to Iceberg). Selectable as `SELECT _dir, * FROM t`, and
+  * the runtime group filter for SQL row-level DML keys on it.
+  */
+object GraftDirColumn
+  extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_dir"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = true
+}
+
 class GraftTable(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String]) extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftDirColumn)
 
   override def name(): String = s"graft.`$root`@v$version"
 
@@ -247,7 +264,8 @@ class GraftTable(s: SparkSession, root: String, version: Int,
 
 class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
-    morKey: Option[String], options: CaseInsensitiveStringMap)
+    morKey: Option[String], options: CaseInsensitiveStringMap,
+    opState: Option[GraftRowOpState] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -255,6 +273,7 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggPushed: Boolean = false
+  private var dirRequested: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -266,8 +285,14 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // the _dir METADATA column never reaches the parquet delegate —
+    // the scan appends it per row from the partition's directory tag
+    dirRequested = requiredSchema.fieldNames.contains("_dir")
+    required =
+      if (!dirRequested) requiredSchema
+      else StructType(requiredSchema.filterNot(_.name == "_dir"))
+  }
 
   /** Pushed filters → skip-stats range conjunctions. Conservative by
     * construction: only shapes the sidecars can decide become ranges
@@ -395,15 +420,22 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     val parquetScan = delegate.build()
     GraftScan(parquetScan, root, version, kept, skipped,
       allPruned = kept.isEmpty && !aggPushed, tombFilter, s, tableSchema,
-      delegateRequired, options)
+      delegateRequired, options, dirRequested, dataDirs, opState)
   }
 }
 
 /** The planned scan: a thin veneer over the stock [[ParquetScan]] that
   * (a) carries the kept/skipped directory record into the physical plan
   * (what `LayoutSpec` pins), (b) returns zero partitions when every
-  * directory was pruned, and (c) swaps in the tombstone-filtering reader
-  * factory when the version carries live deletes.
+  * directory was pruned, (c) swaps in the tombstone-filtering reader
+  * factory when the version carries live deletes, (d) appends the
+  * `_dir` metadata column per row when requested (partitions are
+  * repacked per directory so the tag is partition-constant), and (e)
+  * for a row-level operation's scan, accepts Spark's RUNTIME group
+  * filter on `_dir` — restricting the read to the directories that
+  * contain matching rows AND recording them in the shared
+  * [[GraftRowOpState]] so the operation's write replaces exactly those
+  * (the copy-on-write surgery; untouched directories carry verbatim).
   */
 case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       .v2.parquet.ParquetScan,
@@ -411,10 +443,20 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     skippedDirs: Seq[String], allPruned: Boolean,
     tombFilter: Option[(String, DataType, util.HashSet[Any])],
     session: SparkSession, tableSchema: StructType,
-    requiredSchema: StructType, options: CaseInsensitiveStringMap)
-  extends Scan with Batch {
+    requiredSchema: StructType, options: CaseInsensitiveStringMap,
+    dirRequested: Boolean = false, allDataDirs: Seq[String] = Seq.empty,
+    opState: Option[GraftRowOpState] = None)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-  override def readSchema(): StructType = delegate.readSchema()
+  // set by Spark's runtime group filter (row-level ops only)
+  @volatile private var runtimeDirs: Option[Set[String]] = None
+
+  override def readSchema(): StructType =
+    if (!dirRequested) delegate.readSchema()
+    else StructType(delegate.readSchema().fields :+
+      org.apache.spark.sql.types.StructField("_dir", StringType,
+        nullable = true))
 
   override def toBatch: Batch = this
 
@@ -423,25 +465,153 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     new GraftMicroBatchStream(session, root, tableSchema,
       requiredSchema, options)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    if (allPruned) Array.empty
-    else delegate.toBatch.planInputPartitions()
+  /** Runtime group filtering: only a row-level operation's scan
+    * advertises the `_dir` attribute, so ordinary queries are never
+    * runtime-filtered here.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (opState.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_dir"))
+    else Array.empty
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    if (opState.isEmpty) return
+    val dirs = predicates.flatMap(dirValues).reduceOption(_ intersect _)
+    dirs.foreach { vals =>
+      runtimeDirs = Some(vals)
+      // replaced groups = directories that CONTAIN matches — derived
+      // from the runtime values against the FULL dir list, not the
+      // statically-pruned one (a dir whose every row matches the DELETE
+      // condition is skip-stats-pruned from this survivor scan, yet
+      // must still be REPLACED for its rows to disappear)
+      opState.get.replacedDirs = Some(allDataDirs.filter(vals))
+    }
+  }
+
+  /** IN/EQUAL predicates on `_dir` → the directory value set; anything
+    * else → None (ignored: the scan stays unfiltered and the write
+    * falls back to replacing the whole snapshot — never wrong, only
+    * less surgical).
+    */
+  private def dirValues(p: org.apache.spark.sql.connector.expressions
+      .filter.Predicate): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression,
+      NamedReference, Literal => VLiteral}
+    def isDirRef(e: Expression): Boolean = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array("_dir"))
+      case _ => false
+    }
+    def str(e: Expression): Option[String] = e match {
+      case l: VLiteral[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isDirRef(p.children()(0)) =>
+        val vals = p.children().drop(1).flatMap(str)
+        if (vals.length == p.children().length - 1) Some(vals.toSet)
+        else None
+      case "=" if p.children().length == 2 &&
+          isDirRef(p.children()(0)) =>
+        str(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  private def scanDirs: Seq[String] = runtimeDirs match {
+    case Some(vals) => keptDirs.filter(vals)
+    case None => keptDirs
+  }
+
+  /** Attribute a file to its committed directory (longest prefix;
+    * scheme-insensitive — the file index reports `file:/…`, manifest
+    * entries are plain paths).
+    */
+  private def dirOf(path: String): Option[String] = {
+    def strip(x: String): String =
+      if (x.startsWith("file:")) x.stripPrefix("file:") else x
+    val p = strip(path)
+    allDataDirs.filter(d => p.startsWith(strip(d) + "/"))
+      .sortBy(-_.length).headOption
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (allPruned || (runtimeDirs.isDefined && scanDirs.isEmpty))
+      return Array.empty
+    val base = delegate.toBatch.planInputPartitions()
+    if (!dirRequested && runtimeDirs.isEmpty) return base
+    // repack the delegate's partitions PER DIRECTORY: drop files the
+    // runtime filter excluded, and give every partition a constant
+    // directory tag the reader appends as the _dir column
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val files = base.collect { case fp: FilePartition => fp.files }.flatten
+    val wanted = scanDirs.toSet
+    val byDir = files.groupBy(f => dirOf(f.toPath.toString))
+      .collect { case (Some(d), fs) if wanted.contains(d) => (d, fs) }
+    byDir.toArray.sortBy(_._1).flatMap { case (d, fs) =>
+      FilePartition.getFilePartitions(session, fs.toSeq,
+        session.sessionState.conf.filesMaxPartitionBytes)
+        .map(fp =>
+          if (dirRequested) DirTaggedPartition(d, fp): InputPartition
+          else fp: InputPartition)
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.toBatch.createReaderFactory()
-    tombFilter match {
+    val withTomb = tombFilter match {
       case None => inner
       case Some((key, keyType, keys)) =>
-        val idx = readSchema().fieldIndex(key)
+        val idx = delegate.readSchema().fieldIndex(key)
         new KeyFilteringReaderFactory(inner, idx, keyType, keys)
     }
+    if (dirRequested) new DirAppendingReaderFactory(withTomb)
+    else withTomb
   }
 
   override def description(): String =
     s"GraftScan root=$root version=$version " +
       s"keptDirs=${keptDirs.size} skippedDirs=${skippedDirs.size} " +
       s"mor=${tombFilter.nonEmpty} " +
-      s"pushedAggregate=${delegate.pushedAggregate.nonEmpty}"
+      s"pushedAggregate=${delegate.pushedAggregate.nonEmpty}" +
+      (if (opState.isDefined) " rowOp=true" else "")
+}
+
+/** A file partition plus the committed directory its files belong to —
+  * the per-partition-constant source of the `_dir` metadata column.
+  */
+case class DirTaggedPartition(dir: String,
+    inner: InputPartition) extends InputPartition
+
+/** Appends the partition's directory tag as a trailing string column on
+  * every row (the `_dir` metadata column). Row-based by necessity, like
+  * the tombstone merge.
+  */
+class DirAppendingReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val tagged = partition.asInstanceOf[DirTaggedPartition]
+    val delegate = inner.createReader(tagged.inner)
+    val dirVal = UTF8String.fromString(tagged.dir)
+    new PartitionReader[InternalRow] {
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      private val dirRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](dirVal))
+      override def next(): Boolean = delegate.next()
+      override def get(): InternalRow = joined(delegate.get(), dirRow)
+      override def close(): Unit = delegate.close()
+    }
+  }
 }
 
 /** Row-level tombstone merge: wraps the parquet readers and drops rows

@@ -65,33 +65,63 @@ class GraftRowLevelBuilder(s: SparkSession, root: String, version: Int,
         tombDirs, morKey, info.command)
 }
 
-/** Group-based (copy-on-write) op: the "group" is the whole pinned
-  * snapshot — Spark reads it through the ordinary pruning scan, computes
-  * the surviving/updated/merged rows, and the write lands them as ONE
-  * replacing manifest commit. Concurrent appends lose to the rewrite
-  * (last-writer-wins, the same contract as every replacing maintenance
-  * commit in this engine).
+/** Shared scan↔write state for one group-based row-level operation: the
+  * scan records the directories Spark's RUNTIME group filter selected
+  * (the dirs containing matching rows), and the write's commit replaces
+  * exactly those — untouched directories carry verbatim. `None` means
+  * the group filter never ran (disabled, non-selective, or unfilterable
+  * condition): the scan then read the whole snapshot and the write
+  * replaces the whole snapshot — never wrong, only less surgical.
+  */
+class GraftRowOpState {
+  @volatile var replacedDirs: Option[Seq[String]] = None
+}
+
+/** Group-based (copy-on-write) op: the GROUPS are committed directories
+  * (`_dir`, this engine's `_file`). Spark's runtime group filter — fed
+  * by [[GraftDirColumn]] through the scan's `SupportsRuntimeV2Filtering`
+  * hook — restricts both the survivor scan and the replacement to the
+  * directories that actually contain matches, so a selective SQL DELETE
+  * rewrites only what it touches (io20's copy-on-write contract, now
+  * through plain SQL). Without the filter the whole pinned snapshot is
+  * the one group. Concurrent appends racing a PARTIAL replace keep
+  * their entries ([[graft.io.Manifest.replaceDirs]] rebases); a
+  * whole-snapshot replace is last-writer-wins like every maintenance
+  * rewrite.
   */
 class GraftGroupRewrite(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String], cmd: Command) extends RowLevelOperation {
+
+  // surgical (directory-level) rewrite only on a TOMBSTONE-FREE table:
+  // a partial replace would have to carry the live tombstone entries
+  // for the untouched directories' sake, and those tombstones would
+  // then hide this op's re-inserted keys. A tombstoned table takes the
+  // whole-snapshot rewrite, which folds its tombstones — the correct
+  // combined semantic (and MoR tables take DELETEs via the delta path).
+  private val surgical = tombDirs.isEmpty
+  private val state: Option[GraftRowOpState] =
+    if (surgical) Some(new GraftRowOpState) else None
 
   override def command(): Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
-      tombDirs, morKey, options)
+      tombDirs, morKey, options, state)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new GraftV2Write(s, root, winfo, replacing = true,
-          fromRowOp = true)
+          fromRowOp = true, opState = state)
     }
 
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (surgical) Array(Expressions.column("_dir")) else Array.empty
+
   override def description(): String =
-    s"GraftGroupRewrite($cmd) root=$root v$version"
+    s"GraftGroupRewrite($cmd) root=$root v$version surgical=$surgical"
 }
 
 /** Delta-based DELETE for a table with a recorded merge key: Spark scans

@@ -119,7 +119,8 @@ class GraftWriteBuilder(s: SparkSession, root: String,
 }
 
 class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
-    replacing: Boolean, fromRowOp: Boolean = false) extends Write
+    replacing: Boolean, fromRowOp: Boolean = false,
+    opState: Option[GraftRowOpState] = None) extends Write
   with RequiresDistributionAndOrdering {
 
   private def csv(key: String): Seq[String] =
@@ -181,8 +182,15 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       db.commit(messages) // finalize task files into the fresh dir
       if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
-      if (replacing) Manifest.rewrite(s, root, Seq(dir))
-      else Manifest.commit(s, root, dir)
+      opState.flatMap(_.replacedDirs) match {
+        // runtime-group-filtered row op: replace exactly the matched
+        // directories; everything else carries verbatim
+        case Some(replaced) =>
+          Manifest.replaceDirs(s, root, replaced.toSet, Seq(dir))
+        case None =>
+          if (replacing) Manifest.rewrite(s, root, Seq(dir))
+          else Manifest.commit(s, root, dir)
+      }
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

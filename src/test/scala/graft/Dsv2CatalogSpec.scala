@@ -279,6 +279,55 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       "copy-on-write must not write tombstones")
   }
 
+  test("a selective SQL DELETE rewrites ONLY the directories containing " +
+      "matches — the runtime group filter carries the rest verbatim") {
+    import spark.implicits._
+    val root = s"$wh/dmlsurgical"
+    // two committed directories with disjoint key ranges
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    graft.io.SkipStats.write(spark, s"$root/data/b1", Seq("id"))
+    Manifest.commit(spark, root, s"$root/data/b1")
+    (100L until 200L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b2")
+    graft.io.SkipStats.write(spark, s"$root/data/b2", Seq("id"))
+    Manifest.commit(spark, root, s"$root/data/b2")
+    spark.sql("DELETE FROM lake.dmlsurgical WHERE id BETWEEN 150 AND 169")
+    val entries = Manifest.committed(spark, root)
+    assert(entries.contains(s"$root/data/b1"),
+      s"the untouched directory must carry VERBATIM, got $entries")
+    assert(!entries.contains(s"$root/data/b2"),
+      s"the matched directory must be replaced, got $entries")
+    assert(entries.size === 2,
+      s"carried b1 + one rewritten directory, got $entries")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlsurgical")
+      .collect()(0).getLong(0) === 180L)
+    assert(spark.sql("SELECT sum(id) s FROM lake.dmlsurgical")
+      .collect()(0).getLong(0) ===
+        (0L until 200L).filterNot(i => i >= 150 && i <= 169).sum)
+    // time travel still reads the pre-delete snapshot
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.dmlsurgical VERSION AS OF 2")
+      .collect()(0).getLong(0) === 200L)
+  }
+
+  test("the _dir metadata column is selectable and names each row's " +
+      "committed directory") {
+    import spark.implicits._
+    val root = s"$wh/dmldircol"
+    (0L until 10L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    (10L until 30L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b2")
+    Manifest.commit(spark, root, s"$root/data/b2")
+    val byDir = spark.sql(
+      "SELECT _dir, count(*) n FROM lake.dmldircol GROUP BY _dir")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byDir === Map(s"$root/data/b1" -> 10L,
+      s"$root/data/b2" -> 20L))
+  }
+
   test("SQL DELETE with a recorded mor key plans merge-on-read: one " +
       "appending tombstone commit, data untouched; no-match deletes " +
       "commit nothing") {
