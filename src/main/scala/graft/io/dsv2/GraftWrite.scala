@@ -181,7 +181,36 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       db.commit(messages) // finalize task files into the fresh dir
-      if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
+      // a DML rewrite CARRIES the table's pruning discipline: when the
+      // directories being replaced had skip-stats sidecars, the
+      // rewritten directory gets sidecars over the same columns — a
+      // takedown must not leave an unprunable hole in the layout
+      val cols =
+        if (statsCols.nonEmpty) statsCols
+        else if (!fromRowOp) Seq.empty
+        else {
+          val replaced = opState.flatMap(_.replacedDirs).getOrElse(
+            scala.util.Try(Manifest.committed(s, root))
+              .getOrElse(Seq.empty))
+          val f = new Path(root)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val sided = replaced.flatMap(d => SkipStats.read(f, d))
+          if (sided.size == replaced.size && sided.nonEmpty)
+            sided.map(_.keySet).reduce(_ intersect _).toSeq.sorted
+          else Seq.empty
+        }
+      val fDir = new Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val hasFiles = fDir.exists(new Path(dir)) &&
+        fDir.listStatus(new Path(dir))
+          .exists(_.getPath.getName.endsWith(".parquet"))
+      if (!hasFiles)
+        // a rewrite whose every input row was deleted still needs a
+        // schema-bearing file — the committed entry must stay readable
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          info.schema()).coalesce(1).write.mode("append").parquet(dir)
+      if (cols.nonEmpty && hasFiles) SkipStats.write(s, dir, cols)
       opState.flatMap(_.replacedDirs) match {
         // runtime-group-filtered row op: replace exactly the matched
         // directories; everything else carries verbatim

@@ -4859,6 +4859,53 @@ object OpsQueries {
       .orderBy(col("phase"), col("l_returnflag"))
   }
 
+  /** SQL `UPDATE … SET … WHERE …` under the oracle gate — the remaining
+    * DML verb: planned group-based copy-on-write with the runtime group
+    * filter restricting the rewrite to the directories containing
+    * matches (the in-gate require pins the untouched batch carrying
+    * VERBATIM — io20's surgical contract, now for UPDATE via SQL).
+    */
+  def io45SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val (root, k) = dmlTable(s, dir, "g45", "graft_io45_tbl")
+    // the predicate hits only batch 2 ([k, 2k)) — batch 1 must carry
+    val thr = k + k / 3
+    s.sql(s"UPDATE g45.graft_io45_tbl SET l_returnflag = 'U', " +
+      s"cents = l_orderkey * 7 WHERE l_orderkey >= $thr")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "the SQL update must land as ONE replacing commit")
+    val entries = Manifest.committed(s, root)
+    require(entries.contains(s"$root/data/b1"),
+      s"the untouched directory must carry verbatim, got $entries")
+    require(!entries.contains(s"$root/data/b2") && entries.size == 2,
+      s"only the matched directory is rewritten, got $entries")
+    val pre = s.sql(
+      "SELECT * FROM g45.graft_io45_tbl VERSION AS OF 2")
+    val post = s.sql("SELECT * FROM g45.graft_io45_tbl")
+    dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io45Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |upd AS (
+      |  SELECT l_orderkey,
+      |    CASE WHEN l_orderkey >= k + k // 3 THEN 'U'
+      |         ELSE l_returnflag END AS l_returnflag,
+      |    CASE WHEN l_orderkey >= k + k // 3 THEN l_orderkey * 7
+      |         ELSE cents END AS cents
+      |  FROM li, mk),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM upd)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   val io44Oracle: String =
     """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
       |li AS (SELECT l_orderkey, l_returnflag,
@@ -4943,6 +4990,7 @@ object OpsQueries {
     "io42_sql_delete_cow" -> (io42SqlDeleteCow _),
     "io43_sql_delete_mor" -> (io43SqlDeleteMor _),
     "io44_sql_merge" -> (io44SqlMerge _),
+    "io45_sql_update" -> (io45SqlUpdate _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5027,6 +5075,7 @@ object OpsQueries {
     "io42_sql_delete_cow" -> io42Oracle,
     "io43_sql_delete_mor" -> io43Oracle,
     "io44_sql_merge" -> io44Oracle,
+    "io45_sql_update" -> io45Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

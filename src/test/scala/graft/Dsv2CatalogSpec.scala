@@ -311,6 +311,47 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 200L)
   }
 
+  test("a DML rewrite carries the table's skip-stats discipline: the " +
+      "rewritten directory gets sidecars over the replaced dirs' " +
+      "columns; a delete-everything rewrite stays readable") {
+    import spark.implicits._
+    val root = s"$wh/dmlstats"
+    for ((lo, hi, tag) <- Seq((0L, 100L, "b1"), (100L, 200L, "b2"))) {
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$root/data/$tag")
+      graft.io.SkipStats.write(spark, s"$root/data/$tag", Seq("id"))
+      Manifest.commit(spark, root, s"$root/data/$tag")
+    }
+    spark.sql("DELETE FROM lake.dmlstats WHERE id BETWEEN 150 AND 159")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rewritten = Manifest.committed(spark, root)
+      .filterNot(_ == s"$root/data/b1")
+    assert(rewritten.size === 1)
+    val stats = graft.io.SkipStats.read(f, rewritten.head)
+    assert(stats.exists(_.contains("id")),
+      s"the rewritten dir must carry the replaced dirs' sidecar " +
+        s"columns, got $stats")
+    // and the carried sidecar must actually prune the next read
+    val pruned = spark.read.format("graft").load(root)
+      .filter(col("id") < 50)
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "the rewritten dir's sidecar must prune at planning")
+    // delete EVERYTHING in one dir: the rewrite has zero survivors but
+    // the table must stay readable at full schema
+    spark.sql("DELETE FROM lake.dmlstats WHERE id >= 100")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlstats")
+      .collect()(0).getLong(0) === 100L)
+    spark.sql("DELETE FROM lake.dmlstats WHERE id >= 0") // all of it
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlstats")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT * FROM lake.dmlstats").schema
+      .fieldNames.toSeq === Seq("id", "v"),
+      "an emptied table must keep its schema readable")
+  }
+
   test("the _dir metadata column is selectable and names each row's " +
       "committed directory") {
     import spark.implicits._
