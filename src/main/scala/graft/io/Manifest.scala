@@ -59,6 +59,8 @@ trait Committer {
 object FsCreateCommitter extends Committer {
   override def createIfAbsent(f: FileSystem, target: Path,
       body: Array[Byte]): Boolean = {
+    val scheme = Option(target.toUri.getScheme).getOrElse(f.getScheme)
+    if (scheme == "file") return createIfAbsentLocal(target, body)
     // Only the CREATE call may be read as "lost the race" — after a
     // successful create, a write/close failure means OUR file is the
     // (partial) one at `target`; treating that as a race would install
@@ -87,6 +89,34 @@ object FsCreateCommitter extends Committer {
         true
       case None => false
     }
+  }
+
+  /** Local filesystem: hadoop's `create(overwrite=false)` is
+    * CHECK-THEN-CREATE (RawLocalFileSystem), so two racing committers
+    * can both pass the check and the slower TRUNCATES the winner's
+    * file — a silently lost commit (surfaced as a rare data hole by a
+    * concurrent-ingest gate). `java.nio.Files.createFile` is O_EXCL —
+    * exactly one claimant ever wins the slot; the body lands after the
+    * claim, which the completeness terminator already makes safe (a
+    * reader of the claimed-but-unwritten file sees an incomplete
+    * manifest and retries, never partial state).
+    */
+  private def createIfAbsentLocal(target: Path,
+      body: Array[Byte]): Boolean = {
+    val p = java.nio.file.Paths.get(target.toUri.getPath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val claimed =
+      try { java.nio.file.Files.createFile(p); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!claimed) return false
+    try java.nio.file.Files.write(p, body)
+    catch {
+      case e: Throwable =>
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    true
   }
 }
 

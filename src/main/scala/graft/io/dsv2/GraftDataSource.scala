@@ -447,7 +447,24 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     dirRequested: Boolean = false, allDataDirs: Seq[String] = Seq.empty,
     opState: Option[GraftRowOpState] = None)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** PRUNING-AWARE size/row statistics, forwarded from the parquet
+    * delegate (whose file index covers only the KEPT directories) — so
+    * a small manifest table, or a big one a selective filter prunes to
+    * a sliver, plans as the BROADCAST side of its joins instead of
+    * defaulting to the worst case.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    if (allPruned) new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(0L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(0L)
+    }
+    else delegate.estimateStatistics()
 
   // set by Spark's runtime group filter (row-level ops only)
   @volatile private var runtimeDirs: Option[Set[String]] = None
@@ -465,30 +482,95 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     new GraftMicroBatchStream(session, root, tableSchema,
       requiredSchema, options)
 
-  /** Runtime group filtering: only a row-level operation's scan
-    * advertises the `_dir` attribute, so ordinary queries are never
-    * runtime-filtered here.
+  /** Runtime filtering attributes: a row-level operation's scan
+    * advertises `_dir` (the GROUP filter); an ordinary scan advertises
+    * the columns its directories carry SKIP-STATS for, so Spark's
+    * dynamic partition pruning over V2 (a selective dim join) prunes
+    * whole directories at RUNTIME with the same sidecar rule the
+    * static path uses at planning. Under-applying is always safe —
+    * runtime filters are IO reduction, the join re-filters rows.
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (opState.isDefined)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column("_dir"))
-    else Array.empty
+    else {
+      val f = new Path(root)
+        .getFileSystem(session.sparkContext.hadoopConfiguration)
+      keptDirs.headOption.flatMap(d => SkipStats.read(f, d))
+        .map(_.keySet.toArray.sorted.map(
+          org.apache.spark.sql.connector.expressions.Expressions.column))
+        .getOrElse(Array.empty)
+    }
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    if (opState.isEmpty) return
-    val dirs = predicates.flatMap(dirValues).reduceOption(_ intersect _)
-    dirs.foreach { vals =>
-      runtimeDirs = Some(vals)
-      // replaced groups = directories that CONTAIN matches — derived
-      // from the runtime values against the FULL dir list, not the
-      // statically-pruned one (a dir whose every row matches the DELETE
-      // condition is skip-stats-pruned from this survivor scan, yet
-      // must still be REPLACED for its rows to disappear)
-      opState.get.replacedDirs = Some(allDataDirs.filter(vals))
+      : Unit = opState match {
+    case Some(state) =>
+      val dirs = predicates.flatMap(dirValues).reduceOption(_ intersect _)
+      dirs.foreach { vals =>
+        runtimeDirs = Some(vals)
+        // replaced groups = directories that CONTAIN matches — derived
+        // from the runtime values against the FULL dir list, not the
+        // statically-pruned one (a dir whose every row matches the
+        // DELETE condition is skip-stats-pruned from this survivor
+        // scan, yet must still be REPLACED for its rows to disappear)
+        state.replacedDirs = Some(allDataDirs.filter(vals))
+      }
+    case None =>
+      // data-column runtime pruning: keep a dir iff, for EVERY runtime
+      // IN/= predicate, some value overlaps the dir's sidecar range
+      // (missing sidecar/column → keep; stats only ever skip IO).
+      // A huge runtime key set stops paying for the dirs × values
+      // overlap sweep — skip pruning past the cap, never wrong.
+      val cap = session.conf
+        .get("spark.graft.runtimePrune.maxValues", "65536").toInt
+      val colVals: Seq[(String, Set[String])] =
+        predicates.toSeq.flatMap(colValues).filter(_._2.size <= cap)
+      if (colVals.isEmpty) return
+      val f = new Path(root)
+        .getFileSystem(session.sparkContext.hadoopConfiguration)
+      val kept = keptDirs.filter { d =>
+        val stats = SkipStats.read(f, d)
+        colVals.forall { case (c, vals) =>
+          stats.flatMap(_.get(c)) match {
+            case None => true
+            case Some(cs) =>
+              vals.exists(v => SkipStats.colOverlaps(cs, v, v))
+          }
+        }
+      }
+      runtimeDirs = Some(kept.toSet)
+  }
+
+  /** IN/EQUAL predicates on a DATA column → (column, values); anything
+    * else ignored.
+    */
+  private def colValues(p: org.apache.spark.sql.connector.expressions
+      .filter.Predicate): Option[(String, Set[String])] = {
+    import org.apache.spark.sql.connector.expressions.{Expression,
+      NamedReference, Literal => VLiteral}
+    def refName(e: Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def str(e: Expression): Option[String] = e match {
+      case l: VLiteral[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        refName(p.children()(0)).flatMap { c =>
+          val vals = p.children().drop(1).flatMap(str)
+          if (vals.length == p.children().length - 1) Some((c, vals.toSet))
+          else None
+        }
+      case "=" if p.children().length == 2 =>
+        for (c <- refName(p.children()(0)); v <- str(p.children()(1)))
+          yield (c, Set(v))
+      case _ => None
     }
   }
 

@@ -181,6 +181,42 @@ class CatalogRaceSpec extends AnyFunSuite {
       "exactly the compacted payload plus the append — nothing twice")
   }
 
+  test("createIfAbsent is atomic under contention on the local fs: " +
+      "exactly one winner per slot, winner's body intact") {
+    // hadoop's local create(overwrite=false) is check-then-create — two
+    // racers could both pass the check and the slower TRUNCATE the
+    // winner's manifest (a silently lost commit). The committer claims
+    // local slots with O_EXCL; this hammers the seam directly.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-committer-race").toString
+    val f = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (round <- 0 until 50) {
+      val target = new Path(s"$dir/manifest-v%06d".format(round))
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          start.await()
+          if (graft.io.FsCreateCommitter.createIfAbsent(f, target,
+              s"body-$i\n#graft-manifest-complete".getBytes("UTF-8")))
+            wins.incrementAndGet()
+        })
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join(60000))
+      assert(wins.get === 1,
+        s"round $round: exactly one racer may win the slot")
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/manifest-v%06d".format(round))),
+        "UTF-8")
+      assert((0 until 8).exists(i =>
+          content == s"body-$i\n#graft-manifest-complete"),
+        s"round $round: the slot must hold ONE whole body, got " +
+          s"'${content.take(60)}'")
+    }
+  }
+
   test("two genuinely concurrent DSv2 appends to one table both land") {
     val root = System.getProperty("java.io.tmpdir") + "/graft_v2par_tbl"
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -429,6 +429,62 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       "the replacing MERGE commit must fold live tombstones")
   }
 
+  test("a selective dim join runtime-prunes fact directories through " +
+      "the sidecars (V2 dynamic pruning), and the scan reports real " +
+      "size statistics") {
+    import spark.implicits._
+    val root = s"$wh/dppfact"
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      (b * 100L until (b + 1) * 100L).map(i => (i, i % 13))
+        .toDF("k", "v").write.parquet(d)
+      graft.io.SkipStats.write(spark, d, Seq("k"))
+      Manifest.commit(spark, root, d)
+    }
+    // the scan must report its true (small) size, not a default guess
+    val factScan = spark.read.format("graft").load(root)
+      .queryExecution.optimizedPlan.stats
+    assert(factScan.sizeInBytes > 0 &&
+      factScan.sizeInBytes < 10L * 1024 * 1024,
+      s"the scan must report real file-backed size, got " +
+        s"${factScan.sizeInBytes}")
+    // the pruning side needs a SELECTIVE predicate (on a non-local
+    // relation — a local one folds the filter away) for Spark's
+    // dynamic pruning heuristic to consider the filter worth pushing
+    ((0L until 400L by 7).map(k => (k, if (k == 7 || k == 42) 1 else 0)))
+      .toDF("k", "sel").write.mode("overwrite")
+      .parquet(s"$wh/dpp_dim_pq")
+    spark.read.parquet(s"$wh/dpp_dim_pq")
+      .createOrReplaceTempView("dpp_dim")
+    val joined = spark.sql(
+      """SELECT f.k, f.v FROM lake.dppfact f
+         JOIN dpp_dim d ON f.k = d.k WHERE d.sel = 1""")
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(7L, 42L))
+    // the fact scan must have read ONLY the matching directory's rows
+    // (both keys live in b0) — the runtime IN filter pruned b1..b3
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution
+        .datasources.v2.BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val factNode = scans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("dppfact"))
+    assert(factNode.nonEmpty, "fact BatchScan not found")
+    assert(factNode.get.runtimeFilters.nonEmpty,
+      "the join must push a runtime filter into the fact scan")
+    val read = factNode.get.metrics("numOutputRows").value
+    assert(read === 100L,
+      s"runtime pruning must read only the matching directory " +
+        s"(100 rows), read $read")
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
