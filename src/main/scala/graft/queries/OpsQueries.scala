@@ -4906,6 +4906,91 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Runtime directory pruning under the oracle gate: a selective dim
+    * join against a manifest fact table pushes Spark's dynamic IN
+    * filter into the graft scan ([[graft.io.dsv2.GraftScan]] advertises
+    * its sidecar-covered columns), which prunes whole committed
+    * directories at RUNTIME with the same sidecar overlap rule the
+    * static path uses at planning. In-gate requires pin the mechanism:
+    * the fact scan carries a runtime filter and reads ONLY the matching
+    * directory's rows; the oracle replays the join census.
+    */
+  def io46RuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g46", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g46.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io46_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir, frac = 4)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      li.filter(col("l_orderkey") >= b * k && col("l_orderkey") < (b + 1) * k)
+        .write.parquet(d)
+      Manifest.commitWithStats(s, root, d, Seq("l_orderkey"))
+    }
+    // dim: the distinct keys of the FIRST quarter only, parquet-backed
+    // (the pruning side needs a live selective Filter node) — a 'sel'
+    // flag marks them so the query filter survives optimization
+    val dimPath = tmpDir(s) + "/graft_io46_dim"
+    fsH.delete(new org.apache.hadoop.fs.Path(dimPath), true)
+    Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") < 4 * k)
+      .select(col("l_orderkey").as("k"),
+        (col("l_orderkey") < k).cast("int").as("sel"))
+      .write.parquet(dimPath)
+    s.read.parquet(dimPath).createOrReplaceTempView("graft_io46_dim")
+    val joined = s.sql(
+      """SELECT f.l_orderkey, f.l_returnflag, f.cents
+         FROM g46.graft_io46_tbl f
+         JOIN graft_io46_dim d ON f.l_orderkey = d.k
+         WHERE d.sel = 1""")
+    joined.collect() // materialize so the scan metrics are real
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution
+        .datasources.v2.BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val fact = scans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("graft_io46_tbl"))
+    require(fact.nonEmpty, "fact BatchScan not found in the join plan")
+    require(fact.get.runtimeFilters.nonEmpty,
+      "the selective dim join must push a runtime filter into the scan")
+    val b0Rows = li.filter(col("l_orderkey") < k).count()
+    val read = fact.get.metrics("numOutputRows").value
+    require(read == b0Rows,
+      s"runtime pruning must read only the matching directory " +
+        s"($b0Rows rows), read $read")
+    joined.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("l_returnflag"), col("n"), col("sum_okey"),
+        col("sum_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val io46Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 4 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 4 * k),
+      |j AS (SELECT li.* FROM li, mk WHERE l_orderkey < k)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM j GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val io44Oracle: String =
     """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
       |li AS (SELECT l_orderkey, l_returnflag,
@@ -4991,6 +5076,7 @@ object OpsQueries {
     "io43_sql_delete_mor" -> (io43SqlDeleteMor _),
     "io44_sql_merge" -> (io44SqlMerge _),
     "io45_sql_update" -> (io45SqlUpdate _),
+    "io46_runtime_prune" -> (io46RuntimePrune _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5076,6 +5162,7 @@ object OpsQueries {
     "io43_sql_delete_mor" -> io43Oracle,
     "io44_sql_merge" -> io44Oracle,
     "io45_sql_update" -> io45Oracle,
+    "io46_runtime_prune" -> io46Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
