@@ -4934,13 +4934,16 @@ object OpsQueries {
         .write.parquet(d)
       Manifest.commitWithStats(s, root, d, Seq("l_orderkey"))
     }
-    // dim: the distinct keys of the FIRST quarter only, parquet-backed
-    // (the pruning side needs a live selective Filter node) — a 'sel'
-    // flag marks them so the query filter survives optimization
+    // dim: a 1/97-residue key sample (selected rows from the first
+    // quarter, unselected distractors corpus-wide) — BROADCAST-sized at
+    // every scale factor, which is what lets Spark reuse the join's
+    // broadcast as the runtime IN filter, and the flagged value set
+    // stays well under the runtime-prune cap; parquet-backed (the
+    // pruning side needs a live selective Filter node)
     val dimPath = tmpDir(s) + "/graft_io46_dim"
     fsH.delete(new org.apache.hadoop.fs.Path(dimPath), true)
     Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
-      .filter(col("l_orderkey") < 4 * k)
+      .filter(col("l_orderkey") < 4 * k && col("l_orderkey") % 97 === 3)
       .select(col("l_orderkey").as("k"),
         (col("l_orderkey") < k).cast("int").as("sel"))
       .write.parquet(dimPath)
@@ -4985,7 +4988,8 @@ object OpsQueries {
       |li AS (SELECT l_orderkey, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
       |      AS cents FROM lineitem, mk WHERE l_orderkey < 4 * k),
-      |j AS (SELECT li.* FROM li, mk WHERE l_orderkey < k)
+      |j AS (SELECT li.* FROM li, mk
+      |      WHERE l_orderkey < k AND l_orderkey % 97 = 3)
       |SELECT l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
