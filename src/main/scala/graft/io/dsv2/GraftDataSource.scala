@@ -340,18 +340,58 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     }
   }
 
+  /** Pushed IN filters → (column, value set) DISJUNCTIONS the sidecars
+    * can decide: a directory survives an IN iff SOME value overlaps its
+    * range. Shapes the sidecars can't decide prune nothing.
+    */
+  private def toInSets(filters: Seq[Filter]): Seq[(String, Seq[String])] = {
+    def integral(c: String): Boolean =
+      tableSchema.find(_.name == c).exists(f =>
+        f.dataType == LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType ||
+          f.dataType == org.apache.spark.sql.types.ByteType)
+    def isString(c: String): Boolean =
+      tableSchema.find(_.name == c).exists(_.dataType == StringType)
+    def render(v: Any): Option[String] = v match {
+      case i: Int => Some(i.toString)
+      case l: Long => Some(l.toString)
+      case sh: Short => Some(sh.toString)
+      case b: Byte => Some(b.toString)
+      case st: String => Some(st)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+    filters.flatMap {
+      case And(l, r) => toInSets(Seq(l, r))
+      case org.apache.spark.sql.sources.In(c, vs)
+          if (integral(c) || isString(c)) && vs.nonEmpty =>
+        val rendered = vs.toSeq.filter(_ != null).map(render)
+        // a null member or unrenderable value makes the set undecidable
+        if (rendered.forall(_.isDefined) && rendered.nonEmpty &&
+            !vs.contains(null))
+          Seq((c, rendered.flatten))
+        else Seq.empty
+      case _ => Seq.empty
+    }
+  }
+
   // ── directory pruning + the delegate parquet builder, memoized: the
   // aggregate-pushdown hook needs the delegate BEFORE build(), and by
   // the time Spark pushes aggregates the filters are final ──
   private lazy val pruning: (Seq[String], Seq[String]) = {
     val ranges = toRanges(pushed.toSeq)
+    val inSets = toInSets(pushed.toSeq)
     val f = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (ranges.isEmpty) (dataDirs, Seq.empty[String])
+    if (ranges.isEmpty && inSets.isEmpty) (dataDirs, Seq.empty[String])
     else dataDirs.partition { d =>
       val stats = SkipStats.read(f, d)
       ranges.forall(r => stats.flatMap(_.get(r.c))
-        .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi)))
+        .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi))) &&
+        inSets.forall { case (c, vals) => stats.flatMap(_.get(c))
+          .forall(cs => vals.exists(v => SkipStats.colOverlaps(cs, v, v)))
+        }
     }
   }
 

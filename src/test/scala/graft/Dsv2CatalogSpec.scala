@@ -58,6 +58,23 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       s"the b2 directory must be pruned at planning:\n$desc")
   }
 
+  test("a static IN filter prunes committed directories at planning") {
+    wh
+    val df = spark.sql(
+      "SELECT id FROM lake.events WHERE id IN (7, 42, 93)")
+    assert(df.count() === 3L)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "all three IN values live in b1 — b2 must be pruned at planning:" +
+        s"\n${df.queryExecution.executedPlan}")
+    // values spanning both dirs prune nothing (and stay correct)
+    val both = spark.sql(
+      "SELECT id FROM lake.events WHERE id IN (7, 142)")
+    assert(both.count() === 2L)
+    assert(both.queryExecution.executedPlan.toString
+      .contains("skippedDirs=0"))
+  }
+
   test("SHOW TABLES lists manifest roots; DDL refuses read-only") {
     wh
     val tables = spark.sql("SHOW TABLES IN lake").collect()
