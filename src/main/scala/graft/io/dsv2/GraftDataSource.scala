@@ -141,7 +141,31 @@ object GraftTable {
     // a tombstoned table auto-merge instead of failing)
     val morKey = Option(options.get("morKey"))
       .orElse(GraftMorKey.get(s, root))
-    val inferred = s.read.parquet(data: _*).schema
+    // drift-aware schema resolution: each committed directory is ONE
+    // write job, so a per-dir footer probe is enough to detect schema
+    // drift (bounded by the dir count, not the file count). Uniform
+    // dirs take the fast path; drifted dirs resolve to the UNION in
+    // first-seen order — a file lacking a later column reads it as
+    // null (Delta's evolved-read semantics) — and an incompatible TYPE
+    // drift refuses loudly instead of silently coercing.
+    val dirSchemas = data.map(d => s.read.parquet(d).schema)
+    val inferred =
+      if (dirSchemas.distinct.size == 1) dirSchemas.head
+      else dirSchemas.reduce { (a, b) =>
+        val known = a.fieldNames.toSet
+        b.foreach { f =>
+          a.find(_.name == f.name).foreach { g =>
+            require(g.dataType == f.dataType,
+              s"schema drift on $root: column '${f.name}' is " +
+                s"${g.dataType.simpleString} in one directory and " +
+                s"${f.dataType.simpleString} in another — migrate or " +
+                "fold before reading")
+          }
+        }
+        StructType(a.fields.map(_.copy(nullable = true)) ++
+          b.filterNot(f => known.contains(f.name))
+            .map(_.copy(nullable = true)))
+      }
     morKey.filter(_ => tombs.nonEmpty).foreach { k =>
       require(inferred.fieldNames.contains(k),
         s"morKey '$k' is not a column of $root (${inferred.fieldNames

@@ -4995,6 +4995,61 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM j GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Schema EVOLUTION across commits under the oracle gate: batch 2
+    * arrives with a new column, and the graft read resolves the UNION
+    * schema — pre-evolution rows read the new column as NULL (Delta's
+    * evolved-read semantics; detection costs one footer probe per
+    * DIRECTORY, not per file, because a directory is one write job).
+    * In-gate requires pin the union schema and the null-fill; the
+    * oracle replays the evolution from lineitem.
+    */
+  def io47SchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val root = tmpDir(s) + "/graft_io47_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    li.filter(col("l_orderkey") < k).write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    li.filter(col("l_orderkey") >= k && col("l_orderkey") < 2 * k)
+      .withColumn("cents2", col("cents") * 3)
+      .write.parquet(s"$root/data/b2")
+    Manifest.commit(s, root, s"$root/data/b2")
+    val t = s.read.format("graft").load(root)
+    require(t.schema.fieldNames.toSeq ==
+      Seq("l_orderkey", "l_returnflag", "cents", "cents2"),
+      s"the read must expose the union schema, got ${t.schema}")
+    require(t.filter(col("cents2").isNull).count() ==
+      t.filter(col("l_orderkey") < k).count(),
+      "exactly the pre-evolution rows read the new column as null")
+    t.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(coalesce(col("cents2"), lit(0L))).as("sum_cents2"),
+        count(col("cents2")).as("n_evolved"))
+      .select(col("l_returnflag"), col("n"), col("sum_cents"),
+        col("sum_cents2"), col("n_evolved"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val io47Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |ev AS (SELECT l_orderkey, l_returnflag, cents,
+      |    CASE WHEN l_orderkey >= (SELECT k FROM mk)
+      |         THEN cents * 3 ELSE NULL END AS cents2 FROM li)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(COALESCE(cents2, 0)) AS BIGINT) AS sum_cents2,
+      |  CAST(COUNT(cents2) AS BIGINT) AS n_evolved
+      |FROM ev GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val io44Oracle: String =
     """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
       |li AS (SELECT l_orderkey, l_returnflag,
@@ -5081,6 +5136,7 @@ object OpsQueries {
     "io44_sql_merge" -> (io44SqlMerge _),
     "io45_sql_update" -> (io45SqlUpdate _),
     "io46_runtime_prune" -> (io46RuntimePrune _),
+    "io47_schema_drift" -> (io47SchemaDrift _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5167,6 +5223,7 @@ object OpsQueries {
     "io44_sql_merge" -> io44Oracle,
     "io45_sql_update" -> io45Oracle,
     "io46_runtime_prune" -> io46Oracle,
+    "io47_schema_drift" -> io47Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

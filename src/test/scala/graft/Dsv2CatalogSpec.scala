@@ -502,6 +502,41 @@ class Dsv2CatalogSpec extends AnyFunSuite {
         s"(100 rows), read $read")
   }
 
+  test("schema drift across committed directories resolves to the " +
+      "UNION with null-fill; incompatible type drift refuses") {
+    import spark.implicits._
+    val root = s"$wh/drift"
+    (0L until 5L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    (5L until 10L).map(i => (i, i, i * 2)).toDF("id", "v", "w")
+      .write.parquet(s"$root/data/b2")
+    Manifest.commit(spark, root, s"$root/data/b2")
+    val df = spark.read.format("graft").load(root)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "v", "w"),
+      s"the read must expose the UNION schema, got ${df.schema}")
+    assert(df.count() === 10L)
+    assert(df.filter(col("w").isNull).count() === 5L,
+      "pre-evolution rows read the new column as null")
+    assert(spark.sql(
+      "SELECT sum(w) s FROM lake.drift").collect()(0).getLong(0) ===
+        (5L until 10L).map(_ * 2).sum)
+    // incompatible TYPE drift refuses loudly
+    val bad = s"$wh/driftbad"
+    (0L until 3L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$bad/data/b1")
+    Manifest.commit(spark, bad, s"$bad/data/b1")
+    (3L until 6L).map(i => (i, s"s$i")).toDF("id", "v")
+      .write.parquet(s"$bad/data/b2")
+    Manifest.commit(spark, bad, s"$bad/data/b2")
+    val e = intercept[Exception](
+      spark.read.format("graft").load(bad).count())
+    def drift(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("schema drift")) ||
+        drift(t.getCause))
+    assert(drift(e), s"type drift must refuse loudly, got $e")
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
