@@ -144,5 +144,37 @@ object GraftProcedures {
         Seq(new GenericInternalRow(Array[Any](
           Manifest.dropTag(session, rootOf(utf(in.get(0, StringType))),
             utf(in.get(1, StringType))))))
+    },
+    // layout introspection: one row per committed directory of the
+    // LATEST version — kind, file count, bytes, and which columns carry
+    // skip-stats sidecars (what the planner can prune on). The ops view
+    // for "why isn't this query pruning" and "is it time to compact".
+    "layout" -> new P("layout", Seq(param("table", StringType)),
+      StructType(Seq(StructField("dir", StringType),
+        StructField("kind", StringType),
+        StructField("files", IntegerType),
+        StructField("bytes", LongType),
+        StructField("stats_cols", StringType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val s = session
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Manifest.entries(s, root).map { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val files =
+            if (f.exists(p)) f.listStatus(p).filter(st =>
+              st.isFile && st.getPath.getName.endsWith(".parquet"))
+            else Array.empty[org.apache.hadoop.fs.FileStatus]
+          val kind =
+            if (MergeOnRead.isTombstone(d)) "tombstones" else "data"
+          val statsCols = graft.io.SkipStats.read(f, d)
+            .map(_.keySet.toSeq.sorted.mkString(",")).getOrElse("")
+          new GenericInternalRow(Array[Any](UTF8String.fromString(d),
+            UTF8String.fromString(kind), files.length,
+            files.map(_.getLen).sum,
+            UTF8String.fromString(statsCols)))
+        }
+      }
     })
 }

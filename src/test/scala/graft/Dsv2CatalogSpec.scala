@@ -537,6 +537,27 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(drift(e), s"type drift must refuse loudly, got $e")
   }
 
+  test("CALL layout reports per-directory kind, files, bytes, and " +
+      "sidecar columns") {
+    import spark.implicits._
+    val root = s"$wh/layoutt"
+    (0L until 20L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    graft.io.SkipStats.write(spark, s"$root/data/b1", Seq("id", "v"))
+    Manifest.commit(spark, root, s"$root/data/b1")
+    MergeOnRead.deleteWhere(spark, root, "id",
+      col("id") < 3, s"$root/data")
+    val rows = spark.sql("CALL lake.layout('layoutt')").collect()
+      .map(r => (r.getString(0).split("/").last, r.getString(1),
+        r.getInt(2), r.getLong(3), r.getString(4)))
+    assert(rows.length === 2)
+    val data = rows.find(_._2 == "data").get
+    assert(data._1 === "b1" && data._3 > 0 && data._4 > 0 &&
+      data._5 === "id,v")
+    val tomb = rows.find(_._2 == "tombstones").get
+    assert(tomb._3 > 0 && tomb._5 === "")
+  }
+
   test("a live-tombstone table refuses a plain SQL read until folded") {
     import spark.implicits._
     val root = s"$wh/mor"
