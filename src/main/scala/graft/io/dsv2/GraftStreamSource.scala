@@ -53,9 +53,16 @@ class GraftMicroBatchStream(s: SparkSession, root: String,
     Option(options.get("ignoreChanges")).exists(_.toBoolean)
 
   // resolved once per stream START (not per batch): the boundary
-  // between "history the stream skips" and "commits it consumes"
+  // between "history the stream skips" and "commits it consumes".
+  // `startingVersion` names the first version to consume;
+  // `startingTimestamp` (epoch ms) consumes every commit AFTER that
+  // instant — the version current AT the timestamp is the skipped
+  // prefix (Delta's startingTimestamp, on the manifest mtime rule);
+  // a timestamp predating the first commit replays everything.
   private lazy val startVersion: Int =
     Option(options.get("startingVersion")).map(_.toInt - 1)
+      .orElse(Option(options.get("startingTimestamp")).map(ts =>
+        Manifest.versionAt(s, root, ts.toLong).getOrElse(0)))
       .getOrElse(Manifest.versions(s, root).lastOption.getOrElse(0))
 
   override def initialOffset(): Offset = GraftStreamOffset(startVersion)

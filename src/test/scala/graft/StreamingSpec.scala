@@ -65,6 +65,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("startingTimestamp replays exactly the commits AFTER the " +
+      "instant (manifest-mtime rule, Delta parity)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-startts").toString
+    val src = s"$root/src"
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = System.currentTimeMillis() - 600000L
+    for (i <- 1 to 3) {
+      val d = s"$src/data/c$i"
+      (i * 10L until i * 10L + 5L).map(x => (x, x)).toDF("id", "v")
+        .write.parquet(d)
+      val v = Manifest.commit(spark, src, d)
+      // force distinct, known manifest mtimes (the timestamp rule's
+      // input) — wall-clock gaps would make the test timing-dependent
+      f.setTimes(new org.apache.hadoop.fs.Path(src,
+        f"manifest-v$v%06d"), t0 + i * 10000L, -1)
+    }
+    // an instant between commit 1 and commit 2: replay 2 and 3 only
+    spark.readStream.format("graft")
+      .option("startingTimestamp", (t0 + 15000L).toString).load(src)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val ids = spark.read.parquet(s"$root/out")
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === ((20L until 25L) ++ (30L until 35L)).sorted,
+      s"must consume exactly the post-instant commits, got $ids")
+    // an instant before the FIRST commit replays everything
+    spark.readStream.format("graft")
+      .option("startingTimestamp", (t0 - 1000L).toString).load(src)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out2")
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.read.parquet(s"$root/out2").count() === 15L)
+  }
+
   test("file-backed stream runs the prelude per micro-batch") {
     val base = Files.createTempDirectory("graft-stream").toString
     // "publish" three messages: two with input data, one without
