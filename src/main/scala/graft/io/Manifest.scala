@@ -380,16 +380,32 @@ object Manifest {
     * actually touched while concurrent appends racing this commit keep
     * their entries (the rebase [[rewrite]] deliberately does not do —
     * a full rewrite claims the whole table, a partial one claims only
-    * its groups). Entries in `remove` absent from the latest list are
-    * ignored (a maintenance fold may have replaced them mid-flight; the
-    * new data is still the correct content for what it scanned).
+    * its groups).
+    *
+    * CONFLICT DETECTION: every `remove` entry must still be in the
+    * latest list. A missing one means a concurrent REPLACING commit
+    * (compaction, fold, another rewrite) consumed this op's input
+    * groups mid-flight — committing anyway would both RESURRECT the
+    * rows this op removed (the replacer's output still carries them)
+    * and duplicate its survivors. That is a serializability conflict,
+    * so it refuses loudly and the CALLER retries against the new
+    * snapshot (Delta/Iceberg's optimistic concurrency answer).
     */
+  final class ConcurrentRewriteException(root: String, gone: Set[String])
+    extends RuntimeException(
+      s"concurrent rewrite on $root: ${gone.size} input director" +
+        s"(ies) of this row-level operation were replaced mid-flight " +
+        s"(${gone.take(3).mkString(", ")}…) — retry against the new " +
+        "snapshot")
+
   def replaceDirs(s: SparkSession, root: String, remove: Set[String],
       add: Seq[String], committer: Committer = FsCreateCommitter): Int = {
     val f = fs(s, root)
     commitLoop(f, root, committer) { prev =>
       val prevList = prev.lastOption
         .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
+      val gone = remove -- prevList.toSet
+      if (gone.nonEmpty) throw new ConcurrentRewriteException(root, gone)
       (prevList.filterNot(remove) ++ add).mkString("\n")
     }
   }

@@ -65,13 +65,15 @@ class GraftRowLevelBuilder(s: SparkSession, root: String, version: Int,
         tombDirs, morKey, info.command)
 }
 
-/** Shared scan↔write state for one group-based row-level operation: the
-  * scan records the directories Spark's RUNTIME group filter selected
-  * (the dirs containing matching rows), and the write's commit replaces
-  * exactly those — untouched directories carry verbatim. `None` means
-  * the group filter never ran (disabled, non-selective, or unfilterable
-  * condition): the scan then read the whole snapshot and the write
-  * replaces the whole snapshot — never wrong, only less surgical.
+/** Shared scan↔write state for one group-based row-level operation:
+  * seeded with the PINNED SNAPSHOT's directory list; when Spark's
+  * runtime group filter fires, the scan narrows it to the directories
+  * containing matching rows, and the write's conflict-detecting commit
+  * replaces exactly the recorded set — untouched directories carry
+  * verbatim, racing appends survive, and a replacing race refuses. A
+  * never-fired filter (disabled, non-selective, unfilterable condition)
+  * leaves the whole snapshot as the replaced set — never wrong, only
+  * less surgical.
   */
 class GraftRowOpState {
   @volatile var replacedDirs: Option[Seq[String]] = None
@@ -93,28 +95,36 @@ class GraftGroupRewrite(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String], cmd: Command) extends RowLevelOperation {
 
-  // surgical (directory-level) rewrite only on a TOMBSTONE-FREE table:
-  // a partial replace would have to carry the live tombstone entries
-  // for the untouched directories' sake, and those tombstones would
-  // then hide this op's re-inserted keys. A tombstoned table takes the
-  // whole-snapshot rewrite, which folds its tombstones — the correct
-  // combined semantic (and MoR tables take DELETEs via the delta path).
+  // surgical (directory-level) GROUP FILTERING only on a TOMBSTONE-FREE
+  // table: a partial replace would have to carry the live tombstone
+  // entries for the untouched directories' sake, and those tombstones
+  // would then hide this op's re-inserted keys. A tombstoned table
+  // replaces its whole pinned snapshot INCLUDING the tombstone entries
+  // (the rewrite folds them — the correct combined semantic; MoR
+  // tables take DELETEs via the delta path anyway).
+  //
+  // Either way the commit is the CONFLICT-DETECTING partial replace
+  // seeded with the pinned snapshot: concurrent APPENDS racing this op
+  // keep their entries (they are not in the replaced set), while a
+  // concurrent REPLACING commit that consumed this op's input groups
+  // refuses loudly (Manifest.ConcurrentRewriteException) instead of
+  // resurrecting removed rows.
   private val surgical = tombDirs.isEmpty
-  private val state: Option[GraftRowOpState] =
-    if (surgical) Some(new GraftRowOpState) else None
+  private val state = new GraftRowOpState
+  state.replacedDirs = Some(dataDirs ++ tombDirs)
 
   override def command(): Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
-      tombDirs, morKey, options, state)
+      tombDirs, morKey, options, if (surgical) Some(state) else None)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new GraftV2Write(s, root, winfo, replacing = true,
-          fromRowOp = true, opState = state)
+          fromRowOp = true, opState = Some(state))
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =

@@ -181,6 +181,56 @@ class CatalogRaceSpec extends AnyFunSuite {
       "exactly the compacted payload plus the append — nothing twice")
   }
 
+  test("a SQL DELETE racing a concurrent APPEND keeps the append; " +
+      "racing a REPLACING commit that consumed its input groups it " +
+      "refuses loudly") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-dml-race").toString
+    spark.conf.set("spark.sql.catalog.dmlrace",
+      "graft.io.dsv2.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dmlrace.root", wh)
+    val root = s"$wh/t"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").save(root)
+    // ---- race 1: an append lands inside the DELETE's commit window —
+    // the partial replace rebases, the appended rows survive
+    (200L until 210L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/racerA")
+    var planted = false
+    Manifest.betweenReadAndCreate = () => {
+      if (!planted) {
+        planted = true
+        Manifest.commit(spark, root, s"$root/data/racerA")
+      }
+    }
+    try spark.sql("DELETE FROM dmlrace.t WHERE id >= 50 AND id < 100")
+    finally Manifest.betweenReadAndCreate = () => ()
+    assert(spark.read.format("graft").load(root).count() === 60L,
+      "50 survivors + the racing append's 10 rows must both be present")
+    // ---- race 2: a compaction consumes the DELETE's input groups —
+    // committing would resurrect removed rows, so it must refuse
+    spark.read.format("graft").load(root).coalesce(1)
+      .write.parquet(s"$root/data/folded")
+    var planted2 = false
+    Manifest.betweenReadAndCreate = () => {
+      if (!planted2) {
+        planted2 = true
+        Manifest.rewrite(spark, root, Seq(s"$root/data/folded"))
+      }
+    }
+    val e =
+      try intercept[Exception](
+        spark.sql("DELETE FROM dmlrace.t WHERE id < 10"))
+      finally Manifest.betweenReadAndCreate = () => ()
+    def conflict(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("concurrent rewrite")) ||
+        conflict(t.getCause))
+    assert(conflict(e),
+      s"a replacing race must refuse with the conflict error, got $e")
+    assert(spark.read.format("graft").load(root).count() === 60L,
+      "the refused DELETE must not have changed the table")
+  }
+
   test("createIfAbsent is atomic under contention on the local fs: " +
       "exactly one winner per slot, winner's body intact") {
     // hadoop's local create(overwrite=false) is check-then-create — two
