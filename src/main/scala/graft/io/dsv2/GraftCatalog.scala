@@ -81,11 +81,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     val s = SparkSession.active
-    val key =
-      if (version.forall(_.isDigit) &&
-          (Manifest.versions(s, root).contains(version.toInt) ||
-            !Manifest.tags(s, root).contains(version))) "versionAsOf"
-      else "tag"
+    // toIntOption, not toInt: an all-digit tag past Int range (a
+    // '20240101123059' timestamp-style tag) must fall to the tag branch
+    // instead of throwing NumberFormatException
+    val key = version.toIntOption match {
+      case Some(v) if Manifest.versions(s, root).contains(v) ||
+          !Manifest.tags(s, root).contains(version) => "versionAsOf"
+      case _ => "tag"
+    }
     GraftTable.resolve(s, root, opts(key -> version))
   }
 

@@ -289,7 +289,7 @@ class GraftTable(s: SparkSession, root: String, version: Int,
 class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String], options: CaseInsensitiveStringMap,
-    opState: Option[GraftRowOpState] = None)
+    opState: Option[GraftRowOpState] = None, rowOp: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -404,8 +404,15 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
   // aggregate-pushdown hook needs the delegate BEFORE build(), and by
   // the time Spark pushes aggregates the filters are final ──
   private lazy val pruning: (Seq[String], Seq[String]) = {
-    val ranges = toRanges(pushed.toSeq)
-    val inSets = toInSets(pushed.toSeq)
+    // a NON-surgical row-level rewrite (tombstoned table: whole-snapshot
+    // replace) must read EVERY directory — Spark pushes the command
+    // condition for GROUP skipping, but here the replacement group is
+    // the whole snapshot, so pruning a directory the condition misses
+    // would silently drop its rows from the rewrite
+    val ranges =
+      if (rowOp && opState.isEmpty) Seq.empty else toRanges(pushed.toSeq)
+    val inSets =
+      if (rowOp && opState.isEmpty) Seq.empty else toInSets(pushed.toSeq)
     val f = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (ranges.isEmpty && inSets.isEmpty) (dataDirs, Seq.empty[String])
@@ -428,7 +435,12 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       None, None)
     val b = ParquetScanBuilder(s, index, tableSchema, tableSchema,
       new CaseInsensitiveStringMap(util.Collections.emptyMap()))
-    b.pushDataFilters(pushed)
+    // a row-level op's scan must return ALL rows of the kept groups
+    // (Spark pushes the command CONDITION for group skipping only) —
+    // letting parquet row-group/page-index pruning apply it would
+    // silently drop the non-matching rows a CoW rewrite has to carry.
+    // Directory pruning above already banks the group-skip IO win.
+    if (!rowOp) b.pushDataFilters(pushed)
     b
   }
 
@@ -484,7 +496,7 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     val parquetScan = delegate.build()
     GraftScan(parquetScan, root, version, kept, skipped,
       allPruned = kept.isEmpty && !aggPushed, tombFilter, s, tableSchema,
-      delegateRequired, options, dirRequested, dataDirs, opState)
+      delegateRequired, options, dirRequested, dataDirs, opState, rowOp)
   }
 }
 
@@ -509,7 +521,7 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     session: SparkSession, tableSchema: StructType,
     requiredSchema: StructType, options: CaseInsensitiveStringMap,
     dirRequested: Boolean = false, allDataDirs: Seq[String] = Seq.empty,
-    opState: Option[GraftRowOpState] = None)
+    opState: Option[GraftRowOpState] = None, rowOp: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -546,6 +558,23 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     new GraftMicroBatchStream(session, root, tableSchema,
       requiredSchema, options)
 
+  /** Columns whose RUNTIME literals render (via `toString`) in the
+    * same lexical space the sidecars compare in — integral and string
+    * only, exactly the static `toRanges`/`toInSets` restriction. A
+    * DateType join key arrives from Spark's runtime filter as an
+    * epoch-day Int (e.g. "19600") while the sidecar stores ISO dates:
+    * comparing those lexically would WRONGLY prune directories that do
+    * contain matches, so dates (and any other rendered type) are never
+    * advertised for runtime pruning.
+    */
+  private def runtimePrunable(c: String): Boolean =
+    tableSchema.find(_.name == c).exists(f =>
+      f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType ||
+        f.dataType == org.apache.spark.sql.types.ByteType ||
+        f.dataType == StringType)
+
   /** Runtime filtering attributes: a row-level operation's scan
     * advertises `_dir` (the GROUP filter); an ordinary scan advertises
     * the columns its directories carry SKIP-STATS for, so Spark's
@@ -553,19 +582,30 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     * whole directories at RUNTIME with the same sidecar rule the
     * static path uses at planning. Under-applying is always safe —
     * runtime filters are IO reduction, the join re-filters rows.
+    * The advertised set is the UNION of sidecar keys across kept
+    * directories (a single fold-output dir without a sidecar must not
+    * silence pruning for the rest), restricted to the types whose
+    * runtime literal rendering the sidecars can compare.
     */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (opState.isDefined)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column("_dir"))
+    else if (rowOp)
+      // a NON-surgical row-level rewrite replaces the whole snapshot:
+      // advertising data columns here would let Spark's runtime filter
+      // (built from the DML condition) prune directories out of the
+      // survivor scan — dropping their rows from the rewrite. Advertise
+      // nothing; the surgical path prunes through `_dir` above.
+      Array.empty
     else {
       val f = new Path(root)
         .getFileSystem(session.sparkContext.hadoopConfiguration)
-      keptDirs.headOption.flatMap(d => SkipStats.read(f, d))
-        .map(_.keySet.toArray.sorted.map(
-          org.apache.spark.sql.connector.expressions.Expressions.column))
-        .getOrElse(Array.empty)
+      keptDirs.iterator.flatMap(d => SkipStats.read(f, d))
+        .flatMap(_.keySet).toSet.filter(runtimePrunable)
+        .toArray.sorted.map(
+          org.apache.spark.sql.connector.expressions.Expressions.column)
     }
 
   override def filter(predicates: Array[
@@ -583,6 +623,9 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
         state.replacedDirs = Some(allDataDirs.filter(vals))
       }
     case None =>
+      // defense in depth for the non-surgical row-op scan (see
+      // filterAttributes): never prune a whole-snapshot rewrite's read
+      if (rowOp) return
       // data-column runtime pruning: keep a dir iff, for EVERY runtime
       // IN/= predicate, some value overlaps the dir's sidecar range
       // (missing sidecar/column → keep; stats only ever skip IO).
@@ -614,8 +657,11 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       runtimeDirs = Some(kept.toSet)
   }
 
-  /** IN/EQUAL predicates on a DATA column → (column, values); anything
-    * else ignored.
+  /** IN/EQUAL predicates on a runtime-PRUNABLE data column →
+    * (column, values); anything else ignored. The type guard repeats
+    * [[runtimePrunable]] as defense in depth: even if Spark hands a
+    * predicate on a column we never advertised, a non-integral/string
+    * literal rendering must not reach the lexical sidecar compare.
     */
   private def colValues(p: org.apache.spark.sql.connector.expressions
       .filter.Predicate): Option[(String, Set[String])] = {
@@ -623,7 +669,7 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       NamedReference, Literal => VLiteral}
     def refName(e: Expression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
-        Some(f.fieldNames()(0))
+        Some(f.fieldNames()(0)).filter(runtimePrunable)
       case _ => None
     }
     def str(e: Expression): Option[String] = e match {

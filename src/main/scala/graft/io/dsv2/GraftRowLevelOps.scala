@@ -118,7 +118,8 @@ class GraftGroupRewrite(s: SparkSession, root: String, version: Int,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
-      tombDirs, morKey, options, if (surgical) Some(state) else None)
+      tombDirs, morKey, options, if (surgical) Some(state) else None,
+      rowOp = true)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType,
   StructType, UserDefinedType}
 
-import graft.io.{Manifest, SkipStats}
+import graft.io.{Manifest, MergeOnRead, SkipStats}
 
 /** WRITE paths for `format("graft")`.
   *
@@ -189,9 +189,13 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
         if (statsCols.nonEmpty) statsCols
         else if (!fromRowOp) Seq.empty
         else {
+          // tombstone entries never carry sidecars — a MoR-table
+          // UPDATE/MERGE rewrite must judge coverage over DATA dirs
+          // only, or the carry silently drops for exactly that case
           val replaced = opState.flatMap(_.replacedDirs).getOrElse(
             scala.util.Try(Manifest.committed(s, root))
               .getOrElse(Seq.empty))
+            .filterNot(MergeOnRead.isTombstone)
           val f = new Path(root)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           val sided = replaced.flatMap(d => SkipStats.read(f, d))
@@ -204,6 +208,16 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
       val hasFiles = fDir.exists(new Path(dir)) &&
         fDir.listStatus(new Path(dir))
           .exists(_.getPath.getName.endsWith(".parquet"))
+      // a CoW DML whose runtime group filter matched NOTHING is a
+      // no-op: the filtered scan returned zero rows by construction
+      // (zero kept partitions), so committing would append an empty
+      // directory and mutate the table version for a DELETE that
+      // deleted nothing — match the MoR path, which commits nothing on
+      // no match. A task may still have eagerly created a zero-row
+      // parquet file; the uncommitted dir stays an orphan for the
+      // sweep, like an abort.
+      if (fromRowOp &&
+          opState.flatMap(_.replacedDirs).exists(_.isEmpty)) return
       if (!hasFiles)
         // a rewrite whose every input row was deleted still needs a
         // schema-bearing file — the committed entry must stay readable

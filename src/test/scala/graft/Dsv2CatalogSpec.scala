@@ -576,4 +576,142 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) n FROM lake.mor")
       .collect()(0).getLong(0) === 40L)
   }
+
+  test("a CoW DELETE matching nothing commits NO version (parity with " +
+      "the MoR no-op contract)") {
+    import spark.implicits._
+    val root = s"$wh/dmlnoop"
+    for ((lo, hi, tag) <- Seq((0L, 50L, "b1"), (50L, 100L, "b2"))) {
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$root/data/$tag")
+      graft.io.SkipStats.write(spark, s"$root/data/$tag", Seq("id"))
+      Manifest.commit(spark, root, s"$root/data/$tag")
+    }
+    val versions = Manifest.versions(spark, root)
+    val entries = Manifest.committed(spark, root)
+    spark.sql("DELETE FROM lake.dmlnoop WHERE id = -1")
+    assert(Manifest.versions(spark, root) === versions,
+      "a CoW DELETE deleting nothing must not commit a version")
+    assert(Manifest.committed(spark, root) === entries,
+      "a no-op DELETE must not append an empty directory to the layout")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlnoop")
+      .collect()(0).getLong(0) === 100L)
+  }
+
+  test("a DATE join key never runtime-prunes (epoch-day literals don't " +
+      "compare against ISO sidecar bounds) — rows survive intact") {
+    import spark.implicits._
+    val root = s"$wh/dppdate"
+    // two directories split by month; sidecars cover the date column,
+    // so the OLD code would advertise it for runtime pruning and then
+    // compare the runtime literal "196xx" (epoch days) lexically
+    // against "2023-xx-xx" bounds — wrongly pruning BOTH directories
+    for ((mo, tag) <- Seq(("08", "b1"), ("09", "b2"))) {
+      (1 to 20).map(d => (f"2023-$mo-$d%02d", d.toLong))
+        .toDF("ds", "v").withColumn("day", col("ds").cast("date"))
+        .select("day", "v")
+        .write.parquet(s"$root/data/$tag")
+      graft.io.SkipStats.write(spark, s"$root/data/$tag", Seq("day"))
+      Manifest.commit(spark, root, s"$root/data/$tag")
+    }
+    Seq(("2023-09-03", 1), ("2023-09-07", 1), ("2023-08-05", 0))
+      .toDF("ds", "sel").withColumn("day", col("ds").cast("date"))
+      .select("day", "sel")
+      .write.mode("overwrite").parquet(s"$wh/dppdate_dim_pq")
+    spark.read.parquet(s"$wh/dppdate_dim_pq")
+      .createOrReplaceTempView("dppdate_dim")
+    val joined = spark.sql(
+      """SELECT f.day, f.v FROM lake.dppdate f
+         JOIN dppdate_dim d ON f.day = d.day WHERE d.sel = 1""")
+    assert(joined.collect().map(_.getLong(1)).sorted.toSeq ===
+      Seq(3L, 7L),
+      "date-keyed rows must survive — a lexical epoch-day-vs-ISO " +
+        "sidecar compare would silently drop them")
+  }
+
+  test("runtime pruning advertises the UNION of sidecar columns across " +
+      "directories — one sidecar-less dir doesn't silence the rest") {
+    import spark.implicits._
+    val root = s"$wh/dppunion"
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      (b * 100L until (b + 1) * 100L).map(i => (i, i % 13))
+        .toDF("k", "v").write.parquet(d)
+      // b0 (the FIRST kept dir) carries no sidecar — a headOption
+      // sample would advertise nothing and lose pruning for b1..b3
+      if (b > 0) graft.io.SkipStats.write(spark, d, Seq("k"))
+      Manifest.commit(spark, root, d)
+    }
+    ((0L until 400L by 7).map(k => (k, if (k == 105 || k == 140) 1 else 0)))
+      .toDF("k", "sel").write.mode("overwrite")
+      .parquet(s"$wh/dppunion_dim_pq")
+    spark.read.parquet(s"$wh/dppunion_dim_pq")
+      .createOrReplaceTempView("dppunion_dim")
+    val joined = spark.sql(
+      """SELECT f.k, f.v FROM lake.dppunion f
+         JOIN dppunion_dim d ON f.k = d.k WHERE d.sel = 1""")
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(105L, 140L))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution
+        .datasources.v2.BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val factNode = scans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("dppunion"))
+    assert(factNode.nonEmpty && factNode.get.runtimeFilters.nonEmpty,
+      "the join must still push a runtime filter despite b0's missing " +
+        "sidecar")
+    val read = factNode.get.metrics("numOutputRows").value
+    // b0 kept (no sidecar → never skip), b1 kept (contains both keys),
+    // b2/b3 runtime-pruned
+    assert(read === 200L,
+      s"expected b0+b1 = 200 rows read (b2/b3 runtime-pruned), got $read")
+  }
+
+  test("an all-digit tag past Int range resolves via the tag branch") {
+    wh
+    val root = s"$wh/events"
+    Manifest.tag(spark, root, "20240101123059", 1)
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.events VERSION AS OF '20240101123059'")
+      .collect()(0).getLong(0) === 100L)
+  }
+
+  test("a row-level rewrite on a TOMBSTONED table still carries the " +
+      "skip-stats sidecar (tombstone dirs don't count against coverage)") {
+    import spark.implicits._
+    val root = s"$wh/dmlmorstats"
+    for ((lo, hi, tag) <- Seq((0L, 100L, "b1"), (100L, 200L, "b2"))) {
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$root/data/$tag")
+      graft.io.SkipStats.write(spark, s"$root/data/$tag", Seq("id"))
+      Manifest.commit(spark, root, s"$root/data/$tag")
+    }
+    spark.sql("CALL lake.set_mor_key('dmlmorstats', 'id')")
+    MergeOnRead.deleteWhere(spark, root, "id",
+      col("id").between(190, 199), s"$root/data")
+    // UPDATE on a tombstoned table is the non-surgical whole-snapshot
+    // rewrite; its replaced set includes the tombstone dir, which has
+    // no sidecar — coverage must be judged over DATA dirs only
+    spark.sql("UPDATE lake.dmlmorstats SET v = v + 1000 WHERE id < 10")
+    val committed = Manifest.committed(spark, root)
+    assert(committed.size === 1, s"whole-snapshot rewrite, got $committed")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = graft.io.SkipStats.read(f, committed.head)
+    assert(stats.exists(_.contains("id")),
+      s"the rewritten dir must keep the table prunable, got $stats")
+    assert(spark.sql("SELECT count(*) n FROM lake.dmlmorstats")
+      .collect()(0).getLong(0) === 190L)
+    assert(spark.sql(
+      "SELECT sum(v) s FROM lake.dmlmorstats WHERE id < 10")
+      .collect()(0).getLong(0) === (0L until 10L).map(_ + 1000).sum)
+  }
 }
