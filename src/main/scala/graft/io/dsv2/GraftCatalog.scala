@@ -29,10 +29,12 @@ import graft.io.Manifest
   * Identifiers map to directories under the configured warehouse root
   * (namespace segments become path segments), so a table is exactly a
   * committed manifest root — no separate metastore to drift from the
-  * storage truth. Read-only by design: writes go through the commit
-  * protocol ([[Manifest.commit]] and friends), whose optimistic
-  * concurrency a blind SQL INSERT could not honor; the DDL surface
-  * refuses loudly instead of corrupting a table.
+  * storage truth. The full SQL lifecycle works: `CREATE TABLE` / CTAS
+  * / `CREATE OR REPLACE` (staged — one atomic manifest version),
+  * INSERT / row-level DML, time travel, maintenance `CALL`s, and a
+  * clone-guarded `DROP TABLE`. Every mutation rides the manifest
+  * commit protocol ([[Manifest.commit]] and friends) — never a bare
+  * filesystem write.
   *
   * `VERSION AS OF` accepts a version number or a tag name (Spark hands
   * both through as the string form); `TIMESTAMP AS OF` arrives as
@@ -41,7 +43,8 @@ import graft.io.Manifest
   * loudly at load ([[GraftTable.resolve]]) — fold first, or read with
   * the `morKey` option through the reader path.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -131,22 +134,101 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     procedures.keys.toArray.sorted
       .map(n => Identifier.of(namespace, n))
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"graft catalog is read-only: $op must go through the manifest " +
-        "commit protocol (graft.io.Manifest and friends)")
+  // ── DDL: CREATE TABLE / CTAS / CREATE OR REPLACE / DROP TABLE ──
+  // Table creation rides the same manifest commit protocol as every
+  // write; a StagingTableCatalog so CTAS/RTAS land ATOMICALLY as one
+  // manifest version (a failed query leaves only an orphan directory
+  // for the sweep, never a half-created table).
 
+  /** `CREATE TABLE lake.t (...) [TBLPROPERTIES(...)]` — commits one
+    * empty schema-bearing directory as version 1, so the table reads
+    * as zero rows at full schema and INSERTs append from version 2.
+    * Properties: `statsCols`/`sortBy` persist as write-time defaults,
+    * `morKey` records the merge key (MoR DELETEs from day one).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      properties: util.Map[String, String]): Table = {
+    GraftDdl.requireUnpartitioned(partitions)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val s = SparkSession.active
+    val root = rootOf(ident)
+    val props = GraftDdl.vetProperties(properties)
+    GraftDdl.applyProperties(s, root, props)
+    Manifest.commit(s, root, GraftDdl.writeEmptyDir(s, root, schema))
+    loadTable(ident)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    GraftDdl.requireUnpartitioned(partitions)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    new GraftStagedTable(SparkSession.active, rootOf(ident), schema,
+      GraftDdl.vetProperties(properties), replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    GraftDdl.requireUnpartitioned(partitions)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    new GraftStagedTable(SparkSession.active, rootOf(ident), schema,
+      GraftDdl.vetProperties(properties), replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    GraftDdl.requireUnpartitioned(partitions)
+    new GraftStagedTable(SparkSession.active, rootOf(ident), schema,
+      GraftDdl.vetProperties(properties),
+      replaceExisting = tableExists(ident))
+  }
 
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog does not support ALTER TABLE yet — schema " +
+        "evolution rides the commit protocol (append an evolved " +
+        "directory; the read resolves the union)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+  /** `DROP TABLE lake.t` — removes the manifest root (manifests, data
+    * directories, sidecars, tags). Guarded by the clone registry
+    * (io33's refusal semantics): a source with live registered shallow
+    * clones refuses loudly — its data directories are the clones' read
+    * path. Dropping a table that IS a clone deregisters it from every
+    * source in its chain first, releasing their retention holds;
+    * shallow-clone manifests list SOURCE-owned directories which live
+    * outside this root and are untouched by the delete.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val s = SparkSession.active
+    val root = rootOf(ident)
+    if (!tableExists(ident)) return false
+    val clones = Manifest.registeredClones(s, root)
+    if (clones.nonEmpty) throw new IllegalStateException(
+      s"cannot DROP $root: registered shallow clones still read its " +
+        s"data directories (${clones.mkString(", ")}) — drop the " +
+        "clones (or deep-copy them) first")
+    Manifest.dropCloneEverywhere(s, root)
+    val p = new Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog does not support RENAME TABLE: manifests record " +
+        "absolute data paths — deep-clone to the new name, verify, " +
+        "then DROP the old table")
 }

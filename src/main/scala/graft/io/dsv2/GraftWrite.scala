@@ -123,8 +123,14 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
     opState: Option[GraftRowOpState] = None) extends Write
   with RequiresDistributionAndOrdering {
 
+  // write options win; the table's persisted properties (CREATE TABLE
+  // TBLPROPERTIES, GraftTableProps) are the defaults — statsCols/sortBy
+  // declared once at creation govern every later INSERT
+  private lazy val tableProps = GraftTableProps.read(s, root)
+
   private def csv(key: String): Seq[String] =
     Option(info.options.get(key))
+      .orElse(tableProps.get(key.toLowerCase))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 

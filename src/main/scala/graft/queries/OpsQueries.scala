@@ -4783,6 +4783,96 @@ object OpsQueries {
 
   val io42Oracle: String = io20Oracle
 
+  /** The SQL TABLE LIFECYCLE end to end — Delta/Iceberg's DDL UX over
+    * the manifest protocol ([[graft.io.dsv2.GraftCatalog]] as a
+    * `StagingTableCatalog`):
+    *
+    *  1. `CREATE TABLE … TBLPROPERTIES('statsCols'='l_orderkey') AS
+    *     SELECT` lands ATOMICALLY as version 1 (staged commit — never
+    *     a create-then-append two-version ledger) with the skip-stats
+    *     sidecar on the CTAS directory.
+    *  2. A plain `INSERT INTO` appends version 2, and the PERSISTED
+    *     `statsCols` property governs it too — the insert directory is
+    *     born prunable without the writer re-passing options, pinned
+    *     here by requiring a selective read to skip it.
+    *  3. `DROP TABLE` refuses while a registered shallow clone still
+    *     reads the table's directories (io33's retention guard, now at
+    *     the DDL front door); dropping the CLONE deregisters it, after
+    *     which the census (phase 0 = CTAS snapshot via time travel,
+    *     phase 1 = post-insert head) answers from the intact table.
+    *
+    * 100 TB: a staged CTAS is one manifest rename of directories the
+    * query already wrote — create cost ∝ query, commit cost O(1); the
+    * props sidecar is one tiny file read once per write plan.
+    */
+  def io48SqlDdl(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g48", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g48.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io48_tbl"
+    val cloneRoot = tmpDir(s) + "/graft_io48_clone"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    fs.delete(new org.apache.hadoop.fs.Path(cloneRoot), true)
+    val k = okeyUnit(s, dir)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("l_orderkey") < 2 * k)
+      .createOrReplaceTempView("io48_src")
+    s.sql(s"""CREATE TABLE g48.graft_io48_tbl
+      TBLPROPERTIES('statsCols'='l_orderkey')
+      AS SELECT * FROM io48_src WHERE l_orderkey < $k""")
+    require(Manifest.versions(s, root) == Seq(1),
+      "CTAS must stage into ONE version-1 commit, got " +
+        Manifest.versions(s, root))
+    val ctasDir = Manifest.committed(s, root).head
+    require(graft.io.SkipStats.read(fs, ctasDir)
+      .exists(_.contains("l_orderkey")),
+      "the statsCols property must write the CTAS directory's sidecar")
+    s.sql(s"INSERT INTO g48.graft_io48_tbl " +
+      s"SELECT * FROM io48_src WHERE l_orderkey >= $k")
+    require(Manifest.versions(s, root) == Seq(1, 2),
+      "INSERT INTO must append exactly one version")
+    // the persisted property made the INSERT prunable: a read below k
+    // must skip the insert directory at planning
+    val probe = s.sql(
+      s"SELECT * FROM g48.graft_io48_tbl WHERE l_orderkey < ${k / 2}")
+    probe.collect()
+    require(probe.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "the persisted statsCols property must keep INSERTs prunable")
+    // clone-guarded DROP: the source refuses under a live registration
+    Manifest.shallowClone(s, root, cloneRoot)
+    val refused = scala.util.Try(s.sql("DROP TABLE g48.graft_io48_tbl"))
+    require(refused.isFailure && Manifest.versions(s, root).nonEmpty,
+      "DROP must refuse while a registered clone reads this table")
+    s.sql("DROP TABLE g48.graft_io48_clone")
+    require(Manifest.registeredClones(s, root).isEmpty,
+      "dropping the clone must release its source registration")
+    val pre = s.sql("SELECT * FROM g48.graft_io48_tbl VERSION AS OF 1")
+    val post = s.sql("SELECT * FROM g48.graft_io48_tbl")
+    dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io48Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |snap AS (
+      |  SELECT 0 AS phase, l_orderkey, l_returnflag, cents FROM li
+      |  WHERE l_orderkey < (SELECT k FROM mk)
+      |  UNION ALL
+      |  SELECT 1, l_orderkey, l_returnflag, cents FROM li)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** io21's merge-on-read DELETE re-answered as PLAIN SQL: the table
     * records its merge key, so the same `DELETE FROM` statement plans
     * DELTA-based — Spark hands the matched keys to the writer and the
@@ -5137,6 +5227,7 @@ object OpsQueries {
     "io45_sql_update" -> (io45SqlUpdate _),
     "io46_runtime_prune" -> (io46RuntimePrune _),
     "io47_schema_drift" -> (io47SchemaDrift _),
+    "io48_sql_ddl" -> (io48SqlDdl _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5224,6 +5315,7 @@ object OpsQueries {
     "io45_sql_update" -> io45Oracle,
     "io46_runtime_prune" -> io46Oracle,
     "io47_schema_drift" -> io47Oracle,
+    "io48_sql_ddl" -> io48Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

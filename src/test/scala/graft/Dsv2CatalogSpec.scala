@@ -75,17 +75,129 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       .contains("skippedDirs=0"))
   }
 
-  test("SHOW TABLES lists manifest roots; DDL refuses read-only") {
+  test("SHOW TABLES lists manifest roots; unsupported DDL " +
+      "(RENAME/ALTER/PARTITIONED BY) refuses loudly") {
     wh
     val tables = spark.sql("SHOW TABLES IN lake").collect()
       .map(_.getString(1))
     assert(tables.contains("events"))
-    val e = intercept[Exception](
-      spark.sql(s"DROP TABLE lake.events"))
     def unsupported(t: Throwable): Boolean =
       t != null && (t.isInstanceOf[UnsupportedOperationException] ||
+        t.isInstanceOf[IllegalArgumentException] ||
         unsupported(t.getCause))
-    assert(unsupported(e), s"DDL must refuse loudly, got $e")
+    assert(unsupported(intercept[Exception](spark.sql(
+      "ALTER TABLE lake.events RENAME TO lake.events2"))))
+    assert(unsupported(intercept[Exception](spark.sql(
+      "CREATE TABLE lake.ddlpart (id BIGINT, d STRING) " +
+        "PARTITIONED BY (d)"))),
+      "PARTITIONED BY must refuse and point at sortBy/statsCols")
+  }
+
+  test("CREATE TABLE commits an empty version 1 honoring " +
+      "TBLPROPERTIES; INSERT appends with the persisted statsCols " +
+      "discipline; morKey property takes MoR deletes from day one") {
+    wh
+    spark.sql("""CREATE TABLE lake.ddlcreate (id BIGINT, v BIGINT)
+      TBLPROPERTIES('statsCols'='id', 'morKey'='id')""")
+    val root = s"$wh/ddlcreate"
+    assert(Manifest.versions(spark, root) === Seq(1))
+    assert(spark.sql("SELECT count(*) n FROM lake.ddlcreate")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT * FROM lake.ddlcreate").schema
+      .fieldNames.toSeq === Seq("id", "v"))
+    spark.sql("INSERT INTO lake.ddlcreate " +
+      "SELECT id, id FROM range(0, 100)")
+    spark.sql("INSERT INTO lake.ddlcreate " +
+      "SELECT id, id FROM range(100, 200)")
+    // the persisted statsCols property must have written sidecars for
+    // BOTH inserts — a filtered read prunes the non-matching directory
+    val pruned = spark.sql("SELECT id FROM lake.ddlcreate WHERE id < 50")
+    assert(pruned.count() === 50L)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "the persisted statsCols property must make INSERTs prunable:\n" +
+        pruned.queryExecution.executedPlan)
+    // the morKey property routes DELETE through merge-on-read
+    spark.sql("DELETE FROM lake.ddlcreate WHERE id % 10 = 3")
+    assert(Manifest.entries(spark, root).count(MergeOnRead.isTombstone)
+      === 1, "morKey property must take the MoR delete path")
+    assert(spark.sql("SELECT count(*) n FROM lake.ddlcreate")
+      .collect()(0).getLong(0) === 180L)
+    // second create refuses; IF NOT EXISTS is a no-op
+    intercept[Exception](spark.sql(
+      "CREATE TABLE lake.ddlcreate (x BIGINT)"))
+    spark.sql("CREATE TABLE IF NOT EXISTS lake.ddlcreate (x BIGINT)")
+    assert(spark.sql("SELECT * FROM lake.ddlcreate").schema
+      .fieldNames.toSeq === Seq("id", "v"),
+      "IF NOT EXISTS must not touch the existing table")
+    // unknown properties refuse instead of silently dropping intent
+    val bad = intercept[Exception](spark.sql(
+      "CREATE TABLE lake.ddlbadprop (x BIGINT) " +
+        "TBLPROPERTIES('zorderCols'='x')"))
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("unknown table propert"))
+        || mentions(t.getCause))
+    assert(mentions(bad), s"unknown property must refuse, got $bad")
+  }
+
+  test("CTAS lands atomically as VERSION 1 with the statsCols " +
+      "sidecar; CREATE OR REPLACE AS SELECT is a replacing commit " +
+      "with time travel") {
+    wh
+    spark.sql("""CREATE TABLE lake.ddlctas
+      TBLPROPERTIES('statsCols'='id')
+      AS SELECT id, id % 7 AS grp FROM range(0, 300)""")
+    val root = s"$wh/ddlctas"
+    assert(Manifest.versions(spark, root) === Seq(1),
+      "CTAS must be ONE staged commit, not create-then-append")
+    assert(spark.sql("SELECT count(*) n, sum(id) s FROM lake.ddlctas")
+      .collect()(0).toSeq === Seq(300L, (0L until 300L).sum))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = Manifest.committed(spark, root).head
+    assert(graft.io.SkipStats.read(f, dir).exists(_.contains("id")),
+      "the CTAS directory must carry the statsCols sidecar")
+    spark.sql("""CREATE OR REPLACE TABLE lake.ddlctas
+      AS SELECT id, id * 2 AS dbl FROM range(0, 50)""")
+    assert(Manifest.versions(spark, root) === Seq(1, 2),
+      "RTAS must be a replacing commit, not an rm -rf")
+    assert(spark.sql("SELECT count(*) n FROM lake.ddlctas")
+      .collect()(0).getLong(0) === 50L)
+    assert(spark.sql("SELECT count(*) n FROM lake.ddlctas VERSION AS OF 1")
+      .collect()(0).getLong(0) === 300L,
+      "the pre-replace version must still time-travel")
+    // CTAS over an existing table refuses (no IF NOT EXISTS)
+    intercept[Exception](spark.sql(
+      "CREATE TABLE lake.ddlctas AS SELECT 1 AS one"))
+  }
+
+  test("DROP TABLE removes the root; a source with registered shallow " +
+      "clones refuses; dropping the clone deregisters it") {
+    import spark.implicits._
+    wh
+    spark.sql("CREATE TABLE lake.ddldrop AS " +
+      "SELECT id FROM range(0, 40)")
+    val srcRoot = s"$wh/ddldrop"
+    Manifest.shallowClone(spark, srcRoot, s"$wh/ddldropclone")
+    // the source refuses while the clone still reads its directories
+    val e = intercept[Exception](spark.sql("DROP TABLE lake.ddldrop"))
+    def refusal(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("registered shallow"))
+        || refusal(t.getCause))
+    assert(refusal(e), s"DROP under a live clone must refuse, got $e")
+    // dropping the CLONE deregisters it from the source's chain…
+    assert(spark.sql("SELECT count(*) n FROM lake.ddldropclone")
+      .collect()(0).getLong(0) === 40L)
+    spark.sql("DROP TABLE lake.ddldropclone")
+    assert(Manifest.registeredClones(spark, srcRoot).isEmpty,
+      "dropping a clone must release its source registrations")
+    // …after which the source drops clean
+    spark.sql("DROP TABLE lake.ddldrop")
+    assert(spark.sql("SHOW TABLES IN lake").collect()
+      .map(_.getString(1)).forall(t => t != "ddldrop" &&
+        t != "ddldropclone"))
+    assert(!new java.io.File(srcRoot).exists(),
+      "DROP must remove the manifest root on disk")
   }
 
   test("COUNT/MIN/MAX push to parquet footers; MoR tables refuse the " +
