@@ -74,7 +74,10 @@ object ColumnMapping {
     val entries = Manifest.entries(s, root)
     val (maps, data) = entries.partition(isMapping)
     val cur = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
-    val physicalSchema = s.read.parquet(data: _*).schema.fieldNames.toSeq
+    // mergeSchema: an ADD COLUMN-evolved table's late columns live only
+    // in newer directories — the rename must see the UNION schema
+    val physicalSchema = s.read.option("mergeSchema", "true")
+      .parquet(data: _*).schema.fieldNames.toSeq
     val logical = physicalSchema.map(p => cur.getOrElse(p, p))
     require(logical.contains(from),
       s"cannot rename: no logical column '$from' (have " +

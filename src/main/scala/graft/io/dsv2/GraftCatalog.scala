@@ -195,12 +195,81 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       replaceExisting = tableExists(ident))
   }
 
+  /** `ALTER TABLE` — schema evolution as ONE metadata commit each:
+    *
+    *  - `RENAME COLUMN` is a [[graft.io.ColumnMapping]] commit: parquet
+    *    keeps its physical names forever, the new version carries a
+    *    physical→logical mapping applied at scan time — zero bytes
+    *    rewritten on a 100 TB table, old versions keep their era's
+    *    names under time travel. Renaming the recorded merge key or a
+    *    tombstoned table refuses (fold first).
+    *  - `ADD COLUMN` appends one empty schema-bearing directory holding
+    *    just the new column; the drift-union read (io47) null-fills
+    *    every pre-evolution row. Nullable, top-level, appended last —
+    *    anything else refuses.
+    *  - `SET/UNSET TBLPROPERTIES` edits the persisted write defaults
+    *    (`statsCols`/`sortBy`; `morKey` through the same
+    *    record-once rule as `CALL set_mor_key`).
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog does not support ALTER TABLE yet — schema " +
-        "evolution rides the commit protocol (append an evolved " +
-        "directory; the read resolves the union)")
+      changes: TableChange*): Table = {
+    val s = SparkSession.active
+    val root = rootOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "RENAME COLUMN supports top-level columns only")
+        val from = r.fieldNames()(0)
+        require(!GraftMorKey.get(s, root).contains(from),
+          s"cannot rename '$from': it is the recorded merge key (drop " +
+            "the mor key first — tombstones and row identity pin it)")
+        require(!Manifest.entries(s, root)
+            .exists(graft.io.MergeOnRead.isTombstone),
+          "cannot rename columns while tombstones are live — fold first")
+        graft.io.ColumnMapping.renameColumn(s, root, s"$root/data",
+          from, r.newName)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ADD COLUMN supports top-level columns only")
+        require(a.isNullable,
+          "added columns must be nullable (pre-evolution rows read null)")
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported — new columns " +
+            "append last (the drift-union order)")
+        val name = a.fieldNames()(0)
+        val existing = loadTable(ident).columns().map(_.name())
+        require(!existing.contains(name),
+          s"column '$name' already exists (${existing.mkString(", ")})")
+        Manifest.commit(s, root, GraftDdl.writeEmptyDir(s, root,
+          StructType(Seq(org.apache.spark.sql.types.StructField(
+            name, a.dataType(), nullable = true)))))
+      case p: TableChange.SetProperty =>
+        val vetted = GraftDdl.vetProperties(
+          java.util.Collections.singletonMap(p.property(), p.value()))
+        require(vetted.nonEmpty,
+          s"unknown table property '${p.property()}' (supported: " +
+            s"${GraftDdl.knownProps.toSeq.sorted.mkString(", ")})")
+        if (vetted.contains("morkey"))
+          GraftDdl.applyProperties(s, root, vetted)
+        else GraftTableProps.write(s, root,
+          GraftTableProps.read(s, root) ++ vetted)
+      case p: TableChange.RemoveProperty =>
+        require(p.property().toLowerCase != "morkey",
+          "UNSET 'morKey' refuses — use CALL drop_mor_key (changing " +
+            "the merge key under readers is never silent)")
+        GraftTableProps.write(s, root,
+          GraftTableProps.read(s, root) - p.property().toLowerCase)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+            "supported (have: RENAME COLUMN, ADD COLUMN, SET/UNSET " +
+            "TBLPROPERTIES)")
+    }
+    loadTable(ident)
+  }
 
   /** `DROP TABLE lake.t` — removes the manifest root (manifests, data
     * directories, sidecars, tags). Guarded by the clone registry

@@ -132,8 +132,16 @@ object GraftTable {
         if (vs.isEmpty) return new GraftMissingTable(root)
         vs.last
       }
-    val (tombs, data) = Manifest.entries(s, root, Some(version))
+    val (tombs, rest) = Manifest.entries(s, root, Some(version))
       .partition(MergeOnRead.isTombstone)
+    // column-mapping entries (ALTER TABLE RENAME COLUMN) are metadata
+    // directories, never parquet data; ≤1 per version by construction
+    val (mapDirs, data) = rest.partition(graft.io.ColumnMapping.isMapping)
+    require(mapDirs.size <= 1,
+      s"version $version of $root pins ${mapDirs.size} mapping dirs")
+    val colMap: Map[String, String] =
+      if (mapDirs.isEmpty) Map.empty
+      else graft.io.ColumnMapping.mapping(s, root, Some(version))
     require(data.nonEmpty, s"version $version of $root has no data entries")
     // reader option wins; otherwise the table's own recorded merge key
     // (CALL set_mor_key / GraftMorKey.set — the Iceberg move of keeping
@@ -171,16 +179,23 @@ object GraftTable {
         s"morKey '$k' is not a column of $root (${inferred.fieldNames
           .mkString(", ")})")
     }
+    // apply the version's column mapping: parquet keeps its PHYSICAL
+    // names forever, the table advertises the LOGICAL ones — a rename
+    // is one metadata commit, never a rewrite (Delta column mapping)
+    val logical =
+      if (colMap.isEmpty) inferred
+      else StructType(inferred.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))))
     // a recorded merge key is a row IDENTITY (Iceberg's identifier
     // field): advertise it required — non-null by contract, and Spark's
     // delta-based DELETE refuses nullable row IDs
     val schema = morKey match {
-      case Some(k) if inferred.fieldNames.contains(k) =>
-        StructType(inferred.map(f =>
+      case Some(k) if logical.fieldNames.contains(k) =>
+        StructType(logical.map(f =>
           if (f.name == k) f.copy(nullable = false) else f))
-      case _ => inferred
+      case _ => logical
     }
-    new GraftTable(s, root, version, schema, data, tombs, morKey)
+    new GraftTable(s, root, version, schema, data, tombs, morKey, colMap)
   }
 }
 
@@ -242,7 +257,8 @@ object GraftDirColumn
 
 class GraftTable(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
-    morKey: Option[String]) extends Table with SupportsRead
+    morKey: Option[String], colMap: Map[String, String] = Map.empty)
+  extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -263,7 +279,7 @@ class GraftTable(s: SparkSession, root: String, version: Int,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(s, root, info)
+    new GraftWriteBuilder(s, root, info, colMap)
 
   /** SQL DML (`DELETE FROM` / `UPDATE` / `MERGE INTO`) — see
     * [[GraftRowLevelBuilder]] for the CoW-vs-MoR mode rule.
@@ -272,7 +288,7 @@ class GraftTable(s: SparkSession, root: String, version: Int,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelBuilder(s, root, version, tableSchema, dataDirs,
-      tombDirs, morKey, info)
+      tombDirs, morKey, info, colMap)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -282,14 +298,15 @@ class GraftTable(s: SparkSession, root: String, version: Int,
       s"version $version of $root has live tombstones — pass the " +
         "morKey option so the scan merges them (or fold first)")
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
-      tombDirs, morKey, options)
+      tombDirs, morKey, options, colMap = colMap)
   }
 }
 
 class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String], options: CaseInsensitiveStringMap,
-    opState: Option[GraftRowOpState] = None, rowOp: Boolean = false)
+    opState: Option[GraftRowOpState] = None, rowOp: Boolean = false,
+    colMap: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -298,6 +315,38 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
   private var required: StructType = tableSchema
   private var aggPushed: Boolean = false
   private var dirRequested: Boolean = false
+
+  // ── column-mapping translation (ALTER TABLE RENAME COLUMN): the
+  // table advertises LOGICAL names, parquet + sidecars keep PHYSICAL
+  // ones; everything crossing the delegate/stats boundary translates ──
+  private val l2p: Map[String, String] = colMap.map(_.swap)
+  private def phys(c: String): String = l2p.getOrElse(c, c)
+  private def physSchema(st: StructType): StructType =
+    if (colMap.isEmpty) st
+    else StructType(st.map(f => f.copy(name = phys(f.name))))
+
+  /** Rename the columns a pushed filter references logical→physical for
+    * the parquet delegate; shapes the translator doesn't know are
+    * DROPPED from the delegate's set — they were residual anyway (all
+    * filters re-apply above the scan), this only costs row-group
+    * pruning on exotic shapes over renamed tables.
+    */
+  private def physFilter(f: Filter): Option[Filter] = f match {
+    case EqualTo(c, v) => Some(EqualTo(phys(c), v))
+    case GreaterThan(c, v) => Some(GreaterThan(phys(c), v))
+    case GreaterThanOrEqual(c, v) => Some(GreaterThanOrEqual(phys(c), v))
+    case LessThan(c, v) => Some(LessThan(phys(c), v))
+    case LessThanOrEqual(c, v) => Some(LessThanOrEqual(phys(c), v))
+    case org.apache.spark.sql.sources.In(c, vs) =>
+      Some(org.apache.spark.sql.sources.In(phys(c), vs))
+    case org.apache.spark.sql.sources.IsNull(c) =>
+      Some(org.apache.spark.sql.sources.IsNull(phys(c)))
+    case org.apache.spark.sql.sources.IsNotNull(c) =>
+      Some(org.apache.spark.sql.sources.IsNotNull(phys(c)))
+    case And(l, r) =>
+      for (pl <- physFilter(l); pr <- physFilter(r)) yield And(pl, pr)
+    case _ => None
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -417,10 +466,11 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (ranges.isEmpty && inSets.isEmpty) (dataDirs, Seq.empty[String])
     else dataDirs.partition { d =>
+      // sidecar keys are PHYSICAL names — translate before matching
       val stats = SkipStats.read(f, d)
-      ranges.forall(r => stats.flatMap(_.get(r.c))
+      ranges.forall(r => stats.flatMap(_.get(phys(r.c)))
         .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi))) &&
-        inSets.forall { case (c, vals) => stats.flatMap(_.get(c))
+        inSets.forall { case (c, vals) => stats.flatMap(_.get(phys(c)))
           .forall(cs => vals.exists(v => SkipStats.colOverlaps(cs, v, v)))
         }
     }
@@ -429,18 +479,22 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
   private lazy val delegate: ParquetScanBuilder = {
     val (kept, _) = pruning
     val scanDirs = if (kept.nonEmpty) kept else dataDirs.take(1)
+    // the delegate lives in PHYSICAL-name space: files keep the names
+    // they were written with; the logical rename is applied above
+    val pTable = physSchema(tableSchema)
     val index = new InMemoryFileIndex(s, scanDirs.map(new Path(_)),
-      Map.empty[String, String], Some(tableSchema),
+      Map.empty[String, String], Some(pTable),
       org.apache.spark.sql.execution.datasources.NoopCache,
       None, None)
-    val b = ParquetScanBuilder(s, index, tableSchema, tableSchema,
+    val b = ParquetScanBuilder(s, index, pTable, pTable,
       new CaseInsensitiveStringMap(util.Collections.emptyMap()))
     // a row-level op's scan must return ALL rows of the kept groups
     // (Spark pushes the command CONDITION for group skipping only) —
     // letting parquet row-group/page-index pruning apply it would
     // silently drop the non-matching rows a CoW rewrite has to carry.
     // Directory pruning above already banks the group-skip IO win.
-    if (!rowOp) b.pushDataFilters(pushed)
+    if (!rowOp) b.pushDataFilters(
+      if (colMap.isEmpty) pushed else pushed.flatMap(physFilter))
     b
   }
 
@@ -453,13 +507,17 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    tombDirs.isEmpty && pruning._1.nonEmpty &&
+    tombDirs.isEmpty && colMap.isEmpty && pruning._1.nonEmpty &&
       delegate.supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    if (tombDirs.nonEmpty || pruning._1.isEmpty) return false
+    // a column-mapped table's aggregation references LOGICAL names the
+    // parquet footers don't know — no footer shortcut (a compaction
+    // re-physicalizes and restores it)
+    if (tombDirs.nonEmpty || colMap.nonEmpty || pruning._1.isEmpty)
+      return false
     aggPushed = delegate.pushAggregation(agg)
     aggPushed
   }
@@ -492,11 +550,12 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     }
     // a pushed aggregation owns the delegate's read schema; pruning to
     // the table columns would clobber the aggregate output
-    if (!aggPushed) delegate.pruneColumns(delegateRequired)
+    if (!aggPushed) delegate.pruneColumns(physSchema(delegateRequired))
     val parquetScan = delegate.build()
     GraftScan(parquetScan, root, version, kept, skipped,
       allPruned = kept.isEmpty && !aggPushed, tombFilter, s, tableSchema,
-      delegateRequired, options, dirRequested, dataDirs, opState, rowOp)
+      delegateRequired, options, dirRequested, dataDirs, opState, rowOp,
+      colMap)
   }
 }
 
@@ -521,7 +580,8 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     session: SparkSession, tableSchema: StructType,
     requiredSchema: StructType, options: CaseInsensitiveStringMap,
     dirRequested: Boolean = false, allDataDirs: Seq[String] = Seq.empty,
-    opState: Option[GraftRowOpState] = None, rowOp: Boolean = false)
+    opState: Option[GraftRowOpState] = None, rowOp: Boolean = false,
+    colMap: Map[String, String] = Map.empty)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -545,18 +605,29 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
   // set by Spark's runtime group filter (row-level ops only)
   @volatile private var runtimeDirs: Option[Set[String]] = None
 
+  // the delegate reads PHYSICAL column names; the advertised schema is
+  // the LOGICAL one (same positions/types — rows line up positionally)
+  private def logicalize(st: StructType): StructType =
+    if (colMap.isEmpty) st
+    else StructType(st.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+
   override def readSchema(): StructType =
-    if (!dirRequested) delegate.readSchema()
-    else StructType(delegate.readSchema().fields :+
+    if (!dirRequested) logicalize(delegate.readSchema())
+    else StructType(logicalize(delegate.readSchema()).fields :+
       org.apache.spark.sql.types.StructField("_dir", StringType,
         nullable = true))
 
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(colMap.isEmpty,
+      s"streaming a column-mapped table is not supported — compact " +
+        s"($root) to re-physicalize the renamed columns first")
     new GraftMicroBatchStream(session, root, tableSchema,
       requiredSchema, options)
+  }
 
   /** Columns whose RUNTIME literals render (via `toString`) in the
     * same lexical space the sidecars compare in — integral and string
@@ -602,8 +673,10 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     else {
       val f = new Path(root)
         .getFileSystem(session.sparkContext.hadoopConfiguration)
+      // sidecar keys are physical — advertise their LOGICAL names
       keptDirs.iterator.flatMap(d => SkipStats.read(f, d))
-        .flatMap(_.keySet).toSet.filter(runtimePrunable)
+        .flatMap(_.keySet).toSet[String]
+        .map(p => colMap.getOrElse(p, p)).filter(runtimePrunable)
         .toArray.sorted.map(
           org.apache.spark.sql.connector.expressions.Expressions.column)
     }
@@ -644,10 +717,11 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       if (colVals.isEmpty) return
       val f = new Path(root)
         .getFileSystem(session.sparkContext.hadoopConfiguration)
+      val l2p = colMap.map(_.swap)
       val kept = keptDirs.filter { d =>
         val stats = SkipStats.read(f, d)
         colVals.forall { case (c, vals) =>
-          stats.flatMap(_.get(c)) match {
+          stats.flatMap(_.get(l2p.getOrElse(c, c))) match {
             case None => true
             case Some(cs) =>
               vals.exists(v => SkipStats.colOverlaps(cs, v, v))

@@ -53,16 +53,17 @@ import graft.io.MergeOnRead
   */
 class GraftRowLevelBuilder(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
-    morKey: Option[String], info: RowLevelOperationInfo)
+    morKey: Option[String], info: RowLevelOperationInfo,
+    colMap: Map[String, String] = Map.empty)
   extends RowLevelOperationBuilder {
 
   override def build(): RowLevelOperation =
     if (info.command == Command.DELETE && morKey.nonEmpty)
       new GraftDeltaDelete(s, root, version, tableSchema, dataDirs,
-        tombDirs, morKey.get)
+        tombDirs, morKey.get, colMap)
     else
       new GraftGroupRewrite(s, root, version, tableSchema, dataDirs,
-        tombDirs, morKey, info.command)
+        tombDirs, morKey, info.command, colMap)
 }
 
 /** Shared scan↔write state for one group-based row-level operation:
@@ -93,7 +94,8 @@ class GraftRowOpState {
   */
 class GraftGroupRewrite(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
-    morKey: Option[String], cmd: Command) extends RowLevelOperation {
+    morKey: Option[String], cmd: Command,
+    colMap: Map[String, String] = Map.empty) extends RowLevelOperation {
 
   // surgical (directory-level) GROUP FILTERING only on a TOMBSTONE-FREE
   // table: a partial replace would have to carry the live tombstone
@@ -119,13 +121,13 @@ class GraftGroupRewrite(s: SparkSession, root: String, version: Int,
       : ScanBuilder =
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
       tombDirs, morKey, options, if (surgical) Some(state) else None,
-      rowOp = true)
+      rowOp = true, colMap = colMap)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
         new GraftV2Write(s, root, winfo, replacing = true,
-          fromRowOp = true, opState = Some(state))
+          fromRowOp = true, opState = Some(state), colMap = colMap)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -143,7 +145,8 @@ class GraftGroupRewrite(s: SparkSession, root: String, version: Int,
   */
 class GraftDeltaDelete(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
-    morKey: String) extends RowLevelOperation
+    morKey: String, colMap: Map[String, String] = Map.empty)
+  extends RowLevelOperation
   with org.apache.spark.sql.connector.write.SupportsDelta {
 
   override def command(): Command = Command.DELETE
@@ -154,7 +157,7 @@ class GraftDeltaDelete(s: SparkSession, root: String, version: Int,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
-      tombDirs, Some(morKey), options)
+      tombDirs, Some(morKey), options, colMap = colMap)
 
   override def newWriteBuilder(winfo: LogicalWriteInfo)
       : DeltaWriteBuilder = new DeltaWriteBuilder {

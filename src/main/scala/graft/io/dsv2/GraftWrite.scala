@@ -109,19 +109,40 @@ trait GraftWriteSupport extends CreatableRelationProvider {
   * still time-travel; it is never an rm -rf.
   */
 class GraftWriteBuilder(s: SparkSession, root: String,
-    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+    info: LogicalWriteInfo, colMap: Map[String, String] = Map.empty)
+  extends WriteBuilder with SupportsTruncate {
 
   private var replacing = false
 
   override def truncate(): WriteBuilder = { replacing = true; this }
 
-  override def build(): Write = new GraftV2Write(s, root, info, replacing)
+  override def build(): Write =
+    new GraftV2Write(s, root, info, replacing, colMap = colMap)
 }
 
-class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
-    replacing: Boolean, fromRowOp: Boolean = false,
-    opState: Option[GraftRowOpState] = None) extends Write
+class GraftV2Write(s: SparkSession, root: String,
+    logicalInfo: LogicalWriteInfo, replacing: Boolean,
+    fromRowOp: Boolean = false,
+    opState: Option[GraftRowOpState] = None,
+    colMap: Map[String, String] = Map.empty) extends Write
   with RequiresDistributionAndOrdering {
+
+  // ── column mapping (ALTER TABLE RENAME COLUMN): physical parquet
+  // names are FROZEN at first write — a write to a mapped table lands
+  // files under the ORIGINAL physical names (rows are positional, only
+  // the schema handed to the parquet delegate changes), so one global
+  // physical→logical mapping stays valid across every directory ──
+  private val l2p: Map[String, String] = colMap.map(_.swap)
+  private def physName(c: String): String = l2p.getOrElse(c, c)
+  private val info: LogicalWriteInfo =
+    if (colMap.isEmpty) logicalInfo
+    else new LogicalWriteInfo {
+      override def queryId: String = logicalInfo.queryId
+      override def schema: StructType = StructType(
+        logicalInfo.schema.map(f => f.copy(name = physName(f.name))))
+      override def options: org.apache.spark.sql.util
+          .CaseInsensitiveStringMap = logicalInfo.options
+    }
 
   // write options win; the table's persisted properties (CREATE TABLE
   // TBLPROPERTIES, GraftTableProps) are the defaults — statsCols/sortBy
@@ -230,7 +251,9 @@ class GraftV2Write(s: SparkSession, root: String, info: LogicalWriteInfo,
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           info.schema()).coalesce(1).write.mode("append").parquet(dir)
-      if (cols.nonEmpty && hasFiles) SkipStats.write(s, dir, cols)
+      // sidecar keys live in PHYSICAL-name space like the files
+      if (cols.nonEmpty && hasFiles)
+        SkipStats.write(s, dir, cols.map(physName))
       opState.flatMap(_.replacedDirs) match {
         // runtime-group-filtered row op: replace exactly the matched
         // directories; everything else carries verbatim

@@ -802,6 +802,72 @@ object OpsQueries {
       |UNION ALL SELECT 'original', * FROM c
       |ORDER BY layout, event_type""".stripMargin
 
+  /** io35's COLUMN MAPPING re-answered as PLAIN SQL — `ALTER TABLE …
+    * RENAME COLUMN` through [[graft.io.dsv2.GraftCatalog.alterTable]]:
+    * each rename is ONE metadata commit (a fresh physical→logical
+    * mapping directory; the in-gate requires pin that every version
+    * lists the SAME data directory and the physical parquet name never
+    * changes — zero bytes rewritten on a rename, the 100 TB
+    * requirement), rename chains compose, the DSv2 scan translates
+    * logical names back to physical at the parquet/sidecar boundary,
+    * and time travel reads the schema of its era. Same censuses, same
+    * oracle text as io35 — what changed is only WHO renames (a SQL
+    * user, not the Scala API) and WHO reads (the DSv2 scan, not
+    * `ColumnMapping.snapshot`).
+    */
+  def io50SqlRename(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{ColumnMapping, Manifest}
+    s.conf.set("spark.sql.catalog.g50", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g50.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io50_tbl"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootP, true)
+    val d0 = s"$root/data/b0"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"), col("event_type"))
+      .write.parquet(d0)
+    Manifest.commit(s, root, d0)
+    s.sql("ALTER TABLE g50.graft_io50_tbl " +
+      "RENAME COLUMN cents TO amount_cents")
+    s.sql("ALTER TABLE g50.graft_io50_tbl " +
+      "RENAME COLUMN amount_cents TO amt")
+    s.sql("ALTER TABLE g50.graft_io50_tbl RENAME COLUMN user_id TO uid")
+    val vs = Manifest.versions(s, root)
+    require(vs.size == 4, s"expected 4 versions, got $vs")
+    vs.foreach { v =>
+      val data = Manifest.entries(s, root, Some(v))
+        .filterNot(ColumnMapping.isMapping)
+      require(data == Seq(d0), s"v$v data dirs moved: $data")
+    }
+    require(s.read.parquet(d0).schema.fieldNames.contains("cents"),
+      "physical parquet schema must keep the original column name")
+    require(s.sql("SELECT * FROM g50.graft_io50_tbl").schema.fieldNames
+      .toSeq == Seq("event_id", "uid", "amt", "event_type"),
+      "the SQL head must advertise the logical names")
+    def census(df: DataFrame, tag: String) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_uid"),
+        sum(col("v")).as("sum_cents"))
+      .withColumn("layout", lit(tag))
+    val evolved = s.sql(
+      "SELECT event_type, uid, amt FROM g50.graft_io50_tbl")
+      .select(col("event_type"), col("uid").as("k"), col("amt").as("v"))
+    val original = s.sql(
+      "SELECT event_type, user_id, cents FROM g50.graft_io50_tbl " +
+        "VERSION AS OF 1")
+      .select(col("event_type"), col("user_id").as("k"),
+        col("cents").as("v"))
+    census(evolved, "evolved").unionByName(census(original, "original"))
+      .select(col("layout"), col("event_type"), col("n"), col("sum_uid"),
+        col("sum_cents"))
+      .orderBy(col("layout"), col("event_type"))
+  }
+
+  val io50Oracle: String = io35Oracle
+
   /** DEEP CLONE — the environment-promotion copy
     * ([[graft.io.Manifest.deepClone]]): io27/io33 prove the O(1)
     * SHALLOW clone and its retention coupling (the `_clones/` registry
@@ -5228,6 +5294,7 @@ object OpsQueries {
     "io46_runtime_prune" -> (io46RuntimePrune _),
     "io47_schema_drift" -> (io47SchemaDrift _),
     "io48_sql_ddl" -> (io48SqlDdl _),
+    "io50_sql_rename" -> (io50SqlRename _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5316,6 +5383,7 @@ object OpsQueries {
     "io46_runtime_prune" -> io46Oracle,
     "io47_schema_drift" -> io47Oracle,
     "io48_sql_ddl" -> io48Oracle,
+    "io50_sql_rename" -> io50Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

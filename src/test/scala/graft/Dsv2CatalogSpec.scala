@@ -171,6 +171,88 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       "CREATE TABLE lake.ddlctas AS SELECT 1 AS one"))
   }
 
+  test("ALTER TABLE RENAME COLUMN is one metadata commit — same data " +
+      "directories in every version, head reads the new name, time " +
+      "travel reads the old one; writes after a rename stay physical") {
+    wh
+    spark.sql("""CREATE TABLE lake.ddlrename
+      TBLPROPERTIES('statsCols'='id')
+      AS SELECT id, id % 5 AS grp FROM range(0, 200)""")
+    val root = s"$wh/ddlrename"
+    val dirsBefore = Manifest.committed(spark, root)
+    spark.sql("ALTER TABLE lake.ddlrename RENAME COLUMN grp TO bucket")
+    assert(Manifest.versions(spark, root) === Seq(1, 2))
+    val dirsAfter = Manifest.committed(spark, root)
+      .filterNot(graft.io.ColumnMapping.isMapping)
+    assert(dirsAfter === dirsBefore,
+      "a rename must not rewrite a single data directory")
+    assert(spark.sql("SELECT * FROM lake.ddlrename").schema
+      .fieldNames.toSeq === Seq("id", "bucket"))
+    assert(spark.sql(
+      "SELECT sum(bucket) s FROM lake.ddlrename WHERE id < 100")
+      .collect()(0).getLong(0) === (0L until 100L).map(_ % 5).sum)
+    assert(spark.sql("SELECT * FROM lake.ddlrename VERSION AS OF 1")
+      .schema.fieldNames.toSeq === Seq("id", "grp"),
+      "time travel must read the schema of its era")
+    // a write AFTER the rename lands under the frozen physical names,
+    // so the one global mapping stays valid for every directory
+    spark.sql("INSERT INTO lake.ddlrename " +
+      "SELECT id, id % 5 FROM range(200, 300)")
+    assert(spark.sql("SELECT count(*) n FROM lake.ddlrename")
+      .collect()(0).getLong(0) === 300L)
+    assert(spark.sql(
+      "SELECT sum(bucket) s FROM lake.ddlrename")
+      .collect()(0).getLong(0) === (0L until 300L).map(_ % 5).sum,
+      "post-rename inserts must read back under the logical name")
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.ddlrename WHERE bucket = 3")
+      .collect()(0).getLong(0) === 60L,
+      "filters on the renamed column must translate to the physical " +
+        "parquet name")
+    // rename chains compose; renaming onto an existing name refuses
+    spark.sql("ALTER TABLE lake.ddlrename RENAME COLUMN bucket TO b2")
+    assert(spark.sql("SELECT sum(b2) s FROM lake.ddlrename")
+      .collect()(0).getLong(0) === (0L until 300L).map(_ % 5).sum)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.ddlrename RENAME COLUMN b2 TO id"))
+  }
+
+  test("ALTER TABLE ADD COLUMN is one empty-directory commit; " +
+      "pre-evolution rows read null; SET TBLPROPERTIES edits the " +
+      "persisted write defaults") {
+    wh
+    spark.sql("CREATE TABLE lake.ddladd AS " +
+      "SELECT id FROM range(0, 50)")
+    val root = s"$wh/ddladd"
+    spark.sql("ALTER TABLE lake.ddladd ADD COLUMN score BIGINT")
+    assert(Manifest.versions(spark, root) === Seq(1, 2))
+    assert(spark.sql("SELECT * FROM lake.ddladd").schema
+      .fieldNames.toSeq === Seq("id", "score"))
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.ddladd WHERE score IS NULL")
+      .collect()(0).getLong(0) === 50L,
+      "every pre-evolution row must read the new column as null")
+    spark.sql("INSERT INTO lake.ddladd SELECT id, id * 10 " +
+      "FROM range(50, 60)")
+    assert(spark.sql("SELECT sum(score) s FROM lake.ddladd")
+      .collect()(0).getLong(0) === (50L until 60L).map(_ * 10).sum)
+    // duplicate add refuses
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.ddladd ADD COLUMN score BIGINT"))
+    // properties edit persists as the write default
+    spark.sql(
+      "ALTER TABLE lake.ddladd SET TBLPROPERTIES('statsCols'='id')")
+    spark.sql("INSERT INTO lake.ddladd SELECT id, id FROM range(100, 110)")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastDir = Manifest.committed(spark, root)
+      .filterNot(graft.io.ColumnMapping.isMapping).last
+    assert(graft.io.SkipStats.read(f, lastDir).exists(_.contains("id")),
+      "SET TBLPROPERTIES('statsCols') must govern later INSERTs")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.ddladd SET TBLPROPERTIES('bogus'='x')"))
+  }
+
   test("DROP TABLE removes the root; a source with registered shallow " +
       "clones refuses; dropping the clone deregisters it") {
     import spark.implicits._
