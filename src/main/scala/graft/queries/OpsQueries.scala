@@ -5151,6 +5151,124 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM j GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** io46's directory pruning for a dim join the BROADCAST-bound
+    * runtime path cannot serve — the two-phase fallback
+    * ([[graft.io.dsv2.TwoPhasePruning]]). Broadcast is forced OFF for
+    * the join (the deterministic stand-in for "dim above
+    * autoBroadcastJoinThreshold" at every scale factor), so Spark's V2
+    * runtime filter never fires (`translateRuntimeFilterV2` needs the
+    * broadcast's InSubqueryExec — pinned by requiring the sort-merge
+    * plan carries NO runtime filter); instead phase 1 collects the
+    * dim's distinct keys under the hard cap and phase 2 plans the fact
+    * scan with a static IN the sidecar disjunction prunes at PLANNING.
+    * In-gate requires: the fact scan reads exactly the matching
+    * directory's rows; past the cap the fallback FAILS OPEN to the
+    * unfiltered scan and the answer is unchanged. Oracle: io46's text
+    * verbatim — the join's answer must not depend on which pruning
+    * path served it.
+    */
+  def io51TwophasePrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    import graft.io.dsv2.TwoPhasePruning
+    val root = tmpDir(s) + "/graft_io51_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir, frac = 4)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      li.filter(col("l_orderkey") >= b * k && col("l_orderkey") < (b + 1) * k)
+        .write.parquet(d)
+      Manifest.commitWithStats(s, root, d, Seq("l_orderkey"))
+    }
+    val dimPath = tmpDir(s) + "/graft_io51_dim"
+    fsH.delete(new org.apache.hadoop.fs.Path(dimPath), true)
+    Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      .filter(col("l_orderkey") < 4 * k && col("l_orderkey") % 97 === 3)
+      .select(col("l_orderkey").as("k"),
+        (col("l_orderkey") < k).cast("int").as("sel"))
+      .write.parquet(dimPath)
+    val dim = s.read.parquet(dimPath).filter(col("sel") === 1)
+    val bcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBcast = scala.util.Try(
+      s.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.flatMap(Option(_)).filter(_.nonEmpty)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution
+        .datasources.v2.BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = TwoPhasePruning.prunedScan(s, root, "l_orderkey",
+        dim.select(col("k")))
+      val joined = fact.join(dim, fact("l_orderkey") === dim("k"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("cents"))
+      joined.collect()
+      val factNode = scans(joined.queryExecution.executedPlan)
+        .find(_.toString.contains("graft_io51_tbl"))
+      require(factNode.nonEmpty, "fact BatchScan not found")
+      // with broadcast off, Spark leaves only an inert TrueLiteral in
+      // the dynamic-pruning slot (no InSubqueryExec to translate) —
+      // pin that, so read==b0Rows below can only come from the
+      // two-phase static IN, not the runtime path
+      require(factNode.get.runtimeFilters.forall(e =>
+          e.find(_.isInstanceOf[
+            org.apache.spark.sql.execution.InSubqueryExec]).isEmpty),
+        "broadcast is off — the V2 runtime filter must NOT have " +
+          "fired (else this gate isn't testing the fallback)")
+      val b0Rows = li.filter(col("l_orderkey") < k).count()
+      val read = factNode.get.metrics("numOutputRows").value
+      require(read == b0Rows,
+        s"two-phase pruning must read only the matching directory " +
+          s"($b0Rows rows), read $read")
+      // fail-open past the cap: a 1-key budget can't hold the dim's
+      // key set, so the scan stays unfiltered — and the answer is
+      // IDENTICAL (never wrong, only unpruned)
+      s.conf.set("spark.graft.twoPhasePrune.maxKeys", "1")
+      val open = TwoPhasePruning.prunedScan(s, root, "l_orderkey",
+        dim.select(col("k")))
+        .join(dim, col("l_orderkey") === dim("k"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("cents"))
+      open.collect()
+      val openNode = scans(open.queryExecution.executedPlan)
+        .find(_.toString.contains("graft_io51_tbl"))
+      require(openNode.get.metrics("numOutputRows").value ==
+          li.filter(col("l_orderkey") < 4 * k).count(),
+        "past the cap the fallback must fail OPEN to the full scan")
+      require(open.count() == joined.count(),
+        "fail-open must not change the join's answer")
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("cents")).as("sum_cents"))
+        .select(col("l_returnflag"), col("n"), col("sum_okey"),
+          col("sum_cents"))
+        .orderBy(col("l_returnflag"))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      aqeBcast match {
+        case Some(v) =>
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      s.conf.unset("spark.graft.twoPhasePrune.maxKeys")
+    }
+  }
+
+  val io51Oracle: String = io46Oracle
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -5295,6 +5413,7 @@ object OpsQueries {
     "io47_schema_drift" -> (io47SchemaDrift _),
     "io48_sql_ddl" -> (io48SqlDdl _),
     "io50_sql_rename" -> (io50SqlRename _),
+    "io51_twophase_prune" -> (io51TwophasePrune _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5384,6 +5503,7 @@ object OpsQueries {
     "io47_schema_drift" -> io47Oracle,
     "io48_sql_ddl" -> io48Oracle,
     "io50_sql_rename" -> io50Oracle,
+    "io51_twophase_prune" -> io51Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

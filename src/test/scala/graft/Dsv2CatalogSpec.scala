@@ -869,6 +869,43 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       s"expected b0+b1 = 200 rows read (b2/b3 runtime-pruned), got $read")
   }
 
+  test("two-phase pruning: under the cap the static IN skips dirs at " +
+      "planning; past the cap it fails OPEN; an empty dim yields zero " +
+      "rows without scanning") {
+    import spark.implicits._
+    import graft.io.dsv2.TwoPhasePruning
+    val root = s"$wh/twophase"
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      (b * 100L until (b + 1) * 100L).map(i => (i, i % 7))
+        .toDF("k", "v").write.parquet(d)
+      graft.io.SkipStats.write(spark, d, Seq("k"))
+      Manifest.commit(spark, root, d)
+    }
+    val dim = Seq(105L, 140L).toDF("k")
+    val pruned = TwoPhasePruning.prunedScan(spark, root, "k", dim)
+    assert(pruned.count() === 2L)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("skippedDirs=3"),
+      "the static IN must prune the three non-matching dirs at " +
+        s"planning:\n${pruned.queryExecution.executedPlan}")
+    // past the cap: fail-open to the unfiltered scan, same join answer
+    spark.conf.set("spark.graft.twoPhasePrune.maxKeys", "1")
+    try {
+      val open = TwoPhasePruning.prunedScan(spark, root, "k", dim)
+      assert(open.count() === 400L,
+        "past the cap the scan must stay unfiltered (fail-open)")
+      assert(open.join(dim, "k").count() === 2L)
+    } finally spark.conf.unset("spark.graft.twoPhasePrune.maxKeys")
+    // an empty (or all-null) dim short-circuits to zero rows
+    val none = TwoPhasePruning.prunedScan(spark, root, "k",
+      Seq.empty[Long].toDF("k"))
+    assert(none.count() === 0L)
+    intercept[IllegalArgumentException](
+      TwoPhasePruning.prunedScan(spark, root, "k",
+        Seq((1L, 2L)).toDF("a", "b")))
+  }
+
   test("an all-digit tag past Int range resolves via the tag branch") {
     wh
     val root = s"$wh/events"
