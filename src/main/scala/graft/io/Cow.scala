@@ -55,6 +55,7 @@ private[io] object Cow {
       val outd = s"$stagingDir/$prefix-v$baseVersion-$i"
       xform(s.read.parquet(d)).write.mode("overwrite").parquet(outd)
       SkipStats.carry(s, d, outd)
+      BloomSidecar.carry(s, d, outd)
       outd
     }
 }

@@ -449,6 +449,36 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     }
   }
 
+  /** POINT predicates (equality + IN) as rendered value sets — what the
+    * [[graft.io.BloomSidecar]] can decide. Distinct from `toRanges`:
+    * a high-cardinality key's min/max straddles most probes, but its
+    * bloom answers each value with no false negatives.
+    */
+  private def toPoints(filters: Seq[Filter]): Seq[(String, Seq[String])] = {
+    def supported(c: String): Boolean =
+      tableSchema.find(_.name == c).exists(f =>
+        f.dataType == LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType ||
+          f.dataType == org.apache.spark.sql.types.ByteType ||
+          f.dataType == StringType)
+    def render(v: Any): Option[String] = v match {
+      case i: Int => Some(i.toString)
+      case l: Long => Some(l.toString)
+      case sh: Short => Some(sh.toString)
+      case b: Byte => Some(b.toString)
+      case st: String => Some(st)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+    filters.flatMap {
+      case And(l, r) => toPoints(Seq(l, r))
+      case EqualTo(c, v) if supported(c) =>
+        render(v).map(x => (c, Seq(x))).toSeq
+      case _ => Seq.empty
+    } ++ toInSets(filters)
+  }
+
   // ── directory pruning + the delegate parquet builder, memoized: the
   // aggregate-pushdown hook needs the delegate BEFORE build(), and by
   // the time Spark pushes aggregates the filters are final ──
@@ -462,16 +492,29 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       if (rowOp && opState.isEmpty) Seq.empty else toRanges(pushed.toSeq)
     val inSets =
       if (rowOp && opState.isEmpty) Seq.empty else toInSets(pushed.toSeq)
+    val points =
+      if (rowOp && opState.isEmpty) Seq.empty else toPoints(pushed.toSeq)
     val f = new Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (ranges.isEmpty && inSets.isEmpty) (dataDirs, Seq.empty[String])
+    if (ranges.isEmpty && inSets.isEmpty && points.isEmpty)
+      (dataDirs, Seq.empty[String])
     else dataDirs.partition { d =>
       // sidecar keys are PHYSICAL names — translate before matching
       val stats = SkipStats.read(f, d)
+      // bloom sidecars decide POINT probes the ranges must keep; a
+      // missing bloom (or column) keeps — IO-only, never semantic
+      lazy val blooms = graft.io.BloomSidecar.read(f, d)
       ranges.forall(r => stats.flatMap(_.get(phys(r.c)))
         .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi))) &&
         inSets.forall { case (c, vals) => stats.flatMap(_.get(phys(c)))
           .forall(cs => vals.exists(v => SkipStats.colOverlaps(cs, v, v)))
+        } &&
+        points.forall { case (c, vals) =>
+          blooms.flatMap(_.get(phys(c))) match {
+            case None => true
+            case Some((t, bf)) => vals.exists(v =>
+              graft.io.BloomSidecar.mightContain(t, bf, v))
+          }
         }
     }
   }
@@ -673,9 +716,12 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     else {
       val f = new Path(root)
         .getFileSystem(session.sparkContext.hadoopConfiguration)
-      // sidecar keys are physical — advertise their LOGICAL names
-      keptDirs.iterator.flatMap(d => SkipStats.read(f, d))
-        .flatMap(_.keySet).toSet[String]
+      // sidecar keys are physical — advertise their LOGICAL names;
+      // bloom-covered columns prune point probes even without ranges
+      (keptDirs.iterator.flatMap(d => SkipStats.read(f, d))
+          .flatMap(_.keySet) ++
+        keptDirs.iterator.flatMap(d => graft.io.BloomSidecar.read(f, d))
+          .flatMap(_.keySet)).toSet[String]
         .map(p => colMap.getOrElse(p, p)).filter(runtimePrunable)
         .toArray.sorted.map(
           org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -720,11 +766,16 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       val l2p = colMap.map(_.swap)
       val kept = keptDirs.filter { d =>
         val stats = SkipStats.read(f, d)
+        lazy val blooms = graft.io.BloomSidecar.read(f, d)
         colVals.forall { case (c, vals) =>
-          stats.flatMap(_.get(l2p.getOrElse(c, c))) match {
-            case None => true
-            case Some(cs) =>
-              vals.exists(v => SkipStats.colOverlaps(cs, v, v))
+          val pc = l2p.getOrElse(c, c)
+          val cs = stats.flatMap(_.get(pc))
+          val bl = blooms.flatMap(_.get(pc))
+          if (cs.isEmpty && bl.isEmpty) true
+          else vals.exists { v =>
+            cs.forall(x => SkipStats.colOverlaps(x, v, v)) &&
+              bl.forall { case (t, bf) =>
+                graft.io.BloomSidecar.mightContain(t, bf, v) }
           }
         }
       }

@@ -31,7 +31,8 @@ object GraftDdl {
     * `morKey` records the merge key exactly like
     * `CALL lake.set_mor_key`.
     */
-  val knownProps: Set[String] = Set("statscols", "sortby", "morkey")
+  val knownProps: Set[String] =
+    Set("statscols", "sortby", "morkey", "bloomcols")
 
   /** Spark adds bookkeeping entries (`provider`, `owner`, `location`,
     * `comment`, ...) to the properties map; anything else unknown
@@ -200,10 +201,13 @@ class GraftStagedTable(s: SparkSession, root: String,
       s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
         .coalesce(1).write.mode("append").parquet(dir)
-    val statsCols = props.get("statscols")
+    def cols(key: String): Seq[String] = props.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val statsCols = cols("statscols")
     if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
+    val bloomCols = cols("bloomcols")
+    if (bloomCols.nonEmpty) graft.io.BloomSidecar.write(s, dir, bloomCols)
     if (replaceExisting) Manifest.rewrite(s, root, Seq(dir))
     else Manifest.commit(s, root, dir)
   }

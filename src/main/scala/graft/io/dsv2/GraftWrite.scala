@@ -58,14 +58,18 @@ trait GraftWriteSupport extends CreatableRelationProvider {
         "graft write requires a path (the manifest table root)"))
     val exists = scala.util.Try(Manifest.versions(s, root))
       .toOption.exists(_.nonEmpty)
-    val statsCols = parameters.get("statscols")
-      .orElse(parameters.get("statsCols"))
+    def csvParam(k: String): Seq[String] = parameters.get(k.toLowerCase)
+      .orElse(parameters.get(k))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val statsCols = csvParam("statsCols")
+    val bloomCols = csvParam("bloomCols")
     def writeAndCommit(replacing: Boolean): Unit = {
       val dir = s"$root/data/w-" + java.util.UUID.randomUUID().toString
       data.write.parquet(dir)
       if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
+      if (bloomCols.nonEmpty)
+        graft.io.BloomSidecar.write(s, dir, bloomCols)
       if (replacing) Manifest.rewrite(s, root, Seq(dir))
       else Manifest.commit(s, root, dir)
     }
@@ -254,6 +258,25 @@ class GraftV2Write(s: SparkSession, root: String,
       // sidecar keys live in PHYSICAL-name space like the files
       if (cols.nonEmpty && hasFiles)
         SkipStats.write(s, dir, cols.map(physName))
+      // bloom sidecars ride the same option/property + DML-carry rules
+      val bloomCols = {
+        val opt = csv("bloomCols")
+        if (opt.nonEmpty || !fromRowOp) opt
+        else {
+          val replaced = opState.flatMap(_.replacedDirs).getOrElse(
+            scala.util.Try(Manifest.committed(s, root))
+              .getOrElse(Seq.empty))
+            .filterNot(MergeOnRead.isTombstone)
+          val f = new Path(root)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val sided = replaced.flatMap(d => graft.io.BloomSidecar.read(f, d))
+          if (sided.size == replaced.size && sided.nonEmpty)
+            sided.map(_.keySet).reduce(_ intersect _).toSeq.sorted
+          else Seq.empty
+        }
+      }
+      if (bloomCols.nonEmpty && hasFiles)
+        graft.io.BloomSidecar.write(s, dir, bloomCols.map(physName))
       opState.flatMap(_.replacedDirs) match {
         // runtime-group-filtered row op: replace exactly the matched
         // directories; everything else carries verbatim

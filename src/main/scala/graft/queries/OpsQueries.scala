@@ -5269,6 +5269,115 @@ object OpsQueries {
 
   val io51Oracle: String = io46Oracle
 
+  /** BLOOM sidecars for POINT-predicate pruning
+    * ([[graft.io.BloomSidecar]]) — the membership complement to the
+    * min/max ranges. The table is built ADVERSARIALLY for ranges: each
+    * directory holds one l_orderkey RESIDUE class mod 4, so every
+    * directory's [min,max] straddles every probe and range pruning
+    * keeps all four; the blooms answer per VALUE:
+    *
+    *  - a planted `WHERE l_orderkey = x` reads ONLY the directory of
+    *    x's residue class (skippedDirs=3 pinned; false-positive keeps
+    *    are allowed by the contract but the fpp is set so the plant is
+    *    deterministic at every sf) — never a wrong skip, the census is
+    *    the oracle's;
+    *  - an ABSENT key skips every directory (planning answers with
+    *    zero IO);
+    *  - an IN over two residues keeps exactly their two directories;
+    *  - a SQL DELETE (CoW rewrite) CARRIES the bloom discipline: the
+    *    rewritten directory gets fresh blooms (pinned by the sidecar
+    *    file's existence) and the deleted key's re-probe reads nothing.
+    *
+    * 100 TB: a point lookup on a high-cardinality un-clustered key is
+    * the shape ranges cannot serve at any scale — the bloom bill is
+    * ~1.2 MB per directory per column at 1M keys/1% fpp, read once per
+    * PLAN, against whole directories of scan saved.
+    */
+  def io49BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g49", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g49.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io49_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    s.conf.set("spark.graft.bloomSidecar.fpp", "0.0001")
+    try {
+      for (b <- 0 until 4) {
+        val d = s"$root/data/b$b"
+        li.filter(col("l_orderkey") % 4 === b).write.parquet(d)
+        graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
+        graft.io.BloomSidecar.write(s, d, Seq("l_orderkey"))
+        Manifest.commit(s, root, d)
+      }
+    } finally s.conf.unset("spark.graft.bloomSidecar.fpp")
+    val probe2 = li.filter(col("l_orderkey") % 4 === 2)
+      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+    val probe1 = li.filter(col("l_orderkey") % 4 === 1)
+      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+    val absent = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 2
+    def skipped(df: DataFrame, n: Int, what: String): DataFrame = {
+      df.collect()
+      require(df.queryExecution.executedPlan.toString
+        .contains(s"skippedDirs=$n"),
+        s"$what must skip $n directories:\n" +
+          df.queryExecution.executedPlan)
+      df
+    }
+    def census(df: DataFrame, tag: Int) = df
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+      .withColumn("phase", lit(tag))
+      .select(col("phase"), col("n"), col("sum_cents"))
+    // ranges straddle everything — only the blooms can skip
+    val eq = skipped(s.sql(
+      s"SELECT * FROM g49.graft_io49_tbl WHERE l_orderkey = $probe2"),
+      3, "a planted point lookup")
+    val inp = skipped(s.sql(
+      s"SELECT * FROM g49.graft_io49_tbl " +
+        s"WHERE l_orderkey IN ($probe1, $probe2)"),
+      2, "a two-residue IN probe")
+    skipped(s.sql(
+      s"SELECT * FROM g49.graft_io49_tbl WHERE l_orderkey = $absent"),
+      4, "an absent-key probe")
+    // a CoW DELETE carries the bloom discipline onto the rewritten dir
+    s.sql(s"DELETE FROM g49.graft_io49_tbl WHERE l_orderkey = $probe2")
+    val rewritten = Manifest.committed(s, root)
+      .filterNot(d => (0 until 4).exists(b => d.endsWith(s"/b$b")))
+    require(rewritten.size == 1, s"one rewritten dir, got $rewritten")
+    require(graft.io.BloomSidecar
+      .read(fsH, rewritten.head).exists(_.contains("l_orderkey")),
+      "the DML rewrite must carry the bloom sidecar like min/max")
+    val post = s.sql(
+      s"SELECT * FROM g49.graft_io49_tbl WHERE l_orderkey = $probe2")
+    post.collect()
+    require(post.count() == 0, "the deleted key must read zero rows")
+    census(eq, 0).unionByName(census(inp, 1))
+      .unionByName(census(post, 3))
+      .orderBy(col("phase"))
+  }
+
+  val io49Oracle: String =
+    """WITH li AS (SELECT l_orderkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem),
+      |p2 AS (SELECT MIN(l_orderkey) AS v FROM li WHERE l_orderkey % 4 = 2),
+      |p1 AS (SELECT MIN(l_orderkey) AS v FROM li WHERE l_orderkey % 4 = 1)
+      |SELECT 0 AS phase, COUNT(*) AS n,
+      |  CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
+      |FROM li WHERE l_orderkey = (SELECT v FROM p2)
+      |UNION ALL
+      |SELECT 1, COUNT(*),
+      |  CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+      |FROM li WHERE l_orderkey IN ((SELECT v FROM p1), (SELECT v FROM p2))
+      |UNION ALL
+      |SELECT 3, 0, 0
+      |ORDER BY phase""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -5412,6 +5521,7 @@ object OpsQueries {
     "io46_runtime_prune" -> (io46RuntimePrune _),
     "io47_schema_drift" -> (io47SchemaDrift _),
     "io48_sql_ddl" -> (io48SqlDdl _),
+    "io49_bloom_prune" -> (io49BloomPrune _),
     "io50_sql_rename" -> (io50SqlRename _),
     "io51_twophase_prune" -> (io51TwophasePrune _),
     "st1_sessionize" -> (st1Sessionize _),
@@ -5502,6 +5612,7 @@ object OpsQueries {
     "io46_runtime_prune" -> io46Oracle,
     "io47_schema_drift" -> io47Oracle,
     "io48_sql_ddl" -> io48Oracle,
+    "io49_bloom_prune" -> io49Oracle,
     "io50_sql_rename" -> io50Oracle,
     "io51_twophase_prune" -> io51Oracle,
     "st1_sessionize" -> st1Oracle,
