@@ -55,16 +55,25 @@ object Catalog {
     * version is burned. Returns the catalog version holding the
     * vector.
     *
-    * CONCURRENCY CONTRACT: assumes a SINGLE concurrent publisher per
-    * catalog. The per-root latest reads are sequential, so with a
-    * concurrent writer mid-publish the captured vector could mix the
-    * writer's old and new versions (lists@3 read, peer lands
-    * lists@4 + quantizer@2, quantizer@2 read). A stabilization
-    * re-read below retries until two consecutive scans of the vector
-    * agree, which closes the common in-motion window, but it is NOT a
-    * cross-table isolation guarantee — multi-publisher catalogs need
-    * external serialization of the publish step (the streaming paths
-    * get this for free: one query, one publisher).
+    * CONCURRENCY CONTRACT: designed for a SINGLE concurrent publisher
+    * per catalog; racing publishers degrade SAFELY, never tornly.
+    * The per-root latest reads are sequential, so with a concurrent
+    * writer mid-publish the captured vector could mix the writer's old
+    * and new versions (lists@3 read, peer lands lists@4 + quantizer@2,
+    * quantizer@2 read) — a stabilization re-read retries until two
+    * consecutive scans agree and REFUSES loudly if they never do.
+    * Losing the catalog SLOT race to a peer who published newer table
+    * versions would land this publisher's stale (consistent, but
+    * older) vector as a later catalog version — a silently regressed
+    * head — so after every publish the table vector is re-read and the
+    * publish loops onto the winner's state until it returns with the
+    * head holding the freshest vector (bounded, then refuses). Every
+    * landed catalog version is a consistent per-publish vector either
+    * way; history may hold a superseded older vector between a loser's
+    * land and its convergence re-pin, but the RETURNED version always
+    * resolves the settled head. True cross-publisher isolation still
+    * wants external serialization (the streaming paths get it free:
+    * one query, one publisher).
     */
   def pinLatest(s: SparkSession, catRoot: String, roots: Seq[String],
       committer: Committer = FsCreateCommitter): Int = {
@@ -73,37 +82,54 @@ object Catalog {
       require(vs.nonEmpty, s"cannot pin $r: no committed version")
       r -> vs.last
     }
-    var vec = readVec()
-    var tries = 0
-    var settled = false
-    while (!settled && tries < 5) {
-      val again = readVec()
-      if (again == vec) settled = true else { vec = again; tries += 1 }
-    }
-    // fail loudly rather than publish a potentially mixed old/new
-    // cross-table vector: an unsettled scan after 5 retries means a
-    // writer is actively publishing — the caller should serialize
-    // with it, not race it (pinning a torn vector is the one state
-    // the catalog exists to prevent)
-    require(settled, s"pinLatest($catRoot): table versions still " +
-      s"changing after $tries stabilization re-reads — a concurrent " +
-      "publisher is mid-publish; serialize the publish step and retry")
-    // The idempotence probe reads the LATEST catalog manifest, which a
-    // racing pinner may be writing right now (created, terminator not
-    // yet landed). That is a not-yet-visible version, not an error:
-    // treat it as "not already pinned" and fall through to pin, whose
-    // commitLoop is already in-flight-tolerant.
-    val alreadyPinned =
-      try {
-        val catVersions = Manifest.versions(s, catRoot)
-        if (catVersions.nonEmpty && resolve(s, catRoot) == vec.toMap)
-          Some(catVersions.last)
-        else None
-      } catch {
-        case _: Manifest.IncompleteManifestException |
-             _: java.io.FileNotFoundException => None
+    var publishes = 0
+    while (true) {
+      var vec = readVec()
+      var tries = 0
+      var settled = false
+      while (!settled && tries < 5) {
+        val again = readVec()
+        if (again == vec) settled = true else { vec = again; tries += 1 }
       }
-    alreadyPinned.getOrElse(pin(s, catRoot, vec, committer))
+      // fail loudly rather than publish a potentially mixed old/new
+      // cross-table vector: an unsettled scan after 5 retries means a
+      // writer is actively publishing — the caller should serialize
+      // with it, not race it (pinning a torn vector is the one state
+      // the catalog exists to prevent)
+      require(settled, s"pinLatest($catRoot): table versions still " +
+        s"changing after $tries stabilization re-reads — a concurrent " +
+        "publisher is mid-publish; serialize the publish step and retry")
+      // The idempotence probe reads the LATEST catalog manifest, which a
+      // racing pinner may be writing right now (created, terminator not
+      // yet landed). That is a not-yet-visible version, not an error:
+      // treat it as "not already pinned" and fall through to pin, whose
+      // commitLoop is already in-flight-tolerant.
+      val alreadyPinned =
+        try {
+          val catVersions = Manifest.versions(s, catRoot)
+          if (catVersions.nonEmpty && resolve(s, catRoot) == vec.toMap)
+            Some(catVersions.last)
+          else None
+        } catch {
+          case _: Manifest.IncompleteManifestException |
+               _: java.io.FileNotFoundException => None
+        }
+      val v = alreadyPinned.getOrElse(pin(s, catRoot, vec, committer))
+      // CONVERGENCE check: losing the catalog slot race to a peer who
+      // published NEWER table versions would otherwise land this
+      // publisher's stale (consistent, but older) vector as a LATER
+      // catalog version — a silently regressed head. Re-read the
+      // tables: unchanged → this publish is the head's truth, return;
+      // changed → loop and re-pin onto the winner's state (the
+      // idempotence probe above keeps the loop from burning versions
+      // once the head already holds the fresh vector).
+      if (readVec() == vec) return v
+      publishes += 1
+      require(publishes < 5, s"pinLatest($catRoot): table versions " +
+        s"advanced under $publishes consecutive publishes — serialize " +
+        "the publish step and retry")
+    }
+    -1 // unreachable
   }
 
   /** The (table root → manifest version) vector a catalog version pins

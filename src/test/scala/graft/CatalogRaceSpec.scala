@@ -289,4 +289,60 @@ class CatalogRaceSpec extends AnyFunSuite {
       "both appends must land as consecutive versions")
     assert(spark.read.format("graft").load(root).count() === 25L)
   }
+
+  test("DETERMINISTIC two-publisher pin race via the Committer seam: " +
+      "the loser converges onto the winner's newer vector — the head " +
+      "never regresses and no version is torn") {
+    import spark.implicits._
+    val base = System.getProperty("java.io.tmpdir") + "/graft_pin_race2"
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(base), true)
+    val (cat, ta, tb) = (s"$base/cat", s"$base/a", s"$base/b")
+    def commitBoth(r: Int): Unit = {
+      Seq(r.toLong).toDF("k").write.parquet(s"$base/d_a$r")
+      Seq(r.toLong).toDF("k").write.parquet(s"$base/d_b$r")
+      Manifest.commit(spark, ta, s"$base/d_a$r")
+      Manifest.commit(spark, tb, s"$base/d_b$r")
+    }
+    commitBoth(1)
+    Catalog.pinLatest(spark, cat, Seq(ta, tb)) // seed: (a@1, b@1)
+    commitBoth(2) // publisher A will capture (a@2, b@2)
+    // the ambush: exactly when A claims its first catalog version
+    // slot, publisher B advances BOTH tables to v3 and fully publishes
+    // (a@3, b@3) — A's create loses the slot, its retry would land the
+    // stale (a@2, b@2) as the newest catalog version
+    var fired = false
+    val ambush = new graft.io.Committer {
+      override def createIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          target: Path, body: Array[Byte]): Boolean = {
+        if (!fired && target.toString.contains("/cat/")) {
+          fired = true
+          commitBoth(3)
+          Catalog.pinLatest(spark, cat, Seq(ta, tb)) // B wins
+        }
+        graft.io.FsCreateCommitter.createIfAbsent(f, target, body)
+      }
+    }
+    val returned = Catalog.pinLatest(spark, cat, Seq(ta, tb), ambush)
+    assert(fired, "the ambush must have interposed B's publish")
+    // the RETURNED version resolves the settled head — B's vector
+    assert(Catalog.resolve(spark, cat, Some(returned)) ===
+      Map(ta -> 3, tb -> 3),
+      "the loser must converge onto the winner's state")
+    assert(Catalog.resolve(spark, cat) === Map(ta -> 3, tb -> 3),
+      "the catalog head must never regress to the loser's stale vector")
+    // every landed version is a consistent per-publish vector — the
+    // loser's superseded (2,2) may appear mid-history, torn cuts never
+    val hist = Catalog.history(spark, cat)
+    hist.foreach { case (cv, vec) =>
+      assert(vec(ta) === vec(tb),
+        s"catalog@$cv pins a torn vector: (a@${vec(ta)}, b@${vec(tb)})")
+    }
+    assert(hist.last._2 === Map(ta -> 3, tb -> 3))
+    // replayed publish with nothing new burns no catalog version
+    val v2 = Catalog.pinLatest(spark, cat, Seq(ta, tb))
+    assert(v2 === hist.last._1 &&
+      Catalog.history(spark, cat).size === hist.size,
+      "an idempotent re-publish must not burn a catalog version")
+  }
 }
