@@ -145,6 +145,110 @@ object GraftProcedures {
           Manifest.dropTag(session, rootOf(utf(in.get(0, StringType))),
             utf(in.get(1, StringType))))))
     },
+    // ── INDEX maintenance verbs: the t25/s14 incremental-index
+    // lifecycle (compact fragments, fold stats, tombstone victims,
+    // atomically re-publish the pin vector) as SQL CALLs, so an index
+    // operator never needs the Scala API for routine maintenance ──
+    "compact_index" -> new P("compact_index",
+      Seq(param("table", StringType), param("stats_cols", StringType)),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val cols = utf(in.get(1, StringType)).split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val s = session
+        val before = Manifest.snapshot(s, root).inputFiles.length
+        val dest = s"$root/data/compact-v${Manifest.versions(s, root)
+          .last + 1}"
+        val v = IndexCompaction.compact(s, root, dest, statsCols = cols)
+        val after = Manifest.snapshot(s, root).inputFiles.length
+        Seq(new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    },
+    // fold a distributive per-increment stats table (one numeric row
+    // per ingest commit) into its single-row SUM equivalent — the
+    // IndexCompaction.compactStats contract with the one fold a SQL
+    // surface can promise is distributive: SUM over every numeric
+    // column, non-numeric columns refused loudly
+    "compact_stats" -> new P("compact_stats",
+      Seq(param("table", StringType)),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("rows_before", LongType),
+        StructField("rows_after", LongType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val s = session
+        val snap = Manifest.snapshot(s, root)
+        snap.schema.foreach(f => require(
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"compact_stats folds SUMs: column '${f.name}' of " +
+            s"${f.dataType.simpleString} is not distributive — use the " +
+            "Scala IndexCompaction.compactStats with an explicit fold"))
+        val before = snap.count()
+        val dest = s"$root/data/statsfold-v${Manifest.versions(s, root)
+          .last + 1}"
+        val sums = snap.schema.fieldNames.map(c =>
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col(c)).as(c))
+        val v = IndexCompaction.compactStats(s, root, dest)(
+          _.agg(sums.head, sums.tail.toIndexedSeq: _*))
+        val after = Manifest.snapshot(s, root).count()
+        Seq(new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    },
+    // the atomic multi-table publish (io29/io31's pin discipline):
+    // commit tables first, CALL pin last — readers resolving through
+    // the catalog never see a half-published index
+    "pin" -> new P("pin",
+      Seq(param("catalog_table", StringType),
+        param("tables", StringType)),
+      StructType(Seq(StructField("catalog_version", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val cRoot = rootOf(utf(in.get(0, StringType)))
+        val roots = utf(in.get(1, StringType)).split(",")
+          .map(_.trim).filter(_.nonEmpty).map(rootOf).toSeq
+        require(roots.nonEmpty, "pin needs at least one table")
+        Seq(new GenericInternalRow(Array[Any](
+          graft.io.Catalog.pinLatest(session, cRoot, roots))))
+      }
+    },
+    // takedown: ONE appending tombstone commit from an explicit victim
+    // key list (the right-to-be-forgotten ticket shape) — work ∝ list
+    // size, never a rewrite; fold later ends the deferral. Callers
+    // scrubbing several derived tables CALL once per table with the
+    // same list, then CALL pin.
+    "takedown" -> new P("takedown",
+      Seq(param("table", StringType), param("key", StringType),
+        param("victims", StringType)),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("victims", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val key = utf(in.get(1, StringType))
+        val vals = utf(in.get(2, StringType)).split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(vals.nonEmpty, "takedown needs at least one victim key")
+        val s = session
+        import s.implicits._
+        val keyType = Manifest.snapshot(s, root).schema(key).dataType
+        val keys = keyType match {
+          case LongType | IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType =>
+            vals.map(_.toLong).toDF(key)
+              .select(org.apache.spark.sql.functions.col(key)
+                .cast(keyType).as(key))
+          case StringType => vals.toDF(key)
+          case other => throw new IllegalArgumentException(
+            s"takedown key '$key' must be integral or string, got $other")
+        }
+        val v = MergeOnRead.deleteKeys(s, root, key, keys, s"$root/data")
+        Seq(new GenericInternalRow(Array[Any](
+          v.getOrElse(Manifest.versions(s, root).last), vals.size)))
+      }
+    },
     // layout introspection: one row per committed directory of the
     // LATEST version — kind, file count, bytes, and which columns carry
     // skip-stats sidecars (what the planner can prune on). The ops view

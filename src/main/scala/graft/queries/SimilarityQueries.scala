@@ -1768,11 +1768,19 @@ object SimilarityQueries {
     val preDirs = Manifest.committed(s, lRoot)
     require(preDirs.size >= 2,
       s"compaction gate needs a fragmented table, got $preDirs")
-    IndexCompaction.compact(s, lRoot, s"$idx/l_compact",
-      statsCols = Seq("vec_id"))
-    require(Manifest.committed(s, lRoot) == Seq(s"$idx/l_compact"),
-      "compact must land as ONE replacing directory")
-    Catalog.pinLatest(s, cRoot, Seq(lRoot, qRoot))
+    // maintenance as PLAIN SQL CALLs — s24's lifecycle with no Scala
+    // API: compact the list fragments (sidecar recomputed over vec_id),
+    // then re-publish the lists+quantizer pin vector atomically
+    val base = s.conf.get("spark.graft.tmpDir",
+      System.getProperty("java.io.tmpdir"))
+    s.conf.set("spark.sql.catalog.g24", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g24.root", base)
+    s.sql("CALL g24.compact_index('graft_s24_ivf.lists', 'vec_id')")
+    val postDirs = Manifest.committed(s, lRoot)
+    require(postDirs.size == 1 && postDirs != preDirs,
+      s"compact must land as ONE replacing directory, got $postDirs")
+    s.sql("CALL g24.pin('graft_s24_ivf.catalog', " +
+      "'graft_s24_ivf.lists,graft_s24_ivf.quantizer')")
     ivfAssignCensus(s, cRoot, lRoot)
   }
 

@@ -1591,16 +1591,24 @@ object TextQueries {
     ingest(docs.filter(col("doc_id") % 3 === 1), "b")
     ingest(docs.filter(col("doc_id") % 3 === 2), "c")
     val preFiles = Manifest.snapshot(s, pRoot).inputFiles.length
-    IndexCompaction.compact(s, pRoot, idx + "/p_compact",
-      statsCols = Seq("doc_id"))
-    IndexCompaction.compactStats(s, sRoot, idx + "/s_compact")(
-      _.agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl")))
+    // the maintenance pass runs as PLAIN SQL CALLs (the t26 lifecycle
+    // with no Scala API in sight): compact the postings fragments,
+    // fold the per-increment stats rows, re-publish the pin vector
+    // atomically — same oracle, the layout is all that may change
+    s.conf.set("spark.sql.catalog.g26", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g26.root", base)
+    s.sql("CALL g26.compact_index('graft_t26_bm25.postings', 'doc_id')")
+    val folded = s.sql("CALL g26.compact_stats('graft_t26_bm25.stats')")
+      .collect()(0)
+    require(folded.getLong(2) == 1L,
+      s"compact_stats must fold the increments to one row, got $folded")
     val postFiles = Manifest.snapshot(s, pRoot).inputFiles.length
     require(postFiles < preFiles,
       s"compaction must reduce the postings file count " +
         s"($preFiles -> $postFiles)")
     // the maintenance pair is itself one atomic publish
-    Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
+    s.sql("CALL g26.pin('graft_t26_bm25.catalog', " +
+      "'graft_t26_bm25.postings,graft_t26_bm25.stats')")
     // ---- query: t25's read path, unchanged — the layout is the only
     // thing compaction may touch; resolution through the catalog pin
     val tf = Catalog.snapshotOf(s, cRoot, pRoot)

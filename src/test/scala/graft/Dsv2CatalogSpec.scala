@@ -906,6 +906,58 @@ class Dsv2CatalogSpec extends AnyFunSuite {
         Seq((1L, 2L)).toDF("a", "b")))
   }
 
+  test("CALL takedown appends one tombstone commit from a victim key " +
+      "list; CALL compact_stats folds a distributive stats table and " +
+      "refuses non-numeric columns") {
+    import spark.implicits._
+    wh
+    val root = s"$wh/calltd"
+    (0L until 50L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").save(root)
+    spark.sql("CALL lake.set_mor_key('calltd', 'id')")
+    val td = spark.sql("CALL lake.takedown('calltd', 'id', '3, 5, 7')")
+      .collect()(0)
+    assert(td.getInt(1) === 3)
+    assert(Manifest.entries(spark, root).count(MergeOnRead.isTombstone)
+      === 1, "takedown must be ONE appending tombstone commit")
+    assert(spark.sql("SELECT count(*) n FROM lake.calltd")
+      .collect()(0).getLong(0) === 47L)
+    spark.sql("CALL lake.fold('calltd', 'id')")
+    assert(spark.sql("SELECT count(*) n FROM lake.calltd")
+      .collect()(0).getLong(0) === 47L,
+      "the fold must not change what readers see")
+    // string-keyed victims work too
+    val sroot = s"$wh/calltds"
+    (0L until 10L).map(i => (s"k$i", i)).toDF("name", "v")
+      .write.format("graft").save(sroot)
+    spark.sql("CALL lake.set_mor_key('calltds', 'name')")
+    spark.sql("CALL lake.takedown('calltds', 'name', 'k2,k9')")
+    assert(spark.sql("SELECT count(*) n FROM lake.calltds")
+      .collect()(0).getLong(0) === 8L)
+    // compact_stats: distributive fold to one row, totals unchanged
+    val stroot = s"$wh/callstats"
+    for (b <- 0 until 3) {
+      Seq((10L * (b + 1), 100L * (b + 1))).toDF("nd", "tl")
+        .write.parquet(s"$stroot/data/s$b")
+      Manifest.commit(spark, stroot, s"$stroot/data/s$b")
+    }
+    val cs = spark.sql("CALL lake.compact_stats('callstats')")
+      .collect()(0)
+    assert(cs.getLong(1) === 3L && cs.getLong(2) === 1L)
+    assert(spark.sql(
+      "SELECT sum(nd) a, sum(tl) b FROM lake.callstats")
+      .collect()(0).toSeq === Seq(60L, 600L))
+    // non-numeric stats refuse (SUM is the only fold SQL can promise)
+    val badroot = s"$wh/callstatsbad"
+    Seq((1L, "x")).toDF("nd", "tag").write.format("graft").save(badroot)
+    val e = intercept[Exception](
+      spark.sql("CALL lake.compact_stats('callstatsbad')").collect())
+    def distrib(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("not distributive")) ||
+        distrib(t.getCause))
+    assert(distrib(e), s"non-numeric stats must refuse, got $e")
+  }
+
   test("an all-digit tag past Int range resolves via the tag branch") {
     wh
     val root = s"$wh/events"
