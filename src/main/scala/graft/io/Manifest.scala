@@ -815,4 +815,64 @@ object Manifest {
       catch { case _: IncompleteManifestException => Seq.empty[String] }
     }
   }
+
+  /** RENAME the table root — one filesystem rename plus an in-place
+    * path rewrite of every manifest's OWN-root-prefixed entries, so
+    * the whole version history (time travel, tags, sidecars, the
+    * tombstone/mapping dirs) survives under the new name. Each
+    * manifest's mtime is restored after the rewrite — `versionAt`
+    * keeps answering with the original commit instants. Entries NOT
+    * under the old root (a shallow clone's source-owned directories)
+    * carry verbatim; a clone's own `_clone_sources` registry moves
+    * intact (its entries name the SOURCES), and the SOURCE-side
+    * registration markers — which encode the clone's old root — are
+    * re-registered under the new one so retention protection never
+    * lapses. Callers must guard the other direction (a table with
+    * REGISTERED clones of its own must refuse: the clones' manifests
+    * hold its absolute paths). Single-operator maintenance scope,
+    * like every rewrite here.
+    */
+  def renameRoot(s: SparkSession, oldRoot: String, newRoot: String)
+      : Unit = {
+    val f = fs(s, oldRoot)
+    require(f.exists(new Path(oldRoot)), s"no table at $oldRoot")
+    require(!f.exists(new Path(newRoot)),
+      s"target $newRoot already exists")
+    f.mkdirs(new Path(newRoot).getParent)
+    require(f.rename(new Path(oldRoot), new Path(newRoot)),
+      s"filesystem rename $oldRoot -> $newRoot failed")
+    val oldPrefix = oldRoot.stripSuffix("/")
+    val newPrefix = newRoot.stripSuffix("/")
+    versionsOf(f, newRoot).foreach { v =>
+      val p = manifestPath(newRoot, v)
+      val st = f.getFileStatus(p)
+      // a crashed commit's incomplete manifest is an invisible
+      // version — leave its bytes alone and move on
+      val entries =
+        try Some(readList(f, p))
+        catch { case _: IncompleteManifestException => None }
+      val rewritten = entries.map(_.map { e =>
+        if (e == oldPrefix) newPrefix
+        else if (e.startsWith(oldPrefix + "/")) {
+          // catalog pins are `dir@version`; data entries are plain
+          // dirs — prefix replacement is right for both
+          newPrefix + e.substring(oldPrefix.length)
+        } else e
+      })
+      if (entries.isDefined && rewritten != entries) {
+        val body = rewritten.get.mkString("\n") + "\n" + Terminator
+        val out = f.create(p, true)
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        // versionAt resolves through manifest mtimes — restore them
+        f.setTimes(p, st.getModificationTime, -1)
+      }
+    }
+    // a clone re-registers under its new name on every source in its
+    // chain, releasing the stale old-name markers
+    cloneSources(s, newRoot).foreach { src =>
+      dropClone(s, src, oldRoot)
+      registerClone(s, src, newRoot, FsCreateCommitter)
+    }
+  }
 }

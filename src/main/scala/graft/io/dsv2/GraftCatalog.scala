@@ -294,10 +294,40 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** `ALTER TABLE old RENAME TO new` — one filesystem rename plus an
+    * in-place path rewrite of the manifests' own-root entries
+    * ([[Manifest.renameRoot]]): the full version history, tags,
+    * sidecars, and commit instants survive under the new name.
+    * Refuses while REGISTERED shallow clones read this table (their
+    * manifests hold its absolute paths); a table that IS a clone
+    * re-registers itself on its source chain under the new name.
+    * External references this catalog cannot see (another catalog's
+    * pin vectors naming the old root) are the caller's to migrate —
+    * the Delta/Iceberg path-based-reference caveat.
+    */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog does not support RENAME TABLE: manifests record " +
-        "absolute data paths — deep-clone to the new name, verify, " +
-        "then DROP the old table")
+      newIdent: Identifier): Unit = {
+    val s = SparkSession.active
+    if (!tableExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(oldIdent.namespace().toSeq :+
+          oldIdent.name())
+    // Spark hands the RENAME-TO target verbatim: a user writing the
+    // catalog-qualified `lake.t2` would otherwise land at
+    // warehouse/lake/t2 — strip the redundant catalog segment
+    val target =
+      if (newIdent.namespace().headOption.contains(catalogName))
+        Identifier.of(newIdent.namespace().drop(1), newIdent.name())
+      else newIdent
+    if (tableExists(target))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(target)
+    val oldRoot = rootOf(oldIdent)
+    val clones = Manifest.registeredClones(s, oldRoot)
+    if (clones.nonEmpty) throw new IllegalStateException(
+      s"cannot RENAME $oldRoot: registered shallow clones reference " +
+        s"its data paths (${clones.mkString(", ")}) — drop or " +
+        "deep-copy the clones first")
+    Manifest.renameRoot(s, oldRoot, rootOf(target))
+  }
 }

@@ -271,6 +271,20 @@ class GraftTable(s: SparkSession, root: String, version: Int,
 
   override def schema(): StructType = tableSchema
 
+  /** `SHOW TBLPROPERTIES` surface: the persisted write defaults
+    * ([[GraftTableProps]]), the recorded merge key, and the pinned
+    * version — the same facts `CALL lake.layout` exposes per
+    * directory, here as table-level metadata.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    GraftTableProps.read(s, root).foreach { case (k, v) => m.put(k, v) }
+    morKey.foreach(m.put("morkey", _))
+    m.put("version", version.toString)
+    m.put("provider", "graft")
+    m
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

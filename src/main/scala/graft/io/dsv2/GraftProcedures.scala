@@ -249,6 +249,49 @@ object GraftProcedures {
           v.getOrElse(Manifest.versions(s, root).last), vals.size)))
       }
     },
+    // sidecar RETROFIT: write skip-stats and/or bloom sidecars onto
+    // every committed data directory that lacks them — pruning for a
+    // table ingested before the discipline (or by a foreign writer)
+    // without rewriting a byte of data. Sidecars are metadata beside
+    // the files; readers pick them up on their next plan. Cost: one
+    // aggregation pass per uncovered directory — at 100 TB that is
+    // the cheapest possible path to a prunable table.
+    "sidecar" -> new P("sidecar",
+      Seq(param("table", StringType), param("stats_cols", StringType),
+        param("bloom_cols", StringType)),
+      StructType(Seq(StructField("dir", StringType),
+        StructField("stats_written", org.apache.spark.sql.types
+          .BooleanType),
+        StructField("bloom_written", org.apache.spark.sql.types
+          .BooleanType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        def cols(i: Int): Seq[String] = utf(in.get(i, StringType))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols(1).nonEmpty || cols(2).nonEmpty,
+          "sidecar needs stats_cols and/or bloom_cols")
+        val s = session
+        // args are LOGICAL names; files (and sidecars) are physical
+        val l2p = graft.io.ColumnMapping.mapping(s, root).map(_.swap)
+        def phys(cs: Seq[String]) = cs.map(c => l2p.getOrElse(c, c))
+        val (statsCols, bloomCols) = (phys(cols(1)), phys(cols(2)))
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Manifest.committed(s, root)
+          .filterNot(MergeOnRead.isTombstone)
+          .filterNot(graft.io.ColumnMapping.isMapping)
+          .map { d =>
+            val wroteStats = statsCols.nonEmpty &&
+              graft.io.SkipStats.read(f, d).isEmpty
+            if (wroteStats) graft.io.SkipStats.write(s, d, statsCols)
+            val wroteBloom = bloomCols.nonEmpty &&
+              graft.io.BloomSidecar.read(f, d).isEmpty
+            if (wroteBloom) graft.io.BloomSidecar.write(s, d, bloomCols)
+            new GenericInternalRow(Array[Any](UTF8String.fromString(d),
+              wroteStats, wroteBloom))
+          }
+      }
+    },
     // layout introspection: one row per committed directory of the
     // LATEST version — kind, file count, bytes, and which columns carry
     // skip-stats sidecars (what the planner can prune on). The ops view

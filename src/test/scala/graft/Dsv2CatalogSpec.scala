@@ -76,7 +76,7 @@ class Dsv2CatalogSpec extends AnyFunSuite {
   }
 
   test("SHOW TABLES lists manifest roots; unsupported DDL " +
-      "(RENAME/ALTER/PARTITIONED BY) refuses loudly") {
+      "(DROP COLUMN/PARTITIONED BY) refuses loudly") {
     wh
     val tables = spark.sql("SHOW TABLES IN lake").collect()
       .map(_.getString(1))
@@ -86,7 +86,8 @@ class Dsv2CatalogSpec extends AnyFunSuite {
         t.isInstanceOf[IllegalArgumentException] ||
         unsupported(t.getCause))
     assert(unsupported(intercept[Exception](spark.sql(
-      "ALTER TABLE lake.events RENAME TO lake.events2"))))
+      "ALTER TABLE lake.events DROP COLUMN grp"))),
+      "DROP COLUMN must refuse (physical-name collision hazard)")
     assert(unsupported(intercept[Exception](spark.sql(
       "CREATE TABLE lake.ddlpart (id BIGINT, d STRING) " +
         "PARTITIONED BY (d)"))),
@@ -956,6 +957,140 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       (Option(t.getMessage).exists(_.contains("not distributive")) ||
         distrib(t.getCause))
     assert(distrib(e), s"non-numeric stats must refuse, got $e")
+  }
+
+  test("RENAME TABLE carries the whole version history, tags, commit " +
+      "instants, and sidecar pruning under the new name; a renamed " +
+      "clone re-registers on its source") {
+    import spark.implicits._
+    wh
+    val oldRoot = s"$wh/rensrc"
+    for ((lo, hi, tag) <- Seq((0L, 50L, "b1"), (50L, 100L, "b2"))) {
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$oldRoot/data/$tag")
+      graft.io.SkipStats.write(spark, s"$oldRoot/data/$tag", Seq("id"))
+      Manifest.commit(spark, oldRoot, s"$oldRoot/data/$tag")
+    }
+    Manifest.tag(spark, oldRoot, "first", 1)
+    val instants = spark.sql("CALL lake.history('rensrc')")
+      .collect().map(_.getLong(1))
+    spark.sql("ALTER TABLE lake.rensrc RENAME TO lake.rendst")
+    assert(!new java.io.File(oldRoot).exists())
+    assert(spark.sql("SELECT count(*) n FROM lake.rendst")
+      .collect()(0).getLong(0) === 100L)
+    assert(spark.sql("SELECT count(*) n FROM lake.rendst VERSION AS OF 1")
+      .collect()(0).getLong(0) === 50L, "time travel must survive")
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.rendst VERSION AS OF 'first'")
+      .collect()(0).getLong(0) === 50L, "tags must survive")
+    assert(spark.sql("CALL lake.history('rendst')")
+      .collect().map(_.getLong(1)).toSeq === instants.toSeq,
+      "commit instants (manifest mtimes) must survive the rewrite")
+    val pruned = spark.sql("SELECT id FROM lake.rendst WHERE id < 25")
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"), "sidecar pruning must survive")
+    // renaming under a registered clone refuses; renaming the CLONE
+    // re-registers it on the source chain
+    Manifest.shallowClone(spark, s"$wh/rendst", s"$wh/renclone")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE lake.rendst RENAME TO lake.rendst2"))
+    spark.sql("ALTER TABLE lake.renclone RENAME TO lake.renclone2")
+    assert(Manifest.registeredClones(spark, s"$wh/rendst") ===
+      Seq(s"$wh/renclone2"),
+      "the renamed clone must re-register under its new root")
+    assert(spark.sql("SELECT count(*) n FROM lake.renclone2")
+      .collect()(0).getLong(0) === 100L,
+      "the clone's source-owned directories must keep reading")
+    spark.sql("DROP TABLE lake.renclone2")
+    spark.sql("DROP TABLE lake.rendst")
+  }
+
+  test("CALL sidecar retrofits skip-stats and blooms onto committed " +
+      "dirs without one; SHOW TBLPROPERTIES surfaces the persisted " +
+      "defaults and recorded key") {
+    import spark.implicits._
+    wh
+    val root = s"$wh/retrofit"
+    for ((lo, hi, tag) <- Seq((0L, 80L, "b1"), (80L, 160L, "b2"))) {
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$root/data/$tag")
+      Manifest.commit(spark, root, s"$root/data/$tag")
+    }
+    val before = spark.sql(
+      "SELECT id FROM lake.retrofit WHERE id < 40")
+    before.collect()
+    assert(before.queryExecution.executedPlan.toString
+      .contains("skippedDirs=0"), "no sidecars yet — nothing prunes")
+    val rows = spark.sql("CALL lake.sidecar('retrofit', 'id', 'id')")
+      .collect()
+    assert(rows.length === 2 && rows.forall(r =>
+      r.getBoolean(1) && r.getBoolean(2)))
+    val after = spark.sql("SELECT id FROM lake.retrofit WHERE id < 40")
+    after.collect()
+    assert(after.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "the retrofit sidecars must prune the next plan")
+    // idempotent: covered dirs are not rewritten
+    assert(spark.sql("CALL lake.sidecar('retrofit', 'id', '')")
+      .collect().forall(r => !r.getBoolean(1) && !r.getBoolean(2)))
+    // properties surface
+    spark.sql("ALTER TABLE lake.retrofit " +
+      "SET TBLPROPERTIES('statsCols'='id')")
+    spark.sql("CALL lake.set_mor_key('retrofit', 'id')")
+    val props = spark.sql("SHOW TBLPROPERTIES lake.retrofit")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // Spark strips reserved props (provider/location) from SHOW output
+    assert(props.get("statscols").contains("id") &&
+      props.get("morkey").contains("id") &&
+      props.contains("version"), s"got $props")
+  }
+
+  test("the RUNTIME filter consults blooms: a dim join probing point " +
+      "keys skips directories whose ranges straddle everything") {
+    import spark.implicits._
+    wh
+    val root = s"$wh/dppbloom"
+    spark.conf.set("spark.graft.bloomSidecar.fpp", "0.0001")
+    try {
+      // residue-class layout: every dir's [min,max] straddles every
+      // probe — only the blooms can decide
+      for (b <- 0 until 4) {
+        val d = s"$root/data/b$b"
+        (0L until 400L).filter(_ % 4 == b).map(i => (i, i % 13))
+          .toDF("k", "v").write.parquet(d)
+        graft.io.BloomSidecar.write(spark, d, Seq("k"))
+        Manifest.commit(spark, root, d)
+      }
+    } finally spark.conf.unset("spark.graft.bloomSidecar.fpp")
+    ((0L until 400L by 7).map(k => (k, if (k == 98 || k == 266) 1 else 0)))
+      .toDF("k", "sel").write.mode("overwrite")
+      .parquet(s"$wh/dppbloom_dim_pq")
+    spark.read.parquet(s"$wh/dppbloom_dim_pq")
+      .createOrReplaceTempView("dppbloom_dim")
+    // both probe keys are residue 2 — only b2 may be read
+    val joined = spark.sql(
+      """SELECT f.k, f.v FROM lake.dppbloom f
+         JOIN dppbloom_dim d ON f.k = d.k WHERE d.sel = 1""")
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(98L, 266L))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    def scans(p: SparkPlan): Seq[org.apache.spark.sql.execution
+        .datasources.v2.BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val factNode = scans(joined.queryExecution.executedPlan)
+      .find(_.toString.contains("dppbloom"))
+    assert(factNode.nonEmpty && factNode.get.runtimeFilters.nonEmpty,
+      "the dim join must push a runtime filter")
+    assert(factNode.get.metrics("numOutputRows").value === 100L,
+      "the runtime bloom consult must keep only the b2 directory")
   }
 
   test("an all-digit tag past Int range resolves via the tag branch") {
