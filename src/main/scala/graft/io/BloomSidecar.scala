@@ -114,6 +114,64 @@ object BloomSidecar {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** ONE column's bloom, skipping every other column's bytes — the
+    * pruning consult usually probes a single key among several covered
+    * columns, and filters can be megabytes each. None when the sidecar
+    * is missing/corrupt or doesn't cover the column (→ keep).
+    */
+  def readOne(f: FileSystem, dataDir: String, col: String)
+      : Option[(String, BloomFilter)] = {
+    val p = new Path(dataDir, FileName)
+    if (!f.exists(p)) return None
+    try {
+      val in = new DataInputStream(f.open(p))
+      try {
+        if (in.readUTF() != Magic) return None
+        val n = in.readInt()
+        var i = 0
+        while (i < n) {
+          val c = in.readUTF()
+          val t = in.readUTF()
+          val len = in.readInt()
+          if (c == col) {
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            return Some((t, BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))))
+          }
+          in.skipBytes(len)
+          i += 1
+        }
+        None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The sidecar's covered column names WITHOUT deserializing the
+    * filters — planning advertises columns on every candidate join, so
+    * it must not pay the megabytes-per-directory bloom read just to
+    * learn names (the filters load lazily in `filter()` only when a
+    * runtime consult actually happens).
+    */
+  def readKeys(f: FileSystem, dataDir: String): Option[Set[String]] = {
+    val p = new Path(dataDir, FileName)
+    if (!f.exists(p)) return None
+    try {
+      val in = new DataInputStream(f.open(p))
+      try {
+        if (in.readUTF() != Magic) return None
+        val n = in.readInt()
+        Some((0 until n).map { _ =>
+          val c = in.readUTF()
+          in.readUTF() // type tag
+          val len = in.readInt()
+          in.skipBytes(len)
+          c
+        }.toSet)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Could the directory contain `rendered` (the sidecars' string
     * rendering of a point value)? Unparseable values keep the
     * directory — never a wrong skip.

@@ -517,14 +517,14 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       val stats = SkipStats.read(f, d)
       // bloom sidecars decide POINT probes the ranges must keep; a
       // missing bloom (or column) keeps — IO-only, never semantic
-      lazy val blooms = graft.io.BloomSidecar.read(f, d)
+      // (readOne skips the other columns' filter bytes)
       ranges.forall(r => stats.flatMap(_.get(phys(r.c)))
         .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi))) &&
         inSets.forall { case (c, vals) => stats.flatMap(_.get(phys(c)))
           .forall(cs => vals.exists(v => SkipStats.colOverlaps(cs, v, v)))
         } &&
         points.forall { case (c, vals) =>
-          blooms.flatMap(_.get(phys(c))) match {
+          graft.io.BloomSidecar.readOne(f, d, phys(c)) match {
             case None => true
             case Some((t, bf)) => vals.exists(v =>
               graft.io.BloomSidecar.mightContain(t, bf, v))
@@ -715,6 +715,24 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     * silence pruning for the rest), restricted to the types whose
     * runtime literal rendering the sidecars can compare.
     */
+  // memoized: Spark probes filterAttributes once per candidate join
+  // during planning — the sidecar sweep (one small read per dir; bloom
+  // KEYS only, never the filters themselves) must run once per scan
+  private lazy val advertisedColumns: Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val f = new Path(root)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    // sidecar keys are physical — advertise their LOGICAL names;
+    // bloom-covered columns prune point probes even without ranges
+    (keptDirs.iterator.flatMap(d => SkipStats.read(f, d))
+        .flatMap(_.keySet) ++
+      keptDirs.iterator.flatMap(d =>
+        graft.io.BloomSidecar.readKeys(f, d)).flatten).toSet[String]
+      .map(p => colMap.getOrElse(p, p)).filter(runtimePrunable)
+      .toArray.sorted.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (opState.isDefined)
@@ -727,19 +745,7 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       // survivor scan — dropping their rows from the rewrite. Advertise
       // nothing; the surgical path prunes through `_dir` above.
       Array.empty
-    else {
-      val f = new Path(root)
-        .getFileSystem(session.sparkContext.hadoopConfiguration)
-      // sidecar keys are physical — advertise their LOGICAL names;
-      // bloom-covered columns prune point probes even without ranges
-      (keptDirs.iterator.flatMap(d => SkipStats.read(f, d))
-          .flatMap(_.keySet) ++
-        keptDirs.iterator.flatMap(d => graft.io.BloomSidecar.read(f, d))
-          .flatMap(_.keySet)).toSet[String]
-        .map(p => colMap.getOrElse(p, p)).filter(runtimePrunable)
-        .toArray.sorted.map(
-          org.apache.spark.sql.connector.expressions.Expressions.column)
-    }
+    else advertisedColumns
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -780,11 +786,10 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       val l2p = colMap.map(_.swap)
       val kept = keptDirs.filter { d =>
         val stats = SkipStats.read(f, d)
-        lazy val blooms = graft.io.BloomSidecar.read(f, d)
         colVals.forall { case (c, vals) =>
           val pc = l2p.getOrElse(c, c)
           val cs = stats.flatMap(_.get(pc))
-          val bl = blooms.flatMap(_.get(pc))
+          val bl = graft.io.BloomSidecar.readOne(f, d, pc)
           if (cs.isEmpty && bl.isEmpty) true
           else vals.exists { v =>
             cs.forall(x => SkipStats.colOverlaps(x, v, v)) &&
