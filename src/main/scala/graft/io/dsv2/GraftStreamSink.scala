@@ -21,8 +21,10 @@ import graft.io.{Manifest, SkipStats}
   *
   * Append output mode only — a replacing mode would rewrite history
   * under downstream streams (exactly the double-count
-  * [[GraftMicroBatchStream]] refuses); `statsCols` writes skip-stats
-  * sidecars per batch so the table is prunable from its first commit.
+  * [[GraftMicroBatchStream]] refuses); `statsCols`/`bloomCols` —
+  * writer options, falling back to the table's persisted
+  * `TBLPROPERTIES` defaults — write sidecars per batch so the table
+  * is prunable from its first commit.
   * The re-written batch directory on replay is overwritten BEFORE the
   * absent-check, so a crash between data-write and commit leaves only
   * an orphan that the replay replaces.
@@ -33,10 +35,19 @@ class GraftStreamSink(parameters: Map[String, String]) extends Sink {
     throw new IllegalArgumentException(
       "graft sink requires a path (the manifest table root)"))
 
-  private val statsCols = parameters.get("statscols")
-    .orElse(parameters.get("statsCols"))
-    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    .getOrElse(Seq.empty)
+  // writer options win; the table's persisted properties (CREATE TABLE
+  // TBLPROPERTIES / ALTER SET) are the defaults — a streamed ingest
+  // into a DDL-created table keeps its sidecar discipline without the
+  // query repeating the options (read per batch: the table may not
+  // exist before the first one)
+  private def cols(s: org.apache.spark.sql.SparkSession,
+      key: String): Seq[String] =
+    parameters.get(key.toLowerCase).orElse(parameters.get(key))
+      .orElse(scala.util.Try(
+        GraftTableProps.read(s, root).get(key.toLowerCase))
+        .toOption.flatten)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val s = data.sparkSession
@@ -55,7 +66,10 @@ class GraftStreamSink(parameters: Map[String, String]) extends Sink {
     // batch frame to write (the file sink's own move)
     val out = org.apache.spark.sql.graftbridge.StreamingBatch.asBatch(data)
     out.write.mode("overwrite").parquet(dir)
+    val statsCols = cols(s, "statsCols")
     if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
+    val bloomCols = cols(s, "bloomCols")
+    if (bloomCols.nonEmpty) graft.io.BloomSidecar.write(s, dir, bloomCols)
     Manifest.commitIfAbsent(s, root, dir)
   }
 

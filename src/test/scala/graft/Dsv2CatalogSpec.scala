@@ -1093,6 +1093,47 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       "the runtime bloom consult must keep only the b2 directory")
   }
 
+  test("a streamed ingest into a DDL-created table inherits the " +
+      "persisted sidecar discipline — every microbatch directory is " +
+      "born prunable without the query repeating options") {
+    import spark.implicits._
+    wh
+    spark.sql("""CREATE TABLE lake.streamddl (id BIGINT, v BIGINT)
+      TBLPROPERTIES('statsCols'='id', 'bloomCols'='id')""")
+    val root = s"$wh/streamddl"
+    val src = s"$wh/streamddl_src"
+    // two source files → two microbatches with disjoint key ranges
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/a")
+    (100L until 200L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/b")
+    val schema = spark.read.parquet(s"$src/a").schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+      .writeStream.format("graft")
+      .option("path", root)
+      .option("checkpointLocation", s"$wh/streamddl_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = Manifest.committed(spark, root)
+      .filter(_.contains("/batch-"))
+    assert(batchDirs.size === 2, s"got $batchDirs")
+    batchDirs.foreach { d =>
+      assert(graft.io.SkipStats.read(f, d).exists(_.contains("id")),
+        s"$d must carry the persisted statsCols sidecar")
+      assert(graft.io.BloomSidecar.readKeys(f, d).exists(_.contains("id")),
+        s"$d must carry the persisted bloomCols sidecar")
+    }
+    val pruned = spark.sql(
+      "SELECT id FROM lake.streamddl WHERE id < 50")
+    assert(pruned.count() === 50L)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "the streamed batches must prune like any committed directory")
+  }
+
   test("an all-digit tag past Int range resolves via the tag branch") {
     wh
     val root = s"$wh/events"
