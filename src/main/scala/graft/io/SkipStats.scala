@@ -72,17 +72,30 @@ object SkipStats {
         s"no skip-stats support for column $c of type $dt"))
     }
     val aggs = count(lit(1)).as("_cnt") +: tags.flatMap { case (c, _) =>
-      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"),
+        count(col(c)))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val lines = new StringBuilder(Header).append('\n')
       .append("count\t").append(row.getLong(0)).append('\n')
     tags.zipWithIndex.foreach { case ((c, t), i) =>
-      val (mn, mx) = (row.getString(1 + 2 * i), row.getString(2 + 2 * i))
+      val (mn, mx) = (row.getString(1 + 3 * i), row.getString(2 + 3 * i))
       lines.append("col\t").append(enc(c)).append('\t').append(t)
       if (mn != null && mx != null)
         lines.append('\t').append(enc(mn)).append('\t').append(enc(mx))
       lines.append('\n')
+    }
+    // per-column NON-NULL counts on their own line kind: readers of the
+    // original format collect only `col\t` lines, so the extension is
+    // invisible to them, and a pre-extension sidecar simply has no
+    // `nonnull\t` lines — [[readNonNull]] returns empty and every
+    // consumer fails open (TopN pushdown keeps the directory / credits
+    // nothing). Null ordering is SEMANTIC for top-k: a directory with
+    // nulls in the sort column sorts rows to the FRONT under
+    // NULLS FIRST, so only a provably zero-null directory may drop.
+    tags.zipWithIndex.foreach { case ((c, _), i) =>
+      lines.append("nonnull\t").append(enc(c)).append('\t')
+        .append(row.getLong(3 + 3 * i)).append('\n')
     }
     lines.append("end\n")
     val f = new Path(dataDir)
@@ -133,6 +146,56 @@ object SkipStats {
         }
     }
     if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten.toMap)
+  }
+
+  /** Per-column NON-NULL counts from the sidecar's `nonnull` extension
+    * lines. Empty for a pre-extension or unreadable sidecar — callers
+    * must treat an absent column as UNKNOWN nullability (fail open:
+    * keep the directory, credit no rows), never as zero nulls.
+    */
+  def readNonNull(f: FileSystem, dataDir: String): Map[String, Long] = {
+    val p = new Path(dataDir, StatsFile)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = body.split("\n", -1)
+    if (lines.headOption.forall(_ != Header) || !lines.contains("end"))
+      return Map.empty
+    lines.takeWhile(_ != "end").iterator
+      .filter(_.startsWith("nonnull\t"))
+      .flatMap { l =>
+        l.split("\t", -1) match {
+          case Array(_, c, n) =>
+            scala.util.Try(dec(c) -> n.toLong).toOption
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** The directory's EXACT row count from its sidecar — written by
+    * every [[write]] since v1 alongside the column bounds. This is the
+    * planning currency of LIMIT pushdown (bank whole directories until
+    * the limit is covered, then stop listing the rest of a 100 TB
+    * table) — same fail-open contract as [[read]]: a missing, foreign,
+    * or malformed sidecar reads as None and the caller must treat the
+    * directory's count as unknown, never skip it.
+    */
+  def readCount(f: FileSystem, dataDir: String): Option[Long] = {
+    val p = new Path(dataDir, StatsFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = body.split("\n", -1)
+    if (lines.headOption.forall(_ != Header) || !lines.contains("end"))
+      return None
+    lines.takeWhile(_ != "end").collectFirst {
+      case l if l.startsWith("count\t") =>
+        scala.util.Try(l.split("\t", -1)(1).toLong).toOption
+    }.flatten
   }
 
   /** Public overlap test for external pruning drivers (the DSv2 read

@@ -261,7 +261,28 @@ class GraftTable(s: SparkSession, root: String, version: Int,
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: ONE replacing commit that swaps every data
+    * and tombstone directory for a single empty schema-bearing one —
+    * no file is deleted (time travel to the pre-truncate version keeps
+    * working; `expire` owns physical reclamation, clone-aware), and a
+    * column-mapped table keeps its mapping directory: the empty dir is
+    * written under PHYSICAL names like every other write, so the
+    * logical schema survives. Races with concurrent commits fail loud
+    * ([[Manifest.replaceDirs]]'s conflict detection), never silently
+    * drop someone else's landed rows.
+    */
+  override def truncateTable(): Boolean = {
+    val l2p = colMap.map(_.swap)
+    val pSchema = StructType(tableSchema.map(f =>
+      f.copy(name = l2p.getOrElse(f.name, f.name), nullable = true)))
+    val empty = GraftDdl.writeEmptyDir(s, root, pSchema)
+    Manifest.replaceDirs(s, root,
+      remove = (dataDirs ++ tombDirs).toSet, add = Seq(empty))
+    true
+  }
 
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
@@ -323,12 +344,17 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     colMap: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggPushed: Boolean = false
   private var dirRequested: Boolean = false
+  private var limitPushed: Option[Int] = None
+  // (logical sort column, descending, nulls-first, k)
+  private var topNPushed: Option[(String, Boolean, Boolean, Int)] = None
 
   // ── column-mapping translation (ALTER TABLE RENAME COLUMN): the
   // table advertises LOGICAL names, parquet + sidecars keep PHYSICAL
@@ -533,8 +559,174 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     }
   }
 
-  private lazy val delegate: ParquetScanBuilder = {
+  /** PARTIAL limit pushdown: bank whole directories until their
+    * sidecars' EXACT row counts cover the limit, then stop — a
+    * `LIMIT 100` sample of a 100 TB table lists and plans ONE
+    * directory, not the table. Spark's own limit stays on top
+    * ([[isPartiallyPushed]] = true), so over-returning is always
+    * re-cut; a directory with no readable count banks nothing
+    * (fail-open: kept, and the walk keeps going). Fail-closed where
+    * banked counts could overshoot the rows the scan actually
+    * returns: a tombstoned version drops rows at read time, and a
+    * row-level operation must read every kept group.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (rowOp || tombDirs.nonEmpty || aggPushed || topNPushed.isDefined ||
+        limit <= 0) false
+    else { limitPushed = Some(limit); true }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** PARTIAL top-k pushdown (`ORDER BY c LIMIT k` — "the newest 100
+    * events of a 100 TB time-ordered table"): directories whose
+    * sidecar BOUNDS prove they sort entirely AFTER k already-banked
+    * rows are never planned. Spark's sort + limit stay on top
+    * (partial semantics), so the scan only ever over-returns. The
+    * certificate per dropped directory d: a fixed witness set of KEPT
+    * directories, jointly holding ≥ k credited rows, every one
+    * sorting ≤ every row of d. Nulls are load-bearing: under NULLS
+    * FIRST a directory's nulls sort to the FRONT, so d must be
+    * provably null-free in the sort column (the sidecar's `nonnull`
+    * extension) and witnesses credit their FULL row count; under
+    * NULLS LAST witnesses credit only non-null rows and d's own nulls
+    * are irrelevant. Anything unknown — missing sidecar, missing
+    * column, unparseable bound, pre-extension sidecar — keeps the
+    * directory and credits nothing. Single sort key, integral/date
+    * columns only (exact numeric compare; ISO date strings order
+    * chronologically); tombstoned/row-op scans refuse like
+    * [[pushLimit]].
+    */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference,
+      NullOrdering, SortDirection}
+    if (rowOp || tombDirs.nonEmpty || aggPushed || limit <= 0 ||
+        limitPushed.isDefined || orders.length != 1) return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        r.fieldNames()(0)
+      case _ => return false
+    }
+    val sortable = tableSchema.find(_.name == colName).exists(f =>
+      f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType ||
+        f.dataType == org.apache.spark.sql.types.ByteType ||
+        f.dataType == org.apache.spark.sql.types.DateType)
+    if (!sortable) return false
+    topNPushed = Some((colName,
+      o.direction() == SortDirection.DESCENDING,
+      o.nullOrdering() == NullOrdering.NULLS_FIRST, limit))
+    true
+  }
+
+  /** Top-k truncation over the statically-kept directories: (scan
+    * dirs, dirs the certificate dropped). See [[pushTopN]].
+    */
+  private lazy val topNed: (Seq[String], Seq[String]) = topNPushed match {
+    case None => (pruning._1, Seq.empty)
+    case Some((c, desc, nullsFirst, k)) =>
+      val f = new Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val pc = phys(c)
+      // bound string → exact numeric key in SORT space (negated for
+      // DESC, so the walk below is always "ascending")
+      def key(tag: String, v: String): Option[BigDecimal] = {
+        val n = tag match {
+          case "long" | "double" => scala.util.Try(BigDecimal(v)).toOption
+          case "date" => scala.util.Try(
+            BigDecimal(java.time.LocalDate.parse(v).toEpochDay)).toOption
+          case _ => None
+        }
+        n.map(x => if (desc) -x else x)
+      }
+      final case class Fact(dir: String, slo: BigDecimal, shi: BigDecimal,
+        cnt: Option[Long], nonNull: Option[Long])
+      val (known, unknown) = pruning._1.map { d =>
+        val ent = SkipStats.read(f, d).flatMap(_.get(pc))
+        val cnt = SkipStats.readCount(f, d)
+        val nn = SkipStats.readNonNull(f, d).get(pc)
+        val fact = ent.flatMap { cs =>
+          cs.bounds.flatMap { case (mn, mx) =>
+            for (lo <- key(cs.tpe, mn); hi <- key(cs.tpe, mx))
+              yield Fact(d, lo.min(hi), lo.max(hi), cnt, nn)
+          }
+        }
+        (d, fact, ent, cnt)
+      }.partition(_._2.isDefined)
+      // all-null dirs under NULLS FIRST sort wholly to the front:
+      // always kept, and their full counts are valid witness credit
+      var banked: Long = unknown.collect {
+        case (_, _, Some(cs), Some(n))
+            if cs.bounds.isEmpty && nullsFirst => n
+      }.sum
+      var creditBound: Option[BigDecimal] = None
+      val keep = Seq.newBuilder[String]
+      val drop = Seq.newBuilder[String]
+      unknown.foreach { u => keep += u._1 }
+      known.map(_._2.get).sortBy(_.shi).foreach { d =>
+        val nullFree = (d.cnt, d.nonNull) match {
+          case (Some(a), Some(b)) => a == b
+          case _ => false
+        }
+        val afterWitness = creditBound.exists(_ <= d.slo)
+        if (banked >= k && afterWitness && (!nullsFirst || nullFree))
+          drop += d.dir
+        else {
+          keep += d.dir
+          if (banked < k) {
+            val credit =
+              if (nullsFirst) d.cnt.getOrElse(0L)
+              else d.nonNull.getOrElse(0L)
+            if (credit > 0) {
+              banked += credit
+              creditBound =
+                Some(creditBound.fold(d.shi)(_.max(d.shi)))
+            }
+          }
+        }
+      }
+      // preserve the manifest's directory order for the kept set
+      val keepSet = keep.result().toSet
+      (pruning._1.filter(keepSet), drop.result())
+  }
+
+  /** Limit-truncated (scan dirs, dirs the limit dropped). Identity
+    * when no limit was pushed.
+    */
+  private lazy val limited: (Seq[String], Seq[String]) = {
     val (kept, _) = pruning
+    limitPushed match {
+      case Some(l) =>
+        val f = new Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        var banked = 0L
+        var done = false
+        val keep = Seq.newBuilder[String]
+        val drop = Seq.newBuilder[String]
+        kept.foreach { d =>
+          if (done) drop += d
+          else {
+            keep += d
+            banked += SkipStats.readCount(f, d).getOrElse(0L)
+            if (banked >= l) done = true
+          }
+        }
+        (keep.result(), drop.result())
+      case None => (kept, Seq.empty)
+    }
+  }
+
+  // limit and top-k are mutually exclusive pushes (Spark plans one or
+  // the other); whichever fired owns the scan's directory list
+  private lazy val narrowed: (Seq[String], Seq[String]) =
+    if (topNPushed.isDefined) topNed else limited
+
+  private lazy val delegate: ParquetScanBuilder = {
+    val kept = narrowed._1
     val scanDirs = if (kept.nonEmpty) kept else dataDirs.take(1)
     // the delegate lives in PHYSICAL-name space: files keep the names
     // they were written with; the logical rename is applied above
@@ -580,7 +772,9 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
   }
 
   override def build(): Scan = {
-    val (kept, skipped) = pruning
+    val (prunedKept, skipped) = pruning
+    val (kept, limitDropped) = narrowed
+    require(limitDropped.isEmpty || prunedKept.nonEmpty, "unreachable")
     // ── tombstone key set (bounded by accumulated deletes) ──
     val tombFilter = if (tombDirs.isEmpty) None else {
       val key = morKey.get
@@ -612,7 +806,9 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     GraftScan(parquetScan, root, version, kept, skipped,
       allPruned = kept.isEmpty && !aggPushed, tombFilter, s, tableSchema,
       delegateRequired, options, dirRequested, dataDirs, opState, rowOp,
-      colMap)
+      colMap, limitDropped = limitDropped,
+      limitMode = limitPushed.isDefined || topNPushed.isDefined,
+      topNMode = topNPushed.isDefined)
   }
 }
 
@@ -638,7 +834,9 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     requiredSchema: StructType, options: CaseInsensitiveStringMap,
     dirRequested: Boolean = false, allDataDirs: Seq[String] = Seq.empty,
     opState: Option[GraftRowOpState] = None, rowOp: Boolean = false,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    limitDropped: Seq[String] = Seq.empty, limitMode: Boolean = false,
+    topNMode: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -745,6 +943,13 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       // survivor scan — dropping their rows from the rewrite. Advertise
       // nothing; the surgical path prunes through `_dir` above.
       Array.empty
+    else if (limitMode)
+      // a LIMIT-pushed scan returns an ARBITRARY prefix of the table;
+      // a runtime join filter removing rows BELOW the limit would
+      // change which rows fill the limit's slots (fewer distinct rows
+      // reach the join than the un-filtered prefix would supply) —
+      // never compose the two
+      Array.empty
     else advertisedColumns
 
   override def filter(predicates: Array[
@@ -763,8 +968,10 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       }
     case None =>
       // defense in depth for the non-surgical row-op scan (see
-      // filterAttributes): never prune a whole-snapshot rewrite's read
-      if (rowOp) return
+      // filterAttributes) and the LIMIT-pushed scan (see
+      // filterAttributes: a runtime filter under a limit changes which
+      // rows fill its slots): never prune either scan's read
+      if (rowOp || limitMode) return
       // data-column runtime pruning: keep a dir iff, for EVERY runtime
       // IN/= predicate, some value overlaps the dir's sidecar range
       // (missing sidecar/column → keep; stats only ever skip IO).
@@ -919,7 +1126,9 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       s"keptDirs=${keptDirs.size} skippedDirs=${skippedDirs.size} " +
       s"mor=${tombFilter.nonEmpty} " +
       s"pushedAggregate=${delegate.pushedAggregate.nonEmpty}" +
-      (if (opState.isDefined) " rowOp=true" else "")
+      (if (opState.isDefined) " rowOp=true" else "") +
+      (if (topNMode) s" topNDirs=${limitDropped.size}"
+       else if (limitMode) s" limitDirs=${limitDropped.size}" else "")
 }
 
 /** A file partition plus the committed directory its files belong to —

@@ -5378,6 +5378,309 @@ object OpsQueries {
       |SELECT 3, 0, 0
       |ORDER BY phase""".stripMargin
 
+  /** `ALTER TABLE … RENAME TO` under the oracle gate
+    * ([[graft.io.dsv2.GraftCatalog.renameTable]] /
+    * [[graft.io.Manifest.renameRoot]]): the rename is ONE filesystem
+    * move plus an in-place rewrite of each manifest's own-root-prefixed
+    * entries — no data byte moves twice, and the whole ledger survives
+    * under the new name. In-gate requires pin exactly that: the old
+    * root is gone, both versions answer under the new name, time travel
+    * still works, and the CTAS-installed sidecars still PRUNE (the
+    * pruning discipline must survive the rename, or every renamed
+    * 100 TB table silently reverts to full scans). Fixture and output
+    * are io48's shape, so the oracle is io48's text verbatim — a rename
+    * may change the NAME, never an answer.
+    */
+  def io52TableRename(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g52", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g52.root", tmpDir(s))
+    val oldRoot = tmpDir(s) + "/graft_io52_tbl"
+    val newRoot = tmpDir(s) + "/graft_io52_moved"
+    val fs = new org.apache.hadoop.fs.Path(oldRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(oldRoot), true)
+    fs.delete(new org.apache.hadoop.fs.Path(newRoot), true)
+    val k = okeyUnit(s, dir)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("l_orderkey") < 2 * k)
+      .createOrReplaceTempView("io52_src")
+    s.sql(s"""CREATE TABLE g52.graft_io52_tbl
+      TBLPROPERTIES('statsCols'='l_orderkey')
+      AS SELECT * FROM io52_src WHERE l_orderkey < $k""")
+    s.sql(s"INSERT INTO g52.graft_io52_tbl " +
+      s"SELECT * FROM io52_src WHERE l_orderkey >= $k")
+    val tagged = Manifest.versions(s, oldRoot)
+    require(tagged == Seq(1, 2), s"fixture expects versions 1,2: $tagged")
+    s.sql("ALTER TABLE g52.graft_io52_tbl RENAME TO graft_io52_moved")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(oldRoot)),
+      "the old root must be gone after RENAME TO")
+    require(Manifest.versions(s, newRoot) == Seq(1, 2),
+      "the version ledger must survive the rename intact")
+    require(scala.util.Try(
+        s.sql("SELECT * FROM g52.graft_io52_tbl").collect()).isFailure,
+      "the old name must stop resolving after RENAME TO")
+    // the CTAS sidecars moved WITH their directories: a selective read
+    // under the new name must still prune at planning
+    val probe = s.sql(
+      s"SELECT * FROM g52.graft_io52_moved WHERE l_orderkey < ${k / 2}")
+    probe.collect()
+    require(probe.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "skip-stats pruning must survive the rename:\n" +
+        probe.queryExecution.executedPlan)
+    val pre = s.sql("SELECT * FROM g52.graft_io52_moved VERSION AS OF 1")
+    val post = s.sql("SELECT * FROM g52.graft_io52_moved")
+    dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  // io48's fixture, io48's phases — the rename must not change a number
+  val io52Oracle: String = io48Oracle
+
+  /** `CALL lake.sidecar` — RETROFITTING prunability onto a table
+    * ingested before the stats discipline existed, without rewriting a
+    * byte: four committed directories with NO sidecars read everything
+    * for a point probe; one CALL installs min/max + bloom sidecars
+    * beside the data (one aggregation pass per directory — the cheapest
+    * possible path to a prunable 100 TB table); the same probe then
+    * reads ONE directory. The residue-split fixture makes ranges
+    * straddle every directory, so the skips are the BLOOMS' — the
+    * io49 discipline, arrived at through maintenance instead of
+    * write-time options. A second CALL is a no-op (idempotent).
+    */
+  def io53SidecarRetrofit(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g53", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g53.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io53_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      li.filter(col("l_orderkey") % 4 === b).write.parquet(d)
+      Manifest.commit(s, root, d) // deliberately NO sidecars
+    }
+    val probe2 = li.filter(col("l_orderkey") % 4 === 2)
+      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+    def eqProbe(): DataFrame = s.sql(
+      s"SELECT * FROM g53.graft_io53_tbl WHERE l_orderkey = $probe2")
+    val before = eqProbe()
+    before.collect()
+    require(before.queryExecution.executedPlan.toString
+      .contains("skippedDirs=0"),
+      "an un-sidecared table must have nothing to prune on:\n" +
+        before.queryExecution.executedPlan)
+    s.conf.set("spark.graft.bloomSidecar.fpp", "0.0001")
+    val first =
+      try s.sql("CALL g53.sidecar('graft_io53_tbl', 'l_orderkey', " +
+        "'l_orderkey')").collect()
+      finally s.conf.unset("spark.graft.bloomSidecar.fpp")
+    require(first.length == 4 && first.forall(r =>
+        r.getBoolean(1) && r.getBoolean(2)),
+      s"the retrofit must install both sidecars on all 4 dirs: " +
+        first.mkString(", "))
+    val again = s.sql("CALL g53.sidecar('graft_io53_tbl', " +
+      "'l_orderkey', 'l_orderkey')").collect()
+    require(again.forall(r => !r.getBoolean(1) && !r.getBoolean(2)),
+      "the retrofit must be idempotent — covered dirs untouched")
+    val after = eqProbe()
+    after.collect()
+    require(after.queryExecution.executedPlan.toString
+      .contains("skippedDirs=3"),
+      "the retrofitted blooms must skip the 3 other-residue dirs:\n" +
+        after.queryExecution.executedPlan)
+    after.agg(count(lit(1)).as("n"),
+      sum(col("cents")).cast("long").as("sum_cents"))
+  }
+
+  val io53Oracle: String =
+    """WITH li AS (SELECT l_orderkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem),
+      |p2 AS (SELECT MIN(l_orderkey) AS v FROM li WHERE l_orderkey % 4 = 2)
+      |SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM li WHERE l_orderkey = (SELECT v FROM p2)""".stripMargin
+
+  /** Aggregate PUSHDOWN under the oracle gate: `COUNT(*)/MIN/MAX` over
+    * a manifest table answers from parquet FOOTERS — zero data rows
+    * decoded, a metadata-only census of a 100 TB table
+    * ([[graft.io.dsv2.GraftScanBuilder.pushAggregation]] forwarding to
+    * Spark's parquet delegate, riding Spark's own
+    * `spark.sql.parquet.aggregatePushdown` switch). The in-gate
+    * requires pin `pushedAggregate=true` in the executed plan for BOTH
+    * phases — including after a copy-on-write DELETE, because the
+    * rewrite produces ordinary parquet whose footers are just as
+    * answerable (maintenance must never cost the table its metadata
+    * shortcuts). A MoR table refuses the shortcut (footers still count
+    * deleted rows) — spec-pinned in `Dsv2CatalogSpec`.
+    */
+  def io54AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val (root, k) = dmlTable(s, dir, "g54", "graft_io54_tbl")
+    require(graft.io.Manifest.versions(s, root).nonEmpty)
+    val prev = s.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      def census(tag: Int): DataFrame = {
+        val q = s.sql("SELECT COUNT(*) AS n, MIN(l_orderkey) AS mn, " +
+          "MAX(l_orderkey) AS mx, MIN(cents) AS mnc, MAX(cents) AS mxc " +
+          "FROM g54.graft_io54_tbl")
+        q.collect()
+        require(q.queryExecution.executedPlan.toString
+          .contains("pushedAggregate=true"),
+          s"phase $tag must answer from parquet footers:\n" +
+            q.queryExecution.executedPlan)
+        q.withColumn("phase", lit(tag))
+          .select(col("phase"), col("n"), col("mn"), col("mx"),
+            col("mnc"), col("mxc"))
+      }
+      val pre = census(0)
+      // a CoW DELETE rewrites one directory; its footers answer too
+      s.sql("DELETE FROM g54.graft_io54_tbl " +
+        s"WHERE l_orderkey >= $k AND l_orderkey < ${k + k / 2}")
+      val post = census(1)
+      pre.unionByName(post).orderBy(col("phase"))
+    } finally s.conf.set("spark.sql.parquet.aggregatePushdown", prev)
+  }
+
+  val io54Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |post AS (SELECT * FROM li, mk
+      |  WHERE NOT (l_orderkey >= k AND l_orderkey < k + k // 2))
+      |SELECT 0 AS phase, COUNT(*) AS n, MIN(l_orderkey) AS mn,
+      |  MAX(l_orderkey) AS mx, MIN(cents) AS mnc, MAX(cents) AS mxc
+      |FROM li
+      |UNION ALL
+      |SELECT 1, COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+      |  MIN(cents), MAX(cents) FROM post
+      |ORDER BY phase""".stripMargin
+
+  /** LIMIT pushdown under the oracle gate
+    * ([[graft.io.dsv2.GraftScanBuilder.pushLimit]]): the sidecars'
+    * EXACT per-directory row counts let a `LIMIT n` scan STOP LISTING
+    * the table once enough whole directories are banked — a LIMIT-100
+    * sample of a 100 TB table plans one directory, not the table.
+    * Partial-pushdown semantics keep it safe by construction: Spark's
+    * own limit stays on top (over-returning is re-cut), a directory
+    * without a readable count banks nothing (fail-open: kept), and
+    * tombstoned/row-op scans refuse (their read-time row drops would
+    * make banked counts overshoot). The in-gate require pins
+    * `limitDirs=3` — three of the four fixture directories were never
+    * planned.
+    */
+  def io55LimitPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g55", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g55.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io55_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val hi = okeyUnit(s, dir, frac = 1) // max okey + 1
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      li.filter(col("l_orderkey") >= b * hi / 4 &&
+          col("l_orderkey") < (b + 1) * hi / 4)
+        .write.parquet(d)
+      graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
+      Manifest.commit(s, root, d)
+    }
+    val q = s.sql("SELECT COUNT(*) AS n FROM " +
+      "(SELECT * FROM g55.graft_io55_tbl LIMIT 100) t")
+    q.collect()
+    require(q.queryExecution.executedPlan.toString.contains("limitDirs=3"),
+      "the banked sidecar counts must keep 1 of 4 directories:\n" +
+        q.queryExecution.executedPlan)
+    q
+  }
+
+  val io55Oracle: String =
+    "SELECT CAST(LEAST(100, COUNT(*)) AS BIGINT) AS n FROM lineitem"
+
+  /** Top-k PUSHDOWN under the oracle gate
+    * ([[graft.io.dsv2.GraftScanBuilder.pushTopN]]): `ORDER BY c
+    * LIMIT k` — "the newest 100 events" on a 100 TB time-ordered
+    * table — plans ONLY the directories whose sidecar bounds cannot
+    * prove they sort after k banked rows. The fixture's four
+    * directories hold contiguous key quartiles, so the front
+    * directory banks the whole limit and the other three are never
+    * planned, in BOTH directions (`topNDirs=3` pinned ascending and
+    * descending). The census aggregates the sort key alone — the
+    * top-k multiset of key VALUES is deterministic even where row
+    * ties at the cut are not. Null semantics (a nulled directory
+    * under NULLS FIRST must stay) are spec-pinned in
+    * `Dsv2CatalogSpec`.
+    */
+  def io56TopnPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g56", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g56.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io56_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val hi = okeyUnit(s, dir, frac = 1) // max okey + 1
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    for (b <- 0 until 4) {
+      val d = s"$root/data/b$b"
+      li.filter(col("l_orderkey") >= b * hi / 4 &&
+          col("l_orderkey") < (b + 1) * hi / 4)
+        .write.parquet(d)
+      graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
+      Manifest.commit(s, root, d)
+    }
+    def probe(sql: String, tag: Int): DataFrame = {
+      val q = s.sql(sql)
+      q.collect()
+      require(q.queryExecution.executedPlan.toString
+        .contains("topNDirs=3"),
+        s"phase $tag must plan 1 of 4 directories:\n" +
+          q.queryExecution.executedPlan)
+      q.agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+        max(col("l_orderkey")).as("mx"),
+        sum(col("l_orderkey")).cast("long").as("sum_okey"))
+        .withColumn("phase", lit(tag))
+        .select(col("phase"), col("n"), col("mn"), col("mx"),
+          col("sum_okey"))
+    }
+    val up = probe("SELECT l_orderkey FROM g56.graft_io56_tbl " +
+      "ORDER BY l_orderkey LIMIT 100", 0)
+    val down = probe("SELECT l_orderkey FROM g56.graft_io56_tbl " +
+      "ORDER BY l_orderkey DESC LIMIT 100", 1)
+    up.unionByName(down).orderBy(col("phase"))
+  }
+
+  val io56Oracle: String =
+    """WITH a AS (SELECT l_orderkey FROM lineitem
+      |  ORDER BY l_orderkey LIMIT 100),
+      |d AS (SELECT l_orderkey FROM lineitem
+      |  ORDER BY l_orderkey DESC LIMIT 100)
+      |SELECT 0 AS phase, COUNT(*) AS n, MIN(l_orderkey) AS mn,
+      |  MAX(l_orderkey) AS mx, CAST(SUM(l_orderkey) AS BIGINT)
+      |    AS sum_okey FROM a
+      |UNION ALL
+      |SELECT 1, COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+      |  CAST(SUM(l_orderkey) AS BIGINT) FROM d
+      |ORDER BY phase""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -5524,6 +5827,11 @@ object OpsQueries {
     "io49_bloom_prune" -> (io49BloomPrune _),
     "io50_sql_rename" -> (io50SqlRename _),
     "io51_twophase_prune" -> (io51TwophasePrune _),
+    "io52_table_rename" -> (io52TableRename _),
+    "io53_sidecar_retrofit" -> (io53SidecarRetrofit _),
+    "io54_agg_pushdown" -> (io54AggPushdown _),
+    "io55_limit_prune" -> (io55LimitPrune _),
+    "io56_topn_prune" -> (io56TopnPrune _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5615,6 +5923,11 @@ object OpsQueries {
     "io49_bloom_prune" -> io49Oracle,
     "io50_sql_rename" -> io50Oracle,
     "io51_twophase_prune" -> io51Oracle,
+    "io52_table_rename" -> io52Oracle,
+    "io53_sidecar_retrofit" -> io53Oracle,
+    "io54_agg_pushdown" -> io54Oracle,
+    "io55_limit_prune" -> io55Oracle,
+    "io56_topn_prune" -> io56Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -325,6 +325,122 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       .contains("pushedAggregate=true"))
   }
 
+  test("LIMIT pushdown banks sidecar counts; unknown counts and " +
+      "tombstones fail safe") {
+    wh
+    import spark.implicits._
+    // banked: b1's sidecar count (100) covers LIMIT 40 — b2 is never
+    // planned (partial pushdown: Spark's own limit re-cuts on top)
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM lake.events LIMIT 40) t")
+    assert(q.collect()(0).getLong(0) === 40L)
+    assert(q.queryExecution.executedPlan.toString.contains("limitDirs=1"),
+      s"b2 must never be planned:\n${q.queryExecution.executedPlan}")
+    // a limit past every banked count keeps everything, answer exact
+    val all = spark.sql("SELECT count(*) AS n FROM " +
+      "(SELECT * FROM lake.events LIMIT 1000) t")
+    assert(all.collect()(0).getLong(0) === 200L)
+    assert(all.queryExecution.executedPlan.toString
+      .contains("limitDirs=0"))
+    // unknown counts bank NOTHING: dirs without sidecars all stay
+    val plain = s"$wh/limplain"
+    (0L until 60L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$plain/data/b1")
+    Manifest.commit(spark, plain, s"$plain/data/b1")
+    (60L until 120L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$plain/data/b2")
+    Manifest.commit(spark, plain, s"$plain/data/b2")
+    val lp = spark.read.format("graft").load(plain).limit(90)
+    assert(lp.collect().length === 90)
+    assert(lp.queryExecution.executedPlan.toString
+      .contains("limitDirs=0"))
+    // a tombstoned table REFUSES the pushdown — its read drops rows,
+    // so banked raw counts would overshoot what the scan returns
+    val morRoot = s"$wh/limmor"
+    (0L until 50L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$morRoot/data/b1")
+    SkipStats.write(spark, s"$morRoot/data/b1", Seq("id"))
+    Manifest.commit(spark, morRoot, s"$morRoot/data/b1")
+    MergeOnRead.deleteWhere(spark, morRoot, "id", col("id") < 30,
+      s"$morRoot/data")
+    val mor = spark.read.format("graft").option("morKey", "id")
+      .load(morRoot).limit(25)
+    assert(mor.count() === 20L,
+      "the merged read has 20 survivors; LIMIT 25 must see them all")
+    assert(!mor.queryExecution.executedPlan.toString
+      .contains("limitDirs="),
+      "a tombstoned version must never push the limit")
+  }
+
+  test("TopN pushdown drops only provably-after directories; a nulled " +
+      "directory under NULLS FIRST stays") {
+    wh
+    import spark.implicits._
+    // lake.events: b1 holds ids 0..99, b2 holds 100..199, both
+    // sidecar'd — ascending top-40 banks b1 and never plans b2
+    val t = spark.sql(
+      "SELECT id FROM lake.events ORDER BY id LIMIT 40")
+    assert(t.collect().map(_.getLong(0)).toSeq === (0L until 40L))
+    assert(t.queryExecution.executedPlan.toString.contains("topNDirs=1"),
+      s"b2 must never be planned:\n${t.queryExecution.executedPlan}")
+    // a table whose sort-back directory CONTAINS NULLS: under the
+    // default ASC NULLS FIRST those nulls sort to the FRONT — the
+    // directory must be kept even though its bounds sort after the
+    // banked witness; under NULLS LAST it may drop
+    val root = s"$wh/topnnull"
+    (0L until 100L).map(i => (Some(i), i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    SkipStats.write(spark, s"$root/data/b1", Seq("id"))
+    Manifest.commit(spark, root, s"$root/data/b1")
+    ((200L until 260L).map(i => (Some(i), i)) ++
+      (0L until 10L).map(i => (None: Option[Long], 900L + i)))
+      .toDF("id", "v").write.parquet(s"$root/data/b2")
+    SkipStats.write(spark, s"$root/data/b2", Seq("id"))
+    Manifest.commit(spark, root, s"$root/data/b2")
+    val df = spark.read.format("graft").load(root)
+    val nf = df.orderBy(col("id").asc_nulls_first).limit(50)
+    val got = nf.collect()
+    assert(got.take(10).forall(_.isNullAt(0)),
+      "NULLS FIRST: b2's null rows must lead the top-k")
+    assert(nf.queryExecution.executedPlan.toString.contains("topNDirs=0"),
+      "a nulled directory must never drop under NULLS FIRST:\n" +
+        nf.queryExecution.executedPlan)
+    val nl = df.orderBy(col("id").asc_nulls_last).limit(50)
+    assert(nl.collect().map(_.getLong(0)).toSeq === (0L until 50L))
+    assert(nl.queryExecution.executedPlan.toString.contains("topNDirs=1"),
+      "NULLS LAST: b2 (values after the witness, nulls last) must " +
+        s"drop:\n${nl.queryExecution.executedPlan}")
+    // DESC (default NULLS LAST): b2's non-null rows bank the limit,
+    // b1 sorts entirely after them
+    val dn = df.orderBy(col("id").desc).limit(30)
+    assert(dn.collect().map(_.getLong(0)).toSeq ===
+      (259L to 230L by -1L))
+    assert(dn.queryExecution.executedPlan.toString.contains("topNDirs=1"),
+      s"DESC: b1 must never be planned:\n${dn.queryExecution.executedPlan}")
+  }
+
+  test("TRUNCATE TABLE commits one empty replacing version; time " +
+      "travel keeps the rows") {
+    wh
+    import spark.implicits._
+    val root = s"$wh/trunc"
+    (0L until 80L).map(i => (i, i % 3)).toDF("id", "grp")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    spark.sql("TRUNCATE TABLE lake.trunc")
+    assert(spark.sql("SELECT count(*) n FROM lake.trunc")
+      .collect()(0).getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) n FROM lake.trunc VERSION AS OF 1")
+      .collect()(0).getLong(0) === 80L,
+      "the pre-truncate version must stay time-travelable")
+    spark.sql("INSERT INTO lake.trunc " +
+      "SELECT CAST(7 AS BIGINT) AS id, CAST(1 AS BIGINT) AS grp")
+    assert(spark.sql("SELECT id FROM lake.trunc")
+      .collect().map(_.getLong(0)).toSeq === Seq(7L),
+      "INSERT after TRUNCATE must append from the truncated head")
+    assert(Manifest.versions(spark, root).size === 3)
+  }
+
   test("CALL procedures run the maintenance verbs: history, tag, " +
       "compact, fold, expire") {
     import spark.implicits._
