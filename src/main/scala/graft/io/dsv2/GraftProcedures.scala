@@ -292,6 +292,84 @@ object GraftProcedures {
           }
       }
     },
+    // sorted RE-CLUSTERING — `OPTIMIZE … SORT BY` as one CALL: the
+    // snapshot rewrites range-partitioned + sorted on the given
+    // columns into `buckets` directories, each with a fresh skip-stats
+    // sidecar, committed as ONE replacing version. After it, the sort
+    // columns' per-directory ranges are DISJOINT, so any selective
+    // probe on them plans ∝ matching buckets instead of ∝ table — the
+    // layout maintenance that turns an append-order 100 TB table into
+    // a prunable one. Data is layout-only preserved (the gate proves
+    // census identity with the pre-cluster version); time travel keeps
+    // the old layout; a tombstoned table refuses (fold first — a
+    // rewrite must never resurrect deleted rows); sort columns are
+    // LOGICAL names, translated for mapped tables.
+    "cluster" -> new P("cluster",
+      Seq(param("table", StringType), param("sort_cols", StringType),
+        param("buckets", IntegerType)),
+      StructType(Seq(StructField("dir", StringType),
+        StructField("rows", LongType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val s = session
+        val sortCols = utf(in.get(1, StringType)).split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val buckets = in.getInt(2)
+        require(sortCols.nonEmpty && buckets > 0,
+          "cluster needs sort_cols and buckets > 0")
+        val entries = Manifest.entries(s, root)
+        require(!entries.exists(MergeOnRead.isTombstone),
+          s"$root carries live tombstones — fold before re-clustering")
+        val l2p = graft.io.ColumnMapping.mapping(s, root).map(_.swap)
+        val phys = sortCols.map(c => l2p.getOrElse(c, c))
+        val data = entries.filterNot(graft.io.ColumnMapping.isMapping)
+        require(data.nonEmpty, s"$root has no data to cluster")
+        import org.apache.spark.sql.functions.{col, spark_partition_id}
+        val stage = s"$root/data/cluster-v${Manifest.versions(s, root)
+          .last + 1}"
+        s.read.parquet(data: _*)
+          .repartitionByRange(buckets, phys.map(col): _*)
+          .sortWithinPartitions(phys.map(col): _*)
+          .withColumn("gbucket", spark_partition_id())
+          .write.partitionBy("gbucket").parquet(stage)
+        val f = new org.apache.hadoop.fs.Path(stage)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val newDirs = f.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("gbucket="))
+          .map(_.getPath.toUri.getPath).sorted.toSeq
+        require(newDirs.nonEmpty, "clustering produced no output")
+        // the rewrite must not cost the table its existing pruning
+        // discipline: stats cover the sort columns PLUS the union of
+        // what the replaced directories carried and the persisted
+        // statsCols property; blooms likewise (the ADVICE-r12 carry
+        // rule — maintenance never leaves an unprunable hole)
+        val fsrc = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val carriedStats = data.flatMap(d =>
+          graft.io.SkipStats.read(fsrc, d)).flatMap(_.keySet).toSet
+        val propCols = GraftTableProps.read(s, root)
+        def propList(k: String): Set[String] = propCols.get(k)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty).map(c => l2p.getOrElse(c, c))
+        val statsCols =
+          (phys.toSet ++ carriedStats ++ propList("statsCols")).toSeq.sorted
+        val carriedBloom = data.flatMap(d =>
+          graft.io.BloomSidecar.readKeys(fsrc, d)).flatten.toSet
+        val bloomCols =
+          (carriedBloom ++ propList("bloomCols")).toSeq.sorted
+        newDirs.foreach { d =>
+          graft.io.SkipStats.write(s, d, statsCols)
+          if (bloomCols.nonEmpty) graft.io.BloomSidecar.write(s, d,
+            bloomCols)
+        }
+        Manifest.replaceDirs(s, root, remove = data.toSet, add = newDirs)
+        newDirs.map { d =>
+          val n = graft.io.SkipStats.readCount(f, d).getOrElse(-1L)
+          new GenericInternalRow(Array[Any](UTF8String.fromString(d), n))
+        }
+      }
+    },
     // layout introspection: one row per committed directory of the
     // LATEST version — kind, file count, bytes, and which columns carry
     // skip-stats sidecars (what the planner can prune on). The ops view

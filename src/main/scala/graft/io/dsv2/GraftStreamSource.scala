@@ -47,7 +47,9 @@ case class GraftStreamOffset(version: Int) extends Offset {
 class GraftMicroBatchStream(s: SparkSession, root: String,
     tableSchema: StructType, required: StructType,
     options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
 
   private val ignoreChanges =
     Option(options.get("ignoreChanges")).exists(_.toBoolean)
@@ -71,6 +73,46 @@ class GraftMicroBatchStream(s: SparkSession, root: String,
     val vs = Manifest.versions(s, root)
     GraftStreamOffset(vs.lastOption.getOrElse(startVersion))
   }
+
+  // ── admission control + Trigger.AvailableNow ──
+  // A backfill from startingVersion 1 of a long-history table would
+  // otherwise consume EVERY commit in one giant microbatch (the offset
+  // jumps straight to head) — `maxVersionsPerBatch` caps each batch's
+  // commit span so checkpoint granularity and executor memory stay
+  // bounded during catch-up (Delta's maxFilesPerTrigger discipline at
+  // this source's natural unit, the committed version).
+  // Trigger.AvailableNow pins the drain TARGET once at stream start:
+  // batches (still capped) run until the pinned head, then the query
+  // STOPS — the production backfill/drain pattern — and commits that
+  // land mid-drain wait for the next run instead of extending this one.
+  private val maxVersionsPerBatch: Option[Int] =
+    Option(options.get("maxVersionsPerBatch")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxVersionsPerBatch must be positive, got $n")
+      n
+    }
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(Manifest.versions(s, root).lastOption.getOrElse(startVersion))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val head = Manifest.versions(s, root).lastOption.getOrElse(startVersion)
+    val target = availableNowCap.fold(head)(math.min(head, _))
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    val to = maxVersionsPerBatch.fold(target)(n =>
+      math.min(target, from + n))
+    GraftStreamOffset(math.max(to, from))
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toInt)

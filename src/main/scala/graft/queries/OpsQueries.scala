@@ -5681,6 +5681,81 @@ object OpsQueries {
       |  CAST(SUM(l_orderkey) AS BIGINT) FROM d
       |ORDER BY phase""".stripMargin
 
+  /** `CALL lake.cluster` — sorted RE-CLUSTERING under the oracle gate
+    * (`OPTIMIZE … SORT BY` as one CALL): an append-order table whose
+    * two directories' key ranges fully straddle each other (parity
+    * split — nothing prunable, a point probe reads everything)
+    * rewrites range-partitioned + sorted into four directories with
+    * fresh sidecars as ONE replacing commit. After it the same point
+    * probe reads ONE directory (`skippedDirs=3` pinned — disjoint
+    * ranges decide point probes with no blooms needed), the
+    * pre-cluster version still time-travels, and the gate's output is
+    * the SAME census through the clustered head and the time-traveled
+    * original — re-clustering is layout-only, it must never change an
+    * answer.
+    */
+  def io57SqlCluster(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g57", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g57.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io57_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("l_orderkey") < 2 * k)
+    for (b <- 0 until 2) {
+      val d = s"$root/data/b$b"
+      li.filter(col("l_orderkey") % 2 === b).write.parquet(d)
+      Manifest.commit(s, root, d) // append order: nothing prunable
+    }
+    val probeKey = li.filter(col("l_orderkey") % 2 === 1)
+      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+    def eqProbe(): DataFrame = s.sql(
+      s"SELECT * FROM g57.graft_io57_tbl WHERE l_orderkey = $probeKey")
+    val before = eqProbe()
+    before.collect()
+    require(before.queryExecution.executedPlan.toString
+      .contains("skippedDirs=0"),
+      "the parity layout must have nothing to prune on:\n" +
+        before.queryExecution.executedPlan)
+    val res = s.sql(
+      "CALL g57.cluster('graft_io57_tbl', 'l_orderkey', 4)").collect()
+    require(res.length == 4 && res.map(_.getLong(1)).sum ==
+        li.count(),
+      s"4 bucket dirs carrying every row, got ${res.mkString(", ")}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "the re-cluster must be ONE replacing commit")
+    val after = eqProbe()
+    after.collect()
+    require(after.queryExecution.executedPlan.toString
+      .contains("skippedDirs=3"),
+      "disjoint clustered ranges must decide the point probe:\n" +
+        after.queryExecution.executedPlan)
+    val head = s.sql("SELECT * FROM g57.graft_io57_tbl")
+    val pre = s.sql("SELECT * FROM g57.graft_io57_tbl VERSION AS OF 2")
+    dmlCensus(pre, 0).unionByName(dmlCensus(head, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io57Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |c AS (SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM li GROUP BY 1)
+      |SELECT 0 AS phase, l_returnflag, n, sum_okey, sum_cents FROM c
+      |UNION ALL
+      |SELECT 1, l_returnflag, n, sum_okey, sum_cents FROM c
+      |ORDER BY phase, l_returnflag""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -5832,6 +5907,7 @@ object OpsQueries {
     "io54_agg_pushdown" -> (io54AggPushdown _),
     "io55_limit_prune" -> (io55LimitPrune _),
     "io56_topn_prune" -> (io56TopnPrune _),
+    "io57_sql_cluster" -> (io57SqlCluster _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -5928,6 +6004,7 @@ object OpsQueries {
     "io54_agg_pushdown" -> io54Oracle,
     "io55_limit_prune" -> io55Oracle,
     "io56_topn_prune" -> io56Oracle,
+    "io57_sql_cluster" -> io57Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -65,6 +65,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("maxVersionsPerBatch bounds each microbatch's commit span; " +
+      "AvailableNow drains to the head pinned at start") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.Manifest
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-admission").toString
+    val src = s"$root/src"
+    for (i <- 1 to 3) {
+      val d = s"$src/data/c$i"
+      (i * 100L until i * 100L + 10L).map(x => (x, x)).toDF("id", "v")
+        .write.parquet(d)
+      Manifest.commit(spark, src, d)
+    }
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerBatch", "1").load(src)
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$root/out").count() === 30L,
+      "the drain must still deliver every commit exactly once")
+    assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+      "a capped backfill must consume ONE commit per microbatch: " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("startingTimestamp replays exactly the commits AFTER the " +
       "instant (manifest-mtime rule, Delta parity)") {
     import org.apache.spark.sql.streaming.Trigger
