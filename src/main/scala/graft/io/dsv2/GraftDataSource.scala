@@ -571,8 +571,12 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     * row-level operation must read every kept group.
     */
   override def pushLimit(limit: Int): Boolean = {
+    // pushed.nonEmpty is defense in depth: every filter here is
+    // residual, so Spark never pushes a limit past one today — but the
+    // banked counts assume UNFILTERED rows, and that assumption must
+    // be enforced where it lives, not in the planner's changelog
     if (rowOp || tombDirs.nonEmpty || aggPushed || topNPushed.isDefined ||
-        limit <= 0) false
+        pushed.nonEmpty || limit <= 0) false
     else { limitPushed = Some(limit); true }
   }
 
@@ -602,8 +606,11 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference,
       NullOrdering, SortDirection}
+    // pushed.nonEmpty: same defense as pushLimit — witness credits
+    // count a directory's WHOLE rows, which a row filter would break
     if (rowOp || tombDirs.nonEmpty || aggPushed || limit <= 0 ||
-        limitPushed.isDefined || orders.length != 1) return false
+        limitPushed.isDefined || pushed.nonEmpty ||
+        orders.length != 1) return false
     val o = orders(0)
     val colName = o.expression() match {
       case r: NamedReference if r.fieldNames.length == 1 =>
