@@ -57,7 +57,7 @@ object GraftDdl {
 
   /** Partition transforms are refused: directory layout here is the
     * engine's unit of commit/replace/skip (manifest dirs + skip-stats +
-    * Z-order `CALL lake.zorder`), not a hive-style column partitioning.
+    * `CALL lake.cluster`), not a hive-style column partitioning.
     * `sortBy`+`statsCols` give the clustered-write discipline instead.
     */
   def requireUnpartitioned(
@@ -66,7 +66,7 @@ object GraftDdl {
     require(partitions.isEmpty,
       "graft tables do not take PARTITIONED BY — write clustering is " +
         "TBLPROPERTIES('sortBy'='c1,c2') + 'statsCols' (skip-stats " +
-        "pruning), layout maintenance is CALL lake.zorder/compact")
+        "pruning), layout maintenance is CALL lake.cluster/compact")
 
   /** Apply create-time properties: morKey via the recorded-key file,
     * statsCols/sortBy via the props sidecar (read back as write-time

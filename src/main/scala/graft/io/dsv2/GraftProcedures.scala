@@ -292,6 +292,50 @@ object GraftProcedures {
           }
       }
     },
+    // CLONE as a CALL — `shallow` is the O(1) dev/test fork (manifest
+    // copy + registration on the source CHAIN, io27/io33 semantics:
+    // the source refuses DROP/deep-expire while registered); `deep` is
+    // the environment-promotion copy (data physically copied, zero
+    // coupling — io36). version 0 = latest.
+    "clone" -> new P("clone",
+      Seq(param("table", StringType), param("target", StringType),
+        param("mode", StringType), param("version", IntegerType)),
+      StructType(Seq(StructField("target", StringType),
+        StructField("version", IntegerType),
+        StructField("mode", StringType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val src = rootOf(utf(in.get(0, StringType)))
+        val dst = rootOf(utf(in.get(1, StringType)))
+        val mode = utf(in.get(2, StringType)).toLowerCase
+        val ver = Option(in.getInt(3)).filter(_ > 0)
+        val s = session
+        val v = mode match {
+          case "shallow" => Manifest.shallowClone(s, src, dst, ver)
+          case "deep" =>
+            Manifest.deepClone(s, src, dst, s"$dst/data", ver)
+          case other => throw new IllegalArgumentException(
+            s"clone mode must be 'shallow' or 'deep', got '$other'")
+        }
+        Seq(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(dst), v, UTF8String.fromString(mode))))
+      }
+    },
+    // orphan SWEEP as a CALL — directories landed but never committed
+    // (crashed ingest, failed CTAS, abandoned rewrite) under the
+    // table's staging root, older than grace_ms and referenced by NO
+    // version (and no registered clone): deleted, one row per
+    // reclaimed directory (io26's semantics).
+    "sweep" -> new P("sweep",
+      Seq(param("table", StringType), param("grace_ms", LongType)),
+      StructType(Seq(StructField("dir", StringType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val swept = Manifest.sweepAllOrphans(session, root,
+          Seq(s"$root/data"), in.getLong(1))
+        swept.map(d => new GenericInternalRow(
+          Array[Any](UTF8String.fromString(d))))
+      }
+    },
     // sorted RE-CLUSTERING — `OPTIMIZE … SORT BY` as one CALL: the
     // snapshot rewrites range-partitioned + sorted on the given
     // columns into `buckets` directories, each with a fresh skip-stats

@@ -441,6 +441,39 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(Manifest.versions(spark, root).size === 3)
   }
 
+  test("CALL clone (shallow guards the source; deep decouples) and " +
+      "CALL sweep reclaims orphans") {
+    wh
+    import spark.implicits._
+    val src = s"$wh/clsrc"
+    (0L until 40L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$src/data/b1")
+    Manifest.commit(spark, src, s"$src/data/b1")
+    // shallow: O(1) fork, source DROP refuses while registered
+    spark.sql("CALL lake.clone('clsrc', 'clshallow', 'shallow', 0)")
+    assert(spark.sql("SELECT count(*) n FROM lake.clshallow")
+      .collect()(0).getLong(0) === 40L)
+    assert(scala.util.Try(spark.sql("DROP TABLE lake.clsrc")).isFailure,
+      "a registered shallow clone must block DROP of its source")
+    // deep: fully decoupled — source can be dropped afterwards
+    spark.sql("CALL lake.clone('clsrc', 'cldeep', 'deep', 0)")
+    spark.sql("DROP TABLE lake.clshallow")
+    spark.sql("DROP TABLE lake.clsrc")
+    assert(spark.sql("SELECT count(*) n FROM lake.cldeep")
+      .collect()(0).getLong(0) === 40L,
+      "a deep clone must survive its source's drop")
+    // sweep: a landed-but-never-committed directory reclaims; the
+    // committed one stays
+    val orphan = s"$wh/cldeep/data/orphan-x"
+    (0L until 5L).map(i => (i, i)).toDF("id", "v").write.parquet(orphan)
+    val swept = spark.sql("CALL lake.sweep('cldeep', 0)").collect()
+    assert(swept.map(_.getString(0)).exists(_.endsWith("orphan-x")),
+      s"the orphan must sweep: ${swept.mkString(", ")}")
+    assert(spark.sql("SELECT count(*) n FROM lake.cldeep")
+      .collect()(0).getLong(0) === 40L,
+      "committed data must survive the sweep")
+  }
+
   test("CALL procedures run the maintenance verbs: history, tag, " +
       "compact, fold, expire") {
     import spark.implicits._
