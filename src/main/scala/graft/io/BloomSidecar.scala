@@ -114,6 +114,20 @@ object BloomSidecar {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** `DataInputStream.skipBytes` may skip FEWER bytes than asked (its
+    * contract); a short skip would silently desync the stream and cost
+    * the directory its pruning. Loop until fully skipped; zero progress
+    * (truncated file) throws into the caller's fail-open catch.
+    */
+  private def skipFully(in: DataInputStream, len: Int): Unit = {
+    var rem = len
+    while (rem > 0) {
+      val skipped = in.skipBytes(rem)
+      require(skipped > 0, s"truncated sidecar: $rem bytes unskippable")
+      rem -= skipped
+    }
+  }
+
   /** ONE column's bloom, skipping every other column's bytes — the
     * pruning consult usually probes a single key among several covered
     * columns, and filters can be megabytes each. None when the sidecar
@@ -139,7 +153,7 @@ object BloomSidecar {
             return Some((t, BloomFilter.readFrom(
               new java.io.ByteArrayInputStream(bytes))))
           }
-          in.skipBytes(len)
+          skipFully(in, len)
           i += 1
         }
         None
@@ -165,7 +179,7 @@ object BloomSidecar {
           val c = in.readUTF()
           in.readUTF() // type tag
           val len = in.readInt()
-          in.skipBytes(len)
+          skipFully(in, len)
           c
         }.toSet)
       } finally in.close()
