@@ -423,6 +423,7 @@ object GraftProcedures {
         StructField("kind", StringType),
         StructField("files", IntegerType),
         StructField("bytes", LongType),
+        StructField("rows", LongType),
         StructField("stats_cols", StringType)))) {
       override protected def run(in: InternalRow): Seq[InternalRow] = {
         val root = rootOf(utf(in.get(0, StringType)))
@@ -439,9 +440,12 @@ object GraftProcedures {
             if (MergeOnRead.isTombstone(d)) "tombstones" else "data"
           val statsCols = graft.io.SkipStats.read(f, d)
             .map(_.keySet.toSeq.sorted.mkString(",")).getOrElse("")
+          // exact row count from the sidecar, METADATA-ONLY (the same
+          // currency LIMIT pushdown banks); -1 = no sidecar, unknown
+          val rows = graft.io.SkipStats.readCount(f, d).getOrElse(-1L)
           new GenericInternalRow(Array[Any](UTF8String.fromString(d),
             UTF8String.fromString(kind), files.length,
-            files.map(_.getLen).sum,
+            files.map(_.getLen).sum, rows,
             UTF8String.fromString(statsCols)))
         }
       }

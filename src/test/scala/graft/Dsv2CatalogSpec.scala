@@ -893,13 +893,15 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       col("id") < 3, s"$root/data")
     val rows = spark.sql("CALL lake.layout('layoutt')").collect()
       .map(r => (r.getString(0).split("/").last, r.getString(1),
-        r.getInt(2), r.getLong(3), r.getString(4)))
+        r.getInt(2), r.getLong(3), r.getLong(4), r.getString(5)))
     assert(rows.length === 2)
     val data = rows.find(_._2 == "data").get
     assert(data._1 === "b1" && data._3 > 0 && data._4 > 0 &&
-      data._5 === "id,v")
+      data._6 === "id,v")
+    assert(data._5 === 20L,
+      "the sidecar's exact row count must surface metadata-only")
     val tomb = rows.find(_._2 == "tombstones").get
-    assert(tomb._3 > 0 && tomb._5 === "")
+    assert(tomb._3 > 0 && tomb._6 === "" && tomb._5 === -1L)
   }
 
   test("a live-tombstone table refuses a plain SQL read until folded") {
