@@ -5756,6 +5756,58 @@ object OpsQueries {
       |SELECT 1, l_returnflag, n, sum_okey, sum_cents FROM c
       |ORDER BY phase, l_returnflag""".stripMargin
 
+  /** SQL `TRUNCATE TABLE` under the oracle gate
+    * ([[graft.io.dsv2.GraftTable.truncateTable]]): ONE empty replacing
+    * commit — no file deleted, so the pre-truncate version still
+    * time-travels (phase 0 reads it AFTER the truncate), the truncated
+    * head reads zero rows at full schema, and an INSERT appends from
+    * the truncated head (the periodic re-ingest pattern: truncate,
+    * reload, history intact). The oracle replays both phases from
+    * lineitem.
+    */
+  def io58SqlTruncate(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val (root, k) = dmlTable(s, dir, "g58", "graft_io58_tbl")
+    s.sql("TRUNCATE TABLE g58.graft_io58_tbl")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "TRUNCATE must be exactly one replacing commit, got " +
+        Manifest.versions(s, root))
+    val emptied = s.sql("SELECT * FROM g58.graft_io58_tbl")
+    require(emptied.count() == 0, "the truncated head must read empty")
+    require(emptied.schema.fieldNames.toSeq ==
+      Seq("l_orderkey", "l_returnflag", "cents"),
+      "the truncated head must keep the full schema")
+    // the pre-truncate version answers AFTER the truncate — no file
+    // was deleted, the ledger grew
+    val pre = s.sql("SELECT * FROM g58.graft_io58_tbl VERSION AS OF 2")
+    // re-ingest: INSERT appends from the truncated head (version 4)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("l_orderkey") < k)
+      .createOrReplaceTempView("io58_src")
+    s.sql("INSERT INTO g58.graft_io58_tbl SELECT * FROM io58_src")
+    val post = s.sql("SELECT * FROM g58.graft_io58_tbl")
+    dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io58Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |snap AS (
+      |  SELECT 0 AS phase, l_orderkey, l_returnflag, cents FROM li
+      |  UNION ALL
+      |  SELECT 1, l_orderkey, l_returnflag, cents FROM li
+      |  WHERE l_orderkey < (SELECT k FROM mk))
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -5908,6 +5960,7 @@ object OpsQueries {
     "io55_limit_prune" -> (io55LimitPrune _),
     "io56_topn_prune" -> (io56TopnPrune _),
     "io57_sql_cluster" -> (io57SqlCluster _),
+    "io58_sql_truncate" -> (io58SqlTruncate _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -6005,6 +6058,7 @@ object OpsQueries {
     "io55_limit_prune" -> io55Oracle,
     "io56_topn_prune" -> io56Oracle,
     "io57_sql_cluster" -> io57Oracle,
+    "io58_sql_truncate" -> io58Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
