@@ -36,7 +36,12 @@ object ColumnMapping {
   private def fs(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** The physical→logical map a version pins (empty = identity). */
+  /** The physical→logical map a version pins (empty = identity). An
+    * EMPTY logical name marks a DROPPED column (`ALTER TABLE DROP
+    * COLUMN`): the physical parquet column persists untouched but no
+    * logical schema advertises it — use [[renames]]/[[dropped]] to
+    * split the two meanings.
+    */
   def mapping(s: SparkSession, root: String,
       version: Option[Int] = None): Map[String, String] = {
     val dirs = Manifest.entries(s, root, version).filter(isMapping)
@@ -44,6 +49,18 @@ object ColumnMapping {
       s"manifest version pins ${dirs.size} mapping dirs, expected <= 1")
     dirs.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
   }
+
+  /** The RENAME entries only (non-empty logical names) — what callers
+    * that translate logical→physical via `.map(_.swap)` must use:
+    * swapping dropped entries would collide every drop onto the ""
+    * key and silently lose translations.
+    */
+  def renames(m: Map[String, String]): Map[String, String] =
+    m.filter(_._2.nonEmpty)
+
+  /** The DROPPED physical column names a mapping records. */
+  def dropped(m: Map[String, String]): Set[String] =
+    m.filter(_._2.isEmpty).keySet
 
   private def readMapping(s: SparkSession, dir: String)
       : Map[String, String] = {
@@ -88,29 +105,79 @@ object ColumnMapping {
     val next = (cur - physical) ++
       (if (physical == to) Map.empty[String, String]
        else Map(physical -> to))
-    // mapping dir first, manifest second — never a committed version
-    // without its mapping
+    commitMapping(s, root, dataRoot, data, next, committer)
+  }
+
+  /** DROP logical column `name` as ONE metadata commit — the third
+    * side of zero-rewrite schema evolution (rename/add landed
+    * earlier): the mapping marks the column's PHYSICAL name with an
+    * empty logical (`phys=`), reads project it away, time travel
+    * reads its era's schema, and a later re-ADD of the same logical
+    * name maps to a FRESH physical name — the Delta/Iceberg
+    * id-mapping rule: dropped values are never resurrected. Refuses
+    * unknown columns and dropping the last visible column.
+    */
+  def dropColumn(s: SparkSession, root: String, dataRoot: String,
+      name: String, committer: Committer = FsCreateCommitter): Int = {
+    val entries = Manifest.entries(s, root)
+    val (maps, data) = entries.partition(isMapping)
+    val cur = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
+    val physicalSchema = s.read.option("mergeSchema", "true")
+      .parquet(data.filterNot(MergeOnRead.isTombstone): _*)
+      .schema.fieldNames.toSeq
+    val logical = physicalSchema.map(p => cur.getOrElse(p, p))
+    require(logical.contains(name),
+      s"cannot drop: no logical column '$name' (have " +
+        s"${logical.filter(_.nonEmpty).mkString(", ")})")
+    val visible = logical.count(_.nonEmpty)
+    require(visible > 1,
+      s"cannot drop '$name': it is the table's last visible column")
+    val physical = physicalSchema(logical.indexOf(name))
+    commitMapping(s, root, dataRoot, data, (cur - physical) +
+      (physical -> ""), committer)
+  }
+
+  /** Write a fresh mapping directory for `next` and commit it with
+    * `data` as one REPLACING version. Mapping dir first, manifest
+    * second — never a committed version without its mapping; an empty
+    * `next` commits no mapping dir at all (back to identity).
+    */
+  private[graft] def commitMapping(s: SparkSession, root: String,
+      dataRoot: String, data: Seq[String], next: Map[String, String],
+      committer: Committer = FsCreateCommitter): Int = {
+    if (next.isEmpty) return Manifest.rewrite(s, root, data, committer)
+    val dir = writeMappingDir(s, dataRoot, next)
+    Manifest.rewrite(s, root, data ++ Seq(dir), committer)
+  }
+
+  /** Land a mapping directory holding `next` (no commit — the caller
+    * lists it in its own manifest version).
+    */
+  private[graft] def writeMappingDir(s: SparkSession, dataRoot: String,
+      next: Map[String, String]): String = {
     val dir = s"$dataRoot/$MappingPrefix${java.util.UUID.randomUUID()}"
     val f = fs(s, dir)
     val out = f.create(new Path(dir, FileName), false)
     try out.write(next.toSeq.sorted.map { case (p, l) => s"$p=$l" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    Manifest.rewrite(s, root,
-      data ++ (if (next.isEmpty) Seq.empty else Seq(dir)), committer)
+    dir
   }
 
   /** The snapshot a version pins, with that VERSION'S logical names
-    * applied — the read path every mapped table uses. Physical parquet
-    * is untouched; the rename is a zero-cost projection.
+    * applied and its dropped columns projected away — the read path
+    * every mapped table uses. Physical parquet is untouched; the
+    * rename is a zero-cost projection, the drop a zero-cost pruning.
     */
   def snapshot(s: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val (maps, data) = Manifest.entries(s, root, version)
       .partition(isMapping)
     val m = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
-    m.foldLeft(s.read.parquet(data: _*)) { case (df, (p, l)) =>
-      df.withColumnRenamed(p, l)
-    }
+    val base = renames(m)
+      .foldLeft(s.read.parquet(data: _*)) { case (df, (p, l)) =>
+        df.withColumnRenamed(p, l)
+      }
+    dropped(m).foldLeft(base)((df, p) => df.drop(p))
   }
 }

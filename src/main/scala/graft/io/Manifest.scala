@@ -123,6 +123,44 @@ object FsCreateCommitter extends Committer {
 object Manifest {
   private val Name = "manifest-v(\\d{6})".r
 
+  /** Test seam: observes every actual manifest-file read (the io59 gate
+    * pins that planning a 256-directory table is O(1) manifest reads,
+    * not O(directories) sidecar reads). No-op in production.
+    */
+  private[graft] var onManifestRead: String => Unit = _ => ()
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+  private def dec(v: String): String =
+    java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+
+  /** Per-directory PLANNING ANNOTATIONS embedded in a manifest version
+    * as `#ann:` lines (skipped by the entry reader — `#`-prefixed lines
+    * are never directory entries): the directory's skip-stats sidecar
+    * body, its bloom-covered column names, and its parquet schema JSON,
+    * captured AT COMMIT TIME. This is what makes query planning O(1)
+    * metadata reads instead of O(directories) — the scan planner gets
+    * every per-directory fact from the one manifest read it already
+    * does (the Iceberg manifest-stats / Delta checkpoint idea), and
+    * only falls back to per-directory sidecar/footer probes for
+    * pre-format manifests or directories whose annotation is EMPTY
+    * (no sidecar existed when committed — a later `CALL lake.sidecar`
+    * retrofit must still be honored, so empty re-probes at plan time,
+    * memoized per plan).
+    *
+    * Maps: key present = the commit recorded knowledge for that
+    * directory; value None = "probed, absent at commit".
+    */
+  final case class DirAnnotations(
+      stats: Map[String, Option[String]],
+      bloomCols: Map[String, Option[Seq[String]]],
+      schemas: Map[String, Option[String]])
+
+  object DirAnnotations {
+    val empty: DirAnnotations =
+      DirAnnotations(Map.empty, Map.empty, Map.empty)
+  }
+
   /** Commit-contention retry bound: each retry re-reads state, so only
     * sustained contention (or a version-file leak) can exhaust it —
     * better to fail loudly than spin.
@@ -173,8 +211,12 @@ object Manifest {
     extends java.io.IOException(
       s"manifest $p is incomplete (in-flight or corrupt)")
 
-  private def readList(f: FileSystem, p: Path): Seq[String] = {
+  /** Every body line of a manifest (entries + `#ann:` annotations),
+    * terminator validated and stripped — the ONE read a plan needs.
+    */
+  private def readAllLines(f: FileSystem, p: Path): Seq[String] = {
     val in = f.open(p)
+    onManifestRead(p.toString)
     val lines =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
@@ -183,6 +225,125 @@ object Manifest {
       throw new IncompleteManifestException(p)
     lines.dropRight(1)
   }
+
+  /** The version's DIRECTORY entries — `#`-prefixed lines (annotations,
+    * terminator) are metadata, never entries.
+    */
+  private def readList(f: FileSystem, p: Path): Seq[String] =
+    readAllLines(f, p).filterNot(_.startsWith("#"))
+
+  private def parseAnnotations(lines: Seq[String]): DirAnnotations = {
+    val stats = Map.newBuilder[String, Option[String]]
+    val blooms = Map.newBuilder[String, Option[Seq[String]]]
+    val schemas = Map.newBuilder[String, Option[String]]
+    lines.iterator.filter(_.startsWith("#ann:")).foreach { l =>
+      // a malformed annotation line degrades to "not annotated" for its
+      // directory (plan-time fallback probes), never to a failed read
+      scala.util.Try {
+        val a = l.split("\t", 3)
+        val d = dec(a(1))
+        val v = if (a.length == 3 && a(2).nonEmpty) Some(a(2)) else None
+        a(0) match {
+          case "#ann:stats" => stats += d -> v.map(dec)
+          case "#ann:bloom" =>
+            blooms += d -> v.map(_.split(",", -1).toSeq.map(dec))
+          case "#ann:schema" => schemas += d -> v.map(dec)
+          case _ => ()
+        }
+      }
+    }
+    DirAnnotations(stats.result(), blooms.result(), schemas.result())
+  }
+
+  /** The annotations a version pins (latest when unspecified); empty
+    * for a pre-format manifest.
+    */
+  def annotationsOf(s: SparkSession, root: String,
+      version: Option[Int] = None): DirAnnotations = {
+    val vs = versions(s, root)
+    require(vs.nonEmpty, s"no committed manifest under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown manifest version $v (have $vs)")
+    parseAnnotations(readAllLines(fs(s, root), manifestPath(root, v)))
+  }
+
+  /** Entries AND annotations from ONE manifest read — what
+    * [[graft.io.dsv2.GraftTable.resolve]] plans from.
+    */
+  def entriesWithAnnotations(s: SparkSession, root: String,
+      version: Option[Int] = None): (Seq[String], DirAnnotations) = {
+    val vs = versions(s, root)
+    require(vs.nonEmpty, s"no committed manifest under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"unknown manifest version $v (have $vs)")
+    val lines = readAllLines(fs(s, root), manifestPath(root, v))
+    (lines.filterNot(_.startsWith("#")), parseAnnotations(lines))
+  }
+
+  /** One directory's parquet schema, inferred from ONE file's footer —
+    * the commit-time capture that saves resolve a per-directory footer
+    * probe. None for non-parquet entries (mapping dirs, catalog pins)
+    * and for hive-layout directories (subdirectories imply partition
+    * columns one footer cannot see — resolve's full probe handles
+    * those).
+    */
+  private def inferDirSchema(s: SparkSession, d: String)
+      : Option[org.apache.spark.sql.types.StructType] = try {
+    val p = new Path(d)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = f.listStatus(p)
+    val hasSubdirs = st.exists(x => x.isDirectory &&
+      !x.getPath.getName.startsWith("_") &&
+      !x.getPath.getName.startsWith("."))
+    if (hasSubdirs) None
+    else st.find(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
+      .flatMap { file =>
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat().inferSchema(s, Map.empty, Seq(file))
+      }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Compose the annotation lines for a commit: carry the previous
+    * version's line per (kind, directory) verbatim — directories are
+    * immutable, so recorded knowledge never goes stale — and probe ONLY
+    * directories with no previous line (the new ones), keeping the
+    * commit's metadata cost O(new directories). An EMPTY previous
+    * annotation (sidecar absent at its commit) is carried too: the
+    * plan-time fallback re-probes those, so a retrofit is honored
+    * without per-commit re-probing of every statless directory.
+    */
+  private def annotationLines(s: SparkSession, dirs: Seq[String],
+      prevAnn: Map[(String, String), String],
+      refresh: Boolean): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    dirs.flatMap { d =>
+      def prev(kind: String): Option[String] =
+        if (refresh) None else prevAnn.get((kind, d))
+      lazy val fd = new Path(d).getFileSystem(conf)
+      val statsLine = prev("#ann:stats").getOrElse(
+        "#ann:stats\t" + enc(d) + "\t" +
+          SkipStats.readBodyRaw(fd, d).map(enc).getOrElse(""))
+      val bloomLine = prev("#ann:bloom").getOrElse(
+        "#ann:bloom\t" + enc(d) + "\t" +
+          BloomSidecar.readKeys(fd, d)
+            .map(_.toSeq.sorted.map(enc).mkString(",")).getOrElse(""))
+      val schemaLine = prev("#ann:schema").getOrElse(
+        "#ann:schema\t" + enc(d) + "\t" +
+          inferDirSchema(s, d).map(sch => enc(sch.json)).getOrElse(""))
+      Seq(statsLine, bloomLine, schemaLine)
+    }
+  }
+
+  /** Re-derive EVERY directory's annotations from its current sidecars
+    * and commit the same entry list as a new version — the "stats
+    * commit" a retrofit (`CALL lake.sidecar`) runs so later plans read
+    * the fresh sidecars from the manifest instead of per-directory
+    * fallback probes. One probe pass over the table, once.
+    */
+  def refreshAnnotations(s: SparkSession, root: String,
+      committer: Committer = FsCreateCommitter): Int =
+    commitLoop(s, root, committer, refreshAnn = true)(
+      (_, prevList) => prevList)
 
   /** The latest version's directory list (empty before any commit) —
     * what an exactly-once producer consults to skip a replayed batch.
@@ -223,12 +384,34 @@ object Manifest {
   }
 
   /** Attempt create-if-absent commits until one wins or the bound runs
-    * out. `content` re-derives the manifest body from the freshly
-    * re-read state each attempt — an appending commit must fold the
-    * race winner's list in, not replay its own stale read.
+    * out. `content` maps (previous versions, previous entry list) to
+    * the new entry list, re-derived from the freshly re-read state each
+    * attempt — an appending commit must fold the race winner's list in,
+    * not replay its own stale read. The loop itself owns the BODY:
+    * entries plus per-directory annotations (previous lines carried
+    * verbatim, new directories probed once — see [[annotationLines]]).
     */
-  private def commitLoop(f: FileSystem, root: String, committer: Committer)
-      (content: Seq[Int] => String): Int = {
+  /** A version's raw `#ann:` lines keyed by (kind, directory) — the
+    * carry/seed currency of [[commitLoop]] (lines re-emitted verbatim,
+    * never re-probed). Used to seed a CLONE's first commit from its
+    * source so cloning stays one manifest write, not a per-directory
+    * probe pass.
+    */
+  private def rawAnnotationsOf(f: FileSystem, p: Path)
+      : Map[(String, String), String] =
+    readAllLines(f, p).filter(_.startsWith("#ann:")).flatMap { l =>
+      scala.util.Try {
+        val a = l.split("\t", 3)
+        (a(0), dec(a(1))) -> l
+      }.toOption
+    }.toMap
+
+  private def commitLoop(s: SparkSession, root: String,
+      committer: Committer, refreshAnn: Boolean = false,
+      seedAnn: Map[(String, String), String] = Map.empty,
+      needsPrev: Boolean = true)
+      (content: (Seq[Int], Seq[String]) => Seq[String]): Int = {
+    val f = fs(s, root)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       attempts += 1
@@ -241,8 +424,33 @@ object Manifest {
       // moved under us", which is a retry, never a failed commit and
       // never a silent rebase on partial state.
       val body =
-        try content(prev) + "\n" + Terminator
-        catch {
+        try {
+          // a REPLACING commit does not depend on the previous list —
+          // it must stay committable over a corrupt/in-flight latest
+          // manifest (the annotation carry degrades to a re-probe)
+          val prevLines =
+            if (needsPrev) prev.lastOption
+              .map(v => readAllLines(f, manifestPath(root, v)))
+              .getOrElse(Seq.empty)
+            else prev.lastOption.map { v =>
+              try readAllLines(f, manifestPath(root, v))
+              catch {
+                case _: IncompleteManifestException |
+                     _: java.io.FileNotFoundException => Seq.empty[String]
+              }
+            }.getOrElse(Seq.empty)
+          val prevList = prevLines.filterNot(_.startsWith("#"))
+          val dirs = content(prev, prevList)
+          val prevAnn: Map[(String, String), String] = seedAnn ++
+            prevLines.filter(_.startsWith("#ann:")).flatMap { l =>
+              scala.util.Try {
+                val a = l.split("\t", 3)
+                (a(0), dec(a(1))) -> l
+              }.toOption
+            }.toMap
+          (dirs ++ annotationLines(s, dirs, prevAnn, refreshAnn))
+            .mkString("\n") + "\n" + Terminator
+        } catch {
           case _: IncompleteManifestException |
                _: java.io.FileNotFoundException =>
             Thread.sleep(10); "" // re-read on the next loop pass
@@ -267,13 +475,20 @@ object Manifest {
     * version. Returns the committed version.
     */
   def commit(s: SparkSession, root: String, batchDir: String,
+      committer: Committer = FsCreateCommitter): Int =
+    commitLoop(s, root, committer)(
+      (_, prevList) => prevList :+ batchDir)
+
+  /** Appending commit of SEVERAL directories as ONE version — the
+    * partitioned-write shape ([[graft.io.dsv2.GraftPartitionedWrite]]):
+    * one INSERT lands one directory per partition value, and readers
+    * must see all of them or none.
+    */
+  def commitAll(s: SparkSession, root: String, batchDirs: Seq[String],
       committer: Committer = FsCreateCommitter): Int = {
-    val f = fs(s, root)
-    commitLoop(f, root, committer) { prev =>
-      val prevList = prev.lastOption
-        .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
-      (prevList :+ batchDir).mkString("\n")
-    }
+    require(batchDirs.nonEmpty, "commitAll needs at least one directory")
+    commitLoop(s, root, committer)(
+      (_, prevList) => prevList ++ batchDirs)
   }
 
   /** Appending commit that emits the directory's [[SkipStats]] sidecar
@@ -306,15 +521,11 @@ object Manifest {
     * (e.g. [[ChangeFeed.sync]]'s version-named sync output).
     */
   def commitIfAbsent(s: SparkSession, root: String, batchDir: String,
-      committer: Committer = FsCreateCommitter): Int = {
-    val f = fs(s, root)
-    try commitLoop(f, root, committer) { prev =>
-      val prevList = prev.lastOption
-        .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
+      committer: Committer = FsCreateCommitter): Int =
+    try commitLoop(s, root, committer) { (prev, prevList) =>
       if (prevList.contains(batchDir)) throw AlreadyListed(prev.last)
-      (prevList :+ batchDir).mkString("\n")
+      prevList :+ batchDir
     } catch { case AlreadyListed(v) => v }
-  }
 
   /** Remove ORPHAN directories — the reclaim path for the one artifact
     * the commit protocol deliberately produces: a writer that crashed
@@ -338,13 +549,28 @@ object Manifest {
       .flatMap(v => readList(f, manifestPath(root, v))) ++
       cloneReferencedDirs(s, root))
       .map(e => new Path(e).toUri.getPath).toSet
+    // a manifest entry may be a SUBDIRECTORY of a data-root child (a
+    // clustering rewrite commits `cluster-vN/gbucket=K`; a partitioned
+    // write commits `w-uuid/p=V`): the child is then referenced BY
+    // PREFIX and deleting it would take the committed entries with it.
+    // Sorted + binary search keeps the check O(children × log refs).
+    val sortedRefs = referenced.toArray.sorted
+    def referencedUnder(child: String): Boolean = {
+      val prefix = child + "/"
+      val i = java.util.Arrays.binarySearch(
+        sortedRefs.asInstanceOf[Array[AnyRef]], prefix)
+      val at = if (i >= 0) i else -i - 1
+      at < sortedRefs.length && sortedRefs(at).startsWith(prefix)
+    }
     val cutoff = System.currentTimeMillis() - graceMs
     val rootPath = new Path(dataRoot)
     if (!f.exists(rootPath)) return Seq.empty
     f.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory &&
-        !referenced.contains(st.getPath.toUri.getPath) &&
-        st.getModificationTime < cutoff)
+      .filter { st =>
+        val cp = st.getPath.toUri.getPath
+        st.isDirectory && !referenced.contains(cp) &&
+          !referencedUnder(cp) && st.getModificationTime < cutoff
+      }
       .map { st => f.delete(st.getPath, true); st.getPath.toUri.getPath }
       .sorted
   }
@@ -372,7 +598,25 @@ object Manifest {
     */
   def rewrite(s: SparkSession, root: String, dirs: Seq[String],
       committer: Committer = FsCreateCommitter): Int =
-    commitLoop(fs(s, root), root, committer)(_ => dirs.mkString("\n"))
+    commitLoop(s, root, committer, needsPrev = false)((_, _) => dirs)
+
+  /** ROLLBACK commit — republish version `v`'s directory list as a new
+    * REPLACING version (Delta RESTORE): nothing is deleted, every
+    * intermediate version still time-travels, and the restored head's
+    * annotations are SEEDED from version `v`'s own manifest so the
+    * restore is one manifest write, not a per-directory re-probe.
+    * Semantic guards (un-deleting newer tombstones) belong to the
+    * caller — this is the commit primitive.
+    */
+  def rollbackTo(s: SparkSession, root: String, v: Int,
+      committer: Committer = FsCreateCommitter): Int = {
+    val target = entries(s, root, Some(v))
+    val seed = scala.util.Try(
+      rawAnnotationsOf(fs(s, root), manifestPath(root, v)))
+      .getOrElse(Map.empty[(String, String), String])
+    commitLoop(s, root, committer, seedAnn = seed,
+      needsPrev = false)((_, _) => target)
+  }
 
   /** PARTIAL replacing commit — the surgical copy-on-write primitive: the
     * next manifest is the freshly re-read latest list MINUS `remove`
@@ -399,16 +643,12 @@ object Manifest {
         "snapshot")
 
   def replaceDirs(s: SparkSession, root: String, remove: Set[String],
-      add: Seq[String], committer: Committer = FsCreateCommitter): Int = {
-    val f = fs(s, root)
-    commitLoop(f, root, committer) { prev =>
-      val prevList = prev.lastOption
-        .map(v => readList(f, manifestPath(root, v))).getOrElse(Seq.empty)
+      add: Seq[String], committer: Committer = FsCreateCommitter): Int =
+    commitLoop(s, root, committer) { (_, prevList) =>
       val gone = remove -- prevList.toSet
       if (gone.nonEmpty) throw new ConcurrentRewriteException(root, gone)
-      (prevList.filterNot(remove) ++ add).mkString("\n")
+      prevList.filterNot(remove) ++ add
     }
-  }
 
   /** Snapshot EXPIRATION (vacuum) — the retention maintenance every
     * manifest table needs: time travel keeps every version readable,
@@ -621,7 +861,15 @@ object Manifest {
     val chain = (srcRoot +: cloneSources(s, srcRoot)).distinct
     chain.foreach(r => registerClone(s, r, dstRoot, committer))
     chain.foreach(r => recordCloneSource(s, dstRoot, r, committer))
-    rewrite(s, dstRoot, dirs, committer)
+    // seed the clone's annotations from the source manifest: the clone
+    // must stay ONE manifest write at any table size, never a
+    // per-directory sidecar probe pass
+    val f = fs(s, srcRoot)
+    val srcV = version.getOrElse(versions(s, srcRoot).last)
+    val seed = scala.util.Try(
+      rawAnnotationsOf(f, manifestPath(srcRoot, srcV)))
+      .getOrElse(Map.empty[(String, String), String])
+    commitLoop(s, dstRoot, committer, seedAnn = seed)((_, _) => dirs)
   }
 
   /** DEEP clone — the environment-promotion copy: the version's data
@@ -656,7 +904,22 @@ object Manifest {
         false /* keep source */, conf)
       dst.toString
     }
-    rewrite(s, dstRoot, copies, committer)
+    // carry the source's annotations REKEYED to the copied paths (the
+    // copies' sidecars are byte-identical, so the recorded knowledge
+    // transfers) — no per-directory re-probe at the clone commit
+    val copyOf: Map[String, String] = dirs.zip(copies).toMap
+    val srcV = version.getOrElse(versions(s, srcRoot).last)
+    val seed = scala.util.Try(
+      rawAnnotationsOf(fs(s, srcRoot), manifestPath(srcRoot, srcV)))
+      .getOrElse(Map.empty[(String, String), String])
+      .flatMap { case ((kind, d), line) =>
+        copyOf.get(d).map { nd =>
+          val a = line.split("\t", 3)
+          (kind, nd) -> (kind + "\t" + enc(nd) +
+            (if (a.length == 3) "\t" + a(2) else ""))
+        }
+      }
+    commitLoop(s, dstRoot, committer, seedAnn = seed)((_, _) => copies)
   }
 
   // ── Version tags — named refs that retention respects ────────────
@@ -843,23 +1106,37 @@ object Manifest {
       s"filesystem rename $oldRoot -> $newRoot failed")
     val oldPrefix = oldRoot.stripSuffix("/")
     val newPrefix = newRoot.stripSuffix("/")
+    def subst(e: String): String =
+      if (e == oldPrefix) newPrefix
+      else if (e.startsWith(oldPrefix + "/")) {
+        // catalog pins are `dir@version`; data entries are plain
+        // dirs — prefix replacement is right for both
+        newPrefix + e.substring(oldPrefix.length)
+      } else e
     versionsOf(f, newRoot).foreach { v =>
       val p = manifestPath(newRoot, v)
       val st = f.getFileStatus(p)
       // a crashed commit's incomplete manifest is an invisible
       // version — leave its bytes alone and move on
-      val entries =
-        try Some(readList(f, p))
+      val lines =
+        try Some(readAllLines(f, p))
         catch { case _: IncompleteManifestException => None }
-      val rewritten = entries.map(_.map { e =>
-        if (e == oldPrefix) newPrefix
-        else if (e.startsWith(oldPrefix + "/")) {
-          // catalog pins are `dir@version`; data entries are plain
-          // dirs — prefix replacement is right for both
-          newPrefix + e.substring(oldPrefix.length)
-        } else e
+      // annotations key on the directory path too — carry them under
+      // the new name, values (stats/schema bodies) verbatim
+      val rewritten = lines.map(_.map { l =>
+        if (l.startsWith("#ann:")) {
+          val a = l.split("\t", 3)
+          if (a.length < 2) l
+          else {
+            val d = dec(a(1))
+            val nd = subst(d)
+            if (nd == d) l
+            else a(0) + "\t" + enc(nd) +
+              (if (a.length == 3) "\t" + a(2) else "")
+          }
+        } else subst(l)
       })
-      if (entries.isDefined && rewritten != entries) {
+      if (lines.isDefined && rewritten != lines) {
         val body = rewritten.get.mkString("\n") + "\n" + Terminator
         val out = f.create(p, true)
         try out.write(body.getBytes(StandardCharsets.UTF_8))

@@ -32,6 +32,12 @@ object SkipStats {
   val StatsFile = "_graft_stats"
   private val Header = "graft-stats-v1"
 
+  /** Test seam: observes every ACTUAL sidecar-file open (the io59 gate
+    * pins that a manifest-annotated plan performs zero of them). No-op
+    * in production.
+    */
+  private[graft] var onSidecarOpen: String => Unit = _ => ()
+
   private def enc(v: String): String =
     URLEncoder.encode(v, StandardCharsets.UTF_8)
   private def dec(v: String): String =
@@ -42,6 +48,17 @@ object SkipStats {
     * on such a directory matches nothing).
     */
   final case class ColStats(tpe: String, bounds: Option[(String, String)])
+
+  /** The WHOLE sidecar from one parse — row count, per-column bounds,
+    * per-column non-null counts. `cols` is None when any column line is
+    * malformed (the poison-to-kept rule of [[read]]); `count` and
+    * `nonNull` degrade independently, preserving each accessor's
+    * original tolerance. One open + one parse serves every consumer —
+    * the planner must never pay three filesystem round trips for three
+    * facts living in the same tiny file.
+    */
+  final case class Sidecar(count: Option[Long],
+      cols: Option[Map[String, ColStats]], nonNull: Map[String, Long])
 
   /** Whether a column of this type can carry skip-stats — for callers
     * that must decide BEFORE staging work whether a carry is possible
@@ -76,13 +93,35 @@ object SkipStats {
         count(col(c)))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val lines = new StringBuilder(Header).append('\n')
-      .append("count\t").append(row.getLong(0)).append('\n')
-    tags.zipWithIndex.foreach { case ((c, t), i) =>
+    val stats = tags.zipWithIndex.map { case ((c, t), i) =>
       val (mn, mx) = (row.getString(1 + 3 * i), row.getString(2 + 3 * i))
-      lines.append("col\t").append(enc(c)).append('\t').append(t)
-      if (mn != null && mx != null)
+      val bounds = if (mn != null && mx != null) Some((mn, mx)) else None
+      c -> ColStats(t, bounds)
+    }
+    val nonNull = tags.zipWithIndex.map { case ((c, _), i) =>
+      c -> row.getLong(3 + 3 * i)
+    }
+    install(s, dataDir, row.getLong(0), stats, nonNull.toMap)
+  }
+
+  /** Install a sidecar from ALREADY-COMPUTED statistics — the bulk
+    * path for fixtures and foreign writers whose stats fall out of one
+    * grouped aggregation over many directories at once (256 [[write]]
+    * calls would be 256 Spark jobs; 256 `install` calls are 256 tiny
+    * local file writes). The rendered bytes are identical to
+    * [[write]]'s; callers are responsible for the values being the
+    * directory's true aggregates — a wrong bound here is a wrong skip.
+    */
+  def install(s: SparkSession, dataDir: String, rowCount: Long,
+      cols: Seq[(String, ColStats)],
+      nonNull: Map[String, Long]): Unit = {
+    val lines = new StringBuilder(Header).append('\n')
+      .append("count\t").append(rowCount).append('\n')
+    cols.foreach { case (c, cs) =>
+      lines.append("col\t").append(enc(c)).append('\t').append(cs.tpe)
+      cs.bounds.foreach { case (mn, mx) =>
         lines.append('\t').append(enc(mn)).append('\t').append(enc(mx))
+      }
       lines.append('\n')
     }
     // per-column NON-NULL counts on their own line kind: readers of the
@@ -93,9 +132,11 @@ object SkipStats {
     // nothing). Null ordering is SEMANTIC for top-k: a directory with
     // nulls in the sort column sorts rows to the FRONT under
     // NULLS FIRST, so only a provably zero-null directory may drop.
-    tags.zipWithIndex.foreach { case ((c, _), i) =>
-      lines.append("nonnull\t").append(enc(c)).append('\t')
-        .append(row.getLong(3 + 3 * i)).append('\n')
+    cols.foreach { case (c, _) =>
+      nonNull.get(c).foreach { n =>
+        lines.append("nonnull\t").append(enc(c)).append('\t')
+          .append(n).append('\n')
+      }
     }
     lines.append("end\n")
     val f = new Path(dataDir)
@@ -119,24 +160,33 @@ object SkipStats {
     read(f, fromDir).foreach(m => write(s, toDir, m.keys.toSeq.sorted))
   }
 
-  /** The directory's sidecar, if present and complete. A missing or
-    * truncated sidecar reads as None — the caller must keep the
-    * directory (correctness never depends on stats existing).
+  /** The sidecar file's raw UTF-8 body, or None when absent — the ONE
+    * open on the read path (everything else parses these bytes). Open
+    * directly and catch the miss: an `exists` probe before every open
+    * would double the metadata round trips for the common present case.
     */
-  def read(f: FileSystem, dataDir: String): Option[Map[String, ColStats]] = {
+  def readBodyRaw(f: FileSystem, dataDir: String): Option[String] = {
     val p = new Path(dataDir, StatsFile)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try {
+      val in = f.open(p)
+      onSidecarOpen(dataDir)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Parse a sidecar body. None when the header or `end` terminator is
+    * missing (truncated/foreign file). A malformed `col` line poisons
+    * `cols` to None — one bad directory must degrade to "kept", never
+    * make every scan of the table throw; `count` and `nonnull` lines
+    * degrade independently (their original per-accessor tolerance).
+    */
+  def parse(body: String): Option[Sidecar] = {
     val lines = body.split("\n", -1)
     if (lines.headOption.forall(_ != Header) || !lines.contains("end"))
       return None
-    // a malformed line (partial corruption, a future format's extra
-    // field) poisons the WHOLE sidecar to None — one bad directory must
-    // degrade to "kept", never make every scan of the table throw
-    val parsed = lines.takeWhile(_ != "end").collect {
+    val content = lines.takeWhile(_ != "end")
+    val colParsed = content.collect {
       case l if l.startsWith("col\t") =>
         l.split("\t", -1) match {
           case Array(_, c, t) => Some(dec(c) -> ColStats(t, None))
@@ -145,25 +195,13 @@ object SkipStats {
           case _ => None
         }
     }
-    if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten.toMap)
-  }
-
-  /** Per-column NON-NULL counts from the sidecar's `nonnull` extension
-    * lines. Empty for a pre-extension or unreadable sidecar — callers
-    * must treat an absent column as UNKNOWN nullability (fail open:
-    * keep the directory, credit no rows), never as zero nulls.
-    */
-  def readNonNull(f: FileSystem, dataDir: String): Map[String, Long] = {
-    val p = new Path(dataDir, StatsFile)
-    if (!f.exists(p)) return Map.empty
-    val in = f.open(p)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = body.split("\n", -1)
-    if (lines.headOption.forall(_ != Header) || !lines.contains("end"))
-      return Map.empty
-    lines.takeWhile(_ != "end").iterator
+    val cols =
+      if (colParsed.exists(_.isEmpty)) None else Some(colParsed.flatten.toMap)
+    val cnt = content.collectFirst {
+      case l if l.startsWith("count\t") =>
+        scala.util.Try(l.split("\t", -1)(1).toLong).toOption
+    }.flatten
+    val nonNull = content.iterator
       .filter(_.startsWith("nonnull\t"))
       .flatMap { l =>
         l.split("\t", -1) match {
@@ -172,7 +210,29 @@ object SkipStats {
           case _ => None
         }
       }.toMap
+    Some(Sidecar(cnt, cols, nonNull))
   }
+
+  /** The whole sidecar in ONE open + ONE parse. None when the file is
+    * missing or not a sidecar.
+    */
+  def readAll(f: FileSystem, dataDir: String): Option[Sidecar] =
+    readBodyRaw(f, dataDir).flatMap(parse)
+
+  /** The directory's sidecar, if present and complete. A missing or
+    * truncated sidecar reads as None — the caller must keep the
+    * directory (correctness never depends on stats existing).
+    */
+  def read(f: FileSystem, dataDir: String): Option[Map[String, ColStats]] =
+    readAll(f, dataDir).flatMap(_.cols)
+
+  /** Per-column NON-NULL counts from the sidecar's `nonnull` extension
+    * lines. Empty for a pre-extension or unreadable sidecar — callers
+    * must treat an absent column as UNKNOWN nullability (fail open:
+    * keep the directory, credit no rows), never as zero nulls.
+    */
+  def readNonNull(f: FileSystem, dataDir: String): Map[String, Long] =
+    readAll(f, dataDir).map(_.nonNull).getOrElse(Map.empty)
 
   /** The directory's EXACT row count from its sidecar — written by
     * every [[write]] since v1 alongside the column bounds. This is the
@@ -182,21 +242,8 @@ object SkipStats {
     * or malformed sidecar reads as None and the caller must treat the
     * directory's count as unknown, never skip it.
     */
-  def readCount(f: FileSystem, dataDir: String): Option[Long] = {
-    val p = new Path(dataDir, StatsFile)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = body.split("\n", -1)
-    if (lines.headOption.forall(_ != Header) || !lines.contains("end"))
-      return None
-    lines.takeWhile(_ != "end").collectFirst {
-      case l if l.startsWith("count\t") =>
-        scala.util.Try(l.split("\t", -1)(1).toLong).toOption
-    }.flatten
-  }
+  def readCount(f: FileSystem, dataDir: String): Option[Long] =
+    readAll(f, dataDir).flatMap(_.count)
 
   /** Public overlap test for external pruning drivers (the DSv2 read
     * path prunes directories at planning with the same rule).
@@ -245,11 +292,13 @@ object SkipStats {
   def prunedDirs(s: SparkSession, root: String, ranges: Seq[ColRange],
       version: Option[Int]): (Seq[String], Seq[String]) = {
     require(ranges.nonEmpty, "empty range conjunction")
-    val f = new Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Manifest.entries(s, root, version).partition { d =>
+    // one manifest read serves the entries AND (format permitting) every
+    // directory's stats; per-dir sidecar opens only as a fallback
+    val (entries, ann) = Manifest.entriesWithAnnotations(s, root, version)
+    val provider = new DirStatsProvider(s, root, version, Some(ann))
+    entries.partition { d =>
       MergeOnRead.isTombstone(d) || {
-        val stats = read(f, d)
+        val stats = provider.cols(d)
         ranges.forall(r => stats.flatMap(_.get(r.c))
           .forall(cs => overlaps(cs, r.lo, r.hi)))
       }

@@ -146,16 +146,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * Properties: `statsCols`/`sortBy` persist as write-time defaults,
     * `morKey` records the merge key (MoR DELETEs from day one).
     */
+  /** `PARTITIONED BY` (identity transforms) merges into the persisted
+    * `partitionCols` property every later INSERT/CTAS honors
+    * ([[GraftPartitionedWrite]]); the DDL clause wins over a property
+    * passed alongside it.
+    */
+  private def withPartitioning(schema: StructType,
+      partitions: Array[Transform],
+      props: Map[String, String]): Map[String, String] = {
+    val pcols = GraftDdl.vetPartitioning(schema, partitions)
+    if (pcols.isEmpty) props
+    else props + ("partitioncols" -> pcols.mkString(","))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    GraftDdl.requireUnpartitioned(partitions)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val s = SparkSession.active
     val root = rootOf(ident)
-    val props = GraftDdl.vetProperties(properties)
+    val props = withPartitioning(schema, partitions,
+      GraftDdl.vetProperties(properties))
     GraftDdl.applyProperties(s, root, props)
     Manifest.commit(s, root, GraftDdl.writeEmptyDir(s, root, schema))
     loadTable(ident)
@@ -165,33 +178,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       partitions: Array[Transform],
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    GraftDdl.requireUnpartitioned(partitions)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     new GraftStagedTable(SparkSession.active, rootOf(ident), schema,
-      GraftDdl.vetProperties(properties), replaceExisting = false)
+      withPartitioning(schema, partitions,
+        GraftDdl.vetProperties(properties)), replaceExisting = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    GraftDdl.requireUnpartitioned(partitions)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident.namespace().toSeq :+ ident.name())
     new GraftStagedTable(SparkSession.active, rootOf(ident), schema,
-      GraftDdl.vetProperties(properties), replaceExisting = true)
+      withPartitioning(schema, partitions,
+        GraftDdl.vetProperties(properties)), replaceExisting = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    GraftDdl.requireUnpartitioned(partitions)
     new GraftStagedTable(SparkSession.active, rootOf(ident), schema,
-      GraftDdl.vetProperties(properties),
+      withPartitioning(schema, partitions,
+        GraftDdl.vetProperties(properties)),
       replaceExisting = tableExists(ident))
   }
 
@@ -243,9 +256,50 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val existing = loadTable(ident).columns().map(_.name())
         require(!existing.contains(name),
           s"column '$name' already exists (${existing.mkString(", ")})")
-        Manifest.commit(s, root, GraftDdl.writeEmptyDir(s, root,
-          StructType(Seq(org.apache.spark.sql.types.StructField(
-            name, a.dataType(), nullable = true)))))
+        // the logical name is free, but its PHYSICAL name may be taken
+        // by a DROPPED column's storage (or a renamed-away physical) —
+        // re-using it would resurrect the old values through the drift
+        // union. Mint a FRESH physical name and map it (the
+        // Delta/Iceberg id-mapping rule).
+        val entries = Manifest.entries(s, root)
+        val (maps, rest) = entries
+          .partition(graft.io.ColumnMapping.isMapping)
+        val dataDirs = rest.filterNot(graft.io.MergeOnRead.isTombstone)
+        val physNames = s.read.option("mergeSchema", "true")
+          .parquet(dataDirs: _*).schema.fieldNames.toSet
+        if (!physNames.contains(name))
+          Manifest.commit(s, root, GraftDdl.writeEmptyDir(s, root,
+            StructType(Seq(org.apache.spark.sql.types.StructField(
+              name, a.dataType(), nullable = true)))))
+        else {
+          val fresh = Iterator.from(1).map(i => s"${name}__r$i")
+            .find(p => !physNames.contains(p)).get
+          val cur = graft.io.ColumnMapping.mapping(s, root)
+          val emptyDir = GraftDdl.writeEmptyDir(s, root,
+            StructType(Seq(org.apache.spark.sql.types.StructField(
+              fresh, a.dataType(), nullable = true))))
+          graft.io.ColumnMapping.commitMapping(s, root, s"$root/data",
+            rest :+ emptyDir, cur + (fresh -> name))
+        }
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "DROP COLUMN supports top-level columns only")
+        val name = d.fieldNames()(0)
+        require(!GraftMorKey.get(s, root).contains(name),
+          s"cannot drop '$name': it is the recorded merge key (drop " +
+            "the mor key first — tombstones and row identity pin it)")
+        val pinnedBy = GraftTableProps.read(s, root).collect {
+          case (k, v) if Seq("sortby", "statscols", "bloomcols")
+              .contains(k) && v.split(",").map(_.trim).contains(name) => k
+        }
+        require(pinnedBy.isEmpty,
+          s"cannot drop '$name': pinned by table propert" +
+            s"(ies) ${pinnedBy.mkString(", ")} — UNSET them first " +
+            "(every future write would fail computing its sidecars)")
+        require(!Manifest.entries(s, root)
+            .exists(graft.io.MergeOnRead.isTombstone),
+          "cannot drop columns while tombstones are live — fold first")
+        graft.io.ColumnMapping.dropColumn(s, root, s"$root/data", name)
       case p: TableChange.SetProperty =>
         val vetted = GraftDdl.vetProperties(
           java.util.Collections.singletonMap(p.property(), p.value()))
@@ -265,8 +319,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
-            "supported (have: RENAME COLUMN, ADD COLUMN, SET/UNSET " +
-            "TBLPROPERTIES)")
+            "supported (have: RENAME COLUMN, ADD COLUMN, DROP COLUMN, " +
+            "SET/UNSET TBLPROPERTIES)")
     }
     loadTable(ident)
   }

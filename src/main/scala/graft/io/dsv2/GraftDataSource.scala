@@ -103,6 +103,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 }
 
 object GraftTable {
+  /** Test seam: observes every per-directory FOOTER probe resolve falls
+    * back to when the manifest carries no schema annotation (the io59
+    * gate pins zero on an annotated table). No-op in production.
+    */
+  private[graft] var onSchemaProbe: String => Unit = _ => ()
+
   /** Resolve the pinned version + entry partition once per table load.
     * A root with NO committed version resolves to a schemaless stub
     * that refuses to scan — it must not throw here, because
@@ -132,16 +138,25 @@ object GraftTable {
         if (vs.isEmpty) return new GraftMissingTable(root)
         vs.last
       }
-    val (tombs, rest) = Manifest.entries(s, root, Some(version))
-      .partition(MergeOnRead.isTombstone)
+    // ONE manifest read yields the entries AND the per-directory
+    // annotations (stats/bloom/schema) the whole plan runs on — the
+    // O(1)-metadata planning contract (see Manifest.DirAnnotations)
+    val (allEntries, ann) =
+      Manifest.entriesWithAnnotations(s, root, Some(version))
+    val (tombs, rest) = allEntries.partition(MergeOnRead.isTombstone)
     // column-mapping entries (ALTER TABLE RENAME COLUMN) are metadata
     // directories, never parquet data; ≤1 per version by construction
     val (mapDirs, data) = rest.partition(graft.io.ColumnMapping.isMapping)
     require(mapDirs.size <= 1,
       s"version $version of $root pins ${mapDirs.size} mapping dirs")
-    val colMap: Map[String, String] =
+    val fullMap: Map[String, String] =
       if (mapDirs.isEmpty) Map.empty
       else graft.io.ColumnMapping.mapping(s, root, Some(version))
+    // renames advertise a different LOGICAL name; dropped columns
+    // (empty logical — ALTER TABLE DROP COLUMN) are projected out of
+    // the advertised schema entirely, physical parquet untouched
+    val colMap = graft.io.ColumnMapping.renames(fullMap)
+    val droppedPhys = graft.io.ColumnMapping.dropped(fullMap)
     require(data.nonEmpty, s"version $version of $root has no data entries")
     // reader option wins; otherwise the table's own recorded merge key
     // (CALL set_mor_key / GraftMorKey.set — the Iceberg move of keeping
@@ -150,13 +165,25 @@ object GraftTable {
     val morKey = Option(options.get("morKey"))
       .orElse(GraftMorKey.get(s, root))
     // drift-aware schema resolution: each committed directory is ONE
-    // write job, so a per-dir footer probe is enough to detect schema
-    // drift (bounded by the dir count, not the file count). Uniform
-    // dirs take the fast path; drifted dirs resolve to the UNION in
-    // first-seen order — a file lacking a later column reads it as
-    // null (Delta's evolved-read semantics) — and an incompatible TYPE
-    // drift refuses loudly instead of silently coercing.
-    val dirSchemas = data.map(d => s.read.parquet(d).schema)
+    // write job, so a per-dir schema is enough to detect schema
+    // drift (bounded by the dir count, not the file count). Since the
+    // annotated-manifest format the schema comes from the commit-time
+    // `#ann:schema` capture — zero per-directory IO; pre-format
+    // manifests and un-annotatable dirs (hive sublayouts) fall back to
+    // the footer probe. Uniform dirs take the fast path; drifted dirs
+    // resolve to the UNION in first-seen order — a file lacking a
+    // later column reads it as null (Delta's evolved-read semantics) —
+    // and an incompatible TYPE drift refuses loudly instead of
+    // silently coercing.
+    val dirSchemas = data.map { d =>
+      ann.schemas.get(d).flatten
+        .flatMap(j => scala.util.Try(
+          DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+        .getOrElse {
+          GraftTable.onSchemaProbe(d)
+          s.read.parquet(d).schema
+        }
+    }
     val inferred =
       if (dirSchemas.distinct.size == 1) dirSchemas.head
       else dirSchemas.reduce { (a, b) =>
@@ -181,10 +208,14 @@ object GraftTable {
     }
     // apply the version's column mapping: parquet keeps its PHYSICAL
     // names forever, the table advertises the LOGICAL ones — a rename
-    // is one metadata commit, never a rewrite (Delta column mapping)
+    // is one metadata commit, never a rewrite (Delta column mapping);
+    // dropped physical columns leave the schema the same way
+    val visible =
+      if (droppedPhys.isEmpty) inferred
+      else StructType(inferred.filterNot(f => droppedPhys.contains(f.name)))
     val logical =
-      if (colMap.isEmpty) inferred
-      else StructType(inferred.map(f =>
+      if (colMap.isEmpty) visible
+      else StructType(visible.map(f =>
         f.copy(name = colMap.getOrElse(f.name, f.name))))
     // a recorded merge key is a row IDENTITY (Iceberg's identifier
     // field): advertise it required — non-null by contract, and Spark's
@@ -195,7 +226,8 @@ object GraftTable {
           if (f.name == k) f.copy(nullable = false) else f))
       case _ => logical
     }
-    new GraftTable(s, root, version, schema, data, tombs, morKey, colMap)
+    new GraftTable(s, root, version, schema, data, tombs, morKey, colMap,
+      new graft.io.DirStatsProvider(s, root, Some(version), Some(ann)))
   }
 }
 
@@ -257,7 +289,8 @@ object GraftDirColumn
 
 class GraftTable(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
-    morKey: Option[String], colMap: Map[String, String] = Map.empty)
+    morKey: Option[String], colMap: Map[String, String] = Map.empty,
+    provider: graft.io.DirStatsProvider = null)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -306,10 +339,21 @@ class GraftTable(s: SparkSession, root: String, version: Int,
     m
   }
 
+  private lazy val partitioned: Boolean =
+    GraftTableProps.read(s, root).get("partitioncols")
+      .exists(_.trim.nonEmpty)
+
   override def capabilities(): util.Set[TableCapability] =
+    // Spark dispatches writes on the CAPABILITY (declaring
+    // V1_BATCH_WRITE makes every batch write expect a V1Write), so a
+    // partitioned table declares exactly the V1 bridge (one dynamic
+    // partitioned job per INSERT) and a flat table exactly the pure
+    // V2 write
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      if (partitioned) TableCapability.V1_BATCH_WRITE
+      else TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -333,7 +377,8 @@ class GraftTable(s: SparkSession, root: String, version: Int,
       s"version $version of $root has live tombstones — pass the " +
         "morKey option so the scan merges them (or fold first)")
     new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
-      tombDirs, morKey, options, colMap = colMap)
+      tombDirs, morKey, options, colMap = colMap,
+      statsProvider = Option(provider))
   }
 }
 
@@ -341,12 +386,21 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
     morKey: Option[String], options: CaseInsensitiveStringMap,
     opState: Option[GraftRowOpState] = None, rowOp: Boolean = false,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    statsProvider: Option[graft.io.DirStatsProvider] = None)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownLimit
   with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+
+  // every per-directory stats/bloom fact the plan consults comes from
+  // here: the resolve-time manifest annotations when threaded through,
+  // one self-built provider otherwise — at most ONE sidecar open per
+  // directory per plan, zero on an annotated manifest
+  private lazy val dirStats: graft.io.DirStatsProvider =
+    statsProvider.getOrElse(
+      new graft.io.DirStatsProvider(s, root, Some(version)))
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
@@ -534,23 +588,21 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       if (rowOp && opState.isEmpty) Seq.empty else toInSets(pushed.toSeq)
     val points =
       if (rowOp && opState.isEmpty) Seq.empty else toPoints(pushed.toSeq)
-    val f = new Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (ranges.isEmpty && inSets.isEmpty && points.isEmpty)
       (dataDirs, Seq.empty[String])
     else dataDirs.partition { d =>
       // sidecar keys are PHYSICAL names — translate before matching
-      val stats = SkipStats.read(f, d)
+      val cs = dirStats.cols(d)
       // bloom sidecars decide POINT probes the ranges must keep; a
       // missing bloom (or column) keeps — IO-only, never semantic
-      // (readOne skips the other columns' filter bytes)
-      ranges.forall(r => stats.flatMap(_.get(phys(r.c)))
-        .forall(cs => SkipStats.colOverlaps(cs, r.lo, r.hi))) &&
-        inSets.forall { case (c, vals) => stats.flatMap(_.get(phys(c)))
-          .forall(cs => vals.exists(v => SkipStats.colOverlaps(cs, v, v)))
+      // (the provider loads only the probed column's filter bytes)
+      ranges.forall(r => cs.flatMap(_.get(phys(r.c)))
+        .forall(x => SkipStats.colOverlaps(x, r.lo, r.hi))) &&
+        inSets.forall { case (c, vals) => cs.flatMap(_.get(phys(c)))
+          .forall(x => vals.exists(v => SkipStats.colOverlaps(x, v, v)))
         } &&
         points.forall { case (c, vals) =>
-          graft.io.BloomSidecar.readOne(f, d, phys(c)) match {
+          dirStats.bloom(d, phys(c)) match {
             case None => true
             case Some((t, bf)) => vals.exists(v =>
               graft.io.BloomSidecar.mightContain(t, bf, v))
@@ -617,12 +669,17 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
         r.fieldNames()(0)
       case _ => return false
     }
+    // StringType here is the DEFAULT (UTF8_BINARY) collation case
+    // object only — a collated string column is a different DataType
+    // instance and refuses, because the sidecar certificate compares
+    // bytewise (Spark's own default string sort order)
     val sortable = tableSchema.find(_.name == colName).exists(f =>
       f.dataType == LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType ||
         f.dataType == org.apache.spark.sql.types.ShortType ||
         f.dataType == org.apache.spark.sql.types.ByteType ||
-        f.dataType == org.apache.spark.sql.types.DateType)
+        f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == StringType)
     if (!sortable) return false
     topNPushed = Some((colName,
       o.direction() == SortDirection.DESCENDING,
@@ -636,69 +693,90 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
   private lazy val topNed: (Seq[String], Seq[String]) = topNPushed match {
     case None => (pruning._1, Seq.empty)
     case Some((c, desc, nullsFirst, k)) =>
-      val f = new Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
       val pc = phys(c)
-      // bound string → exact numeric key in SORT space (negated for
-      // DESC, so the walk below is always "ascending")
-      def key(tag: String, v: String): Option[BigDecimal] = {
-        val n = tag match {
-          case "long" | "double" => scala.util.Try(BigDecimal(v)).toOption
-          case "date" => scala.util.Try(
-            BigDecimal(java.time.LocalDate.parse(v).toEpochDay)).toOption
-          case _ => None
-        }
-        n.map(x => if (desc) -x else x)
+      // sort-key space is decided by the TABLE schema, not per-sidecar
+      // tags (a corrupt sidecar disagreeing on type degrades to
+      // "unknown — keep", never to a cross-type compare): exact
+      // decimal for numeric/date bounds, UTF8String bytewise for
+      // default-collation strings (Spark's own string sort order).
+      // DESC flips via the ORDERING, never by negating values — which
+      // is what admits non-negatable key types at all.
+      val isStringKey = tableSchema.find(_.name == c)
+        .exists(_.dataType == StringType)
+      def numKey(tag: String, v: String): Option[BigDecimal] = tag match {
+        case "long" | "double" => scala.util.Try(BigDecimal(v)).toOption
+        case "date" => scala.util.Try(
+          BigDecimal(java.time.LocalDate.parse(v).toEpochDay)).toOption
+        case _ => None
       }
-      final case class Fact(dir: String, slo: BigDecimal, shi: BigDecimal,
+      def strKey(tag: String, v: String): Option[UTF8String] =
+        if (tag == "string") Some(UTF8String.fromString(v)) else None
+
+      final case class Fact[T](dir: String, slo: T, shi: T,
         cnt: Option[Long], nonNull: Option[Long])
-      val (known, unknown) = pruning._1.map { d =>
-        val ent = SkipStats.read(f, d).flatMap(_.get(pc))
-        val cnt = SkipStats.readCount(f, d)
-        val nn = SkipStats.readNonNull(f, d).get(pc)
-        val fact = ent.flatMap { cs =>
-          cs.bounds.flatMap { case (mn, mx) =>
-            for (lo <- key(cs.tpe, mn); hi <- key(cs.tpe, mx))
-              yield Fact(d, lo.min(hi), lo.max(hi), cnt, nn)
+
+      def plan[T](keyOf: (String, String) => Option[T])(
+          implicit rawOrd: Ordering[T]): (Seq[String], Seq[String]) = {
+        val ord: Ordering[T] = if (desc) rawOrd.reverse else rawOrd
+        val (known, unknown) = pruning._1.map { d =>
+          // ONE provider consult (annotation or one memoized sidecar
+          // open) yields all three facts — bounds, count, non-null
+          val sc = dirStats.sidecar(d)
+          val ent = sc.flatMap(_.cols).flatMap(_.get(pc))
+          val cnt = sc.flatMap(_.count)
+          val nn = sc.map(_.nonNull).getOrElse(Map.empty).get(pc)
+          val fact = ent.flatMap { cs =>
+            cs.bounds.flatMap { case (mn, mx) =>
+              for (a <- keyOf(cs.tpe, mn); b <- keyOf(cs.tpe, mx)) yield {
+                val (lo, hi) = if (ord.lteq(a, b)) (a, b) else (b, a)
+                Fact(d, lo, hi, cnt, nn)
+              }
+            }
           }
-        }
-        (d, fact, ent, cnt)
-      }.partition(_._2.isDefined)
-      // all-null dirs under NULLS FIRST sort wholly to the front:
-      // always kept, and their full counts are valid witness credit
-      var banked: Long = unknown.collect {
-        case (_, _, Some(cs), Some(n))
-            if cs.bounds.isEmpty && nullsFirst => n
-      }.sum
-      var creditBound: Option[BigDecimal] = None
-      val keep = Seq.newBuilder[String]
-      val drop = Seq.newBuilder[String]
-      unknown.foreach { u => keep += u._1 }
-      known.map(_._2.get).sortBy(_.shi).foreach { d =>
-        val nullFree = (d.cnt, d.nonNull) match {
-          case (Some(a), Some(b)) => a == b
-          case _ => false
-        }
-        val afterWitness = creditBound.exists(_ <= d.slo)
-        if (banked >= k && afterWitness && (!nullsFirst || nullFree))
-          drop += d.dir
-        else {
-          keep += d.dir
-          if (banked < k) {
-            val credit =
-              if (nullsFirst) d.cnt.getOrElse(0L)
-              else d.nonNull.getOrElse(0L)
-            if (credit > 0) {
-              banked += credit
-              creditBound =
-                Some(creditBound.fold(d.shi)(_.max(d.shi)))
+          (d, fact, ent, cnt)
+        }.partition(_._2.isDefined)
+        // all-null dirs under NULLS FIRST sort wholly to the front:
+        // always kept, and their full counts are valid witness credit
+        var banked: Long = unknown.collect {
+          case (_, _, Some(cs), Some(n))
+              if cs.bounds.isEmpty && nullsFirst => n
+        }.sum
+        var creditBound: Option[T] = None
+        val keep = Seq.newBuilder[String]
+        val drop = Seq.newBuilder[String]
+        unknown.foreach { u => keep += u._1 }
+        known.map(_._2.get).sortBy(_.shi)(ord).foreach { d =>
+          val nullFree = (d.cnt, d.nonNull) match {
+            case (Some(a), Some(b)) => a == b
+            case _ => false
+          }
+          val afterWitness = creditBound.exists(b => ord.lteq(b, d.slo))
+          if (banked >= k && afterWitness && (!nullsFirst || nullFree))
+            drop += d.dir
+          else {
+            keep += d.dir
+            if (banked < k) {
+              val credit =
+                if (nullsFirst) d.cnt.getOrElse(0L)
+                else d.nonNull.getOrElse(0L)
+              if (credit > 0) {
+                banked += credit
+                creditBound = Some(creditBound.fold(d.shi)(b =>
+                  if (ord.gteq(b, d.shi)) b else d.shi))
+              }
             }
           }
         }
+        // preserve the manifest's directory order for the kept set
+        val keepSet = keep.result().toSet
+        (pruning._1.filter(keepSet), drop.result())
       }
-      // preserve the manifest's directory order for the kept set
-      val keepSet = keep.result().toSet
-      (pruning._1.filter(keepSet), drop.result())
+
+      if (isStringKey) {
+        implicit val u8: Ordering[UTF8String] =
+          (a: UTF8String, b: UTF8String) => a.compareTo(b)
+        plan[UTF8String](strKey)
+      } else plan[BigDecimal](numKey)
   }
 
   /** Limit-truncated (scan dirs, dirs the limit dropped). Identity
@@ -708,8 +786,6 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     val (kept, _) = pruning
     limitPushed match {
       case Some(l) =>
-        val f = new Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
         var banked = 0L
         var done = false
         val keep = Seq.newBuilder[String]
@@ -718,7 +794,7 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
           if (done) drop += d
           else {
             keep += d
-            banked += SkipStats.readCount(f, d).getOrElse(0L)
+            banked += dirStats.count(d).getOrElse(0L)
             if (banked >= l) done = true
           }
         }
@@ -810,12 +886,12 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     // the table columns would clobber the aggregate output
     if (!aggPushed) delegate.pruneColumns(physSchema(delegateRequired))
     val parquetScan = delegate.build()
-    GraftScan(parquetScan, root, version, kept, skipped,
+    new GraftScan(parquetScan, root, version, kept, skipped,
       allPruned = kept.isEmpty && !aggPushed, tombFilter, s, tableSchema,
       delegateRequired, options, dirRequested, dataDirs, opState, rowOp,
       colMap, limitDropped = limitDropped,
       limitMode = limitPushed.isDefined || topNPushed.isDefined,
-      topNMode = topNPushed.isDefined)
+      topNMode = topNPushed.isDefined)(dirStats)
   }
 }
 
@@ -843,7 +919,11 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     opState: Option[GraftRowOpState] = None, rowOp: Boolean = false,
     colMap: Map[String, String] = Map.empty,
     limitDropped: Seq[String] = Seq.empty, limitMode: Boolean = false,
-    topNMode: Boolean = false)
+    topNMode: Boolean = false)(
+    // second parameter list: the stats provider is a per-plan cache,
+    // not part of the scan's identity (case-class equality/canonical
+    // form must not depend on it)
+    val dirStats: graft.io.DirStatsProvider)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -921,18 +1001,17 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     * runtime literal rendering the sidecars can compare.
     */
   // memoized: Spark probes filterAttributes once per candidate join
-  // during planning — the sidecar sweep (one small read per dir; bloom
-  // KEYS only, never the filters themselves) must run once per scan
+  // during planning — the sidecar sweep (manifest annotations, or at
+  // most one small read per dir; bloom KEYS only, never the filters
+  // themselves) must run once per scan
   private lazy val advertisedColumns: Array[
       org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val f = new Path(root)
-      .getFileSystem(session.sparkContext.hadoopConfiguration)
     // sidecar keys are physical — advertise their LOGICAL names;
     // bloom-covered columns prune point probes even without ranges
-    (keptDirs.iterator.flatMap(d => SkipStats.read(f, d))
+    (keptDirs.iterator.flatMap(d => dirStats.cols(d))
         .flatMap(_.keySet) ++
-      keptDirs.iterator.flatMap(d =>
-        graft.io.BloomSidecar.readKeys(f, d)).flatten).toSet[String]
+      keptDirs.iterator.flatMap(d => dirStats.bloomKeys(d)))
+      .toSet[String]
       .map(p => colMap.getOrElse(p, p)).filter(runtimePrunable)
       .toArray.sorted.map(
         org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -995,15 +1074,13 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       val colVals: Seq[(String, Set[String])] =
         predicates.toSeq.flatMap(colValues).filter(_._2.size <= cap)
       if (colVals.isEmpty) return
-      val f = new Path(root)
-        .getFileSystem(session.sparkContext.hadoopConfiguration)
       val l2p = colMap.map(_.swap)
       val kept = keptDirs.filter { d =>
-        val stats = SkipStats.read(f, d)
+        val stats = dirStats.cols(d)
         colVals.forall { case (c, vals) =>
           val pc = l2p.getOrElse(c, c)
           val cs = stats.flatMap(_.get(pc))
-          val bl = graft.io.BloomSidecar.readOne(f, d, pc)
+          val bl = dirStats.bloom(d, pc)
           if (cs.isEmpty && bl.isEmpty) true
           else vals.exists { v =>
             cs.forall(x => SkipStats.colOverlaps(x, v, v)) &&

@@ -29,10 +29,13 @@ object GraftDdl {
     * ([[GraftV2Write]] consults them), so the create-time pruning
     * discipline survives INSERTs that don't repeat the option;
     * `morKey` records the merge key exactly like
-    * `CALL lake.set_mor_key`.
+    * `CALL lake.set_mor_key`; `partitionCols` is recorded by
+    * `CREATE TABLE … PARTITIONED BY` and makes every later
+    * INSERT/overwrite land per-partition-value directories
+    * ([[GraftPartitionedWrite]]).
     */
   val knownProps: Set[String] =
-    Set("statscols", "sortby", "morkey", "bloomcols")
+    Set("statscols", "sortby", "morkey", "bloomcols", "partitioncols")
 
   /** Spark adds bookkeeping entries (`provider`, `owner`, `location`,
     * `comment`, ...) to the properties map; anything else unknown
@@ -55,18 +58,38 @@ object GraftDdl {
       .map { case (k, v) => k.toLowerCase -> v }
   }
 
-  /** Partition transforms are refused: directory layout here is the
-    * engine's unit of commit/replace/skip (manifest dirs + skip-stats +
-    * `CALL lake.cluster`), not a hive-style column partitioning.
-    * `sortBy`+`statsCols` give the clustered-write discipline instead.
+  /** `PARTITIONED BY` vetting: IDENTITY transforms on top-level
+    * columns of sidecar-supported types become the recorded
+    * `partitionCols` — every later INSERT/CTAS lands one committed
+    * directory PER PARTITION VALUE, each carrying constant-bound
+    * skip-stats, so an equality filter prunes whole directories at
+    * planning (the manifest-native equivalent of hive listing-level
+    * pruning). Bucket/temporal transforms are refused — that layout is
+    * `CALL lake.cluster`'s job (clustered range buckets express them
+    * better on this engine), and silently approximating a transform
+    * would mislead every reader of the partition spec.
     */
-  def requireUnpartitioned(
+  def vetPartitioning(schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions
-        .Transform]): Unit =
-    require(partitions.isEmpty,
-      "graft tables do not take PARTITIONED BY — write clustering is " +
-        "TBLPROPERTIES('sortBy'='c1,c2') + 'statsCols' (skip-stats " +
-        "pruning), layout maintenance is CALL lake.cluster/compact")
+        .Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case id if id.name == "identity" && id.references.length == 1 &&
+          id.references()(0).fieldNames.length == 1 =>
+        val c = id.references()(0).fieldNames()(0)
+        val field = schema.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"PARTITIONED BY ($c): no such column"))
+        require(SkipStats.supportedType(field.dataType),
+          s"PARTITIONED BY ($c): type ${field.dataType.simpleString} " +
+            "cannot carry the per-directory stats partition pruning " +
+            "rides on (integral, string, date)")
+        c
+      case other =>
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY transform '$other' is not supported — " +
+            "identity column partitioning only; bucket/temporal " +
+            "layouts are TBLPROPERTIES('sortBy'=…) + CALL lake.cluster")
+    }
 
   /** Apply create-time properties: morKey via the recorded-key file,
     * statsCols/sortBy via the props sidecar (read back as write-time
@@ -204,6 +227,17 @@ class GraftStagedTable(s: SparkSession, root: String,
     def cols(key: String): Seq[String] = props.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val partitionCols = cols("partitioncols")
+    if (partitionCols.nonEmpty && hasFiles) {
+      // partitioned CTAS: split the staged result per partition value
+      // and commit the leaves as the table's first (or replacing)
+      // version — one extra pass over the CTAS result, once; the flat
+      // staging dir stays an orphan for the sweep
+      GraftPartitionedWrite.insert(s, root, s.read.parquet(dir),
+        partitionCols, cols("statscols"), cols("bloomcols"),
+        replacing = replaceExisting)
+      return
+    }
     val statsCols = cols("statscols")
     if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
     val bloomCols = cols("bloomcols")

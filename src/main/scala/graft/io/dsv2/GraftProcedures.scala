@@ -272,12 +272,13 @@ object GraftProcedures {
           "sidecar needs stats_cols and/or bloom_cols")
         val s = session
         // args are LOGICAL names; files (and sidecars) are physical
-        val l2p = graft.io.ColumnMapping.mapping(s, root).map(_.swap)
+        val l2p = graft.io.ColumnMapping.renames(
+          graft.io.ColumnMapping.mapping(s, root)).map(_.swap)
         def phys(cs: Seq[String]) = cs.map(c => l2p.getOrElse(c, c))
         val (statsCols, bloomCols) = (phys(cols(1)), phys(cols(2)))
         val f = new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        Manifest.committed(s, root)
+        val rows = Manifest.committed(s, root)
           .filterNot(MergeOnRead.isTombstone)
           .filterNot(graft.io.ColumnMapping.isMapping)
           .map { d =>
@@ -290,6 +291,12 @@ object GraftProcedures {
             new GenericInternalRow(Array[Any](UTF8String.fromString(d),
               wroteStats, wroteBloom))
           }
+        // the "stats commit": re-embed every directory's sidecars into
+        // the manifest annotations, so plans return to O(1) metadata
+        // reads instead of per-directory fallback probes
+        if (rows.exists(r => r.getBoolean(1) || r.getBoolean(2)))
+          Manifest.refreshAnnotations(s, root)
+        rows
       }
     },
     // CLONE as a CALL — `shallow` is the O(1) dev/test fork (manifest
@@ -336,6 +343,41 @@ object GraftProcedures {
           Array[Any](UTF8String.fromString(d))))
       }
     },
+    // ROLLBACK — the incident-runbook verb (Delta `RESTORE TABLE …
+    // TO VERSION AS OF` / Iceberg rollback_to_snapshot): republish
+    // version N's directory list as a NEW replacing commit. History
+    // stays intact (the rolled-back-over versions still time-travel),
+    // nothing is deleted (`expire` owns reclamation, unaffected),
+    // clone/tag guards are untouched, and the next INSERT appends on
+    // the restored head. Refuses while the CURRENT head carries MoR
+    // tombstones that version N does not list — republishing N would
+    // silently UN-delete those keys; fold (or takedown-fold) first.
+    "rollback" -> new P("rollback",
+      Seq(param("table", StringType), param("version", IntegerType)),
+      StructType(Seq(StructField("restored_version", IntegerType),
+        StructField("new_version", IntegerType),
+        StructField("n_dirs", IntegerType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val root = rootOf(utf(in.get(0, StringType)))
+        val v = in.getInt(1)
+        val s = session
+        val vs = Manifest.versions(s, root)
+        require(vs.contains(v),
+          s"cannot rollback to unknown version $v (have $vs — " +
+            "expired versions are beyond the retention horizon)")
+        val target = Manifest.entries(s, root, Some(v))
+        val targetSet = target.toSet
+        val laterTombs = Manifest.committed(s, root)
+          .filter(MergeOnRead.isTombstone).filterNot(targetSet)
+        require(laterTombs.isEmpty,
+          s"cannot rollback $root to version $v: the current head " +
+            s"carries ${laterTombs.size} tombstone commit(s) newer " +
+            "than it — rolling back would silently un-delete their " +
+            "keys. CALL fold first, then rollback.")
+        val nv = Manifest.rollbackTo(s, root, v)
+        Seq(new GenericInternalRow(Array[Any](v, nv, target.size)))
+      }
+    },
     // sorted RE-CLUSTERING — `OPTIMIZE … SORT BY` as one CALL: the
     // snapshot rewrites range-partitioned + sorted on the given
     // columns into `buckets` directories, each with a fresh skip-stats
@@ -364,14 +406,18 @@ object GraftProcedures {
         val entries = Manifest.entries(s, root)
         require(!entries.exists(MergeOnRead.isTombstone),
           s"$root carries live tombstones — fold before re-clustering")
-        val l2p = graft.io.ColumnMapping.mapping(s, root).map(_.swap)
+        val l2p = graft.io.ColumnMapping.renames(
+          graft.io.ColumnMapping.mapping(s, root)).map(_.swap)
         val phys = sortCols.map(c => l2p.getOrElse(c, c))
         val data = entries.filterNot(graft.io.ColumnMapping.isMapping)
         require(data.nonEmpty, s"$root has no data to cluster")
         import org.apache.spark.sql.functions.{col, spark_partition_id}
         val stage = s"$root/data/cluster-v${Manifest.versions(s, root)
           .last + 1}"
-        s.read.parquet(data: _*)
+        // mergeSchema: a drift-evolved table's late columns live only in
+        // newer directories — a layout-only rewrite must carry the UNION
+        // schema, not whichever footer parquet happens to pick first
+        s.read.option("mergeSchema", "true").parquet(data: _*)
           .repartitionByRange(buckets, phys.map(col): _*)
           .sortWithinPartitions(phys.map(col): _*)
           .withColumn("gbucket", spark_partition_id())
@@ -419,12 +465,15 @@ object GraftProcedures {
     // skip-stats sidecars (what the planner can prune on). The ops view
     // for "why isn't this query pruning" and "is it time to compact".
     "layout" -> new P("layout", Seq(param("table", StringType)),
+      // `rows` appended LAST (not mid-schema): procedure result columns
+      // only ever grow at the end, so positional consumers of earlier
+      // releases keep reading the columns they bound
       StructType(Seq(StructField("dir", StringType),
         StructField("kind", StringType),
         StructField("files", IntegerType),
         StructField("bytes", LongType),
-        StructField("rows", LongType),
-        StructField("stats_cols", StringType)))) {
+        StructField("stats_cols", StringType),
+        StructField("rows", LongType)))) {
       override protected def run(in: InternalRow): Seq[InternalRow] = {
         val root = rootOf(utf(in.get(0, StringType)))
         val s = session
@@ -445,8 +494,8 @@ object GraftProcedures {
           val rows = graft.io.SkipStats.readCount(f, d).getOrElse(-1L)
           new GenericInternalRow(Array[Any](UTF8String.fromString(d),
             UTF8String.fromString(kind), files.length,
-            files.map(_.getLen).sum, rows,
-            UTF8String.fromString(statsCols)))
+            files.map(_.getLen).sum,
+            UTF8String.fromString(statsCols), rows))
         }
       }
     })

@@ -120,8 +120,41 @@ class GraftWriteBuilder(s: SparkSession, root: String,
 
   override def truncate(): WriteBuilder = { replacing = true; this }
 
-  override def build(): Write =
-    new GraftV2Write(s, root, info, replacing, colMap = colMap)
+  override def build(): Write = {
+    val props = GraftTableProps.read(s, root)
+    val pcols = props.get("partitioncols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (pcols.isEmpty) new GraftV2Write(s, root, info, replacing,
+      colMap = colMap)
+    else {
+      // partitioned table: one dynamic partitioned write job straight
+      // from the DataFrame via the DSv2→V1 write bridge
+      def csv(key: String): Seq[String] = Option(info.options.get(key))
+        .orElse(props.get(key.toLowerCase))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      val (statsCols, bloomCols) = (csv("statsCols"), csv("bloomCols"))
+      val wasReplacing = replacing
+      val l2p = colMap.map(_.swap)
+      def phys(c: String) = l2p.getOrElse(c, c)
+      new org.apache.spark.sql.connector.write.V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: DataFrame, overwrite: Boolean) => {
+            val physData = colMap.foldLeft(data) {
+              case (df, (p, l)) => df.withColumnRenamed(l, p)
+            }
+            GraftPartitionedWrite.insert(s, root, physData,
+              pcols.map(phys), statsCols.map(phys), bloomCols.map(phys),
+              replacing = wasReplacing || overwrite)
+          }
+        override def description(): String =
+          s"GraftPartitionedWrite root=$root " +
+            s"partitionCols=${pcols.mkString("+")}"
+      }
+    }
+  }
 }
 
 class GraftV2Write(s: SparkSession, root: String,
@@ -292,6 +325,84 @@ class GraftV2Write(s: SparkSession, root: String,
       db.abort(messages) // the dir stays an orphan for the sweep
 
     override def toString: String = description()
+  }
+}
+
+/** PARTITIONED-table write path (`CREATE TABLE … PARTITIONED BY`):
+  * every INSERT/overwrite lands ONE DIRECTORY PER PARTITION VALUE and
+  * commits them all as one manifest version, each leaf carrying
+  * constant-bound skip-stats on the partition columns — so an equality
+  * filter prunes whole directories at PLANNING (the manifest-native
+  * form of hive listing-level pruning: pruned directories are never
+  * even listed, and the stats ride the manifest annotations at zero
+  * planning IO).
+  *
+  * The write partitions on a SHADOW COPY of each partition column
+  * (`__gp_<col>`): `partitionBy` consumes its column (hive layout
+  * drops it from the files), but a committed manifest entry must be a
+  * stand-alone readable directory — the copy keeps the real column in
+  * every file while the shadow names the directories. Reading a leaf
+  * directly never resurfaces the shadow (partition discovery looks
+  * below the root path, not at it).
+  *
+  * Executed through the DSv2 V1-write fallback
+  * ([[org.apache.spark.sql.connector.write.V1Write]]): the dynamic
+  * partitioned write is one Spark job straight from the query's
+  * DataFrame — no flat landing + re-split double IO on the ingest hot
+  * path. Row-level DML rewrites stay flat (their sidecar carry keeps
+  * the pruning); `CALL lake.cluster` re-layouts freely (partition
+  * evolution).
+  */
+object GraftPartitionedWrite {
+
+  private def shadow(c: String) = "__gp_" + c
+
+  /** The partition-value leaf directories under a staged partitioned
+    * write (depth = partition column count; `=` in the name marks the
+    * hive-style level).
+    */
+  private[dsv2] def leafDataDirs(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[String] = {
+    val st = f.listStatus(p).toSeq
+    val subs = st.filter(x => x.isDirectory &&
+      x.getPath.getName.contains("="))
+    if (subs.isEmpty) {
+      if (st.exists(x => x.isFile &&
+          x.getPath.getName.endsWith(".parquet")))
+        Seq(p.toUri.getPath)
+      else Seq.empty
+    } else subs.flatMap(x => leafDataDirs(f, x.getPath))
+  }
+
+  /** Land `data` partition-split and commit every leaf as ONE version
+    * (append, or replacing for overwrite). Column names arrive
+    * PHYSICAL (the caller translates a mapped table's logical names).
+    */
+  def insert(s: SparkSession, root: String, data: DataFrame,
+      partitionCols: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String], replacing: Boolean): Unit = {
+    val stage = s"$root/data/w-" + java.util.UUID.randomUUID().toString
+    val withShadow = partitionCols.foldLeft(data)((df, c) =>
+      df.withColumn(shadow(c), org.apache.spark.sql.functions.col(c)))
+    withShadow.write.partitionBy(partitionCols.map(shadow): _*)
+      .parquet(stage)
+    val f = new Path(stage)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val leaves = leafDataDirs(f, new Path(stage)).sorted
+    if (leaves.isEmpty) {
+      // a zero-row append commits nothing (the DML no-op contract); a
+      // zero-row overwrite still must empty the table at full schema
+      if (replacing) Manifest.rewrite(s, root,
+        Seq(GraftDdl.writeEmptyDir(s, root, data.schema)))
+      return
+    }
+    val sc = (statsCols ++ partitionCols).distinct
+    leaves.foreach { d =>
+      SkipStats.write(s, d, sc)
+      if (bloomCols.nonEmpty) graft.io.BloomSidecar.write(s, d, bloomCols)
+    }
+    if (replacing) Manifest.rewrite(s, root, leaves)
+    else Manifest.commitAll(s, root, leaves)
   }
 }
 

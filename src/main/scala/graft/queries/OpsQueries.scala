@@ -5635,8 +5635,13 @@ object OpsQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fsH.delete(new org.apache.hadoop.fs.Path(root), true)
     val hi = okeyUnit(s, dir, frac = 1) // max okey + 1
+    // skey: a zero-padded string rendering of the key — the
+    // ISO-timestamp-string shape ("newest N events" on a string ts
+    // column); its bytewise order equals the numeric order, so the
+    // string-keyed top-k returns the same key multiset
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
+        lpad(col("l_orderkey").cast("string"), 10, "0").as("skey"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
     for (b <- 0 until 4) {
@@ -5644,7 +5649,7 @@ object OpsQueries {
       li.filter(col("l_orderkey") >= b * hi / 4 &&
           col("l_orderkey") < (b + 1) * hi / 4)
         .write.parquet(d)
-      graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
+      graft.io.SkipStats.write(s, d, Seq("l_orderkey", "skey"))
       Manifest.commit(s, root, d)
     }
     def probe(sql: String, tag: Int): DataFrame = {
@@ -5665,20 +5670,37 @@ object OpsQueries {
       "ORDER BY l_orderkey LIMIT 100", 0)
     val down = probe("SELECT l_orderkey FROM g56.graft_io56_tbl " +
       "ORDER BY l_orderkey DESC LIMIT 100", 1)
-    up.unionByName(down).orderBy(col("phase"))
+    // phases 2/3: the STRING-keyed certificate, both directions
+    val upS = probe("SELECT l_orderkey FROM g56.graft_io56_tbl " +
+      "ORDER BY skey LIMIT 100", 2)
+    val downS = probe("SELECT l_orderkey FROM g56.graft_io56_tbl " +
+      "ORDER BY skey DESC LIMIT 100", 3)
+    up.unionByName(down).unionByName(upS).unionByName(downS)
+      .orderBy(col("phase"))
   }
 
   val io56Oracle: String =
     """WITH a AS (SELECT l_orderkey FROM lineitem
       |  ORDER BY l_orderkey LIMIT 100),
       |d AS (SELECT l_orderkey FROM lineitem
-      |  ORDER BY l_orderkey DESC LIMIT 100)
+      |  ORDER BY l_orderkey DESC LIMIT 100),
+      |sa AS (SELECT l_orderkey FROM lineitem
+      |  ORDER BY lpad(CAST(l_orderkey AS VARCHAR), 10, '0') LIMIT 100),
+      |sd AS (SELECT l_orderkey FROM lineitem
+      |  ORDER BY lpad(CAST(l_orderkey AS VARCHAR), 10, '0') DESC
+      |  LIMIT 100)
       |SELECT 0 AS phase, COUNT(*) AS n, MIN(l_orderkey) AS mn,
       |  MAX(l_orderkey) AS mx, CAST(SUM(l_orderkey) AS BIGINT)
       |    AS sum_okey FROM a
       |UNION ALL
       |SELECT 1, COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
       |  CAST(SUM(l_orderkey) AS BIGINT) FROM d
+      |UNION ALL
+      |SELECT 2, COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+      |  CAST(SUM(l_orderkey) AS BIGINT) FROM sa
+      |UNION ALL
+      |SELECT 3, COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+      |  CAST(SUM(l_orderkey) AS BIGINT) FROM sd
       |ORDER BY phase""".stripMargin
 
   /** `CALL lake.cluster` — sorted RE-CLUSTERING under the oracle gate
@@ -5807,6 +5829,407 @@ object OpsQueries {
       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
+  /** STATS-IN-MANIFEST O(1) planning under the oracle gate
+    * ([[graft.io.Manifest.DirAnnotations]] +
+    * [[graft.io.DirStatsProvider]]): a 256-directory table — the scale
+    * shape where per-directory sidecar reads become minutes of
+    * driver-side planning on a real store — plans static range
+    * pruning, LIMIT truncation, and TopN certificates from the ONE
+    * manifest read the resolve already does. In-gate counters (the
+    * test seams on [[graft.io.SkipStats]]/[[graft.io.Manifest]]/
+    * [[graft.io.dsv2.GraftTable]]) pin ZERO sidecar opens and ZERO
+    * per-directory footer probes across all four probes, with plan
+    * pins (`skippedDirs`/`limitDirs`/`topNDirs`) computed from the
+    * per-bucket counts so the IO-free plans are also the RIGHT plans.
+    * The fixture itself is scale-shaped: one partitioned write job
+    * lands all buckets, one grouped aggregation computes every
+    * bucket's stats, `SkipStats.install` writes 256 sidecars with no
+    * further Spark jobs, and ONE manifest commit embeds them all.
+    */
+  def io59ManifestStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, SkipStats}
+    s.conf.set("spark.sql.catalog.g59", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g59.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io59_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val hi = okeyUnit(s, dir, frac = 1) // max okey + 1
+    val nb = 256L
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val stage = s"$root/data/ingest"
+    li.withColumn("pb", format_string("%03d",
+        (col("l_orderkey") * nb / hi).cast("int")))
+      .write.partitionBy("pb").parquet(stage)
+    val bucketStats = li
+      .groupBy((col("l_orderkey") * nb / hi).cast("int").as("pb"))
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+        max(col("l_orderkey")).as("mx"))
+      .collect().sortBy(_.getInt(0))
+    val dirs = bucketStats.map { r =>
+      val d = f"$stage/pb=${r.getInt(0)}%03d"
+      SkipStats.install(s, d, r.getLong(1),
+        Seq("l_orderkey" -> SkipStats.ColStats("long",
+          Some((r.getLong(2).toString, r.getLong(3).toString)))),
+        Map("l_orderkey" -> r.getLong(1)))
+      d
+    }.toSeq
+    val n = dirs.size
+    require(n >= 64, s"fixture needs many buckets, got $n")
+    Manifest.rewrite(s, root, dirs)
+    // expected planned prefixes from the banked counts (manifest order
+    // = ascending key ranges): LIMIT 60 and top-100 in each direction
+    val counts = bucketStats.map(_.getLong(1))
+    def prefixCovering(cs: Seq[Long], k: Long): Int =
+      cs.scanLeft(0L)(_ + _).tail.indexWhere(_ >= k) + 1
+    val mLimit = prefixCovering(counts.toSeq, 60L)
+    val mAsc = prefixCovering(counts.toSeq, 100L)
+    val mDesc = prefixCovering(counts.reverse.toSeq, 100L)
+    // instrument planning IO: zero sidecar opens, zero footer probes,
+    // O(1) manifest reads per plan
+    var sidecarOpens = 0
+    var manifestReads = 0
+    var schemaProbes = 0
+    SkipStats.onSidecarOpen = _ => sidecarOpens += 1
+    Manifest.onManifestRead = _ => manifestReads += 1
+    graft.io.dsv2.GraftTable.onSchemaProbe = _ => schemaProbes += 1
+    try {
+      def probe(sql: String, pin: String, tag: Int): DataFrame = {
+        sidecarOpens = 0; manifestReads = 0; schemaProbes = 0
+        val q = s.sql(sql)
+        q.collect()
+        require(q.queryExecution.executedPlan.toString.contains(pin),
+          s"phase $tag must plan '$pin':\n" +
+            q.queryExecution.executedPlan)
+        require(sidecarOpens == 0,
+          s"phase $tag planned with $sidecarOpens sidecar opens — the " +
+            "manifest annotations must serve every directory fact")
+        require(schemaProbes == 0,
+          s"phase $tag resolved with $schemaProbes per-directory " +
+            "footer probes — the manifest schema annotations must serve")
+        require(manifestReads <= 8,
+          s"phase $tag read the manifest $manifestReads times — " +
+            "planning must be O(1) metadata reads, not O(directories)")
+        q
+      }
+      // phase 0: static range pruning to exactly bucket 100's key range
+      val p0 = probe("SELECT l_orderkey FROM g59.graft_io59_tbl WHERE " +
+        s"l_orderkey BETWEEN ${(100 * hi + nb - 1) / nb} AND " +
+        s"${(101 * hi + nb - 1) / nb - 1}",
+        s"skippedDirs=${n - 1}", 0)
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey"))
+        .withColumn("phase", lit(0))
+      // phase 1: LIMIT truncation (prefix rows are arbitrary — only
+      // the count is deterministic; -1 marks the non-facts)
+      val p1 = probe("SELECT * FROM " +
+        "(SELECT l_orderkey FROM g59.graft_io59_tbl LIMIT 60) t",
+        s"limitDirs=${n - mLimit}", 1)
+        .agg(count(lit(1)).as("n"))
+        .select(col("n"), lit(-1L).as("mn"), lit(-1L).as("mx"),
+          lit(-1L).as("sum_okey"))
+        .withColumn("phase", lit(1))
+      // phases 2/3: TopN certificates, both sort directions
+      val p2 = probe("SELECT l_orderkey FROM g59.graft_io59_tbl " +
+        "ORDER BY l_orderkey LIMIT 100", s"topNDirs=${n - mAsc}", 2)
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey"))
+        .withColumn("phase", lit(2))
+      val p3 = probe("SELECT l_orderkey FROM g59.graft_io59_tbl " +
+        "ORDER BY l_orderkey DESC LIMIT 100", s"topNDirs=${n - mDesc}", 3)
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"),
+          sum(col("l_orderkey")).cast("long").as("sum_okey"))
+        .withColumn("phase", lit(3))
+      p0.unionByName(p1).unionByName(p2).unionByName(p3)
+        .select(col("phase"), col("n"), col("mn"), col("mx"),
+          col("sum_okey"))
+        .orderBy(col("phase"))
+    } finally {
+      SkipStats.onSidecarOpen = _ => ()
+      Manifest.onManifestRead = _ => ()
+      graft.io.dsv2.GraftTable.onSchemaProbe = _ => ()
+    }
+  }
+
+  val io59Oracle: String =
+    """WITH mx AS (SELECT MAX(l_orderkey) + 1 AS m FROM lineitem),
+      |b100 AS (SELECT l_orderkey FROM lineitem, mx
+      |  WHERE l_orderkey BETWEEN (100 * m + 255) // 256
+      |    AND (101 * m + 255) // 256 - 1),
+      |a AS (SELECT l_orderkey FROM lineitem
+      |  ORDER BY l_orderkey LIMIT 100),
+      |d AS (SELECT l_orderkey FROM lineitem
+      |  ORDER BY l_orderkey DESC LIMIT 100)
+      |SELECT 0 AS phase, COUNT(*) AS n, MIN(l_orderkey) AS mn,
+      |  MAX(l_orderkey) AS mx,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey FROM b100
+      |UNION ALL
+      |SELECT 1, CAST(LEAST(60, COUNT(*)) AS BIGINT), -1, -1, -1
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 2, COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+      |  CAST(SUM(l_orderkey) AS BIGINT) FROM a
+      |UNION ALL
+      |SELECT 3, COUNT(*), MIN(l_orderkey), MAX(l_orderkey),
+      |  CAST(SUM(l_orderkey) AS BIGINT) FROM d
+      |ORDER BY phase""".stripMargin
+
+  /** `CALL lake.rollback` under the oracle gate
+    * ([[graft.io.Manifest.rollbackTo]]): the incident-runbook verb —
+    * republish version N's directory list as a NEW replacing commit
+    * (Delta `RESTORE TABLE … TO VERSION AS OF`). The gate deletes a
+    * key range via CoW DML, rolls back over the delete, and pins the
+    * three claims that make it a rollback and not a reset: history is
+    * INTACT (versions 1–4 all live, the rolled-over delete still
+    * time-travels as phase 1), the restored head answers exactly like
+    * `VERSION AS OF 2` (phase 0), and a post-rollback INSERT appends
+    * on the restored head (phase 2). Tombstone-newer-than-N refusal is
+    * spec-pinned in `Dsv2CatalogSpec`.
+    */
+  def io60SqlRollback(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val (root, k) = dmlTable(s, dir, "g60", "graft_io60_tbl")
+    s.sql(s"DELETE FROM g60.graft_io60_tbl WHERE l_orderkey < ${k / 2}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "the CoW delete must commit one replacing version")
+    val res = s.sql("CALL g60.rollback('graft_io60_tbl', 2)").collect()
+    require(res.length == 1 && res(0).getInt(0) == 2 &&
+      res(0).getInt(1) == 4,
+      s"rollback must restore v2 as v4, got ${res.mkString(", ")}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4),
+      "rollback must ADD a version — history stays intact")
+    val head = s.sql("SELECT * FROM g60.graft_io60_tbl")
+    val overRolled = s.sql(
+      "SELECT * FROM g60.graft_io60_tbl VERSION AS OF 3")
+    // post-rollback INSERT appends on the restored head
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("l_orderkey") >= 2 * k && col("l_orderkey") < 3 * k)
+      .createOrReplaceTempView("io60_src")
+    s.sql("INSERT INTO g60.graft_io60_tbl SELECT * FROM io60_src")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4, 5),
+      "the INSERT must append as version 5")
+    val post = s.sql("SELECT * FROM g60.graft_io60_tbl")
+    dmlCensus(head, 0).unionByName(dmlCensus(overRolled, 1))
+      .unionByName(dmlCensus(post, 2))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io60Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |snap AS (
+      |  SELECT 0 AS phase, l_orderkey, l_returnflag, cents FROM li
+      |  UNION ALL
+      |  SELECT 1, l_orderkey, l_returnflag, cents FROM li, mk
+      |  WHERE l_orderkey >= k // 2
+      |  UNION ALL
+      |  SELECT 2, l_orderkey, l_returnflag, cents FROM li
+      |  UNION ALL
+      |  SELECT 2, l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |  FROM lineitem, mk
+      |  WHERE l_orderkey >= 2 * k AND l_orderkey < 3 * k)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
+  /** `ALTER TABLE DROP COLUMN` under the oracle gate
+    * ([[graft.io.ColumnMapping.dropColumn]]): the third side of
+    * zero-rewrite schema evolution (rename io50, add io47) — dropping
+    * a column on a 100 TB table is ONE metadata commit marking the
+    * PHYSICAL column with an empty logical name; reads project it
+    * away, time travel reads its era's schema (phase 0 reads the
+    * dropped column AFTER the drop), and re-ADDING the same name maps
+    * to a FRESH physical name so the old values are never resurrected
+    * (old rows read the re-added column as NULL — phase 2's sum counts
+    * only the post-re-add INSERT). In-gate requires pin the
+    * metadata-only claims: the same data directory in every version,
+    * the physical parquet schema still carrying the original column
+    * with its values, and the fresh-physical mapping. Refusal edges
+    * (merge key, property-pinned, tombstoned) are spec-pinned in
+    * `Dsv2CatalogSpec`.
+    */
+  def io61SqlDropColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{ColumnMapping, Manifest}
+    s.conf.set("spark.sql.catalog.g61", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g61.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io61_tbl"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fsH = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(rootP, true)
+    val d0 = s"$root/data/b0"
+    val src = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"), col("event_type"))
+    src.write.parquet(d0)
+    Manifest.commit(s, root, d0)
+    s.sql("ALTER TABLE g61.graft_io61_tbl DROP COLUMN cents")
+    require(Manifest.versions(s, root) == Seq(1, 2),
+      "the drop must be ONE metadata commit")
+    require(Manifest.entries(s, root)
+        .filterNot(ColumnMapping.isMapping) == Seq(d0),
+      "the drop must not move a data directory")
+    require(s.read.parquet(d0).schema.fieldNames.contains("cents"),
+      "physical parquet must keep the dropped column untouched")
+    val dropped = s.sql("SELECT * FROM g61.graft_io61_tbl")
+    require(dropped.schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "event_type"),
+      s"the head must hide the dropped column, got ${dropped.schema}")
+    // phase 0: time travel still reads the dropped column's era
+    val phase0 = s.sql("SELECT event_type, user_id, cents " +
+      "FROM g61.graft_io61_tbl VERSION AS OF 1")
+    require(phase0.schema.fieldNames.contains("cents"))
+    // re-ADD the same name: a FRESH physical column, mapped
+    s.sql("ALTER TABLE g61.graft_io61_tbl ADD COLUMN cents BIGINT")
+    val m = ColumnMapping.mapping(s, root)
+    require(m.get("cents").contains("") &&
+      m.exists { case (p, l) => l == "cents" && p != "cents" },
+      s"re-add must mint a fresh mapped physical name, got $m")
+    require(Manifest.entries(s, root)
+        .filterNot(ColumnMapping.isMapping).contains(d0),
+      "the re-add must carry the original data directory")
+    // old rows read the re-added column as NULL; an INSERT fills it
+    src.createOrReplaceTempView("io61_src")
+    s.sql("INSERT INTO g61.graft_io61_tbl " +
+      "SELECT event_id, user_id, event_type, cents FROM io61_src")
+    val fin = s.sql("SELECT * FROM g61.graft_io61_tbl")
+    require(fin.schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "event_type", "cents"))
+    def census(df: DataFrame, tag: Int) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .withColumn("phase", lit(tag))
+      .select(col("phase"), col("event_type"), col("n"),
+        col("sum_uid"), col("sum_cents"))
+    val p0 = census(phase0.select(col("event_type"), col("user_id"),
+      col("cents")), 0)
+    val p1 = dropped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"))
+      .withColumn("sum_cents", lit(-1L)).withColumn("phase", lit(1))
+      .select(col("phase"), col("event_type"), col("n"),
+        col("sum_uid"), col("sum_cents"))
+    // phase 2: nulls on pre-drop rows — the sum covers ONLY the
+    // inserted rows, proving the old values were not resurrected
+    val p2 = census(fin, 2)
+    p0.unionByName(p1).unionByName(p2)
+      .orderBy(col("phase"), col("event_type"))
+  }
+
+  val io61Oracle: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    event_type FROM events),
+      |c AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM e GROUP BY 1)
+      |SELECT 0 AS phase, event_type, n, sum_uid, sum_cents FROM c
+      |UNION ALL
+      |SELECT 1, event_type, n, sum_uid, -1 FROM c
+      |UNION ALL
+      |SELECT 2, event_type, 2 * n, 2 * sum_uid, sum_cents FROM c
+      |ORDER BY phase, event_type""".stripMargin
+
+  /** `CREATE TABLE … PARTITIONED BY` under the oracle gate
+    * ([[graft.io.dsv2.GraftPartitionedWrite]]): identity partitioning
+    * through the SQL catalog — a partitioned CTAS lands ONE COMMITTED
+    * DIRECTORY PER PARTITION VALUE (one manifest version), every later
+    * INSERT honors the recorded spec (three more leaves, again one
+    * version), and an equality filter on the partition column prunes
+    * whole directories AT PLANNING via their constant-bound sidecars
+    * (`skippedDirs` pinned — the manifest-native form of io11's
+    * listing-level pruning, through plain SQL DDL). Partition
+    * evolution still works: `CALL lake.cluster` re-layouts the same
+    * rows into key-range buckets, and the census through the clustered
+    * head is identical to the pre-cluster version — layout only.
+    */
+  def io62SqlPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g62", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g62.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io62_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    batch(0, k).createOrReplaceTempView("io62_src")
+    s.sql("CREATE TABLE g62.graft_io62_tbl PARTITIONED BY " +
+      "(l_returnflag) TBLPROPERTIES('statsCols'='l_orderkey') " +
+      "AS SELECT * FROM io62_src")
+    require(Manifest.versions(s, root) == Seq(1),
+      "partitioned CTAS must land as ONE version")
+    val leaves1 = Manifest.committed(s, root)
+    require(leaves1.size == 3 && leaves1.forall(_.contains("=")),
+      s"one committed leaf per l_returnflag value, got $leaves1")
+    def probe(expectSkipped: Int): DataFrame = {
+      val q = s.sql("SELECT * FROM g62.graft_io62_tbl " +
+        "WHERE l_returnflag = 'R'")
+      q.collect()
+      require(q.queryExecution.executedPlan.toString
+        .contains(s"skippedDirs=$expectSkipped"),
+        s"the partition filter must prune at planning " +
+          s"(want skippedDirs=$expectSkipped):\n" +
+          q.queryExecution.executedPlan)
+      q
+    }
+    probe(2)
+    batch(k, 2 * k).createOrReplaceTempView("io62_src2")
+    s.sql("INSERT INTO g62.graft_io62_tbl SELECT * FROM io62_src2")
+    require(Manifest.versions(s, root) == Seq(1, 2),
+      "the INSERT's leaves must commit as ONE version")
+    require(Manifest.committed(s, root).size == 6,
+      "three more partition leaves after the INSERT")
+    val probed = probe(4)
+    val head = s.sql("SELECT * FROM g62.graft_io62_tbl")
+    val p0 = dmlCensus(head, 0)
+    val p1 = dmlCensus(probed, 1)
+    // partition evolution: re-cluster by key range; answer identical
+    s.sql("CALL g62.cluster('graft_io62_tbl', 'l_orderkey', 4)")
+      .collect()
+    val p2 = dmlCensus(s.sql("SELECT * FROM g62.graft_io62_tbl"), 2)
+    p0.unionByName(p1).unionByName(p2)
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io62Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |c AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM li GROUP BY 1),
+      |p AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM li WHERE l_returnflag = 'R' GROUP BY 1)
+      |SELECT 0 AS phase, l_returnflag, n, sum_okey, sum_cents FROM c
+      |UNION ALL
+      |SELECT 1, l_returnflag, n, sum_okey, sum_cents FROM p
+      |UNION ALL
+      |SELECT 2, l_returnflag, n, sum_okey, sum_cents FROM c
+      |ORDER BY phase, l_returnflag""".stripMargin
 
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
@@ -5961,6 +6384,10 @@ object OpsQueries {
     "io56_topn_prune" -> (io56TopnPrune _),
     "io57_sql_cluster" -> (io57SqlCluster _),
     "io58_sql_truncate" -> (io58SqlTruncate _),
+    "io59_manifest_stats" -> (io59ManifestStats _),
+    "io60_sql_rollback" -> (io60SqlRollback _),
+    "io61_sql_drop_column" -> (io61SqlDropColumn _),
+    "io62_sql_partitioned" -> (io62SqlPartitioned _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -6059,6 +6486,10 @@ object OpsQueries {
     "io56_topn_prune" -> io56Oracle,
     "io57_sql_cluster" -> io57Oracle,
     "io58_sql_truncate" -> io58Oracle,
+    "io59_manifest_stats" -> io59Oracle,
+    "io60_sql_rollback" -> io60Oracle,
+    "io61_sql_drop_column" -> io61Oracle,
+    "io62_sql_partitioned" -> io62Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -76,7 +76,7 @@ class Dsv2CatalogSpec extends AnyFunSuite {
   }
 
   test("SHOW TABLES lists manifest roots; unsupported DDL " +
-      "(DROP COLUMN/PARTITIONED BY) refuses loudly") {
+      "(ALTER COLUMN TYPE) refuses loudly") {
     wh
     val tables = spark.sql("SHOW TABLES IN lake").collect()
       .map(_.getString(1))
@@ -86,12 +86,8 @@ class Dsv2CatalogSpec extends AnyFunSuite {
         t.isInstanceOf[IllegalArgumentException] ||
         unsupported(t.getCause))
     assert(unsupported(intercept[Exception](spark.sql(
-      "ALTER TABLE lake.events DROP COLUMN grp"))),
-      "DROP COLUMN must refuse (physical-name collision hazard)")
-    assert(unsupported(intercept[Exception](spark.sql(
-      "CREATE TABLE lake.ddlpart (id BIGINT, d STRING) " +
-        "PARTITIONED BY (d)"))),
-      "PARTITIONED BY must refuse and point at sortBy/statsCols")
+      "ALTER TABLE lake.events ALTER COLUMN grp TYPE STRING"))),
+      "type changes must refuse (physical parquet is immutable)")
   }
 
   test("CREATE TABLE commits an empty version 1 honoring " +
@@ -893,15 +889,15 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       col("id") < 3, s"$root/data")
     val rows = spark.sql("CALL lake.layout('layoutt')").collect()
       .map(r => (r.getString(0).split("/").last, r.getString(1),
-        r.getInt(2), r.getLong(3), r.getLong(4), r.getString(5)))
+        r.getInt(2), r.getLong(3), r.getString(4), r.getLong(5)))
     assert(rows.length === 2)
     val data = rows.find(_._2 == "data").get
     assert(data._1 === "b1" && data._3 > 0 && data._4 > 0 &&
-      data._6 === "id,v")
-    assert(data._5 === 20L,
+      data._5 === "id,v")
+    assert(data._6 === 20L,
       "the sidecar's exact row count must surface metadata-only")
     val tomb = rows.find(_._2 == "tombstones").get
-    assert(tomb._3 > 0 && tomb._6 === "" && tomb._5 === -1L)
+    assert(tomb._3 > 0 && tomb._5 === "" && tomb._6 === -1L)
   }
 
   test("a live-tombstone table refuses a plain SQL read until folded") {
@@ -1323,5 +1319,155 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT sum(v) s FROM lake.dmlmorstats WHERE id < 10")
       .collect()(0).getLong(0) === (0L until 10L).map(_ + 1000).sum)
+  }
+
+  test("PARTITIONED BY details: leaves read stand-alone at full " +
+      "schema, no shadow column leaks, overwrite replaces, " +
+      "non-identity transforms refuse") {
+    import spark.implicits._
+    val root = s"$wh/parted"
+    spark.sql("CREATE TABLE lake.parted (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO lake.parted " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END " +
+      "FROM range(0, 100)")
+    val leaves = Manifest.committed(spark, root).filter(_.contains("="))
+    assert(leaves.size === 2, s"one leaf per grp value, got $leaves")
+    // a committed leaf is a stand-alone readable directory carrying
+    // the REAL partition column (the shadow stays in the dir name)
+    val leaf = spark.read.parquet(leaves.head)
+    assert(leaf.schema.fieldNames.toSeq === Seq("id", "grp"),
+      s"leaf must carry the full schema, got ${leaf.schema}")
+    assert(leaf.select("grp").distinct().count() === 1)
+    val head = spark.sql("SELECT * FROM lake.parted")
+    assert(head.schema.fieldNames.toSeq === Seq("id", "grp"))
+    assert(head.count() === 100L)
+    // equality on the partition column prunes at planning
+    val pruned = spark.sql(
+      "SELECT id FROM lake.parted WHERE grp = 'a'")
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("skippedDirs="),
+      s"partition probe must go through directory pruning")
+    assert(pruned.count() === 50L)
+    // INSERT OVERWRITE replaces the snapshot (time travel keeps v1)
+    spark.sql("INSERT OVERWRITE lake.parted " +
+      "SELECT id, 'c' FROM range(0, 10)")
+    assert(spark.sql("SELECT count(*) n FROM lake.parted")
+      .collect()(0).getLong(0) === 10L)
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.parted VERSION AS OF 2")
+      .collect()(0).getLong(0) === 100L)
+    // a non-identity transform refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE lake.partedbad (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))"))
+    def m(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("identity")) ||
+        m(t.getCause))
+    assert(m(e), s"days() transform must refuse, got $e")
+  }
+
+  test("DROP COLUMN refusal edges: merge key, property-pinned " +
+      "columns, live tombstones, unknown and last-visible columns") {
+    import spark.implicits._
+    val root = s"$wh/dropedges"
+    (0L until 50L).map(i => (i, i, i * 2)).toDF("id", "v", "w")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    spark.sql("CALL lake.set_mor_key('dropedges', 'id')")
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def m(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains(needle)) || m(t.getCause))
+      assert(m(e), s"expected '$needle', got $e")
+    }
+    refuses("ALTER TABLE lake.dropedges DROP COLUMN id",
+      "recorded merge key")
+    spark.sql("ALTER TABLE lake.dropedges " +
+      "SET TBLPROPERTIES('statsCols'='v')")
+    refuses("ALTER TABLE lake.dropedges DROP COLUMN v",
+      "pinned by table propert")
+    // an unknown column is refused by Spark's own resolver first
+    refuses("ALTER TABLE lake.dropedges DROP COLUMN nope",
+      "cannot be resolved")
+    MergeOnRead.deleteWhere(spark, root, "id",
+      col("id") < 5, s"$root/data")
+    refuses("ALTER TABLE lake.dropedges DROP COLUMN w",
+      "tombstones are live")
+    MergeOnRead.fold(spark, root, "id", s"$root/data")
+    // the drop itself works once unpinned and folded
+    spark.sql("ALTER TABLE lake.dropedges DROP COLUMN w")
+    assert(spark.sql("SELECT * FROM lake.dropedges").schema
+      .fieldNames.toSeq === Seq("id", "v"))
+  }
+
+  test("CALL rollback refuses while the head carries tombstones newer " +
+      "than the target version — un-deleting must be explicit") {
+    import spark.implicits._
+    val root = s"$wh/rbtomb"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    spark.sql("CALL lake.set_mor_key('rbtomb', 'id')")
+    spark.sql("DELETE FROM lake.rbtomb WHERE id < 10")
+    val e = intercept[Exception](
+      spark.sql("CALL lake.rollback('rbtomb', 1)").collect())
+    def m(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("un-delete")) ||
+        m(t.getCause))
+    assert(m(e), s"rollback over live tombstones must refuse, got $e")
+    // after the fold the rollback works and restores the deleted rows
+    spark.sql("CALL lake.fold('rbtomb', 'id')")
+    spark.sql("CALL lake.rollback('rbtomb', 1)").collect()
+    assert(spark.sql("SELECT count(*) n FROM lake.rbtomb")
+      .collect()(0).getLong(0) === 100L)
+  }
+
+  test("CALL sweep after CALL cluster keeps the clustered head — " +
+      "entries referenced by path prefix survive the orphan sweep") {
+    import spark.implicits._
+    val root = s"$wh/clsweep"
+    for ((lo, hi, tag) <- Seq((0L, 100L, "b1"), (100L, 200L, "b2"))) {
+      (lo until hi).map(i => (i, i)).toDF("id", "v")
+        .write.parquet(s"$root/data/$tag")
+      Manifest.commit(spark, root, s"$root/data/$tag")
+    }
+    spark.sql("CALL lake.cluster('clsweep', 'id', 4)").collect()
+    // the committed entries are gbucket=K SUBDIRS of data/cluster-v3 —
+    // the parent is referenced by no manifest, only by prefix; a sweep
+    // deleting it would destroy the table's entire committed head
+    val swept = spark.sql("CALL lake.sweep('clsweep', 0)").collect()
+    assert(swept.isEmpty,
+      s"nothing is an orphan here, yet sweep deleted ${swept.mkString(", ")}")
+    assert(spark.sql("SELECT count(*) n, sum(v) s FROM lake.clsweep")
+      .collect()(0).toSeq === Seq(200L, (0L until 200L).sum),
+      "the clustered head must survive the sweep")
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.clsweep VERSION AS OF 2")
+      .collect()(0).getLong(0) === 200L,
+      "time travel to the pre-cluster version must survive too")
+  }
+
+  test("CALL cluster on a drift-evolved table carries the late column " +
+      "(mergeSchema union, never one footer's pick)") {
+    import spark.implicits._
+    val root = s"$wh/cldrift"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    (100L until 200L).map(i => (i, i, i * 2)).toDF("id", "v", "w")
+      .write.parquet(s"$root/data/b2")
+    Manifest.commit(spark, root, s"$root/data/b2")
+    spark.sql("CALL lake.cluster('cldrift', 'id', 2)").collect()
+    val head = spark.sql("SELECT * FROM lake.cldrift")
+    assert(head.schema.fieldNames.toSet === Set("id", "v", "w"),
+      s"the rewrite must carry the UNION schema, got ${head.schema}")
+    assert(head.count() === 200L)
+    assert(spark.sql("SELECT sum(w) s FROM lake.cldrift")
+      .collect()(0).getLong(0) === (100L until 200L).map(_ * 2).sum,
+      "late-column values must survive the layout rewrite")
+    assert(head.filter(col("w").isNull).count() === 100L,
+      "pre-evolution rows still read the late column as null")
   }
 }
