@@ -31,8 +31,47 @@ object MergeOnRead {
 
   val TombstonePrefix = "tombstones-"
 
+  /** MoR-UPDATE rewritten-rows directories: `morins-<epoch>-<uuid>`. */
+  val InsertPrefix = "morins-"
+
   def isTombstone(entry: String): Boolean =
     new Path(entry).getName.startsWith(TombstonePrefix)
+
+  // ── EPOCH scoping — what makes a write-cheap UPDATE expressible as
+  // tombstone + re-insert (the deletion-vector shape): a GLOBAL
+  // tombstone hides every row carrying its key, so the re-inserted row
+  // would hide itself. An epoch-scoped tombstone (`tombstones-e<N>-…`)
+  // hides a key's rows ONLY in directories of a LOWER epoch; the
+  // update's own rewritten rows land in a `morins-<N>-…` directory AT
+  // that epoch and stay visible, while a LATER update/delete (higher
+  // epoch, or global) hides them in turn. Ordinary directories are
+  // epoch 0, and a legacy (epoch-less) tombstone applies to
+  // everything — so every pre-existing table reads byte-identically. ──
+
+  private val InsertEpoch = (InsertPrefix + "(\\d+)-.*").r
+  private val TombEpoch = (TombstonePrefix + "e(\\d+)-.*").r
+
+  /** The epoch a DATA directory was written at (0 for ordinary dirs). */
+  def dirEpoch(entry: String): Long = new Path(entry).getName match {
+    case InsertEpoch(e) => e.toLong
+    case _ => 0L
+  }
+
+  /** A tombstone's scope epoch: Some(e) hides keys only in directories
+    * with epoch < e; None (the legacy form) hides them everywhere.
+    */
+  def tombEpoch(entry: String): Option[Long] =
+    new Path(entry).getName match {
+      case TombEpoch(e) => Some(e.toLong)
+      case _ => None
+    }
+
+  /** The next free epoch for a scoped commit: above every epoch any
+    * live entry carries.
+    */
+  def nextEpoch(entries: Seq[String]): Long =
+    (entries.map(dirEpoch) ++ entries.flatMap(tombEpoch))
+      .foldLeft(0L)(math.max) + 1
 
   /** Logically delete every row of the latest snapshot matching `pred`:
     * write the matched `keyCol` values as a tombstone directory under
@@ -109,9 +148,60 @@ object MergeOnRead {
       version: Option[Int] = None): DataFrame = {
     val (tombs, data) = Manifest.entries(s, root, version)
       .partition(isTombstone)
-    val df = s.read.parquet(data: _*)
-    if (tombs.isEmpty) df
-    else df.join(keySet(s, tombs, keyCol), Seq(keyCol), "left_anti")
+    if (tombs.isEmpty) return s.read.parquet(data: _*)
+    val scoped = tombs.filter(tombEpoch(_).isDefined)
+    if (scoped.isEmpty)
+      return s.read.parquet(data: _*)
+        .join(keySet(s, tombs, keyCol), Seq(keyCol), "left_anti")
+    // epoch-scoped merge: group data dirs by THEIR epoch; each group
+    // anti-joins only the tombstones that outrank it (legacy global
+    // tombstones outrank everything). Group count = distinct live
+    // epochs — bounded by un-folded updates, never data.
+    val global = tombs.filterNot(tombEpoch(_).isDefined)
+    data.groupBy(dirEpoch).toSeq.sortBy(_._1).map { case (de, dirs) =>
+      val applicable = global ++ scoped.filter(t => tombEpoch(t).get > de)
+      val df = s.read.parquet(dirs: _*)
+      if (applicable.isEmpty) df
+      else df.join(keySet(s, applicable, keyCol), Seq(keyCol),
+        "left_anti")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Write-cheap row-level UPDATE (the deletion-vector shape, io63):
+    * ONE appending version carrying an epoch-scoped tombstone of the
+    * updated keys plus a `morins-<epoch>` directory of the rewritten
+    * rows — write IO ∝ the update, data untouched, [[fold]] ends the
+    * deferral exactly like a delete's. `rows` must carry the table's
+    * full schema with `keyCol` matching `keys` (the caller's
+    * contract — the SQL path derives both from the same matched set).
+    * Refuses while LEGACY (unscoped) tombstones are live: they outrank
+    * every epoch, so they would hide this update's re-inserted rows —
+    * fold first. Returns None (nothing committed) on an empty update.
+    */
+  def updateRows(s: SparkSession, root: String, keyCol: String,
+      keys: DataFrame, rows: DataFrame, stagingDir: String,
+      statsCols: Seq[String] = Seq.empty,
+      committer: Committer = FsCreateCommitter): Option[Int] = {
+    val entries = Manifest.entries(s, root)
+    require(!entries.exists(t => isTombstone(t) && tombEpoch(t).isEmpty),
+      s"$root carries legacy (unscoped) tombstones — they outrank " +
+        "every epoch and would hide this update's rewritten rows; " +
+        "fold first")
+    val epoch = nextEpoch(entries)
+    val tombDir = s"$stagingDir/${TombstonePrefix}e$epoch-upd"
+    val insDir = s"$stagingDir/$InsertPrefix$epoch-" +
+      java.util.UUID.randomUUID().toString
+    keys.select(col(keyCol)).distinct()
+      .write.mode("overwrite").parquet(tombDir)
+    val f = new Path(tombDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (s.read.parquet(tombDir).isEmpty) {
+      f.delete(new Path(tombDir), true)
+      return None
+    }
+    rows.write.parquet(insDir)
+    if (statsCols.nonEmpty) SkipStats.write(s, insDir, statsCols)
+    Some(Manifest.commitAll(s, root, Seq(tombDir, insDir), committer))
   }
 
   /** Maintenance: apply the accumulated tombstones copy-on-write — only
@@ -126,14 +216,40 @@ object MergeOnRead {
     val baseV = Manifest.versions(s, root).last
     val (tombs, data) = Manifest.entries(s, root).partition(isTombstone)
     if (tombs.isEmpty) return None
+    val scoped = tombs.filter(tombEpoch(_).isDefined)
     // same cap discipline as the read path: a fold running precisely
     // BECAUSE tombstones piled up must not be the thing that trips the
     // broadcast limit
-    val keys = keySet(s, tombs, keyCol)
-    val (hit, carried) = Cow.split(s, data,
-      _.join(keys, Seq(keyCol), "left_semi"))
-    val rewritten = Cow.rewrite(s, hit, stagingDir, "fold", baseV,
-      _.join(keys, Seq(keyCol), "left_anti"))
+    if (scoped.isEmpty) {
+      val keys = keySet(s, tombs, keyCol)
+      val (hit, carried) = Cow.split(s, data,
+        _.join(keys, Seq(keyCol), "left_semi"))
+      val rewritten = Cow.rewrite(s, hit, stagingDir, "fold", baseV,
+        _.join(keys, Seq(keyCol), "left_anti"))
+      val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
+      return Some(RowDelete.Result(v, carried, rewritten))
+    }
+    // epoch-scoped fold: each epoch group of data dirs rewrites against
+    // ONLY the tombstones that outrank it (the read rule, applied
+    // copy-on-write); rewritten dirs are ordinary (epoch-0) names —
+    // with no tombstones left, epochs are spent
+    val global = tombs.filterNot(tombEpoch(_).isDefined)
+    val results = data.groupBy(dirEpoch).toSeq.sortBy(_._1)
+      .map { case (de, dirs) =>
+        val applicable = global ++ scoped.filter(t => tombEpoch(t).get > de)
+        if (applicable.isEmpty) (dirs, Seq.empty[String])
+        else {
+          val keys = keySet(s, applicable, keyCol)
+          val (hit, carried) = Cow.split(s, dirs,
+            _.join(keys, Seq(keyCol), "left_semi"))
+          val rewritten = Cow.rewrite(s, hit, stagingDir,
+            s"fold-e$de", baseV,
+            _.join(keys, Seq(keyCol), "left_anti"))
+          (carried, rewritten)
+        }
+      }
+    val carried = results.flatMap(_._1)
+    val rewritten = results.flatMap(_._2)
     val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
     Some(RowDelete.Result(v, carried, rewritten))
   }

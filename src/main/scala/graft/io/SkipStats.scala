@@ -335,6 +335,14 @@ object SkipStats {
     require(tombs.isEmpty || morKey.nonEmpty,
       s"table at $root has live tombstones — pass morKey so the " +
         "pruned scan merges them (or fold first)")
+    // this scan's merge is GLOBAL (one anti-join) — an epoch-SCOPED
+    // tombstone (a MoR UPDATE's) would wrongly hide the update's own
+    // rewritten rows here; the DSv2 scan and MergeOnRead.snapshot
+    // handle scopes, this convenience does not
+    require(!tombs.exists(t => MergeOnRead.tombEpoch(t).isDefined),
+      s"table at $root carries epoch-scoped tombstones (a MoR " +
+        "UPDATE's) — fold first, or read through spark.read" +
+        ".format(\"graft\") / MergeOnRead.snapshot, which scope the merge")
     val df =
       if (data.isEmpty) {
         // everything pruned: an empty frame with the DATA schema —

@@ -858,13 +858,16 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     val (prunedKept, skipped) = pruning
     val (kept, limitDropped) = narrowed
     require(limitDropped.isEmpty || prunedKept.nonEmpty, "unreachable")
-    // ── tombstone key set (bounded by accumulated deletes) ──
-    val tombFilter = if (tombDirs.isEmpty) None else {
-      val key = morKey.get
-      val keyType = tableSchema(key).dataType
-      val vals = s.read.parquet(tombDirs: _*).select(key).distinct()
+    // ── tombstone key sets (bounded by accumulated deletes): one
+    // GLOBAL set (legacy tombstones — apply everywhere) plus one set
+    // per EPOCH-SCOPED tombstone (a MoR UPDATE's — applies only to
+    // directories of a lower epoch; see MergeOnRead's epoch model) ──
+    def collectKeys(dirs: Seq[String], key: String,
+        keyType: DataType): util.HashSet[Any] = {
+      val set = new util.HashSet[Any]()
+      if (dirs.isEmpty) return set
+      val vals = s.read.parquet(dirs: _*).select(key).distinct()
         .collect()
-      val set = new util.HashSet[Any](vals.length * 2)
       keyType match {
         case LongType => vals.foreach(r => set.add(r.getLong(0)))
         case StringType =>
@@ -872,8 +875,21 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
         case other => throw new IllegalArgumentException(
           s"morKey '$key' must be bigint or string, got $other")
       }
-      Some((key, keyType, set))
+      set
     }
+    val (scopedTombDirs, globalTombDirs) = tombDirs.partition(t =>
+      graft.io.MergeOnRead.tombEpoch(t).isDefined)
+    val tombFilter = if (tombDirs.isEmpty) None else {
+      val key = morKey.get
+      val keyType = tableSchema(key).dataType
+      Some((key, keyType, collectKeys(globalTombDirs, key, keyType)))
+    }
+    val scopedTombs: Seq[(Long, util.HashSet[Any])] =
+      scopedTombDirs.map { t =>
+        val (key, keyType, _) = tombFilter.get
+        (graft.io.MergeOnRead.tombEpoch(t).get,
+          collectKeys(Seq(t), key, keyType))
+      }
     // the delegate must READ the key column even when the query didn't
     // ask for it; the extra column rides the advertised readSchema
     // (Spark projects it away above the scan)
@@ -891,7 +907,7 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       delegateRequired, options, dirRequested, dataDirs, opState, rowOp,
       colMap, limitDropped = limitDropped,
       limitMode = limitPushed.isDefined || topNPushed.isDefined,
-      topNMode = topNPushed.isDefined)(dirStats)
+      topNMode = topNPushed.isDefined)(dirStats, scopedTombs)
   }
 }
 
@@ -920,10 +936,11 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     colMap: Map[String, String] = Map.empty,
     limitDropped: Seq[String] = Seq.empty, limitMode: Boolean = false,
     topNMode: Boolean = false)(
-    // second parameter list: the stats provider is a per-plan cache,
-    // not part of the scan's identity (case-class equality/canonical
-    // form must not depend on it)
-    val dirStats: graft.io.DirStatsProvider)
+    // second parameter list: per-plan derived state, not part of the
+    // scan's case-class identity (the stats provider is a cache; the
+    // scoped tombstone sets derive from root+version like tombFilter)
+    val dirStats: graft.io.DirStatsProvider,
+    val scopedTombs: Seq[(Long, util.HashSet[Any])] = Seq.empty)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1175,26 +1192,41 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     if (allPruned || (runtimeDirs.isDefined && scanDirs.isEmpty))
       return Array.empty
     val base = delegate.toBatch.planInputPartitions()
-    if (!dirRequested && runtimeDirs.isEmpty) return base
+    if (!dirRequested && runtimeDirs.isEmpty && scopedTombs.isEmpty)
+      return base
     // repack the delegate's partitions PER DIRECTORY: drop files the
     // runtime filter excluded, and give every partition a constant
-    // directory tag the reader appends as the _dir column
+    // directory tag — the _dir column's source, and (scoped
+    // tombstones) the epoch the per-partition merge keys off
     import org.apache.spark.sql.execution.datasources.FilePartition
     val files = base.collect { case fp: FilePartition => fp.files }.flatten
     val wanted = scanDirs.toSet
     val byDir = files.groupBy(f => dirOf(f.toPath.toString))
       .collect { case (Some(d), fs) if wanted.contains(d) => (d, fs) }
+    val tag = dirRequested || scopedTombs.nonEmpty
     byDir.toArray.sortBy(_._1).flatMap { case (d, fs) =>
       FilePartition.getFilePartitions(session, fs.toSeq,
         session.sessionState.conf.filesMaxPartitionBytes)
         .map(fp =>
-          if (dirRequested) DirTaggedPartition(d, fp): InputPartition
+          if (tag) DirTaggedPartition(d, fp): InputPartition
           else fp: InputPartition)
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = delegate.toBatch.createReaderFactory()
+    if (scopedTombs.nonEmpty) {
+      // epoch-scoped merge (a MoR UPDATE's tombstones): the applicable
+      // key sets depend on the partition's DIRECTORY epoch, so the
+      // filter sits outermost over dir-tagged partitions
+      val (key, keyType, global) = tombFilter.get
+      val idx = delegate.readSchema().fieldIndex(key)
+      val mid =
+        if (dirRequested) new DirAppendingReaderFactory(inner)
+        else inner
+      return new EpochKeyFilteringReaderFactory(mid, idx, keyType,
+        global, scopedTombs, innerTakesTag = dirRequested)
+    }
     val withTomb = tombFilter match {
       case None => inner
       case Some((key, keyType, keys)) =>
@@ -1244,6 +1276,53 @@ class DirAppendingReaderFactory(inner: PartitionReaderFactory)
           Array[Any](dirVal))
       override def next(): Boolean = delegate.next()
       override def get(): InternalRow = joined(delegate.get(), dirRow)
+      override def close(): Unit = delegate.close()
+    }
+  }
+}
+
+/** EPOCH-SCOPED tombstone merge (a MoR UPDATE's read side): each
+  * partition's applicable key sets are the GLOBAL set plus every
+  * scoped set whose epoch outranks the partition directory's epoch —
+  * so an update's own `morins-<e>` rows survive its `tombstones-e<e>`
+  * while every older copy of the key is hidden. Sits outermost over
+  * dir-tagged partitions; `innerTakesTag` = the delegate chain itself
+  * consumes the tag (the `_dir`-appending factory).
+  */
+class EpochKeyFilteringReaderFactory(inner: PartitionReaderFactory,
+    keyIndex: Int, keyType: DataType, global: util.HashSet[Any],
+    scoped: Seq[(Long, util.HashSet[Any])], innerTakesTag: Boolean)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val tagged = partition.asInstanceOf[DirTaggedPartition]
+    val epoch = graft.io.MergeOnRead.dirEpoch(tagged.dir)
+    val sets: Array[util.HashSet[Any]] =
+      (Seq(global) ++ scoped.collect { case (e, ks) if e > epoch => ks })
+        .filterNot(_.isEmpty).toArray
+    val delegate =
+      inner.createReader(if (innerTakesTag) tagged else tagged.inner)
+    if (sets.isEmpty) delegate
+    else new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (delegate.next()) {
+          val r = delegate.get()
+          val k = r.get(keyIndex, keyType)
+          var hit = false
+          var i = 0
+          while (!hit && i < sets.length) {
+            hit = sets(i).contains(k); i += 1
+          }
+          if (!hit) { current = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = current
       override def close(): Unit = delegate.close()
     }
   }

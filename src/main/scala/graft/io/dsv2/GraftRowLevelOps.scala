@@ -37,12 +37,18 @@ import graft.io.MergeOnRead
   * without a merge key takes COPY-ON-WRITE: Spark's group-based plan
   * rewrites the snapshot's surviving rows through the ordinary
   * [[GraftV2Write]] as ONE replacing commit (old versions still
-  * time-travel; io20's observable semantics). UPDATE and MERGE are
-  * always copy-on-write — a tombstone-plus-reinsert cannot express them
-  * under this engine's tombstone read rule (a tombstoned key hides
-  * EVERY row carrying it, re-inserted ones included), so the replacing
-  * rewrite is the correct form; on a tombstoned table the rewrite also
-  * folds the live tombstones (the scan merges, the commit replaces).
+  * time-travel; io20's observable semantics). UPDATE on a merge-keyed
+  * table takes the write-cheap MERGE-ON-READ form too
+  * ([[GraftDeltaUpdate]]): an EPOCH-SCOPED tombstone + re-insert pair
+  * in one appending commit — the scoping ([[MergeOnRead.tombEpoch]])
+  * is what makes the pair readable, since a GLOBAL tombstone would
+  * hide the re-inserted rows themselves. While a LEGACY (unscoped)
+  * tombstone is live, UPDATE falls back to the copy-on-write rewrite
+  * (which also folds it). MERGE is always copy-on-write. The merge
+  * key is a ROW IDENTITY (the Iceberg identifier-field contract):
+  * with duplicate keys, MoR DELETE/UPDATE act at KEY granularity —
+  * a predicate matching only SOME rows of a key still tombstones the
+  * whole key (UPDATE rewrites exactly the matched rows).
   *
   * Scale note: the delta DELETE funnels matched keys through driver
   * commit messages — right for the takedown shape (keys-sized), wrong
@@ -60,6 +66,15 @@ class GraftRowLevelBuilder(s: SparkSession, root: String, version: Int,
   override def build(): RowLevelOperation =
     if (info.command == Command.DELETE && morKey.nonEmpty)
       new GraftDeltaDelete(s, root, version, tableSchema, dataDirs,
+        tombDirs, morKey.get, colMap)
+    else if (info.command == Command.UPDATE && morKey.nonEmpty &&
+        // legacy (unscoped) tombstones outrank every epoch and would
+        // hide this update's re-inserted rows — those tables keep the
+        // copy-on-write rewrite (which also folds them), the
+        // documented pre-epoch behavior
+        tombDirs.forall(t => MergeOnRead.tombEpoch(t).isDefined) &&
+        s.conf.get("spark.graft.dml.morUpdate", "true").toBoolean)
+      new GraftDeltaUpdate(s, root, version, tableSchema, dataDirs,
         tombDirs, morKey.get, colMap)
     else
       new GraftGroupRewrite(s, root, version, tableSchema, dataDirs,
@@ -177,6 +192,192 @@ class GraftDeltaDelete(s: SparkSession, root: String, version: Int,
 
   override def description(): String =
     s"GraftDeltaDelete root=$root v$version key=$morKey"
+}
+
+/** Delta-based MERGE-ON-READ UPDATE (io63 — the deletion-vector-shaped
+  * write-cheap update): Spark's delta plan hands the writer each
+  * matched row's id (the merge key) and its UPDATED full row; the
+  * rows land executor-side through the stock parquet writer into ONE
+  * `morins-<epoch>` directory, the ids become ONE `tombstones-e<epoch>`
+  * directory, and both commit as ONE appending version — write IO ∝
+  * the update, data untouched, `CALL lake.fold` ends the deferral.
+  * The EPOCH makes the pair readable (see [[MergeOnRead]]'s scoping):
+  * the tombstone hides the key's rows only in lower-epoch directories,
+  * so the update's own re-inserts survive while every older copy
+  * disappears. Matched-key volume rides the same driver cap as the
+  * delta DELETE (the correction-stream shape); the ROWS never touch
+  * the driver.
+  */
+class GraftDeltaUpdate(s: SparkSession, root: String, version: Int,
+    tableSchema: StructType, dataDirs: Seq[String], tombDirs: Seq[String],
+    morKey: String, colMap: Map[String, String] = Map.empty)
+  extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = Command.UPDATE
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(morKey))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(s, root, version, tableSchema, dataDirs,
+      tombDirs, Some(morKey), options, colMap = colMap)
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo)
+      : DeltaWriteBuilder = new DeltaWriteBuilder {
+    override def build(): DeltaWrite = {
+      val keyIsString = tableSchema(morKey).dataType match {
+        case StringType => true
+        case LongType => false
+        case other => throw new IllegalArgumentException(
+          s"mor key '$morKey' must be bigint or string for SQL " +
+            s"UPDATE, got $other")
+      }
+      val cap =
+        s.conf.get("spark.graft.dml.maxDeleteKeys", "4194304").toLong
+      new GraftDeltaUpdateWrite(s, root, morKey, keyIsString, cap,
+        dataDirs ++ tombDirs, winfo, colMap)
+    }
+  }
+
+  override def description(): String =
+    s"GraftDeltaUpdate root=$root v$version key=$morKey"
+}
+
+private case class UpdateTaskMessage(longs: Array[Long],
+    strings: Array[String], inner: WriterCommitMessage)
+  extends WriterCommitMessage
+
+class GraftDeltaUpdateWrite(s: SparkSession, root: String,
+    morKey: String, keyIsString: Boolean, cap: Long,
+    entries: Seq[String], logicalInfo: LogicalWriteInfo,
+    colMap: Map[String, String]) extends DeltaWrite {
+
+  // physical column names for the landed files (the GraftV2Write rule)
+  private val l2p: Map[String, String] = colMap.map(_.swap)
+  private val info: LogicalWriteInfo =
+    if (colMap.isEmpty) logicalInfo
+    else new LogicalWriteInfo {
+      override def queryId: String = logicalInfo.queryId
+      override def schema: StructType = StructType(
+        logicalInfo.schema.map(f =>
+          f.copy(name = l2p.getOrElse(f.name, f.name))))
+      override def options: CaseInsensitiveStringMap =
+        logicalInfo.options
+    }
+
+  private val epoch = MergeOnRead.nextEpoch(entries)
+  private val uuid = java.util.UUID.randomUUID().toString
+  private val insDir =
+    s"$root/data/${MergeOnRead.InsertPrefix}$epoch-$uuid"
+  private val tombDir =
+    s"$root/data/${MergeOnRead.TombstonePrefix}e$epoch-$uuid"
+
+  private val delegate = org.apache.spark.sql.execution.datasources
+    .v2.parquet.ParquetWrite(Seq(insDir), "parquet", _ => true, info)
+
+  override def toBatch(): DeltaBatchWrite = new DeltaBatchWrite {
+    private val db = delegate.toBatch
+
+    // the parquet file commit protocol coordinates its own task
+    // commits — a second (outer) negotiation would authorize a
+    // different attempt id and deny the inner one
+    override def useCommitCoordinator(): Boolean =
+      db.useCommitCoordinator()
+
+    override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+        : DeltaWriterFactory =
+      new UpdateRowWriterFactory(db.createBatchWriterFactory(pinfo),
+        keyIsString, cap)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: UpdateTaskMessage => m }
+      val total = msgs.map(m =>
+        if (keyIsString) m.strings.length.toLong
+        else m.longs.length.toLong).sum
+      // an UPDATE matching nothing commits NO version (the CoW/MoR
+      // no-op contract); any eagerly created files stay orphans
+      if (total == 0) return
+      require(total <= cap,
+        s"SQL UPDATE matched $total keys, past " +
+          s"spark.graft.dml.maxDeleteKeys=$cap — this is a bulk " +
+          "rewrite, not a correction stream: drop the mor key for " +
+          "the copy-on-write path (or raise the cap)")
+      db.commit(msgs.map(_.inner)) // finalize the rewritten-row files
+      import s.implicits._
+      val keys =
+        if (keyIsString) msgs.flatMap(_.strings).toSeq.toDF(morKey)
+        else msgs.flatMap(_.longs).toSeq.toDF(morKey)
+      keys.distinct().write.parquet(tombDir)
+      // the update carries the table's pruning discipline onto its
+      // own directory (the DML carry rule — persisted properties)
+      val props = GraftTableProps.read(s, root)
+      def cols(k: String): Seq[String] = props.get(k)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+        .map(c => l2p.getOrElse(c, c))
+      if (cols("statscols").nonEmpty)
+        graft.io.SkipStats.write(s, insDir, cols("statscols"))
+      if (cols("bloomcols").nonEmpty)
+        graft.io.BloomSidecar.write(s, insDir, cols("bloomcols"))
+      graft.io.Manifest.commitAll(s, root, Seq(tombDir, insDir))
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      db.abort(messages.collect { case m: UpdateTaskMessage => m.inner })
+  }
+
+  override def description(): String =
+    s"GraftDeltaUpdateWrite root=$root key=$morKey epoch=$epoch"
+}
+
+/** Per-task delta writer for the MoR UPDATE: ids accumulate (capped),
+  * updated rows stream straight into the task's parquet writer.
+  */
+class UpdateRowWriterFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    keyIsString: Boolean, cap: Long) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
+
+    private val rowWriter = inner.createWriter(partitionId, taskId)
+    private val longs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val strings =
+      scala.collection.mutable.ArrayBuffer.empty[String]
+
+    private def checkCap(): Unit =
+      require(longs.length <= cap && strings.length <= cap,
+        s"SQL UPDATE matched more than spark.graft.dml.maxDeleteKeys=" +
+          s"$cap keys in one task — drop the mor key for the " +
+          "copy-on-write path (or raise the cap)")
+
+    override def update(metadata: InternalRow, id: InternalRow,
+        row: InternalRow): Unit = {
+      if (keyIsString) strings += id.getUTF8String(0).toString
+      else longs += id.getLong(0)
+      checkCap()
+      rowWriter.write(row)
+    }
+
+    override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+      // representUpdateAsDeleteAndInsert plans arrive as pairs
+      if (keyIsString) strings += id.getUTF8String(0).toString
+      else longs += id.getLong(0)
+      checkCap()
+    }
+
+    override def insert(row: InternalRow): Unit = rowWriter.write(row)
+
+    override def commit(): WriterCommitMessage =
+      UpdateTaskMessage(longs.toArray, strings.toArray,
+        rowWriter.commit())
+
+    override def abort(): Unit = rowWriter.abort()
+
+    override def close(): Unit = rowWriter.close()
+  }
 }
 
 private case class DeleteKeysMessage(longs: Array[Long],

@@ -6231,6 +6231,78 @@ object OpsQueries {
       |SELECT 2, l_returnflag, n, sum_okey, sum_cents FROM c
       |ORDER BY phase, l_returnflag""".stripMargin
 
+  /** MERGE-ON-READ UPDATE under the oracle gate
+    * ([[graft.io.dsv2.GraftDeltaUpdate]] — the deletion-vector-shaped
+    * write-cheap update, io63): on a table with a recorded merge key,
+    * `UPDATE` commits ONE appending version holding an epoch-scoped
+    * tombstone of the matched keys plus a `morins-<epoch>` directory
+    * of the rewritten rows — the original data directories are
+    * UNTOUCHED (pinned in-gate), write IO ∝ the correction, and the
+    * epoch scoping makes the pair readable: the tombstone hides the
+    * keys' rows only in LOWER-epoch directories, so the update's own
+    * re-inserts survive. A second overlapping update proves the epoch
+    * chain (its tombstone hides the first update's rows); `CALL
+    * lake.fold` ends the deferral with an answer-identical rewrite;
+    * the pre-fold version still time-travels. Phases 0/3 and 1/2 are
+    * the same censuses through different read paths — scoped-merge vs
+    * folded, head vs time travel.
+    */
+  def io63MorUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Manifest, MergeOnRead}
+    val (root, k) = dmlTable(s, dir, "g63", "graft_io63_tbl")
+    s.sql("CALL g63.set_mor_key('graft_io63_tbl', 'l_orderkey')")
+    s.sql("UPDATE g63.graft_io63_tbl SET cents = cents + 1000 " +
+      s"WHERE l_orderkey < ${k / 2}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "the MoR update must be ONE appending version, got " +
+        Manifest.versions(s, root))
+    val e3 = Manifest.entries(s, root)
+    require(Set(s"$root/data/b1", s"$root/data/b2").subsetOf(e3.toSet),
+      s"the original data directories must be untouched: $e3")
+    require(e3.count(MergeOnRead.isTombstone) == 1 &&
+      e3.exists(d => MergeOnRead.dirEpoch(d) > 0),
+      s"one scoped tombstone + one morins directory expected: $e3")
+    val p0 = dmlCensus(s.sql("SELECT * FROM g63.graft_io63_tbl"), 0)
+    // second, OVERLAPPING update: its higher epoch hides the first
+    // update's rewritten rows for the re-matched keys
+    s.sql("UPDATE g63.graft_io63_tbl SET cents = cents + 1000 " +
+      s"WHERE l_orderkey < ${k / 4}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4))
+    val p1 = dmlCensus(s.sql("SELECT * FROM g63.graft_io63_tbl"), 1)
+    // fold ends the deferral — the answer must not move
+    s.sql("CALL g63.fold('graft_io63_tbl', 'l_orderkey')").collect()
+    require(!Manifest.entries(s, root).exists(MergeOnRead.isTombstone),
+      "fold must retire every tombstone")
+    val p2 = dmlCensus(s.sql("SELECT * FROM g63.graft_io63_tbl"), 2)
+    // the pre-fold, one-update state still time-travels (scoped merge
+    // through an OLD version)
+    val p3 = dmlCensus(s.sql(
+      "SELECT * FROM g63.graft_io63_tbl VERSION AS OF 3"), 3)
+    p0.unionByName(p1).unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io63Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |u1 AS (SELECT l_orderkey, l_returnflag,
+      |    cents + CASE WHEN l_orderkey < k // 2 THEN 1000 ELSE 0 END
+      |      AS cents FROM li, mk),
+      |u2 AS (SELECT l_orderkey, l_returnflag,
+      |    cents + CASE WHEN l_orderkey < k // 4 THEN 1000 ELSE 0 END
+      |      AS cents FROM u1, mk),
+      |snap AS (
+      |  SELECT 0 AS phase, l_returnflag, cents, l_orderkey FROM u1
+      |  UNION ALL SELECT 1, l_returnflag, cents, l_orderkey FROM u2
+      |  UNION ALL SELECT 2, l_returnflag, cents, l_orderkey FROM u2
+      |  UNION ALL SELECT 3, l_returnflag, cents, l_orderkey FROM u1)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -6388,6 +6460,7 @@ object OpsQueries {
     "io60_sql_rollback" -> (io60SqlRollback _),
     "io61_sql_drop_column" -> (io61SqlDropColumn _),
     "io62_sql_partitioned" -> (io62SqlPartitioned _),
+    "io63_mor_update" -> (io63MorUpdate _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -6490,6 +6563,7 @@ object OpsQueries {
     "io60_sql_rollback" -> io60Oracle,
     "io61_sql_drop_column" -> io61Oracle,
     "io62_sql_partitioned" -> io62Oracle,
+    "io63_mor_update" -> io63Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

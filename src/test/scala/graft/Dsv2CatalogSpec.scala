@@ -1424,6 +1424,47 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 100L)
   }
 
+  test("MoR UPDATE edges: a no-match update commits nothing; DELETE " +
+      "after an update hides the updated row; a legacy tombstone " +
+      "routes UPDATE back to copy-on-write") {
+    import spark.implicits._
+    val root = s"$wh/morupd"
+    (0L until 100L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/b1")
+    Manifest.commit(spark, root, s"$root/data/b1")
+    spark.sql("CALL lake.set_mor_key('morupd', 'id')")
+    // no-match: no version burned
+    spark.sql("UPDATE lake.morupd SET v = 0 WHERE id = 99999")
+    assert(Manifest.versions(spark, root) === Seq(1))
+    // MoR update: one appending version, original dir untouched
+    spark.sql("UPDATE lake.morupd SET v = v + 1000 WHERE id < 10")
+    assert(Manifest.versions(spark, root) === Seq(1, 2))
+    assert(Manifest.committed(spark, root).contains(s"$root/data/b1"))
+    assert(spark.sql("SELECT sum(v) s FROM lake.morupd WHERE id < 10")
+      .collect()(0).getLong(0) === (0L until 10L).map(_ + 1000).sum)
+    assert(spark.sql("SELECT count(*) n FROM lake.morupd")
+      .collect()(0).getLong(0) === 100L)
+    // DELETE after the update: the (legacy, global) tombstone hides
+    // the UPDATED row too — delete-after-update deletes the row
+    spark.sql("DELETE FROM lake.morupd WHERE id = 3")
+    assert(spark.sql("SELECT count(*) n FROM lake.morupd")
+      .collect()(0).getLong(0) === 99L)
+    assert(spark.sql(
+      "SELECT count(*) n FROM lake.morupd WHERE id = 3")
+      .collect()(0).getLong(0) === 0L)
+    // with a LEGACY tombstone live, UPDATE routes back to the
+    // copy-on-write rewrite (which folds it) — never a scoped commit
+    // whose rows the legacy tombstone would hide
+    spark.sql("UPDATE lake.morupd SET v = v + 1 WHERE id = 5")
+    val entries = Manifest.committed(spark, root)
+    assert(!entries.exists(MergeOnRead.isTombstone),
+      s"the CoW rewrite must fold the tombstones, got $entries")
+    assert(spark.sql("SELECT sum(v) s FROM lake.morupd WHERE id = 5")
+      .collect()(0).getLong(0) === 5L + 1000L + 1L)
+    assert(spark.sql("SELECT count(*) n FROM lake.morupd")
+      .collect()(0).getLong(0) === 99L)
+  }
+
   test("CALL sweep after CALL cluster keeps the clustered head — " +
       "entries referenced by path prefix survive the orphan sweep") {
     import spark.implicits._
