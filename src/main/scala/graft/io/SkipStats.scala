@@ -67,6 +67,12 @@ object SkipStats {
     */
   def supportedType(dt: DataType): Boolean = typeTag(dt).nonEmpty
 
+  /** The stored type tag for a supported type — what [[install]]'s
+    * callers pass as `ColStats.tpe` when they computed the aggregates
+    * themselves (one grouped job over many directories).
+    */
+  def typeTagOf(dt: DataType): Option[String] = typeTag(dt)
+
   private def typeTag(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")

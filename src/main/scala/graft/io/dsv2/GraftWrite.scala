@@ -397,12 +397,62 @@ object GraftPartitionedWrite {
       return
     }
     val sc = (statsCols ++ partitionCols).distinct
-    leaves.foreach { d =>
-      SkipStats.write(s, d, sc)
-      if (bloomCols.nonEmpty) graft.io.BloomSidecar.write(s, d, bloomCols)
-    }
+    installLeafStats(s, leaves, sc)
+    // blooms stay per-leaf by nature (one filter build per directory);
+    // they only run when the table opted into bloomCols
+    if (bloomCols.nonEmpty)
+      leaves.foreach(d => graft.io.BloomSidecar.write(s, d, bloomCols))
     if (replacing) Manifest.rewrite(s, root, leaves)
     else Manifest.commitAll(s, root, leaves)
+  }
+
+  /** Every leaf's skip-stats from ONE grouped aggregation (grouping on
+    * each row's source directory) — a per-leaf [[SkipStats.write]]
+    * would be one driver-sequential Spark job per partition value,
+    * which at high partition cardinality is the planning-metadata
+    * bottleneck all over again on the WRITE side. Rendering is
+    * identical to `SkipStats.write`'s (`min/max cast to string`,
+    * non-null counts); a leaf the path normalization failed to match
+    * falls back to the per-directory job — never an unprunable hole.
+    */
+  private def installLeafStats(s: SparkSession, leaves: Seq[String],
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val df0 = s.read.parquet(leaves: _*)
+    val tags = cols.map { c =>
+      val dt = df0.schema(c).dataType
+      c -> SkipStats.typeTagOf(dt).getOrElse(
+        throw new IllegalArgumentException(
+          s"no skip-stats support for column $c of type $dt"))
+    }
+    val df = df0.withColumn("__gdir",
+      expr("regexp_extract(input_file_name(), '^(.*)/[^/]+$', 1)"))
+    val aggs = count(lit(1)).as("_cnt") +: tags.flatMap { case (c, _) =>
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"),
+        count(col(c)))
+    }
+    val rows = df.groupBy(col("__gdir")).agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per leaf — bounded by the leaf list itself
+    val leafSet = leaves.toSet
+    val covered = rows.flatMap { r =>
+      val d = new Path(r.getString(0)).toUri.getPath
+      if (!leafSet.contains(d)) None
+      else {
+        val stats = tags.zipWithIndex.map { case ((c, t), i) =>
+          val (mn, mx) =
+            (r.getString(2 + 3 * i), r.getString(3 + 3 * i))
+          val bounds =
+            if (mn != null && mx != null) Some((mn, mx)) else None
+          c -> SkipStats.ColStats(t, bounds)
+        }
+        val nonNull = tags.zipWithIndex.map { case ((c, _), i) =>
+          c -> r.getLong(4 + 3 * i)
+        }.toMap
+        SkipStats.install(s, d, r.getLong(1), stats, nonNull)
+        Some(d)
+      }
+    }.toSet
+    leaves.filterNot(covered).foreach(d => SkipStats.write(s, d, cols))
   }
 }
 

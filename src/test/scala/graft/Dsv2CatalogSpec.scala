@@ -1424,6 +1424,35 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 100L)
   }
 
+  test("row-level DML and TRUNCATE work on a PARTITIONED table — the " +
+      "V1-write capability only redirects batch INSERTs") {
+    import spark.implicits._
+    val root = s"$wh/parteddml"
+    spark.sql("CREATE TABLE lake.parteddml (id BIGINT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO lake.parteddml " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END " +
+      "FROM range(0, 100)")
+    // CoW DELETE: the rewrite replaces matched leaves (flat output —
+    // partition layout degrades on rewritten dirs, stats carry)
+    spark.sql("DELETE FROM lake.parteddml WHERE id < 10")
+    assert(spark.sql("SELECT count(*) n FROM lake.parteddml")
+      .collect()(0).getLong(0) === 90L)
+    spark.sql("UPDATE lake.parteddml SET grp = 'c' WHERE id = 50")
+    assert(spark.sql(
+      "SELECT grp FROM lake.parteddml WHERE id = 50")
+      .collect()(0).getString(0) === "c")
+    // a later INSERT still lands partition leaves
+    spark.sql("INSERT INTO lake.parteddml SELECT id, 'd' " +
+      "FROM range(1000, 1010)")
+    assert(Manifest.committed(spark, root)
+      .exists(_.contains("__gp_grp=d")),
+      "post-DML INSERTs must keep the partition layout")
+    spark.sql("TRUNCATE TABLE lake.parteddml")
+    assert(spark.sql("SELECT count(*) n FROM lake.parteddml")
+      .collect()(0).getLong(0) === 0L)
+  }
+
   test("MoR UPDATE edges: a no-match update commits nothing; DELETE " +
       "after an update hides the updated row; a legacy tombstone " +
       "routes UPDATE back to copy-on-write") {
