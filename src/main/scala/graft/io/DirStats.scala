@@ -1,6 +1,6 @@
 package graft.io
 
-import scala.collection.mutable
+import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
@@ -32,8 +32,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * bytes themselves always load lazily from the sidecar — they can be
   * megabytes, and only point-probe plans ever need them).
   *
-  * Driver-side, per-scan object: not thread-safe, not serializable by
-  * design.
+  * Driver-side object, shared by every scan of one resolved table
+  * instance — so two queries PLANNED CONCURRENTLY over the same loaded
+  * table hit the memo maps from different threads. The maps are
+  * [[TrieMap]]s (lock-free, atomic getOrElseUpdate): a racing pair may
+  * compute the same entry twice (reads are idempotent — harmless), but
+  * never corrupts the map. Not serializable by design.
   */
 class DirStatsProvider(s: SparkSession, root: String,
     version: Option[Int],
@@ -48,7 +52,7 @@ class DirStatsProvider(s: SparkSession, root: String,
     .getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private val sidecars =
-    mutable.HashMap.empty[String, Option[SkipStats.Sidecar]]
+    TrieMap.empty[String, Option[SkipStats.Sidecar]]
 
   /** The directory's full sidecar — annotation-first, one memoized
     * file open otherwise. None = no readable sidecar (keep the
@@ -68,7 +72,7 @@ class DirStatsProvider(s: SparkSession, root: String,
   def nonNull(d: String): Map[String, Long] =
     sidecar(d).map(_.nonNull).getOrElse(Map.empty)
 
-  private val bloomKeyCache = mutable.HashMap.empty[String, Set[String]]
+  private val bloomKeyCache = TrieMap.empty[String, Set[String]]
 
   /** The columns the directory's bloom sidecar covers — annotation
     * names when embedded, else one keys-only sidecar scan (filters'
@@ -81,7 +85,7 @@ class DirStatsProvider(s: SparkSession, root: String,
     })
 
   private val bloomCache =
-    mutable.HashMap.empty[(String, String), Option[(String, BloomFilter)]]
+    TrieMap.empty[(String, String), Option[(String, BloomFilter)]]
 
   /** One column's bloom filter for a point consult. The annotation
     * decides existence without IO; the filter BYTES always come from

@@ -287,7 +287,7 @@ object Manifest {
     * columns one footer cannot see — resolve's full probe handles
     * those).
     */
-  private def inferDirSchema(s: SparkSession, d: String)
+  private[graft] def inferDirSchema(s: SparkSession, d: String)
       : Option[org.apache.spark.sql.types.StructType] = try {
     val p = new Path(d)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -333,6 +333,35 @@ object Manifest {
       Seq(statsLine, bloomLine, schemaLine)
     }
   }
+
+  // ── annotation SEEDING for bulk writers ──────────────────────────
+  // A partitioned insert lands hundreds of leaf directories in one
+  // commit; without seeds, the commit loop would probe EACH new leaf
+  // (sidecar read + bloom-keys read + footer schema probe — 3×P
+  // sequential driver IOs). The writer already HOLDS every leaf's
+  // stats body, bloom column set, and shared schema, so it hands them
+  // to the commit as pre-composed `#ann:` lines, and [[annotationLines]]
+  // carries them verbatim — the commit's metadata cost drops to O(1)
+  // in partition count, the write-side twin of the read-side
+  // stats-in-manifest fix.
+
+  /** Seed entry for a directory's stats annotation (`body` = the exact
+    * sidecar file body, [[SkipStats.render]]'s output).
+    */
+  private[graft] def seedStats(d: String, body: String)
+      : ((String, String), String) =
+    (("#ann:stats", d), "#ann:stats\t" + enc(d) + "\t" + enc(body))
+
+  /** Seed entry for a directory's bloom-coverage annotation. */
+  private[graft] def seedBloom(d: String, cols: Seq[String])
+      : ((String, String), String) =
+    (("#ann:bloom", d), "#ann:bloom\t" + enc(d) + "\t" +
+      cols.sorted.map(enc).mkString(","))
+
+  /** Seed entry for a directory's parquet-schema annotation. */
+  private[graft] def seedSchema(d: String, schemaJson: String)
+      : ((String, String), String) =
+    (("#ann:schema", d), "#ann:schema\t" + enc(d) + "\t" + enc(schemaJson))
 
   /** Re-derive EVERY directory's annotations from its current sidecars
     * and commit the same entry list as a new version — the "stats
@@ -485,10 +514,31 @@ object Manifest {
     * must see all of them or none.
     */
   def commitAll(s: SparkSession, root: String, batchDirs: Seq[String],
+      committer: Committer = FsCreateCommitter,
+      seedAnn: Map[(String, String), String] = Map.empty): Int = {
+    require(batchDirs.nonEmpty, "commitAll needs at least one directory")
+    commitLoop(s, root, committer, seedAnn = seedAnn)(
+      (_, prevList) => prevList ++ batchDirs)
+  }
+
+  /** [[commitAll]] with a CONFLICT GUARD evaluated against the freshly
+    * re-read previous list INSIDE the optimistic loop — every retry
+    * after a lost create race re-validates, so a conflicting commit
+    * that landed mid-flight is detected no matter which attempt sees
+    * it (the [[replaceDirs]] discipline, for appending commits whose
+    * VALIDITY depends on what else is in the table — e.g. an
+    * epoch-scoped MoR update that must not share its epoch with an
+    * overlapping racer). The guard throws to refuse; the exception
+    * propagates to the caller, which re-plans against the new head.
+    */
+  def commitAllGuarded(s: SparkSession, root: String,
+      batchDirs: Seq[String], guard: Seq[String] => Unit,
       committer: Committer = FsCreateCommitter): Int = {
     require(batchDirs.nonEmpty, "commitAll needs at least one directory")
-    commitLoop(s, root, committer)(
-      (_, prevList) => prevList ++ batchDirs)
+    commitLoop(s, root, committer) { (_, prevList) =>
+      guard(prevList)
+      prevList ++ batchDirs
+    }
   }
 
   /** Appending commit that emits the directory's [[SkipStats]] sidecar
@@ -597,8 +647,10 @@ object Manifest {
     * rewrite never disturbs a reader mid-query and stays time-travelable.
     */
   def rewrite(s: SparkSession, root: String, dirs: Seq[String],
-      committer: Committer = FsCreateCommitter): Int =
-    commitLoop(s, root, committer, needsPrev = false)((_, _) => dirs)
+      committer: Committer = FsCreateCommitter,
+      seedAnn: Map[(String, String), String] = Map.empty): Int =
+    commitLoop(s, root, committer, seedAnn = seedAnn,
+      needsPrev = false)((_, _) => dirs)
 
   /** ROLLBACK commit — republish version `v`'s directory list as a new
     * REPLACING version (Delta RESTORE): nothing is deleted, every

@@ -73,6 +73,45 @@ object MergeOnRead {
     (entries.map(dirEpoch) ++ entries.flatMap(tombEpoch))
       .foldLeft(0L)(math.max) + 1
 
+  /** Thrown when an epoch-scoped UPDATE detects, inside its commit
+    * loop, a concurrent update that landed at the same-or-higher epoch
+    * TOUCHING THE SAME KEYS. Committing anyway would leave both
+    * `morins` copies of the shared keys visible (neither epoch-N
+    * tombstone hides epoch-N directories — the rule that keeps an
+    * update's own re-inserts alive), silently duplicating rows. The
+    * caller re-plans against the new head and retries with a fresh
+    * epoch — the Delta/Iceberg concurrent-modification answer.
+    */
+  final class ConcurrentUpdateException(root: String, epoch: Long)
+    extends RuntimeException(
+      s"concurrent MERGE-ON-READ update on $root: another update " +
+        s"committed at epoch >= $epoch over overlapping keys while " +
+        "this one was in flight — re-plan against the new snapshot " +
+        "and retry")
+
+  /** Commit-time conflict guard for an epoch-scoped update planned at
+    * `epoch` whose tombstone keys are already staged at `tombDir`:
+    * refuses iff a same-or-higher-epoch tombstone appeared in the
+    * fresh entry list AND its key set overlaps ours. Disjoint-key
+    * racers at the same epoch MERGE correctly (each pair's tombstone
+    * hides only lower epochs, so neither hides the other's inserts)
+    * and are deliberately allowed; only the overlap — which would
+    * duplicate rows — refuses. A racer's morins directory never needs
+    * a separate check: it commits atomically with a tombstone of the
+    * same keys, which this guard already reads. Cost: one keys-only
+    * read of the racers' tombstones, on the rare clash path only.
+    */
+  private[graft] def epochClashGuard(s: SparkSession, root: String,
+      keyCol: String, epoch: Long, tombDir: String)
+      (prevList: Seq[String]): Unit = {
+    val laterTombs = prevList.filter(t => tombEpoch(t).exists(_ >= epoch))
+    if (laterTombs.isEmpty) return
+    val overlap = s.read.parquet(tombDir)
+      .join(s.read.parquet(laterTombs: _*).select(col(keyCol)),
+        Seq(keyCol), "left_semi")
+    if (!overlap.isEmpty) throw new ConcurrentUpdateException(root, epoch)
+  }
+
   /** Logically delete every row of the latest snapshot matching `pred`:
     * write the matched `keyCol` values as a tombstone directory under
     * `stagingDir` and commit it APPENDING. Write IO is the key list,
@@ -102,11 +141,14 @@ object MergeOnRead {
       keys: DataFrame, stagingDir: String,
       committer: Committer = FsCreateCommitter): Option[Int] = {
     val v = Manifest.versions(s, root).last
-    // overwrite: a delete that crashed between write and commit left an
-    // invisible orphan at this same path — the retry must not trip on it
-    val tombDir = s"$stagingDir/${TombstonePrefix}v$v"
-    keys.select(col(keyCol)).distinct()
-      .write.mode("overwrite").parquet(tombDir)
+    // uuid-suffixed, create-only: a deterministic path would let two
+    // concurrent deletes (or a retry racing its crashed predecessor's
+    // sweep) clobber each other's — possibly already-committed — key
+    // list; a crashed attempt's private directory is an orphan for the
+    // sweep, never an obstacle to the retry
+    val tombDir = s"$stagingDir/${TombstonePrefix}v$v-" +
+      java.util.UUID.randomUUID().toString
+    keys.select(col(keyCol)).distinct().write.parquet(tombDir)
     if (s.read.parquet(tombDir).isEmpty) {
       new Path(tombDir).getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new Path(tombDir), true)
@@ -149,6 +191,12 @@ object MergeOnRead {
     val (tombs, data) = Manifest.entries(s, root, version)
       .partition(isTombstone)
     if (tombs.isEmpty) return s.read.parquet(data: _*)
+    // a table whose every live entry is a tombstone (all rows logically
+    // deleted, original data replaced away) snapshots as an EMPTY
+    // key-only frame — the only schema the entries still carry — rather
+    // than an opaque read/reduce-on-empty crash
+    if (data.isEmpty)
+      return s.read.parquet(tombs: _*).select(col(keyCol)).limit(0)
     val scoped = tombs.filter(tombEpoch(_).isDefined)
     if (scoped.isEmpty)
       return s.read.parquet(data: _*)
@@ -158,13 +206,18 @@ object MergeOnRead {
     // tombstones outrank everything). Group count = distinct live
     // epochs — bounded by un-folded updates, never data.
     val global = tombs.filterNot(tombEpoch(_).isDefined)
+    // allowMissingColumns: a drift-evolved table's late columns may
+    // exist only in the newer (higher-epoch) morins directories — the
+    // strict union would refuse a layout the single flat parquet read
+    // of the unscoped path tolerates; missing columns fill null, the
+    // standard drift semantic
     data.groupBy(dirEpoch).toSeq.sortBy(_._1).map { case (de, dirs) =>
       val applicable = global ++ scoped.filter(t => tombEpoch(t).get > de)
       val df = s.read.parquet(dirs: _*)
       if (applicable.isEmpty) df
       else df.join(keySet(s, applicable, keyCol), Seq(keyCol),
         "left_anti")
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Write-cheap row-level UPDATE (the deletion-vector shape, io63):
@@ -177,6 +230,10 @@ object MergeOnRead {
     * Refuses while LEGACY (unscoped) tombstones are live: they outrank
     * every epoch, so they would hide this update's re-inserted rows —
     * fold first. Returns None (nothing committed) on an empty update.
+    * Concurrent updates racing this one: disjoint key sets merge
+    * correctly (each epoch-N tombstone hides only lower epochs);
+    * OVERLAPPING keys throw [[ConcurrentUpdateException]] from the
+    * commit loop — re-plan and retry.
     */
   def updateRows(s: SparkSession, root: String, keyCol: String,
       keys: DataFrame, rows: DataFrame, stagingDir: String,
@@ -188,11 +245,16 @@ object MergeOnRead {
         "every epoch and would hide this update's rewritten rows; " +
         "fold first")
     val epoch = nextEpoch(entries)
-    val tombDir = s"$stagingDir/${TombstonePrefix}e$epoch-upd"
-    val insDir = s"$stagingDir/$InsertPrefix$epoch-" +
-      java.util.UUID.randomUUID().toString
-    keys.select(col(keyCol)).distinct()
-      .write.mode("overwrite").parquet(tombDir)
+    // uuid-suffixed, create-only staging: a deterministic path under
+    // mode=overwrite would let a concurrent caller that computed the
+    // same epoch CLOBBER this one's (possibly already-committed) key
+    // list — with a unique path each caller stages privately, a crashed
+    // attempt's leftovers are orphans for the sweep, and the commit
+    // loop's epoch guard (below) arbitrates the epoch itself
+    val uuid = java.util.UUID.randomUUID().toString
+    val tombDir = s"$stagingDir/${TombstonePrefix}e$epoch-$uuid"
+    val insDir = s"$stagingDir/$InsertPrefix$epoch-$uuid"
+    keys.select(col(keyCol)).distinct().write.parquet(tombDir)
     val f = new Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (s.read.parquet(tombDir).isEmpty) {
@@ -201,7 +263,12 @@ object MergeOnRead {
     }
     rows.write.parquet(insDir)
     if (statsCols.nonEmpty) SkipStats.write(s, insDir, statsCols)
-    Some(Manifest.commitAll(s, root, Seq(tombDir, insDir), committer))
+    // conflict-detecting commit: a racer that landed a same-or-higher
+    // epoch over OVERLAPPING keys refuses (both morins copies of a
+    // shared key would stay visible — silent duplication); disjoint-key
+    // racers merge correctly and are allowed through
+    Some(Manifest.commitAllGuarded(s, root, Seq(tombDir, insDir),
+      epochClashGuard(s, root, keyCol, epoch, tombDir), committer))
   }
 
   /** Maintenance: apply the accumulated tombstones copy-on-write — only

@@ -321,7 +321,16 @@ class GraftDeltaUpdateWrite(s: SparkSession, root: String,
         graft.io.SkipStats.write(s, insDir, cols("statscols"))
       if (cols("bloomcols").nonEmpty)
         graft.io.BloomSidecar.write(s, insDir, cols("bloomcols"))
-      graft.io.Manifest.commitAll(s, root, Seq(tombDir, insDir))
+      // conflict-detecting commit: the epoch was pinned at PLAN time,
+      // so a concurrent UPDATE planned from the same head can mint the
+      // same epoch — the guard re-checks the fresh entry list inside
+      // the commit loop and refuses iff a same-or-higher-epoch racer
+      // landed over OVERLAPPING keys (both morins copies of a shared
+      // key would stay visible — silent duplication); disjoint-key
+      // racers merge correctly and commit
+      graft.io.Manifest.commitAllGuarded(s, root, Seq(tombDir, insDir),
+        graft.io.MergeOnRead.epochClashGuard(s, root, morKey, epoch,
+          tombDir))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -133,7 +133,27 @@ class GraftMicroBatchStream(s: SparkSession, root: String,
         "replacing commit's output as a fresh append, accepting that " +
         "already-streamed rows are DELIVERED AGAIN (downstream must " +
         "tolerate duplicates).")
-    after.filterNot(before).filterNot(MergeOnRead.isTombstone)
+    val added = after.filterNot(before)
+    // a MERGE-ON-READ UPDATE is an APPENDING commit (epoch-scoped
+    // tombstone + morins re-insert pair) whose morins directory carries
+    // REWRITTEN COPIES of already-streamed keys — streaming it as a
+    // plain append silently re-delivers those keys with updated values,
+    // violating the append-only contract just as a replacing commit
+    // would. Fail as loudly as Delta does on an update commit; with
+    // ignoreChanges the morins rows stream as fresh appends (the
+    // documented duplicate-tolerating opt-in). Plain MoR DELETEs
+    // (tombstone-only appends) keep the established skip semantics.
+    val morUpdate = added.filter(e =>
+      MergeOnRead.tombEpoch(e).isDefined ||
+        new Path(e).getName.startsWith(MergeOnRead.InsertPrefix))
+    require(morUpdate.isEmpty || ignoreChanges,
+      s"stream over $root: versions $from -> $to include a " +
+        s"merge-on-read UPDATE commit (${morUpdate.size} epoch-scoped " +
+        "entr(ies)) whose rewritten rows would re-deliver " +
+        "already-streamed keys with changed values. Pass " +
+        "ignoreChanges=true to consume them as fresh appends " +
+        "(downstream must tolerate re-delivered keys).")
+    added.filterNot(MergeOnRead.isTombstone)
   }
 
   private def parquetScanOver(dirs: Seq[String]) = {
