@@ -269,6 +269,30 @@ object LongArrayOps {
     "graft_might_contain" -> arity("graft_might_contain", 2)(args =>
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(args(0), args(1))),
+    // Sidecar-compatible grouped bloom build (raw values, not hashes —
+    // unlike Spark's BloomFilterAggregate above): one job builds every
+    // partition leaf's bloom sidecar. args: (col, expectedItems, fpp).
+    "graft_sidecar_bloom_agg" -> arity("graft_sidecar_bloom_agg", 3)(
+      args => {
+        def asLit(e: Expression, what: String): Any =
+          if (e.foldable) e.eval()
+          else throw new IllegalArgumentException(
+            s"graft_sidecar_bloom_agg: $what must be a literal")
+        val items = asLit(args(1), "expectedItems") match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_sidecar_bloom_agg: expectedItems must be integral, " +
+              s"got $other")
+        }
+        val p = asLit(args(2), "fpp") match {
+          case d: Double => d
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_sidecar_bloom_agg: fpp must be numeric, got $other")
+        }
+        SidecarBloomAgg(args(0), items, p).toAggregateExpression()
+      }),
     "graft_topk_mg" -> arity("graft_topk_mg", 2)(args => {
       val k = args(1) match {
         case e if e.foldable => e.eval() match {

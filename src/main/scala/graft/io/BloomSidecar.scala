@@ -41,13 +41,13 @@ object BloomSidecar {
   private val Magic = "GRAFTBLOOM1"
 
   /** Default false-positive probability (`spark.graft.bloomSidecar.fpp`). */
-  private def fpp(s: SparkSession): Double =
+  private[graft] def fpp(s: SparkSession): Double =
     s.conf.get("spark.graft.bloomSidecar.fpp", "0.01").toDouble
 
   /** Sidecar-supported type tag (the [[SkipStats]] rule: integral or
     * string; everything else has no bloom and never prunes).
     */
-  private def tag(dt: org.apache.spark.sql.types.DataType)
+  private[graft] def tag(dt: org.apache.spark.sql.types.DataType)
       : Option[String] = dt match {
     case LongType | IntegerType | ShortType | ByteType => Some("long")
     case StringType => Some("string")
@@ -84,6 +84,31 @@ object BloomSidecar {
         bf.writeTo(bytes)
         out.writeInt(bytes.size())
         out.write(bytes.toByteArray)
+      }
+    } finally out.close()
+  }
+
+  /** Write the sidecar from PRE-SERIALIZED filter bytes — the install
+    * half of the one-job grouped build
+    * ([[graft.expressions.BloomAgg]]): the aggregation already produced
+    * each directory's filters, so installing them is one small driver
+    * file write per directory, never a Spark job. Byte layout is
+    * identical to [[write]]'s.
+    */
+  def install(s: SparkSession, dataDir: String,
+      filters: Seq[(String, String, Array[Byte])]): Unit = {
+    val f = new Path(dataDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = new DataOutputStream(
+      f.create(new Path(dataDir, FileName), true))
+    try {
+      out.writeUTF(Magic)
+      out.writeInt(filters.size)
+      filters.foreach { case (c, t, bytes) =>
+        out.writeUTF(c)
+        out.writeUTF(t)
+        out.writeInt(bytes.length)
+        out.write(bytes)
       }
     } finally out.close()
   }

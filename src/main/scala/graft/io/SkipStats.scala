@@ -120,7 +120,18 @@ object SkipStats {
     */
   def install(s: SparkSession, dataDir: String, rowCount: Long,
       cols: Seq[(String, ColStats)],
-      nonNull: Map[String, Long]): Unit = {
+      nonNull: Map[String, Long]): Unit =
+    installRendered(s, dataDir, render(rowCount, cols, nonNull))
+
+  /** The exact sidecar file body [[install]] writes — exposed so a
+    * bulk writer (partitioned insert) can SEED manifest annotations
+    * with the same bytes it installs, making the commit itself zero
+    * per-directory probes (see [[Manifest.annotationLines]]'s carry
+    * rule: a seeded line is never re-probed).
+    */
+  private[graft] def render(rowCount: Long,
+      cols: Seq[(String, ColStats)],
+      nonNull: Map[String, Long]): String = {
     val lines = new StringBuilder(Header).append('\n')
       .append("count\t").append(rowCount).append('\n')
     cols.foreach { case (c, cs) =>
@@ -145,10 +156,19 @@ object SkipStats {
       }
     }
     lines.append("end\n")
+    lines.toString
+  }
+
+  /** Land an already-[[render]]ed body as the directory's sidecar file
+    * — one small create, no Spark job (the parallel-install half of
+    * the one-job partitioned-write stats build).
+    */
+  private[graft] def installRendered(s: SparkSession, dataDir: String,
+      body: String): Unit = {
     val f = new Path(dataDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = f.create(new Path(dataDir, StatsFile), true)
-    try out.write(lines.toString.getBytes(StandardCharsets.UTF_8))
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 

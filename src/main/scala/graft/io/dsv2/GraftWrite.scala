@@ -397,13 +397,43 @@ object GraftPartitionedWrite {
       return
     }
     val sc = (statsCols ++ partitionCols).distinct
-    installLeafStats(s, leaves, sc)
-    // blooms stay per-leaf by nature (one filter build per directory);
-    // they only run when the table opted into bloomCols
-    if (bloomCols.nonEmpty)
-      leaves.foreach(d => graft.io.BloomSidecar.write(s, d, bloomCols))
-    if (replacing) Manifest.rewrite(s, root, leaves)
-    else Manifest.commitAll(s, root, leaves)
+    val (statBodies, counts) = installLeafStats(s, leaves, sc)
+    val bloomed: Set[String] =
+      if (bloomCols.isEmpty) Set.empty
+      else installLeafBlooms(s, leaves, bloomCols,
+        counts.values.foldLeft(1024L)(math.max))
+    // SEED the commit's annotations from what this writer already
+    // holds: each covered leaf's stats body, its bloom coverage, and
+    // the insert's shared schema (ONE footer probe, every leaf carries
+    // the same columns by construction) — so the commit itself does
+    // zero per-leaf probes. A leaf that fell back keeps the probe path.
+    val schemaJson = Manifest.inferDirSchema(s, leaves.head).map(_.json)
+    val seed: Map[(String, String), String] = leaves.flatMap { d =>
+      statBodies.get(d).map(b => Manifest.seedStats(d, b)).toSeq ++
+        (if (bloomed.contains(d)) Seq(Manifest.seedBloom(d, bloomCols))
+        else Seq.empty) ++
+        schemaJson.map(j => Manifest.seedSchema(d, j)).toSeq
+    }.toMap
+    if (replacing) Manifest.rewrite(s, root, leaves, seedAnn = seed)
+    else Manifest.commitAll(s, root, leaves, seedAnn = seed)
+  }
+
+  /** Run `task` over every element with a small driver-side thread
+    * pool — the installer for per-leaf SIDECAR FILE writes, which are
+    * tiny but latency-bound (one create round trip each): sequential
+    * at 1024 partition values on an object store is minutes of commit
+    * latency for kilobytes of data. Bounded parallelism, fail-fast.
+    */
+  private def inParallel[T](items: Seq[T])(task: T => Unit): Unit = {
+    if (items.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, items.size))
+    try {
+      val futures = items.map(i => pool.submit(new Runnable {
+        override def run(): Unit = task(i)
+      }))
+      futures.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
   }
 
   /** Every leaf's skip-stats from ONE grouped aggregation (grouping on
@@ -416,7 +446,7 @@ object GraftPartitionedWrite {
     * falls back to the per-directory job — never an unprunable hole.
     */
   private def installLeafStats(s: SparkSession, leaves: Seq[String],
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): (Map[String, String], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
     val df0 = s.read.parquet(leaves: _*)
     val tags = cols.map { c =>
@@ -434,7 +464,7 @@ object GraftPartitionedWrite {
     val rows = df.groupBy(col("__gdir")).agg(aggs.head, aggs.tail: _*)
       .collect() // one row per leaf — bounded by the leaf list itself
     val leafSet = leaves.toSet
-    val covered = rows.flatMap { r =>
+    val rendered = rows.flatMap { r =>
       val d = new Path(r.getString(0)).toUri.getPath
       if (!leafSet.contains(d)) None
       else {
@@ -448,11 +478,83 @@ object GraftPartitionedWrite {
         val nonNull = tags.zipWithIndex.map { case ((c, _), i) =>
           c -> r.getLong(4 + 3 * i)
         }.toMap
-        SkipStats.install(s, d, r.getLong(1), stats, nonNull)
-        Some(d)
+        Some((d, SkipStats.render(r.getLong(1), stats, nonNull),
+          r.getLong(1)))
       }
-    }.toSet
-    leaves.filterNot(covered).foreach(d => SkipStats.write(s, d, cols))
+    }
+    // parallel file installs: the sidecars were all computed by the ONE
+    // grouped job above; landing them is latency-bound small IO
+    inParallel(rendered.toSeq) { case (d, body, _) =>
+      SkipStats.installRendered(s, d, body)
+    }
+    leaves.filterNot(rendered.map(_._1).toSet)
+      .foreach(d => SkipStats.write(s, d, cols))
+    (rendered.map(t => t._1 -> t._2).toMap,
+      rendered.map(t => t._1 -> t._3).toMap)
+  }
+
+  /** Every leaf's BLOOM sidecar from ONE grouped aggregation
+    * ([[graft.expressions.SidecarBloomAgg]] keyed on the same `__gdir`
+    * expression as the stats job) — the per-leaf `df.stat.bloomFilter`
+    * loop was one driver-sequential Spark job per partition value, the
+    * exact pattern [[installLeafStats]] kills for min/max. The shared
+    * filter capacity is the LARGEST leaf's row count (group buffers
+    * must be bit-compatible; small leaves just get a lower fpp), so
+    * driver memory for the collected filters is bounded up front —
+    * when the estimate exceeds `spark.graft.bloomSidecar.maxCollectBytes`
+    * (default 512 MB) the whole build falls back to the per-leaf jobs,
+    * as does any leaf the path normalization failed to match. Returns
+    * every leaf whose sidecar landed over `cols` (all of them —
+    * fallbacks included — so the commit can seed coverage annotations
+    * for each).
+    */
+  private def installLeafBlooms(s: SparkSession, leaves: Seq[String],
+      cols: Seq[String], expectedItems: Long): Set[String] = {
+    import org.apache.spark.sql.functions._
+    import graft.io.BloomSidecar
+    val fpp = BloomSidecar.fpp(s)
+    val bitsPer = org.apache.spark.util.sketch.BloomFilter
+      .create(expectedItems, fpp).bitSize()
+    val maxBytes = s.conf
+      .get("spark.graft.bloomSidecar.maxCollectBytes", "536870912").toLong
+    if (bitsPer / 8 * leaves.size.toLong * cols.size > maxBytes) {
+      leaves.foreach(d => BloomSidecar.write(s, d, cols))
+      return leaves.toSet
+    }
+    val df0 = s.read.parquet(leaves: _*)
+    val typed = cols.map { c =>
+      c -> BloomSidecar.tag(df0.schema(c).dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"no bloom-sidecar support for column $c of type " +
+            df0.schema(c).dataType))
+    }
+    graft.expressions.LongArrayOps.register(s) // idempotent
+    val df = df0.withColumn("__gdir",
+      expr("regexp_extract(input_file_name(), '^(.*)/[^/]+$', 1)"))
+    val aggs = typed.map { case (c, _) =>
+      call_function("graft_sidecar_bloom_agg", col(c),
+        lit(expectedItems), lit(fpp)).as(s"__bf_$c")
+    }
+    val rows = df.groupBy(col("__gdir")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val leafSet = leaves.toSet
+    val covered = rows.flatMap { r =>
+      val d = new Path(r.getString(0)).toUri.getPath
+      if (!leafSet.contains(d)) None
+      else {
+        val filters = typed.zipWithIndex.flatMap { case ((c, t), i) =>
+          Option(r.get(1 + i))
+            .map(b => (c, t, b.asInstanceOf[Array[Byte]]))
+        }
+        Some((d, filters))
+      }
+    }
+    inParallel(covered.toSeq) { case (d, filters) =>
+      BloomSidecar.install(s, d, filters)
+    }
+    val done = covered.map(_._1).toSet
+    leaves.filterNot(done).foreach(d => BloomSidecar.write(s, d, cols))
+    done ++ leaves.filterNot(done)
   }
 }
 

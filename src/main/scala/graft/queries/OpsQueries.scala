@@ -6173,8 +6173,16 @@ object OpsQueries {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
     batch(0, k).createOrReplaceTempView("io62_src")
+    // bloomCols on a partitioned table exercises the ONE-JOB grouped
+    // bloom build (SidecarBloomAgg keyed on the leaf directory) — the
+    // per-leaf `df.stat.bloomFilter` loop this gate's job-count spec
+    // killed; fpp is pinned low so the point probe below prunes
+    // deterministically on any SF's data
+    val prevFpp = s.conf.getOption("spark.graft.bloomSidecar.fpp")
+    s.conf.set("spark.graft.bloomSidecar.fpp", "0.0001")
     s.sql("CREATE TABLE g62.graft_io62_tbl PARTITIONED BY " +
-      "(l_returnflag) TBLPROPERTIES('statsCols'='l_orderkey') " +
+      "(l_returnflag) TBLPROPERTIES('statsCols'='l_orderkey'," +
+      "'bloomCols'='l_orderkey') " +
       "AS SELECT * FROM io62_src")
     require(Manifest.versions(s, root) == Seq(1),
       "partitioned CTAS must land as ONE version")
@@ -6200,6 +6208,31 @@ object OpsQueries {
     require(Manifest.committed(s, root).size == 6,
       "three more partition leaves after the INSERT")
     val probed = probe(4)
+    // BLOOM-pruned POINT probe: a key living in exactly ONE returnflag
+    // of the first batch. Range stats prune the second batch's 3
+    // leaves (disjoint key ranges) but CANNOT separate the first
+    // batch's 3 flag-leaves (each spans nearly the whole batch range)
+    // — only the leaf blooms can drop the 2 flag-leaves the key never
+    // touches, so skippedDirs > 3 is proof the one-job-built blooms
+    // prune (>= 5 exact; >= 4 tolerates one sub-1e-4 false positive)
+    val key0 = batch(0, k).groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_returnflag")).as("nf"))
+      .filter(col("nf") === 1).agg(min(col("l_orderkey")))
+      .collect()(0).getLong(0)
+    val bq = s.sql("SELECT * FROM g62.graft_io62_tbl " +
+      s"WHERE l_orderkey = $key0")
+    require(bq.count() >= 1, s"probe key $key0 must exist")
+    val skipped = "skippedDirs=(\\d+)".r
+      .findFirstMatchIn(bq.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt).getOrElse(-1)
+    require(skipped >= 4,
+      s"the point probe must prune past the range stats via the " +
+        s"grouped-built blooms (want skippedDirs>=4 of 6, got " +
+        s"$skipped):\n" + bq.queryExecution.executedPlan)
+    prevFpp match {
+      case Some(v) => s.conf.set("spark.graft.bloomSidecar.fpp", v)
+      case None => s.conf.unset("spark.graft.bloomSidecar.fpp")
+    }
     val head = s.sql("SELECT * FROM g62.graft_io62_tbl")
     val p0 = dmlCensus(head, 0)
     val p1 = dmlCensus(probed, 1)

@@ -1368,6 +1368,70 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(m(e), s"days() transform must refuse, got $e")
   }
 
+  test("a bloomCols-enabled partitioned INSERT runs a job count " +
+      "INDEPENDENT of partition cardinality (one stats job + one " +
+      "bloom job, never per-leaf) and the commit seeds every leaf's " +
+      "annotations — zero per-leaf probes") {
+    def insertJobs(parts: Int): Int = {
+      val name = s"partbloom$parts"
+      val root = s"$wh/$name"
+      spark.sql(s"CREATE TABLE lake.$name (k BIGINT, p BIGINT) " +
+        "PARTITIONED BY (p) TBLPROPERTIES(" +
+        "'statsCols'='k', 'bloomCols'='k')")
+      spark.sql(s"SELECT id AS k, id % $parts AS p FROM range(0, 2000)")
+        .createOrReplaceTempView(s"src_$name")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.sql(s"INSERT INTO lake.$name SELECT * FROM src_$name")
+        // listener events post asynchronously: wait until the count is
+        // stable across consecutive polls (bounded)
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 50) {
+          Thread.sleep(100); waited += 1
+          if (jobs.get() == last) stable += 1
+          else { last = jobs.get(); stable = 0 }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      // the CREATE committed a schema-bearing empty dir; the INSERT's
+      // partition leaves are the `=`-named ones
+      val leaves = Manifest.committed(spark, root).filter(_.contains("="))
+      assert(leaves.size === parts, s"one leaf per value, got $leaves")
+      // every leaf's stats, bloom coverage, AND schema were seeded into
+      // the committed manifest — the plan (and the next commit's carry)
+      // does zero per-leaf IO
+      val ann = Manifest.annotationsOf(spark, root)
+      leaves.foreach { d =>
+        assert(ann.stats.get(d).exists(_.isDefined),
+          s"stats annotation must be seeded for $d")
+        assert(ann.bloomCols.get(d).exists(_.exists(_.contains("k"))),
+          s"bloom coverage must be seeded for $d")
+        assert(ann.schemas.get(d).exists(_.isDefined),
+          s"schema annotation must be seeded for $d")
+        // and the sidecar files themselves landed (parallel installs)
+        val f = new org.apache.hadoop.fs.Path(d).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        assert(SkipStats.read(f, d).exists(_.contains("k")))
+        assert(graft.io.BloomSidecar.readKeys(f, d)
+          .exists(_.contains("k")))
+      }
+      jobs.get()
+    }
+    val j4 = insertJobs(4)
+    val j16 = insertJobs(16)
+    assert(j4 === j16,
+      s"insert job count must not scale with partition values " +
+        s"($j4 at 4 vs $j16 at 16 — a per-leaf job sneaked back in)")
+    assert(j16 <= 8, s"bounded job count expected, got $j16")
+  }
+
   test("DROP COLUMN refusal edges: merge key, property-pinned " +
       "columns, live tombstones, unknown and last-visible columns") {
     import spark.implicits._
