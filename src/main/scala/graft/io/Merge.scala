@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * needs (re-crawled documents, fixed labels, late-arriving upstream
   * rows) committed as ONE replacing version.
   *
+  * This Scala helper is deliberately the KEY-REPLACING upsert only —
+  * the full ANSI clause surface (conditional matched UPDATE/DELETE,
+  * first-match-wins ordering, `NOT MATCHED BY SOURCE`) lives on the
+  * SQL path, where Spark's `RewriteMergeIntoTable` plans it over
+  * [[graft.io.dsv2.GraftGroupRewrite]] (gate io64); re-implementing
+  * clause dispatch here would duplicate the planner.
+  *
   * Scale contract: the source batch is assumed small relative to the
   * table (the usual upsert regime) — its key set broadcasts into a
   * semi-join against the scan's `_metadata.file_path`, so finding the

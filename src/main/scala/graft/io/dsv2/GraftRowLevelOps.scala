@@ -24,8 +24,18 @@ import graft.io.MergeOnRead
   *   DELETE FROM lake.docs WHERE doc_id % 13 = 3
   *   UPDATE lake.docs SET quality = 0 WHERE lang = 'xx'
   *   MERGE INTO lake.docs t USING updates s ON t.doc_id = s.doc_id
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *     WHEN MATCHED AND s.crawl_ts > t.crawl_ts THEN UPDATE SET *
+  *     WHEN MATCHED AND s.retracted THEN DELETE
+  *     WHEN NOT MATCHED THEN INSERT *
+  *     WHEN NOT MATCHED BY SOURCE AND t.stale THEN DELETE
   * }}}
+  *
+  * MERGE carries the FULL ANSI clause surface (io64): multiple
+  * `WHEN MATCHED [AND cond]` clauses first-match-wins, conditional
+  * inserts, and `WHEN NOT MATCHED BY SOURCE` — Spark's own
+  * `RewriteMergeIntoTable` plans them over this group-based op, and
+  * duplicate source join keys refuse with the standard cardinality
+  * violation rather than nondeterministic results.
   *
   * The CoW-vs-MoR mode choice is a property of the TABLE, exactly like
   * Iceberg's `write.delete.mode`: a table with a recorded merge key

@@ -6336,6 +6336,76 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** FULL conditional MERGE under the oracle gate (io64 — the
+    * Delta/Iceberg MERGE surface a real user types within a week):
+    * one statement mixing `WHEN MATCHED AND <cond> THEN UPDATE SET …`,
+    * an unconditional `WHEN MATCHED THEN DELETE` (first-match-wins
+    * ordering), a conditional `WHEN NOT MATCHED THEN INSERT *`, and
+    * `WHEN NOT MATCHED BY SOURCE AND <cond> THEN UPDATE` — all planned
+    * through Spark 4's native `RewriteMergeIntoTable` over this
+    * engine's group-based row-level op ([[graft.io.dsv2
+    * .GraftGroupRewrite]]), committed as ONE replacing version with
+    * time travel intact. The oracle replays the clause semantics as a
+    * CTE (DuckDB-side MERGE equivalence), and the duplicate-source-key
+    * cardinality refusal is pinned in `Dsv2CatalogSpec`.
+    */
+  def io64MergeClauses(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    val (root, k) = dmlTable(s, dir, "g64", "graft_io64_tbl")
+    val keys = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+    keys.filter(col("l_orderkey").between(k / 3, (2 * k) / 3 - 1))
+      .select(col("l_orderkey"), lit("U").as("l_returnflag"),
+        (col("l_orderkey") * 7).as("cents"))
+      .unionByName(keys
+        .filter(col("l_orderkey").between(2 * k, 2 * k + k / 3 - 1))
+        .select(col("l_orderkey"), lit("I").as("l_returnflag"),
+          (col("l_orderkey") * 3).as("cents")))
+      .createOrReplaceTempView("graft_io64_src")
+    s.sql(s"""MERGE INTO g64.graft_io64_tbl t USING graft_io64_src s
+      ON t.l_orderkey = s.l_orderkey
+      WHEN MATCHED AND t.cents % 2 = 0 THEN UPDATE SET
+        l_returnflag = s.l_returnflag, cents = s.cents
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.l_orderkey < ${2 * k + k / 6}
+        THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.l_orderkey < ${k / 6}
+        THEN UPDATE SET l_returnflag = 'S'""")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "the conditional MERGE must land as ONE replacing commit")
+    val pre = s.sql("SELECT * FROM g64.graft_io64_tbl VERSION AS OF 2")
+    val post = s.sql("SELECT * FROM g64.graft_io64_tbl")
+    dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io64Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |m AS (SELECT DISTINCT l_orderkey FROM lineitem, mk
+      |      WHERE l_orderkey BETWEEN k // 3 AND (2 * k) // 3 - 1),
+      |ins AS (SELECT DISTINCT l_orderkey FROM lineitem, mk
+      |      WHERE l_orderkey BETWEEN 2 * k AND 2 * k + k // 6 - 1),
+      |merged AS (
+      |  SELECT li.l_orderkey,
+      |    CASE WHEN m.l_orderkey IS NOT NULL THEN 'U'
+      |         WHEN li.l_orderkey < (SELECT k FROM mk) // 6 THEN 'S'
+      |         ELSE li.l_returnflag END AS l_returnflag,
+      |    CASE WHEN m.l_orderkey IS NOT NULL THEN li.l_orderkey * 7
+      |         ELSE li.cents END AS cents
+      |  FROM li LEFT JOIN m ON li.l_orderkey = m.l_orderkey
+      |  WHERE m.l_orderkey IS NULL OR li.cents % 2 = 0
+      |  UNION ALL
+      |  SELECT l_orderkey, 'I', l_orderkey * 3 FROM ins),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM merged)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -6494,6 +6564,7 @@ object OpsQueries {
     "io61_sql_drop_column" -> (io61SqlDropColumn _),
     "io62_sql_partitioned" -> (io62SqlPartitioned _),
     "io63_mor_update" -> (io63MorUpdate _),
+    "io64_merge_clauses" -> (io64MergeClauses _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -6597,6 +6668,7 @@ object OpsQueries {
     "io61_sql_drop_column" -> io61Oracle,
     "io62_sql_partitioned" -> io62Oracle,
     "io63_mor_update" -> io63Oracle,
+    "io64_merge_clauses" -> io64Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

@@ -786,6 +786,51 @@ class Dsv2CatalogSpec extends AnyFunSuite {
       "the replacing MERGE commit must fold live tombstones")
   }
 
+  test("conditional MERGE edges: duplicate source join keys refuse " +
+      "with the cardinality violation (never nondeterministic " +
+      "results); clause conditions see both sides; an unmatched " +
+      "MERGE commits no version") {
+    import spark.implicits._
+    val root = s"$wh/mergeedges"
+    (0L until 20L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft").save(root)
+    // a source carrying the same key twice makes "which row updates"
+    // undefined — ANSI MERGE requires the refusal
+    Seq((5L, 1L), (5L, 2L)).toDF("id", "v")
+      .createOrReplaceTempView("medup_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO lake.mergeedges t USING medup_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *"""))
+    def m(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(msg =>
+        msg.contains("MERGE_CARDINALITY_VIOLATION") ||
+          msg.contains("multiple source rows")) || m(t.getCause))
+    assert(m(e), s"expected the cardinality violation, got $e")
+    assert(Manifest.versions(spark, root) === Seq(1),
+      "the refused MERGE must commit nothing")
+    // clause conditions referencing BOTH sides plan and evaluate
+    Seq((3L, 1000L), (4L, 1L)).toDF("id", "v")
+      .createOrReplaceTempView("mcond_src")
+    spark.sql(
+      """MERGE INTO lake.mergeedges t USING mcond_src s ON t.id = s.id
+        WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v + t.v
+        WHEN MATCHED THEN DELETE""")
+    val got = spark.sql("SELECT id, v FROM lake.mergeedges ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((3L, 1003L)), "s.v > t.v must update")
+    assert(!got.exists(_._1 == 4L), "the losing matched row deletes")
+    // a MERGE matching nothing (no clause fires) burns no version
+    val vBefore = Manifest.versions(spark, root)
+    Seq((99999L, 0L)).toDF("id", "v")
+      .createOrReplaceTempView("mnone_src")
+    spark.sql(
+      """MERGE INTO lake.mergeedges t USING mnone_src s ON t.id = s.id
+        WHEN MATCHED THEN DELETE""")
+    assert(Manifest.versions(spark, root) === vBefore,
+      "an all-miss MERGE must commit no version")
+  }
+
   test("a selective dim join runtime-prunes fact directories through " +
       "the sidecars (V2 dynamic pruning), and the scan reports real " +
       "size statistics") {
