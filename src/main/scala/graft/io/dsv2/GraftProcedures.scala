@@ -390,9 +390,24 @@ object GraftProcedures {
     // the old layout; a tombstoned table refuses (fold first — a
     // rewrite must never resurrect deleted rows); sort columns are
     // LOGICAL names, translated for mapped tables.
+    // `zorder => true` (optional, default false) re-layouts by the
+    // MORTON INTERLEAVE of exactly two sort columns instead of their
+    // lexicographic order — Delta's `OPTIMIZE ZORDER BY`: each bucket
+    // then has a TIGHT BOUNDING BOX in BOTH dimensions (a 1-D sort
+    // gives tight ranges only on its leading column), so a 2-D box
+    // probe AND either single-column probe all prune directories
+    // through the ordinary min/max sidecars — no query-side changes,
+    // the layout alone does it (io65). Bucketization is 256 quantile-
+    // free bins per dimension from one min/max pass; the z value is
+    // [[graft.io.ZOrder.zvalue8]]'s pure column arithmetic (codegen'd,
+    // no UDF) and is DROPPED before the write — data is layout-only
+    // preserved, like the 1-D path.
     "cluster" -> new P("cluster",
       Seq(param("table", StringType), param("sort_cols", StringType),
-        param("buckets", IntegerType)),
+        param("buckets", IntegerType),
+        ProcedureParameter.in("zorder",
+          org.apache.spark.sql.types.BooleanType)
+          .defaultValue("false").build()),
       StructType(Seq(StructField("dir", StringType),
         StructField("rows", LongType)))) {
       override protected def run(in: InternalRow): Seq[InternalRow] = {
@@ -401,8 +416,12 @@ object GraftProcedures {
         val sortCols = utf(in.get(1, StringType)).split(",")
           .map(_.trim).filter(_.nonEmpty).toSeq
         val buckets = in.getInt(2)
+        val zorder = !in.isNullAt(3) && in.getBoolean(3)
         require(sortCols.nonEmpty && buckets > 0,
           "cluster needs sort_cols and buckets > 0")
+        require(!zorder || sortCols.size == 2,
+          s"zorder clustering interleaves exactly TWO sort_cols " +
+            s"(2-D Morton), got ${sortCols.size}")
         val entries = Manifest.entries(s, root)
         require(!entries.exists(MergeOnRead.isTombstone),
           s"$root carries live tombstones — fold before re-clustering")
@@ -417,9 +436,47 @@ object GraftProcedures {
         // mergeSchema: a drift-evolved table's late columns live only in
         // newer directories — a layout-only rewrite must carry the UNION
         // schema, not whichever footer parquet happens to pick first
-        s.read.option("mergeSchema", "true").parquet(data: _*)
-          .repartitionByRange(buckets, phys.map(col): _*)
-          .sortWithinPartitions(phys.map(col): _*)
+        val reader = s.read.option("mergeSchema", "true")
+          .parquet(data: _*)
+        val laidOut =
+          if (!zorder)
+            reader.repartitionByRange(buckets, phys.map(col): _*)
+              .sortWithinPartitions(phys.map(col): _*)
+          else {
+            import org.apache.spark.sql.functions.{min, max, least,
+              greatest, lit}
+            phys.foreach { c =>
+              val dt = reader.schema(c).dataType
+              import org.apache.spark.sql.types._
+              require(dt == LongType || dt == IntegerType ||
+                  dt == ShortType || dt == ByteType,
+                s"zorder sort column $c must be integral, got $dt")
+            }
+            // per-dimension 256-bin bucketization from ONE min/max
+            // pass; the double division is bucketing only (the data
+            // itself is untouched), so precision never affects rows
+            val (cx, cy) = (phys(0), phys(1))
+            val b = reader.agg(
+              min(col(cx)).cast("long"), max(col(cx)).cast("long"),
+              min(col(cy)).cast("long"), max(col(cy)).cast("long"))
+              .collect()(0)
+            require(!b.isNullAt(0) && !b.isNullAt(2),
+              "zorder needs non-null sort columns")
+            def bucket(c: String, mn: Long, mx: Long) = {
+              val span = math.max(mx - mn, 0L) + 1L
+              least(lit(255L), greatest(lit(0L),
+                ((col(c).cast("double") - mn.toDouble) /
+                  span.toDouble * 256.0).cast("long")))
+            }
+            val z = graft.io.ZOrder.zvalue8(
+              bucket(cx, b.getLong(0), b.getLong(1)),
+              bucket(cy, b.getLong(2), b.getLong(3)))
+            reader.withColumn("__gz", z)
+              .repartitionByRange(buckets, col("__gz"))
+              .sortWithinPartitions(col("__gz"))
+              .drop("__gz")
+          }
+        laidOut
           .withColumn("gbucket", spark_partition_id())
           .write.partitionBy("gbucket").parquet(stage)
         val f = new org.apache.hadoop.fs.Path(stage)

@@ -6406,6 +6406,95 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Z-ORDER clustering as a CALL under the oracle gate (io65 — Delta
+    * `OPTIMIZE ZORDER BY`): `CALL lake.cluster(t, 'x,y', 16,
+    * zorder => true)` re-layouts the table along the 2-D MORTON curve
+    * ([[graft.io.ZOrder]], pure column arithmetic), giving every bucket
+    * a tight bounding box in BOTH dimensions — so a 2-D box probe
+    * prunes to the intersecting directories AND each single-column
+    * probe also prunes, through the ordinary min/max sidecars (a 1-D
+    * sort can only ever serve its leading column). In-gate plan pins
+    * check all three prunings; the census is identical through the
+    * re-layout and the time-traveled original (layout-only, like the
+    * 1-D path). Points are a deterministic 2-D spread of the distinct
+    * order keys (low bits × high bits — independent dimensions), so
+    * the oracle replays them exactly.
+    */
+  def io65ZorderCluster(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g65", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g65.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io65_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    // SF-independent 2-D spread: two multiplicative congruential
+    // coordinates mod a PRIME (a power-of-two modulus would make both
+    // functions of the key's low bits) — the point cloud fills the
+    // [0,1021)² torus at every SF, so the z-buckets' boxes stay tight
+    // and the fixed-bound probes below prune identically everywhere
+    val pts = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      .select(((col("l_orderkey") * 7919) % 1021).as("x"),
+        ((col("l_orderkey") * 104729) % 1021).as("y"),
+        (col("l_orderkey") % 97).as("v"))
+    pts.write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    def census(df: DataFrame, tag: Int): DataFrame = df
+      .groupBy((col("x") / 128).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"), sum(col("v")).as("sum_v"))
+      .withColumn("phase", lit(tag))
+      .select(col("phase"), col("grp"), col("n"), col("sum_x"),
+        col("sum_y"), col("sum_v"))
+    val p0 = census(s.sql("SELECT * FROM g65.graft_io65_tbl"), 0)
+    s.sql("CALL g65.cluster('graft_io65_tbl', 'x,y', 16, " +
+      "zorder => true)").collect()
+    require(Manifest.committed(s, root).size == 16,
+      "16 z-clustered buckets expected")
+    def skippedOf(q: DataFrame): Int = {
+      q.collect()
+      "skippedDirs=(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    }
+    val box = s.sql("SELECT * FROM g65.graft_io65_tbl " +
+      "WHERE x < 510 AND y < 128")
+    val sBox = skippedOf(box)
+    require(sBox >= 12, s"the 2-D box probe must read only the " +
+      s"intersecting z-cells (want skippedDirs>=12 of 16, got $sBox)")
+    val sX = skippedOf(s.sql(
+      "SELECT * FROM g65.graft_io65_tbl WHERE x < 510"))
+    require(sX >= 6, s"the x-only probe must prune on the z layout " +
+      s"(want skippedDirs>=6 of 16, got $sX)")
+    val sY = skippedOf(s.sql(
+      "SELECT * FROM g65.graft_io65_tbl WHERE y < 128"))
+    require(sY >= 8, s"the y-only probe must prune on the z layout " +
+      s"too — what a 1-D x-sort never could (want skippedDirs>=8 of " +
+      s"16, got $sY)")
+    val p1 = census(box, 1)
+    val p2 = census(s.sql("SELECT * FROM g65.graft_io65_tbl"), 2)
+    val p3 = census(s.sql(
+      "SELECT * FROM g65.graft_io65_tbl VERSION AS OF 1"), 3)
+    p0.unionByName(p1).unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("grp"))
+  }
+
+  val io65Oracle: String =
+    """WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      |pts AS (SELECT (k * 7919) % 1021 AS x,
+      |        (k * 104729) % 1021 AS y, k % 97 AS v FROM keys),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM pts
+      |  UNION ALL SELECT 1, x, y, v FROM pts
+      |    WHERE x < 510 AND y < 128
+      |  UNION ALL SELECT 2, * FROM pts
+      |  UNION ALL SELECT 3, * FROM pts)
+      |SELECT phase, x // 128 AS grp, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x,
+      |  CAST(SUM(y) AS BIGINT) AS sum_y,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, grp""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -6565,6 +6654,7 @@ object OpsQueries {
     "io62_sql_partitioned" -> (io62SqlPartitioned _),
     "io63_mor_update" -> (io63MorUpdate _),
     "io64_merge_clauses" -> (io64MergeClauses _),
+    "io65_zorder_cluster" -> (io65ZorderCluster _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -6669,6 +6759,7 @@ object OpsQueries {
     "io62_sql_partitioned" -> io62Oracle,
     "io63_mor_update" -> io63Oracle,
     "io64_merge_clauses" -> io64Oracle,
+    "io65_zorder_cluster" -> io65Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
