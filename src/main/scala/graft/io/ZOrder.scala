@@ -39,6 +39,33 @@ object ZOrder {
   def zvalue8(x: Column, y: Column): Column =
     spread8(x).bitwiseOR(shiftleft(spread8(y), 1))
 
+  /** Bit i of an 8-bit value placed at bit `i * stride + offset` — the
+    * general k-dimension spread (the magic-number form above is the
+    * stride-2 special case). Eight shift/and/or terms per dimension,
+    * still pure column arithmetic inside whole-stage codegen.
+    */
+  private def spreadBits(c: Column, stride: Int, offset: Int): Column = {
+    val m = c.bitwiseAND(lit(0xFFL))
+    (0 until 8).map(i =>
+      shiftleft(shiftright(m, i).bitwiseAND(lit(1L)), i * stride + offset))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** N-dimensional Morton code of 2..8 bucketized dimensions (8 bits
+    * each, ≤64 bits total): dimension j's bit i lands at bit
+    * `i * N + j`, so for N = 2 this is exactly [[zvalue8]]'s layout.
+    * More dimensions trade per-dimension resolution for breadth the
+    * usual way (8 bits each regardless of N — the CALLER bucketizes
+    * to 0..255); Delta's multi-column `OPTIMIZE ZORDER BY` shape.
+    */
+  def zvalueN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"zvalueN interleaves 2..8 dimensions, got ${cols.size}")
+    cols.zipWithIndex
+      .map { case (c, j) => spreadBits(c, cols.size, j) }
+      .reduce(_ bitwiseOR _)
+  }
+
   /** Z prefixes (top `prefixBits` bits of the 16-bit code) whose 2-D cell
     * intersects the box [loX,hiX]×[loY,hiY]. `prefixBits` must be even —
     * k = prefixBits/2 top bits of each dimension — so each prefix is an

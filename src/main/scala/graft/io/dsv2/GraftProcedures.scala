@@ -391,7 +391,7 @@ object GraftProcedures {
     // rewrite must never resurrect deleted rows); sort columns are
     // LOGICAL names, translated for mapped tables.
     // `zorder => true` (optional, default false) re-layouts by the
-    // MORTON INTERLEAVE of exactly two sort columns instead of their
+    // MORTON INTERLEAVE of 2..8 sort columns instead of their
     // lexicographic order — Delta's `OPTIMIZE ZORDER BY`: each bucket
     // then has a TIGHT BOUNDING BOX in BOTH dimensions (a 1-D sort
     // gives tight ranges only on its leading column), so a 2-D box
@@ -419,9 +419,9 @@ object GraftProcedures {
         val zorder = !in.isNullAt(3) && in.getBoolean(3)
         require(sortCols.nonEmpty && buckets > 0,
           "cluster needs sort_cols and buckets > 0")
-        require(!zorder || sortCols.size == 2,
-          s"zorder clustering interleaves exactly TWO sort_cols " +
-            s"(2-D Morton), got ${sortCols.size}")
+        require(!zorder || (sortCols.size >= 2 && sortCols.size <= 8),
+          s"zorder clustering interleaves 2..8 sort_cols " +
+            s"(N-D Morton, 8 bits each), got ${sortCols.size}")
         val entries = Manifest.entries(s, root)
         require(!entries.exists(MergeOnRead.isTombstone),
           s"$root carries live tombstones — fold before re-clustering")
@@ -455,22 +455,25 @@ object GraftProcedures {
             // per-dimension 256-bin bucketization from ONE min/max
             // pass; the double division is bucketing only (the data
             // itself is untouched), so precision never affects rows
-            val (cx, cy) = (phys(0), phys(1))
             val b = reader.agg(
-              min(col(cx)).cast("long"), max(col(cx)).cast("long"),
-              min(col(cy)).cast("long"), max(col(cy)).cast("long"))
+              min(col(phys.head)).cast("long"),
+              (Seq(max(col(phys.head)).cast("long")) ++
+                phys.tail.flatMap(c => Seq(
+                  min(col(c)).cast("long"),
+                  max(col(c)).cast("long")))): _*)
               .collect()(0)
-            require(!b.isNullAt(0) && !b.isNullAt(2),
-              "zorder needs non-null sort columns")
             def bucket(c: String, mn: Long, mx: Long) = {
               val span = math.max(mx - mn, 0L) + 1L
               least(lit(255L), greatest(lit(0L),
                 ((col(c).cast("double") - mn.toDouble) /
                   span.toDouble * 256.0).cast("long")))
             }
-            val z = graft.io.ZOrder.zvalue8(
-              bucket(cx, b.getLong(0), b.getLong(1)),
-              bucket(cy, b.getLong(2), b.getLong(3)))
+            val dims = phys.zipWithIndex.map { case (c, j) =>
+              require(!b.isNullAt(2 * j),
+                s"zorder needs a non-null sort column, $c is all-null")
+              bucket(c, b.getLong(2 * j), b.getLong(2 * j + 1))
+            }
+            val z = graft.io.ZOrder.zvalueN(dims)
             reader.withColumn("__gz", z)
               .repartitionByRange(buckets, col("__gz"))
               .sortWithinPartitions(col("__gz"))

@@ -1477,6 +1477,65 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(j16 <= 8, s"bounded job count expected, got $j16")
   }
 
+  test("3-D zorder cluster: every single-column probe prunes " +
+      "directories; zvalueN(2) matches zvalue8's layout; arity and " +
+      "type edges refuse") {
+    import spark.implicits._
+    // layout identity: the N-D interleave at N=2 IS the magic-number
+    // 2-D spread, so stored 2-D layouts and prefixesFor stay valid
+    val pairs = Seq((0L, 0L), (255L, 255L), (1L, 2L), (170L, 85L),
+      (200L, 13L)).toDF("x", "y")
+    val zs = pairs.select(
+      graft.io.ZOrder.zvalue8(col("x"), col("y")).as("a"),
+      graft.io.ZOrder.zvalueN(Seq(col("x"), col("y"))).as("b"))
+      .collect()
+    zs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val root = s"$wh/z3d"
+    // three independent dimensions mod primes (the io65 trick, 3-way)
+    spark.sql("SELECT id, (id * 7919) % 1021 AS x, " +
+      "(id * 104729) % 1021 AS y, (id * 31337) % 1021 AS z " +
+      "FROM range(0, 40000)")
+      .write.format("graft").save(root)
+    spark.sql("CALL lake.cluster('z3d', 'x,y,z', 64, zorder => true)")
+      .collect()
+    assert(Manifest.committed(spark, root).size === 64)
+    def skipped(sql: String): Int = {
+      val q = spark.sql(sql)
+      q.collect()
+      "skippedDirs=(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    }
+    // 64 buckets over 6-bit z prefixes = 2 bits/dim = a 4x4x4 cell
+    // grid; a <256 probe keeps one slab of 16 cells per dimension
+    for (c <- Seq("x", "y", "z")) {
+      val sk = skipped(s"SELECT * FROM lake.z3d WHERE $c < 256")
+      assert(sk >= 32,
+        s"the $c-only probe must prune on the 3-D layout, skipped $sk")
+    }
+    val skBox = skipped(
+      "SELECT * FROM lake.z3d WHERE x < 256 AND y < 256 AND z < 256")
+    assert(skBox >= 56, s"the 3-D box probe must prune hard, $skBox")
+    // census identity through the re-layout
+    assert(spark.sql("SELECT sum(x * 3 + y * 5 + z * 7) s " +
+      "FROM lake.z3d").collect()(0).getLong(0) ===
+      spark.sql("SELECT sum(x * 3 + y * 5 + z * 7) s " +
+        "FROM lake.z3d VERSION AS OF 1").collect()(0).getLong(0))
+    // edges: arity and type refuse loudly
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def m(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains(needle)) || m(t.getCause))
+      assert(m(e), s"expected '$needle', got $e")
+    }
+    refuses("CALL lake.cluster('z3d', 'x', 4, zorder => true)",
+      "2..8 sort_cols")
+    val root2 = s"$wh/z3dstr"
+    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root2)
+    refuses("CALL lake.cluster('z3dstr', 'id,s', 4, zorder => true)",
+      "must be integral")
+  }
+
   test("DROP COLUMN refusal edges: merge key, property-pinned " +
       "columns, live tombstones, unknown and last-visible columns") {
     import spark.implicits._
