@@ -182,4 +182,33 @@ class KernelPropertySpec extends AnyFunSuite {
       x.zip(y).map { case (p, q) => math.min(p, q) }))
     assert(got == expect)
   }
+
+  test("zvalueN round-trips: deinterleaving the N-D Morton code " +
+      "recovers every coordinate, and z-order preserves cell prefixes") {
+    import spark.implicits._
+    for (n <- 2 to 4) {
+      val pts = samples(Gen.listOfN(n, Gen.chooseNum(0L, 255L)), 40)
+      val cols = (0 until n).map(j => col(s"c$j"))
+      val got = pts.zipWithIndex.map { case (p, i) => (i, p) }
+        .toDF("i", "p")
+        .select(col("i") +: (0 until n)
+          .map(j => col("p").getItem(j).as(s"c$j")): _*)
+        .select(col("i"), graft.io.ZOrder.zvalueN(cols).as("z"))
+        .orderBy(col("i")).as[(Int, Long)].collect().map(_._2)
+      pts.zip(got).foreach { case (p, z) =>
+        // reference deinterleave: dim j's bit i sits at z bit i*n+j
+        val back = (0 until n).map(j =>
+          (0 until 8).map(i => ((z >> (i * n + j)) & 1L) << i).sum)
+        assert(back == p, s"n=$n: $p -> $z -> $back")
+        // prefix property: the top k bits per dim form the z's top n*k
+        // bits — what makes a z-RANGE an axis-aligned cell
+        val topZ = z >> (8 * n - n * 2) // top 2 bits of each dim
+        val expectTop = (0 until n).map(j =>
+          ((p(j) >> 6) & 3L) match { case t =>
+            ((t & 1L) << j) | (((t >> 1) & 1L) << (j + n)) })
+          .reduce(_ | _)
+        assert(topZ == expectTop, s"n=$n prefix: $p -> $z")
+      }
+    }
+  }
 }

@@ -201,6 +201,52 @@ class MorUpdateRaceSpec extends AnyFunSuite {
     assert(sunk.filter(col("k") === 3L && col("v") === 1030L).count() === 1L)
   }
 
+  test("N genuinely concurrent disjoint-key updates (real threads, " +
+      "no seam) all land or retry cleanly; the merged read and a " +
+      "final fold equal the sequential result") {
+    val root = freshRoot("mor_race_threads")
+    seed(root, 64)
+    val nWriters = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          // writer w owns keys [w*8, w*8+4) — disjoint by construction;
+          // overlap-free racers must never see ConcurrentUpdateException
+          val keys = (w * 8L until w * 8L + 4L)
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { upd(root, keys, 1000L * (w + 1)); done = true }
+            catch {
+              // lost-commit retries are internal; the only loud refusal
+              // allowed here would be an overlap — which cannot happen
+              case e: MergeOnRead.ConcurrentUpdateException =>
+                attempts += 1
+                if (attempts > 10) throw e
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty,
+      s"writer failed: ${Option(errors.peek()).map(_.toString)}")
+    def census(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0L until 64L).map { k =>
+      val w = k / 8
+      k -> (k * 10 + (if (w < nWriters && k % 8 < 4) 1000L * (w + 1)
+        else 0L))
+    }.toMap
+    assert(census(MergeOnRead.snapshot(spark, root, "k")) === expect,
+      "the merged read after the free-running race must be sequential")
+    MergeOnRead.fold(spark, root, "k", s"$root/data")
+    assert(census(MergeOnRead.snapshot(spark, root, "k")) === expect,
+      "the fold must preserve it")
+  }
+
   test("epoch-scoped snapshot tolerates drift (morins-only columns " +
       "null-fill across epoch groups) and an all-tombstone table " +
       "snapshots empty instead of crashing") {
