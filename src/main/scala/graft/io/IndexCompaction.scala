@@ -44,6 +44,57 @@ object IndexCompaction {
     Manifest.rewrite(s, root, Seq(dest))
   }
 
+  /** SCOPED compaction — Delta `OPTIMIZE … WHERE` for manifest tables:
+    * rewrite ONLY the directories whose sidecar stats overlap the
+    * given ranges (plus any directory without stats for a range's
+    * column — conservatively a candidate) into ~targetBytes files, and
+    * commit through the CONFLICT-DETECTING partial replace
+    * ([[Manifest.replaceDirs]]): untouched directories carry VERBATIM,
+    * concurrent appends racing the compaction keep their entries, and
+    * a replacing commit that consumed a candidate mid-flight refuses
+    * loudly. This is the maintenance shape a 100 TB table actually
+    * runs — compact yesterday's partition, never the table: work ∝
+    * the scoped slice, commit metadata ∝ 1.
+    *
+    * The rewritten directory CARRIES the candidates' pruning
+    * discipline (union of their sidecar stats columns, plus
+    * `statsCols`; bloom coverage likewise) — maintenance must never
+    * leave an unprunable hole. Returns None (nothing committed) when
+    * fewer than two candidate directories match (nothing to gain — a
+    * single directory is already compact at this granularity).
+    * Refuses while MoR tombstones are live: a scoped rewrite cannot
+    * know which tombstoned keys live in its slice — fold first.
+    */
+  def compactWhere(s: SparkSession, root: String, dest: String,
+      ranges: Seq[SkipStats.ColRange],
+      targetBytes: Long = 64L * 1024 * 1024,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    val entries = Manifest.committed(s, root)
+    require(!entries.exists(MergeOnRead.isTombstone),
+      s"$root carries live tombstones — fold before compacting")
+    val (kept, _) = SkipStats.prunedDirs(s, root, ranges, None)
+    val candidates = kept.filterNot(ColumnMapping.isMapping)
+    if (candidates.size < 2) return None
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = candidates.map(d => f.getContentSummary(
+      new org.apache.hadoop.fs.Path(d)).getLength).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // mergeSchema: a drift-evolved slice must carry the UNION schema
+    // through the rewrite (the cluster rule), not a random footer's
+    s.read.option("mergeSchema", "true").parquet(candidates: _*)
+      .repartition(n).write.mode("overwrite").parquet(dest)
+    val carried = candidates.flatMap(d => SkipStats.read(f, d))
+      .flatMap(_.keySet).toSet
+    val cols = (carried ++ statsCols).toSeq.sorted
+    if (cols.nonEmpty) SkipStats.write(s, dest, cols)
+    val bloomCarried = candidates
+      .flatMap(d => BloomSidecar.readKeys(f, d)).flatten.toSet
+    if (bloomCarried.nonEmpty)
+      BloomSidecar.write(s, dest, bloomCarried.toSeq.sorted)
+    Some(Manifest.replaceDirs(s, root, candidates.toSet, Seq(dest)))
+  }
+
   /** Fold a distributive per-increment stats table into its single-row
     * equivalent and commit it as a REPLACING version. The caller
     * supplies the fold (only it knows the measure columns); the result

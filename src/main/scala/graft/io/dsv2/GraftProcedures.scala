@@ -79,19 +79,55 @@ object GraftProcedures {
             in.getInt(1))
           .map(v => new GenericInternalRow(Array[Any](v)))
     },
-    "compact" -> new P("compact", Seq(param("table", StringType)),
+    // optional SCOPE (`where_col`/`lo`/`hi`, all-or-none): Delta
+    // `OPTIMIZE … WHERE` — only the directories whose sidecar stats
+    // overlap [lo, hi] on the column rewrite (plus statless ones,
+    // conservatively), committed via the conflict-detecting PARTIAL
+    // replace so untouched directories carry verbatim and racing
+    // appends survive. The maintenance shape a 100 TB table actually
+    // runs: compact yesterday's partition, never the table. Returns
+    // no rows when fewer than two directories match (nothing to gain,
+    // no version burned).
+    "compact" -> new P("compact", Seq(param("table", StringType),
+      ProcedureParameter.in("where_col", StringType)
+        .defaultValue("CAST(NULL AS STRING)").build(),
+      ProcedureParameter.in("lo", StringType)
+        .defaultValue("CAST(NULL AS STRING)").build(),
+      ProcedureParameter.in("hi", StringType)
+        .defaultValue("CAST(NULL AS STRING)").build()),
       StructType(Seq(StructField("version", IntegerType),
         StructField("files_before", IntegerType),
         StructField("files_after", IntegerType)))) {
       override protected def run(in: InternalRow): Seq[InternalRow] = {
         val root = rootOf(utf(in.get(0, StringType)))
         val s = session
-        val before = Manifest.snapshot(s, root).inputFiles.length
-        val dest = s"$root/data/compact-v${Manifest.versions(s, root)
-          .last + 1}"
-        val v = IndexCompaction.compact(s, root, dest)
-        val after = Manifest.snapshot(s, root).inputFiles.length
-        Seq(new GenericInternalRow(Array[Any](v, before, after)))
+        val scoped = !in.isNullAt(1)
+        if (!scoped) {
+          val before = Manifest.snapshot(s, root).inputFiles.length
+          val dest = s"$root/data/compact-v${Manifest.versions(s, root)
+            .last + 1}"
+          val v = IndexCompaction.compact(s, root, dest)
+          val after = Manifest.snapshot(s, root).inputFiles.length
+          Seq(new GenericInternalRow(Array[Any](v, before, after)))
+        } else {
+          require(!in.isNullAt(2) && !in.isNullAt(3),
+            "scoped compact needs where_col, lo AND hi")
+          val l2p = graft.io.ColumnMapping.renames(
+            graft.io.ColumnMapping.mapping(s, root)).map(_.swap)
+          val c0 = utf(in.get(1, StringType))
+          val range = graft.io.SkipStats.ColRange(
+            l2p.getOrElse(c0, c0),
+            utf(in.get(2, StringType)), utf(in.get(3, StringType)))
+          val dest = s"$root/data/compact-v${Manifest.versions(s, root)
+            .last + 1}-" + java.util.UUID.randomUUID().toString
+          val before = Manifest.snapshot(s, root).inputFiles.length
+          IndexCompaction.compactWhere(s, root, dest, Seq(range))
+            .map { v =>
+              val after = Manifest.snapshot(s, root).inputFiles.length
+              new GenericInternalRow(Array[Any](v, before, after))
+                : InternalRow
+            }.toSeq
+        }
       }
     },
     "fold" -> new P("fold",

@@ -6501,6 +6501,88 @@ object OpsQueries {
       |  CAST(SUM(v) AS BIGINT) AS sum_v
       |FROM snap GROUP BY 1, 2 ORDER BY phase, grp""".stripMargin
 
+  /** SCOPED compaction under the oracle gate (io66 — Delta
+    * `OPTIMIZE … WHERE`): `CALL lake.compact(t, where_col => c,
+    * lo => …, hi => …)` rewrites ONLY the directories whose sidecar
+    * stats overlap the range, committed through the conflict-detecting
+    * PARTIAL replace — the out-of-scope directory carries VERBATIM
+    * (pinned by path), pruning still works through the carried stats
+    * (plan pin), the census is identical through the rewrite and the
+    * time-traveled original, and an all-miss scope commits NOTHING
+    * (no rows, no version). The maintenance shape a 100 TB table
+    * actually runs: compact yesterday's partition, never the table.
+    */
+  def io66ScopedCompact(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g66", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g66.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io66_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val k = okeyUnit(s, dir)
+    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    for ((lo, hi, name) <- Seq((0L, k, "b1"), (k, 2 * k, "b2"),
+        (2 * k, 3 * k, "b3"))) {
+      // four files per batch so the scoped rewrite measurably compacts
+      batch(lo, hi).repartition(4).write.parquet(s"$root/data/$name")
+      Manifest.commitWithStats(s, root, s"$root/data/$name",
+        Seq("l_orderkey"))
+    }
+    val p0 = dmlCensus(s.sql("SELECT * FROM g66.graft_io66_tbl"), 0)
+    // all-miss scope first: no rows returned, no version burned
+    val miss = s.sql("CALL g66.compact('graft_io66_tbl', " +
+      s"where_col => 'l_orderkey', lo => '${9 * k}', " +
+      s"hi => '${10 * k}')").collect()
+    require(miss.isEmpty && Manifest.versions(s, root) == Seq(1, 2, 3),
+      "an all-miss scoped compact must commit nothing")
+    val res = s.sql("CALL g66.compact('graft_io66_tbl', " +
+      s"where_col => 'l_orderkey', lo => '0', hi => '${2 * k - 1}')")
+      .collect()
+    require(res.length == 1 && res(0).getInt(2) < res(0).getInt(1),
+      s"the scoped compact must reduce files, got ${res.toSeq}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4),
+      "the scoped compact lands as ONE partial-replacing commit")
+    val entries = Manifest.committed(s, root)
+    require(entries.contains(s"$root/data/b3") && entries.size == 2,
+      s"the out-of-scope directory must carry VERBATIM, got $entries")
+    // the carried stats still prune: an out-of-slice probe skips the
+    // compacted directory at planning
+    val probe = s.sql("SELECT * FROM g66.graft_io66_tbl " +
+      s"WHERE l_orderkey >= ${2 * k}")
+    probe.collect()
+    require(probe.queryExecution.executedPlan.toString
+      .contains("skippedDirs=1"),
+      "the compacted slice must be skippable by its carried stats:\n" +
+        probe.queryExecution.executedPlan)
+    val p1 = dmlCensus(probe, 1)
+    val p2 = dmlCensus(s.sql("SELECT * FROM g66.graft_io66_tbl"), 2)
+    val p3 = dmlCensus(s.sql(
+      "SELECT * FROM g66.graft_io66_tbl VERSION AS OF 3"), 3)
+    p0.unionByName(p1).unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("l_returnflag"))
+  }
+
+  val io66Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 3 * k),
+      |hiq AS (SELECT l.* FROM li l, mk WHERE l.l_orderkey >= 2 * k),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM li
+      |  UNION ALL SELECT 1, * FROM hiq
+      |  UNION ALL SELECT 2, * FROM li
+      |  UNION ALL SELECT 3, * FROM li)
+      |SELECT phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -6661,6 +6743,7 @@ object OpsQueries {
     "io63_mor_update" -> (io63MorUpdate _),
     "io64_merge_clauses" -> (io64MergeClauses _),
     "io65_zorder_cluster" -> (io65ZorderCluster _),
+    "io66_scoped_compact" -> (io66ScopedCompact _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -6766,6 +6849,7 @@ object OpsQueries {
     "io63_mor_update" -> io63Oracle,
     "io64_merge_clauses" -> io64Oracle,
     "io65_zorder_cluster" -> io65Oracle,
+    "io66_scoped_compact" -> io66Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

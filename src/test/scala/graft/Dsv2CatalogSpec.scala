@@ -1477,6 +1477,49 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(j16 <= 8, s"bounded job count expected, got $j16")
   }
 
+  test("scoped compact edges: live tombstones refuse (fold first), " +
+      "partial scope args refuse, racing appends survive the partial " +
+      "replace") {
+    import spark.implicits._
+    val root = s"$wh/scompact"
+    for (b <- 1 to 3) {
+      (b * 100L until b * 100L + 50L).map(i => (i, i)).toDF("id", "v")
+        .repartition(3).write.parquet(s"$root/data/b$b")
+      Manifest.commitWithStats(spark, root, s"$root/data/b$b", Seq("id"))
+    }
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def m(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains(needle)) || m(t.getCause))
+      assert(m(e), s"expected '$needle', got $e")
+    }
+    refuses("CALL lake.compact('scompact', where_col => 'id', " +
+      "lo => '100')", "lo AND hi")
+    spark.sql("CALL lake.set_mor_key('scompact', 'id')")
+    spark.sql("DELETE FROM lake.scompact WHERE id = 210")
+    refuses("CALL lake.compact('scompact', where_col => 'id', " +
+      "lo => '100', hi => '250')", "fold before compacting")
+    spark.sql("CALL lake.fold('scompact', 'id')")
+    // race: an append lands between the compact's plan and its commit —
+    // the PARTIAL replace must keep it (seam-injected, deterministic)
+    (900L until 910L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/racer")
+    var planted = false
+    Manifest.betweenReadAndCreate = () => {
+      if (!planted) { planted = true
+        Manifest.commit(spark, root, s"$root/data/racer") }
+    }
+    try spark.sql("CALL lake.compact('scompact', where_col => 'id', " +
+      "lo => '100', hi => '250')").collect()
+    finally Manifest.betweenReadAndCreate = () => ()
+    val entries = Manifest.committed(spark, root)
+    assert(entries.contains(s"$root/data/racer"),
+      s"the racing append must survive the partial replace, $entries")
+    assert(spark.sql("SELECT count(*) n FROM lake.scompact")
+      .collect()(0).getLong(0) === 159L,
+      "149 surviving originals + 10 raced rows")
+  }
+
   test("3-D zorder cluster: every single-column probe prunes " +
       "directories; zvalueN(2) matches zvalue8's layout; arity and " +
       "type edges refuse") {
