@@ -388,15 +388,31 @@ object GraftProcedures {
     // the restored head. Refuses while the CURRENT head carries MoR
     // tombstones that version N does not list — republishing N would
     // silently UN-delete those keys; fold (or takedown-fold) first.
+    // `version` is optional when `timestamp_ms` names a wall-clock
+    // instant instead (Delta `RESTORE … TIMESTAMP AS OF`): the restore
+    // target is the latest version committed at or before it, by the
+    // manifest-mtime rule `versionAt` already gives time travel.
+    // Exactly one of the two must be passed.
     "rollback" -> new P("rollback",
-      Seq(param("table", StringType), param("version", IntegerType)),
+      Seq(param("table", StringType),
+        ProcedureParameter.in("version", IntegerType)
+          .defaultValue("CAST(NULL AS INT)").build(),
+        ProcedureParameter.in("timestamp_ms", LongType)
+          .defaultValue("CAST(NULL AS BIGINT)").build()),
       StructType(Seq(StructField("restored_version", IntegerType),
         StructField("new_version", IntegerType),
         StructField("n_dirs", IntegerType)))) {
       override protected def run(in: InternalRow): Seq[InternalRow] = {
         val root = rootOf(utf(in.get(0, StringType)))
-        val v = in.getInt(1)
         val s = session
+        require(in.isNullAt(1) != in.isNullAt(2),
+          "rollback takes exactly one of version / timestamp_ms")
+        val v =
+          if (!in.isNullAt(1)) in.getInt(1)
+          else Manifest.versionAt(s, root, in.getLong(2)).getOrElse(
+            throw new IllegalArgumentException(
+              s"no version of $root existed at ${in.getLong(2)} " +
+                "(or it has been expired)"))
         val vs = Manifest.versions(s, root)
         require(vs.contains(v),
           s"cannot rollback to unknown version $v (have $vs — " +

@@ -1635,6 +1635,25 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     spark.sql("CALL lake.rollback('rbtomb', 1)").collect()
     assert(spark.sql("SELECT count(*) n FROM lake.rbtomb")
       .collect()(0).getLong(0) === 100L)
+    // RESTORE TIMESTAMP AS OF: a wall-clock instant resolves to the
+    // latest version committed at or before it (manifest mtime), so a
+    // far-future timestamp restores the current head state
+    val now = System.currentTimeMillis() + 60000
+    val r = spark.sql("CALL lake.rollback('rbtomb', " +
+      s"timestamp_ms => ${now}L)").collect()
+    assert(r.length === 1 &&
+      spark.sql("SELECT count(*) n FROM lake.rbtomb")
+        .collect()(0).getLong(0) === 100L)
+    // exactly one of the two selectors
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL lake.rollback('rbtomb', 1, ${now}L)").collect())
+    def m2(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("exactly one")) ||
+        m2(t.getCause))
+    assert(m2(e2), s"both selectors must refuse, got $e2")
+    val e3 = intercept[Exception](
+      spark.sql("CALL lake.rollback('rbtomb')").collect())
+    assert(m2(e3), s"neither selector must refuse, got $e3")
   }
 
   test("row-level DML and TRUNCATE work on a PARTITIONED table — the " +
