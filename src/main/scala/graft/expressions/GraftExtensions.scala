@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => new graft.plans.MorAntiJoinStrategy)
   }
 }

@@ -303,6 +303,40 @@ object Manifest {
       }
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  // committed directories are immutable, so a once-read row count
+  // never goes stale — memoized for the JVM's lifetime (a dir path +
+  // one Long per entry; bounded by directories ever planned)
+  private val dirRowMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Exact row count of a committed parquet directory's files, from
+    * the parquet FOOTERS on the driver — no Spark job, no data read.
+    * The cheap upper-bound check gating the MoR read strategy
+    * ([[MergeOnRead]]'s broadcast-vs-anti-join decision and the DSv2
+    * scan's key-collect cap) consults this: raw tombstone rows
+    * upper-bound the distinct key count. Unreadable files count 0
+    * (fail-open: the caller treats a low count as "small", and the
+    * subsequent real read surfaces the corruption loudly).
+    */
+  private[graft] def dirRowCount(s: SparkSession, dirs: Seq[String])
+      : Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    dirs.map { d =>
+      dirRowMemo.getOrElseUpdate(d, try {
+        val p = new Path(d)
+        val f = p.getFileSystem(conf)
+        f.listStatus(p)
+          .filter(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
+          .map { x =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(x, conf))
+            try r.getRecordCount finally r.close()
+          }.sum
+      } catch { case scala.util.control.NonFatal(_) => 0L })
+    }.sum
+  }
+
   /** Compose the annotation lines for a commit: carry the previous
     * version's line per (kind, directory) verbatim — directories are
     * immutable, so recorded knowledge never goes stale — and probe ONLY

@@ -89,25 +89,36 @@ object MergeOnRead {
         "this one was in flight — re-plan against the new snapshot " +
         "and retry")
 
-  /** Commit-time conflict guard for an epoch-scoped update planned at
-    * `epoch` whose tombstone keys are already staged at `tombDir`:
-    * refuses iff a same-or-higher-epoch tombstone appeared in the
-    * fresh entry list AND its key set overlaps ours. Disjoint-key
-    * racers at the same epoch MERGE correctly (each pair's tombstone
-    * hides only lower epochs, so neither hides the other's inserts)
-    * and are deliberately allowed; only the overlap — which would
-    * duplicate rows — refuses. A racer's morins directory never needs
-    * a separate check: it commits atomically with a tombstone of the
-    * same keys, which this guard already reads. Cost: one keys-only
-    * read of the racers' tombstones, on the rare clash path only.
+  /** Commit-time conflict guard for an epoch-scoped update whose
+    * tombstone keys are already staged at `tombDir`: refuses iff a
+    * tombstone that was NOT in the PLANNING snapshot (`planned` — the
+    * entry list the update derived its epoch and rewritten rows from)
+    * appears in the fresh entry list AND its key set overlaps ours.
+    * The guard keys on plan-time visibility, not epoch ordering: a
+    * same-or-higher-epoch racer over shared keys would leave both
+    * `morins` copies visible (silent duplication), and a LOWER-epoch
+    * racer — one that planned from an older snapshot yet committed
+    * between this update's plan and commit — would have its committed
+    * rewrite silently hidden by our higher-epoch tombstone, its rows
+    * absent from our re-inserts (computed from a snapshot that never
+    * saw it): lost update. Both anomalies share one signature — an
+    * unseen overlapping tombstone — so both refuse. Disjoint-key
+    * racers MERGE correctly at any epoch (each tombstone hides only
+    * lower epochs of KEYS IT NAMES) and are deliberately allowed. A
+    * racer's morins directory never needs a separate check: it commits
+    * atomically with a tombstone of the same keys, which this guard
+    * already reads. Cost: one keys-only read of the racers'
+    * tombstones, on the rare clash path only.
     */
   private[graft] def epochClashGuard(s: SparkSession, root: String,
-      keyCol: String, epoch: Long, tombDir: String)
-      (prevList: Seq[String]): Unit = {
-    val laterTombs = prevList.filter(t => tombEpoch(t).exists(_ >= epoch))
-    if (laterTombs.isEmpty) return
+      keyCol: String, epoch: Long, tombDir: String,
+      planned: Seq[String])(prevList: Seq[String]): Unit = {
+    val seen = planned.toSet
+    val newTombs = prevList.filter(t =>
+      isTombstone(t) && !seen.contains(t))
+    if (newTombs.isEmpty) return
     val overlap = s.read.parquet(tombDir)
-      .join(s.read.parquet(laterTombs: _*).select(col(keyCol)),
+      .join(s.read.parquet(newTombs: _*).select(col(keyCol)),
         Seq(keyCol), "left_semi")
     if (!overlap.isEmpty) throw new ConcurrentUpdateException(root, epoch)
   }
@@ -166,17 +177,20 @@ object MergeOnRead {
     * count (a parquet metadata-only read, free) which upper-bounds the
     * distinct key count.
     */
-  private def maxBroadcastKeys(s: SparkSession): Long =
+  private[graft] def maxBroadcastKeys(s: SparkSession): Long =
     s.conf.get("spark.graft.mor.maxBroadcastKeys", "4194304").toLong
 
   /** The tombstone key set, broadcast-hinted only while the accumulated
-    * raw key rows stay under [[maxBroadcastKeys]].
+    * raw key rows stay under [[maxBroadcastKeys]] — decided from the
+    * parquet FOOTER row counts ([[Manifest.dirRowCount]], driver
+    * metadata only, memoized), not a count job.
     */
   private def keySet(s: SparkSession, tombs: Seq[String],
       keyCol: String): DataFrame = {
-    val raw = s.read.parquet(tombs: _*)
-    val keys = raw.select(col(keyCol)).distinct()
-    if (raw.count() <= maxBroadcastKeys(s)) broadcast(keys) else keys
+    val keys = s.read.parquet(tombs: _*).select(col(keyCol)).distinct()
+    if (Manifest.dirRowCount(s, tombs) <= maxBroadcastKeys(s))
+      broadcast(keys)
+    else keys
   }
 
   /** The merged snapshot a version pins: data entries minus any row
@@ -192,11 +206,24 @@ object MergeOnRead {
       .partition(isTombstone)
     if (tombs.isEmpty) return s.read.parquet(data: _*)
     // a table whose every live entry is a tombstone (all rows logically
-    // deleted, original data replaced away) snapshots as an EMPTY
-    // key-only frame — the only schema the entries still carry — rather
-    // than an opaque read/reduce-on-empty crash
-    if (data.isEmpty)
-      return s.read.parquet(tombs: _*).select(col(keyCol)).limit(0)
+    // deleted, original data replaced away) snapshots EMPTY at the FULL
+    // table schema — recovered from the latest prior version that still
+    // carried data entries, so downstream projections of non-key
+    // columns keep analyzing. Only when no version ever carried data
+    // (or its files were already reclaimed) does the frame narrow to
+    // the key column, the one schema the live entries still prove.
+    if (data.isEmpty) {
+      val upTo = version.getOrElse(Manifest.versions(s, root).last)
+      val prior = Manifest.versions(s, root).filter(_ <= upTo)
+        .sorted.reverse.iterator
+        .map(v => Manifest.entries(s, root, Some(v))
+          .filterNot(isTombstone))
+        .find(_.nonEmpty)
+      return prior.flatMap(dirs =>
+        scala.util.Try(s.read.parquet(dirs: _*).limit(0)).toOption)
+        .getOrElse(
+          s.read.parquet(tombs: _*).select(col(keyCol)).limit(0))
+    }
     val scoped = tombs.filter(tombEpoch(_).isDefined)
     if (scoped.isEmpty)
       return s.read.parquet(data: _*)
@@ -268,7 +295,8 @@ object MergeOnRead {
     // shared key would stay visible — silent duplication); disjoint-key
     // racers merge correctly and are allowed through
     Some(Manifest.commitAllGuarded(s, root, Seq(tombDir, insDir),
-      epochClashGuard(s, root, keyCol, epoch, tombDir), committer))
+      epochClashGuard(s, root, keyCol, epoch, tombDir, entries),
+      committer))
   }
 
   /** Maintenance: apply the accumulated tombstones copy-on-write — only

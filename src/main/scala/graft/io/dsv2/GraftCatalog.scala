@@ -56,6 +56,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     require(warehouse != null && warehouse.nonEmpty,
       s"catalog '$name' requires spark.sql.catalog.$name.root " +
         "(the warehouse directory manifest tables live under)")
+    // any session that mounts a graft catalog gets the over-cap MoR
+    // re-plan (idempotent) — sessions built without
+    // spark.sql.extensions would otherwise hit the scan's loud
+    // refusal on heavily-tombstoned tables
+    graft.plans.MorAntiJoinStrategy.install(SparkSession.active)
   }
 
   override def name(): String = catalogName

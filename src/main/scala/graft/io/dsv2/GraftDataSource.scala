@@ -489,20 +489,57 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       case u: UTF8String => Some(u.toString)
       case _ => None
     }
+    // timestamp probes compare as EPOCH MICROS — the stats storage
+    // normalization (SkipStats.statExpr): absolute, timezone-free,
+    // numerically ordered under the "long" tag
+    def isTimestamp(c: String): Boolean =
+      tableSchema.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
+    def tsMicros(v: Any): Option[String] = v match {
+      case t: java.sql.Timestamp => Some(org.apache.spark.sql.catalyst
+        .util.DateTimeUtils.fromJavaTimestamp(t).toString)
+      case i: java.time.Instant => Some(org.apache.spark.sql.catalyst
+        .util.DateTimeUtils.instantToMicros(i).toString)
+      case _ => None
+    }
+    // date probes compare lexically against the sidecars' ISO strings
+    // (chronological for CE years); a probe that doesn't render
+    // `yyyy-…` (BC dates reverse lexically) prunes nothing
+    def isDate(c: String): Boolean =
+      tableSchema.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.DateType)
+    def dateStr(v: Any): Option[String] = (v match {
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }).filter(_.matches("^\\d{4}-.*"))
+    // one renderer per supported column type; open ends use the
+    // sidecar ±∞ sentinels (a lexical "max string" stand-in would
+    // wrongly skip directories holding values above it)
+    def render(c: String, v: Any): Option[String] =
+      if (integral(c)) num(v)
+      else if (isString(c)) str(v)
+      else if (isTimestamp(c)) tsMicros(v)
+      else if (isDate(c)) dateStr(v)
+      else None
+    def rangeable(c: String): Boolean =
+      integral(c) || isString(c) || isTimestamp(c) || isDate(c)
+    def lo(c: String): String = if (integral(c)) longMin
+      else if (isTimestamp(c)) longMin else SkipStats.NegInf
+    def hi(c: String): String = if (integral(c)) longMax
+      else if (isTimestamp(c)) longMax else SkipStats.PosInf
     filters.flatMap {
       case And(l, r) => toRanges(Seq(l, r))
-      case EqualTo(c, v) if integral(c) =>
-        num(v).map(x => SkipStats.ColRange(c, x, x)).toSeq
-      case EqualTo(c, v) if isString(c) =>
-        str(v).map(x => SkipStats.ColRange(c, x, x)).toSeq
-      case GreaterThanOrEqual(c, v) if integral(c) =>
-        num(v).map(x => SkipStats.ColRange(c, x, longMax)).toSeq
-      case GreaterThan(c, v) if integral(c) =>
-        num(v).map(x => SkipStats.ColRange(c, x, longMax)).toSeq
-      case LessThanOrEqual(c, v) if integral(c) =>
-        num(v).map(x => SkipStats.ColRange(c, longMin, x)).toSeq
-      case LessThan(c, v) if integral(c) =>
-        num(v).map(x => SkipStats.ColRange(c, longMin, x)).toSeq
+      case EqualTo(c, v) if rangeable(c) =>
+        render(c, v).map(x => SkipStats.ColRange(c, x, x)).toSeq
+      case GreaterThanOrEqual(c, v) if rangeable(c) =>
+        render(c, v).map(x => SkipStats.ColRange(c, x, hi(c))).toSeq
+      case GreaterThan(c, v) if rangeable(c) =>
+        render(c, v).map(x => SkipStats.ColRange(c, x, hi(c))).toSeq
+      case LessThanOrEqual(c, v) if rangeable(c) =>
+        render(c, v).map(x => SkipStats.ColRange(c, lo(c), x)).toSeq
+      case LessThan(c, v) if rangeable(c) =>
+        render(c, v).map(x => SkipStats.ColRange(c, lo(c), x)).toSeq
       case _ => Seq.empty
     }
   }
@@ -879,13 +916,32 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
     }
     val (scopedTombDirs, globalTombDirs) = tombDirs.partition(t =>
       graft.io.MergeOnRead.tombEpoch(t).isDefined)
+    // ── the key-collect CAP: the reader-factory filter ships the key
+    // sets in every task closure and materializes them on the DRIVER,
+    // so it is only the right physical strategy while accumulated
+    // deletes stay small. Raw tombstone ROW counts (parquet footers,
+    // metadata-only, memoized) upper-bound the distinct keys; past
+    // `spark.graft.mor.maxBroadcastKeys` nothing is collected — the
+    // scan is marked over-cap and [[graft.plans.MorAntiJoinStrategy]]
+    // (installed with every graft catalog) re-plans it as a
+    // distributed anti-join against the tombstone parquet, correct at
+    // any delete volume. A session without the strategy fails loudly
+    // at planInputPartitions instead of silently OOMing the driver. ──
+    val tombRows =
+      if (tombDirs.isEmpty) 0L
+      else graft.io.Manifest.dirRowCount(s, tombDirs)
+    val overCap =
+      tombRows > graft.io.MergeOnRead.maxBroadcastKeys(s)
     val tombFilter = if (tombDirs.isEmpty) None else {
       val key = morKey.get
       val keyType = tableSchema(key).dataType
-      Some((key, keyType, collectKeys(globalTombDirs, key, keyType)))
+      Some((key, keyType,
+        if (overCap) new util.HashSet[Any]()
+        else collectKeys(globalTombDirs, key, keyType)))
     }
     val scopedTombs: Seq[(Long, util.HashSet[Any])] =
-      scopedTombDirs.map { t =>
+      if (overCap) Seq.empty
+      else scopedTombDirs.map { t =>
         val (key, keyType, _) = tombFilter.get
         (graft.io.MergeOnRead.tombEpoch(t).get,
           collectKeys(Seq(t), key, keyType))
@@ -907,7 +963,9 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       delegateRequired, options, dirRequested, dataDirs, opState, rowOp,
       colMap, limitDropped = limitDropped,
       limitMode = limitPushed.isDefined || topNPushed.isDefined,
-      topNMode = topNPushed.isDefined)(dirStats, scopedTombs)
+      topNMode = topNPushed.isDefined,
+      overCapTombs = overCap, tombDirs = tombDirs)(
+      dirStats, scopedTombs)
   }
 }
 
@@ -935,7 +993,8 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
     opState: Option[GraftRowOpState] = None, rowOp: Boolean = false,
     colMap: Map[String, String] = Map.empty,
     limitDropped: Seq[String] = Seq.empty, limitMode: Boolean = false,
-    topNMode: Boolean = false)(
+    topNMode: Boolean = false, overCapTombs: Boolean = false,
+    tombDirs: Seq[String] = Seq.empty)(
     // second parameter list: per-plan derived state, not part of the
     // scan's case-class identity (the stats provider is a cache; the
     // scoped tombstone sets derive from root+version like tombFilter)
@@ -1188,7 +1247,23 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
       .sortBy(-_.length).headOption
   }
 
+  /** The over-cap refusal (see the builder's cap comment): reaching
+    * the physical scan with `overCapTombs` means no
+    * [[graft.plans.MorAntiJoinStrategy]] intercepted the plan — the
+    * reader-filter would have collected an unbounded key set on the
+    * driver, so refuse loudly instead of silently OOMing.
+    */
+  private def refuseOverCap(): Nothing = throw new IllegalStateException(
+    s"version $version of $root carries more accumulated tombstone " +
+      s"key rows than spark.graft.mor.maxBroadcastKeys — the " +
+      "driver-side key-collect merge is refused at this size. Read " +
+      "through a session with the graft planner strategy installed " +
+      "(any graft catalog / GraftExtensions session has it: the scan " +
+      "re-plans as a distributed anti-join), CALL fold to retire the " +
+      "tombstones, or raise the cap deliberately.")
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (overCapTombs) refuseOverCap()
     if (allPruned || (runtimeDirs.isDefined && scanDirs.isEmpty))
       return Array.empty
     val base = delegate.toBatch.planInputPartitions()
@@ -1214,6 +1289,7 @@ case class GraftScan(delegate: org.apache.spark.sql.execution.datasources
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    if (overCapTombs) refuseOverCap()
     val inner = delegate.toBatch.createReaderFactory()
     if (scopedTombs.nonEmpty) {
       // epoch-scoped merge (a MoR UPDATE's tombstones): the applicable

@@ -496,40 +496,98 @@ object GraftProcedures {
               .sortWithinPartitions(phys.map(col): _*)
           else {
             import org.apache.spark.sql.functions.{min, max, least,
-              greatest, lit}
+              greatest, lit, unix_date, unix_micros,
+              spark_partition_id => spid}
+            import org.apache.spark.sql.types._
+            // per-dimension AXIS: the monotone numeric each dimension
+            // bucketizes on. Integral columns use themselves (long —
+            // bit-identical to the integral-only rounds); dates map to
+            // epoch days, timestamps to epoch micros (both long —
+            // exactly the skip-stats normalization, so the probes that
+            // prune post-cluster compare in the same space); decimals/
+            // floats bucketize in double (bucketing only — the data is
+            // untouched, so precision never affects rows). Strings
+            // have no numeric axis — they get ntile-style RANGE IDS
+            // below (Delta's z-order move), via Spark's own range
+            // partitioner: bounded reservoir sampling, never a global
+            // sort or a driver collect, one extra shuffle per string
+            // dimension of this already-whole-table rewrite.
+            def longAxis(c: String)
+                : Option[org.apache.spark.sql.Column] =
+              reader.schema(c).dataType match {
+                case LongType | IntegerType | ShortType | ByteType =>
+                  Some(col(c).cast("long"))
+                case DateType => Some(unix_date(col(c)).cast("long"))
+                case TimestampType => Some(unix_micros(col(c)))
+                case _ => None
+              }
+            def dblAxis(c: String)
+                : Option[org.apache.spark.sql.Column] =
+              reader.schema(c).dataType match {
+                case DoubleType | FloatType | _: DecimalType =>
+                  Some(col(c).cast("double"))
+                case _ => None
+              }
             phys.foreach { c =>
               val dt = reader.schema(c).dataType
-              import org.apache.spark.sql.types._
-              require(dt == LongType || dt == IntegerType ||
-                  dt == ShortType || dt == ByteType,
-                s"zorder sort column $c must be integral, got $dt")
+              require(longAxis(c).isDefined || dblAxis(c).isDefined ||
+                  dt == StringType,
+                s"zorder sort column $c must be integral, date, " +
+                  s"timestamp, decimal, float/double, or string — " +
+                  s"got $dt")
             }
-            // per-dimension 256-bin bucketization from ONE min/max
-            // pass; the double division is bucketing only (the data
-            // itself is untouched), so precision never affects rows
-            val b = reader.agg(
-              min(col(phys.head)).cast("long"),
-              (Seq(max(col(phys.head)).cast("long")) ++
-                phys.tail.flatMap(c => Seq(
-                  min(col(c)).cast("long"),
-                  max(col(c)).cast("long")))): _*)
-              .collect()(0)
-            def bucket(c: String, mn: Long, mx: Long) = {
-              val span = math.max(mx - mn, 0L) + 1L
-              least(lit(255L), greatest(lit(0L),
-                ((col(c).cast("double") - mn.toDouble) /
-                  span.toDouble * 256.0).cast("long")))
-            }
-            val dims = phys.zipWithIndex.map { case (c, j) =>
-              require(!b.isNullAt(2 * j),
-                s"zorder needs a non-null sort column, $c is all-null")
-              bucket(c, b.getLong(2 * j), b.getLong(2 * j + 1))
-            }
-            val z = graft.io.ZOrder.zvalueN(dims)
-            reader.withColumn("__gz", z)
+            // string dims first: each range-partitions the working
+            // frame by the column and tags rows with the 0..255 range
+            // id (order-aligned with the column, nulls first = id 0)
+            var working = reader
+            val rangeId: Map[String, String] =
+              phys.zipWithIndex.collect {
+                case (c, j) if reader.schema(c).dataType == StringType =>
+                  val idc = s"__gzd$j"
+                  working = working.repartitionByRange(256, col(c))
+                    .withColumn(idc, spid().cast("long"))
+                  c -> idc
+              }.toMap
+            // numeric dims: 256-bin bucketization from ONE min/max pass
+            val numDims = phys.filterNot(rangeId.contains)
+            val bounds: Map[String, (Any, Any)] =
+              if (numDims.isEmpty) Map.empty
+              else {
+                val aggs = numDims.flatMap { c =>
+                  val a = longAxis(c).orElse(dblAxis(c)).get
+                  Seq(min(a), max(a))
+                }
+                val b = working.agg(aggs.head, aggs.tail: _*).collect()(0)
+                numDims.zipWithIndex.map { case (c, j) =>
+                  require(!b.isNullAt(2 * j),
+                    s"zorder needs a non-null sort column, $c is " +
+                      "all-null")
+                  c -> ((b.get(2 * j), b.get(2 * j + 1)))
+                }.toMap
+              }
+            def bucket(c: String): org.apache.spark.sql.Column =
+              rangeId.get(c) match {
+                case Some(idc) => col(idc)
+                case None if longAxis(c).isDefined =>
+                  val (mn, mx) = (bounds(c)._1.asInstanceOf[Long],
+                    bounds(c)._2.asInstanceOf[Long])
+                  val span = math.max(mx - mn, 0L) + 1L
+                  least(lit(255L), greatest(lit(0L),
+                    ((longAxis(c).get.cast("double") - mn.toDouble) /
+                      span.toDouble * 256.0).cast("long")))
+                case None =>
+                  val (mn, mx) = (bounds(c)._1.asInstanceOf[Double],
+                    bounds(c)._2.asInstanceOf[Double])
+                  val span = math.max(mx - mn, java.lang.Double.MIN_VALUE)
+                  least(lit(255L), greatest(lit(0L),
+                    ((dblAxis(c).get - mn) / span * 256.0)
+                      .cast("long")))
+              }
+            val z = graft.io.ZOrder.zvalueN(phys.map(bucket))
+            working.withColumn("__gz", z)
               .repartitionByRange(buckets, col("__gz"))
               .sortWithinPartitions(col("__gz"))
-              .drop("__gz")
+              .drop(("__gz" +: rangeId.values.toSeq): _*)
           }
         laidOut
           .withColumn("gbucket", spark_partition_id())

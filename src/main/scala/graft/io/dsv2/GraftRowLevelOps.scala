@@ -332,15 +332,15 @@ class GraftDeltaUpdateWrite(s: SparkSession, root: String,
       if (cols("bloomcols").nonEmpty)
         graft.io.BloomSidecar.write(s, insDir, cols("bloomcols"))
       // conflict-detecting commit: the epoch was pinned at PLAN time,
-      // so a concurrent UPDATE planned from the same head can mint the
-      // same epoch — the guard re-checks the fresh entry list inside
-      // the commit loop and refuses iff a same-or-higher-epoch racer
-      // landed over OVERLAPPING keys (both morins copies of a shared
-      // key would stay visible — silent duplication); disjoint-key
-      // racers merge correctly and commit
+      // so a concurrent UPDATE can land between this one's plan and
+      // commit — the guard re-checks the fresh entry list inside the
+      // commit loop and refuses iff a tombstone UNSEEN at plan time
+      // landed over OVERLAPPING keys (same/higher epoch → duplicated
+      // rows; lower epoch → its committed rewrite silently hidden);
+      // disjoint-key racers merge correctly and commit
       graft.io.Manifest.commitAllGuarded(s, root, Seq(tombDir, insDir),
         graft.io.MergeOnRead.epochClashGuard(s, root, morKey, epoch,
-          tombDir))
+          tombDir, entries))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

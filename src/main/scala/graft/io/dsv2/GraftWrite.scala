@@ -398,8 +398,8 @@ object GraftPartitionedWrite {
     }
     val sc = (statsCols ++ partitionCols).distinct
     val (statBodies, counts) = installLeafStats(s, leaves, sc)
-    val bloomed: Set[String] =
-      if (bloomCols.isEmpty) Set.empty
+    val bloomed: Map[String, Seq[String]] =
+      if (bloomCols.isEmpty) Map.empty
       else installLeafBlooms(s, leaves, bloomCols,
         counts.values.foldLeft(1024L)(math.max))
     // SEED the commit's annotations from what this writer already
@@ -410,8 +410,11 @@ object GraftPartitionedWrite {
     val schemaJson = Manifest.inferDirSchema(s, leaves.head).map(_.json)
     val seed: Map[(String, String), String] = leaves.flatMap { d =>
       statBodies.get(d).map(b => Manifest.seedStats(d, b)).toSeq ++
-        (if (bloomed.contains(d)) Seq(Manifest.seedBloom(d, bloomCols))
-        else Seq.empty) ++
+        // seed coverage from the columns whose filter actually landed
+        // in the leaf's sidecar, never the requested set (an all-null
+        // column within a leaf produces no grouped-agg filter)
+        bloomed.get(d).filter(_.nonEmpty)
+          .map(cs => Manifest.seedBloom(d, cs)).toSeq ++
         schemaJson.map(j => Manifest.seedSchema(d, j)).toSeq
     }.toMap
     if (replacing) Manifest.rewrite(s, root, leaves, seedAnn = seed)
@@ -458,7 +461,10 @@ object GraftPartitionedWrite {
     val df = df0.withColumn("__gdir",
       expr("regexp_extract(input_file_name(), '^(.*)/[^/]+$', 1)"))
     val aggs = count(lit(1)).as("_cnt") +: tags.flatMap { case (c, _) =>
-      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"),
+      // statExpr: timestamps aggregate as epoch micros, matching
+      // their stored "long" tag (same normalization as SkipStats.write)
+      val e = SkipStats.statExpr(c, df0.schema(c).dataType)
+      Seq(min(e).cast("string"), max(e).cast("string"),
         count(col(c)))
     }
     val rows = df.groupBy(col("__gdir")).agg(aggs.head, aggs.tail: _*)
@@ -504,22 +510,28 @@ object GraftPartitionedWrite {
     * when the estimate exceeds `spark.graft.bloomSidecar.maxCollectBytes`
     * (default 512 MB) the whole build falls back to the per-leaf jobs,
     * as does any leaf the path normalization failed to match. Returns
-    * every leaf whose sidecar landed over `cols` (all of them —
-    * fallbacks included — so the commit can seed coverage annotations
-    * for each).
+    * each leaf's INSTALLED coverage — the columns whose filter
+    * actually landed in its sidecar — so the commit seeds annotations
+    * that never advertise coverage the sidecar lacks.
     */
   private def installLeafBlooms(s: SparkSession, leaves: Seq[String],
-      cols: Seq[String], expectedItems: Long): Set[String] = {
+      cols: Seq[String], expectedItems: Long)
+      : Map[String, Seq[String]] = {
     import org.apache.spark.sql.functions._
     import graft.io.BloomSidecar
     val fpp = BloomSidecar.fpp(s)
-    val bitsPer = org.apache.spark.util.sketch.BloomFilter
-      .create(expectedItems, fpp).bitSize()
+    // optimal bit count computed ARITHMETICALLY (the same
+    // m = -n·ln(p)/ln(2)² every bloom implementation optimizes to) —
+    // materializing a filter just to measure it would allocate the
+    // full bit array (gigabytes at 10⁹ rows) inside the very guard
+    // meant to cap driver memory
+    val bitsPer = math.ceil(-expectedItems.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
     val maxBytes = s.conf
       .get("spark.graft.bloomSidecar.maxCollectBytes", "536870912").toLong
     if (bitsPer / 8 * leaves.size.toLong * cols.size > maxBytes) {
       leaves.foreach(d => BloomSidecar.write(s, d, cols))
-      return leaves.toSet
+      return leaves.map(_ -> cols).toMap
     }
     val df0 = s.read.parquet(leaves: _*)
     val typed = cols.map { c =>
@@ -552,9 +564,18 @@ object GraftPartitionedWrite {
     inParallel(covered.toSeq) { case (d, filters) =>
       BloomSidecar.install(s, d, filters)
     }
-    val done = covered.map(_._1).toSet
-    leaves.filterNot(done).foreach(d => BloomSidecar.write(s, d, cols))
-    done ++ leaves.filterNot(done)
+    // coverage per leaf = the columns whose filter actually LANDED:
+    // the grouped agg emits no filter for a column all-null within a
+    // leaf, and an annotation claiming the full requested set would
+    // advertise coverage the sidecar lacks (consults fail open, so
+    // correctness held, but the all-null leaf lost its point-probe
+    // prune); fallback leaves go through the per-leaf build, which
+    // installs every requested column (empty filters included)
+    val done: Map[String, Seq[String]] =
+      covered.map(t => t._1 -> t._2.map(_._1).toSeq).toMap
+    val fallback = leaves.filterNot(done.contains)
+    fallback.foreach(d => BloomSidecar.write(s, d, cols))
+    done ++ fallback.map(_ -> cols)
   }
 }
 

@@ -3918,6 +3918,113 @@ object OpsQueries {
 
   val st28Oracle: String = st26Oracle
 
+  /** Streaming a MERGE-ON-READ table through a mid-stream UPDATE
+    * (st29) — the Delta `readStream` + `UPDATE` interplay, oracle-
+    * gated: three appends stream normally; a MoR UPDATE then lands as
+    * ONE appending commit (epoch tombstone + morins re-insert pair,
+    * io63's write shape); the resume WITHOUT `ignoreChanges` must
+    * refuse loudly (the morins rows are rewritten copies of
+    * already-streamed keys — silently re-delivering them violates the
+    * append-only contract exactly like a replacing commit); the resume
+    * WITH it consumes the morins rows as fresh appends. Downstream
+    * dedups on the key taking the LATEST value (the update's bump is
+    * positive, so max(cents) selects it deterministically), and the
+    * dedup'd census must equal the BATCH merge-on-read snapshot of the
+    * table — pinned in-gate against [[MergeOnRead.snapshot]] and by
+    * the DuckDB oracle replaying the update.
+    */
+  def st29StreamMor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.{Manifest, MergeOnRead}
+    val root = tmpDir(s) + s"/graft_st29_${st2Seq.incrementAndGet()}"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"$root/tbl"
+    def slice(lo: Long, hi: Long) = Tables.events(s, dir)
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    def commit(k: Int): Unit = {
+      val d = s"$tbl/data/inc_$k"
+      slice(k * 200, (k + 1) * 200).write.parquet(d)
+      Manifest.commit(s, tbl, d)
+    }
+    (0 until 3).foreach(commit) // event_id [0, 600), versions 1..3
+    // the recorded merge key lets batch readers auto-merge the
+    // tombstoned versions; the STREAM's refusal below is the source's
+    // own (morins re-delivery), not the unreadable-table resolve
+    graft.io.dsv2.GraftMorKey.set(s, tbl, "event_id")
+    val outDir = s"$root/out"
+    def runOnce(ignoreChanges: Boolean): Unit = {
+      val rs = s.readStream.format("graft").option("startingVersion", "1")
+      (if (ignoreChanges) rs.option("ignoreChanges", "true") else rs)
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    runOnce(ignoreChanges = false) // the three appends stream clean
+    // the MoR UPDATE lands mid-stream: ONE appending version
+    val updated = slice(0, 200).withColumn("cents",
+      col("cents") + 1000000L)
+    MergeOnRead.updateRows(s, tbl, "event_id",
+      updated.select(col("event_id")), updated, s"$tbl/data")
+    require(Manifest.versions(s, tbl) == Seq(1, 2, 3, 4),
+      "the MoR update must commit as ONE appending version")
+    // resume without ignoreChanges: fail loudly, never re-deliver
+    val refused = try { runOnce(ignoreChanges = false); false }
+      catch { case e: Throwable =>
+        def hit(t: Throwable): Boolean = t != null &&
+          (Option(t.getMessage)
+            .exists(_.contains("merge-on-read UPDATE")) || hit(t.getCause))
+        hit(e) }
+    require(refused,
+      "the resume without ignoreChanges must refuse the MoR update " +
+        "commit loudly")
+    runOnce(ignoreChanges = true) // morins rows arrive as appends
+    val delivered = s.read.parquet(outDir)
+    val base = slice(0, 600).count()
+    val updCount = slice(0, 200).count()
+    require(delivered.count() == base + updCount,
+      "the morins directory must deliver exactly once, tombstones never")
+    // dedup on the key, latest value wins (the bump is positive)
+    val dedup = delivered.groupBy(col("event_id"))
+      .agg(max(col("user_id")).as("user_id"),
+        max(col("cents")).as("cents"))
+    val census = dedup
+      .groupBy((col("event_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("cents")).as("sum_cents"))
+    // the dedup'd stream census must equal the BATCH MoR snapshot's
+    val snapCensus = MergeOnRead.snapshot(s, tbl, "event_id")
+      .groupBy((col("event_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("cents")).as("sum_cents"))
+    require(census.except(snapCensus).isEmpty &&
+        snapCensus.except(census).isEmpty,
+      "the dedup'd delivery census must match the batch MoR snapshot")
+    census.orderBy(col("bucket"))
+  }
+
+  val st29Oracle: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id < 600),
+      |upd AS (SELECT event_id, user_id,
+      |    CASE WHEN event_id < 200 THEN cents + 1000000 ELSE cents END
+      |      AS cents
+      |  FROM ev)
+      |SELECT event_id % 7 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM upd GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -5870,17 +5977,31 @@ object OpsQueries {
       .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
         max(col("l_orderkey")).as("mx"))
       .collect().sortBy(_.getInt(0))
-    val dirs = bucketStats.map { r =>
+    val dirBodies = bucketStats.map { r =>
       val d = f"$stage/pb=${r.getInt(0)}%03d"
-      SkipStats.install(s, d, r.getLong(1),
+      val body = SkipStats.render(r.getLong(1),
         Seq("l_orderkey" -> SkipStats.ColStats("long",
           Some((r.getLong(2).toString, r.getLong(3).toString)))),
         Map("l_orderkey" -> r.getLong(1)))
-      d
+      SkipStats.installRendered(s, d, body)
+      (d, body)
     }.toSeq
+    val dirs = dirBodies.map(_._1)
     val n = dirs.size
     require(n >= 64, s"fixture needs many buckets, got $n")
-    Manifest.rewrite(s, root, dirs)
+    // SEED the commit's annotations (stats body, no-bloom coverage,
+    // ONE shared footer-probed schema) so the rewrite does zero
+    // per-directory probes — without seeds the commit itself pays
+    // 3×256 sequential driver IOs re-reading what this fixture just
+    // wrote, and the gate's wall measures the fixture, not the plans
+    val schemaJson = Manifest.inferDirSchema(s, dirs.head).map(_.json)
+    val seed: Map[(String, String), String] = dirBodies.flatMap {
+      case (d, body) =>
+        Seq(Manifest.seedStats(d, body),
+          Manifest.seedBloom(d, Seq.empty)) ++
+          schemaJson.map(j => Manifest.seedSchema(d, j)).toSeq
+    }.toMap
+    Manifest.rewrite(s, root, dirs, seedAnn = seed)
     // expected planned prefixes from the banked counts (manifest order
     // = ascending key ranges): LIMIT 60 and top-100 in each direction
     val counts = bucketStats.map(_.getLong(1))
@@ -6180,6 +6301,9 @@ object OpsQueries {
     // deterministically on any SF's data
     val prevFpp = s.conf.getOption("spark.graft.bloomSidecar.fpp")
     s.conf.set("spark.graft.bloomSidecar.fpp", "0.0001")
+    // try/finally: a mid-gate require failure must not leak the
+    // pinned fpp into every later gate and bench query of the session
+    val probed = try {
     s.sql("CREATE TABLE g62.graft_io62_tbl PARTITIONED BY " +
       "(l_returnflag) TBLPROPERTIES('statsCols'='l_orderkey'," +
       "'bloomCols'='l_orderkey') " +
@@ -6207,7 +6331,7 @@ object OpsQueries {
       "the INSERT's leaves must commit as ONE version")
     require(Manifest.committed(s, root).size == 6,
       "three more partition leaves after the INSERT")
-    val probed = probe(4)
+    val probed0 = probe(4)
     // BLOOM-pruned POINT probe: a key living in exactly ONE returnflag
     // of the first batch. Range stats prune the second batch's 3
     // leaves (disjoint key ranges) but CANNOT separate the first
@@ -6229,7 +6353,8 @@ object OpsQueries {
       s"the point probe must prune past the range stats via the " +
         s"grouped-built blooms (want skippedDirs>=4 of 6, got " +
         s"$skipped):\n" + bq.queryExecution.executedPlan)
-    prevFpp match {
+    probed0
+    } finally prevFpp match {
       case Some(v) => s.conf.set("spark.graft.bloomSidecar.fpp", v)
       case None => s.conf.unset("spark.graft.bloomSidecar.fpp")
     }
@@ -6302,6 +6427,27 @@ object OpsQueries {
       s"WHERE l_orderkey < ${k / 4}")
     require(Manifest.versions(s, root) == Seq(1, 2, 3, 4))
     val p1 = dmlCensus(s.sql("SELECT * FROM g63.graft_io63_tbl"), 1)
+    // ── past-cap regime (the 10⁸-key takedown shape at 100 TB): with
+    // the key-collect cap lowered under the accumulated tombstone
+    // rows, the scan must NOT driver-collect — the planner strategy
+    // re-plans it as the epoch-merging distributed anti-join
+    // (graft.plans.MorAntiJoinStrategy), and the census must not move
+    val prevCap = s.conf.getOption("spark.graft.mor.maxBroadcastKeys")
+    s.conf.set("spark.graft.mor.maxBroadcastKeys", "1")
+    try {
+      val oc = s.sql("SELECT * FROM g63.graft_io63_tbl")
+      val ocPlan = oc.queryExecution.executedPlan.toString
+      require(!ocPlan.contains("GraftScan"),
+        "the past-cap read must plan as the distributed anti-join, " +
+          "never the key-collecting reader filter:\n" + ocPlan)
+      val pc = dmlCensus(oc, 1)
+      require(pc.except(p1).isEmpty && p1.except(pc).isEmpty,
+        "the past-cap anti-join census must match the reader-filter " +
+          "regime's")
+    } finally prevCap match {
+      case Some(v) => s.conf.set("spark.graft.mor.maxBroadcastKeys", v)
+      case None => s.conf.unset("spark.graft.mor.maxBroadcastKeys")
+    }
     // fold ends the deferral — the answer must not move
     s.sql("CALL g63.fold('graft_io63_tbl', 'l_orderkey')").collect()
     require(!Manifest.entries(s, root).exists(MergeOnRead.isTombstone),
@@ -6374,7 +6520,35 @@ object OpsQueries {
       "the conditional MERGE must land as ONE replacing commit")
     val pre = s.sql("SELECT * FROM g64.graft_io64_tbl VERSION AS OF 2")
     val post = s.sql("SELECT * FROM g64.graft_io64_tbl")
+    // ── MERGE × MERGE-ON-READ interplay: a MoR UPDATE leaves live
+    // epoch tombstones; routing the SAME table through MERGE must
+    // merge CORRECTLY — the group rewrite reads the merged snapshot
+    // and its whole-snapshot replace FOLDS the tombstones (never a
+    // silent wrong-rows merge, never a refusal a fold should not
+    // need) — pinned by the tombstone lifecycle requires, the phase-2
+    // census, and phase 3 time-traveling THROUGH the tombstoned
+    // version (the scoped merge over history) ──
+    s.sql("CALL g64.set_mor_key('graft_io64_tbl', 'l_orderkey')")
+    s.sql("UPDATE g64.graft_io64_tbl SET cents = cents + 5 " +
+      s"WHERE l_orderkey < ${k / 6}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4),
+      "the MoR update must be ONE appending version")
+    require(Manifest.entries(s, root)
+        .exists(graft.io.MergeOnRead.isTombstone),
+      "the update must leave a live epoch tombstone for the merge " +
+        "to fold")
+    s.sql("""MERGE INTO g64.graft_io64_tbl t USING graft_io64_src s
+      ON t.l_orderkey = s.l_orderkey
+      WHEN MATCHED THEN UPDATE SET cents = t.cents + 1""")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4, 5),
+      "the MERGE over the tombstoned table must be ONE replacing commit")
+    require(!Manifest.entries(s, root)
+        .exists(graft.io.MergeOnRead.isTombstone),
+      "the whole-snapshot MERGE rewrite must fold the tombstones")
+    val post2 = s.sql("SELECT * FROM g64.graft_io64_tbl")
+    val mid = s.sql("SELECT * FROM g64.graft_io64_tbl VERSION AS OF 4")
     dmlCensus(pre, 0).unionByName(dmlCensus(post, 1))
+      .unionByName(dmlCensus(post2, 2)).unionByName(dmlCensus(mid, 3))
       .orderBy(col("phase"), col("l_returnflag"))
   }
 
@@ -6398,9 +6572,21 @@ object OpsQueries {
       |  WHERE m.l_orderkey IS NULL OR li.cents % 2 = 0
       |  UNION ALL
       |  SELECT l_orderkey, 'I', l_orderkey * 3 FROM ins),
+      |upd AS (SELECT l_orderkey, l_returnflag,
+      |    cents + CASE WHEN l_orderkey < (SELECT k FROM mk) // 6
+      |      THEN 5 ELSE 0 END AS cents
+      |  FROM merged),
+      |merged2 AS (SELECT l_orderkey, l_returnflag,
+      |    cents + CASE WHEN l_orderkey IN
+      |      (SELECT l_orderkey FROM m
+      |       UNION ALL SELECT l_orderkey FROM ins)
+      |      THEN 1 ELSE 0 END AS cents
+      |  FROM upd),
       |snap AS (
       |  SELECT 0 AS phase, * FROM li
-      |  UNION ALL SELECT 1, * FROM merged)
+      |  UNION ALL SELECT 1, * FROM merged
+      |  UNION ALL SELECT 2, * FROM merged2
+      |  UNION ALL SELECT 3, * FROM upd)
       |SELECT phase, l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
@@ -6583,6 +6769,101 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM snap GROUP BY 1, 2 ORDER BY phase, l_returnflag""".stripMargin
 
+  /** Z-ORDER over NON-INTEGRAL dimensions (io67) — the layout a real
+    * user's first `OPTIMIZE ZORDER BY (event_ts, key)` needs: the same
+    * `CALL cluster(…, zorder => true)` as io65, but the dimensions are
+    * a TIMESTAMP and a STRING. The timestamp bucketizes on its epoch-
+    * micros axis (the skip-stats normalization, so post-cluster probes
+    * compare in the same space); the string gets ntile-style RANGE IDS
+    * from Spark's own range partitioner (bounded reservoir sampling —
+    * never a global sort or driver collect). Probes prune through
+    * ordinary min/max sidecars: the 2-D (ts, string) box reads only
+    * intersecting z-cells, and EACH single-dimension probe prunes —
+    * what a 1-D sort can never give both of. Census identity holds
+    * through the re-layout and the time-traveled original. Same
+    * SF-independent LCG point cloud as io65, so the pin floors carry.
+    */
+  def io67ZorderTypes(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.Manifest
+    s.conf.set("spark.sql.catalog.g67", "graft.io.dsv2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.g67.root", tmpDir(s))
+    val root = tmpDir(s) + "/graft_io67_tbl"
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+    // the io65 torus, re-expressed in real-world types: x becomes a
+    // timestamp (x days after epoch), y a ZERO-PADDED string (lexical
+    // order == numeric order, so the census can recover y exactly)
+    val pts = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      .select(((col("l_orderkey") * 7919) % 1021).as("x"),
+        ((col("l_orderkey") * 104729) % 1021).as("y"),
+        (col("l_orderkey") % 97).as("v"))
+      .select(expr("timestamp_micros(x * 86400000000)").as("ets"),
+        lpad(col("y").cast("string"), 4, "0").as("skey"), col("v"))
+    pts.write.parquet(s"$root/data/b1")
+    Manifest.commit(s, root, s"$root/data/b1")
+    def census(df: DataFrame, tag: Int): DataFrame = df
+      .select((expr("unix_micros(ets)") / 86400000000L)
+          .cast("long").as("x"),
+        col("skey").cast("long").as("y"), col("v"))
+      .groupBy((col("x") / 128).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"), sum(col("v")).as("sum_v"))
+      .withColumn("phase", lit(tag))
+      .select(col("phase"), col("grp"), col("n"), col("sum_x"),
+        col("sum_y"), col("sum_v"))
+    val p0 = census(s.sql("SELECT * FROM g67.graft_io67_tbl"), 0)
+    s.sql("CALL g67.cluster('graft_io67_tbl', 'ets,skey', 16, " +
+      "zorder => true)").collect()
+    require(Manifest.committed(s, root).size == 16,
+      "16 z-clustered buckets expected")
+    def skippedOf(q: DataFrame): Int = {
+      q.collect()
+      "skippedDirs=(\\d+)".r
+        .findFirstMatchIn(q.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    }
+    // epoch day 510 = 1971-05-26 UTC: the io65 x < 510 probe, as the
+    // timestamp literal a user would write; skey < '0128' is y < 128
+    // lexically (zero-padded)
+    val box = s.sql("SELECT * FROM g67.graft_io67_tbl " +
+      "WHERE ets < TIMESTAMP '1971-05-26 00:00:00' AND skey < '0128'")
+    val sBox = skippedOf(box)
+    require(sBox >= 10, s"the (ts, string) box probe must read only " +
+      s"the intersecting z-cells (want skippedDirs>=10 of 16, got " +
+      s"$sBox)")
+    val sT = skippedOf(s.sql("SELECT * FROM g67.graft_io67_tbl " +
+      "WHERE ets < TIMESTAMP '1971-05-26 00:00:00'"))
+    require(sT >= 4, s"the timestamp-only probe must prune on the z " +
+      s"layout (want skippedDirs>=4 of 16, got $sT)")
+    val sS = skippedOf(s.sql(
+      "SELECT * FROM g67.graft_io67_tbl WHERE skey < '0128'"))
+    require(sS >= 6, s"the string-only probe must prune on the z " +
+      s"layout too (want skippedDirs>=6 of 16, got $sS)")
+    val p1 = census(box, 1)
+    val p2 = census(s.sql("SELECT * FROM g67.graft_io67_tbl"), 2)
+    val p3 = census(s.sql(
+      "SELECT * FROM g67.graft_io67_tbl VERSION AS OF 1"), 3)
+    p0.unionByName(p1).unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("grp"))
+  }
+
+  val io67Oracle: String =
+    """WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      |pts AS (SELECT (k * 7919) % 1021 AS x,
+      |        (k * 104729) % 1021 AS y, k % 97 AS v FROM keys),
+      |snap AS (
+      |  SELECT 0 AS phase, * FROM pts
+      |  UNION ALL SELECT 1, x, y, v FROM pts
+      |    WHERE x < 510 AND y < 128
+      |  UNION ALL SELECT 2, * FROM pts
+      |  UNION ALL SELECT 3, * FROM pts)
+      |SELECT phase, x // 128 AS grp, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x,
+      |  CAST(SUM(y) AS BIGINT) AS sum_y,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v
+      |FROM snap GROUP BY 1, 2 ORDER BY phase, grp""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -6744,6 +7025,7 @@ object OpsQueries {
     "io64_merge_clauses" -> (io64MergeClauses _),
     "io65_zorder_cluster" -> (io65ZorderCluster _),
     "io66_scoped_compact" -> (io66ScopedCompact _),
+    "io67_zorder_types" -> (io67ZorderTypes _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -6766,7 +7048,8 @@ object OpsQueries {
     "st25_manifest_sink" -> (st25ManifestSink _),
     "st26_table_dedup_etl" -> (st26TableDedupEtl _),
     "st27_stream_ignorechanges" -> (st27StreamIgnoreChanges _),
-    "st28_dedup_rocksdb" -> (st28DedupRocksdb _))
+    "st28_dedup_rocksdb" -> (st28DedupRocksdb _),
+    "st29_stream_mor" -> (st29StreamMor _))
 
   val oracle: Map[String, String] = Map(
     "p3_audit_log" -> p3Oracle,
@@ -6850,6 +7133,7 @@ object OpsQueries {
     "io64_merge_clauses" -> io64Oracle,
     "io65_zorder_cluster" -> io65Oracle,
     "io66_scoped_compact" -> io66Oracle,
+    "io67_zorder_types" -> io67Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,
@@ -6872,5 +7156,6 @@ object OpsQueries {
     "st25_manifest_sink" -> st25Oracle,
     "st26_table_dedup_etl" -> st26Oracle,
     "st27_stream_ignorechanges" -> st27Oracle,
-    "st28_dedup_rocksdb" -> st28Oracle)
+    "st28_dedup_rocksdb" -> st28Oracle,
+    "st29_stream_mor" -> st29Oracle)
 }

@@ -35,10 +35,16 @@ object PlanProbe {
   }
 
   private def run(s: SparkSession, out: String): Unit = {
-    for (n <- Seq(64, 256, 1024)) {
+    for (n <- Seq(64, 256, 1024, 4096, 16384)) {
       val root = s"$out/t$n"
       build(s, root, n)
-      for (annotated <- Seq(true, false)) {
+      // the fallback path is linear in directory count by construction
+      // (~2 min/1024 dirs measured at r14) — probing it past 1024
+      // would spend half an hour re-demonstrating a slope the 3
+      // smaller octaves already pin; the big octaves exist to prove
+      // the ANNOTATED path stays flat
+      for (annotated <- Seq(true, false)
+           if annotated || n <= 1024) {
         val r = if (annotated) root else stripped(s, root, n)
         val tag = if (annotated) "annotated" else "fallback"
         for ((probe, q) <- probes(s, r, n)) {
@@ -66,15 +72,27 @@ object PlanProbe {
     s.range(0, n * 64L).toDF("k")
       .withColumn("pb", format_string("%04d", (col("k") / 64).cast("int")))
       .write.partitionBy("pb").parquet(stage)
-    val dirs = (0 until n).map { b =>
+    val dirBodies = (0 until n).map { b =>
       val d = f"$stage/pb=$b%04d"
-      SkipStats.install(s, d, 64L,
+      val body = SkipStats.render(64L,
         Seq("k" -> SkipStats.ColStats("long",
           Some(((b * 64L).toString, (b * 64L + 63).toString)))),
         Map("k" -> 64L))
-      d
+      SkipStats.installRendered(s, d, body)
+      (d, body)
     }
-    Manifest.rewrite(s, root, dirs)
+    // seed the commit's annotations (the production write path's
+    // discipline): without seeds the rewrite itself pays 3×n
+    // sequential probes — at 16384 directories that is the build,
+    // not the measurement
+    val schemaJson = Manifest.inferDirSchema(s, dirBodies.head._1)
+      .map(_.json)
+    val seed = dirBodies.flatMap { case (d, body) =>
+      Seq(Manifest.seedStats(d, body),
+        Manifest.seedBloom(d, Seq.empty)) ++
+        schemaJson.map(j => Manifest.seedSchema(d, j)).toSeq
+    }.toMap
+    Manifest.rewrite(s, root, dirBodies.map(_._1), seedAnn = seed)
   }
 
   /** A copy of the table whose manifest carries NO annotations — the

@@ -1772,4 +1772,40 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     assert(head.filter(col("w").isNull).count() === 100L,
       "pre-evolution rows still read the late column as null")
   }
+
+  test("MERGE over a table carrying LIVE epoch tombstones merges " +
+      "correctly — the group rewrite reads the merged snapshot and " +
+      "its whole-snapshot replace FOLDS the tombstones (never a " +
+      "silent wrong-rows merge)") {
+    import spark.implicits._
+    val root = s"$wh/mergemor"
+    spark.sql("CREATE TABLE lake.mergemor (k BIGINT, v BIGINT)")
+    (0L until 20L).map(i => (i, i * 10)).toDF("k", "v")
+      .createOrReplaceTempView("mergemor_seed")
+    spark.sql("INSERT INTO lake.mergemor SELECT * FROM mergemor_seed")
+    spark.sql("CALL lake.set_mor_key('mergemor', 'k')")
+    // MoR UPDATE → live epoch tombstone + morins pair
+    spark.sql("UPDATE lake.mergemor SET v = v + 100 WHERE k < 5")
+    assert(Manifest.entries(spark, root)
+      .exists(graft.io.MergeOnRead.isTombstone),
+      "the MoR update must leave a live tombstone")
+    Seq((3L, 7L), (4L, 7L), (25L, 7L)).toDF("k", "d")
+      .createOrReplaceTempView("mergemor_src")
+    spark.sql("""MERGE INTO lake.mergemor t USING mergemor_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.d
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.d)""")
+    assert(!Manifest.entries(spark, root)
+      .exists(graft.io.MergeOnRead.isTombstone),
+      "the MERGE's whole-snapshot replace must fold the tombstones")
+    val got = spark.sql("SELECT k, v FROM lake.mergemor")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k<5 updated +100 by the MoR update; 3 and 4 then +7 by the
+    // MERGE; 25 inserted — the merge must have read the MERGED
+    // snapshot, not the raw directories
+    assert(got(3L) === 137L && got(4L) === 147L,
+      s"MERGE must compose with the un-folded MoR update, got $got")
+    assert(got(0L) === 100L && got(5L) === 50L && got(25L) === 7L)
+    assert(got.size === 21)
+  }
 }

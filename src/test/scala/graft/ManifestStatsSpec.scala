@@ -67,6 +67,66 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(schema === 0, s"annotated resolve probed $schema footers")
   }
 
+  test("MANY-directory ceiling (the PlanProbe regression tripwire): a " +
+      "512-leaf annotated table plans range/LIMIT/TopN within O(1) " +
+      "manifest reads, zero sidecar opens, zero footer probes") {
+    import org.apache.spark.sql.functions.{col => c, format_string}
+    wh
+    val root = s"$wh/many512"
+    val n = 512
+    // the production fixture shape: ONE partitioned write job, stats
+    // rendered from known bounds, sidecars installed without Spark
+    // jobs, ONE seeded commit (zero per-leaf probes)
+    val stage = s"$root/data/ingest"
+    spark.range(0, n * 8L).toDF("k")
+      .withColumn("pb", format_string("%04d", (c("k") / 8).cast("int")))
+      .write.partitionBy("pb").parquet(stage)
+    val dirBodies = (0 until n).map { b =>
+      val d = f"$stage/pb=$b%04d"
+      val body = SkipStats.render(8L,
+        Seq("k" -> SkipStats.ColStats("long",
+          Some(((b * 8L).toString, (b * 8L + 7).toString)))),
+        Map("k" -> 8L))
+      SkipStats.installRendered(spark, d, body)
+      (d, body)
+    }
+    val schemaJson = Manifest.inferDirSchema(spark, dirBodies.head._1)
+      .map(_.json)
+    val seed = dirBodies.flatMap { case (d, body) =>
+      Seq(Manifest.seedStats(d, body),
+        Manifest.seedBloom(d, Seq.empty)) ++
+        schemaJson.map(j => Manifest.seedSchema(d, j)).toSeq
+    }.toMap
+    Manifest.rewrite(spark, root, dirBodies.map(_._1), seedAnn = seed)
+    var manifestReads = 0
+    Manifest.onManifestRead = _ => manifestReads += 1
+    try {
+      def probe(df: => org.apache.spark.sql.DataFrame, pin: String)
+          : Unit = {
+        manifestReads = 0
+        val (q, sidecar, schema) = countingPlan(df)
+        assert(q.queryExecution.executedPlan.toString.contains(pin),
+          s"want '$pin':\n${q.queryExecution.executedPlan}")
+        assert(sidecar === 0, s"$sidecar sidecar opens at 512 dirs")
+        assert(schema === 0, s"$schema footer probes at 512 dirs")
+        assert(manifestReads <= 8,
+          s"$manifestReads manifest reads — planning must be O(1) " +
+            "metadata reads, not O(directories)")
+      }
+      // BETWEEN: strict bounds loosen to inclusive in the range
+      // translation, which would keep the adjacent bucket
+      probe(spark.sql(
+        "SELECT k FROM mst.many512 WHERE k BETWEEN 2048 AND 2055"),
+        s"skippedDirs=${n - 1}")
+      probe(spark.sql(
+        "SELECT * FROM (SELECT k FROM mst.many512 LIMIT 8) t"),
+        s"limitDirs=${n - 1}")
+      probe(spark.sql(
+        "SELECT k FROM mst.many512 ORDER BY k LIMIT 8"),
+        s"topNDirs=${n - 1}")
+    } finally Manifest.onManifestRead = _ => ()
+  }
+
   test("a PRE-FORMAT manifest (no annotations) falls back to at most " +
       "ONE sidecar open per directory, and still prunes") {
     wh

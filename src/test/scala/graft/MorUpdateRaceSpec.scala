@@ -276,7 +276,47 @@ class MorUpdateRaceSpec extends AnyFunSuite {
       .filter(MergeOnRead.isTombstone)
     Manifest.rewrite(spark, root2, tomb)
     val empty = MergeOnRead.snapshot(spark, root2, "k")
-    assert(empty.columns.toSeq === Seq("k") && empty.count() === 0L,
-      "an all-tombstone table snapshots as an empty key-only frame")
+    assert(empty.columns.toSeq === Seq("k", "v") && empty.count() === 0L,
+      "an all-tombstone table snapshots EMPTY at the full schema " +
+        "recovered from the last data-bearing version")
+  }
+
+  test("a LOWER-epoch racer committing between this update's plan and " +
+      "commit refuses too — the guard keys on plan-time visibility, " +
+      "not epoch ordering (lost-update anomaly)") {
+    val root = freshRoot("mor_race_lower_epoch")
+    seed(root, 20)
+    // U1 lands first (epoch 1), so the victim X plans at epoch 2
+    upd(root, Seq(0L), 100L)
+    assert(Manifest.versions(spark, root) === Seq(1, 2))
+    // racer R simulates an update PLANNED BEFORE U1 (it minted epoch 1
+    // from the pre-U1 entry list) that commits inside X's plan→commit
+    // window: its epoch is LOWER than X's, so an epoch-ordering guard
+    // is blind to it — yet X's epoch-2 tombstone would hide R's
+    // committed morins-1 row for the shared key, and X's re-insert was
+    // computed from a snapshot that never saw R: a lost update.
+    var planted = false
+    Manifest.betweenReadAndCreate = () => {
+      if (!planted) {
+        planted = true
+        val tombDir =
+          s"$root/data/${MergeOnRead.TombstonePrefix}e1-racer"
+        val insDir = s"$root/data/${MergeOnRead.InsertPrefix}1-racer"
+        Seq(5L).toDF("k").write.parquet(tombDir)
+        Seq((5L, 1049L)).toDF("k", "v").write.parquet(insDir)
+        Manifest.commitAll(spark, root, Seq(tombDir, insDir))
+      }
+    }
+    val e = intercept[MergeOnRead.ConcurrentUpdateException] {
+      try upd(root, Seq(5L), 7000L)
+      finally Manifest.betweenReadAndCreate = () => ()
+    }
+    assert(e.getMessage.contains("overlapping keys"))
+    // R's committed update SURVIVES; X committed nothing
+    val got = MergeOnRead.snapshot(spark, root, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) === 1049L,
+      "the lower-epoch racer's committed update must not be lost")
+    assert(got(0L) === 100L && got.size === 20)
   }
 }
