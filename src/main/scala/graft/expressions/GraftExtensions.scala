@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
     ext.injectPlannerStrategy(_ => new graft.plans.MorAntiJoinStrategy)
+    ext.injectTableFunction((
+      FunctionIdentifier(TableChanges.name),
+      TableChanges.info,
+      TableChanges.build _))
   }
 }

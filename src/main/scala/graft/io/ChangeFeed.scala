@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * any history, at two-table-scan price. The two paths agree wherever
   * both apply; the fallback's extra power is paying for rewritten
   * layouts, not different semantics.
+  *
+  * See [[Cdc]] for the PER-COMMIT ledger view of the same history
+  * (Delta's `table_changes`: version/timestamp attribution, update
+  * pre/post-image pairing, maintenance commits skipped via `#op:`
+  * markers, and the streaming feed) — this module stays the windowed
+  * NET-sync shape a replication consumer wants.
   */
 object ChangeFeed {
 

@@ -130,4 +130,91 @@ object Constraints {
     sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
     (v, qv)
   }
+
+  // ── DECLARED constraints — persisted on the table, enforced on
+  // every write path (Delta's `ALTER TABLE ADD CONSTRAINT`): declared
+  // ONCE via `CALL lake.constrain(t, name, expr)` or `ALTER TABLE t
+  // SET TBLPROPERTIES('constraint.<name>' = '<expr>')`, stored in the
+  // `_table_props` sidecar as `constraint.<name> = <SQL expression>`,
+  // and checked by the DSv2 write, the V1 bridge, the partitioned
+  // insert, and CTAS — the writer never has to opt in, which is the
+  // entire point of a constraint. ──
+
+  val PropPrefix = "constraint."
+
+  /** The table's declared constraints, as (name, predicate) in
+    * declaration (name) order. Expressions are parsed fresh per call —
+    * they are tiny, and staleness bugs from caching across ALTERs
+    * would be silent.
+    */
+  def declared(s: SparkSession, root: String): Seq[(String, Column)] =
+    graft.io.dsv2.GraftTableProps.read(s, root).toSeq.collect {
+      case (k, v) if k.startsWith(PropPrefix) =>
+        k.stripPrefix(PropPrefix) -> org.apache.spark.sql.functions
+          .expr(v)
+    }.sortBy(_._1)
+
+  /** Validate an already-staged directory against the table's declared
+    * constraints: re-reads the staged parquet (column pruning means
+    * the pass scans only the constraint columns), and on violation
+    * DELETES the staged directory and raises — the manifest is never
+    * touched, so a bad batch is invisible to every reader. `colMap`
+    * renames physical→logical first on column-mapped tables (the
+    * declared expressions speak logical names).
+    */
+  def enforceStaged(s: SparkSession, root: String, dir: String,
+      colMap: Map[String, String] = Map.empty): Unit = {
+    val cs = declared(s, root)
+    if (cs.isEmpty) return
+    val staged = colMap.foldLeft(s.read.parquet(dir)) {
+      case (df, (p, l)) => df.withColumnRenamed(p, l)
+    }
+    val violations = check(staged, cs)
+    if (violations.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      throw new ConstraintViolationException(violations)
+    }
+  }
+
+  /** Declare a constraint: validates the EXISTING table (merged view
+    * when a merge key is recorded — what readers see is what must
+    * hold) in one aggregate pass, then persists the property. Refuses
+    * an already-declared name (redefinition under writers is never
+    * silent — drop first) and an expression that does not parse or
+    * resolve against the table's columns.
+    */
+  def declare(s: SparkSession, root: String, name: String,
+      expression: String): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' must be alphanumeric/underscore")
+    val key = PropPrefix + name.toLowerCase
+    val props = graft.io.dsv2.GraftTableProps.read(s, root)
+    require(!props.contains(key),
+      s"constraint '$name' already declared on $root as " +
+        s"'${props(key)}' — CALL drop_constraint first (redefining " +
+        "under writers is never silent)")
+    val pred = org.apache.spark.sql.functions.expr(expression)
+    val current = graft.io.dsv2.GraftMorKey.get(s, root) match {
+      case Some(k) if Manifest.entries(s, root)
+          .exists(MergeOnRead.isTombstone) =>
+        MergeOnRead.snapshot(s, root, k)
+      case _ => Manifest.snapshot(s, root)
+    }
+    // resolves the expression too: an unknown column fails here,
+    // loudly, instead of on the next unsuspecting writer
+    val bad = check(current, Seq(name -> pred))
+    if (bad.nonEmpty) throw new ConstraintViolationException(bad)
+    graft.io.dsv2.GraftTableProps.write(s, root, props + (key ->
+      expression))
+  }
+
+  /** Drop a declared constraint; false when it never existed. */
+  def drop(s: SparkSession, root: String, name: String): Boolean = {
+    val key = PropPrefix + name.toLowerCase
+    val props = graft.io.dsv2.GraftTableProps.read(s, root)
+    if (!props.contains(key)) return false
+    graft.io.dsv2.GraftTableProps.write(s, root, props - key)
+    true
+  }
 }

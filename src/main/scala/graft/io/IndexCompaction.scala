@@ -41,7 +41,7 @@ object IndexCompaction {
     Compaction.compactAll(s, Manifest.committed(s, root), dest,
       targetBytes)
     if (statsCols.nonEmpty) SkipStats.write(s, dest, statsCols)
-    Manifest.rewrite(s, root, Seq(dest))
+    Manifest.rewrite(s, root, Seq(dest), op = "compact")
   }
 
   /** SCOPED compaction — Delta `OPTIMIZE … WHERE` for manifest tables:
@@ -92,7 +92,8 @@ object IndexCompaction {
       .flatMap(d => BloomSidecar.readKeys(f, d)).flatten.toSet
     if (bloomCarried.nonEmpty)
       BloomSidecar.write(s, dest, bloomCarried.toSeq.sorted)
-    Some(Manifest.replaceDirs(s, root, candidates.toSet, Seq(dest)))
+    Some(Manifest.replaceDirs(s, root, candidates.toSet, Seq(dest),
+      op = "compact"))
   }
 
   /** Fold a distributive per-increment stats table into its single-row

@@ -203,6 +203,18 @@ object Manifest {
     */
   private val Terminator = "#graft-manifest-complete"
 
+  /** Optional per-version OPERATION marker (`#op:<name>`, Delta's
+    * `commitInfo.operation`): a replacing commit that preserves the
+    * table's logical content (compaction, clustering, fold — pure
+    * re-layouts) declares itself, so change-data capture ([[Cdc]]) can
+    * skip it outright instead of diffing two whole snapshots to prove
+    * nothing changed, and a CDC STREAM can keep consuming through
+    * maintenance instead of failing on every replacing commit.
+    * Readers of pre-marker manifests see None — CDC then takes the
+    * conservative snapshot-diff path, never a wrong answer.
+    */
+  private val OpPrefix = "#op:"
+
   /** Thrown when a manifest exists but lacks the completeness
     * terminator — in-flight (being written right now) or corrupt
     * (writer died mid-write).
@@ -472,7 +484,7 @@ object Manifest {
   private def commitLoop(s: SparkSession, root: String,
       committer: Committer, refreshAnn: Boolean = false,
       seedAnn: Map[(String, String), String] = Map.empty,
-      needsPrev: Boolean = true)
+      needsPrev: Boolean = true, op: String = "")
       (content: (Seq[Int], Seq[String]) => Seq[String]): Int = {
     val f = fs(s, root)
     var attempts = 0
@@ -511,7 +523,8 @@ object Manifest {
                 (a(0), dec(a(1))) -> l
               }.toOption
             }.toMap
-          (dirs ++ annotationLines(s, dirs, prevAnn, refreshAnn))
+          (dirs ++ annotationLines(s, dirs, prevAnn, refreshAnn) ++
+            (if (op.nonEmpty) Seq(OpPrefix + op) else Seq.empty))
             .mkString("\n") + "\n" + Terminator
         } catch {
           case _: IncompleteManifestException |
@@ -682,9 +695,18 @@ object Manifest {
     */
   def rewrite(s: SparkSession, root: String, dirs: Seq[String],
       committer: Committer = FsCreateCommitter,
-      seedAnn: Map[(String, String), String] = Map.empty): Int =
+      seedAnn: Map[(String, String), String] = Map.empty,
+      op: String = ""): Int =
     commitLoop(s, root, committer, seedAnn = seedAnn,
-      needsPrev = false)((_, _) => dirs)
+      needsPrev = false, op = op)((_, _) => dirs)
+
+  /** The operation marker version `v` was committed with, None for
+    * commits that declared none (every append, every pre-marker
+    * manifest, and any replacing commit that actually changes rows).
+    */
+  def opOf(s: SparkSession, root: String, v: Int): Option[String] =
+    readAllLines(fs(s, root), manifestPath(root, v))
+      .find(_.startsWith(OpPrefix)).map(_.stripPrefix(OpPrefix))
 
   /** ROLLBACK commit — republish version `v`'s directory list as a new
     * REPLACING version (Delta RESTORE): nothing is deleted, every
@@ -729,8 +751,9 @@ object Manifest {
         "snapshot")
 
   def replaceDirs(s: SparkSession, root: String, remove: Set[String],
-      add: Seq[String], committer: Committer = FsCreateCommitter): Int =
-    commitLoop(s, root, committer) { (_, prevList) =>
+      add: Seq[String], committer: Committer = FsCreateCommitter,
+      op: String = ""): Int =
+    commitLoop(s, root, committer, op = op) { (_, prevList) =>
       val gone = remove -- prevList.toSet
       if (gone.nonEmpty) throw new ConcurrentRewriteException(root, gone)
       prevList.filterNot(remove) ++ add
@@ -886,6 +909,15 @@ object Manifest {
     * skew across writers resolve by whatever the store recorded, and a
     * version already reclaimed by [[expire]] is not resolvable.
     */
+  /** One version's commit instant (manifest mtime — written exactly
+    * once, so the mtime IS the commit time): the bounded-range
+    * accessor [[Cdc]] stamps `_commit_timestamp` from, where
+    * [[history]] would read every live version.
+    */
+  def commitTimeOf(s: SparkSession, root: String, v: Int): Long =
+    fs(s, root).getFileStatus(manifestPath(root, v))
+      .getModificationTime
+
   def versionAt(s: SparkSession, root: String, tsMillis: Long)
       : Option[Int] = {
     val f = fs(s, root)

@@ -321,7 +321,11 @@ object MergeOnRead {
         _.join(keys, Seq(keyCol), "left_semi"))
       val rewritten = Cow.rewrite(s, hit, stagingDir, "fold", baseV,
         _.join(keys, Seq(keyCol), "left_anti"))
-      val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
+      // op marker: a fold REWRITES the physical layout but preserves
+      // the MERGED view exactly (it applies tombstones the read path
+      // was already applying) — CDC skips it instead of diffing
+      val v = Manifest.rewrite(s, root, carried ++ rewritten, committer,
+        op = "fold")
       return Some(RowDelete.Result(v, carried, rewritten))
     }
     // epoch-scoped fold: each epoch group of data dirs rewrites against
@@ -345,7 +349,8 @@ object MergeOnRead {
       }
     val carried = results.flatMap(_._1)
     val rewritten = results.flatMap(_._2)
-    val v = Manifest.rewrite(s, root, carried ++ rewritten, committer)
+    val v = Manifest.rewrite(s, root, carried ++ rewritten, committer,
+      op = "fold")
     Some(RowDelete.Result(v, carried, rewritten))
   }
 }

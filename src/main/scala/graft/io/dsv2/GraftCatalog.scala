@@ -301,6 +301,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"cannot drop '$name': pinned by table propert" +
             s"(ies) ${pinnedBy.mkString(", ")} — UNSET them first " +
             "(every future write would fail computing its sidecars)")
+        val constrainedBy = GraftTableProps.read(s, root).collect {
+          case (k, v) if k.startsWith(graft.io.Constraints.PropPrefix) &&
+              s.sessionState.sqlParser.parseExpression(v).collect {
+                case a: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute => a.name
+              }.contains(name) => k
+        }
+        require(constrainedBy.isEmpty,
+          s"cannot drop '$name': referenced by declared " +
+            s"constraint(s) ${constrainedBy.mkString(", ")} — " +
+            "CALL drop_constraint first (every future write would " +
+            "fail evaluating them)")
         require(!Manifest.entries(s, root)
             .exists(graft.io.MergeOnRead.isTombstone),
           "cannot drop columns while tombstones are live — fold first")
@@ -313,6 +325,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             s"${GraftDdl.knownProps.toSeq.sorted.mkString(", ")})")
         if (vetted.contains("morkey"))
           GraftDdl.applyProperties(s, root, vetted)
+        else if (vetted.keys.exists(_.startsWith(
+            graft.io.Constraints.PropPrefix)))
+          // ADD CONSTRAINT semantics: validate the EXISTING data (one
+          // aggregate pass over what readers see) before persisting —
+          // a constraint the current table already violates refuses
+          vetted.foreach { case (k, v) =>
+            graft.io.Constraints.declare(s, root,
+              k.stripPrefix(graft.io.Constraints.PropPrefix), v)
+          }
         else GraftTableProps.write(s, root,
           GraftTableProps.read(s, root) ++ vetted)
       case p: TableChange.RemoveProperty =>

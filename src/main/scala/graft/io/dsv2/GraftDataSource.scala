@@ -226,6 +226,18 @@ object GraftTable {
           if (f.name == k) f.copy(nullable = false) else f))
       case _ => logical
     }
+    // change-feed mode: the table advertises schema+CDC metadata and
+    // exactly the MICRO_BATCH_READ capability — batch CDC is
+    // table_changes(...)'s job (its joins don't fit a file scan), and
+    // the missing BATCH_READ makes a batch read fail loudly instead of
+    // silently returning non-change rows
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      require(colMap.isEmpty,
+        s"change feed over a column-mapped table is not supported — " +
+          s"compact ($root) to re-physicalize the renamed columns first")
+      return new GraftCdcTable(s, root,
+        StructType(schema.map(f => f.copy(nullable = true))), options)
+    }
     new GraftTable(s, root, version, schema, data, tombs, morKey, colMap,
       new graft.io.DirStatsProvider(s, root, Some(version), Some(ann)))
   }

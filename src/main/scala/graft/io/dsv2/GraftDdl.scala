@@ -50,11 +50,14 @@ object GraftDdl {
     val unknown = props.keys
       .filterNot(k => knownProps.contains(k.toLowerCase) ||
         sparkManaged.contains(k.toLowerCase) ||
-        k.toLowerCase.startsWith("option."))
+        k.toLowerCase.startsWith("option.") ||
+        k.toLowerCase.startsWith(graft.io.Constraints.PropPrefix))
     require(unknown.isEmpty,
       s"unknown table properties ${unknown.toSeq.sorted.mkString(", ")} " +
-        s"(supported: ${knownProps.toSeq.sorted.mkString(", ")})")
-    props.filter { case (k, _) => knownProps.contains(k.toLowerCase) }
+        s"(supported: ${knownProps.toSeq.sorted.mkString(", ")}, " +
+        "constraint.<name>)")
+    props.filter { case (k, _) => knownProps.contains(k.toLowerCase) ||
+        k.toLowerCase.startsWith(graft.io.Constraints.PropPrefix) }
       .map { case (k, v) => k.toLowerCase -> v }
   }
 
@@ -242,6 +245,11 @@ class GraftStagedTable(s: SparkSession, root: String,
     if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
     val bloomCols = cols("bloomcols")
     if (bloomCols.nonEmpty) graft.io.BloomSidecar.write(s, dir, bloomCols)
+    // CREATE TABLE ... TBLPROPERTIES('constraint.x' = ...) AS SELECT:
+    // the CTAS result is the constraint's first subject — a violating
+    // result aborts with nothing committed (props alone don't make a
+    // table; the next CTAS overwrites them)
+    graft.io.Constraints.enforceStaged(s, root, dir)
     if (replaceExisting) Manifest.rewrite(s, root, Seq(dir))
     else Manifest.commit(s, root, dir)
   }

@@ -164,6 +164,34 @@ object GraftProcedures {
         Seq(new GenericInternalRow(Array[Any](UTF8String.fromString(key))))
       }
     },
+    // ── declared CHECK constraints (Delta ADD CONSTRAINT):
+    // CALL lake.constrain(t, 'positive_cents', 'cents > 0') validates
+    // the existing data then persists; every later write on every
+    // path enforces it (Constraints.enforceStaged) ──
+    "constrain" -> new P("constrain",
+      Seq(param("table", StringType), param("name", StringType),
+        param("expression", StringType)),
+      StructType(Seq(StructField("name", StringType),
+        StructField("expression", StringType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] = {
+        val (n, e) = (utf(in.get(1, StringType)),
+          utf(in.get(2, StringType)))
+        graft.io.Constraints.declare(session,
+          rootOf(utf(in.get(0, StringType))), n, e)
+        Seq(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), UTF8String.fromString(e))))
+      }
+    },
+    "drop_constraint" -> new P("drop_constraint",
+      Seq(param("table", StringType), param("name", StringType)),
+      StructType(Seq(StructField("dropped", org.apache.spark.sql.types
+        .BooleanType)))) {
+      override protected def run(in: InternalRow): Seq[InternalRow] =
+        Seq(new GenericInternalRow(Array[Any](
+          graft.io.Constraints.drop(session,
+            rootOf(utf(in.get(0, StringType))),
+            utf(in.get(1, StringType))))))
+    },
     "drop_mor_key" -> new P("drop_mor_key",
       Seq(param("table", StringType)),
       StructType(Seq(StructField("dropped", org.apache.spark.sql.types
@@ -623,7 +651,8 @@ object GraftProcedures {
           if (bloomCols.nonEmpty) graft.io.BloomSidecar.write(s, d,
             bloomCols)
         }
-        Manifest.replaceDirs(s, root, remove = data.toSet, add = newDirs)
+        Manifest.replaceDirs(s, root, remove = data.toSet, add = newDirs,
+          op = "cluster")
         newDirs.map { d =>
           val n = graft.io.SkipStats.readCount(f, d).getOrElse(-1L)
           new GenericInternalRow(Array[Any](UTF8String.fromString(d), n))

@@ -156,7 +156,7 @@ class GraftMicroBatchStream(s: SparkSession, root: String,
     added.filterNot(MergeOnRead.isTombstone)
   }
 
-  private def parquetScanOver(dirs: Seq[String]) = {
+  protected def parquetScanOver(dirs: Seq[String]) = {
     val index = new InMemoryFileIndex(s, dirs.map(new Path(_)),
       Map.empty[String, String], Some(tableSchema),
       org.apache.spark.sql.execution.datasources.NoopCache, None, None)
@@ -185,4 +185,184 @@ class GraftMicroBatchStream(s: SparkSession, root: String,
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+// ─────────────────────── STREAMING CHANGE DATA FEED ──────────────────
+
+/** The three CDC metadata columns a change feed appends to the table
+  * schema — Delta's `readChangeFeed` vocabulary ([[graft.io.Cdc]]).
+  */
+object GraftCdcMeta {
+  import org.apache.spark.sql.types.{IntegerType, StringType,
+    StructField, TimestampType}
+  val fields: Seq[StructField] = Seq(
+    StructField(graft.io.Cdc.ChangeType, StringType, nullable = false),
+    StructField(graft.io.Cdc.CommitVersion, IntegerType,
+      nullable = false),
+    StructField(graft.io.Cdc.CommitTimestamp, TimestampType,
+      nullable = false))
+
+  def schemaOf(base: StructType): StructType =
+    StructType(base.fields.map(_.copy(nullable = true)) ++ fields)
+}
+
+/** `spark.readStream.format("graft").option("readChangeFeed", "true")`
+  * — the table as a streaming CHANGE feed (Delta's streaming CDF):
+  * each microbatch delivers the change rows of the commits it spans,
+  * with IO ∝ the change — appended directories stream as `insert`,
+  * a merge-on-read update's rewritten rows as `update_postimage`, and
+  * its tombstone keys as `delete` rows (key column set, remaining
+  * columns null). That key-only delete shape is the one honest
+  * difference from batch [[graft.io.Cdc]]: a preimage would cost a
+  * snapshot read per microbatch, which a stream cannot amortize —
+  * and keyed deletes are exactly what the standard consumer (a
+  * downstream replica applying upserts/deletes by key) needs.
+  *
+  * Replacing commits: layout-preserving maintenance (`#op:` compact /
+  * cluster / fold) is SKIPPED — the feed keeps flowing through
+  * compaction, where the plain stream must refuse or re-deliver —
+  * and a rewriting commit without a marker fails loudly (its changes
+  * are a snapshot diff only batch `table_changes` can compute).
+  */
+class GraftCdcMicroBatchStream(cs: SparkSession, croot: String,
+    base: StructType, coptions: CaseInsensitiveStringMap)
+  extends GraftMicroBatchStream(cs, croot, base, base, coptions) {
+
+  private case class Slice(dirs: Seq[String], changeType: String,
+      version: Int, tsMicros: Long)
+
+  /** The change slices of versions (`from`, `to`] — each a scan of
+    * directory entries plus the constant metadata its rows carry.
+    */
+  private def slices(from: Int, to: Int): Seq[Slice] = {
+    if (to <= from) return Seq.empty
+    val vs = Manifest.versions(cs, croot)
+    (from + 1 to to).filter(vs.contains).flatMap { v =>
+      // an expired predecessor makes the step's delta unrecoverable —
+      // fail loudly rather than re-deliver the whole version as fresh
+      if (v > 1 && !vs.contains(v - 1))
+        throw new IllegalStateException(
+          s"change feed over $croot: version ${v - 1} has been " +
+            s"expired, so version $v's delta is unrecoverable — " +
+            "restart the feed from a fresh snapshot")
+      val before =
+        if (v == 1) Set.empty[String]
+        else Manifest.entries(cs, croot, Some(v - 1)).toSet
+      val after = Manifest.entries(cs, croot, Some(v))
+      val added = after.filterNot(before)
+        .filterNot(graft.io.ColumnMapping.isMapping)
+      val removed = (before -- after.toSet)
+        .filterNot(graft.io.ColumnMapping.isMapping)
+      if (removed.nonEmpty) {
+        val op = Manifest.opOf(cs, croot, v)
+        if (op.exists(graft.io.Cdc.LayoutPreservingOps.contains))
+          Seq.empty // maintenance re-layout: no logical change
+        else throw new IllegalStateException(
+          s"change feed over $croot: version $v is a rewriting " +
+            s"commit (op=${op.getOrElse("unmarked")}) whose changes " +
+            "are a snapshot diff — consume it with batch " +
+            "table_changes and restart the feed past it")
+      } else {
+        val ts = Manifest.commitTimeOf(cs, croot, v) * 1000L
+        val (tombs, data) = added.partition(MergeOnRead.isTombstone)
+        val (morins, plain) = data.partition(d =>
+          new Path(d).getName.startsWith(MergeOnRead.InsertPrefix))
+        Seq(
+          Slice(plain, "insert", v, ts),
+          Slice(morins, "update_postimage", v, ts),
+          Slice(tombs, "delete", v, ts)).filter(_.dirs.nonEmpty)
+      }
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] =
+    slices(start.asInstanceOf[GraftStreamOffset].version,
+      end.asInstanceOf[GraftStreamOffset].version).flatMap { sl =>
+      // tombstone directories carry only the key column; the scan is
+      // schema-bound to the TABLE schema, so the parquet reader fills
+      // the absent columns with null (evolved-read semantics) — the
+      // keyed-delete row shape by construction
+      parquetScanOver(sl.dirs).toBatch.planInputPartitions()
+        .map(p => GraftCdcInputPartition(p, sl.changeType, sl.version,
+          sl.tsMicros): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdcReaderFactory(super.createReaderFactory())
+}
+
+/** A data partition plus the constant CDC metadata its rows carry. */
+case class GraftCdcInputPartition(delegate: InputPartition,
+    changeType: String, version: Int, tsMicros: Long)
+  extends InputPartition
+
+/** Appends the three constant metadata fields to every row of the
+  * wrapped reader — a [[org.apache.spark.sql.catalyst.expressions
+  * .JoinedRow]] against a per-partition constant, zero copies.
+  */
+class GraftCdcReaderFactory(delegate: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
+    JoinedRow}
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[GraftCdcInputPartition]
+    val inner = delegate.createReader(cp.delegate)
+    val meta = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(cp.changeType), cp.version, cp.tsMicros))
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), meta)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** The table in change-feed mode ([[GraftCdcMicroBatchStream]]):
+  * schema = table schema + CDC metadata, capability = micro-batch
+  * read ONLY — batch CDC is `table_changes(...)`'s job, and the
+  * missing BATCH_READ capability turns a batch read into a loud
+  * planner refusal instead of a silent non-change scan.
+  */
+class GraftCdcTable(s: SparkSession, root: String, base: StructType,
+    tableOptions: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+
+  private val cdcSchema = GraftCdcMeta.schemaOf(base)
+
+  override def name(): String = s"graft.`$root`@changes"
+
+  override def schema(): StructType = cdcSchema
+
+  override def capabilities()
+      : java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = { () =>
+    new Scan {
+      override def readSchema(): StructType = cdcSchema
+      override def description(): String = s"GraftCdcScan($root)"
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream = {
+        // scan-time options (readStream.option(...)) carry the stream
+        // knobs (startingVersion, maxVersionsPerBatch); fall back to
+        // the table-load options for catalogs that resolved them there
+        val merged = new java.util.HashMap[String, String]()
+        tableOptions.forEach((k, v) => merged.put(k, v))
+        options.forEach((k, v) => merged.put(k, v))
+        new GraftCdcMicroBatchStream(s, root, base,
+          new CaseInsensitiveStringMap(merged))
+      }
+    }
+  }
 }

@@ -70,6 +70,10 @@ trait GraftWriteSupport extends CreatableRelationProvider {
       if (statsCols.nonEmpty) SkipStats.write(s, dir, statsCols)
       if (bloomCols.nonEmpty)
         graft.io.BloomSidecar.write(s, dir, bloomCols)
+      // declared CHECK constraints gate the V1 path too — a plain
+      // `df.write.format("graft")` producer gets the same enforcement
+      // as the catalog INSERT (violation deletes the stage and raises)
+      graft.io.Constraints.enforceStaged(s, root, dir)
       if (replacing) Manifest.rewrite(s, root, Seq(dir))
       else Manifest.commit(s, root, dir)
     }
@@ -147,7 +151,7 @@ class GraftWriteBuilder(s: SparkSession, root: String,
             }
             GraftPartitionedWrite.insert(s, root, physData,
               pcols.map(phys), statsCols.map(phys), bloomCols.map(phys),
-              replacing = wasReplacing || overwrite)
+              replacing = wasReplacing || overwrite, colMap = colMap)
           }
         override def description(): String =
           s"GraftPartitionedWrite root=$root " +
@@ -310,6 +314,12 @@ class GraftV2Write(s: SparkSession, root: String,
       }
       if (bloomCols.nonEmpty && hasFiles)
         graft.io.BloomSidecar.write(s, dir, bloomCols.map(physName))
+      // declared CHECK constraints gate EVERY commit through this
+      // write — INSERTs and DML rewrites alike (Delta enforces its
+      // invariants on UPDATE/MERGE output too): one column-pruned
+      // aggregate pass over the staged directory, violation deletes
+      // the stage and raises before any manifest write
+      graft.io.Constraints.enforceStaged(s, root, dir, colMap)
       opState.flatMap(_.replacedDirs) match {
         // runtime-group-filtered row op: replace exactly the matched
         // directories; everything else carries verbatim
@@ -380,7 +390,8 @@ object GraftPartitionedWrite {
     */
   def insert(s: SparkSession, root: String, data: DataFrame,
       partitionCols: Seq[String], statsCols: Seq[String],
-      bloomCols: Seq[String], replacing: Boolean): Unit = {
+      bloomCols: Seq[String], replacing: Boolean,
+      colMap: Map[String, String] = Map.empty): Unit = {
     val stage = s"$root/data/w-" + java.util.UUID.randomUUID().toString
     val withShadow = partitionCols.foldLeft(data)((df, c) =>
       df.withColumn(shadow(c), org.apache.spark.sql.functions.col(c)))
@@ -396,6 +407,10 @@ object GraftPartitionedWrite {
         Seq(GraftDdl.writeEmptyDir(s, root, data.schema)))
       return
     }
+    // declared CHECK constraints: one column-pruned pass over the
+    // staged tree BEFORE any sidecar work — a violating batch deletes
+    // the stage and raises with the manifest untouched
+    graft.io.Constraints.enforceStaged(s, root, stage, colMap)
     val sc = (statsCols ++ partitionCols).distinct
     val (statBodies, counts) = installLeafStats(s, leaves, sc)
     val bloomed: Map[String, Seq[String]] =

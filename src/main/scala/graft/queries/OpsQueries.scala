@@ -4025,6 +4025,87 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM upd GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** STREAMING change data feed under the oracle gate (st30 — Delta's
+    * `readChangeFeed` on `readStream`): the change rows of each commit
+    * stream with IO ∝ the change — appended directories as `insert`,
+    * a merge-on-read update's morins directory as `update_postimage`,
+    * its tombstone keys as keyed `delete` rows (key set, remaining
+    * columns null — the shape a downstream replica applies as
+    * delete-then-upsert), each stamped with its commit version. A
+    * FOLD lands mid-stream and is SKIPPED via its `#op:` marker
+    * (where the PLAIN stream must refuse or re-deliver — st29's
+    * contract), pinned in-gate by the absence of its version from the
+    * delivered rows. The oracle replays the ledger from events.
+    */
+  def st30StreamCdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.{Cdc, Manifest, MergeOnRead}
+    val root = tmpDir(s) + s"/graft_st30_${st2Seq.incrementAndGet()}"
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"$root/tbl"
+    def slice(lo: Long, hi: Long) = Tables.events(s, dir)
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    (0 until 3).foreach { i =>
+      val d = s"$tbl/data/inc_$i"
+      slice(i * 200, (i + 1) * 200).write.parquet(d)
+      Manifest.commit(s, tbl, d)
+    }
+    graft.io.dsv2.GraftMorKey.set(s, tbl, "event_id")
+    val updated = slice(0, 200).withColumn("cents",
+      col("cents") + 1000000L)
+    MergeOnRead.updateRows(s, tbl, "event_id",
+      updated.select(col("event_id")), updated, s"$tbl/data")
+    MergeOnRead.fold(s, tbl, "event_id", s"$tbl/data")
+    require(Manifest.versions(s, tbl) == Seq(1, 2, 3, 4, 5) &&
+      Manifest.opOf(s, tbl, 5).contains("fold"),
+      "update appends as v4; the fold lands marked as v5")
+    val outDir = s"$root/out"
+    s.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(tbl)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = s.read.parquet(outDir)
+    require(got.filter(col(Cdc.CommitVersion) === 5).isEmpty,
+      "the marked fold must be SKIPPED by the change feed, not " +
+        "refused and not re-delivered")
+    require(got.filter(col(Cdc.ChangeType) === "delete" &&
+        col("cents").isNotNull).isEmpty,
+      "delete rows are keyed — non-key columns null by construction")
+    got.groupBy(col(Cdc.CommitVersion).as("ver"),
+        col(Cdc.ChangeType).as("tpe"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("ver"), col("tpe"))
+  }
+
+  val st30Oracle: String =
+    """WITH ev AS (SELECT event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id < 600),
+      |ch AS (
+      |  SELECT 1 AS ver, 'insert' AS tpe, event_id, cents FROM ev
+      |    WHERE event_id < 200
+      |  UNION ALL SELECT 2, 'insert', event_id, cents FROM ev
+      |    WHERE event_id >= 200 AND event_id < 400
+      |  UNION ALL SELECT 3, 'insert', event_id, cents FROM ev
+      |    WHERE event_id >= 400
+      |  UNION ALL SELECT 4, 'update_postimage', event_id,
+      |      cents + 1000000 FROM ev WHERE event_id < 200
+      |  UNION ALL SELECT 4, 'delete', event_id,
+      |      CAST(NULL AS BIGINT) FROM ev WHERE event_id < 200)
+      |SELECT ver, tpe, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM ch GROUP BY 1, 2 ORDER BY ver, tpe""".stripMargin
+
   /** The transformWithState sessionizer under the oracle gate — st1's
     * drop-in sibling on Spark 4's typed state API (explicit event-time
     * timers, RocksDB store), run as a REAL streaming query over a file
@@ -6864,6 +6945,161 @@ object OpsQueries {
       |  CAST(SUM(v) AS BIGINT) AS sum_v
       |FROM snap GROUP BY 1, 2 ORDER BY phase, grp""".stripMargin
 
+  /** CHANGE DATA CAPTURE under the oracle gate (io68 — Delta
+    * `table_changes`): a history exercising every classification —
+    * two appends (per-version `insert` rows, IO ∝ the appended dirs),
+    * a merge-on-read UPDATE (update_preimage/update_postimage pairing
+    * from one semi-join of the previous snapshot against the
+    * broadcast key list), a merge-on-read DELETE (preimage reflects
+    * the earlier update), then a FOLD and a COMPACT whose `#op:`
+    * markers make CDC skip them outright (no snapshot diff to prove
+    * nothing changed) — read back through the SQL
+    * `table_changes('cat.tbl', from)` TVF ([[graft.expressions
+    * .TableChanges]]) and censused per (version, change type). The
+    * oracle replays the same ledger from lineitem.
+    */
+  def io68TableChanges(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Cdc, Manifest, MergeOnRead}
+    val (root, k) = dmlTable(s, dir, "g68", "graft_io68_tbl")
+    s.sql("CALL g68.set_mor_key('graft_io68_tbl', 'l_orderkey')")
+    s.sql(s"UPDATE g68.graft_io68_tbl SET cents = cents + 7 " +
+      s"WHERE l_orderkey < ${k / 4}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3),
+      "the MoR update must be ONE appending version")
+    s.sql(s"DELETE FROM g68.graft_io68_tbl " +
+      s"WHERE l_orderkey >= ${k / 8} AND l_orderkey < ${k / 2}")
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4),
+      "the MoR delete must be ONE appending version")
+    s.sql("CALL g68.fold('graft_io68_tbl', 'l_orderkey')").collect()
+    s.sql("CALL g68.compact('graft_io68_tbl')").collect()
+    require(Manifest.versions(s, root) == Seq(1, 2, 3, 4, 5, 6),
+      "fold and compact must land as one replacing version each")
+    require(Manifest.opOf(s, root, 5).contains("fold") &&
+      Manifest.opOf(s, root, 6).contains("compact"),
+      "maintenance commits must carry their #op: markers")
+    graft.expressions.TableChanges.register(s)
+    val ch = s.sql("SELECT * FROM " +
+      "table_changes('g68.graft_io68_tbl', 1)")
+    // the marked maintenance versions contribute NO change rows —
+    // pinned here, priced at zero snapshot reads by construction
+    require(ch.filter(col(Cdc.CommitVersion) >= 5).isEmpty,
+      "fold/compact must be skipped by the ledger")
+    // net replay identity: inserts minus deletes (update rows cancel
+    // pre/post) must equal the final table's row count
+    val net = ch.groupBy()
+      .agg(sum(when(col(Cdc.ChangeType) === "insert", 1L)
+        .when(col(Cdc.ChangeType) === "delete", -1L)
+        .otherwise(0L)).as("net"))
+      .collect()(0).getLong(0)
+    require(net == s.sql("SELECT count(*) FROM g68.graft_io68_tbl")
+      .collect()(0).getLong(0),
+      "replaying the ledger must reconstruct the final row count")
+    ch.groupBy(col(Cdc.CommitVersion).as("ver"),
+        col(Cdc.ChangeType).as("tpe"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_okey"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("ver"), col("tpe"))
+  }
+
+  val io68Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |ch AS (
+      |  SELECT 1 AS ver, 'insert' AS tpe, l_orderkey, cents
+      |    FROM li, mk WHERE l_orderkey < k
+      |  UNION ALL SELECT 2, 'insert', l_orderkey, cents
+      |    FROM li, mk WHERE l_orderkey >= k
+      |  UNION ALL SELECT 3, 'update_preimage', l_orderkey, cents
+      |    FROM li, mk WHERE l_orderkey < k // 4
+      |  UNION ALL SELECT 3, 'update_postimage', l_orderkey, cents + 7
+      |    FROM li, mk WHERE l_orderkey < k // 4
+      |  UNION ALL SELECT 4, 'delete', l_orderkey,
+      |      cents + CASE WHEN l_orderkey < k // 4 THEN 7 ELSE 0 END
+      |    FROM li, mk
+      |    WHERE l_orderkey >= k // 8 AND l_orderkey < k // 2)
+      |SELECT ver, tpe, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM ch GROUP BY 1, 2 ORDER BY ver, tpe""".stripMargin
+
+  /** DECLARED CHECK constraints under the oracle gate (io69 — Delta
+    * `ALTER TABLE ADD CONSTRAINT`): declared ONCE via
+    * `CALL lake.constrain`, persisted in the table's property sidecar,
+    * and enforced on EVERY later write path with no writer opt-in —
+    * the violating INSERT and the violating UPDATE both refuse with
+    * the staged directory deleted and NO version burned (pinned), a
+    * constraint the existing data already violates refuses at
+    * declaration, and the valid writes land normally. Enforcement is
+    * ONE column-pruned aggregate pass over the staged directory
+    * ([[graft.io.Constraints.enforceStaged]]) — cost ∝ the batch,
+    * never the table. The oracle replays the surviving writes.
+    */
+  def io69DeclaredConstraint(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Constraints, Manifest}
+    val (root, k) = dmlTable(s, dir, "g69", "graft_io69_tbl")
+    s.sql("CALL g69.constrain('graft_io69_tbl', 'pos_cents', " +
+      "'cents > 0')").collect()
+    // declaring over data that would violate refuses at declaration
+    val badDecl = try {
+      s.sql("CALL g69.constrain('graft_io69_tbl', 'tiny', " +
+        "'cents < 100')").collect(); false
+    } catch { case e: Throwable => violationIn(e) }
+    require(badDecl,
+      "a constraint the existing data violates must refuse to declare")
+    val vBefore = Manifest.versions(s, root).last
+    val badInsert = try {
+      s.sql("INSERT INTO g69.graft_io69_tbl VALUES (999999999, 'X', -5)")
+      false
+    } catch { case e: Throwable => violationIn(e) }
+    require(badInsert, "the violating INSERT must refuse")
+    require(Manifest.versions(s, root).last == vBefore,
+      "a rejected batch must not burn a version")
+    // the valid batch 3 lands through the same enforced path
+    s.sql(s"INSERT INTO g69.graft_io69_tbl " +
+      s"SELECT l_orderkey, l_returnflag, " +
+      s"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+      s"FROM ${liView(s, dir)} " +
+      s"WHERE l_orderkey >= ${2 * k} AND l_orderkey < ${3 * k}")
+    // DML rewrites are enforced too: the violating UPDATE refuses
+    // whole, the valid one lands
+    val badUpdate = try {
+      s.sql(s"UPDATE g69.graft_io69_tbl SET cents = cents - 1000000000 " +
+        s"WHERE l_orderkey < ${k / 5}"); false
+    } catch { case e: Throwable => violationIn(e) }
+    require(badUpdate, "the violating UPDATE must refuse whole")
+    s.sql(s"UPDATE g69.graft_io69_tbl SET cents = cents + 5 " +
+      s"WHERE l_orderkey < ${k / 5}")
+    dmlCensus(s.sql("SELECT * FROM g69.graft_io69_tbl"), 0)
+      .orderBy(col("l_returnflag"))
+  }
+
+  private def violationIn(t: Throwable): Boolean = t != null &&
+    (t.isInstanceOf[graft.io.Constraints.ConstraintViolationException] ||
+      violationIn(t.getCause))
+
+  /** A temp view over lineitem for gates that INSERT ... SELECT from
+    * it through the SQL surface.
+    */
+  private def liView(s: SparkSession, dir: String): String = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_v")
+    "graft_lineitem_v"
+  }
+
+  val io69Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 3 * k),
+      |upd AS (SELECT l_orderkey, l_returnflag,
+      |    cents + CASE WHEN l_orderkey < (SELECT k FROM mk) // 5
+      |      THEN 5 ELSE 0 END AS cents FROM li)
+      |SELECT 0 AS phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM upd GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
+
   /** Schema EVOLUTION across commits under the oracle gate: batch 2
     * arrives with a new column, and the graft read resolves the UNION
     * schema — pre-evolution rows read the new column as NULL (Delta's
@@ -7026,6 +7262,9 @@ object OpsQueries {
     "io65_zorder_cluster" -> (io65ZorderCluster _),
     "io66_scoped_compact" -> (io66ScopedCompact _),
     "io67_zorder_types" -> (io67ZorderTypes _),
+    "io68_table_changes" -> (io68TableChanges _),
+    "io69_declared_constraint" -> (io69DeclaredConstraint _),
+    "st30_stream_cdc" -> (st30StreamCdc _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
     "st3_stream_window" -> (st3StreamWindow _),
@@ -7134,6 +7373,9 @@ object OpsQueries {
     "io65_zorder_cluster" -> io65Oracle,
     "io66_scoped_compact" -> io66Oracle,
     "io67_zorder_types" -> io67Oracle,
+    "io68_table_changes" -> io68Oracle,
+    "io69_declared_constraint" -> io69Oracle,
+    "st30_stream_cdc" -> st30Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
     "st3_stream_window" -> st3Oracle,

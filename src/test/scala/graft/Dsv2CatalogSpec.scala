@@ -1575,9 +1575,13 @@ class Dsv2CatalogSpec extends AnyFunSuite {
     }
     refuses("CALL lake.cluster('z3d', 'x', 4, zorder => true)",
       "2..8 sort_cols")
-    val root2 = s"$wh/z3dstr"
-    Seq((1L, "a")).toDF("id", "s").write.format("graft").save(root2)
-    refuses("CALL lake.cluster('z3dstr', 'id,s', 4, zorder => true)",
+    // strings/dates/timestamps are SUPPORTED dimensions since io67
+    // (range-id bucketization) — the type edge now refuses only on a
+    // type with neither a numeric axis nor an ordering the range
+    // partitioner serves (boolean here)
+    val root2 = s"$wh/z3dbool"
+    Seq((1L, true)).toDF("id", "b").write.format("graft").save(root2)
+    refuses("CALL lake.cluster('z3dbool', 'id,b', 4, zorder => true)",
       "must be integral")
   }
 
