@@ -177,6 +177,48 @@ object Cdc {
     }
   }
 
+  /** The CONSUMER side of the ledger — apply a change frame to a
+    * replica table, one write-cheap commit per source version: each
+    * version's slice becomes an epoch-scoped tombstone of every
+    * affected key plus a morins re-insert of the surviving rows
+    * ([[MergeOnRead.updateRows]] — deletes are "hidden and not
+    * re-inserted", upserts "hidden and re-inserted"), so replica
+    * write IO ∝ the change, never the replica. Preimage rows are
+    * ignored (the postimage is the key's new truth). The replica's
+    * merged snapshot after applying versions `[1, v]` equals the
+    * source's snapshot at `v` — the gate's pin. Returns the replica
+    * versions committed.
+    *
+    * The per-version loop collects only the VERSION NUMBERS (bounded
+    * by the range, never data). Consumers tracking a cursor pair this
+    * with [[ChangeFeed.cursorOf]]'s discipline or simply re-apply —
+    * a replayed slice re-tombstones and re-inserts the same keys at a
+    * higher epoch, converging to the same merged snapshot
+    * (idempotent at the content level, not the version level).
+    */
+  def applyChanges(s: SparkSession, changes: DataFrame,
+      targetRoot: String, keyCol: String, stagingDir: String): Seq[Int] = {
+    val versions = changes.select(col(CommitVersion)).distinct()
+      .orderBy(col(CommitVersion)).collect().map(_.getInt(0)).toSeq
+    versions.flatMap { v =>
+      val slice = changes.filter(col(CommitVersion) === v)
+        .drop(CommitVersion, CommitTimestamp)
+      val rows = slice.filter(col(ChangeType) === "insert" ||
+        col(ChangeType) === "update_postimage").drop(ChangeType)
+      val keys = slice.filter(col(ChangeType) =!= "update_preimage")
+        .select(col(keyCol)).distinct()
+      if (Manifest.versions(s, targetRoot).isEmpty) {
+        // bootstrap: the first slice of a fresh replica commits as a
+        // plain append (nothing to hide yet)
+        val d = s"$stagingDir/cdcapply-boot-" +
+          java.util.UUID.randomUUID().toString
+        rows.write.parquet(d)
+        Some(Manifest.commit(s, targetRoot, d))
+      } else MergeOnRead.updateRows(s, targetRoot, keyCol, keys, rows,
+        stagingDir)
+    }
+  }
+
   private def mergedSnapshot(s: SparkSession, root: String, v: Int,
       k: String): DataFrame =
     if (Manifest.entries(s, root, Some(v))

@@ -29,7 +29,7 @@ object ColumnMapping {
   val MappingPrefix = "colmap-"
 
   def isMapping(entry: String): Boolean =
-    new Path(entry).getName.startsWith(MappingPrefix)
+    MergeOnRead.nameOf(entry).startsWith(MappingPrefix)
 
   private val FileName = "mapping.txt"
 

@@ -39,6 +39,24 @@ import org.apache.spark.util.sketch.BloomFilter
   * compute the same entry twice (reads are idempotent — harmless), but
   * never corrupts the map. Not serializable by design.
   */
+object DirStatsProvider {
+  /** Cross-plan stats-body parse memo: annotation bodies are immutable
+    * (a directory's stats never change once committed) and — since the
+    * parsed-manifest cache — the SAME string instances arrive at every
+    * plan of a table version, so the second plan's 10⁴ parses become
+    * 10⁴ hash lookups on already-hashed strings. Bounded: cleared past
+    * ~8 big tables' worth, the same discipline as the manifest cache.
+    */
+  private val bodyCache = TrieMap
+    .empty[String, Option[SkipStats.Sidecar]]
+
+  private[io] def parseCached(body: String)
+      : Option[SkipStats.Sidecar] = {
+    if (bodyCache.size > 131072) bodyCache.clear()
+    bodyCache.getOrElseUpdate(body, SkipStats.parse(body))
+  }
+}
+
 class DirStatsProvider(s: SparkSession, root: String,
     version: Option[Int],
     preParsed: Option[Manifest.DirAnnotations] = None) {
@@ -59,10 +77,14 @@ class DirStatsProvider(s: SparkSession, root: String,
     * directory, credit nothing: every consumer fails open).
     */
   def sidecar(d: String): Option[SkipStats.Sidecar] =
-    sidecars.getOrElseUpdate(d, ann.stats.get(d).flatten match {
-      case Some(body) => SkipStats.parse(body)
-      case None => SkipStats.readAll(fOf(d), d)
-    })
+    ann.stats.get(d).flatten match {
+      // annotation path: the global body memo IS the cache — adding a
+      // per-provider entry on top would only pay 10⁴ TrieMap inserts
+      // per plan of a big table for nothing
+      case Some(body) => DirStatsProvider.parseCached(body)
+      case None =>
+        sidecars.getOrElseUpdate(d, SkipStats.readAll(fOf(d), d))
+    }
 
   def cols(d: String): Option[Map[String, SkipStats.ColStats]] =
     sidecar(d).flatMap(_.cols)

@@ -282,14 +282,40 @@ object Manifest {
   /** Entries AND annotations from ONE manifest read — what
     * [[graft.io.dsv2.GraftTable.resolve]] plans from.
     */
+  /** Parsed-manifest memo. A manifest file is written exactly once and
+    * never rewritten (the commit protocol's atomicity primitive), so
+    * its parsed form is immutable — and re-parsing it per plan was the
+    * dominant planning cost on a 16384-directory table (~150 ms of
+    * line splitting/decoding per resolve, PLANPROBE r16). Keyed by
+    * (root, version); bounded (clear past 16 tables' worth) because
+    * one entry for a 10⁴-directory table is a few MB. The version
+    * LIST is never cached — only immutable per-version content —
+    * so concurrent commits and expiration stay visible. This is the
+    * snapshot-state caching every manifest-format engine does
+    * (Delta's Snapshot, Iceberg's manifest cache).
+    */
+  private val parsedManifestCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Long, Long), (Seq[String], DirAnnotations)]
+
   def entriesWithAnnotations(s: SparkSession, root: String,
       version: Option[Int] = None): (Seq[String], DirAnnotations) = {
     val vs = versions(s, root)
     require(vs.nonEmpty, s"no committed manifest under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"unknown manifest version $v (have $vs)")
-    val lines = readAllLines(fs(s, root), manifestPath(root, v))
-    (lines.filterNot(_.startsWith("#")), parseAnnotations(lines))
+    val f = fs(s, root)
+    val p = manifestPath(root, v)
+    // the key carries the file's (mtime, length) so a table DROPPED and
+    // re-created at the same path (same version numbers, different
+    // content) can never serve stale state — one status call, orders
+    // of magnitude under the parse it saves
+    val st = f.getFileStatus(p)
+    if (parsedManifestCache.size > 64) parsedManifestCache.clear()
+    parsedManifestCache.getOrElseUpdate(
+      (root, v, st.getModificationTime, st.getLen), {
+        val lines = readAllLines(f, p)
+        (lines.filterNot(_.startsWith("#")), parseAnnotations(lines))
+      })
   }
 
   /** One directory's parquet schema, inferred from ONE file's footer —
@@ -866,7 +892,8 @@ object Manifest {
     * as directory-set deltas against its predecessor.
     */
   final case class HistoryEntry(version: Int, commitMs: Long,
-      nDirs: Int, added: Seq[String], removed: Seq[String]) {
+      nDirs: Int, added: Seq[String], removed: Seq[String],
+      op: Option[String] = None) {
     /** A replacing commit both adds and removes; an append only adds. */
     def kind: String =
       if (removed.nonEmpty) "replace"
@@ -888,10 +915,12 @@ object Manifest {
     var prev = Set.empty[String]
     versionsOf(f, root).map { v =>
       val p = manifestPath(root, v)
-      val dirs = readList(f, p)
+      val lines = readAllLines(f, p)
+      val dirs = lines.filterNot(_.startsWith("#"))
       val cur = dirs.toSet
       val e = HistoryEntry(v, f.getFileStatus(p).getModificationTime,
-        dirs.size, dirs.filterNot(prev), prev.diff(cur).toSeq.sorted)
+        dirs.size, dirs.filterNot(prev), prev.diff(cur).toSeq.sorted,
+        lines.find(_.startsWith(OpPrefix)).map(_.stripPrefix(OpPrefix)))
       prev = cur
       e
     }

@@ -34,8 +34,19 @@ object MergeOnRead {
   /** MoR-UPDATE rewritten-rows directories: `morins-<epoch>-<uuid>`. */
   val InsertPrefix = "morins-"
 
+  /** The entry's basename WITHOUT a hadoop Path round-trip: entry
+    * classification runs once per directory per plan, and Path's URI
+    * parse was a measurable slice of 10⁴-directory planning
+    * (PLANPROBE r16). Entries are committed directory paths — no
+    * trailing slash by construction.
+    */
+  private[graft] def nameOf(entry: String): String = {
+    val i = entry.lastIndexOf('/')
+    if (i < 0) entry else entry.substring(i + 1)
+  }
+
   def isTombstone(entry: String): Boolean =
-    new Path(entry).getName.startsWith(TombstonePrefix)
+    nameOf(entry).startsWith(TombstonePrefix)
 
   // ── EPOCH scoping — what makes a write-cheap UPDATE expressible as
   // tombstone + re-insert (the deletion-vector shape): a GLOBAL
@@ -52,7 +63,7 @@ object MergeOnRead {
   private val TombEpoch = (TombstonePrefix + "e(\\d+)-.*").r
 
   /** The epoch a DATA directory was written at (0 for ordinary dirs). */
-  def dirEpoch(entry: String): Long = new Path(entry).getName match {
+  def dirEpoch(entry: String): Long = nameOf(entry) match {
     case InsertEpoch(e) => e.toLong
     case _ => 0L
   }
@@ -61,7 +72,7 @@ object MergeOnRead {
     * with epoch < e; None (the legacy form) hides them everywhere.
     */
   def tombEpoch(entry: String): Option[Long] =
-    new Path(entry).getName match {
+    nameOf(entry) match {
       case TombEpoch(e) => Some(e.toLong)
       case _ => None
     }

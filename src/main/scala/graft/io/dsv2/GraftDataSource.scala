@@ -109,6 +109,24 @@ object GraftTable {
     */
   private[graft] var onSchemaProbe: String => Unit = _ => ()
 
+  /** Schema-JSON parse memo: a uniform 10⁴–10⁵-directory table
+    * annotates every directory with the SAME schema json, and parsing
+    * it per directory was the dominant resolve cost at 16384 dirs
+    * (~300 ms of identical `DataType.fromJson` calls — PLANPROBE r16).
+    * Keyed by the json text itself; distinct schemas per process are
+    * few, and the guard clears a pathological accumulation. Sharing
+    * one StructType instance across directories also makes the
+    * uniform-schema check below reference-fast.
+    */
+  private val schemaJsonCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[StructType]]
+
+  private def parseSchemaJson(j: String): Option[StructType] = {
+    if (schemaJsonCache.size > 1024) schemaJsonCache.clear()
+    schemaJsonCache.getOrElseUpdate(j, scala.util.Try(
+      DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+  }
+
   /** Resolve the pinned version + entry partition once per table load.
     * A root with NO committed version resolves to a schemaless stub
     * that refuses to scan — it must not throw here, because
@@ -177,15 +195,18 @@ object GraftTable {
     // silently coercing.
     val dirSchemas = data.map { d =>
       ann.schemas.get(d).flatten
-        .flatMap(j => scala.util.Try(
-          DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+        .flatMap(parseSchemaJson)
         .getOrElse {
           GraftTable.onSchemaProbe(d)
           s.read.parquet(d).schema
         }
     }
     val inferred =
-      if (dirSchemas.distinct.size == 1) dirSchemas.head
+      // reference check first: the parse memo hands every directory of
+      // a uniform table the SAME StructType instance, so the common
+      // case skips 10⁴ structural equality walks
+      if (dirSchemas.forall(_ eq dirSchemas.head) ||
+          dirSchemas.distinct.size == 1) dirSchemas.head
       else dirSchemas.reduce { (a, b) =>
         val known = a.fieldNames.toSet
         b.foreach { f =>
@@ -639,24 +660,51 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
       if (rowOp && opState.isEmpty) Seq.empty else toPoints(pushed.toSeq)
     if (ranges.isEmpty && inSets.isEmpty && points.isEmpty)
       (dataDirs, Seq.empty[String])
-    else dataDirs.partition { d =>
-      // sidecar keys are PHYSICAL names — translate before matching
-      val cs = dirStats.cols(d)
-      // bloom sidecars decide POINT probes the ranges must keep; a
-      // missing bloom (or column) keeps — IO-only, never semantic
-      // (the provider loads only the probed column's filter bytes)
-      ranges.forall(r => cs.flatMap(_.get(phys(r.c)))
-        .forall(x => SkipStats.colOverlaps(x, r.lo, r.hi))) &&
-        inSets.forall { case (c, vals) => cs.flatMap(_.get(phys(c)))
-          .forall(x => vals.exists(v => SkipStats.colOverlaps(x, v, v)))
-        } &&
-        points.forall { case (c, vals) =>
-          dirStats.bloom(d, phys(c)) match {
-            case None => true
-            case Some((t, bf)) => vals.exists(v =>
-              graft.io.BloomSidecar.mightContain(t, bf, v))
+    else {
+      // physical names resolve once per conjunct, not once per
+      // (directory × conjunct)
+      val physRanges = ranges.map(r => (phys(r.c), r.lo, r.hi))
+      val physInSets = inSets.map { case (c, vals) => (phys(c), vals) }
+      val physPoints = points.map { case (c, vals) => (phys(c), vals) }
+      def keep(d: String): Boolean = {
+        // sidecar keys are PHYSICAL names — translate before matching
+        val cs = dirStats.cols(d)
+        // bloom sidecars decide POINT probes the ranges must keep; a
+        // missing bloom (or column) keeps — IO-only, never semantic
+        // (the provider loads only the probed column's filter bytes)
+        physRanges.forall { case (c, lo, hi) => cs.flatMap(_.get(c))
+          .forall(x => SkipStats.colOverlaps(x, lo, hi)) } &&
+          physInSets.forall { case (c, vals) => cs.flatMap(_.get(c))
+            .forall(x => vals.exists(v => SkipStats.colOverlaps(x, v, v)))
+          } &&
+          physPoints.forall { case (c, vals) =>
+            dirStats.bloom(d, c) match {
+              case None => true
+              case Some((t, bf)) => vals.exists(v =>
+                graft.io.BloomSidecar.mightContain(t, bf, v))
+            }
           }
+      }
+      // the walk is pure memo lookups + compares, ~µs per directory —
+      // but a 10⁴–10⁵-directory table pays it on every plan, so spread
+      // it across cores (the provider's maps are lock-free TrieMaps;
+      // the Iceberg answer is the same: planning parallelized over
+      // manifests). Small tables stay sequential — pool dispatch would
+      // cost more than it saves.
+      if (dataDirs.size < 2048) dataDirs.partition(keep)
+      else {
+        val flags = new Array[Boolean](dataDirs.size)
+        val dirsArr = dataDirs.toIndexedSeq
+        java.util.stream.IntStream.range(0, dirsArr.size).parallel()
+          .forEach(i => flags(i) = keep(dirsArr(i)))
+        val kept = Seq.newBuilder[String]
+        val skip = Seq.newBuilder[String]
+        var i = 0
+        while (i < dirsArr.size) {
+          (if (flags(i)) kept else skip) += dirsArr(i); i += 1
         }
+        (kept.result(), skip.result())
+      }
     }
   }
 

@@ -60,16 +60,22 @@ object GraftProcedures {
 
   def all(rootOf: String => String): Map[String, UnboundProcedure] = Map(
     "history" -> new P("history", Seq(param("table", StringType)),
+      // `op` appended LAST (the positional-consumer rule): the commit's
+      // #op: marker when it declared one — compact/cluster/fold show
+      // as themselves, data commits as null (Delta DESCRIBE HISTORY's
+      // operation column, from the same commit-time record)
       StructType(Seq(StructField("version", IntegerType),
         StructField("commit_ms", LongType), StructField("kind", StringType),
         StructField("n_dirs", IntegerType),
         StructField("added", IntegerType),
-        StructField("removed", IntegerType)))) {
+        StructField("removed", IntegerType),
+        StructField("op", StringType)))) {
       override protected def run(in: InternalRow): Seq[InternalRow] =
         Manifest.history(session, rootOf(utf(in.get(0, StringType))))
           .map(h => new GenericInternalRow(Array[Any](h.version,
             h.commitMs, UTF8String.fromString(h.kind), h.nDirs,
-            h.added.size, h.removed.size)))
+            h.added.size, h.removed.size,
+            h.op.map(UTF8String.fromString).orNull)))
     },
     "expire" -> new P("expire",
       Seq(param("table", StringType), param("keep_last", IntegerType)),

@@ -7024,6 +7024,62 @@ object OpsQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
       |FROM ch GROUP BY 1, 2 ORDER BY ver, tpe""".stripMargin
 
+  /** CDC APPLY — the consumer side of the ledger under the oracle gate
+    * (io70): a replica table is maintained purely from
+    * `table_changes` output via [[graft.io.Cdc.applyChanges]] — each
+    * source version's slice lands as ONE write-cheap appending commit
+    * (epoch-scoped tombstone of the affected keys + morins re-insert
+    * of the surviving rows), so replica write IO ∝ the change stream,
+    * never the replica. In-gate requires pin (a) every replica commit
+    * is APPENDING (the replica never rewrites itself), and (b) the
+    * replica's merged snapshot is row-identical to the source's —
+    * closing the CDC loop end-to-end. The oracle replays the final
+    * state from lineitem.
+    */
+  def io70CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{Cdc, Manifest, MergeOnRead}
+    val (root, k) = dmlTable(s, dir, "g70", "graft_io70_tbl")
+    s.sql("CALL g70.set_mor_key('graft_io70_tbl', 'l_orderkey')")
+    s.sql(s"UPDATE g70.graft_io70_tbl SET cents = cents + 7 " +
+      s"WHERE l_orderkey < ${k / 4}")
+    s.sql(s"DELETE FROM g70.graft_io70_tbl " +
+      s"WHERE l_orderkey >= ${k / 8} AND l_orderkey < ${k / 2}")
+    s.sql("CALL g70.fold('graft_io70_tbl', 'l_orderkey')").collect()
+    val replica = tmpDir(s) + "/graft_io70_replica"
+    new org.apache.hadoop.fs.Path(replica)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(replica), true)
+    val applied = Cdc.applyChanges(s, Cdc.changes(s, root, 1),
+      replica, "l_orderkey", s"$replica/data")
+    require(applied.size == 4,
+      s"four change-bearing source versions -> four replica commits, " +
+        s"got ${applied.size}")
+    require(Manifest.history(s, replica).forall(_.kind == "append"),
+      "the replica must never rewrite itself — every applied slice " +
+        "is an appending commit")
+    val rep = MergeOnRead.snapshot(s, replica, "l_orderkey")
+    val src = s.sql("SELECT * FROM g70.graft_io70_tbl")
+    require(rep.exceptAll(src).isEmpty && src.exceptAll(rep).isEmpty,
+      "the replica's merged snapshot must be row-identical to the " +
+        "source")
+    dmlCensus(rep, 0).orderBy(col("l_returnflag"))
+  }
+
+  val io70Oracle: String =
+    """WITH mk AS (SELECT (MAX(l_orderkey) + 1) // 10 AS k FROM lineitem),
+      |li AS (SELECT l_orderkey, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents FROM lineitem, mk WHERE l_orderkey < 2 * k),
+      |kept AS (SELECT * FROM li, mk
+      |  WHERE NOT (l_orderkey >= k // 8 AND l_orderkey < k // 2)),
+      |fin AS (SELECT l_orderkey, l_returnflag,
+      |    cents + CASE WHEN l_orderkey < (SELECT k FROM mk) // 8
+      |      THEN 7 ELSE 0 END AS cents FROM kept)
+      |SELECT 0 AS phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin
+
   /** DECLARED CHECK constraints under the oracle gate (io69 — Delta
     * `ALTER TABLE ADD CONSTRAINT`): declared ONCE via
     * `CALL lake.constrain`, persisted in the table's property sidecar,
@@ -7264,6 +7320,7 @@ object OpsQueries {
     "io67_zorder_types" -> (io67ZorderTypes _),
     "io68_table_changes" -> (io68TableChanges _),
     "io69_declared_constraint" -> (io69DeclaredConstraint _),
+    "io70_cdc_apply" -> (io70CdcApply _),
     "st30_stream_cdc" -> (st30StreamCdc _),
     "st1_sessionize" -> (st1Sessionize _),
     "st2_stream_join" -> (st2StreamJoin _),
@@ -7375,6 +7432,7 @@ object OpsQueries {
     "io67_zorder_types" -> io67Oracle,
     "io68_table_changes" -> io68Oracle,
     "io69_declared_constraint" -> io69Oracle,
+    "io70_cdc_apply" -> io70Oracle,
     "st30_stream_cdc" -> st30Oracle,
     "st1_sessionize" -> st1Oracle,
     "st2_stream_join" -> st2Oracle,
