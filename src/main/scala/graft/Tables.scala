@@ -8,7 +8,10 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType,
 /** Loaders for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // schema-memoized read: the driver tables are immutable for a run,
+    // and the bare read's schema-inference job (one per DataFrame
+    // construction, hundreds per suite) is pure overhead
+    graft.io.SchemaMemo.read(spark, Seq(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

@@ -60,7 +60,7 @@ object BloomSidecar {
     * jobs, so the count is the right capacity without a distinct pass.
     */
   def write(s: SparkSession, dataDir: String, cols: Seq[String]): Unit = {
-    val df = s.read.parquet(dataDir)
+    val df = SchemaMemo.read(s, Seq(dataDir))
     val typed = cols.map { c =>
       val dt = df.schema(c).dataType
       (c, tag(dt).getOrElse(throw new IllegalArgumentException(

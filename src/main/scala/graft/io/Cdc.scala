@@ -137,15 +137,14 @@ object Cdc {
           .startsWith(MergeOnRead.InsertPrefix))
       val inserts =
         if (plain.isEmpty) Seq.empty
-        else Seq(tag(s.read.option("mergeSchema", "true")
-          .parquet(plain: _*), "insert"))
+        else Seq(tag(SchemaMemo.readMerged(s, plain), "insert"))
       if (tombs.isEmpty) return inserts
       // MoR delete/update: preimage = the rows the new tombstones hide
       // — previous MERGED snapshot semi-joined against the key list
       // (already-hidden keys are absent from it, so nothing
       // double-deletes)
       val k = key()
-      val keys = s.read.parquet(tombs: _*).select(col(k)).distinct()
+      val keys = SchemaMemo.read(s, tombs).select(col(k)).distinct()
       val prevSnap = mergedSnapshot(s, root, v - 1, k)
       val pre = prevSnap.join(broadcastIfSmall(s, keys, tombs),
         Seq(k), "left_semi")
@@ -153,7 +152,7 @@ object Cdc {
       // update: rewritten rows whose key had a visible previous row
       // pair as pre/postimage; a rewritten key with NO previous row
       // (an upsert through the raw API) is an insert
-      val post = s.read.option("mergeSchema", "true").parquet(morins: _*)
+      val post = SchemaMemo.readMerged(s, morins)
       val preKeys = pre.select(col(k)).distinct()
       inserts ++ Seq(
         tag(pre, "update_preimage"),

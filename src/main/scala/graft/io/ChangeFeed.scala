@@ -111,17 +111,17 @@ object ChangeFeed {
       val ins =
         if (data.isEmpty) None
         else {
-          val df = s.read.parquet(data: _*)
+          val df = SchemaMemo.read(s, data)
           Some(if (tombKeysTo.isEmpty) df
           else df.join(
-            broadcast(s.read.parquet(tombKeysTo: _*)
+            broadcast(SchemaMemo.read(s, tombKeysTo)
               .select(col(keyCol)).distinct()),
             Seq(keyCol), "left_anti"))
         }
       val del =
         if (tombs.isEmpty) None
         else Some(base.join(
-          broadcast(s.read.parquet(tombs: _*)
+          broadcast(SchemaMemo.read(s, tombs)
             .select(col(keyCol)).distinct()),
           Seq(keyCol), "left_semi"))
       (ins.map(_.withColumn("_op", lit("I"))) ++

@@ -93,8 +93,8 @@ object ColumnMapping {
     val cur = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
     // mergeSchema: an ADD COLUMN-evolved table's late columns live only
     // in newer directories — the rename must see the UNION schema
-    val physicalSchema = s.read.option("mergeSchema", "true")
-      .parquet(data: _*).schema.fieldNames.toSeq
+    val physicalSchema = SchemaMemo.readMerged(s, data)
+      .schema.fieldNames.toSeq
     val logical = physicalSchema.map(p => cur.getOrElse(p, p))
     require(logical.contains(from),
       s"cannot rename: no logical column '$from' (have " +
@@ -122,8 +122,8 @@ object ColumnMapping {
     val entries = Manifest.entries(s, root)
     val (maps, data) = entries.partition(isMapping)
     val cur = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
-    val physicalSchema = s.read.option("mergeSchema", "true")
-      .parquet(data.filterNot(MergeOnRead.isTombstone): _*)
+    val physicalSchema = SchemaMemo
+      .readMerged(s, data.filterNot(MergeOnRead.isTombstone))
       .schema.fieldNames.toSeq
     val logical = physicalSchema.map(p => cur.getOrElse(p, p))
     require(logical.contains(name),
@@ -175,7 +175,7 @@ object ColumnMapping {
       .partition(isMapping)
     val m = maps.headOption.map(readMapping(s, _)).getOrElse(Map.empty)
     val base = renames(m)
-      .foldLeft(s.read.parquet(data: _*)) { case (df, (p, l)) =>
+      .foldLeft(SchemaMemo.read(s, data)) { case (df, (p, l)) =>
         df.withColumnRenamed(p, l)
       }
     dropped(m).foldLeft(base)((df, p) => df.drop(p))

@@ -41,7 +41,7 @@ object Compaction {
   def compact(s: SparkSession, dir: String, out: String,
       targetBytes: Long): Int = {
     val (n, _) = plan(s, dir, targetBytes)
-    s.read.parquet(dir).repartition(n)
+    SchemaMemo.read(s, Seq(dir)).repartition(n)
       .write.mode("overwrite").parquet(out)
     n
   }
@@ -56,7 +56,7 @@ object Compaction {
     require(dirs.nonEmpty, "no input directories")
     val bytes = dirs.map(d => plan(s, d, targetBytes)._2).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    s.read.parquet(dirs: _*).repartition(n)
+    SchemaMemo.read(s, dirs).repartition(n)
       .write.mode("overwrite").parquet(out)
     n
   }

@@ -64,7 +64,7 @@ object Constraints {
       statsCols: Seq[String] = Nil,
       committer: Committer = FsCreateCommitter): Int = {
     df.write.mode("overwrite").parquet(batchDir)
-    val staged = s.read.parquet(batchDir)
+    val staged = SchemaMemo.read(s, Seq(batchDir))
     val violations = check(staged, constraints)
     if (violations.nonEmpty) {
       val p = new org.apache.hadoop.fs.Path(batchDir)
@@ -112,7 +112,7 @@ object Constraints {
     val stagingDir = s"$batchDir.tagged"
     df.withColumn("violation", tag)
       .write.mode("overwrite").parquet(stagingDir)
-    val staged = s.read.parquet(stagingDir)
+    val staged = SchemaMemo.read(s, Seq(stagingDir))
     staged.filter(col("violation").isNull).drop("violation")
       .write.mode("overwrite").parquet(batchDir)
     val nBad = staged.filter(col("violation").isNotNull).count()
@@ -166,7 +166,7 @@ object Constraints {
       colMap: Map[String, String] = Map.empty): Unit = {
     val cs = declared(s, root)
     if (cs.isEmpty) return
-    val staged = colMap.foldLeft(s.read.parquet(dir)) {
+    val staged = colMap.foldLeft(SchemaMemo.read(s, Seq(dir))) {
       case (df, (p, l)) => df.withColumnRenamed(p, l)
     }
     val violations = check(staged, cs)

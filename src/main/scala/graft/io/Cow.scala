@@ -23,7 +23,7 @@ private[io] object Cow {
   def split(s: SparkSession, dirs: Seq[String],
       matches: DataFrame => DataFrame): (Seq[String], Seq[String]) = {
     if (dirs.isEmpty) return (Nil, Nil)
-    val touched = matches(s.read.parquet(dirs: _*)
+    val touched = matches(SchemaMemo.read(s, dirs)
         .withColumn("_graft_fp", col("_metadata.file_path")))
       .select(regexp_replace(col("_graft_fp"), "/[^/]*$", "").as("d"))
       .distinct().collect()

@@ -82,7 +82,7 @@ object IndexCompaction {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     // mergeSchema: a drift-evolved slice must carry the UNION schema
     // through the rewrite (the cluster rule), not a random footer's
-    s.read.option("mergeSchema", "true").parquet(candidates: _*)
+    SchemaMemo.readMerged(s, candidates)
       .repartition(n).write.mode("overwrite").parquet(dest)
     val carried = candidates.flatMap(d => SkipStats.read(f, d))
       .flatMap(_.keySet).toSet

@@ -326,20 +326,12 @@ object Manifest {
     * those).
     */
   private[graft] def inferDirSchema(s: SparkSession, d: String)
-      : Option[org.apache.spark.sql.types.StructType] = try {
-    val p = new Path(d)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = f.listStatus(p)
-    val hasSubdirs = st.exists(x => x.isDirectory &&
-      !x.getPath.getName.startsWith("_") &&
-      !x.getPath.getName.startsWith("."))
-    if (hasSubdirs) None
-    else st.find(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
-      .flatMap { file =>
-        new org.apache.spark.sql.execution.datasources.parquet
-          .ParquetFileFormat().inferSchema(s, Map.empty, Seq(file))
-      }
-  } catch { case scala.util.control.NonFatal(_) => None }
+      : Option[org.apache.spark.sql.types.StructType] =
+    // driver-side footer read, memoized — the previous
+    // ParquetFileFormat.inferSchema ran a one-task Spark JOB per
+    // directory at every commit (8+ per lifecycle gate); the converted
+    // schema is identical (inference samples the same single footer)
+    SchemaMemo.schemaOf(s, d)
 
   // committed directories are immutable, so a once-read row count
   // never goes stale — memoized for the JVM's lifetime (a dir path +
@@ -886,7 +878,7 @@ object Manifest {
     */
   def snapshot(s: SparkSession, root: String,
       version: Option[Int] = None): DataFrame =
-    s.read.parquet(entries(s, root, version): _*)
+    SchemaMemo.read(s, entries(s, root, version))
 
   /** One table version's history entry: what the commit did, expressed
     * as directory-set deltas against its predecessor.

@@ -65,7 +65,7 @@ object Merge {
     val (tombHit, tombCarried) = Cow.split(s, tombs,
       _.join(broadcast(keys), Seq(keyCol), "left_semi"))
     val newTombs = tombHit.zipWithIndex.flatMap { case (d, i) =>
-      val remaining = minusKeys(s.read.parquet(d))
+      val remaining = minusKeys(SchemaMemo.read(s, Seq(d)))
       if (remaining.isEmpty) None
       else {
         val outd = s"$stagingDir/${MergeOnRead.TombstonePrefix}" +

@@ -128,8 +128,8 @@ object MergeOnRead {
     val newTombs = prevList.filter(t =>
       isTombstone(t) && !seen.contains(t))
     if (newTombs.isEmpty) return
-    val overlap = s.read.parquet(tombDir)
-      .join(s.read.parquet(newTombs: _*).select(col(keyCol)),
+    val overlap = SchemaMemo.read(s, Seq(tombDir))
+      .join(SchemaMemo.read(s, newTombs).select(col(keyCol)),
         Seq(keyCol), "left_semi")
     if (!overlap.isEmpty) throw new ConcurrentUpdateException(root, epoch)
   }
@@ -171,7 +171,9 @@ object MergeOnRead {
     val tombDir = s"$stagingDir/${TombstonePrefix}v$v-" +
       java.util.UUID.randomUUID().toString
     keys.select(col(keyCol)).distinct().write.parquet(tombDir)
-    if (s.read.parquet(tombDir).isEmpty) {
+    // emptiness from the just-written footers on the driver — exact,
+    // and no inference + count job for the common non-empty case
+    if (Manifest.dirRowCount(s, Seq(tombDir)) == 0L) {
       new Path(tombDir).getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new Path(tombDir), true)
       None
@@ -198,7 +200,7 @@ object MergeOnRead {
     */
   private def keySet(s: SparkSession, tombs: Seq[String],
       keyCol: String): DataFrame = {
-    val keys = s.read.parquet(tombs: _*).select(col(keyCol)).distinct()
+    val keys = SchemaMemo.read(s, tombs).select(col(keyCol)).distinct()
     if (Manifest.dirRowCount(s, tombs) <= maxBroadcastKeys(s))
       broadcast(keys)
     else keys
@@ -215,7 +217,7 @@ object MergeOnRead {
       version: Option[Int] = None): DataFrame = {
     val (tombs, data) = Manifest.entries(s, root, version)
       .partition(isTombstone)
-    if (tombs.isEmpty) return s.read.parquet(data: _*)
+    if (tombs.isEmpty) return SchemaMemo.read(s, data)
     // a table whose every live entry is a tombstone (all rows logically
     // deleted, original data replaced away) snapshots EMPTY at the FULL
     // table schema — recovered from the latest prior version that still
@@ -231,13 +233,13 @@ object MergeOnRead {
           .filterNot(isTombstone))
         .find(_.nonEmpty)
       return prior.flatMap(dirs =>
-        scala.util.Try(s.read.parquet(dirs: _*).limit(0)).toOption)
+        scala.util.Try(SchemaMemo.read(s, dirs).limit(0)).toOption)
         .getOrElse(
-          s.read.parquet(tombs: _*).select(col(keyCol)).limit(0))
+          SchemaMemo.read(s, tombs).select(col(keyCol)).limit(0))
     }
     val scoped = tombs.filter(tombEpoch(_).isDefined)
     if (scoped.isEmpty)
-      return s.read.parquet(data: _*)
+      return SchemaMemo.read(s, data)
         .join(keySet(s, tombs, keyCol), Seq(keyCol), "left_anti")
     // epoch-scoped merge: group data dirs by THEIR epoch; each group
     // anti-joins only the tombstones that outrank it (legacy global
@@ -251,7 +253,7 @@ object MergeOnRead {
     // standard drift semantic
     data.groupBy(dirEpoch).toSeq.sortBy(_._1).map { case (de, dirs) =>
       val applicable = global ++ scoped.filter(t => tombEpoch(t).get > de)
-      val df = s.read.parquet(dirs: _*)
+      val df = SchemaMemo.read(s, dirs)
       if (applicable.isEmpty) df
       else df.join(keySet(s, applicable, keyCol), Seq(keyCol),
         "left_anti")
@@ -295,7 +297,7 @@ object MergeOnRead {
     keys.select(col(keyCol)).distinct().write.parquet(tombDir)
     val f = new Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (s.read.parquet(tombDir).isEmpty) {
+    if (Manifest.dirRowCount(s, Seq(tombDir)) == 0L) {
       f.delete(new Path(tombDir), true)
       return None
     }

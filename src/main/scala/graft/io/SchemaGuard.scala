@@ -69,8 +69,8 @@ object SchemaGuard {
       // arbitrary file footer, making the guard nondeterministic;
       // mergeSchema reads every footer (metadata-only, commit-time
       // cost) and is deterministic
-      val tableSchema = s.read.option("mergeSchema", "true")
-        .parquet(Manifest.entries(s, root): _*).schema
+      val tableSchema = SchemaMemo
+        .readMerged(s, Manifest.entries(s, root)).schema
       val problems = check(tableSchema, df.schema, allowAdd)
       if (problems.nonEmpty) throw new SchemaMismatchException(problems)
     }

@@ -30,7 +30,7 @@ object WriteAuditPublish {
   /** Run every check against the staged files; returns failures. */
   def audit(s: SparkSession, stagingDir: String,
       checks: Seq[Check]): Seq[String] = {
-    val staged = s.read.parquet(stagingDir)
+    val staged = SchemaMemo.read(s, Seq(stagingDir))
     checks.flatMap { case (name, violations) =>
       val n = violations(staged)
       if (n == 0) None else Some(s"$name: $n violating rows")

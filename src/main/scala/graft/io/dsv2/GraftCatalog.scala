@@ -270,8 +270,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val (maps, rest) = entries
           .partition(graft.io.ColumnMapping.isMapping)
         val dataDirs = rest.filterNot(graft.io.MergeOnRead.isTombstone)
-        val physNames = s.read.option("mergeSchema", "true")
-          .parquet(dataDirs: _*).schema.fieldNames.toSet
+        val physNames = graft.io.SchemaMemo.readMerged(s, dataDirs)
+          .schema.fieldNames.toSet
         if (!physNames.contains(name))
           Manifest.commit(s, root, GraftDdl.writeEmptyDir(s, root,
             StructType(Seq(org.apache.spark.sql.types.StructField(

@@ -198,7 +198,8 @@ object GraftTable {
         .flatMap(parseSchemaJson)
         .getOrElse {
           GraftTable.onSchemaProbe(d)
-          s.read.parquet(d).schema
+          graft.io.SchemaMemo.schemaOf(s, d)
+            .getOrElse(s.read.parquet(d).schema)
         }
     }
     val inferred =
@@ -963,8 +964,8 @@ class GraftScanBuilder(s: SparkSession, root: String, version: Int,
         keyType: DataType): util.HashSet[Any] = {
       val set = new util.HashSet[Any]()
       if (dirs.isEmpty) return set
-      val vals = s.read.parquet(dirs: _*).select(key).distinct()
-        .collect()
+      val vals = graft.io.SchemaMemo.read(s, dirs)
+        .select(key).distinct().collect()
       keyType match {
         case LongType => vals.foreach(r => set.add(r.getLong(0)))
         case StringType =>

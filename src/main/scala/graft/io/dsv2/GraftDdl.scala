@@ -236,7 +236,8 @@ class GraftStagedTable(s: SparkSession, root: String,
       // and commit the leaves as the table's first (or replacing)
       // version — one extra pass over the CTAS result, once; the flat
       // staging dir stays an orphan for the sweep
-      GraftPartitionedWrite.insert(s, root, s.read.parquet(dir),
+      GraftPartitionedWrite.insert(s, root,
+        graft.io.SchemaMemo.read(s, Seq(dir)),
         partitionCols, cols("statscols"), cols("bloomcols"),
         replacing = replaceExisting)
       return

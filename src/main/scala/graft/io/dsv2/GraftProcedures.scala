@@ -522,8 +522,7 @@ object GraftProcedures {
         // mergeSchema: a drift-evolved table's late columns live only in
         // newer directories — a layout-only rewrite must carry the UNION
         // schema, not whichever footer parquet happens to pick first
-        val reader = s.read.option("mergeSchema", "true")
-          .parquet(data: _*)
+        val reader = graft.io.SchemaMemo.readMerged(s, data)
         val laidOut =
           if (!zorder)
             reader.repartitionByRange(buckets, phys.map(col): _*)

@@ -466,7 +466,7 @@ object GraftPartitionedWrite {
   private def installLeafStats(s: SparkSession, leaves: Seq[String],
       cols: Seq[String]): (Map[String, String], Map[String, Long]) = {
     import org.apache.spark.sql.functions._
-    val df0 = s.read.parquet(leaves: _*)
+    val df0 = graft.io.SchemaMemo.read(s, leaves)
     val tags = cols.map { c =>
       val dt = df0.schema(c).dataType
       c -> SkipStats.typeTagOf(dt).getOrElse(
@@ -548,7 +548,7 @@ object GraftPartitionedWrite {
       leaves.foreach(d => BloomSidecar.write(s, d, cols))
       return leaves.map(_ -> cols).toMap
     }
-    val df0 = s.read.parquet(leaves: _*)
+    val df0 = graft.io.SchemaMemo.read(s, leaves)
     val typed = cols.map { c =>
       c -> BloomSidecar.tag(df0.schema(c).dataType).getOrElse(
         throw new IllegalArgumentException(
