@@ -197,10 +197,19 @@ object Cdc {
     */
   def applyChanges(s: SparkSession, changes: DataFrame,
       targetRoot: String, keyCol: String, stagingDir: String): Seq[Int] = {
-    val versions = changes.select(col(CommitVersion)).distinct()
+    // materialize the change frame ONCE: it is consumed 1 + 2·versions
+    // times below (the version collect, then each slice's keys and
+    // rows), and a table_changes frame is a UNION of per-version join
+    // plans — without staging, every consumption re-runs every
+    // version's joins (O(versions²) join evaluations per apply).
+    // Checkpoints.stage spills to the reliable checkpoint dir when
+    // configured, executor memory+disk otherwise; size ∝ the change
+    // stream, never the replica.
+    val matd = graft.Checkpoints.stage(changes)
+    val versions = matd.select(col(CommitVersion)).distinct()
       .orderBy(col(CommitVersion)).collect().map(_.getInt(0)).toSeq
     versions.flatMap { v =>
-      val slice = changes.filter(col(CommitVersion) === v)
+      val slice = matd.filter(col(CommitVersion) === v)
         .drop(CommitVersion, CommitTimestamp)
       val rows = slice.filter(col(ChangeType) === "insert" ||
         col(ChangeType) === "update_postimage").drop(ChangeType)

@@ -246,6 +246,42 @@ object MergeOnRead {
     // tombstones outrank everything). Group count = distinct live
     // epochs — bounded by un-folded updates, never data.
     val global = tombs.filterNot(tombEpoch(_).isDefined)
+    val uniform = {
+      val schemas = data.map(SchemaMemo.schemaOf(s, _))
+      schemas.forall(_.isDefined) && schemas.flatten.distinct.size == 1
+    }
+    if (uniform) {
+      // ── flat merge (uniform schema, the common case): ONE anti-join
+      // for EVERY epoch group. A row from a dir of epoch `de` is
+      // hidden iff some tombstone naming its key outranks de (global =
+      // rank ∞) ⇔ the key's MAX tombstone epoch > de — so one
+      // (key, maxEpoch) frame and one epoch-conditioned anti-join
+      // replace a distinct + broadcast + anti-join PER GROUP (each of
+      // which was a separate broadcast-build job on every evaluation).
+      // Identical rows by construction; the grouped path below remains
+      // for drift-evolved tables (per-group schemas differ — its
+      // unionByName null-fill semantic is spec-pinned).
+      val de = col("_graft_mor_de")
+      val te = col("_graft_mor_te")
+      val flat = data.groupBy(dirEpoch).toSeq.sortBy(_._1)
+        .map { case (e, dirs) =>
+          SchemaMemo.read(s, dirs).withColumn("_graft_mor_de", lit(e))
+        }.reduce(_.union(_))
+      val tombKeyEpochs = tombs.groupBy(tombEpoch).toSeq
+        .map { case (teo, dirs) =>
+          SchemaMemo.read(s, dirs).select(col(keyCol))
+            .withColumn("_graft_mor_te",
+              lit(teo.getOrElse(Long.MaxValue)))
+        }.reduce(_.union(_))
+        .groupBy(col(keyCol)).agg(max(te).as("_graft_mor_te"))
+      val tk =
+        if (Manifest.dirRowCount(s, tombs) <= maxBroadcastKeys(s))
+          broadcast(tombKeyEpochs)
+        else tombKeyEpochs
+      return flat.join(tk,
+        flat(keyCol) === tk(keyCol) && te > de, "left_anti")
+        .drop("_graft_mor_de")
+    }
     // allowMissingColumns: a drift-evolved table's late columns may
     // exist only in the newer (higher-epoch) morins directories — the
     // strict union would refuse a layout the single flat parquet read

@@ -6050,8 +6050,14 @@ object OpsQueries {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
     val stage = s"$root/data/ingest"
+    // repartition by the partition value first: the bare dynamic-
+    // partition write runs at the SCAN's parallelism (1–2 tasks for
+    // one parquet input), each task interleaving writers across all
+    // 256 values — one ~6 s job. Hashed on pb, 32 reducers write ~8
+    // directories each in parallel, one file per directory.
     li.withColumn("pb", format_string("%03d",
         (col("l_orderkey") * nb / hi).cast("int")))
+      .repartition(col("pb"))
       .write.partitionBy("pb").parquet(stage)
     val bucketStats = li
       .groupBy((col("l_orderkey") * nb / hi).cast("int").as("pb"))
@@ -6978,8 +6984,11 @@ object OpsQueries {
       Manifest.opOf(s, root, 6).contains("compact"),
       "maintenance commits must carry their #op: markers")
     graft.expressions.TableChanges.register(s)
+    // staged: the TVF frame is a union of per-version join plans and is
+    // consumed three times below (skip pin, net replay, census) — one
+    // materialization instead of three full re-evaluations
     val ch = s.sql("SELECT * FROM " +
-      "table_changes('g68.graft_io68_tbl', 1)")
+      "table_changes('g68.graft_io68_tbl', 1)").staged()
     // the marked maintenance versions contribute NO change rows —
     // pinned here, priced at zero snapshot reads by construction
     require(ch.filter(col(Cdc.CommitVersion) >= 5).isEmpty,
@@ -7059,7 +7068,14 @@ object OpsQueries {
         "is an appending commit")
     val rep = MergeOnRead.snapshot(s, replica, "l_orderkey")
     val src = s.sql("SELECT * FROM g70.graft_io70_tbl")
-    require(rep.exceptAll(src).isEmpty && src.exceptAll(rep).isEmpty,
+    // multiset equality in ONE aggregation pass (±1 weights netting to
+    // zero per distinct row) — exactly `exceptAll` both ways, which
+    // cost four scans and two shuffled set-difference plans
+    val net = rep.withColumn("_w", lit(1L))
+      .unionByName(src.withColumn("_w", lit(-1L)))
+      .groupBy(src.columns.map(col): _*).agg(sum(col("_w")).as("net"))
+      .filter(col("net") =!= 0L)
+    require(net.isEmpty,
       "the replica's merged snapshot must be row-identical to the " +
         "source")
     dmlCensus(rep, 0).orderBy(col("l_returnflag"))

@@ -3300,10 +3300,12 @@ object SimilarityQueries {
     val maxId = Tables.documents(s, dir)
       .agg(max(col("doc_id"))).collect()(0).getLong(0)
     val cuts = Seq((maxId + 1) / 4, (maxId + 1) / 2, maxId + 1)
+    // staged: the 3-range source prep below filters this join three
+    // times — one materialization instead of three evaluations
     val src = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("label"),
-          col("embedding")), Seq("doc_id"), "left")
+          col("embedding")), Seq("doc_id"), "left").staged()
     fs.mkdirs(new Path(s"$idx/src"))
     for ((hi, k) <- cuts.zipWithIndex) {
       val lo = if (k == 0) 0L else cuts(k - 1)
@@ -3595,10 +3597,12 @@ object SimilarityQueries {
     val maxId = Tables.documents(s, dir)
       .agg(max(col("doc_id"))).collect()(0).getLong(0)
     val cuts = Seq((maxId + 1) / 4, (maxId + 1) / 2, maxId + 1)
+    // staged: the 3-range source prep below filters this join three
+    // times — one materialization instead of three evaluations
     val src = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .join(Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("label"),
-          col("embedding")), Seq("doc_id"), "left")
+          col("embedding")), Seq("doc_id"), "left").staged()
     fs.mkdirs(new Path(s"$idx/src"))
     for ((hi, k) <- cuts.zipWithIndex) {
       val lo = if (k == 0) 0L else cuts(k - 1)
