@@ -17,6 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // commit algorithm 2: task outputs promote directly instead of a
+      // second sequential driver-side rename pass per write job. The
+      // engine's own tables get their atomicity from the manifest
+      // commit (staged dirs + CAS), not from the Hadoop committer, so
+      // v2's weaker failure atomicity costs nothing here — and at any
+      // scale, v1's O(files) driver rename pass is pure overhead.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k2=v2": runtime confs for route-forcing

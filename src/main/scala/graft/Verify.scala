@@ -17,6 +17,9 @@ object Verify {
       // timestamp type, so read it as epoch-nanos long (oracle: epoch_ns(ts))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // see Bench: task outputs promote directly; engine-table
+      // atomicity comes from the manifest commit, not this committer
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

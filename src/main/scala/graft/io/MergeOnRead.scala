@@ -246,7 +246,10 @@ object MergeOnRead {
     // tombstones outrank everything). Group count = distinct live
     // epochs — bounded by un-folded updates, never data.
     val global = tombs.filterNot(tombEpoch(_).isDefined)
-    val uniform = {
+    // spark.graft.mor.flatSnapshot=false forces the per-group form —
+    // the A/B lever for plan capture and regression triage
+    val uniform = s.conf.get("spark.graft.mor.flatSnapshot", "true")
+      .toBoolean && {
       val schemas = data.map(SchemaMemo.schemaOf(s, _))
       schemas.forall(_.isDefined) && schemas.flatten.distinct.size == 1
     }

@@ -5259,6 +5259,37 @@ object OpsQueries {
     * the fact scan carries a runtime filter and reads ONLY the matching
     * directory's rows; the oracle replays the join census.
     */
+
+  /** Write `n` bucketed fixture batches under `root/data/bN` in ONE
+    * partitioned pass over `df` (the per-gate loops used to scan the
+    * source once PER batch), leaving each directory ready for the
+    * caller's own sidecar/commit discipline. Rows whose bucket falls
+    * outside [0, n) are excluded, matching the loops' range filters;
+    * an empty bucket still gets its (empty) directory.
+    */
+  private def writeBatches(s: SparkSession, root: String, df: DataFrame,
+      bucket: org.apache.spark.sql.Column, n: Int): Seq[String] = {
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stage = s"$root/stage-batches"
+    df.withColumn("_gb", bucket.cast("int"))
+      .filter(col("_gb") >= 0 && col("_gb") < n)
+      .repartition(col("_gb"))
+      .write.mode("overwrite").partitionBy("_gb").parquet(stage)
+    fsH.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
+    val dirs = (0 until n).map { b =>
+      val src = new org.apache.hadoop.fs.Path(s"$stage/_gb=$b")
+      val d = s"$root/data/b$b"
+      if (fsH.exists(src))
+        require(fsH.rename(src, new org.apache.hadoop.fs.Path(d)),
+          s"staging rename of batch $b failed")
+      else df.limit(0).drop("_gb").write.parquet(d)
+      d
+    }
+    fsH.delete(new org.apache.hadoop.fs.Path(stage), true)
+    dirs
+  }
+
   def io46RuntimePrune(s: SparkSession, dir: String): DataFrame = {
     import graft.io.Manifest
     s.conf.set("spark.sql.catalog.g46", "graft.io.dsv2.GraftCatalog")
@@ -5272,12 +5303,9 @@ object OpsQueries {
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    for (b <- 0 until 4) {
-      val d = s"$root/data/b$b"
-      li.filter(col("l_orderkey") >= b * k && col("l_orderkey") < (b + 1) * k)
-        .write.parquet(d)
-      Manifest.commitWithStats(s, root, d, Seq("l_orderkey"))
-    }
+    writeBatches(s, root, li, col("l_orderkey") / k, 4)
+      .foreach(d => Manifest.commitWithStats(s, root, d,
+        Seq("l_orderkey")))
     // dim: a 1/97-residue key sample (selected rows from the first
     // quarter, unselected distractors corpus-wide) — BROADCAST-sized at
     // every scale factor, which is what lets Spark reuse the join's
@@ -5367,12 +5395,9 @@ object OpsQueries {
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    for (b <- 0 until 4) {
-      val d = s"$root/data/b$b"
-      li.filter(col("l_orderkey") >= b * k && col("l_orderkey") < (b + 1) * k)
-        .write.parquet(d)
-      Manifest.commitWithStats(s, root, d, Seq("l_orderkey"))
-    }
+    writeBatches(s, root, li, col("l_orderkey") / k, 4)
+      .foreach(d => Manifest.commitWithStats(s, root, d,
+        Seq("l_orderkey")))
     val dimPath = tmpDir(s) + "/graft_io51_dim"
     fsH.delete(new org.apache.hadoop.fs.Path(dimPath), true)
     Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
@@ -5495,19 +5520,24 @@ object OpsQueries {
           .as("cents"))
     s.conf.set("spark.graft.bloomSidecar.fpp", "0.0001")
     try {
-      for (b <- 0 until 4) {
-        val d = s"$root/data/b$b"
-        li.filter(col("l_orderkey") % 4 === b).write.parquet(d)
-        graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
-        graft.io.BloomSidecar.write(s, d, Seq("l_orderkey"))
-        Manifest.commit(s, root, d)
-      }
+      // ONE partitioned pass writes all four residue batches (the
+      // previous loop scanned lineitem once per batch); the four dirs
+      // then take their sidecars and commit individually exactly as
+      // before — same four versions, same per-dir blooms
+      writeBatches(s, root, li, pmod(col("l_orderkey"), lit(4)), 4)
+        .foreach { d =>
+          graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
+          graft.io.BloomSidecar.write(s, d, Seq("l_orderkey"))
+          Manifest.commit(s, root, d)
+        }
     } finally s.conf.unset("spark.graft.bloomSidecar.fpp")
-    val probe2 = li.filter(col("l_orderkey") % 4 === 2)
-      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
-    val probe1 = li.filter(col("l_orderkey") % 4 === 1)
-      .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
-    val absent = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0) + 2
+    // one probe-derivation pass instead of three
+    val pr = li.agg(
+      min(when(col("l_orderkey") % 4 === 2, col("l_orderkey"))),
+      min(when(col("l_orderkey") % 4 === 1, col("l_orderkey"))),
+      max(col("l_orderkey"))).collect()(0)
+    val (probe2, probe1, absent) =
+      (pr.getLong(0), pr.getLong(1), pr.getLong(2) + 2)
     def skipped(df: DataFrame, n: Int, what: String): DataFrame = {
       df.collect()
       require(df.queryExecution.executedPlan.toString
@@ -5652,11 +5682,8 @@ object OpsQueries {
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    for (b <- 0 until 4) {
-      val d = s"$root/data/b$b"
-      li.filter(col("l_orderkey") % 4 === b).write.parquet(d)
-      Manifest.commit(s, root, d) // deliberately NO sidecars
-    }
+    writeBatches(s, root, li, pmod(col("l_orderkey"), lit(4)), 4)
+      .foreach(d => Manifest.commit(s, root, d)) // deliberately NO sidecars
     val probe2 = li.filter(col("l_orderkey") % 4 === 2)
       .agg(min(col("l_orderkey"))).collect()(0).getLong(0)
     def eqProbe(): DataFrame = s.sql(
@@ -5780,14 +5807,18 @@ object OpsQueries {
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    for (b <- 0 until 4) {
-      val d = s"$root/data/b$b"
-      li.filter(col("l_orderkey") >= b * hi / 4 &&
-          col("l_orderkey") < (b + 1) * hi / 4)
-        .write.parquet(d)
-      graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
-      Manifest.commit(s, root, d)
-    }
+    // boundaries b*hi/4 in INTEGER arithmetic — the exact ranges the
+    // per-batch loop filtered on (floor(okey*4/hi) would drift at the
+    // rounding edges and move boundary keys across buckets)
+    writeBatches(s, root, li,
+      when(col("l_orderkey") < hi / 4, 0)
+        .when(col("l_orderkey") < 2 * hi / 4, 1)
+        .when(col("l_orderkey") < 3 * hi / 4, 2)
+        .when(col("l_orderkey") < hi, 3).otherwise(-1), 4)
+      .foreach { d =>
+        graft.io.SkipStats.write(s, d, Seq("l_orderkey"))
+        Manifest.commit(s, root, d)
+      }
     val q = s.sql("SELECT COUNT(*) AS n FROM " +
       "(SELECT * FROM g55.graft_io55_tbl LIMIT 100) t")
     q.collect()
@@ -5832,14 +5863,15 @@ object OpsQueries {
         lpad(col("l_orderkey").cast("string"), 10, "0").as("skey"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    for (b <- 0 until 4) {
-      val d = s"$root/data/b$b"
-      li.filter(col("l_orderkey") >= b * hi / 4 &&
-          col("l_orderkey") < (b + 1) * hi / 4)
-        .write.parquet(d)
-      graft.io.SkipStats.write(s, d, Seq("l_orderkey", "skey"))
-      Manifest.commit(s, root, d)
-    }
+    writeBatches(s, root, li,
+      when(col("l_orderkey") < hi / 4, 0)
+        .when(col("l_orderkey") < 2 * hi / 4, 1)
+        .when(col("l_orderkey") < 3 * hi / 4, 2)
+        .when(col("l_orderkey") < hi, 3).otherwise(-1), 4)
+      .foreach { d =>
+        graft.io.SkipStats.write(s, d, Seq("l_orderkey", "skey"))
+        Manifest.commit(s, root, d)
+      }
     def probe(sql: String, tag: Int): DataFrame = {
       val q = s.sql(sql)
       q.collect()
