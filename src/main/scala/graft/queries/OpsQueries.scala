@@ -3700,13 +3700,16 @@ object OpsQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fsH.delete(new org.apache.hadoop.fs.Path(root), true)
     val src = s"$root/src"
+    // staged once: the redelivered slices below OVERLAP (the gate's
+    // semantics — not one-pass-partitionable), but they can all filter
+    // one materialized projection instead of re-scanning events
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents")).staged()
     def commit(lo: Long, hi: Long, tag: String): Unit = {
       val d = s"$src/data/$tag"
-      Tables.events(s, dir)
-        .filter(col("event_id") >= lo && col("event_id") < hi)
-        .select(col("event_id"), col("user_id"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
+      evs.filter(col("event_id") >= lo && col("event_id") < hi)
         .write.parquet(d)
       Manifest.commit(s, src, d)
     }
@@ -3853,13 +3856,16 @@ object OpsQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fsH.delete(new org.apache.hadoop.fs.Path(root), true)
     val src = s"$root/src"
+    // staged once: the redelivered slices below OVERLAP (the gate's
+    // semantics — not one-pass-partitionable), but they can all filter
+    // one materialized projection instead of re-scanning events
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents")).staged()
     def commit(lo: Long, hi: Long, tag: String): Unit = {
       val d = s"$src/data/$tag"
-      Tables.events(s, dir)
-        .filter(col("event_id") >= lo && col("event_id") < hi)
-        .select(col("event_id"), col("user_id"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
+      evs.filter(col("event_id") >= lo && col("event_id") < hi)
         .write.parquet(d)
       Manifest.commit(s, src, d)
     }
@@ -4987,15 +4993,16 @@ object OpsQueries {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val k = okeyUnit(s, dir)
-    def batch(lo: Long, hi: Long) = Tables.lineitem(s, dir)
-      .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
+    val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, k).write.parquet(s"$root/data/b1")
-    Manifest.commit(s, root, s"$root/data/b1")
-    batch(k, 2 * k).write.parquet(s"$root/data/b2")
-    Manifest.commit(s, root, s"$root/data/b2")
+    // both range batches in ONE pass (this fixture fronts ~10 SQL-DML
+    // gates; the two filtered writes scanned lineitem twice), same
+    // [0,k) / [k,2k) buckets, same b1/b2 names, same two versions
+    writeBatches(s, root, li, col("l_orderkey") / k, 2,
+      b => s"b${b + 1}")
+      .foreach(d => Manifest.commit(s, root, d))
     (root, k)
   }
 
@@ -5268,7 +5275,8 @@ object OpsQueries {
     * an empty bucket still gets its (empty) directory.
     */
   private def writeBatches(s: SparkSession, root: String, df: DataFrame,
-      bucket: org.apache.spark.sql.Column, n: Int): Seq[String] = {
+      bucket: org.apache.spark.sql.Column, n: Int,
+      nameOf: Int => String = b => s"b$b"): Seq[String] = {
     val fsH = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val stage = s"$root/stage-batches"
@@ -5279,7 +5287,7 @@ object OpsQueries {
     fsH.mkdirs(new org.apache.hadoop.fs.Path(s"$root/data"))
     val dirs = (0 until n).map { b =>
       val src = new org.apache.hadoop.fs.Path(s"$stage/_gb=$b")
-      val d = s"$root/data/b$b"
+      val d = s"$root/data/${nameOf(b)}"
       if (fsH.exists(src))
         require(fsH.rename(src, new org.apache.hadoop.fs.Path(d)),
           s"staging rename of batch $b failed")

@@ -2266,7 +2266,8 @@ object SimilarityQueries {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val (lRoot, qRoot, cRoot) =
       (idx + "/lists", idx + "/quantizer", idx + "/catalog")
-    val e = quantized(s, dir)
+    // staged: consumed by the centroid training AND the source write
+    val e = quantized(s, dir).staged()
     // offline batch step: train on the designated block, freeze — as a
     // manifest table so the catalog pins it with the lists
     centroids(e.filter(col("vec_id") % 2 === 0))
