@@ -196,6 +196,16 @@ object Bench {
       .mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     println(json)
+    // The full per-query line above is ~7 KB at 253 queries; the driver's
+    // captured artifact keeps only a 2000-char stdout TAIL, so r15/r16
+    // records parsed as null. Emit a SHORT summary as the FINAL stdout
+    // line (additions-only — the full line and the file write stay):
+    // totals + per-family subtotals fit the tail with room to spare.
+    val fams = finalResults.toSeq.groupBy { case (k, _) => familyOf(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, kvs) => s"\"" + f + "\":" + r4(kvs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","n_queries":${finalResults.size},"families":$fams,"failed":$failedJson,"sf":"$sfDir","cpus":$cpus,"queries_file":"$outPath"}""")
     // stdout goes through log capture that has truncated before; the
     // file is the complete, always-parseable record of the same line.
     // Default is cwd-relative so the record lands next to wherever the

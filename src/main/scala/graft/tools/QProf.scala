@@ -19,8 +19,8 @@ import scala.collection.mutable
   */
 object QProf {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: QProf <queryName> [sfDir]")
-    val name = args(0)
+    require(args.nonEmpty, "usage: QProf <queryName>[,<name2>,...] [sfDir]")
+    val name0 = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -41,37 +41,61 @@ object QProf {
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => spark.read.parquet(f.getPath).count())
 
-    val starts = mutable.Map.empty[Int, (Long, String)]
-    val rows = mutable.ArrayBuffer.empty[(Int, Double, String)]
+    val starts = mutable.Map.empty[Int, (Long, String, String)]
+    val rows = mutable.ArrayBuffer.empty[(Int, Double, String, String)]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = e.stageInfos.lastOption.map(_.name).getOrElse("?")
-        starts(e.jobId) = (System.nanoTime(), site.take(90))
+        // the ROOT execution id groups AQE stage-materialization and
+        // broadcast-build sub-jobs under the statement that planned
+        // them — the per-statement attribution the bare callsite (a
+        // CompletableFuture frame) cannot give
+        val exec = Option(e.properties).flatMap(p =>
+          Option(p.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(p.getProperty("spark.sql.execution.id"))))
+          .getOrElse("-")
+        starts(e.jobId) = (System.nanoTime(), site.take(90), exec)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        starts.remove(e.jobId).foreach { case (t0, site) =>
-          rows += ((e.jobId, (System.nanoTime() - t0) / 1e9, site))
+        starts.remove(e.jobId).foreach { case (t0, site, exec) =>
+          rows += ((e.jobId, (System.nanoTime() - t0) / 1e9, site, exec))
         }
     }
-    val fn = graft.SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name"))
-    spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
-    val n = fn(spark, sfDir).count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300) // let the async listener bus drain
-    spark.sparkContext.removeSparkListener(listener)
-    val jobSum = rows.map(_._2).sum
-    println(f"== $name: wall=$wall%.2fs rows=$n jobs=${rows.size} " +
-      f"jobWall=$jobSum%.2fs driverGap=${wall - jobSum}%.2fs")
-    rows.sortBy(-_._2).take(40).foreach { case (id, s, site) =>
-      println(f"  job $id%4d $s%7.3fs  $site")
-    }
-    println("== by site:")
-    rows.groupBy(_._3).map { case (site, rs) =>
-      (rs.map(_._2).sum, rs.size, site)
-    }.toSeq.sortBy(-_._1).foreach { case (sum, cnt, site) =>
-      println(f"  $sum%7.3fs n=$cnt%-4d $site")
+    // comma-separated names share one warmed JVM — per-query startup
+    // cost would otherwise dominate a multi-gate profiling sweep
+    for (name <- name0.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      rows.clear(); starts.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the async listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      val jobSum = rows.map(_._2).sum
+      println(f"== $name: wall=$wall%.2fs rows=$n jobs=${rows.size} " +
+        f"jobWall=$jobSum%.2fs driverGap=${wall - jobSum}%.2fs")
+      rows.sortBy(-_._2).take(40).foreach { case (id, s, site, _) =>
+        println(f"  job $id%4d $s%7.3fs  $site")
+      }
+      println("== by site:")
+      rows.groupBy(_._3).map { case (site, rs) =>
+        (rs.map(_._2).sum, rs.size, site)
+      }.toSeq.sortBy(-_._1).foreach { case (sum, cnt, site) =>
+        println(f"  $sum%7.3fs n=$cnt%-4d $site")
+      }
+      // per-statement view: root execution id in first-job order, with
+      // a representative (non-future) callsite when one exists
+      println("== by execution:")
+      rows.groupBy(_._4).toSeq
+        .sortBy { case (_, rs) => rs.map(_._1).min }
+        .foreach { case (exec, rs) =>
+          val rep = rs.map(_._3).find(!_.contains("CompletableFuture"))
+            .getOrElse(rs.head._3)
+          println(f"  exec $exec%-5s ${rs.map(_._2).sum}%7.3fs " +
+            f"n=${rs.size}%-4d $rep")
+        }
     }
     spark.stop()
   }
