@@ -874,11 +874,16 @@ object Manifest {
   }
 
   /** The snapshot a manifest version pins (latest when unspecified):
-    * one DataFrame over exactly the committed directories.
+    * one DataFrame over exactly the committed directories. Reads via
+    * [[SchemaMemo.readMerged]]: when every committed dir agrees on the
+    * schema (the overwhelmingly common case) this is the job-free
+    * explicit-schema read; on an ADD COLUMN-evolved table whose dirs
+    * genuinely differ it degrades to a real mergeSchema read instead
+    * of silently clipping late columns to the first dir's footer.
     */
   def snapshot(s: SparkSession, root: String,
       version: Option[Int] = None): DataFrame =
-    SchemaMemo.read(s, entries(s, root, version))
+    SchemaMemo.readMerged(s, entries(s, root, version))
 
   /** One table version's history entry: what the commit did, expressed
     * as directory-set deltas against its predecessor.

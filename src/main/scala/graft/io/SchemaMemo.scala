@@ -69,7 +69,12 @@ object SchemaMemo {
     probeFile(s, path).flatMap { st =>
       val key = (st.getPath.toString, st.getModificationTime, st.getLen,
         nanosConf(s))
-      if (memo.size > 4096) memo.clear()
+      // bounded: evict an arbitrary half past the cap instead of
+      // clearing everything — a full clear re-probes EVERY hot schema
+      // at once (a thundering herd of driver footer reads) on a
+      // long-lived driver with many distinct dirs
+      if (memo.size > 4096)
+        memo.keysIterator.take(memo.size / 2).foreach(memo.remove)
       memo.get(key).orElse {
         val inferred = footerSchema(s, st).orElse {
           // fallback: Spark's own inference (one tiny job) — correct
@@ -128,6 +133,14 @@ object SchemaMemo {
     * identical the merge is a no-op and the explicit-schema read
     * applies; any divergence (or any path needing full inference)
     * falls back to the real merging read.
+    *
+    * INVARIANT: [[schemaOf]] probes ONE footer per directory, so the
+    * uniformity test (and the fast path it guards) is only sound for
+    * directories that are internally schema-homogeneous — true for
+    * every manifest-committed directory (each is written by one job
+    * with one schema) and for the immutable testdata dirs. A dir whose
+    * FILES disagree would be judged by its first footer; keep callers
+    * on committed dirs.
     */
   def readMerged(s: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "SchemaMemo.readMerged: no paths")
