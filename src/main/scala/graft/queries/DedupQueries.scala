@@ -536,7 +536,20 @@ object DedupQueries {
     */
   private def chunkPairFan(enc: DataFrame, nDocs: Long,
       chunk: Int = 4096): DataFrame = {
-    val nchk = math.max(1L, (nDocs + chunk - 1) / chunk).toInt
+    // Parallelism floor (scale-adaptive, guide §2.5/§2.6): the group
+    // count c(c+1)/2 is the sweep's task-level parallelism, and a
+    // corpus smaller than a few chunks would otherwise sweep on a
+    // handful of cores (sf0.1: 5000 docs -> 2 chunks -> THREE groups
+    // for a 12.5M-pair scan). Target ≥ 4 groups per core so hash
+    // placement of groups onto partitions balances; at real scale
+    // n/chunk >> cores and the floor is inert. Duplication (payload
+    // rows = n × chunks) is the √-decomposition trade the fan already
+    // makes — the floor only engages where the corpus is small, so
+    // the extra bytes are bounded by (corpus × ~4√cores).
+    val par = enc.sparkSession.sparkContext.defaultParallelism
+    val cMin = math.ceil((math.sqrt(1.0 + 32.0 * par) - 1) / 2).toInt
+    val nchk = math.min(math.max(nDocs, 1L),
+      math.max(math.max(1L, (nDocs + chunk - 1) / chunk), cMin)).toInt
     enc
       .withColumn("chk", pmod(hash(col("doc_id")), lit(nchk)).cast("int"))
       .withColumn("ob", explode(sequence(lit(0), lit(nchk - 1))))
