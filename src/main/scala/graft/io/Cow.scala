@@ -50,12 +50,34 @@ private[io] object Cow {
     */
   def rewrite(s: SparkSession, hit: Seq[String], stagingDir: String,
       prefix: String, baseVersion: Int,
-      xform: DataFrame => DataFrame): Seq[String] =
-    hit.zipWithIndex.map { case (d, i) =>
-      val outd = s"$stagingDir/$prefix-v$baseVersion-$i"
-      xform(s.read.parquet(d)).write.mode("overwrite").parquet(outd)
-      SkipStats.carry(s, d, outd)
-      BloomSidecar.carry(s, d, outd)
-      outd
-    }
+      xform: DataFrame => DataFrame): Seq[String] = {
+    // The per-directory rewrites are INDEPENDENT jobs over disjoint
+    // inputs and outputs, so submit them concurrently (bounded pool)
+    // instead of serially — a takedown touching 20 directories was 20
+    // back-to-back one-task jobs with the cluster idle in every tail
+    // (guide §2.6). SchemaMemo.read replaces the bare read's
+    // per-directory schema-inference job. Result order and names are
+    // unchanged; the first failure rethrows after all settle, so no
+    // branch is abandoned mid-write.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(hit.size, 8)))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = hit.zipWithIndex.map { case (d, i) =>
+        Future {
+          val outd = s"$stagingDir/$prefix-v$baseVersion-$i"
+          xform(SchemaMemo.read(s, Seq(d)))
+            .write.mode("overwrite").parquet(outd)
+          SkipStats.carry(s, d, outd)
+          BloomSidecar.carry(s, d, outd)
+          outd
+        }
+      }
+      val done = futs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      done.map(_.get)
+    } finally pool.shutdown()
+  }
 }

@@ -6104,15 +6104,29 @@ object OpsQueries {
       .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("mn"),
         max(col("l_orderkey")).as("mx"))
       .collect().sortBy(_.getInt(0))
-    val dirBodies = bucketStats.map { r =>
-      val d = f"$stage/pb=${r.getInt(0)}%03d"
-      val body = SkipStats.render(r.getLong(1),
-        Seq("l_orderkey" -> SkipStats.ColStats("long",
-          Some((r.getLong(2).toString, r.getLong(3).toString)))),
-        Map("l_orderkey" -> r.getLong(1)))
-      SkipStats.installRendered(s, d, body)
-      (d, body)
-    }.toSeq
+    // the 256 sidecar installs are independent one-file driver IOs —
+    // write them from a bounded pool instead of serially (the serial
+    // loop was a measurable slice of this gate's driver gap)
+    val dirBodies = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = bucketStats.map { r => Future {
+          val d = f"$stage/pb=${r.getInt(0)}%03d"
+          val body = SkipStats.render(r.getLong(1),
+            Seq("l_orderkey" -> SkipStats.ColStats("long",
+              Some((r.getLong(2).toString, r.getLong(3).toString)))),
+            Map("l_orderkey" -> r.getLong(1)))
+          SkipStats.installRendered(s, d, body)
+          (d, body)
+        }}
+        futs.map(f =>
+          scala.util.Try(Await.result(f, Duration.Inf))).map(_.get).toSeq
+      } finally pool.shutdown()
+    }
     val dirs = dirBodies.map(_._1)
     val n = dirs.size
     require(n >= 64, s"fixture needs many buckets, got $n")
@@ -6553,7 +6567,12 @@ object OpsQueries {
     s.sql("UPDATE g63.graft_io63_tbl SET cents = cents + 1000 " +
       s"WHERE l_orderkey < ${k / 4}")
     require(Manifest.versions(s, root) == Seq(1, 2, 3, 4))
+    // staged: consumed THREE times (both directions of the past-cap
+    // equality require below, then the final union), and every
+    // evaluation re-ran the full MoR merge incl. its broadcast build —
+    // one materialization of 3 rows instead
     val p1 = dmlCensus(s.sql("SELECT * FROM g63.graft_io63_tbl"), 1)
+      .staged()
     // ── past-cap regime (the 10⁸-key takedown shape at 100 TB): with
     // the key-collect cap lowered under the accumulated tombstone
     // rows, the scan must NOT driver-collect — the planner strategy
@@ -6567,7 +6586,9 @@ object OpsQueries {
       require(!ocPlan.contains("GraftScan"),
         "the past-cap read must plan as the distributed anti-join, " +
           "never the key-collecting reader filter:\n" + ocPlan)
-      val pc = dmlCensus(oc, 1)
+      // staged for the same reason: the two except directions would
+      // each re-run the shuffled anti-join census
+      val pc = dmlCensus(oc, 1).staged()
       require(pc.except(p1).isEmpty && p1.except(pc).isEmpty,
         "the past-cap anti-join census must match the reader-filter " +
           "regime's")
@@ -7106,7 +7127,10 @@ object OpsQueries {
     require(Manifest.history(s, replica).forall(_.kind == "append"),
       "the replica must never rewrite itself — every applied slice " +
         "is an appending commit")
-    val rep = MergeOnRead.snapshot(s, replica, "l_orderkey")
+    // staged: the merged replica snapshot is consumed twice (the
+    // multiset-equality require and the final census) and each
+    // evaluation re-ran the full MoR anti-join merge
+    val rep = MergeOnRead.snapshot(s, replica, "l_orderkey").staged()
     val src = s.sql("SELECT * FROM g70.graft_io70_tbl")
     // multiset equality in ONE aggregation pass (±1 weights netting to
     // zero per distinct row) — exactly `exceptAll` both ways, which
