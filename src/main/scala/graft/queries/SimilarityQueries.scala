@@ -1585,8 +1585,8 @@ object SimilarityQueries {
       .write.mode("overwrite").parquet(idx + "/codes")
     mm.write.mode("overwrite").parquet(idx + "/ranges")
     // ---- query: decode-only reconstruction from the STORED codes
-    val stored = s.read.parquet(idx + "/codes")
-    val ranges = s.read.parquet(idx + "/ranges")
+    val stored = graft.io.SchemaMemo.read(s, Seq(idx + "/codes"))
+    val ranges = graft.io.SchemaMemo.read(s, Seq(idx + "/ranges"))
     val recon = transform(dims, i => {
       val mn = element_at(col("mins"), i)
       val span = element_at(col("maxs"), i) - mn
@@ -1643,8 +1643,9 @@ object SimilarityQueries {
       .write.mode("overwrite").parquet(idx + "/codes")
     cj.write.mode("overwrite").parquet(idx + "/codebook")
     // ---- query: lookup-only reconstruction from the stored codes
-    val stored = s.read.parquet(idx + "/codes")
-    val cjp2 = packCodebook(s.read.parquet(idx + "/codebook"), "clabel")
+    val stored = graft.io.SchemaMemo.read(s, Seq(idx + "/codes"))
+    val cjp2 = packCodebook(
+      graft.io.SchemaMemo.read(s, Seq(idx + "/codebook")), "clabel")
     val recon = flatten(transform(col("byJ"), jc =>
       element_at(filter(jc.getField("cands"), c =>
         c.getField("code") ===
@@ -2059,17 +2060,20 @@ object SimilarityQueries {
     // ---- dense index build (once per corpus): coarse quantizer,
     // residual PQ codebook, per-list codes — s8's arithmetic, persisted
     centroids(e).write.parquet(idx + "/centroids")
-    val cent = s.read.parquet(idx + "/centroids")
+    val cent = graft.io.SchemaMemo.read(s, Seq(idx + "/centroids"))
     val centByList = cent.withColumnRenamed("clabel", "list")
     val asg = centroidRanked(e, cent, maxRank = 1)
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("v"),
         col("clabel").as("list"))
+    // staged: consumed by BOTH the codebook train and the codes write —
+    // uncached, each write re-ran the full corpus assignment
     val withRes = asg.join(broadcast(centByList), Seq("list"))
       .select(col("vec_id"), col("label"), col("list"),
         zip_with(col("v"), col("c"),
           (x, m) => floor(x.cast("double") - m + lit(0.5d)).cast("long"))
           .as("rq"))
+      .staged()
     val cb = withRes.groupBy(col("label"))
       .agg(call_function("graft_elementwise_sum", col("rq")).as("sx"),
         count(lit(1)).as("cnt"))
@@ -2079,7 +2083,7 @@ object SimilarityQueries {
       .select(col("code"), explode(sequence(lit(0), lit(7))).as("j"),
         slice(col("m"), col("j") * 8 + 1, lit(8)).as("sc"))
     cb.write.parquet(idx + "/codebook")
-    val cbStored = s.read.parquet(idx + "/codebook")
+    val cbStored = graft.io.SchemaMemo.read(s, Seq(idx + "/codebook"))
     val codes = transform(col("byJ"), jc =>
       nearestCode(col("rq"), jc).getField("code"))
     withRes.crossJoin(broadcast(packCodebook(cbStored, "code")))
@@ -2103,7 +2107,7 @@ object SimilarityQueries {
         c.getField("code") ===
           element_at(col("codes"), jc.getField("j") + 1)), 1)
         .getField("sc")))
-    val rec = s.read.parquet(idx + "/codes")
+    val rec = graft.io.SchemaMemo.read(s, Seq(idx + "/codes"))
       .filter(col("list").isInCollection(probedLists))
       .crossJoin(broadcast(packCodebook(cbStored, "code")))
       .select(col("vec_id"), col("list"), resRecon.as("res"))
@@ -3030,7 +3034,12 @@ object SimilarityQueries {
     * exact search.
     */
   def s22HybridRecall(s: SparkSession, dir: String): DataFrame = {
+    // staged: the exact fused baseline (a full two-leg retrieval stack)
+    // is consumed TWICE in the final plan (the hit semi-join and the
+    // probe base) — one materialization of ≤25 rows instead of two
+    // end-to-end evaluations
     val exact = s12HybridRrf(s, dir).select(col("qid"), col("nid"))
+      .staged()
     val ann = s15HybridStored(s, dir).select(col("qid"), col("nid"))
     val hits = exact.join(ann, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
@@ -3093,7 +3102,9 @@ object SimilarityQueries {
     val (pRoot, sRoot, lRoot, qRoot, cRoot) = (idx + "/postings",
       idx + "/stats", idx + "/lists", idx + "/quantizer",
       idx + "/catalog")
-    val e = quantized(s, dir)
+    // staged: consumed by the offline centroid train AND the final
+    // hybrid query's probe routing — one corpus quantize pass, not two
+    val e = quantized(s, dir).staged()
     // offline batch step: the coarse quantizer trains on the full
     // embedded corpus and freezes as a manifest table
     centroids(e).write.parquet(idx + "/centroids")
@@ -3294,6 +3305,10 @@ object SimilarityQueries {
     val e = quantized(s, dir)
     centroids(e).write.parquet(idx + "/centroids")
     Manifest.commit(s, qRoot, idx + "/centroids")
+    // the health probes are the CORPUS vec_id < 5 rows — identical for
+    // every epoch, so quantize them once here instead of re-scanning
+    // embeddings inside every epoch's census (2 evaluations × 3 epochs)
+    val eProbes = quantized(s, dir).filter(col("vec_id") < 5).staged()
     // ordered prefix source: 3 doc_id-range files; FileStreamSource
     // schedules oldest-first, so force strictly increasing mtimes —
     // epoch k's corpus must be the doc_id < cut(k) prefix the oracle
@@ -3361,7 +3376,7 @@ object SimilarityQueries {
         val mDir = s"$idx/m_$batchId"
         if (!Manifest.committed(ss, mRoot).contains(mDir)) {
           healthCensus(ss, dir, pRoot, sRoot, lRoot, qRoot,
-            Catalog.resolve(ss, cRoot), epoch)
+            Catalog.resolve(ss, cRoot), epoch, eProbes)
             .write.mode("overwrite").parquet(mDir)
           Manifest.commitIfAbsent(ss, mRoot, mDir)
         }
@@ -3395,7 +3410,8 @@ object SimilarityQueries {
     */
   private def healthCensus(ss: SparkSession, dir: String, pRoot: String,
       sRoot: String, lRoot: String, qRoot: String,
-      pins: Map[String, Int], epoch: Int): DataFrame = {
+      pins: Map[String, Int], epoch: Int,
+      eProbes: DataFrame): DataFrame = {
     import graft.io.Manifest
     val tf = Manifest.snapshot(ss, pRoot, Some(pins(pRoot)))
     val st = Manifest.snapshot(ss, sRoot, Some(pins(sRoot)))
@@ -3417,7 +3433,6 @@ object SimilarityQueries {
       "score_fp", "rks", 20, asc = false).staged()
     val cent = Manifest.snapshot(ss, qRoot, Some(pins(qRoot)))
     val lists = Manifest.snapshot(ss, lRoot, Some(pins(lRoot)))
-    val eProbes = quantized(ss, dir).filter(col("vec_id") < 5)
     val probed = centroidRanked(eProbes, cent, maxRank = 2)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nn").as("qn"), col("clabel").as("list"))
@@ -3432,6 +3447,9 @@ object SimilarityQueries {
           col("nn").as("qn")))
       .crossJoin(lists.select(col("vec_id"), col("v"), col("nn"))))
     val hyb5 = rrfTop5(dense, sparse).select(col("qid"), col("nid"))
+    // NOT staged: ex5 is consumed twice below, but within the single
+    // metrics-write action ReuseExchange already dedups its identical
+    // subtree — staging it was measured to ADD 4 jobs/epoch (r17)
     val ex5 = rrfTop5(exactDense, sparse).select(col("qid"), col("nid"))
     val hits = ex5.join(hyb5, Seq("qid", "nid"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
@@ -3592,7 +3610,9 @@ object SimilarityQueries {
     val (pRoot, sRoot, lRoot, qRoot, cRoot) = (idx + "/postings",
       idx + "/stats", idx + "/lists", idx + "/quantizer",
       idx + "/catalog")
-    val e = quantized(s, dir)
+    // staged: consumed by the offline centroid train AND the final
+    // hybrid query's probe routing — one corpus quantize pass, not two
+    val e = quantized(s, dir).staged()
     centroids(e).write.parquet(idx + "/centroids")
     Manifest.commit(s, qRoot, idx + "/centroids")
     val maxId = Tables.documents(s, dir)

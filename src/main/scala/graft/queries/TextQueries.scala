@@ -1500,10 +1500,12 @@ object TextQueries {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val (pRoot, sRoot) = (idx + "/postings", idx + "/stats")
     val cRoot = idx + "/catalog"
+    // `part` arrives pre-tokenized: each ingest's two artifact writes
+    // consumed the tokenizer twice, × increments — the staged corpus
+    // tokenize below pays that scan ONCE for the whole fixture while
+    // every write/commit/pin keeps its per-increment shape
     def ingest(part: DataFrame, tag: String): Unit = {
       val withDl = part
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")))
       withDl.select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .write.parquet(s"$idx/p_$tag")
@@ -1517,6 +1519,8 @@ object TextQueries {
       Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
     }
     val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks"))).staged()
     ingest(docs.filter(col("doc_id") % 2 === 0), "a")
     val pre = Manifest.entries(s, pRoot)
     ingest(docs.filter(col("doc_id") % 2 === 1), "b")
@@ -1571,10 +1575,10 @@ object TextQueries {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
     val (pRoot, sRoot) = (idx + "/postings", idx + "/stats")
     val cRoot = idx + "/catalog"
+    // pre-tokenized slices (see tBm25Incr): one staged corpus tokenize
+    // feeds all three increments' writes; commits/pins keep their shape
     def ingest(part: DataFrame, tag: String): Unit = {
       val withDl = part
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")))
       withDl.select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .write.parquet(s"$idx/p_$tag")
@@ -1587,6 +1591,8 @@ object TextQueries {
       Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
     }
     val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks"))).staged()
     ingest(docs.filter(col("doc_id") % 3 === 0), "a")
     ingest(docs.filter(col("doc_id") % 3 === 1), "b")
     ingest(docs.filter(col("doc_id") % 3 === 2), "c")
@@ -1666,10 +1672,11 @@ object TextQueries {
     val (pRoot, dRoot, sRoot) =
       (idx + "/postings", idx + "/doclen", idx + "/stats")
     val cRoot = idx + "/catalog"
+    // pre-tokenized slices (see tBm25Incr): each ingest's THREE
+    // artifact writes re-ran the tokenizer; one staged corpus pass
+    // feeds both concurrent increments
     def ingest(part: DataFrame, tag: String): Unit = {
       val withDl = part
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")))
       withDl.select(col("doc_id"), explode(col("toks")).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .write.parquet(s"$idx/p_$tag")
@@ -1684,6 +1691,8 @@ object TextQueries {
       Manifest.commit(s, sRoot, s"$idx/s_$tag")
     }
     val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks"))).staged()
     // the two increments land concurrently — appending commits from
     // racing writers are exactly what Manifest's commit loop absorbs
     // (each re-reads and retries on a lost create race), and a real
