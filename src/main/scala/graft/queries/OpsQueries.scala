@@ -1531,14 +1531,18 @@ object OpsQueries {
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    batch(0, k).write.parquet(s"$root/data/b1")
+    // all three batch directories in ONE source pass (the three range
+    // writes scanned lineitem three times); commits keep their order,
+    // so the version chain (b1=1, b2=2, delete=3, b3=4) is unchanged
+    val ok = col("l_orderkey")
+    writeBatches(s, root, batch(0, 2 * k + (2 * k) / 5),
+      when(ok < 0, -1).when(ok < k, 0).when(ok < 2 * k, 1).otherwise(2),
+      3, b => s"b${b + 1}")
     Manifest.commit(s, root, s"$root/data/b1")
-    batch(k, 2 * k).write.parquet(s"$root/data/b2")
     val v2 = Manifest.commit(s, root, s"$root/data/b2")
     val v3 = MergeOnRead.deleteWhere(s, root, "l_orderkey",
       col("l_orderkey").between(k / 3, k / 3 + k / 15 - 1),
       s"$root/data").get
-    batch(2 * k, 2 * k + (2 * k) / 5).write.parquet(s"$root/data/b3")
     val v4 = Manifest.commit(s, root, s"$root/data/b3")
     val folded = MergeOnRead.fold(s, root, "l_orderkey", s"$root/data").get
     require(!Manifest.entries(s, root, Some(folded.version))
@@ -1609,14 +1613,19 @@ object OpsQueries {
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    Seq((0L, u, "b1"), (u, 2 * u, "b2"), (2 * u, 3 * u, "b3"))
-      .foreach { case (lo, hi, name) =>
-        batch(lo, hi).write.parquet(s"$root/data/$name")
-        SkipStats.write(s, s"$root/data/$name", Seq("l_orderkey"))
-        Manifest.commit(s, root, s"$root/data/$name")
-      }
-    batch(3 * u, 3 * u + u / 10).write.parquet(s"$root/data/b4") // no sidecar
-    Manifest.commit(s, root, s"$root/data/b4")
+    // all four batch directories in ONE source pass (the loop scanned
+    // lineitem once per batch); the per-dir sidecar/commit discipline
+    // below is unchanged, so versions and pruning facts are identical
+    val ok = col("l_orderkey")
+    writeBatches(s, root, batch(0, 3 * u + u / 10),
+      when(ok < 0, -1).when(ok < u, 0).when(ok < 2 * u, 1)
+        .when(ok < 3 * u, 2).otherwise(3),
+      4, b => s"b${b + 1}")
+    for (name <- Seq("b1", "b2", "b3")) {
+      SkipStats.write(s, s"$root/data/$name", Seq("l_orderkey"))
+      Manifest.commit(s, root, s"$root/data/$name")
+    }
+    Manifest.commit(s, root, s"$root/data/b4") // no sidecar
     val (plo, phi) = (u + u / 5, u + (4 * u) / 5 - 1)
     val (kept, skipped) = SkipStats.prunedDirs(s, root, "l_orderkey",
       plo.toString, phi.toString)
@@ -3463,30 +3472,35 @@ object OpsQueries {
       Manifest.rewrite(s, dimTbl, Seq(d))
     }
     commitDim(0)
-    // four mtime-ordered source files, each a known user_id slice
+    // four mtime-ordered source files, each a known user_id slice —
+    // written in ONE partitioned pass over events (this was four
+    // filtered scans, each written to its own dir and then copied),
+    // then moved into the flat source dir with the forced mtime order
     val srcDir = s"$root/src"
     val now = System.currentTimeMillis()
-    (0 until 4).foreach { i =>
-      val f = s"$srcDir/part_$i"
-      Tables.events(s, dir)
-        .filter(col("user_id") >= i * 15 && col("user_id") < (i + 1) * 15)
-        .select(col("event_id"), col("user_id"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-        .repartition(1).write.parquet(f)
-      fsH.listStatus(new org.apache.hadoop.fs.Path(f)).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(p => fsH.setTimes(p, now - 40000 + i * 10000, -1))
-    }
+    val srcProj = Tables.events(s, dir)
+      .filter(col("user_id") >= 0 && col("user_id") < 60)
+      .select(col("event_id"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    srcProj
+      .withColumn("_gb", (col("user_id") / 15).cast("int"))
+      .repartition(col("_gb"))
+      .write.partitionBy("_gb").parquet(srcDir)
     val flat = s"$root/flat"
     fsH.mkdirs(new org.apache.hadoop.fs.Path(flat))
     (0 until 4).foreach { i =>
-      fsH.listStatus(new org.apache.hadoop.fs.Path(s"$srcDir/part_$i"))
+      val gdir = s"$srcDir/_gb=$i"
+      // a slice empty at this SF gets no partition directory from the
+      // one-pass write — materialize the schema-only file the old
+      // per-slice writes produced, so the stream still sees 4 batches
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(gdir)))
+        srcProj.limit(0).coalesce(1).write.parquet(gdir)
+      fsH.listStatus(new org.apache.hadoop.fs.Path(gdir))
         .map(_.getPath).filter(_.getName.endsWith(".parquet"))
         .foreach { p =>
           val dst = new org.apache.hadoop.fs.Path(flat, s"f${i}_${p.getName}")
-          org.apache.hadoop.fs.FileUtil.copy(fsH, p, fsH, dst, false,
-            s.sparkContext.hadoopConfiguration)
+          require(fsH.rename(p, dst), s"source slice move $i failed")
           fsH.setTimes(dst, now - 40000 + i * 10000, -1)
         }
     }
@@ -4824,14 +4838,19 @@ object OpsQueries {
       .select(col("l_orderkey"), col("l_returnflag"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
-    Seq((0L, u, "b1"), (u, 2 * u, "b2"), (2 * u, 3 * u, "b3"))
-      .foreach { case (lo, hi, name) =>
-        batch(lo, hi).write.parquet(s"$root/data/$name")
-        SkipStats.write(s, s"$root/data/$name", Seq("l_orderkey"))
-        Manifest.commit(s, root, s"$root/data/$name")
-      }
-    batch(3 * u, 3 * u + u / 10).write.parquet(s"$root/data/b4") // no sidecar
-    Manifest.commit(s, root, s"$root/data/b4")
+    // all four batch directories in ONE source pass (the loop scanned
+    // lineitem once per batch); the per-dir sidecar/commit discipline
+    // below is unchanged, so versions and pruning facts are identical
+    val ok = col("l_orderkey")
+    writeBatches(s, root, batch(0, 3 * u + u / 10),
+      when(ok < 0, -1).when(ok < u, 0).when(ok < 2 * u, 1)
+        .when(ok < 3 * u, 2).otherwise(3),
+      4, b => s"b${b + 1}")
+    for (name <- Seq("b1", "b2", "b3")) {
+      SkipStats.write(s, s"$root/data/$name", Seq("l_orderkey"))
+      Manifest.commit(s, root, s"$root/data/$name")
+    }
+    Manifest.commit(s, root, s"$root/data/b4") // no sidecar
     val (plo, phi) = (u + u / 5, u + (4 * u) / 5 - 1)
     val viaDsv2 = s.read.format("graft").load(root)
       .filter(col("l_orderkey").between(plo, phi))

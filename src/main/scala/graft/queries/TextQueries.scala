@@ -1937,8 +1937,11 @@ object TextQueries {
     def postingsOf(withDl: DataFrame): DataFrame = withDl
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // `part` arrives pre-tokenized (see tBm25Incr): one staged corpus
+    // tokenize feeds both increments' two writes AND the torn third —
+    // this was five tokenizer scans; commits/pins keep their shape
     def ingest(part: DataFrame, tag: String): Unit = {
-      val withDl = tokenized(part)
+      val withDl = part
       postingsOf(withDl).write.parquet(s"$idx/p_$tag")
       Manifest.commitWithStats(s, pRoot, s"$idx/p_$tag", Seq("doc_id"))
       withDl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
@@ -1946,13 +1949,13 @@ object TextQueries {
       Manifest.commit(s, sRoot, s"$idx/s_$tag")
       Catalog.pinLatest(s, cRoot, Seq(pRoot, sRoot))
     }
-    val docs = Tables.documents(s, dir)
+    val docs = tokenized(Tables.documents(s, dir)).staged()
     ingest(docs.filter(col("doc_id") % 2 === 0), "a")
     ingest(docs.filter(col("doc_id") % 2 === 1), "b")
     val pinned = Catalog.resolve(s, cRoot)
     // ---- the crash: a third increment's postings land, then the
     // writer dies — no stats commit, no catalog pin
-    postingsOf(tokenized(docs.filter(col("doc_id") % 7 === 0)))
+    postingsOf(docs.filter(col("doc_id") % 7 === 0))
       .write.parquet(s"$idx/p_torn")
     Manifest.commitWithStats(s, pRoot, s"$idx/p_torn", Seq("doc_id"))
     // the tear IS live, visible table state...
