@@ -333,14 +333,28 @@ object MergeOnRead {
     val uuid = java.util.UUID.randomUUID().toString
     val tombDir = s"$stagingDir/${TombstonePrefix}e$epoch-$uuid"
     val insDir = s"$stagingDir/$InsertPrefix$epoch-$uuid"
-    keys.select(col(keyCol)).distinct().write.parquet(tombDir)
+    // the key-list and re-insert writes are independent jobs over
+    // private staging dirs — submit both at once (guide §2.6) instead
+    // of serially; an empty key list (pure-preimage slice) deletes
+    // both staged dirs, exactly the old early-return
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fk = Future(
+        keys.select(col(keyCol)).distinct().write.parquet(tombDir))
+      val fr = Future(rows.write.parquet(insDir))
+      val rk = scala.util.Try(Await.result(fk, Duration.Inf))
+      val rr = scala.util.Try(Await.result(fr, Duration.Inf))
+      rk.get; rr.get
+    }
     val f = new Path(tombDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (Manifest.dirRowCount(s, Seq(tombDir)) == 0L) {
       f.delete(new Path(tombDir), true)
+      f.delete(new Path(insDir), true)
       return None
     }
-    rows.write.parquet(insDir)
     if (statsCols.nonEmpty) SkipStats.write(s, insDir, statsCols)
     // conflict-detecting commit: a racer that landed a same-or-higher
     // epoch over OVERLAPPING keys refuses (both morins copies of a
