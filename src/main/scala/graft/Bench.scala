@@ -93,6 +93,13 @@ object Bench {
         // catalog CONFS survive, so later gates re-instantiate lazily
         val cm = spark.sessionState.catalogManager
         cm.getClass.getMethod("reset").invoke(cm)
+        // also drop leftover persistent RDD blocks (staged/checkpointed
+        // frames of ALREADY-FINISHED queries — every gate rebuilds its
+        // own state per run, so nothing live references them at a
+        // family boundary); without this they linger until the async
+        // ContextCleaner gets to them and tax later families' memory
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
       }
       lastFamily = fam
